@@ -15,6 +15,10 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
+      (Scans.queries, Scans.oracle),
+      (Basics.queries, Basics.oracle),
+      (SortLimit.queries, SortLimit.oracle),
+      (SetOps.queries, SetOps.oracle),
       (Aggregations.queries, Aggregations.oracle)
     )
 

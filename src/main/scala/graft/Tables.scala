@@ -15,8 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS); Spark 4.x rejects it as
+    // PARQUET_TYPE_ILLEGAL unless read as raw nanos-since-epoch longs.
+    // We convert to TimestampType (µs) — every oracled query further
+    // date_trunc's to ≥ seconds, so the ns→µs truncation is invisible
+    // to the DuckDB compare (SURVEY.md §5.4).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     names.map(n => n -> table(spark, sfDir, n)).toMap
