@@ -2,6 +2,7 @@ package graft.ops.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 import graft.Tables
 
@@ -17,7 +18,11 @@ object Basics {
   def qProject(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.table(spark, dir, "part")
-      .withColumn("price_taxed", round($"p_retailprice" * 1.1, 2))
+      // DECIMAL-domain product: avoids the Spark-vs-DuckDB double
+      // rounding divergence on .xx5 boundaries (see Scalars.qFnMath)
+      .withColumn("price_taxed",
+        round($"p_retailprice".cast(types.DecimalType(12, 2)) * lit(BigDecimal("1.1")), 2)
+          .cast(types.DoubleType))
       .withColumnRenamed("p_name", "part_name")
       .withColumn("name_upper", upper($"part_name"))
       .withColumn("size_plus", $"p_size" + 1)
@@ -65,7 +70,7 @@ object Basics {
   val oracle: Map[String, String] = Map(
     "q_project" ->
       """SELECT p_partkey, p_name AS part_name, upper(p_name) AS name_upper,
-        |  round(p_retailprice * 1.1, 2) AS price_taxed, p_size + 1 AS size_plus
+        |  round(p_retailprice::DECIMAL(12,2) * 1.1, 2)::DOUBLE AS price_taxed, p_size + 1 AS size_plus
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_filter_predicates" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
