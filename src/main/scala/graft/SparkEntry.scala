@@ -19,6 +19,7 @@ object SparkEntry {
       (Basics.queries, Basics.oracle),
       (SortLimit.queries, SortLimit.oracle),
       (SetOps.queries, SetOps.oracle),
+      (Joins.queries, Joins.oracle),
       (Scalars.queries, Scalars.oracle),
       (graft.functions.TextUdf.queries, graft.functions.TextUdf.oracle),
       (Aggregations.queries, Aggregations.oracle)

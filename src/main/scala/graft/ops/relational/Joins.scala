@@ -1,0 +1,225 @@
+package graft.ops.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.plans.AsofJoin
+
+/** §2-C join operators.
+  *
+  * Scale notes per strategy:
+  * - broadcast hash: dim side ships to every executor once — the only
+  *   shuffle-free equi-join; always the pick for star-schema dims.
+  * - sort-merge: both sides shuffle+sort on the key — the robust
+  *   default for fact×fact; spills instead of OOMing, AQE splits skew.
+  * - shuffle hash: shuffle both sides, hash the smaller — beats SMJ
+  *   when one side is much smaller than the other but too big to
+  *   broadcast.
+  * - theta joins compile to BroadcastNestedLoopJoin: only sane when
+  *   one side is tiny (here: a 3-row band table).
+  * - as-of: see plans.AsofJoin (union+window, single shuffle).
+  */
+object Joins {
+
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .join(broadcast(Tables.table(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_linenumber", $"p_brand", $"p_name")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  def qJoinSortmerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "orders")
+      .hint("merge")
+      .join(Tables.table(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(Tables.table(spark, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.table(spark, dir, "region"), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  def qJoinShufflehash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .hint("shuffle_hash")
+      .join(Tables.table(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(
+        round(sum($"l_quantity"), 2).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** Non-equi (theta) join against a 3-row inline band table. */
+  def qJoinTheta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("small", 0.0, 50000.0),
+      ("medium", 50000.0, 200000.0),
+      ("large", 200000.0, 1e9)).toDF("band", "lo", "hi")
+    Tables.table(spark, dir, "orders")
+      .join(bands, $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .select($"o_orderkey", $"band")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Full outer: customers (custkey >= 50) vs per-user event counts —
+    * left-only, right-only, and matched rows all present. */
+  def qJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    Tables.table(spark, dir, "customer")
+      .filter($"c_custkey" >= 50)
+      .join(ev, $"c_custkey" === $"user_id", "full_outer")
+      .select($"c_custkey", $"user_id", $"n_events")
+      .orderBy(coalesce($"c_custkey", $"user_id").asc, $"c_custkey".asc_nulls_last)
+  }
+
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "customer")
+      .join(Tables.table(spark, dir, "events"),
+        $"c_custkey" === $"user_id", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "customer")
+      .join(Tables.table(spark, dir, "events"),
+        $"c_custkey" === $"user_id", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Range (interval) join: per user, every event within 30 minutes
+    * AFTER each signup. Times second-truncated on both engines (the
+    * raw column is ns-precision — SURVEY §5.4). */
+  def qJoinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+      .withColumn("ts_s", date_trunc("second", $"ts"))
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id", $"ts_s".as("signup_ts"))
+    val others = ev.select($"event_id", $"user_id".as("e_user"), $"event_type", $"ts_s")
+    signups.join(others,
+        $"e_user" === $"user_id" &&
+        $"ts_s" > $"signup_ts" &&
+        $"ts_s" <= $"signup_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"signup_id", $"event_id", $"event_type")
+      .orderBy($"signup_id", $"event_id")
+  }
+
+  /** As-of join: for each purchase, the latest 'view' event at-or-
+    * before it by the same user (union+window impl — plans.AsofJoin). */
+  def qJoinAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    AsofJoin.asofBackward(
+        purchases, views,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightCols = Seq("event_id", "value"), tieBreak = "event_id")
+      .select($"purchase_id", $"asof_event_id".as("view_id"), $"asof_value".as("view_value"))
+      .orderBy($"purchase_id")
+  }
+
+  def qJoinCross(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "region")
+      .crossJoin(Tables.table(spark, dir, "nation"))
+      .select($"r_regionkey", $"n_nationkey", $"r_name", $"n_name")
+      .orderBy($"r_regionkey", $"n_nationkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_sortmerge" -> (qJoinSortmerge _),
+    "q_join_shufflehash" -> (qJoinShufflehash _),
+    "q_join_theta" -> (qJoinTheta _),
+    "q_join_outer" -> (qJoinOuter _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_join_range" -> (qJoinRange _),
+    "q_join_asof" -> (qJoinAsof _),
+    "q_join_cross" -> (qJoinCross _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_brand, p_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_sortmerge" ->
+      """SELECT r_name, n_name,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_join_shufflehash" ->
+      """SELECT s_suppkey, s_name,
+        |  round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_join_theta" ->
+      """SELECT o_orderkey, b.band
+        |FROM orders
+        |JOIN (VALUES ('small', 0.0, 50000.0),
+        |             ('medium', 50000.0, 200000.0),
+        |             ('large', 200000.0, 1e9)) AS b(band, lo, hi)
+        |  ON o_totalprice >= b.lo AND o_totalprice < b.hi
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_outer" ->
+      """SELECT c_custkey, user_id, n_events
+        |FROM (SELECT * FROM customer WHERE c_custkey >= 50) c
+        |FULL OUTER JOIN (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+        |  ON c.c_custkey = e.user_id
+        |ORDER BY coalesce(c_custkey, user_id) ASC, c_custkey ASC NULLS LAST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |                   date_trunc('second', ts) AS ts_s FROM events)
+        |SELECT s.event_id AS signup_id, e.event_id, e.event_type
+        |FROM (SELECT * FROM ev WHERE event_type = 'signup') s
+        |JOIN ev e ON e.user_id = s.user_id
+        |         AND e.ts_s > s.ts_s
+        |         AND e.ts_s <= s.ts_s + INTERVAL 30 MINUTE
+        |ORDER BY signup_id, e.event_id""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |       v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, n_nationkey, r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, attach the single
+  * right row with the greatest `rightTime <= leftTime` within the same
+  * key group (backward as-of, inclusive), left-outer semantics.
+  *
+  * Spark has no native as-of join. Instead of the naive
+  * `join(key && rTime <= lTime)` + keep-latest (which explodes to
+  * O(|L|·|R|) per key before pruning), this uses the union+window
+  * formulation: tag both sides, union, and for each left row take the
+  * last right value at-or-before it via a running `last(ignoreNulls)`
+  * over (key) ordered by (time, side).
+  *
+  * Scale: ONE shuffle on the key columns and a per-partition sort —
+  * O((|L|+|R|) log) total, skew-tolerant via AQE; this is the plan
+  * you'd want at 100 TB (the naive theta-join shape is quadratic per
+  * hot key). Tie-break at equal timestamps: right rows sort before
+  * left rows (inclusive <=), multiple right rows at the same instant
+  * resolve to the one latest in `tieBreak` order.
+  */
+object AsofJoin {
+
+  /** @param left      left (probe) side
+    * @param right     right (reference) side — its columns are emitted
+    *                  with prefix `rightPrefix`
+    * @param keys      equi-join key column names (same names both sides)
+    * @param leftTime  event-time column on `left`
+    * @param rightTime event-time column on `right`
+    * @param rightCols right columns to carry (besides keys/time)
+    * @param tieBreak  right column ordering the winner among equal
+    *                  timestamps (max wins); must be non-null on right
+    */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      tieBreak: String,
+      rightPrefix: String = "asof_"): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    val carried = (rightCols :+ rightTime).distinct
+    val leftCols = left.columns.toSeq
+
+    val taggedLeft = carried.foldLeft(left.withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
+    }.withColumn("__t", col(leftTime))
+      .withColumn("__tie", lit(null).cast(right.schema(tieBreak).dataType))
+
+    val taggedRight = {
+      val base = right.select((keys.map(col) ++ carried.map(c => col(c).as(s"__r_$c"))): _*)
+        .withColumn("__side", lit(0))
+        .withColumn("__t", col(s"__r_$rightTime"))
+        .withColumn("__tie", col(s"__r_$tieBreak"))
+      // align to left's full schema: left-only columns become nulls
+      leftCols.foldLeft(base) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    }
+
+    val unioned = taggedLeft.unionByName(taggedRight.select(taggedLeft.columns.map(col): _*))
+
+    // right rows (side=0) sort before left rows at equal time → inclusive;
+    // among right ties the greater tieBreak value is seen last and wins.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val withAsof = carried.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"${rightPrefix}$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+
+    withAsof
+      .filter($"__side" === 1)
+      .select((leftCols.map(col) ++ carried.map(c => col(s"${rightPrefix}$c"))): _*)
+  }
+
+  /** Reference implementation via theta-join + keep-latest window.
+    * O(matches) blow-up — for tests and small sides only; exists to
+    * cross-check asofBackward semantics. */
+  def asofBackwardNaive(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      tieBreak: String,
+      rightPrefix: String = "asof_"): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val carried = (rightCols :+ rightTime).distinct
+    val l = left.withColumn("__lid", monotonically_increasing_id())
+    val rSel = right.select(
+      (keys.map(k => col(k).as(s"__rk_$k")) ++ carried.map(c => col(c).as(s"${rightPrefix}$c"))): _*)
+    val cond = keys.map(k => l(k) === rSel(s"__rk_$k")).reduce(_ && _) &&
+      rSel(s"${rightPrefix}$rightTime") <= l(leftTime)
+    val joined = l.join(rSel, cond, "left")
+    val w = Window.partitionBy($"__lid")
+      .orderBy(col(s"${rightPrefix}$rightTime").desc_nulls_last,
+        col(s"${rightPrefix}$tieBreak").desc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1)
+      .select((left.columns.map(col) ++ carried.map(c => col(s"${rightPrefix}$c"))): _*)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops.relational
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.AsofJoin
+
+class JoinsSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("physical strategies match the declared operator") {
+    assert(plan(Joins.qJoinBroadcast(spark, sfSmoke)).contains("BroadcastHashJoin"))
+    assert(plan(Joins.qJoinSortmerge(spark, sfSmoke)).contains("SortMergeJoin"))
+    assert(plan(Joins.qJoinShufflehash(spark, sfSmoke)).contains("ShuffledHashJoin"))
+    assert(plan(Joins.qJoinTheta(spark, sfSmoke)).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("semi + anti partition the customer table") {
+    val semi = Joins.qJoinSemi(spark, sfSmoke).count()
+    val anti = Joins.qJoinAnti(spark, sfSmoke).count()
+    val total = spark.read.parquet(s"$sfSmoke/customer.parquet").count()
+    assert(semi > 0 && anti > 0 && semi + anti === total)
+  }
+
+  test("theta join covers every order exactly once") {
+    val n = Joins.qJoinTheta(spark, sfSmoke).count()
+    assert(n === spark.read.parquet(s"$sfSmoke/orders.parquet").count())
+  }
+
+  test("asofBackward: literal semantics — inclusive, backward, tie-broken, outer") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),  // exact tie with r2/r3
+      (2L, "u1", ts("2024-01-01 09:00:00")),  // before any right → null
+      (3L, "u2", ts("2024-01-01 12:00:00")),  // normal backward pick
+      (4L, "u3", ts("2024-01-01 12:00:00"))   // key with no right rows
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      (10L, "u1", ts("2024-01-01 10:00:00"), 1.0), // tie, smaller id
+      (11L, "u1", ts("2024-01-01 10:00:00"), 2.0), // tie, larger id → wins
+      (12L, "u2", ts("2024-01-01 11:00:00"), 3.0),
+      (13L, "u2", ts("2024-01-01 11:30:00"), 4.0), // latest <= 12:00 → wins
+      (14L, "u2", ts("2024-01-01 12:30:00"), 5.0)  // after left → ignored
+    ).toDF("rid", "k", "t", "v")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "t", "t",
+        Seq("rid", "v"), tieBreak = "rid")
+      .select($"lid", $"asof_rid", $"asof_v").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(1L) === (Some(11L), Some(2.0)))   // inclusive + max-tieBreak
+    assert(out(2L) === (None, None))             // nothing at-or-before
+    assert(out(3L) === (Some(13L), Some(4.0)))   // backward latest
+    assert(out(4L) === (None, None))             // unmatched key
+  }
+
+  test("asofBackward matches the naive theta-join implementation on the corpus") {
+    import spark.implicits._
+    val ev = graft.Tables.table(spark, sfSmoke, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val fast = AsofJoin.asofBackward(purchases, views, Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value"), "event_id").select("purchase_id", "asof_event_id")
+    val naive = AsofJoin.asofBackwardNaive(purchases, views, Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value"), "event_id").select("purchase_id", "asof_event_id")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() === purchases.count())
+  }
+
+  test("asofBackward plan: single shuffle on keys, no nested-loop join") {
+    import spark.implicits._
+    val ev = graft.Tables.table(spark, sfSmoke, "events")
+    val l = ev.filter($"event_type" === "purchase").select($"event_id".as("pid"), $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "view").select($"event_id", $"user_id", $"ts", $"value")
+    val p = plan(AsofJoin.asofBackward(l, r, Seq("user_id"), "ts", "ts", Seq("event_id"), "event_id"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+}
