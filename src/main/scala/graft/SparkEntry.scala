@@ -22,7 +22,8 @@ object SparkEntry {
       (Joins.queries, Joins.oracle),
       (Scalars.queries, Scalars.oracle),
       (graft.functions.TextUdf.queries, graft.functions.TextUdf.oracle),
-      (Aggregations.queries, Aggregations.oracle)
+      (Aggregations.queries, Aggregations.oracle),
+      (Windows.queries, Windows.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -35,8 +35,144 @@ object Aggregations {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Exact COUNT(DISTINCT), incl. multi-distinct in one agg — Spark
+    * plans this via Expand + two-phase agg (shuffle carries the
+    * distinct pairs, not raw rows). */
+  def qAggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("nd_parts"),
+        countDistinct($"l_suppkey").as("nd_supps"),
+        countDistinct($"l_partkey", $"l_suppkey").as("nd_pairs"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Approximate distinct via HLL. NOT oracled (sketch algorithms are
+    * engine-specific) — the driver records a rows-only check; accuracy
+    * vs exact is asserted in AggregationsSpec (±5%). Both the one-shot
+    * estimator and the datasketches lifecycle (agg → estimate) run. */
+  def qAggApproxHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
+        hll_sketch_estimate(hll_sketch_agg($"l_partkey")).as("hll_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** GROUPING SETS with per-column grouping() markers (engine-neutral,
+    * unlike the grouping_id bitmask whose bit order is unspecified). */
+  def qAggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping($"l_returnflag").as("g_rf"),
+        grouping($"l_linestatus").as("g_ls"))
+      .orderBy($"g_rf", $"g_ls",
+        $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** ROLLUP over the region → nation hierarchy. */
+  def qAggRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "customer")
+      .join(Tables.table(spark, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.table(spark, dir, "region"), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(sum($"c_acctbal"), 2).as("sum_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** CUBE over returnflag × linestatus. */
+  def qAggCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Filtered / conditional aggregation. */
+  def qAggConditional(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(sum(when($"l_discount" > 0.05, $"l_quantity").otherwise(0.0)), 2)
+          .as("qty_highdisc"),
+        count_if($"l_tax" > 0.04).as("n_hightax"),
+        round(avg(when($"l_linestatus" === "F", $"l_extendedprice")), 2)
+          .as("avg_price_f"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Deterministic list aggregation: collect then array_sort. */
+  def qAggCollect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "supplier")
+      .join(Tables.table(spark, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        array_sort(collect_list($"s_name")).as("suppliers"),
+        count(lit(1)).as("n"))
+      .orderBy($"n_name")
+  }
+
+  /** Exact statistical aggregates. stddev/var/corr/covar merge partial
+    * moments across partitions — order-dependent in low-order bits, so
+    * rounded to 4dp (SURVEY §5.4). */
+  def qAggStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_extendedprice"), 4).as("sd_price"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(corr($"l_extendedprice", $"l_quantity"), 4).as("corr_pq"),
+        round(covar_samp($"l_extendedprice", $"l_quantity"), 4).as("covar_pq"),
+        round(percentile($"l_extendedprice", lit(0.5)), 4).as("median_price"),
+        round(percentile($"l_extendedprice", lit(0.9)), 4).as("p90_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Custom typed UDAF: discount-weighted average price per group. */
+  def qUdafWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(graft.functions.WeightedAvg.weighted_avg(
+          $"l_extendedprice", $"l_discount"), 2).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_basic" -> (qAggBasic _)
+    "q_agg_basic" -> (qAggBasic _),
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_approx_hll" -> (qAggApproxHll _),
+    "q_agg_grouping_sets" -> (qAggGroupingSets _),
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _),
+    "q_agg_conditional" -> (qAggConditional _),
+    "q_agg_collect" -> (qAggCollect _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_udaf_weighted_avg" -> (qUdafWeightedAvg _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -52,6 +188,60 @@ object Aggregations {
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps,
+        |  count(DISTINCT (l_partkey, l_suppkey)) AS nd_pairs,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q_agg_approx_hll intentionally absent: sketch estimates are
+    // engine-specific (driver rows-only check; ±5% vs exact in spec)
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_conditional" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END), 2) AS qty_highdisc,
+        |  count(*) FILTER (WHERE l_tax > 0.04) AS n_hightax,
+        |  round(avg(l_extendedprice) FILTER (WHERE l_linestatus = 'F'), 2) AS avg_price_f,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT n_name, list(s_name ORDER BY s_name) AS suppliers, count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_discount) / sum(l_discount), 2) AS wavg_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -14,4 +14,44 @@ class AggregationsSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("count_order")).sum
     assert(total === spark.read.parquet(s"$sfSmoke/lineitem.parquet").count())
   }
+
+  test("q_agg_approx_hll: both sketch estimates within 5% of exact") {
+    val rows = Aggregations.qAggApproxHll(spark, sfSmoke).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val hll = r.getAs[Long]("hll_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+      assert(math.abs(hll - exact) / exact < 0.05, s"hll=$hll exact=$exact")
+    }
+  }
+
+  test("weighted_avg UDAF equals the closed-form ratio") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+      .agg(
+        graft.functions.WeightedAvg.weighted_avg($"l_extendedprice", $"l_discount").as("udaf"),
+        (sum($"l_extendedprice" * $"l_discount") / sum($"l_discount")).as("ratio"))
+    val r = df.head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6)
+  }
+
+  test("weighted_avg UDAF: zero total weight yields NaN, empty-safe") {
+    import spark.implicits._
+    val z = Seq((1.0, 0.0), (2.0, 0.0)).toDF("v", "w")
+      .agg(graft.functions.WeightedAvg.weighted_avg($"v", $"w")).head().getDouble(0)
+    assert(z.isNaN)
+  }
+
+  test("grouping sets: subtotal levels are internally consistent") {
+    val rows = Aggregations.qAggGroupingSets(spark, sfSmoke).collect()
+    def g(r: org.apache.spark.sql.Row, c: String): Int = r.getAs[Byte](c).toInt
+    val grand = rows.filter(r => g(r, "g_rf") == 1 && g(r, "g_ls") == 1)
+    val perFlag = rows.filter(r => g(r, "g_rf") == 0 && g(r, "g_ls") == 1)
+    val leaf = rows.filter(r => g(r, "g_rf") == 0 && g(r, "g_ls") == 0)
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n") === perFlag.map(_.getAs[Long]("n")).sum)
+    assert(grand.head.getAs[Long]("n") === leaf.map(_.getAs[Long]("n")).sum)
+  }
 }
