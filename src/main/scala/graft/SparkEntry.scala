@@ -23,7 +23,8 @@ object SparkEntry {
       (Scalars.queries, Scalars.oracle),
       (graft.functions.TextUdf.queries, graft.functions.TextUdf.oracle),
       (Aggregations.queries, Aggregations.oracle),
-      (Windows.queries, Windows.oracle)
+      (Windows.queries, Windows.oracle),
+      (graft.ops.cdc.CdcQueries.queries, graft.ops.cdc.CdcQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

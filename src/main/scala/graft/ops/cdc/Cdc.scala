@@ -1,0 +1,112 @@
+package graft.ops.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Generic CDC operators (§2-I). The reference product is a CDC
+  * automation tool (BASELINE.json: "CDC automation tool; change capture
+  * streams"); these are the capture→compact→apply→inspect primitives
+  * re-expressed as DataFrame combinators, batch and streaming alike
+  * (the streaming path reuses them inside foreachBatch — see
+  * graft.streaming).
+  *
+  * Conventions (Debezium-style, public knowledge):
+  *   op ∈ 'c' (create) | 'u' (update) | 'd' (delete/tombstone) | 'r'
+  *   (snapshot read); a monotonically increasing offset column orders
+  *   changes per key (log sequence number).
+  *
+  * Scale notes: compact/apply/scd2 are one shuffle on the key columns
+  * (window or agg) — the same cost class as a groupBy, skew handled by
+  * AQE. Nothing here collects to the driver.
+  */
+object Cdc {
+
+  /** Debezium-style change-event envelope schema for a payload struct. */
+  def envelopeSchema(payload: StructType): StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("before", payload),
+    StructField("after", payload),
+    StructField("source", StructType(Seq(
+      StructField("table", StringType),
+      StructField("lsn", LongType)))),
+    StructField("ts_ms", LongType)))
+
+  /** Decode a JSON change-record column into typed envelope columns. */
+  def decode(df: DataFrame, jsonCol: String, payload: StructType): DataFrame =
+    df.withColumn("__env", from_json(col(jsonCol), envelopeSchema(payload)))
+      .select(col("*"), col("__env.op").as("op"),
+        col("__env.before").as("before"), col("__env.after").as("after"),
+        col("__env.source.table").as("src_table"),
+        col("__env.source.lsn").as("lsn"), col("__env.ts_ms").as("ts_ms"))
+      .drop("__env", jsonCol)
+
+  /** Log compaction: keep the latest record per key (last-write-wins by
+    * offset; offset must be unique per key — a log sequence number). */
+  def compact(log: DataFrame, keys: Seq[String], offsetCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(offsetCol).desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Apply a change log to a snapshot: upsert creates/updates, drop
+    * tombstones, pass through untouched snapshot rows.
+    *
+    * @param snapshot current state, unique per `keys`
+    * @param log      change log with `opCol` ∈ c/u/d and value columns
+    *                 named like the snapshot's `valueCols`
+    */
+  def apply(snapshot: DataFrame, log: DataFrame, keys: Seq[String],
+            offsetCol: String, opCol: String, valueCols: Seq[String]): DataFrame = {
+    val latest = compact(log, keys, offsetCol)
+    val l = latest.select(
+      (keys.map(col) :+ col(opCol).as("__op") :+ lit(1).as("__in_log")) ++
+        valueCols.map(c => col(c).as(s"__log_$c")): _*)
+    snapshot.join(l, keys, "full_outer")
+      .filter(col("__in_log").isNull || col("__op") =!= "d")
+      .select(keys.map(col) ++ valueCols.map(c =>
+        when(col("__in_log").isNotNull, col(s"__log_$c")).otherwise(col(c)).as(c)) :+
+        when(col("__in_log").isNotNull, lit("log")).otherwise(lit("snapshot")).as("src"): _*)
+  }
+
+  /** SCD Type-2 history: one row per key-version with
+    * [valid_from, valid_to) intervals; open intervals are current. */
+  def scd2(log: DataFrame, keys: Seq[String], offsetCol: String,
+           tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(offsetCol).asc)
+    log
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
+  }
+
+  /** Snapshot-vs-replica diff: classify per-key as missing_in_replica /
+    * extra_in_replica / mismatch via row fingerprints. Equal rows are
+    * dropped (at 100 TB the interesting output is the exceptions). */
+  def diff(expected: DataFrame, actual: DataFrame, keys: Seq[String],
+           compareCols: Seq[String]): DataFrame = {
+    val e = expected.select(keys.map(col) :+
+      md5(concat_ws("|", compareCols.map(col): _*)).as("__e_fp"): _*)
+    val a = actual.select(keys.map(col) :+
+      md5(concat_ws("|", compareCols.map(col): _*)).as("__a_fp"): _*)
+    e.join(a, keys, "full_outer")
+      .withColumn("status",
+        when(col("__a_fp").isNull, "missing_in_replica")
+          .when(col("__e_fp").isNull, "extra_in_replica")
+          .when(col("__e_fp") =!= col("__a_fp"), "mismatch")
+          .otherwise("equal"))
+      .filter(col("status") =!= "equal")
+      .select(keys.map(col) :+ col("status"): _*)
+  }
+
+  /** Order-insensitive table fingerprint: per-row md5 → first 8 hex
+    * chars as int → sum. Commutative, so partition/row order never
+    * matters — safe to compute distributed at any scale. */
+  def checksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val rowFp = conv(substring(md5(concat_ws("|", cols.map(col): _*)), 1, 8), 16, 10)
+      .cast(LongType)
+    df.agg(sum(rowFp).as("checksum"), count(lit(1)).as("n_rows"))
+  }
+}

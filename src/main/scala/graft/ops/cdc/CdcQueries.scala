@@ -1,0 +1,249 @@
+package graft.ops.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** §2-I oracled CDC queries. All operate on a deterministic change log
+  * derived in-query from `events` (FIXTURES.md §3) so the DuckDB
+  * oracle runs on the same parquet corpus:
+  * key = user_id, lsn = event_id (monotonic), op from event_type.
+  */
+object CdcQueries {
+
+  /** The shared derived change log (`lsn` not `offset`: reserved word
+    * in DuckDB). Timestamps second-truncated per SURVEY §5.4. */
+  def changeLog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "events").select(
+      $"event_id".as("lsn"),
+      $"user_id".as("pk"),
+      when($"event_type" === "signup", "c")
+        .when($"event_type" === "error", "d")
+        .otherwise("u").as("op"),
+      $"value".as("after_value"),
+      date_trunc("second", $"ts").as("ts"))
+  }
+
+  private val logCte =
+    """log AS (
+      |  SELECT event_id AS lsn, user_id AS pk,
+      |    CASE event_type WHEN 'signup' THEN 'c'
+      |                    WHEN 'error'  THEN 'd'
+      |                    ELSE 'u' END AS op,
+      |    value AS after_value,
+      |    date_trunc('second', ts) AS ts
+      |  FROM events)""".stripMargin
+
+  /** Envelope decode: JSON change records → typed columns. The
+    * envelope is built in-query (identical string template on both
+    * engines) and decoded with from_json on the Spark side. */
+  def qCdcDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changeLog(spark, dir)
+    val env = concat(
+      lit("{\"op\":\""), $"op",
+      lit("\",\"after\":{\"pk\":"), $"pk",
+      lit(",\"v\":"), $"after_value",
+      lit("},\"source\":{\"table\":\"events\",\"lsn\":"), $"lsn",
+      lit("},\"ts_ms\":"), unix_timestamp($"ts") * 1000,
+      lit("}"))
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("v", DoubleType)))
+    Cdc.decode(log.select($"lsn".as("event_id"), env.as("j")), "j", payload)
+      .select($"event_id", $"op", $"after.pk".as("pk"), $"after.v".as("v"),
+        $"src_table", $"lsn", $"ts_ms")
+      .orderBy($"event_id")
+  }
+
+  /** Initial snapshot (op='r') unioned with incrementals, lsn-ordered. */
+  def qCdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snap = Tables.table(spark, dir, "customer").select(
+      lit(-1L).as("lsn"), $"c_custkey".as("pk"),
+      lit("r").as("op"), $"c_acctbal".as("after_value"))
+    val inc = changeLog(spark, dir).select($"lsn", $"pk", $"op", $"after_value")
+    snap.unionByName(inc).orderBy($"pk", $"lsn")
+  }
+
+  /** Log compaction: last-write-wins per key. */
+  def qCdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Cdc.compact(changeLog(spark, dir), Seq("pk"), "lsn")
+      .select($"pk", $"lsn", $"op", $"after_value")
+      .orderBy($"pk")
+  }
+
+  /** Apply the change log to the customer snapshot (upsert + delete). */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snap = Tables.table(spark, dir, "customer")
+      .select($"c_custkey".as("pk"), $"c_acctbal".as("val"))
+    val log = changeLog(spark, dir).withColumnRenamed("after_value", "val")
+    Cdc.apply(snap, log, Seq("pk"), "lsn", "op", Seq("val"))
+      .orderBy($"pk")
+  }
+
+  /** SCD Type-2 history with [valid_from, valid_to) intervals. */
+  def qCdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Cdc.scd2(changeLog(spark, dir), Seq("pk"), "lsn", "ts")
+      .select($"pk", $"lsn", $"op", $"after_value",
+        $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"pk", $"lsn")
+  }
+
+  /** Pipeline observability: change counts by op per hour. */
+  def qCdcAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    changeLog(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hr"), $"op")
+      .agg(count(lit(1)).as("n"), round(sum($"after_value"), 2).as("sum_value"))
+      .orderBy($"hr", $"op")
+  }
+
+  /** Snapshot-vs-replica diff on a deterministically perturbed copy:
+    * rows dropped (custkey%97=0), balances shifted (custkey%31=0), one
+    * synthetic extra row — all three failure classes appear. */
+  def qCdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val balS = (c: org.apache.spark.sql.Column) =>
+      c.cast(DecimalType(12, 2)).cast(StringType)
+    val expected = Tables.table(spark, dir, "customer").select(
+      $"c_custkey".as("pk"), $"c_name".as("name"),
+      $"c_mktsegment".as("seg"), balS($"c_acctbal").as("bal_s"))
+    val ghost = spark.createDataFrame(Seq((999999L, "ghost", "NONE", "0.00")))
+      .toDF("pk", "name", "seg", "bal_s")
+    val replica = Tables.table(spark, dir, "customer")
+      .filter($"c_custkey" % 97 =!= 0)
+      .select(
+        $"c_custkey".as("pk"), $"c_name".as("name"), $"c_mktsegment".as("seg"),
+        balS($"c_acctbal" +
+          when($"c_custkey" % 31 === 0, 100.0).otherwise(0.0)).as("bal_s"))
+      .unionByName(ghost)
+    Cdc.diff(expected, replica, Seq("pk"), Seq("name", "seg", "bal_s"))
+      .orderBy($"pk")
+  }
+
+  /** Order-insensitive per-table fingerprints (customer + orders). */
+  def qCdcChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.table(spark, dir, "customer").select(
+      concat_ws("|", $"c_custkey", $"c_name", $"c_mktsegment",
+        $"c_acctbal".cast(DecimalType(12, 2)).cast(StringType)).as("fp"))
+    val ord = Tables.table(spark, dir, "orders").select(
+      concat_ws("|", $"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice".cast(DecimalType(12, 2)).cast(StringType)).as("fp"))
+    Cdc.checksum(cust, Seq("fp")).select(lit("customer").as("tbl"), $"checksum", $"n_rows")
+      .unionByName(
+        Cdc.checksum(ord, Seq("fp")).select(lit("orders").as("tbl"), $"checksum", $"n_rows"))
+      .orderBy($"tbl")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_decode" -> (qCdcDecode _),
+    "q_cdc_snapshot" -> (qCdcSnapshot _),
+    "q_cdc_compact" -> (qCdcCompact _),
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_cdc_scd2" -> (qCdcScd2 _),
+    "q_cdc_audit" -> (qCdcAudit _),
+    "q_cdc_diff" -> (qCdcDiff _),
+    "q_cdc_checksum" -> (qCdcChecksum _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cdc_decode" ->
+      s"""WITH $logCte,
+        |env AS (
+        |  SELECT lsn AS event_id,
+        |    '{"op":"' || op || '","after":{"pk":' || pk || ',"v":' || after_value ||
+        |    '},"source":{"table":"events","lsn":' || lsn ||
+        |    '},"ts_ms":' || epoch(ts)::BIGINT * 1000 || '}' AS j
+        |  FROM log)
+        |SELECT event_id,
+        |  json_extract_string(j, '$$.op') AS op,
+        |  json_extract(j, '$$.after.pk')::BIGINT AS pk,
+        |  json_extract(j, '$$.after.v')::DOUBLE AS v,
+        |  json_extract_string(j, '$$.source.table') AS src_table,
+        |  json_extract(j, '$$.source.lsn')::BIGINT AS lsn,
+        |  json_extract(j, '$$.ts_ms')::BIGINT AS ts_ms
+        |FROM env ORDER BY event_id""".stripMargin,
+    "q_cdc_snapshot" ->
+      s"""WITH $logCte
+        |SELECT -1 AS lsn, c_custkey AS pk, 'r' AS op, c_acctbal AS after_value
+        |FROM customer
+        |UNION ALL
+        |SELECT lsn, pk, op, after_value FROM log
+        |ORDER BY pk, lsn""".stripMargin,
+    "q_cdc_compact" ->
+      s"""WITH $logCte
+        |SELECT pk, lsn, op, after_value FROM log
+        |QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1
+        |ORDER BY pk""".stripMargin,
+    "q_cdc_apply" ->
+      s"""WITH $logCte,
+        |latest AS (
+        |  SELECT * FROM log
+        |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1),
+        |snap AS (SELECT c_custkey AS pk, c_acctbal AS val FROM customer)
+        |SELECT coalesce(s.pk, l.pk) AS pk,
+        |  CASE WHEN l.pk IS NOT NULL THEN l.after_value ELSE s.val END AS val,
+        |  CASE WHEN l.pk IS NOT NULL THEN 'log' ELSE 'snapshot' END AS src
+        |FROM snap s FULL OUTER JOIN latest l ON s.pk = l.pk
+        |WHERE l.pk IS NULL OR l.op != 'd'
+        |ORDER BY pk""".stripMargin,
+    "q_cdc_scd2" ->
+      s"""WITH $logCte
+        |SELECT pk, lsn, op, after_value, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM log
+        |WINDOW w AS (PARTITION BY pk ORDER BY lsn ASC)
+        |ORDER BY pk, lsn""".stripMargin,
+    "q_cdc_audit" ->
+      s"""WITH $logCte
+        |SELECT date_trunc('hour', ts) AS hr, op,
+        |  count(*) AS n, round(sum(after_value), 2) AS sum_value
+        |FROM log GROUP BY hr, op ORDER BY hr, op""".stripMargin,
+    "q_cdc_diff" ->
+      """WITH exp AS (
+        |  SELECT c_custkey AS pk, c_name AS name, c_mktsegment AS seg,
+        |    c_acctbal::DECIMAL(12,2)::VARCHAR AS bal_s
+        |  FROM customer),
+        |rep AS (
+        |  SELECT c_custkey AS pk, c_name AS name, c_mktsegment AS seg,
+        |    (c_acctbal + CASE WHEN c_custkey % 31 = 0 THEN 100.0 ELSE 0.0 END)
+        |      ::DECIMAL(12,2)::VARCHAR AS bal_s
+        |  FROM customer WHERE c_custkey % 97 != 0
+        |  UNION ALL SELECT 999999, 'ghost', 'NONE', '0.00'),
+        |j AS (
+        |  SELECT coalesce(e.pk, r.pk) AS pk,
+        |    md5(concat_ws('|', e.name, e.seg, e.bal_s)) AS e_fp,
+        |    md5(concat_ws('|', r.name, r.seg, r.bal_s)) AS a_fp,
+        |    e.pk AS epk, r.pk AS rpk
+        |  FROM exp e FULL OUTER JOIN rep r ON e.pk = r.pk)
+        |SELECT pk,
+        |  CASE WHEN rpk IS NULL THEN 'missing_in_replica'
+        |       WHEN epk IS NULL THEN 'extra_in_replica'
+        |       WHEN e_fp != a_fp THEN 'mismatch'
+        |       ELSE 'equal' END AS status
+        |FROM j
+        |WHERE NOT (rpk IS NOT NULL AND epk IS NOT NULL AND e_fp = a_fp)
+        |ORDER BY pk""".stripMargin,
+    "q_cdc_checksum" ->
+      """SELECT 'customer' AS tbl,
+        |  sum(('0x' || substr(md5(fp), 1, 8))::BIGINT) AS checksum,
+        |  count(*) AS n_rows
+        |FROM (SELECT concat_ws('|', c_custkey, c_name, c_mktsegment,
+        |        c_acctbal::DECIMAL(12,2)::VARCHAR) AS fp FROM customer)
+        |UNION ALL
+        |SELECT 'orders' AS tbl,
+        |  sum(('0x' || substr(md5(fp), 1, 8))::BIGINT) AS checksum,
+        |  count(*) AS n_rows
+        |FROM (SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+        |        o_totalprice::DECIMAL(12,2)::VARCHAR) AS fp FROM orders)
+        |ORDER BY tbl""".stripMargin
+  )
+}

@@ -1,0 +1,142 @@
+package graft.ops.cdc
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class CdcSpec extends SparkSpec {
+
+  /** Deterministic random change log (fixed seed). */
+  private def randomLog(seed: Long, n: Int, nKeys: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until n).map { i =>
+      val op = rnd.nextInt(10) match {
+        case 0 | 1 => "c"; case 2 => "d"; case _ => "u"
+      }
+      (i.toLong, rnd.nextInt(nKeys).toLong, op,
+        math.round(rnd.nextDouble() * 10000) / 100.0,
+        new Timestamp(base + i * 1000L))
+    }
+    rows.toDF("lsn", "pk", "op", "val", "ts")
+  }
+
+  test("compact is idempotent and keeps exactly the max-lsn row per key") {
+    import spark.implicits._
+    val log = randomLog(42, 500, 23)
+    val once = Cdc.compact(log, Seq("pk"), "lsn")
+    val twice = Cdc.compact(once, Seq("pk"), "lsn")
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    val expected = log.groupBy($"pk").agg(max($"lsn").as("lsn"))
+    assert(once.select("pk", "lsn").exceptAll(expected).isEmpty)
+    assert(once.count() === log.select("pk").distinct().count())
+  }
+
+  test("apply is associative: apply(s, l1++l2) == apply(apply(s, l1), l2)") {
+    import spark.implicits._
+    val snap = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (50L, 9.9))
+      .toDF("pk", "val")
+    val full = randomLog(7, 400, 30)
+    val l1 = full.filter($"lsn" < 200)
+    val l2 = full.filter($"lsn" >= 200)
+    val oneShot = Cdc.apply(snap, full, Seq("pk"), "lsn", "op", Seq("val"))
+      .drop("src")
+    val staged = {
+      val mid = Cdc.apply(snap, l1, Seq("pk"), "lsn", "op", Seq("val")).drop("src")
+      Cdc.apply(mid, l2, Seq("pk"), "lsn", "op", Seq("val")).drop("src")
+    }
+    assert(oneShot.exceptAll(staged).isEmpty && staged.exceptAll(oneShot).isEmpty)
+  }
+
+  test("apply drops tombstoned keys and keeps untouched snapshot rows") {
+    import spark.implicits._
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("pk", "val")
+    val log = Seq(
+      (100L, 1L, "u", 11.0), (101L, 2L, "d", 0.0), (102L, 4L, "c", 40.0))
+      .map { case (l, p, o, v) => (l, p, o, v) }.toDF("lsn", "pk", "op", "val")
+    val out = Cdc.apply(snap, log, Seq("pk"), "lsn", "op", Seq("val"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(out(1L) === ((11.0, "log")))       // updated
+    assert(!out.contains(2L))                 // tombstoned
+    assert(out(3L) === ((30.0, "snapshot")))  // untouched
+    assert(out(4L) === ((40.0, "log")))       // inserted
+  }
+
+  test("scd2: per-key intervals chain without gaps; exactly one current") {
+    import spark.implicits._
+    val log = randomLog(99, 300, 17)
+    val h = Cdc.scd2(log, Seq("pk"), "lsn", "ts")
+    // one open interval per key
+    val cur = h.filter($"is_current").groupBy($"pk").count()
+    assert(cur.filter($"count" =!= 1).count() === 0)
+    // each non-current row's valid_to equals the next version's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pk").orderBy($"lsn")
+    val chained = h.withColumn("next_from", lead($"valid_from", 1).over(w))
+    assert(chained.filter($"valid_to" =!= $"next_from").count() === 0)
+  }
+
+  test("checksum is order- and partitioning-insensitive") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfSmoke/customer.parquet")
+      .select(concat_ws("|", $"c_custkey", $"c_name").as("fp"))
+    val a = Cdc.checksum(df, Seq("fp")).head()
+    val b = Cdc.checksum(df.orderBy(rand(123)).repartition(7), Seq("fp")).head()
+    assert(a === b)
+  }
+
+  test("diff classifies missing/extra/mismatch and drops equal rows") {
+    import spark.implicits._
+    val exp = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pk", "v")
+    val act = Seq((1L, "a"), (3L, "CHANGED"), (4L, "extra")).toDF("pk", "v")
+    val out = Cdc.diff(exp, act, Seq("pk"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "missing_in_replica", 3L -> "mismatch",
+      4L -> "extra_in_replica"))
+  }
+
+  test("envelope decode round-trips a generated Debezium-style JSONL file") {
+    import spark.implicits._
+    val payload = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val lines = Seq(
+      """{"op":"c","before":null,"after":{"id":1,"v":1.5},"source":{"table":"t","lsn":10},"ts_ms":1700000000000}""",
+      """{"op":"u","before":{"id":1,"v":1.5},"after":{"id":1,"v":2.5},"source":{"table":"t","lsn":11},"ts_ms":1700000001000}""",
+      """{"op":"d","before":{"id":1,"v":2.5},"after":null,"source":{"table":"t","lsn":12},"ts_ms":1700000002000}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/changes.jsonl"), lines.mkString("\n"))
+    val raw = spark.read.text(s"$dir/changes.jsonl").withColumnRenamed("value", "j")
+    val decoded = Cdc.decode(raw, "j", payload).orderBy($"lsn")
+    val rows = decoded.collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[String]("op")).toSeq === Seq("c", "u", "d"))
+    assert(rows(1).getAs[org.apache.spark.sql.Row]("after").getDouble(1) === 2.5)
+    assert(rows(2).getAs[org.apache.spark.sql.Row]("after") === null)
+    // applying the decoded log end-state: id 1 was deleted
+    val log = decoded.select($"lsn", $"op",
+      coalesce($"after.id", $"before.id").as("pk"), $"after.v".as("val"))
+    val snap = Seq((1L, 0.0), (2L, 5.0)).toDF("pk", "val")
+    val state = Cdc.apply(snap, log, Seq("pk"), "lsn", "op", Seq("val"))
+    assert(state.collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("schema drift: additive columns via mergeSchema and unionByName") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    Seq((1L, "a")).toDF("id", "c1").write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 9.9)).toDF("id", "c1", "c2_added").write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "c1", "c2_added", "batch"))
+    assert(merged.filter($"c2_added".isNull).count() === 1)
+    val u = Seq((1L, "a")).toDF("id", "c1")
+      .unionByName(Seq((2L, "b", 9.9)).toDF("id", "c1", "c2_added"),
+        allowMissingColumns = true)
+    assert(u.columns.toSet === Set("id", "c1", "c2_added"))
+  }
+}
