@@ -24,7 +24,8 @@ object SparkEntry {
       (graft.functions.TextUdf.queries, graft.functions.TextUdf.oracle),
       (Aggregations.queries, Aggregations.oracle),
       (Windows.queries, Windows.oracle),
-      (graft.ops.cdc.CdcQueries.queries, graft.ops.cdc.CdcQueries.oracle)
+      (graft.ops.cdc.CdcQueries.queries, graft.ops.cdc.CdcQueries.oracle),
+      (graft.ops.llm.LlmQueries.queries, graft.ops.llm.LlmQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,231 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextUdf
+
+/** §2-K oracled LLM-pipeline queries over documents/embeddings.
+  *
+  * Scale notes: every operator is groupBy/window-shaped (one shuffle on
+  * its key); tf/tfidf shuffle (token) pairs not raw text; knn is the
+  * broadcast brute-force baseline (bucketed ANN path in Knn; MinHash
+  * LSH dedup in MinHashDedup — both shuffle-bounded).
+  */
+object LlmQueries {
+
+  /** Exact dedup: normalize → sha256 → keep min doc_id per hash. */
+  def qLlmDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"h").orderBy($"doc_id".asc)
+    Tables.table(spark, dir, "documents")
+      .withColumn("h", sha2(TextUdf.normalizeTextCol($"text"), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"h")
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus stats per language. avg via integer-cents half-up rounding
+    * (cross-engine division rule — see Windows.qWindowRunning). */
+  def qLlmTextstats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .withColumn("n_words", size(split($"text", " ")).cast("long"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        round(percentile($"n_chars", lit(0.5)), 2).as("p50_chars"),
+        sum($"n_words").as("total_words"))
+      .withColumn("avg_words",
+        expr("(200 * total_words + n_docs) DIV (2 * n_docs)") / 100.0)
+      .orderBy($"lang")
+  }
+
+  /** Term frequency: top-5 tokens per language. */
+  def qLlmTf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokens = Tables.table(spark, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("token"))
+    val counts = tokens.groupBy($"lang", $"token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"token".asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"lang", $"rk", $"token", $"cnt")
+      .orderBy($"lang", $"rk")
+  }
+
+  /** TF-IDF: tf(doc, term) × ln((N+1)/(df+1)). */
+  def qLlmTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+    val tokens = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val tf = tokens.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df_ = tokens.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df_docs"))
+    val n = docs.select(count(lit(1)).as("n_total"))
+    tf.join(broadcast(df_), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round($"tf" * log(($"n_total" + 1.0) / ($"df_docs" + 1.0)), 6))
+      .select($"doc_id", $"token", $"tf", $"df_docs", $"tfidf")
+      .orderBy($"doc_id", $"token")
+  }
+
+  /** Exact cosine top-5: query set (vec_id < 10) vs the corpus. */
+  def qLlmKnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.table(spark, dir, "embeddings")
+    Knn.bruteForceTopK(emb.filter($"vec_id" < 10), emb, k = 5)
+      .orderBy($"q_vec_id", $"rn")
+  }
+
+  /** L2-normalized embeddings (values rounded 4dp for the compare). */
+  def qLlmL2norm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "embeddings")
+      .withColumn("v", Knn.asDouble($"embedding"))
+      .withColumn("nrm", Knn.l2norm($"v"))
+      .select(
+        $"vec_id",
+        round($"nrm", 4).as("norm"),
+        // + 0.0 canonicalizes IEEE -0.0 → 0.0 (DuckDB's round keeps
+        // the sign of a negative underflow; Spark's does not)
+        transform($"v", x => round(x / $"nrm", 4) + 0.0).as("unit"))
+      .orderBy($"vec_id")
+  }
+
+  /** Quality scoring: word counts, avg word length, stopword ratio,
+    * quality band — the heuristics of a pretraining text filter. */
+  def qLlmQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a")
+    Tables.table(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_words", size($"toks").cast("long"))
+      .withColumn("sum_len", length(regexp_replace($"text", "\\s", "")).cast("long"))
+      .withColumn("n_stop",
+        size(filter($"toks", t => t.isin(stop: _*))).cast("long"))
+      .withColumn("avg_word_len",
+        expr("(200 * sum_len + n_words) DIV (2 * n_words)") / 100.0)
+      .withColumn("stop_ratio_pct",
+        expr("(200 * n_stop * 100 + n_words) DIV (2 * n_words)") / 100.0)
+      .withColumn("band",
+        when($"n_words" < 20, "short")
+          .when($"n_stop" * 5 > $"n_words", "boilerplate")
+          .otherwise("ok"))
+      .select($"doc_id", $"n_words", $"n_stop", $"avg_word_len",
+        $"stop_ratio_pct", $"band")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dedup_exact" -> (qLlmDedupExact _),
+    "q_llm_textstats" -> (qLlmTextstats _),
+    "q_llm_tf" -> (qLlmTf _),
+    "q_llm_tfidf" -> (qLlmTfidf _),
+    "q_llm_knn_cosine" -> (qLlmKnnCosine _),
+    "q_llm_l2norm" -> (qLlmL2norm _),
+    "q_llm_quality" -> (qLlmQuality _)
+  )
+
+  private val dotFold =
+    "list_reduce(list_prepend(0.0, list_apply(range(1, len(%s) + 1), i -> %s[i] * %s[i])), (acc, x) -> acc + x)"
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_dedup_exact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
+        |  FROM documents)
+        |SELECT doc_id, h FROM t
+        |QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_llm_textstats" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars, len(string_split(text, ' '))::BIGINT AS n_words
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |    round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+        |    sum(n_words) AS total_words
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n_docs, min_chars, max_chars, p50_chars, total_words,
+        |  ((200 * total_words + n_docs) // (2 * n_docs)) / 100.0 AS avg_words
+        |FROM g ORDER BY lang""".stripMargin,
+    "q_llm_tf" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token)
+        |SELECT lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rk,
+        |  token, cnt
+        |FROM cnt
+        |QUALIFY rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+    "q_llm_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df_docs
+        |       FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        |n AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, df.df_docs,
+        |  round(tf.tf * ln((n.n_total + 1.0) / (df.df_docs + 1.0)), 6) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
+    "q_llm_knn_cosine" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(${dotFold.format("v", "v", "v")}) AS nrm
+        |  FROM e),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_apply(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+        |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS sim
+        |  FROM (SELECT * FROM n WHERE vec_id < 10) q
+        |  JOIN n c ON q.vec_id != c.vec_id)
+        |SELECT q_vec_id,
+        |  row_number() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, c_vec_id ASC) AS rn,
+        |  c_vec_id, round(sim, 4) AS sim
+        |FROM pairs
+        |QUALIFY rn <= 5
+        |ORDER BY q_vec_id, rn""".stripMargin,
+    "q_llm_l2norm" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(${dotFold.format("v", "v", "v")}) AS nrm
+        |  FROM e)
+        |SELECT vec_id, round(nrm, 4) AS norm,
+        |  list_transform(v, x -> round(x / nrm, 4) + 0.0) AS unit
+        |FROM n ORDER BY vec_id""".stripMargin,
+    "q_llm_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS sum_len,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a')))::BIGINT AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_stop,
+        |  ((200 * sum_len + n_words) // (2 * n_words)) / 100.0 AS avg_word_len,
+        |  ((200 * n_stop * 100 + n_words) // (2 * n_words)) / 100.0 AS stop_ratio_pct,
+        |  CASE WHEN n_words < 20 THEN 'short'
+        |       WHEN n_stop * 5 > n_words THEN 'boilerplate'
+        |       ELSE 'ok' END AS band
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,138 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection (§2-K): MinHash+LSH, SimHash, and exact
+  * Jaccard (the small-n verifier). Not oracle-checked (seeded hash
+  * algorithms are engine-specific) — validated in NearDupSpec against
+  * exhaustive exact Jaccard on the small corpus.
+  *
+  * Scale shape (the whole point of these): candidate generation is
+  * groupBy/join on *bucket keys* — never an all-pairs cross join. At
+  * 100 TB: tokenize → one shuffle to build signatures (k min-aggs in a
+  * single pass) → explode to (band, bandHash) → self-join on bucket →
+  * verify candidates only. Expected candidate volume is tuned by
+  * (bands × rowsPerBand) per the standard S-curve; skewed buckets
+  * (boilerplate docs) are handled by AQE skew-join or a bucket-size
+  * cap.
+  */
+object NearDup {
+
+  /** doc_id + distinct-token set (sorted for determinism). */
+  def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_sort(array_distinct(split(col(textCol), "\\s+"))).as("tokens"))
+
+  /** MinHash signatures: k seeded xxhash64 min-aggregates in ONE pass
+    * over the exploded tokens (single shuffle on doc_id). */
+  def minHashSignatures(sets: DataFrame, k: Int): DataFrame = {
+    val tok = sets.select(col("doc_id"), explode(col("tokens")).as("t"))
+    val mins = (0 until k).map(i => min(xxhash64(col("t"), lit(i))).as(s"mh_$i"))
+    tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band of the signature.
+    * bands × rowsPerBand must equal the signature length. */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = exploded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = exploded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given candidate pairs (verification stage). */
+  def exactJaccard(pairs: DataFrame, sets: DataFrame): DataFrame = {
+    val sa = sets.select(col("doc_id").as("doc_a"), col("tokens").as("ta"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("tokens").as("tb"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash near-dup pipeline: LSH candidates verified at threshold. */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.8): DataFrame = {
+    val sets = tokenSets(docs, idCol, textCol)
+    val cand = lshCandidates(minHashSignatures(sets, k), bands, k / bands)
+    exactJaccard(cand, sets).filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs exact Jaccard — O(n²) reference for tests only. */
+  def allPairsJaccard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sets = tokenSets(docs, idCol, textCol)
+    val a = sets.select(col("doc_id").as("doc_a"), col("tokens").as("ta"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("tokens").as("tb"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Character n-gram shingles (rolling window over the normalized
+    * text) — the shingle→Jaccard path for languages without spaces. */
+  def charShingles(textCol: Column, n: Int): Column = {
+    val s = regexp_replace(lower(textCol), "\\s+", " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+      i => substr(s, i, lit(n))))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash fingerprint per doc: per-bit majority vote over
+    * token hashes, computed as 64 conditional sums in one aggregation
+    * pass (single shuffle on doc_id). */
+  def simHash(sets: DataFrame): DataFrame = {
+    val tok = sets.select(col("doc_id"), explode(col("tokens")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s_$b")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dups: bucket by 16-bit bands (a pair within hamming
+    * distance 3 shares at least one of the 4 bands — pigeonhole), then
+    * verify the distance. */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDistance: Int = 3): DataFrame = {
+    val fp = simHash(tokenSets(docs, idCol, textCol))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("bh"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"),
+        col("bb.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"),
+      col("doc_id").as("doc_a"), col("simhash").as("fa"))
+    val b = banded.select(col("band"), col("bh"),
+      col("doc_id").as("doc_b"), col("simhash").as("fb"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("fa"), col("fb")).as("distance"))
+      .distinct()
+      .filter(col("distance") <= maxDistance)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis (§2-K / task brief): language-ID, token counting,
+  * document fingerprinting. Heuristic/seeded operators — scalatest-
+  * validated (quality scoring is oracled separately as q_llm_quality).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(split(textCol, "\\s+"))
+
+  /** BPE-ish subword count: split on whitespace AND letter/digit
+    * boundaries — approximates subword token inflation vs plain words
+    * (a cheap stand-in for a real tokenizer's token count). */
+  def subwordCount(textCol: Column): Column =
+    size(split(textCol, "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
+
+  /** N-gram-profile language ID: build per-language token profiles
+    * from a labelled corpus (top-N tokens by tf), then classify by
+    * profile-overlap score. Profiles are a broadcast-sized table —
+    * classification is a broadcast join, no shuffle of the corpus.
+    */
+  def buildProfiles(labelled: DataFrame, langCol: String, textCol: String,
+                    topN: Int = 20): DataFrame = {
+    val tok = labelled.select(col(langCol).as("lang"),
+      explode(split(lower(col(textCol)), "\\s+")).as("t"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("t").asc)
+    tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .groupBy(col("lang"))
+      .agg(array_sort(collect_list(col("t"))).as("profile"))
+  }
+
+  /** Classify each doc to the language whose profile overlaps its
+    * token set most (ties → lexicographically first language). */
+  def classifyLanguage(docs: DataFrame, profiles: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"),
+      array_distinct(split(lower(col(textCol)), "\\s+")).as("toks"))
+    val scored = d.crossJoin(broadcast(profiles))
+      .withColumn("score", size(array_intersect(col("toks"), col("profile"))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+  }
+
+  /** Rolling polynomial fingerprint of the token stream (order-
+    * sensitive, unlike a bag-of-words hash): fold over tokens of
+    * (acc * 31 + tokenHash) mod 2^61-1. Deterministic per content. */
+  def rollingFingerprint(textCol: Column): Column = {
+    // modulus small enough that acc*31 + h never overflows a long
+    // (Spark 4 runs ANSI mode: long overflow throws, not wraps)
+    val m = lit(1000000007L)
+    aggregate(
+      split(textCol, "\\s+"),
+      lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), m), m))
+  }
+}

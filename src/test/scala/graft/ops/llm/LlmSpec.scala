@@ -1,0 +1,122 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LlmSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+
+  test("MinHash LSH: high recall at J>=0.8 vs exhaustive; verified precision exact") {
+    val truth = NearDup.allPairsJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = NearDup.minHashNearDups(docs, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification stage makes precision exact by construction
+    assert(found.subsetOf(truth))
+    // recall: 8 bands x 4 rows → P(candidate | J=0.8) ≈ 1-(1-0.8^4)^8 ≈ 0.98
+    if (truth.nonEmpty)
+      assert(found.size.toDouble / truth.size >= 0.9,
+        s"recall ${found.size}/${truth.size}")
+  }
+
+  test("MinHash signatures are deterministic across runs") {
+    val s1 = NearDup.minHashSignatures(NearDup.tokenSets(docs, "doc_id", "text"), 8)
+    val s2 = NearDup.minHashSignatures(NearDup.tokenSets(docs, "doc_id", "text"), 8)
+    assert(s1.exceptAll(s2).isEmpty)
+  }
+
+  test("SimHash: identical docs collide; perturbed docs stay close; distinct far") {
+    import spark.implicits._
+    // large-ish token set: one added token flips few majority bits
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, base),
+      (2L, base),                                   // exact dup
+      (3L, base + " omega"),                        // near dup
+      (4L, (1 to 60).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fp = NearDup.simHash(NearDup.tokenSets(d, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    val nearDist = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val farDist = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(nearDist < farDist, s"near=$nearDist far=$farDist")
+    assert(farDist > 15)
+    val nd = NearDup.simHashNearDups(d, "doc_id", "text", maxDistance = nearDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 2L)) && nd.contains((1L, 3L)))
+    assert(!nd.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("bucketed ANN matches brute force for same-bucket neighbours") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Knn.bruteForceTopK(queries, emb, 3)
+    val bucketed = Knn.bucketedTopK(queries, emb, "label", 50)
+    // every bucketed hit must appear in the exhaustive ranking with
+    // identical similarity
+    val bruteAll = Knn.bruteForceTopK(queries, emb, Int.MaxValue)
+      .select("q_vec_id", "c_vec_id", "sim")
+    assert(bucketed.select("q_vec_id", "c_vec_id", "sim")
+      .exceptAll(bruteAll).isEmpty)
+    assert(brute.count() === 5 * 3)
+  }
+
+  test("charShingles: correct n-gram window") {
+    import spark.implicits._
+    val out = Seq("abcd").toDF("t")
+      .select(NearDup.charShingles($"t", 3).as("s")).head().getSeq[String](0)
+    assert(out.toSet === Set("abc", "bcd"))
+  }
+
+  test("language ID: profiles classify the corpus deterministically") {
+    val profiles = TextAnalysis.buildProfiles(docs, "lang", "text")
+    assert(profiles.count() === docs.select("lang").distinct().count())
+    val pred = TextAnalysis.classifyLanguage(docs, profiles, "doc_id", "text")
+    assert(pred.count() === docs.count())
+    val p2 = TextAnalysis.classifyLanguage(docs, profiles, "doc_id", "text")
+    assert(pred.exceptAll(p2).isEmpty)
+  }
+
+  test("rolling fingerprint is order-sensitive, bag hash is not") {
+    import spark.implicits._
+    val d = Seq(("a b c"), ("c b a")).toDF("text")
+      .select(TextAnalysis.rollingFingerprint($"text").as("fp"))
+      .collect().map(_.getLong(0))
+    assert(d(0) !== d(1))
+  }
+
+  test("multimodal: parquet round-trip, dedup, deterministic stub features") {
+    import spark.implicits._
+    val media = Multimodal.fixture(spark, 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    media.write.parquet(s"$dir/media")
+    val back = spark.read.parquet(s"$dir/media")
+    // compare names+types (nullability flags differ through parquet)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() === 50)
+    // plant a duplicate payload
+    val dup = media.limit(1).withColumn("media_id", lit(999L))
+    val deduped = Multimodal.dedupByContent(media.unionByName(dup))
+    assert(deduped.count() === 50)
+    assert(deduped.filter($"media_id" === 999L).count() === 0)
+    // decode pipeline: deterministic, feature dim 16, mass ≈ 1
+    val feats = Multimodal.decodePipeline(
+      Multimodal.repartitionForDecode(media, 4))
+    val r = feats.orderBy($"media_id").head()
+    assert(r.getAs[Seq[Float]]("features").length === 16)
+    assert(math.abs(r.getAs[Seq[Float]]("features").sum - 1.0f) < 1e-4)
+    val again = Multimodal.decodePipeline(media).orderBy($"media_id").head()
+    assert(r.getAs[Double]("byte_mean") === again.getAs[Double]("byte_mean"))
+    // frame sampling only emits for video rows
+    val frames = Multimodal.sampleFrames(media, 4)
+    val nVideo = media.filter($"meta.mime" === "video/mp4").count()
+    assert(frames.count() === nVideo * 4)
+  }
+}
