@@ -1,0 +1,217 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+import graft.SparkSpec
+
+case class Ev(ts: Timestamp, user: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private def runBatches[A](input: MemoryStream[A],
+                            out: org.apache.spark.sql.DataFrame,
+                            mode: OutputMode,
+                            batches: Seq[Seq[A]]): Array[org.apache.spark.sql.Row] = {
+    val name = s"mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("tumbling window counts + watermark drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = Streams.tumblingCounts(in.toDF(), "ts", "user", "10 minutes", "10 minutes")
+    val rows = runBatches(in, out, OutputMode.Append(), Seq(
+      Seq(Ev(t("2024-01-01 00:01:00"), "a", 1.0),
+          Ev(t("2024-01-01 00:05:00"), "a", 2.0),
+          Ev(t("2024-01-01 00:11:00"), "b", 3.0)),
+      // advance watermark far: closes earlier windows
+      Seq(Ev(t("2024-01-01 01:00:00"), "c", 4.0)),
+      // this row is far behind the watermark → dropped
+      Seq(Ev(t("2024-01-01 00:02:00"), "late", 9.9)),
+      Seq(Ev(t("2024-01-01 02:00:00"), "c", 5.0))))
+    val byKey = rows.map(r => (r.getAs[Timestamp]("w_start").toString, r.getAs[String]("user")) -> r.getAs[Long]("n")).toMap
+    assert(byKey(("2024-01-01 00:00:00.0", "a")) === 2L)
+    assert(byKey(("2024-01-01 00:10:00.0", "b")) === 1L)
+    assert(!rows.exists(_.getAs[String]("user") == "late"))
+  }
+
+  test("sliding windows: one event lands in len/slide windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = Streams.slidingCounts(in.toDF(), "ts", "user", "10 minutes", "5 minutes", "10 minutes")
+    val rows = runBatches(in, out, OutputMode.Append(), Seq(
+      Seq(Ev(t("2024-01-01 00:07:00"), "a", 1.0)),
+      Seq(Ev(t("2024-01-01 03:00:00"), "z", 0.0))))
+    assert(rows.count(_.getAs[String]("user") == "a") === 2)
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = Streams.sessionCounts(in.toDF(), "ts", "user", "30 minutes", "10 minutes")
+    val rows = runBatches(in, out, OutputMode.Append(), Seq(
+      Seq(Ev(t("2024-01-01 00:00:00"), "a", 1.0),
+          Ev(t("2024-01-01 00:20:00"), "a", 1.0),   // same session
+          Ev(t("2024-01-01 02:00:00"), "a", 1.0)),  // new session
+      Seq(Ev(t("2024-01-01 06:00:00"), "z", 0.0))))
+    val a = rows.filter(_.getAs[String]("user") == "a")
+    assert(a.length === 2)
+    assert(a.map(_.getAs[Long]("n")).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("dropDuplicatesWithinWatermark keeps first per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = Streams.dedupWithinWatermark(in.toDF(), "ts", Seq("user"), "10 minutes")
+    val rows = runBatches(in, out, OutputMode.Append(), Seq(
+      Seq(Ev(t("2024-01-01 00:00:00"), "a", 1.0),
+          Ev(t("2024-01-01 00:01:00"), "a", 2.0),
+          Ev(t("2024-01-01 00:01:00"), "b", 3.0))))
+    assert(rows.count(_.getAs[String]("user") == "a") === 1)
+    assert(rows.count(_.getAs[String]("user") == "b") === 1)
+  }
+
+  test("stream-static enrichment joins the broadcast dim per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("k", "name")
+    val in = MemoryStream[Ev]
+    val out = Streams.enrichWithDim(in.toDF(), dim, "user", "k")
+      .select($"user", $"name", $"value")
+    val rows = runBatches(in, out, OutputMode.Append(), Seq(
+      Seq(Ev(t("2024-01-01 00:00:00"), "a", 1.0),
+          Ev(t("2024-01-01 00:00:00"), "x", 2.0))))
+    val m = rows.map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(m("a") === Some("Alpha") && m("x") === None)
+  }
+
+  test("stream-stream interval join matches within the bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    val left = l.toDF().select($"ts".as("l_ts"), $"user".as("k"), $"value".as("l_v"))
+    val right = r.toDF().select($"ts".as("r_ts"), $"user".as("k2"), $"value".as("r_v"))
+    val joined = {
+      val lw = left.withWatermark("l_ts", "1 hour")
+      val rw = right.withWatermark("r_ts", "1 hour")
+      lw.join(rw, $"k" === $"k2" &&
+        $"r_ts" >= $"l_ts" && $"r_ts" <= $"l_ts" + expr("INTERVAL 10 MINUTES"))
+    }
+    val name = s"mem_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      l.addData(Ev(t("2024-01-01 00:00:00"), "a", 1.0))
+      r.addData(
+        Ev(t("2024-01-01 00:05:00"), "a", 2.0),   // in bound
+        Ev(t("2024-01-01 00:30:00"), "a", 3.0))   // out of bound
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.length === 1 && rows.head.getAs[Double]("r_v") === 2.0)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: running CDC state with tombstones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CdcStream.Change]
+    val out = CdcStream.runningState(in.toDS()).toDF()
+    val rows = runBatches(in, out, OutputMode.Update(), Seq(
+      Seq(CdcStream.Change(1L, 1L, "c", 10.0), CdcStream.Change(2L, 2L, "c", 20.0)),
+      Seq(CdcStream.Change(1L, 3L, "u", 11.0)),
+      Seq(CdcStream.Change(1L, 2L, "u", 99.0)),   // stale lsn → ignored
+      Seq(CdcStream.Change(2L, 4L, "d", 0.0))))   // tombstone
+    val m = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m === Set((1L, 1L), (2L, 2L), (1L, 3L), (2L, 4L)))
+    val finalFor2 = rows.filter(r => r.getLong(0) == 2L && r.getLong(1) == 4L).head
+    assert(finalFor2.isNullAt(2)) // tombstone emits None
+  }
+
+  test("transformWithState (RocksDB provider): per-key latest state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[CdcStream.Change]
+      val out = in.toDS()
+        .groupByKey(_.pk)
+        .transformWithState(new StateProcessors.RunningCdcState,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("pk", "lsn", "value")
+      val rows = runBatches(in, out, OutputMode.Update(), Seq(
+        Seq(CdcStream.Change(7L, 1L, "c", 5.0)),
+        Seq(CdcStream.Change(7L, 2L, "u", 6.0)),
+        Seq(CdcStream.Change(7L, 3L, "d", 0.0))))
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((7L, 1L), (7L, 2L), (7L, 3L)))
+      assert(rows.find(_.getLong(1) == 3L).get.getDouble(2).isNaN)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("CDC file source + foreachBatch upsert sink reaches correct end state") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("val", DoubleType)))
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val srcDir = s"$base/changes"; new java.io.File(srcDir).mkdirs()
+    def envLine(op: String, pk: Long, v: Double, lsn: Long) =
+      s"""{"op":"$op","before":null,"after":{"pk":$pk,"val":$v},"source":{"table":"t","lsn":$lsn},"ts_ms":${1700000000000L + lsn}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f1.json"),
+      Seq(envLine("c", 1, 1.0, 1), envLine("c", 2, 2.0, 2)).mkString("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f2.json"),
+      Seq(envLine("u", 1, 1.5, 3), envLine("d", 2, 0.0, 4),
+          envLine("c", 3, 3.0, 5)).mkString("\n"))
+    val changes = CdcStream.source(spark, srcDir, payload)
+      .select($"after.pk".as("pk"), $"after.val".as("val"), $"op", $"lsn")
+      // deletes carry only before-image; recover pk from lsn pairing:
+      // envelope fixture writes after for all ops, so pk is present
+    val q = CdcStream.upsertSink(changes, s"$base/target", s"$base/ckpt",
+      Seq("pk"), Seq("val"))
+    try q.processAllAvailable() finally q.stop()
+    val state = spark.read.parquet(s"$base/target/state")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state === Map(1L -> 1.5, 3L -> 3.0))
+  }
+
+  test("exactly-once parquet sink: checkpointed restart does not duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    val in = MemoryStream[Ev]
+    def start() = in.toDF().writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    in.addData(Ev(t("2024-01-01 00:00:00"), "a", 1.0))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    in.addData(Ev(t("2024-01-01 00:01:00"), "b", 2.0))
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() === 2)
+    assert(out.select("user").as[String].collect().sorted.toSeq === Seq("a", "b"))
+  }
+}
