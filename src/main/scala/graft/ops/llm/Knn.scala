@@ -55,6 +55,49 @@ object Knn {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Random-hyperplane LSH signature: bit i = sign(v · plane_i) with
+    * seeded deterministic hyperplanes. Cosine-similar vectors agree on
+    * most bits (P[bit match] = 1 - angle/π), so bucketing on bit-bands
+    * finds cosine near-duplicates without an all-pairs join — the
+    * embedding analog of MinHash banding. */
+  def hyperplaneSignature(v: Column, dim: Int, nPlanes: Int,
+                          seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    (0 until nPlanes).map { p =>
+      val plane = typedLit(planes(p).toSeq)
+      when(dot(v, plane) > 0.0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Cosine near-duplicate pairs via hyperplane-LSH banding: bucket on
+    * `bands` disjoint bit-bands of the signature, score only bucket
+    * collisions, keep pairs with verified cosine >= threshold. */
+  def cosineNearDups(corpus: DataFrame, dim: Int, threshold: Double,
+                     nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    val bitsPerBand = nPlanes / bands
+    val mask = (1L << bitsPerBand) - 1
+    val sig = withNorm(corpus, "embedding")
+      .withColumn("sig", hyperplaneSignature(col("v"), dim, nPlanes))
+    val banded = sig.select(col("vec_id"), col("v"), col("nrm"),
+      explode(array((0 until bands).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("sig"), i * bitsPerBand).bitwiseAND(mask).as("bh"))): _*))
+        .as("bb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = banded.select(col("band"), col("bh"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Blocked ANN: score only pairs sharing a coarse bucket. Recall is
     * exact for neighbours in the same bucket; cross-bucket neighbours
     * are missed by design (raise nprobe / refine buckets to trade). */
