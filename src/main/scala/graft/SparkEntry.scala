@@ -20,6 +20,7 @@ object SparkEntry {
       (SortLimit.queries, SortLimit.oracle),
       (SetOps.queries, SetOps.oracle),
       (Joins.queries, Joins.oracle),
+      (Subqueries.queries, Subqueries.oracle),
       (Scalars.queries, Scalars.oracle),
       (graft.functions.TextUdf.queries, graft.functions.TextUdf.oracle),
       (Aggregations.queries, Aggregations.oracle),

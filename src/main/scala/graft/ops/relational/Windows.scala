@@ -96,7 +96,22 @@ object Windows {
       .orderBy($"o_custkey", $"rn")
   }
 
+  /** first_value / last_value / nth_value over a full-partition frame. */
+  def qWindowFirstlast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.table(spark, dir, "orders")
+      .select(
+        $"o_orderkey", $"o_custkey",
+        first($"o_totalprice").over(w).as("first_price"),
+        last($"o_totalprice").over(w).as("last_price"),
+        nth_value($"o_totalprice", 2).over(w).as("second_price"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_firstlast" -> (qWindowFirstlast _),
     "q_window_ranking" -> (qWindowRanking _),
     "q_window_laglead" -> (qWindowLaglead _),
     "q_window_running" -> (qWindowRunning _),
@@ -105,6 +120,15 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_firstlast" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_window_ranking" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  row_number() OVER w AS rn,
