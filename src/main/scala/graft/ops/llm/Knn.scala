@@ -25,18 +25,28 @@ import org.apache.spark.sql.types.DoubleType
 object Knn {
 
   /** Dot product via zip_with + left-fold aggregate — deterministic
-    * accumulation order (matches the oracle's list_reduce fold). */
+    * accumulation order (matches the oracle's list_reduce fold). The
+    * reference formulation; hot paths use the native codegen
+    * DotProduct expression (bit-identical, ~13× faster — MicroBench). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Native-codegen dot (graft.functions.DotProduct); same ascending
+    * left fold as `dot`, so results are bit-identical. Requires
+    * VectorExpressions.register — public entry points below do it. */
+  def dotNative(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot_native(a, b)
 
   def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Attach `v` (double vector) and `nrm` columns. */
-  def withNorm(df: DataFrame, embCol: String): DataFrame =
+  /** Attach `v` (double vector) and `nrm` columns (native kernel). */
+  def withNorm(df: DataFrame, embCol: String): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     df.withColumn("v", asDouble(col(embCol)))
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
+  }
 
   /** Exact top-k cosine neighbours of each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -46,7 +56,7 @@ object Knn {
       .select(col("vec_id").as("c_vec_id"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_vec_id") =!= col("c_vec_id"))
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("sim", dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("sim").desc, col("c_vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -93,7 +103,7 @@ object Knn {
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+        (dotNative(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)
   }
@@ -111,7 +121,7 @@ object Knn {
         col("v").as("cv"), col("nrm").as("cn"))
     val scored = c.join(q, "__bkt")
       .filter(col("q_vec_id") =!= col("c_vec_id"))
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("sim", dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("sim").desc, col("c_vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
