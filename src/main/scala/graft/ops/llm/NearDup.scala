@@ -1,6 +1,7 @@
 package graft.ops.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection (§2-K): MinHash+LSH, SimHash, and exact
@@ -33,16 +34,31 @@ object NearDup {
   }
 
   /** LSH candidate pairs: docs sharing any band of the signature.
-    * bands × rowsPerBand must equal the signature length. */
-  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    * bands × rowsPerBand must equal the signature length.
+    *
+    * maxBucketSize caps the per-bucket pair blow-up: a bucket of n
+    * docs yields n² candidate pairs, so one mega-cluster (boilerplate
+    * or replicated text) turns the whole job quadratic — observed
+    * empirically in ScaleSmoke before the cap existed. Oversized
+    * buckets are dropped here; run exact dedup (identical-hash) FIRST
+    * so exact-duplicate clusters never reach MinHash, then oversized
+    * buckets are genuinely rare and are better handled by refining
+    * their shingles than by pairing them. */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                    maxBucketSize: Int = 1000): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
     val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val a = exploded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-    val b = exploded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    val w = Window.partitionBy(col("band"), col("bh"))
+    val bounded = exploded
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val a = bounded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = bounded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
