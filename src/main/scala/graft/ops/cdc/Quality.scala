@@ -1,0 +1,138 @@
+package graft.ops.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality / inspection operators beyond diff+checksum: the
+  * dbt-style constraint checks a CDC tool runs against its replica
+  * (not-null, unique-key, referential integrity, range), plus the
+  * classic sessionization and binning analyses over event streams.
+  *
+  * Scale notes: each check is an aggregate or anti-join — one shuffle
+  * each, results are tiny (one row per rule), so a 100 TB replica
+  * audit is a handful of scans that can share the cache.
+  */
+object Quality {
+
+  /** Constraint audit: one row per rule with its violation count. */
+  def qDqConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.table(spark, dir, "lineitem")
+    val orders = Tables.table(spark, dir, "orders")
+    val customer = Tables.table(spark, dir, "customer")
+
+    val notNull = customer.agg(
+      count(when($"c_name".isNull, 1)).as("violations"))
+      .select(lit("customer.c_name NOT NULL").as("rule"), $"violations")
+
+    val uniquePk = orders.groupBy($"o_orderkey").count()
+      .filter($"count" > 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders.o_orderkey UNIQUE").as("rule"), $"violations")
+
+    val refInt = li.join(orders, $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem.l_orderkey REFERENCES orders").as("rule"), $"violations")
+
+    val range = li.agg(
+      count(when($"l_discount" < 0.0 || $"l_discount" > 1.0, 1)).as("violations"))
+      .select(lit("lineitem.l_discount IN [0,1]").as("rule"), $"violations")
+
+    notNull.unionByName(uniquePk).unionByName(refInt).unionByName(range)
+      .orderBy($"rule")
+  }
+
+  /** Sessionization (batch gaps-and-islands): a new session starts
+    * after a >30 min silence; emits per-session bounds and counts. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    val wsess = Window.partitionBy($"user_id", $"session_id")
+    Tables.table(spark, dir, "events")
+      .withColumn("ts_s", date_trunc("second", $"ts"))
+      .withColumn("prev_ts", lag($"ts_s", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts_s") - unix_timestamp($"prev_ts") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        min($"ts_s").as("session_start"),
+        max($"ts_s").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Histogram: fixed-width value binning over order totals. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 50000.0
+    Tables.table(spark, dir, "orders")
+      .withColumn("bin", floor($"o_totalprice" / width).cast("long"))
+      .groupBy($"bin")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("lo"),
+        round(max($"o_totalprice"), 2).as("hi"))
+      .orderBy($"bin")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_constraints" -> (qDqConstraints _),
+    "q_sessionize" -> (qSessionize _),
+    "q_histogram" -> (qHistogram _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dq_constraints" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.c_name NOT NULL' AS rule,
+        |    count(*) FILTER (WHERE c_name IS NULL) AS violations FROM customer
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey UNIQUE',
+        |    count(*) FROM (SELECT o_orderkey FROM orders
+        |                   GROUP BY o_orderkey HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey REFERENCES orders',
+        |    count(*) FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_discount IN [0,1]',
+        |    count(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 1.0)
+        |  FROM lineitem)
+        |ORDER BY rule""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CASE WHEN lag(ts_s) OVER w IS NULL
+        |           OR epoch(ts_s)::BIGINT - epoch(lag(ts_s) OVER w)::BIGINT > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  min(ts_s) AS session_start, max(ts_s) AS session_end,
+        |  count(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders
+        |GROUP BY bin
+        |ORDER BY bin""".stripMargin
+  )
+}
