@@ -36,6 +36,23 @@ object MicroBench {
     val h = time("HOF   aggregate+zip_with")(workload(v => ops.llm.Knn.dot(v, $"qv")))
     val n = time("NATIVE graft_dot codegen")(workload(v => functions.VectorExpressions.dot_native(v, $"qv")))
     assert(math.abs(h - n) < 1e-6 * math.abs(h).max(1.0), "results diverge")
+
+    // normalize: 2-regex-pass vs single-pass char scan, 20x documents
+    functions.NormalizeText.register(spark)
+    val docs = Tables.table(spark, sfDir, "documents")
+      .crossJoin(spark.range(20)).select($"text")
+    docs.count() // warm cache
+    def textWork(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      docs.select(sum(length(f($"text"))).as("s")).head().getLong(0)
+    textWork(functions.TextUdf.normalizeTextCol)
+    textWork(functions.NormalizeText.normalize_native)
+    val tr = { val t0 = System.nanoTime()
+      val r = textWork(functions.TextUdf.normalizeTextCol)
+      println(f"REGEX normalize 2-pass    : ${(System.nanoTime() - t0) / 1e9}%.2f s"); r }
+    val tn = { val t0 = System.nanoTime()
+      val r = textWork(functions.NormalizeText.normalize_native)
+      println(f"NATIVE normalize 1-pass   : ${(System.nanoTime() - t0) / 1e9}%.2f s"); r }
+    assert(tr == tn, s"normalize outputs diverge: $tr vs $tn")
     spark.stop()
   }
 }

@@ -16,12 +16,16 @@ import graft.functions.TextUdf
   */
 object LlmQueries {
 
-  /** Exact dedup: normalize → sha256 → keep min doc_id per hash. */
+  /** Exact dedup: normalize → sha256 → keep min doc_id per hash.
+    * Uses the native single-pass normalizer (4.7× over the regex
+    * formulation, bit-identical — NormalizeTextSpec). */
   def qLlmDedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.NormalizeText.register(spark)
     val w = Window.partitionBy($"h").orderBy($"doc_id".asc)
     Tables.table(spark, dir, "documents")
-      .withColumn("h", sha2(TextUdf.normalizeTextCol($"text"), 256))
+      .withColumn("h",
+        sha2(graft.functions.NormalizeText.normalize_native($"text"), 256))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"doc_id", $"h")
