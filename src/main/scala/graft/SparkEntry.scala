@@ -21,6 +21,7 @@ object SparkEntry {
       (SetOps.queries, SetOps.oracle),
       (Joins.queries, Joins.oracle),
       (Subqueries.queries, Subqueries.oracle),
+      (Resample.queries, Resample.oracle),
       (Scalars.queries, Scalars.oracle),
       (graft.functions.TextUdf.queries, graft.functions.TextUdf.oracle),
       (Aggregations.queries, Aggregations.oracle),

@@ -1,0 +1,74 @@
+package graft.ops.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series resampling (§2 extension): regularize an event feed
+  * onto a fixed hourly grid with gap-filling and forward-fill — the
+  * standard densification step for CDC/sensor feeds before windowed
+  * analytics.
+  *
+  * Scale notes: the grid is built per key from a sequence() explode
+  * (rows = keys × slots, generated — not shuffled in), aggregated
+  * events join onto it by (key, slot) and the forward fill is one
+  * window pass. One shuffle on the key overall.
+  */
+object Resample {
+
+  /** Hourly grid for users < 20 over the corpus time range, with
+    * per-slot event counts and forward-filled last value. */
+  def qResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+      .filter($"user_id" < 20)
+      .withColumn("slot", date_trunc("hour", $"ts"))
+    val bounds = ev.agg(
+      min($"slot").as("lo"), max($"slot").as("hi"))
+    val grid = ev.select($"user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"user_id",
+        explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("slot"))
+    val hourly = ev.groupBy($"user_id", $"slot")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max_by($"value", $"event_id").as("last_value"))
+    val w = Window.partitionBy($"user_id").orderBy($"slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "slot"), "left")
+      .select(
+        $"user_id", $"slot",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        last($"last_value", ignoreNulls = true).over(w).as("ffill_value"))
+      .orderBy($"user_id", $"slot")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample" -> (qResample _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value, date_trunc('hour', ts) AS slot
+        |  FROM events WHERE user_id < 20),
+        |bounds AS (SELECT min(slot) AS lo, max(slot) AS hi FROM ev),
+        |grid AS (
+        |  SELECT u.user_id, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS slot
+        |  FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN bounds b),
+        |hourly AS (
+        |  SELECT user_id, slot, count(*) AS n_events,
+        |    max_by(value, event_id) AS last_value
+        |  FROM ev GROUP BY user_id, slot)
+        |SELECT g.user_id, g.slot,
+        |  coalesce(h.n_events, 0) AS n_events,
+        |  last_value(h.last_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.slot = h.slot
+        |ORDER BY g.user_id, g.slot""".stripMargin
+  )
+}
