@@ -234,13 +234,13 @@ object CdcQueries {
         |ORDER BY pk""".stripMargin,
     "q_cdc_checksum" ->
       """SELECT 'customer' AS tbl,
-        |  sum(('0x' || substr(md5(fp), 1, 8))::BIGINT) AS checksum,
+        |  sum(('0x' || substr(md5(fp), 1, 8))::BIGINT)::BIGINT AS checksum,
         |  count(*) AS n_rows
         |FROM (SELECT concat_ws('|', c_custkey, c_name, c_mktsegment,
         |        c_acctbal::DECIMAL(12,2)::VARCHAR) AS fp FROM customer)
         |UNION ALL
         |SELECT 'orders' AS tbl,
-        |  sum(('0x' || substr(md5(fp), 1, 8))::BIGINT) AS checksum,
+        |  sum(('0x' || substr(md5(fp), 1, 8))::BIGINT)::BIGINT AS checksum,
         |  count(*) AS n_rows
         |FROM (SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
         |        o_totalprice::DECIMAL(12,2)::VARCHAR) AS fp FROM orders)

@@ -117,8 +117,8 @@ object Quality {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
         |sessions AS (
         |  SELECT user_id, event_id, ts_s,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id,
         |  min(ts_s) AS session_start, max(ts_s) AS session_end,

@@ -158,7 +158,7 @@ object LlmQueries {
         |  SELECT lang, count(*) AS n_docs,
         |    min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |    round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
-        |    sum(n_words) AS total_words
+        |    sum(n_words)::BIGINT AS total_words
         |  FROM t GROUP BY lang)
         |SELECT lang, n_docs, min_chars, max_chars, p50_chars, total_words,
         |  ((200 * total_words + n_docs) // (2 * n_docs)) / 100.0 AS avg_words
