@@ -23,6 +23,7 @@ object SparkEntry {
       (Subqueries.queries, Subqueries.oracle),
       (Resample.queries, Resample.oracle),
       (Scalars.queries, Scalars.oracle),
+      (Scalars2.queries, Scalars2.oracle),
       (graft.functions.TextUdf.queries, graft.functions.TextUdf.oracle),
       (Aggregations.queries, Aggregations.oracle),
       (Windows.queries, Windows.oracle),

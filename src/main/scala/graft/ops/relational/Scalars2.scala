@@ -1,0 +1,122 @@
+package graft.ops.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+
+/** §2-H extended scalar-function coverage (second tranche): the rest
+  * of the everyday string/array/datetime surface a migrating user
+  * would reach for. Same parity discipline as Scalars (docs/PARITY.md).
+  */
+object Scalars2 {
+
+  def qFnString2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "part")
+      .withColumn("joined", concat_ws("|", $"p_brand", $"p_type", $"p_name"))
+      .select(
+        $"p_partkey",
+        split_part($"joined", lit("|"), lit(2)).as("second_field"),
+        instr($"p_name", "e").as("first_e"),
+        repeat($"p_brand", 2).as("brand2"),
+        reverse($"p_name").as("rev"),
+        ascii(substring($"p_name", 1, 1)).as("first_ascii"),
+        $"p_name".startsWith("red").as("is_red"),
+        $"p_name".contains("widget").as(("has_widget")),
+        format_string("%s-%04d", $"p_type", $"p_size").as("fmt"),
+        regexp_extract_all($"p_name", lit("[aeiou]+"), lit(0)).as("vowel_runs"),
+        expr("left(p_name, 3)").as("l3"),
+        expr("right(p_name, 3)").as("r3"),
+        translate($"p_name", "aeiou", "AEIOU").as("caps_vowels"))
+      .orderBy($"p_partkey")
+  }
+
+  def qFnArray2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .select(
+        $"doc_id",
+        array_position($"toks", "the").as("pos_the"),
+        size(flatten(array(slice($"toks", 1, 2), slice($"toks", 3, 2)))).as("flat4"),
+        array_max($"toks").as("max_tok"),
+        array_min($"toks").as("min_tok"),
+        sort_array(array_intersect(array_distinct($"toks"),
+          array(lit("the"), lit("a"), lit("data")))).as("stop_hits"),
+        exists($"toks", t => t === "value").as("has_value"),
+        forall($"toks", t => length(t) <= 20).as("all_short"),
+        concat(slice($"toks", 1, 2), slice($"toks", 1, 1)).as("concat3"),
+        element_at($"toks", 1).as("first_tok"))
+      .orderBy($"doc_id")
+  }
+
+  def qFnDatetime2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "orders")
+      .select(
+        $"o_orderkey",
+        quarter($"o_orderdate").as("q"),
+        dayofyear($"o_orderdate").as("doy"),
+        weekofyear($"o_orderdate").as("woy"),
+        make_date(year($"o_orderdate"), month($"o_orderdate"),
+          dayofmonth($"o_orderdate")).as("rebuilt"),
+        date_format($"o_orderdate", "yyyy-MM").as("ym"),
+        to_date(date_trunc("quarter", $"o_orderdate")).as("q_start"),
+        ((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
+          .as("months_since_1995"))
+      .orderBy($"o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string2" -> (qFnString2 _),
+    "q_fn_array2" -> (qFnArray2 _),
+    "q_fn_datetime2" -> (qFnDatetime2 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string2" ->
+      """WITH t AS (
+        |  SELECT *, concat_ws('|', p_brand, p_type, p_name) AS joined FROM part)
+        |SELECT p_partkey,
+        |  split_part(joined, '|', 2) AS second_field,
+        |  strpos(p_name, 'e') AS first_e,
+        |  repeat(p_brand, 2) AS brand2,
+        |  reverse(p_name) AS rev,
+        |  ascii(substring(p_name, 1, 1)) AS first_ascii,
+        |  starts_with(p_name, 'red') AS is_red,
+        |  contains(p_name, 'widget') AS has_widget,
+        |  printf('%s-%04d', p_type, p_size) AS fmt,
+        |  regexp_extract_all(p_name, '[aeiou]+') AS vowel_runs,
+        |  left(p_name, 3) AS l3,
+        |  right(p_name, 3) AS r3,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS caps_vowels
+        |FROM t ORDER BY p_partkey""".stripMargin,
+    "q_fn_array2" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  coalesce(list_position(toks, 'the'), 0)::BIGINT AS pos_the,
+        |  len(flatten([toks[1:2], toks[3:4]])) AS flat4,
+        |  list_max(toks) AS max_tok,
+        |  list_min(toks) AS min_tok,
+        |  list_sort(list_intersect(list_distinct(toks),
+        |    ['the', 'a', 'data'])) AS stop_hits,
+        |  len(list_filter(toks, t -> t = 'value')) > 0 AS has_value,
+        |  len(list_filter(toks, t -> NOT (length(t) <= 20))) = 0 AS all_short,
+        |  toks[1:2] || toks[1:1] AS concat3,
+        |  toks[1] AS first_tok
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_fn_datetime2" ->
+      """SELECT o_orderkey,
+        |  quarter(o_orderdate) AS q,
+        |  dayofyear(o_orderdate) AS doy,
+        |  weekofyear(o_orderdate) AS woy,
+        |  make_date(year(o_orderdate)::INT, month(o_orderdate)::INT,
+        |            day(o_orderdate)::INT) AS rebuilt,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  date_trunc('quarter', o_orderdate) AS q_start,
+        |  (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS months_since_1995
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}
