@@ -10,6 +10,23 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   */
 object StateProcessors {
 
+  /** Per-key event counter whose state expires after a processing-time
+    * TTL — the bounded-state pattern for keys that go quiet (state
+    * store stays O(active keys), not O(ever-seen keys)). */
+  class TtlCounter(ttlMs: Long)
+      extends StatefulProcessor[Long, CdcStream.Change, (Long, Long)] {
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(key: Long, rows: Iterator[CdcStream.Change],
+                                 timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val cur = Option(n.get()).getOrElse(0L) + rows.size
+      n.update(cur)
+      Iterator((key, cur))
+    }
+  }
+
   /** Per-key running CDC state: tracks the latest (lsn, value); emits
     * on change; tombstone clears state and emits value = NaN marker.
     * Out-of-order rows below the stored lsn are ignored

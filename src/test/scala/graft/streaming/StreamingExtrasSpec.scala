@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+import graft.SparkSpec
+
+/** Streaming extras: state TTL expiry and Trigger.AvailableNow. */
+class StreamingExtrasSpec extends SparkSpec {
+
+  test("transformWithState TTL: counter state expires between batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[CdcStream.Change]
+      val out = in.toDS().groupByKey(_.pk)
+        .transformWithState(new StateProcessors.TtlCounter(5000), TimeMode.ProcessingTime(),
+          OutputMode.Update())
+        .toDF("pk", "n")
+      val name = s"mem_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      // ProcessingTime time-mode queries never quiesce (TTL cleanup
+      // keeps scheduling batches), so poll the sink instead of
+      // processAllAvailable()
+      def awaitRows(n: Int): Seq[Long] = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        var rows = Seq.empty[Long]
+        while (rows.length < n && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          rows = spark.table(name).collect().map(_.getLong(1)).toSeq
+        }
+        rows
+      }
+      try {
+        in.addData(CdcStream.Change(1L, 1L, "c", 1.0))
+        assert(awaitRows(1) === Seq(1L))
+        in.addData(CdcStream.Change(1L, 2L, "c", 1.0))
+        assert(awaitRows(2) === Seq(1L, 2L))
+        Thread.sleep(7000) // let TTL lapse
+        in.addData(CdcStream.Change(1L, 3L, "c", 1.0))
+        val counts = awaitRows(3)
+        assert(counts.last === 1L, s"state should have expired: $counts")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("Trigger.AvailableNow drains a file source and stops") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("val", DoubleType)))
+    val base = java.nio.file.Files.createTempDirectory("graft_an").toString
+    val srcDir = s"$base/in"; new java.io.File(srcDir).mkdirs()
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/f$i.json"),
+        s"""{"op":"c","after":{"pk":$i,"val":$i.0},"source":{"table":"t","lsn":$i},"ts_ms":${1700000000000L + i}}""")
+    }
+    val q = CdcStream.source(spark, srcDir, payload)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow query should self-terminate")
+    assert(spark.read.parquet(s"$base/out").count() === 3)
+  }
+
+  test("cache/persist: cached plan shows InMemoryTableScan and unpersist clears") {
+    val df = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+    df.cache()
+    try {
+      df.count() // materialize
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan)
+    } finally df.unpersist(blocking = true)
+    assert(!df.queryExecution.executedPlan.toString.contains("InMemoryTableScan") ||
+      spark.sharedState.cacheManager.isEmpty)
+  }
+}
