@@ -88,6 +88,16 @@ object LlmQueries {
       .orderBy($"q_vec_id", $"rn")
   }
 
+  /** Bucketed (IVF-style) ANN: label-blocked cosine top-3 — the
+    * 100 TB-scale search path, deterministic and therefore oracled
+    * (unlike the seeded hyperplane-LSH variant). */
+  def qLlmKnnBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.table(spark, dir, "embeddings")
+    Knn.bucketedTopK(emb.filter($"vec_id" < 10), emb, "label", k = 3)
+      .orderBy($"q_vec_id", $"rn")
+  }
+
   /** L2-normalized embeddings (values rounded 4dp for the compare). */
   def qLlmL2norm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -133,6 +143,7 @@ object LlmQueries {
     "q_llm_tf" -> (qLlmTf _),
     "q_llm_tfidf" -> (qLlmTfidf _),
     "q_llm_knn_cosine" -> (qLlmKnnCosine _),
+    "q_llm_knn_bucketed" -> (qLlmKnnBucketed _),
     "q_llm_l2norm" -> (qLlmL2norm _),
     "q_llm_quality" -> (qLlmQuality _)
   )
@@ -204,6 +215,27 @@ object LlmQueries {
         |  c_vec_id, round(sim, 4) AS sim
         |FROM pairs
         |QUALIFY rn <= 5
+        |ORDER BY q_vec_id, rn""".stripMargin,
+    "q_llm_knn_bucketed" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(${dotFold.format("v", "v", "v")}) AS nrm
+        |  FROM e),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_apply(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+        |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS sim
+        |  FROM (SELECT * FROM n WHERE vec_id < 10) q
+        |  JOIN n c ON q.label = c.label AND q.vec_id != c.vec_id)
+        |SELECT q_vec_id,
+        |  row_number() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, c_vec_id ASC) AS rn,
+        |  c_vec_id, round(sim, 4) AS sim
+        |FROM pairs
+        |QUALIFY rn <= 3
         |ORDER BY q_vec_id, rn""".stripMargin,
     "q_llm_l2norm" ->
       s"""WITH e AS (
