@@ -83,11 +83,13 @@ object ScaleSmoke {
       // text clusters (10x replication here; boilerplate at real scale)
       // never reach LSH banding — without this, mega-buckets make
       // candidate generation quadratic (observed: >20 min vs seconds)
+      functions.NormalizeText.register(spark)
       val docs = Tables.table(spark, work, "documents")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"h").orderBy($"doc_id")
       val uniq = docs
-        .withColumn("h", sha2(functions.TextUdf.normalizeTextCol($"text"), 256))
+        .withColumn("h",
+          sha2(functions.NormalizeText.normalize_native($"text"), 256))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1).drop("h", "rn")
       ops.llm.NearDup.minHashNearDups(uniq, "doc_id", "text").count() }

@@ -82,15 +82,26 @@ object Cdc {
       .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
   }
 
+  /** Injective row fingerprint: each column is encoded as `∅` when
+    * NULL or `<length>:<value>` otherwise, then concatenated. Unlike a
+    * plain delimiter join, this cannot collide across NULL-vs-empty or
+    * delimiter-containing values ((\"a|b\",\"c\") vs (\"a\",\"b|c\")) —
+    * essential for a tool whose job is to FIND corruptions. */
+  def rowFingerprint(cols: Seq[String]): Column =
+    md5(concat(cols.map { c =>
+      val s = col(c).cast(StringType)
+      when(s.isNull, lit("∅")).otherwise(concat(length(s), lit(":"), s))
+    }: _*))
+
   /** Snapshot-vs-replica diff: classify per-key as missing_in_replica /
     * extra_in_replica / mismatch via row fingerprints. Equal rows are
     * dropped (at 100 TB the interesting output is the exceptions). */
   def diff(expected: DataFrame, actual: DataFrame, keys: Seq[String],
            compareCols: Seq[String]): DataFrame = {
     val e = expected.select(keys.map(col) :+
-      md5(concat_ws("|", compareCols.map(col): _*)).as("__e_fp"): _*)
+      rowFingerprint(compareCols).as("__e_fp"): _*)
     val a = actual.select(keys.map(col) :+
-      md5(concat_ws("|", compareCols.map(col): _*)).as("__a_fp"): _*)
+      rowFingerprint(compareCols).as("__a_fp"): _*)
     e.join(a, keys, "full_outer")
       .withColumn("status",
         when(col("__a_fp").isNull, "missing_in_replica")
@@ -101,11 +112,11 @@ object Cdc {
       .select(keys.map(col) :+ col("status"): _*)
   }
 
-  /** Order-insensitive table fingerprint: per-row md5 → first 8 hex
-    * chars as int → sum. Commutative, so partition/row order never
-    * matters — safe to compute distributed at any scale. */
+  /** Order-insensitive table fingerprint: per-row injective md5 →
+    * first 8 hex chars as int → sum. Commutative, so partition/row
+    * order never matters — safe to compute distributed at any scale. */
   def checksum(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val rowFp = conv(substring(md5(concat_ws("|", cols.map(col): _*)), 1, 8), 16, 10)
+    val rowFp = conv(substring(rowFingerprint(cols), 1, 8), 16, 10)
       .cast(LongType)
     df.agg(sum(rowFp).as("checksum"), count(lit(1)).as("n_rows"))
   }

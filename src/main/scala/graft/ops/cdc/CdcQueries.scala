@@ -220,8 +220,14 @@ object CdcQueries {
         |  UNION ALL SELECT 999999, 'ghost', 'NONE', '0.00'),
         |j AS (
         |  SELECT coalesce(e.pk, r.pk) AS pk,
-        |    md5(concat_ws('|', e.name, e.seg, e.bal_s)) AS e_fp,
-        |    md5(concat_ws('|', r.name, r.seg, r.bal_s)) AS a_fp,
+        |    md5(concat(
+        |      CASE WHEN e.name IS NULL THEN '∅' ELSE length(e.name)::VARCHAR || ':' || e.name END,
+        |      CASE WHEN e.seg IS NULL THEN '∅' ELSE length(e.seg)::VARCHAR || ':' || e.seg END,
+        |      CASE WHEN e.bal_s IS NULL THEN '∅' ELSE length(e.bal_s)::VARCHAR || ':' || e.bal_s END)) AS e_fp,
+        |    md5(concat(
+        |      CASE WHEN r.name IS NULL THEN '∅' ELSE length(r.name)::VARCHAR || ':' || r.name END,
+        |      CASE WHEN r.seg IS NULL THEN '∅' ELSE length(r.seg)::VARCHAR || ':' || r.seg END,
+        |      CASE WHEN r.bal_s IS NULL THEN '∅' ELSE length(r.bal_s)::VARCHAR || ':' || r.bal_s END)) AS a_fp,
         |    e.pk AS epk, r.pk AS rpk
         |  FROM exp e FULL OUTER JOIN rep r ON e.pk = r.pk)
         |SELECT pk,
@@ -234,13 +240,13 @@ object CdcQueries {
         |ORDER BY pk""".stripMargin,
     "q_cdc_checksum" ->
       """SELECT 'customer' AS tbl,
-        |  sum(('0x' || substr(md5(fp), 1, 8))::BIGINT)::BIGINT AS checksum,
+        |  sum(('0x' || substr(md5(length(fp)::VARCHAR || ':' || fp), 1, 8))::BIGINT)::BIGINT AS checksum,
         |  count(*) AS n_rows
         |FROM (SELECT concat_ws('|', c_custkey, c_name, c_mktsegment,
         |        c_acctbal::DECIMAL(12,2)::VARCHAR) AS fp FROM customer)
         |UNION ALL
         |SELECT 'orders' AS tbl,
-        |  sum(('0x' || substr(md5(fp), 1, 8))::BIGINT)::BIGINT AS checksum,
+        |  sum(('0x' || substr(md5(length(fp)::VARCHAR || ':' || fp), 1, 8))::BIGINT)::BIGINT AS checksum,
         |  count(*) AS n_rows
         |FROM (SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
         |        o_totalprice::DECIMAL(12,2)::VARCHAR) AS fp FROM orders)

@@ -36,32 +36,35 @@ object PartitionedUpsert {
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
             keyCol: String, lsnCol: String, opCol: String,
             valueCols: Seq[String], nBuckets: Int): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cache once: each bucket pass below re-filters this, and without
+    // the cache every pass would recompute the full upstream lineage
     val withBucket = changes.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
-    val touched = withBucket.select("bucket").distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
-    touched.foreach { b =>
-      val bucketDir = s"$dir/bucket=$b"
-      val current =
-        if (new java.io.File(bucketDir).exists)
-          spark.read.parquet(bucketDir)
-        else {
-          val sel = col(keyCol) +: valueCols.map(col)
-          changes.select(sel: _*).limit(0)
-        }
-      val batch = withBucket.filter(col("bucket") === b).drop("bucket")
-      val next = Cdc.apply(current, batch, Seq(keyCol), lsnCol, opCol, valueCols)
-        .drop("src")
-      val tmp = s"$dir/.tmp_bucket_$b"
-      next.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp).write.mode("overwrite").parquet(bucketDir)
-      deleteRec(new java.io.File(tmp))
-    }
-    touched
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
-    f.delete(): Unit
+      .persist()
+    try {
+      val touched = withBucket.select("bucket").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      touched.foreach { b =>
+        val bucketDir = s"$dir/bucket=$b"
+        val current =
+          if (fs.exists(new org.apache.hadoop.fs.Path(bucketDir)))
+            spark.read.parquet(bucketDir)
+          else {
+            val sel = col(keyCol) +: valueCols.map(col)
+            changes.select(sel: _*).limit(0)
+          }
+        val batch = withBucket.filter(col("bucket") === b).drop("bucket")
+        val next = Cdc.apply(current, batch, Seq(keyCol), lsnCol, opCol, valueCols)
+          .drop("src")
+        // write via tmp: the read side of the merge is the write target
+        val tmp = s"$dir/.tmp_bucket_$b"
+        next.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(bucketDir)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      touched
+    } finally withBucket.unpersist()
   }
 
   /** Read the current state (all buckets). */

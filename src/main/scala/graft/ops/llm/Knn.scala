@@ -85,9 +85,14 @@ object Knn {
     * collisions, keep pairs with verified cosine >= threshold. */
   def cosineNearDups(corpus: DataFrame, dim: Int, threshold: Double,
                      nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
     val bitsPerBand = nPlanes / bands
     val mask = (1L << bitsPerBand) - 1
     val sig = withNorm(corpus, "embedding")
+      // vectors whose length != dim would dot to NULL against every
+      // plane → all-zero signatures → one mega-bucket → the O(n²)
+      // join this function exists to avoid; exclude them explicitly
+      .filter(size(col("v")) === dim)
       .withColumn("sig", hyperplaneSignature(col("v"), dim, nPlanes))
     val banded = sig.select(col("vec_id"), col("v"), col("nrm"),
       explode(array((0 until bands).map(i =>

@@ -54,6 +54,7 @@ object Multimodal {
     * from the bytes (stands in for pixel/sample decoding). */
   val decodeStub: UserDefinedFunction = udf { (payload: Array[Byte]) =>
     if (payload == null) null
+    else if (payload.isEmpty) (0, 0.0, 0, 0)  // empty is a valid payload
     else {
       val mean = payload.map(_ & 0xFF).sum.toDouble / payload.length
       val mn = payload.map(_ & 0xFF).min
@@ -67,6 +68,7 @@ object Multimodal {
     * Array[Float]) and distributed shape are what downstream ops use. */
   val featureStub: UserDefinedFunction = udf { (payload: Array[Byte]) =>
     if (payload == null) null
+    else if (payload.isEmpty) new Array[Float](16)  // zero vector, not NaN/0f
     else {
       val hist = new Array[Float](16)
       payload.foreach(b => hist((b & 0xFF) / 16) += 1.0f)

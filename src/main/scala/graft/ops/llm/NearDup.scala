@@ -46,6 +46,9 @@ object NearDup {
     * their shingles than by pairing them. */
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
                     maxBucketSize: Int = 1000): DataFrame = {
+    val sigLen = sig.columns.count(_.startsWith("mh_"))
+    require(bands * rowsPerBand == sigLen,
+      s"bands($bands) x rowsPerBand($rowsPerBand) must equal signature length ($sigLen)")
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
@@ -80,6 +83,7 @@ object NearDup {
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val sets = tokenSets(docs, idCol, textCol)
     val cand = lshCandidates(minHashSignatures(sets, k), bands, k / bands)
     exactJaccard(cand, sets).filter(col("jaccard") >= threshold)

@@ -74,13 +74,20 @@ object AsofJoin {
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val withAsof = carried.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"${rightPrefix}$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // carry ALL right columns in ONE struct so last(ignoreNulls) picks
+    // them atomically from the same right row — per-column last() would
+    // tear rows apart whenever a carried right column contains NULLs
+    // (the struct is non-null exactly on right rows).
+    val packed = unioned.withColumn("__r_struct",
+      when(col("__side") === 0,
+        struct(carried.map(c => col(s"__r_$c").as(c)): _*)))
+    val withAsof = packed.withColumn("__asof",
+      last(col("__r_struct"), ignoreNulls = true).over(w))
 
     withAsof
       .filter($"__side" === 1)
-      .select((leftCols.map(col) ++ carried.map(c => col(s"${rightPrefix}$c"))): _*)
+      .select((leftCols.map(col) ++
+        carried.map(c => col(s"__asof.$c").as(s"${rightPrefix}$c"))): _*)
   }
 
   /** Reference implementation via theta-join + keep-latest window.

@@ -50,8 +50,13 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val target = s"$targetDir/state"
+        // existence via the path's Hadoop FileSystem — a java.io.File
+        // check is silently false for hdfs://..., which would truncate
+        // the state to the last batch on every trigger
+        val targetPath = new org.apache.hadoop.fs.Path(target)
+        val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val current =
-          if (new java.io.File(target).exists)
+          if (fs.exists(targetPath))
             spark.read.parquet(target)
           else {
             val sel = keys.map(c => col(c)) ++

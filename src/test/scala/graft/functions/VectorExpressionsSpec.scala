@@ -34,17 +34,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(codegenSpans.exists(_.contains("graft_dot")), codegenSpans.mkString("\n"))
   }
 
-  test("graft_dot null and length-mismatch semantics") {
+  test("graft_dot null semantics mirror the HOF fold") {
     import spark.implicits._
     VectorExpressions.register(spark)
     val df = Seq(
-      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 9.9))),  // min-length: 1*3+2*4
-      (None, Some(Seq(1.0)))
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),       // 1*3+2*4 = 11
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 9.9))),  // length mismatch → null
+      (None, Some(Seq(1.0)))                            // null array → null
     ).toDF("a", "b")
-      .select(VectorExpressions.dot_native($"a", $"b").as("d"))
+      .select(
+        VectorExpressions.dot_native($"a", $"b").as("native"),
+        graft.ops.llm.Knn.dot($"a", $"b").as("hof"))
     val rows = df.collect()
-    assert(rows(0).getDouble(0) === 11.0)
-    assert(rows(1).isNullAt(0))
+    assert(rows(0).getDouble(0) === 11.0 && rows(0).getDouble(1) === 11.0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
 
   test("extensions-injected session resolves graft_dot without manual registration") {

@@ -57,6 +57,21 @@ class JoinsSpec extends SparkSpec {
     assert(out(4L) === (None, None))             // unmatched key
   }
 
+  test("asofBackward: NULL right values never tear rows apart") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, "u", ts("2024-01-01 12:00:00"))).toDF("lid", "k", "t")
+    val right = Seq(
+      (5L, "u", ts("2024-01-01 10:00:00"), Some(3.0)),
+      (9L, "u", ts("2024-01-01 11:00:00"), None)  // latest, value NULL
+    ).toDF("rid", "k", "t", "v")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "t", "t",
+      Seq("rid", "v"), tieBreak = "rid").head()
+    // must be the (9, NULL) row — not a chimera of rid=9 with v=3.0
+    assert(out.getAs[Long]("asof_rid") === 9L)
+    assert(out.isNullAt(out.fieldIndex("asof_v")))
+  }
+
   test("asofBackward matches the naive theta-join implementation on the corpus") {
     import spark.implicits._
     val ev = graft.Tables.table(spark, sfSmoke, "events")
