@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory: the configuration posture every graft
+  * pipeline assumes, in one place.
+  *
+  * - AQE on (runtime coalescing, skew-join splitting, SMJ→broadcast)
+  * - shuffle partitions sized to the machine, not the 200 default
+  * - UTC session timezone (oracle/corpus contract)
+  * - native function registration (graft_dot, graft_normalize_text)
+  *
+  * On a real cluster the same builder applies — only master/memory
+  * change; `spark.sql.extensions=graft.functions.GraftExtensions` is
+  * the config-file alternative to `registerFunctions`.
+  */
+object GraftSession {
+
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session with graft functions registered. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession = {
+    val spark = builder(cores).master(s"local[$cores]").getOrCreate()
+    registerFunctions(spark)
+    spark
+  }
+
+  /** Idempotently register the native graft functions. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    functions.VectorExpressions.register(spark)
+    functions.NormalizeText.register(spark)
+  }
+}

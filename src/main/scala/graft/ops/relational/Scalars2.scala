@@ -69,13 +69,39 @@ object Scalars2 {
       .orderBy($"o_orderkey")
   }
 
+  /** Error-tolerant evaluation: try_cast / guarded division — ANSI
+    * mode makes bad casts and div-by-zero THROW, so ETL over dirty
+    * data needs the try_* forms that yield NULL instead. */
+  def qFnTry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .withColumn("first_tok", element_at(split($"text", " "), 1))
+      .select(
+        $"doc_id",
+        try_element_at(split($"text", " "), lit(3)).as("tok3"),
+        $"first_tok".try_cast("int").as("tok_as_int"),       // word → NULL
+        try_divide($"n_chars", $"doc_id" % 5).as("guarded_div"), // /0 → NULL
+        try_to_number(lit("12.5"), lit("99.9")).cast("double").as("parsed"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_try" -> (qFnTry _),
     "q_fn_string2" -> (qFnString2 _),
     "q_fn_array2" -> (qFnArray2 _),
     "q_fn_datetime2" -> (qFnDatetime2 _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_try" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  toks[3] AS tok3,
+        |  TRY_CAST(toks[1] AS INT) AS tok_as_int,
+        |  n_chars / NULLIF(doc_id % 5, 0) AS guarded_div,
+        |  12.5::DOUBLE AS parsed
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_fn_string2" ->
       """WITH t AS (
         |  SELECT *, concat_ws('|', p_brand, p_type, p_name) AS joined FROM part)
