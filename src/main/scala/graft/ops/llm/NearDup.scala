@@ -55,11 +55,13 @@ object NearDup {
     }
     val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val w = Window.partitionBy(col("band"), col("bh"))
-    val bounded = exploded
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+    // the oversized-bucket list is tiny by construction → broadcast
+    // anti-join beats a per-bucket window count (no extra sort pass)
+    val oversized = exploded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select(col("band"), col("bh"))
+    val bounded = exploded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
     val a = bounded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = bounded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bh"))
