@@ -50,10 +50,12 @@ object Aggregations {
       .orderBy($"l_returnflag")
   }
 
-  /** Approximate distinct via HLL. NOT oracled (sketch algorithms are
-    * engine-specific) — the driver records a rows-only check; accuracy
-    * vs exact is asserted in AggregationsSpec (±5%). Both the one-shot
-    * estimator and the datasketches lifecycle (agg → estimate) run. */
+  /** Approximate distinct via HLL. The raw estimates are engine-specific
+    * and can't hash-match DuckDB, so the emitted output is made
+    * deterministic: exact count(distinct) plus within-±5%-of-exact
+    * booleans for each estimator (the oracle asserts `true`). Both the
+    * one-shot estimator and the datasketches lifecycle (agg → estimate)
+    * still execute — only their presentation is normalized. */
   def qAggApproxHll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.table(spark, dir, "lineitem")
@@ -62,6 +64,13 @@ object Aggregations {
         approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
         hll_sketch_estimate(hll_sketch_agg($"l_partkey")).as("hll_parts"),
         countDistinct($"l_partkey").as("exact_parts"))
+      .select(
+        $"l_returnflag",
+        $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts") <= $"exact_parts" * 0.05)
+          .as("approx_within_5pct"),
+        (abs($"hll_parts" - $"exact_parts") <= $"exact_parts" * 0.05)
+          .as("sketch_within_5pct"))
       .orderBy($"l_returnflag")
   }
 
@@ -121,14 +130,15 @@ object Aggregations {
       .orderBy($"l_returnflag")
   }
 
-  /** Deterministic list aggregation: collect then array_sort. */
+  /** Deterministic list aggregation: collect, array_sort, then join to
+    * one string (the driver's pandas comparator can't hash list cells). */
   def qAggCollect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.table(spark, dir, "supplier")
       .join(Tables.table(spark, dir, "nation"), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(
-        array_sort(collect_list($"s_name")).as("suppliers"),
+        array_join(array_sort(collect_list($"s_name")), "|").as("suppliers"),
         count(lit(1)).as("n"))
       .orderBy($"n_name")
   }
@@ -196,8 +206,14 @@ object Aggregations {
         |  count(DISTINCT (l_partkey, l_suppkey)) AS nd_pairs,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // q_agg_approx_hll intentionally absent: sketch estimates are
-    // engine-specific (driver rows-only check; ±5% vs exact in spec)
+    // the HLL estimates themselves are engine-specific; the emitted
+    // shape (exact + within-tolerance booleans) is deterministic
+    "q_agg_approx_hll" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS approx_within_5pct,
+        |  true AS sketch_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
@@ -226,7 +242,8 @@ object Aggregations {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_collect" ->
-      """SELECT n_name, list(s_name ORDER BY s_name) AS suppliers, count(*) AS n
+      """SELECT n_name, string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+        |  count(*) AS n
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_agg_stats" ->

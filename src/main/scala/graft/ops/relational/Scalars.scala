@@ -103,8 +103,16 @@ object Scalars {
         round(aggregate(zip_with($"v", $"v", (x, y) => x * y),
           lit(0.0), (acc, x) => acc + x), 4).as("sq_norm"),
         size(filter($"v", _ > 0.0)).as("n_pos"),
-        transform(slice($"v", 1, 5), x => round(x, 4)).as("first5"),
-        sort_array(transform(slice($"v", 1, 5), x => round(x, 4))).as("first5_sorted"),
+        // Array-typed outputs are serialized to delimiter-joined strings:
+        // the driver's pandas comparator cannot sort/hash list cells.
+        // Doubles stringify via DECIMAL(12,4) (PARITY rule 13).
+        array_join(transform(slice($"v", 1, 5),
+          x => round(x, 4).cast(DecimalType(12, 4)).cast(StringType)), ",")
+          .as("first5"),
+        array_join(transform(
+          sort_array(transform(slice($"v", 1, 5), x => round(x, 4))),
+          x => x.cast(DecimalType(12, 4)).cast(StringType)), ",")
+          .as("first5_sorted"),
         size(array_distinct(transform($"v", x => round(x, 1)))).as("n_distinct_1dp"))
       .orderBy($"vec_id")
   }
@@ -117,7 +125,7 @@ object Scalars {
         $"event_id",
         element_at($"m", "k").as("k_val"),
         size($"m").as("n_keys"),
-        sort_array(map_keys($"m")).as("keys_sorted"))
+        array_join(sort_array(map_keys($"m")), ",").as("keys_sorted"))
       .orderBy($"event_id")
   }
 
@@ -215,15 +223,18 @@ object Scalars {
         |    list_apply(range(1, len(v) + 1), i -> v[i] * v[i])),
         |    (acc, x) -> acc + x), 4) AS sq_norm,
         |  len(list_filter(v, x -> x > 0.0)) AS n_pos,
-        |  list_transform(v[1:5], x -> round(x, 4)) AS first5,
-        |  list_sort(list_transform(v[1:5], x -> round(x, 4))) AS first5_sorted,
+        |  array_to_string(list_transform(v[1:5],
+        |    x -> round(x, 4)::DECIMAL(12,4)::VARCHAR), ',') AS first5,
+        |  array_to_string(list_transform(
+        |    list_sort(list_transform(v[1:5], x -> round(x, 4))),
+        |    x -> x::DECIMAL(12,4)::VARCHAR), ',') AS first5_sorted,
         |  len(list_distinct(list_transform(v, x -> round(x, 1)))) AS n_distinct_1dp
         |FROM t ORDER BY vec_id""".stripMargin,
     "q_fn_map" ->
       """SELECT event_id,
         |  json_extract(props, '$.k')::INT AS k_val,
         |  len(json_keys(props)) AS n_keys,
-        |  list_sort(json_keys(props)) AS keys_sorted
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted
         |FROM events ORDER BY event_id""".stripMargin,
     "q_fn_json" ->
       """SELECT event_id,

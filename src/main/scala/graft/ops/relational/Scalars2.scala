@@ -26,7 +26,9 @@ object Scalars2 {
         $"p_name".startsWith("red").as("is_red"),
         $"p_name".contains("widget").as(("has_widget")),
         format_string("%s-%04d", $"p_type", $"p_size").as("fmt"),
-        regexp_extract_all($"p_name", lit("[aeiou]+"), lit(0)).as("vowel_runs"),
+        // joined to a string: driver compare can't hash array cells
+        array_join(regexp_extract_all($"p_name", lit("[aeiou]+"), lit(0)), ",")
+          .as("vowel_runs"),
         expr("left(p_name, 3)").as("l3"),
         expr("right(p_name, 3)").as("r3"),
         translate($"p_name", "aeiou", "AEIOU").as("caps_vowels"))
@@ -43,11 +45,12 @@ object Scalars2 {
         size(flatten(array(slice($"toks", 1, 2), slice($"toks", 3, 2)))).as("flat4"),
         array_max($"toks").as("max_tok"),
         array_min($"toks").as("min_tok"),
-        sort_array(array_intersect(array_distinct($"toks"),
-          array(lit("the"), lit("a"), lit("data")))).as("stop_hits"),
+        array_join(sort_array(array_intersect(array_distinct($"toks"),
+          array(lit("the"), lit("a"), lit("data")))), ",").as("stop_hits"),
         exists($"toks", t => t === "value").as("has_value"),
         forall($"toks", t => length(t) <= 20).as("all_short"),
-        concat(slice($"toks", 1, 2), slice($"toks", 1, 1)).as("concat3"),
+        array_join(concat(slice($"toks", 1, 2), slice($"toks", 1, 1)), ",")
+          .as("concat3"),
         element_at($"toks", 1).as("first_tok"))
       .orderBy($"doc_id")
   }
@@ -114,7 +117,7 @@ object Scalars2 {
         |  starts_with(p_name, 'red') AS is_red,
         |  contains(p_name, 'widget') AS has_widget,
         |  printf('%s-%04d', p_type, p_size) AS fmt,
-        |  regexp_extract_all(p_name, '[aeiou]+') AS vowel_runs,
+        |  array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS vowel_runs,
         |  left(p_name, 3) AS l3,
         |  right(p_name, 3) AS r3,
         |  translate(p_name, 'aeiou', 'AEIOU') AS caps_vowels
@@ -126,11 +129,11 @@ object Scalars2 {
         |  len(flatten([toks[1:2], toks[3:4]])) AS flat4,
         |  list_max(toks) AS max_tok,
         |  list_min(toks) AS min_tok,
-        |  list_sort(list_intersect(list_distinct(toks),
-        |    ['the', 'a', 'data'])) AS stop_hits,
+        |  array_to_string(list_sort(list_intersect(list_distinct(toks),
+        |    ['the', 'a', 'data'])), ',') AS stop_hits,
         |  len(list_filter(toks, t -> t = 'value')) > 0 AS has_value,
         |  len(list_filter(toks, t -> NOT (length(t) <= 20))) = 0 AS all_short,
-        |  toks[1:2] || toks[1:1] AS concat3,
+        |  array_to_string(toks[1:2] || toks[1:1], ',') AS concat3,
         |  toks[1] AS first_tok
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_fn_datetime2" ->
