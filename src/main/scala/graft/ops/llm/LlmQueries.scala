@@ -107,9 +107,15 @@ object LlmQueries {
       .select(
         $"vec_id",
         round($"nrm", 4).as("norm"),
-        // + 0.0 canonicalizes IEEE -0.0 → 0.0 (DuckDB's round keeps
-        // the sign of a negative underflow; Spark's does not)
-        transform($"v", x => round(x / $"nrm", 4) + 0.0).as("unit"))
+        // Array-typed outputs are serialized to delimiter-joined strings:
+        // the driver's pandas comparator cannot hash list cells. The
+        // DECIMAL(12,4) cast also canonicalizes IEEE -0.0 (PARITY rule 13).
+        array_join(
+          transform($"v", x =>
+            round(x / $"nrm", 4)
+              .cast(org.apache.spark.sql.types.DecimalType(12, 4))
+              .cast(org.apache.spark.sql.types.StringType)),
+          ",").as("unit"))
       .orderBy($"vec_id")
   }
 
@@ -246,7 +252,8 @@ object LlmQueries {
         |    sqrt(${dotFold.format("v", "v", "v")}) AS nrm
         |  FROM e)
         |SELECT vec_id, round(nrm, 4) AS norm,
-        |  list_transform(v, x -> round(x / nrm, 4) + 0.0) AS unit
+        |  array_to_string(list_transform(v,
+        |    x -> round(x / nrm, 4)::DECIMAL(12,4)::VARCHAR), ',') AS unit
         |FROM n ORDER BY vec_id""".stripMargin,
     "q_llm_quality" ->
       """WITH t AS (

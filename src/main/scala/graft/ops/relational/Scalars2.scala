@@ -129,8 +129,8 @@ object Scalars2 {
         |  len(flatten([toks[1:2], toks[3:4]])) AS flat4,
         |  list_max(toks) AS max_tok,
         |  list_min(toks) AS min_tok,
-        |  array_to_string(list_sort(list_intersect(list_distinct(toks),
-        |    ['the', 'a', 'data'])), ',') AS stop_hits,
+        |  coalesce(array_to_string(list_sort(list_intersect(list_distinct(toks),
+        |    ['the', 'a', 'data'])), ','), '') AS stop_hits,
         |  len(list_filter(toks, t -> t = 'value')) > 0 AS has_value,
         |  len(list_filter(toks, t -> NOT (length(t) <= 20))) = 0 AS all_short,
         |  array_to_string(toks[1:2] || toks[1:1], ',') AS concat3,

@@ -17,12 +17,12 @@ class AggregationsSpec extends SparkSpec {
 
   test("q_agg_approx_hll: both sketch estimates within 5% of exact") {
     val rows = Aggregations.qAggApproxHll(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val hll = r.getAs[Long]("hll_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
-      assert(math.abs(hll - exact) / exact < 0.05, s"hll=$hll exact=$exact")
+      val exact = r.getAs[Long]("exact_parts")
+      assert(exact > 0, s"exact_parts=$exact")
+      assert(r.getAs[Boolean]("approx_within_5pct"), s"approx_count_distinct drifted >5% (exact=$exact)")
+      assert(r.getAs[Boolean]("sketch_within_5pct"), s"hll_sketch_estimate drifted >5% (exact=$exact)")
     }
   }
 
