@@ -32,36 +32,49 @@ object PartitionedUpsert {
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
 
   /** Merge a change batch, rewriting only the buckets its keys touch.
-    * Returns the set of rewritten bucket ids (for observability). */
+    * Returns the set of rewritten bucket ids (for observability).
+    *
+    * Single-job shape: one partition-pruned read of the touched bucket
+    * directories, one `Cdc.apply`, one dynamic-partition-overwrite
+    * write. Cost is O(touched buckets) in data AND O(1) in Spark jobs —
+    * at 100 TB with thousands of touched buckets the driver never
+    * becomes a per-bucket scheduling bottleneck (the previous design
+    * looped 3 jobs per bucket).
+    *
+    * `localCheckpoint` materializes the merged state before the write:
+    * it severs the plan's lineage to the target files, so the overwrite
+    * neither trips Spark's read-write-conflict check nor recomputes
+    * from partitions it is deleting. The materialized set is bounded by
+    * the touched buckets (change-volume scale, not table scale). */
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
             keyCol: String, lsnCol: String, opCol: String,
             valueCols: Seq[String], nBuckets: Int): Seq[Long] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // cache once: each bucket pass below re-filters this, and without
-    // the cache every pass would recompute the full upstream lineage
     val withBucket = changes.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .persist()
     try {
+      // small by construction: ≤ nBuckets longs
       val touched = withBucket.select("bucket").distinct()
         .collect().map(_.getLong(0)).sorted.toSeq
-      touched.foreach { b =>
-        val bucketDir = s"$dir/bucket=$b"
-        val current =
-          if (fs.exists(new org.apache.hadoop.fs.Path(bucketDir)))
-            spark.read.parquet(bucketDir)
-          else {
-            val sel = col(keyCol) +: valueCols.map(col)
-            changes.select(sel: _*).limit(0)
-          }
-        val batch = withBucket.filter(col("bucket") === b).drop("bucket")
-        val next = Cdc.apply(current, batch, Seq(keyCol), lsnCol, opCol, valueCols)
-          .drop("src")
-        // write via tmp: the read side of the merge is the write target
-        val tmp = s"$dir/.tmp_bucket_$b"
-        next.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(bucketDir)
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val current = spark.read.parquet(dir)
+        .filter(col("bucket").isin(touched: _*)) // partition-pruned scan
+        .drop("bucket")
+      val next = Cdc.apply(current, withBucket.drop("bucket"),
+          Seq(keyCol), lsnCol, opCol, valueCols)
+        .drop("src")
+        .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+        .localCheckpoint()
+      next.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(dir)
+      // dynamic overwrite rewrites only partitions PRESENT in `next`; a
+      // touched bucket whose keys were all deleted is absent from the
+      // output and its stale directory must be dropped explicitly
+      val written = next.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet
+      touched.filterNot(written).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bucket=$b"), true): Unit
       }
       touched
     } finally withBucket.unpersist()

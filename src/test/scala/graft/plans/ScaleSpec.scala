@@ -80,6 +80,55 @@ class ScaleSpec extends SparkSpec {
     assert(state.size === 1000)  // 1000 - 1 deleted + 1 inserted
   }
 
+  test("PartitionedUpsert.merge is O(1) Spark jobs, not O(touched buckets)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pu3").toString + "/tgt"
+    val snap = (0L until 1000L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 16)
+    // changes spread over (almost) every bucket
+    val changes = (0L until 64L).map(i => (100L + i, i * 16L, "u", -1.0))
+      .toDF("lsn", "pk", "op", "val")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val touched = PartitionedUpsert.merge(spark, dir, changes,
+        "pk", "lsn", "op", Seq("val"), nBuckets = 16)
+      Thread.sleep(1000) // listener events are async; margin is 48-vs-12
+      assert(touched.size >= 10, s"want a many-bucket batch, got $touched")
+      // the old per-bucket loop ran 3 jobs per touched bucket (~48 here);
+      // the single-pass merge is a small constant regardless of fan-out
+      // (~10 observed: AQE materializes each shuffle stage as a job)
+      assert(jobs <= 12, s"merge ran $jobs jobs for ${touched.size} buckets")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("PartitionedUpsert.merge drops a bucket directory emptied by deletes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pu4").toString + "/tgt"
+    val keys = (0L until 16L)
+    val snap = keys.map(k => (k, 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    val bucketOfKey = keys.map { k =>
+      k -> spark.range(1).select(PartitionedUpsert.bucketOf(lit(k), 4))
+        .head().getLong(0)
+    }.toMap
+    // delete every key living in key 7's bucket → that bucket empties
+    val b = bucketOfKey(7L)
+    val toDelete = keys.filter(bucketOfKey(_) == b)
+    assert(new java.io.File(s"$dir/bucket=$b").exists())
+    val changes = toDelete.zipWithIndex
+      .map { case (k, i) => (i.toLong + 1L, k, "d", 0.0) }
+      .toDF("lsn", "pk", "op", "val")
+    PartitionedUpsert.merge(spark, dir, changes, "pk", "lsn", "op", Seq("val"), 4)
+    assert(!new java.io.File(s"$dir/bucket=$b").exists(),
+      "emptied bucket directory must be removed, not left stale")
+    assert(PartitionedUpsert.read(spark, dir).count() === 16L - toDelete.size)
+  }
+
   test("PartitionedUpsert converges to batch Cdc.apply on the corpus log") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pu2").toString + "/tgt"
