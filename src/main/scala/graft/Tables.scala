@@ -33,7 +33,25 @@ object Tables {
   def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     names.map(n => n -> table(spark, sfDir, n)).toMap
 
-  /** Register all tables as temp views (for spark.sql-based operators). */
+  // Last dir registered per live session. WeakHashMap so a dropped
+  // session doesn't pin its entry; synchronized for cross-thread callers.
+  private val lastRegistered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Register all tables as temp views (for spark.sql-based operators).
+    *
+    * Memoized per (session, dir): registration triggers a parquet
+    * footer/schema read per table, and the SQL-path operators each call
+    * this — without the memo a 4-query batch pays 40 footer reads of
+    * pure fixed overhead. Re-registers only when the dir changes (temp
+    * view names are session-global, so switching scale factors must
+    * rebind them).
+    */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    lastRegistered.synchronized {
+      if (lastRegistered.get(spark) != sfDir) {
+        names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+        lastRegistered.put(spark, sfDir): Unit
+      }
+    }
 }

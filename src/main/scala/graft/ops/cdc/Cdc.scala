@@ -112,6 +112,27 @@ object Cdc {
       .select(keys.map(col) :+ col("status"): _*)
   }
 
+  /** Schema drift (additive): align change batches whose envelopes
+    * gained columns over time onto one unioned schema. Columns missing
+    * from an earlier batch come back NULL; column ORDER follows first
+    * appearance, so downstream `select`s are stable as the schema
+    * grows. Purely a plan transform — zero extra shuffles, and column
+    * pruning still reaches each source scan.
+    */
+  def alignSchemas(batches: Seq[DataFrame]): DataFrame = {
+    require(batches.nonEmpty, "alignSchemas: no batches")
+    batches.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Read a directory of drifting parquet change batches as one frame:
+    * `mergeSchema` unions footer schemas at planning time (additive
+    * drift — new nullable columns), so old files yield NULL for columns
+    * they predate. One scan, pushdown intact.
+    */
+  def readWithDrift(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** Order-insensitive table fingerprint: per-row injective md5 →
     * first 8 hex chars as int → sum. Commutative, so partition/row
     * order never matters — safe to compute distributed at any scale. */

@@ -119,6 +119,20 @@ object LlmQueries {
       .orderBy($"vec_id")
   }
 
+  /** Order-sensitive rolling fingerprint per document (portable token
+    * hash so the oracle reproduces it bit-for-bit). One narrow
+    * projection — no shuffle at any scale. */
+  def qLlmFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        TextAnalysis.rollingFingerprint(
+          $"text", TextAnalysis.portableTokenHash).as("fingerprint"),
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Quality scoring: word counts, avg word length, stopword ratio,
     * quality band — the heuristics of a pretraining text filter. */
   def qLlmQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -151,7 +165,8 @@ object LlmQueries {
     "q_llm_knn_cosine" -> (qLlmKnnCosine _),
     "q_llm_knn_bucketed" -> (qLlmKnnBucketed _),
     "q_llm_l2norm" -> (qLlmL2norm _),
-    "q_llm_quality" -> (qLlmQuality _)
+    "q_llm_quality" -> (qLlmQuality _),
+    "q_llm_fingerprint" -> (qLlmFingerprint _)
   )
 
   private val dotFold =
@@ -269,6 +284,18 @@ object LlmQueries {
         |  CASE WHEN n_words < 20 THEN 'short'
         |       WHEN n_stop * 5 > n_words THEN 'boilerplate'
         |       ELSE 'ok' END AS band
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // mirrors rollingFingerprint(portableTokenHash): fold of
+    // (acc*31 + md5-prefix-hash) mod 1e9+7 — all terms non-negative so
+    // plain % equals Spark's pmod
+    "q_llm_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split_regex(text, '\s+'),
+        |        t -> ('0x' || substring(md5(t), 1, 7))::BIGINT)),
+        |    (acc, h) -> (acc * 31 + h % 1000000007) % 1000000007) AS fingerprint,
+        |  len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -45,7 +45,17 @@ object NearDup {
     * buckets are genuinely rare and are better handled by refining
     * their shingles than by pairing them. */
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
-                    maxBucketSize: Int = 1000): DataFrame = {
+                    maxBucketSize: Int = 1000): DataFrame =
+    lshCandidatesWithStats(sig, bands, rowsPerBand, maxBucketSize)._1
+
+  /** [[lshCandidates]] plus the buckets the cap dropped, as
+    * `(candidates, dropped)` where dropped = (band, bh, bucket_size).
+    * The cap trades recall for boundedness; this makes the trade
+    * visible — a caller can count/log the dropped set, alert on it, or
+    * re-run its docs through finer shingles. The dropped frame is lazy
+    * and ≤ (docs×bands)/maxBucketSize rows by construction. */
+  def lshCandidatesWithStats(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                             maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
     val sigLen = sig.columns.count(_.startsWith("mh_"))
     require(bands * rowsPerBand == sigLen,
       s"bands($bands) x rowsPerBand($rowsPerBand) must equal signature length ($sigLen)")
@@ -57,17 +67,19 @@ object NearDup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // the oversized-bucket list is tiny by construction → broadcast
     // anti-join beats a per-bucket window count (no extra sort pass)
-    val oversized = exploded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucketSize)
-      .select(col("band"), col("bh"))
-    val bounded = exploded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+    val dropped = exploded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
+    val bounded = exploded.join(
+      broadcast(dropped.select(col("band"), col("bh"))),
+      Seq("band", "bh"), "left_anti")
     val a = bounded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = bounded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bh"))
+    val candidates = a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+    (candidates, dropped)
   }
 
   /** Exact Jaccard for given candidate pairs (verification stage). */

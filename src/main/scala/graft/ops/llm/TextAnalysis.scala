@@ -53,14 +53,27 @@ object TextAnalysis {
 
   /** Rolling polynomial fingerprint of the token stream (order-
     * sensitive, unlike a bag-of-words hash): fold over tokens of
-    * (acc * 31 + tokenHash) mod 2^61-1. Deterministic per content. */
-  def rollingFingerprint(textCol: Column): Column = {
+    * (acc * 31 + tokenHash(t)) mod 1e9+7. Deterministic per content.
+    *
+    * @param tokenHash per-token 64-bit-safe hash; default xxhash64
+    *                  (fastest — codegen'd). Pass [[portableTokenHash]]
+    *                  when the fingerprint must reproduce outside Spark.
+    */
+  def rollingFingerprint(textCol: Column,
+                         tokenHash: Column => Column = xxhash64(_)): Column = {
     // modulus small enough that acc*31 + h never overflows a long
     // (Spark 4 runs ANSI mode: long overflow throws, not wraps)
     val m = lit(1000000007L)
     aggregate(
       split(textCol, "\\s+"),
       lit(0L),
-      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), m), m))
+      (acc, t) => pmod(acc * 31 + pmod(tokenHash(t), m), m))
   }
+
+  /** Engine-portable token hash: first 7 hex chars of md5 as a long
+    * (28 bits — keeps the fold's `acc*31 + h` far from long overflow).
+    * md5 is bit-identical across engines, unlike xxhash64 whose seed
+    * is Spark-specific (PARITY.md rule 19). */
+  def portableTokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 7), 16, 10).cast("long")
 }

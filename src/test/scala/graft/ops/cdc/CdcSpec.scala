@@ -126,17 +126,20 @@ class CdcSpec extends SparkSpec {
     assert(state.collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
-  test("schema drift: additive columns via mergeSchema and unionByName") {
+  test("schema drift: Cdc.readWithDrift and Cdc.alignSchemas handle additive columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
     Seq((1L, "a")).toDF("id", "c1").write.parquet(s"$dir/batch=1")
     Seq((2L, "b", 9.9)).toDF("id", "c1", "c2_added").write.parquet(s"$dir/batch=2")
-    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    val merged = Cdc.readWithDrift(spark, dir)
     assert(merged.columns.toSet === Set("id", "c1", "c2_added", "batch"))
     assert(merged.filter($"c2_added".isNull).count() === 1)
-    val u = Seq((1L, "a")).toDF("id", "c1")
-      .unionByName(Seq((2L, "b", 9.9)).toDF("id", "c1", "c2_added"),
-        allowMissingColumns = true)
-    assert(u.columns.toSet === Set("id", "c1", "c2_added"))
+    val u = Cdc.alignSchemas(Seq(
+      Seq((1L, "a")).toDF("id", "c1"),
+      Seq((2L, "b", 9.9)).toDF("id", "c1", "c2_added")))
+    // first-appearance column order: stable as the schema grows
+    assert(u.columns.toSeq === Seq("id", "c1", "c2_added"))
+    assert(u.filter($"c2_added".isNull).count() === 1)
+    assert(u.count() === 2)
   }
 }

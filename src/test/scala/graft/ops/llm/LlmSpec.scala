@@ -67,6 +67,26 @@ class LlmSpec extends SparkSpec {
     assert(brute.count() === 5 * 3)
   }
 
+  test("lshCandidatesWithStats reports dropped mega-buckets instead of hiding them") {
+    import spark.implicits._
+    val mega = "spam " * 40
+    val docsDf = ((1L to 30L).map(i => (i, mega)) ++
+      Seq((100L, "unique alpha beta gamma delta epsilon"),
+          (101L, "unique alpha beta gamma delta epsilon")))
+      .toDF("doc_id", "text")
+    val sig = NearDup.minHashSignatures(
+      NearDup.tokenSets(docsDf, "doc_id", "text"), k = 8)
+    val (cand, dropped) = NearDup.lshCandidatesWithStats(
+      sig, bands = 4, rowsPerBand = 2, maxBucketSize = 10)
+    val d = dropped.collect()
+    // the 30 identical docs share every band bucket → all 4 dropped
+    assert(d.length === 4, s"dropped=${d.mkString(",")}")
+    assert(d.forall(_.getAs[Long]("bucket_size") === 30L))
+    // recall loss is now visible; the small clean bucket still pairs
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L)))
+  }
+
   test("charShingles: correct n-gram window") {
     import spark.implicits._
     val out = Seq("abcd").toDF("t")
