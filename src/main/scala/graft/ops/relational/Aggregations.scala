@@ -160,6 +160,30 @@ object Aggregations {
       .orderBy($"l_returnflag")
   }
 
+  /** Approximate quantiles (percentile_approx's KLL-style rank sketch)
+    * presented like qAggApproxHll: exact percentiles plus
+    * within-tolerance booleans, since the sketch estimates themselves
+    * are engine-specific. At 100 TB the sketch is the only option —
+    * exact percentile sorts the group; the sketch merges partials. */
+  def qAggApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx($"l_extendedprice", lit(0.9), lit(10000)).as("ap90"),
+        percentile($"l_extendedprice", lit(0.5)).as("ep50"),
+        percentile($"l_extendedprice", lit(0.9)).as("ep90"),
+        count(lit(1)).as("n"))
+      .select(
+        $"l_returnflag", $"n",
+        round($"ep50", 2).as("exact_p50"),
+        round($"ep90", 2).as("exact_p90"),
+        (abs($"ap50" - $"ep50") <= $"ep50" * 0.02).as("p50_within_2pct"),
+        (abs($"ap90" - $"ep90") <= $"ep90" * 0.02).as("p90_within_2pct"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Custom typed UDAF: discount-weighted average price per group. */
   def qUdafWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -182,6 +206,7 @@ object Aggregations {
     "q_agg_conditional" -> (qAggConditional _),
     "q_agg_collect" -> (qAggCollect _),
     "q_agg_stats" -> (qAggStats _),
+    "q_agg_approx_quantile" -> (qAggApproxQuantile _),
     "q_udaf_weighted_avg" -> (qUdafWeightedAvg _)
   )
 
@@ -213,6 +238,15 @@ object Aggregations {
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  true AS approx_within_5pct,
         |  true AS sketch_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // same presentation rule as q_agg_approx_hll: sketch estimates are
+    // engine-specific, so the oracle pins the exact values + booleans
+    "q_agg_approx_quantile" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS exact_p90,
+        |  true AS p50_within_2pct,
+        |  true AS p90_within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
