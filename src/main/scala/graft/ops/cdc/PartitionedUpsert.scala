@@ -1,86 +1,244 @@
 package graft.ops.cdc
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Bucket-partitioned merge-by-rewrite upsert target (§2-A upsert
-  * sink, the 100 TB version).
+  * sink, the 100 TB version) with an ATOMIC version-manifest commit.
   *
-  * No Delta/Iceberg jar ships in the container, so the sink is plain
-  * parquet; the naive foreachBatch merge rewrites the whole table per
-  * batch, which is O(table) — unusable at scale. This target hash-
-  * partitions the table into `nBuckets` by key (hive-style
-  * `bucket=<i>` directories) and a merge:
+  * No Delta/Iceberg jar ships in the container, so the sink is built
+  * from public parquet + Hadoop FS primitives. The table hash-
+  * partitions into `nBuckets` by key; a merge:
   *   1. computes the bucket of every change key,
-  *   2. reads ONLY those bucket directories,
+  *   2. reads ONLY those buckets' current files (path-pruned),
   *   3. applies the log (Cdc.apply), and
-  *   4. rewrites only those buckets.
-  * Per-batch cost is O(touched buckets), i.e. proportional to change
-  * volume, not table size — the same partition-pruned-merge shape
-  * Delta's MERGE performs, built from public parquet + pruning
-  * primitives.
+  *   4. writes the merged buckets to a FRESH versioned directory
+  *      `data/v<N>/bucket=<i>/` — never in place,
+  *   5. commits by publishing manifest `_manifests/v<N>.manifest`
+  *      via write-to-temp + same-directory rename (atomic on HDFS
+  *      and POSIX file systems).
+  *
+  * Readers resolve the highest committed manifest and read exactly
+  * the files it lists, so a reader sees either the pre-merge or the
+  * post-merge table — never a torn mix. A crash anywhere before the
+  * manifest rename leaves the previous manifest newest: the old state
+  * stays fully readable and the orphaned `data/v<N>` files are
+  * garbage, reclaimed by `vacuum`. A bucket emptied by deletes simply
+  * does not appear in the new manifest — there is no post-write
+  * delete window (the round-3 resurrection bug class is gone by
+  * construction). Concurrent committers: the rename fails if the
+  * version already exists — optimistic concurrency, first wins.
+  *
+  * Per-batch cost is O(touched buckets) in data and O(1) in Spark
+  * jobs: one pruned read, one merge, one write (same single-job shape
+  * Delta's MERGE performs). Because the write target is a fresh
+  * directory, the plan may read the old files it is replacing with no
+  * conflict and no `localCheckpoint` materialization.
   */
 object PartitionedUpsert {
+
+  /** Committed table state: data-file schema + bucket → path-relative-
+    * to-table-root of the versioned directory holding that bucket. */
+  final case class Manifest(version: Long, schema: StructType,
+                            buckets: Map[Long, String])
+
+  /** A prepared-but-uncommitted merge: data files are on disk under
+    * `data/v<version>` but no reader can see them until `commit`. */
+  final case class Pending(version: Long, manifest: Manifest,
+                           touched: Seq[Long])
 
   def bucketOf(keyCol: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(keyCol), lit(nBuckets))
 
-  /** Initialize the target from a snapshot. */
-  def init(snapshot: DataFrame, dir: String, keyCol: String, nBuckets: Int): Unit =
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String, version: Long): Path =
+    new Path(s"$dir/_manifests/v%020d.manifest".format(version))
+
+  private def dataRel(version: Long, bucket: Long): String =
+    s"data/v$version/bucket=$bucket"
+
+  /** Highest committed manifest, or None for an uninitialized table. */
+  def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val fs = fsOf(spark, dir)
+    val mdir = new Path(s"$dir/_manifests")
+    if (!fs.exists(mdir)) return None
+    val versions = fs.listStatus(mdir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+    if (versions.isEmpty) None
+    else Some(readManifest(fs, dir, versions.max))
+  }
+
+  private def readManifest(fs: FileSystem, dir: String, version: Long): Manifest = {
+    val in = fs.open(manifestPath(dir, version))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(lines.head).asInstanceOf[StructType]
+    val buckets = lines.tail.map { l =>
+      val Array(b, rel) = l.split('\t')
+      b.toLong -> rel
+    }.toMap
+    Manifest(version, schema, buckets)
+  }
+
+  /** Atomic commit: write to a temp name, rename into place. Rename
+    * within one directory is atomic on HDFS and POSIX local FS; it
+    * fails if the destination exists, which turns a concurrent commit
+    * of the same version into a clean first-wins error. */
+  private def writeManifest(fs: FileSystem, dir: String, m: Manifest): Unit = {
+    val mdir = new Path(s"$dir/_manifests")
+    fs.mkdirs(mdir)
+    val tmp = new Path(mdir, s".tmp-v${m.version}-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try {
+      val body = (m.schema.json +:
+        m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" })
+        .mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    val dest = manifestPath(dir, m.version)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit: manifest v${m.version} already exists at $dest")
+    }
+  }
+
+  /** Initialize the target from a snapshot (commits manifest v1). */
+  def init(snapshot: DataFrame, dir: String, keyCol: String, nBuckets: Int): Unit = {
+    val spark = snapshot.sparkSession
+    val fs = fsOf(spark, dir)
+    val version = 1L
     snapshot
       .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/data/v$version")
+    val written = listBuckets(fs, s"$dir/data/v$version")
+    writeManifest(fs, dir, Manifest(version, snapshot.schema,
+      written.map(b => b -> dataRel(version, b)).toMap))
+  }
 
-  /** Merge a change batch, rewriting only the buckets its keys touch.
-    * Returns the set of rewritten bucket ids (for observability).
-    *
-    * Single-job shape: one partition-pruned read of the touched bucket
-    * directories, one `Cdc.apply`, one dynamic-partition-overwrite
-    * write. Cost is O(touched buckets) in data AND O(1) in Spark jobs —
-    * at 100 TB with thousands of touched buckets the driver never
-    * becomes a per-bucket scheduling bottleneck (the previous design
-    * looped 3 jobs per bucket).
-    *
-    * `localCheckpoint` materializes the merged state before the write:
-    * it severs the plan's lineage to the target files, so the overwrite
-    * neither trips Spark's read-write-conflict check nor recomputes
-    * from partitions it is deleting. The materialized set is bounded by
-    * the touched buckets (change-volume scale, not table scale). */
-  def merge(spark: SparkSession, dir: String, changes: DataFrame,
-            keyCol: String, lsnCol: String, opCol: String,
-            valueCols: Seq[String], nBuckets: Int): Seq[Long] = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Bucket ids present as `bucket=<i>` subdirectories — an FS listing,
+    * zero Spark jobs. */
+  private def listBuckets(fs: FileSystem, dataDir: String): Seq[Long] = {
+    val p = new Path(dataDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toLong).toSeq
+  }
+
+  /** Stage a merge: write the post-merge state of every touched bucket
+    * under `data/v<N>` and return the manifest that `commit` would
+    * publish. Nothing is visible to readers until `commit`. Split from
+    * `merge` so crash-between-write-and-commit is directly testable. */
+  def prepare(spark: SparkSession, dir: String, changes: DataFrame,
+              keyCol: String, lsnCol: String, opCol: String,
+              valueCols: Seq[String], nBuckets: Int): Pending = {
+    val fs = fsOf(spark, dir)
+    val prior = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    // skip past orphaned data dirs from crashed prepares, not just past
+    // the committed manifest — recovery re-runs must never collide
+    val orphanMax = {
+      val dataDir = new Path(s"$dir/data")
+      if (!fs.exists(dataDir)) 0L
+      else fs.listStatus(dataDir).map(_.getPath.getName)
+        .filter(_.startsWith("v")).flatMap(_.stripPrefix("v").toLongOption)
+        .foldLeft(0L)(math.max)
+    }
+    val version = math.max(prior.version, orphanMax) + 1
     val withBucket = changes.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .persist()
     try {
       // small by construction: ≤ nBuckets longs
       val touched = withBucket.select("bucket").distinct()
         .collect().map(_.getLong(0)).sorted.toSeq
-      val current = spark.read.parquet(dir)
-        .filter(col("bucket").isin(touched: _*)) // partition-pruned scan
-        .drop("bucket")
+      val currentPaths = touched.flatMap(prior.buckets.get).map(rel => s"$dir/$rel")
+      val current =
+        if (currentPaths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            prior.schema)
+        else spark.read.schema(prior.schema).parquet(currentPaths: _*)
       val next = Cdc.apply(current, withBucket.drop("bucket"),
           Seq(keyCol), lsnCol, opCol, valueCols)
         .drop("src")
         .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
-        .localCheckpoint()
-      next.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(dir)
-      // dynamic overwrite rewrites only partitions PRESENT in `next`; a
-      // touched bucket whose keys were all deleted is absent from the
-      // output and its stale directory must be dropped explicitly
-      val written = next.select("bucket").distinct()
-        .collect().map(_.getLong(0)).toSet
-      touched.filterNot(written).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bucket=$b"), true): Unit
-      }
-      touched
-    } finally withBucket.unpersist()
+      // fresh versioned dir: the plan reads v<N-1> files and writes
+      // v<N> — no read-write conflict, no checkpoint materialization
+      next.write.mode("errorifexists")
+        .partitionBy("bucket").parquet(s"$dir/data/v$version")
+      val written = listBuckets(fs, s"$dir/data/v$version")
+      // untouched buckets keep their old paths; touched buckets move to
+      // v<N>; touched-but-absent buckets were emptied by deletes and
+      // vanish by omission — no delete step, nothing to resurrect
+      val buckets = (prior.buckets -- touched) ++
+        written.map(b => b -> dataRel(version, b))
+      Pending(version, Manifest(version, prior.schema, buckets), touched)
+    } finally { withBucket.unpersist(); () }
   }
 
-  /** Read the current state (all buckets). */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).drop("bucket")
+  /** Publish a prepared merge (atomic manifest rename). */
+  def commit(spark: SparkSession, dir: String, pending: Pending): Unit =
+    writeManifest(fsOf(spark, dir), dir, pending.manifest)
+
+  /** Merge a change batch: prepare + commit. Returns the touched
+    * bucket ids (for observability). */
+  def merge(spark: SparkSession, dir: String, changes: DataFrame,
+            keyCol: String, lsnCol: String, opCol: String,
+            valueCols: Seq[String], nBuckets: Int): Seq[Long] = {
+    val pending = prepare(spark, dir, changes, keyCol, lsnCol, opCol,
+      valueCols, nBuckets)
+    commit(spark, dir, pending)
+    pending.touched
+  }
+
+  /** Read the committed state: exactly the files the newest manifest
+    * lists. Isolated from in-flight merges (they write elsewhere) and
+    * from crashes (an uncommitted version is invisible). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val m = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    val paths = m.buckets.values.toSeq.sorted.map(rel => s"$dir/$rel")
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(paths: _*)
+  }
+
+  /** Absolute data path per bucket in the committed state (for tests
+    * and operational inspection). */
+  def bucketPaths(spark: SparkSession, dir: String): Map[Long, String] =
+    currentManifest(spark, dir)
+      .map(_.buckets.map { case (b, rel) => b -> s"$dir/$rel" })
+      .getOrElse(Map.empty)
+
+  /** Reclaim data versions unreachable from the `keepManifests` newest
+    * manifests (and drop the older manifests). Run AFTER readers of
+    * old snapshots have drained — standard snapshot-isolation contract
+    * (same as Delta VACUUM). */
+  def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2): Unit = {
+    require(keepManifests >= 1, "must keep at least the current manifest")
+    val fs = fsOf(spark, dir)
+    val mdir = new Path(s"$dir/_manifests")
+    if (!fs.exists(mdir)) return
+    val versions = fs.listStatus(mdir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).sorted
+    val kept = versions.takeRight(keepManifests)
+    val reachable: Set[String] = kept.flatMap { v =>
+      readManifest(fs, dir, v).buckets.values.map(_.split('/')(1)) // "v<N>"
+    }.toSet
+    val dataDir = new Path(s"$dir/data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).map(_.getPath).foreach { p =>
+        if (!reachable.contains(p.getName)) { fs.delete(p, true); () }
+      }
+    versions.dropRight(keepManifests).foreach { v =>
+      fs.delete(manifestPath(dir, v), false); ()
+    }
+  }
 }

@@ -20,12 +20,15 @@ object Subqueries {
     spark.sql(text)
   }
 
-  /** Scalar subquery: orders above the global average price. */
+  /** Scalar subquery: orders well above the global average price.
+    * 1.5× (not 3×) so the key is non-vacuous: it returns rows at every
+    * test SF — a hash match on an empty result would validate only the
+    * plumbing, not the decorrelation semantics (round-3 VERDICT). */
   def qSubqueryScalar(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders
-        |WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin)
 
   /** IN-subquery: customers whose nation hosts a supplier. */
@@ -91,7 +94,7 @@ object Subqueries {
     "q_subquery_scalar" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders
-        |WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
     "q_subquery_in" ->
       """SELECT c_custkey, c_nationkey

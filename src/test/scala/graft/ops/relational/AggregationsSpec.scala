@@ -26,6 +26,19 @@ class AggregationsSpec extends SparkSpec {
     }
   }
 
+  test("q_agg_approx_quantile: sketch p50/p90 within 2% of exact") {
+    // the oracle pins `true` booleans, so >tolerance sketch drift there
+    // is an opaque hash mismatch; this is the diagnosable twin
+    val rows = Aggregations.qAggApproxQuantile(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("exact_p50"), r.getAs[Double]("exact_p90"))
+      assert(p50 > 0 && p90 >= p50, s"degenerate percentiles p50=$p50 p90=$p90")
+      assert(r.getAs[Boolean]("p50_within_2pct"), s"percentile_approx p50 drifted >2% (exact=$p50)")
+      assert(r.getAs[Boolean]("p90_within_2pct"), s"percentile_approx p90 drifted >2% (exact=$p90)")
+    }
+  }
+
   test("weighted_avg UDAF equals the closed-form ratio") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -55,9 +55,7 @@ class ScaleSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_pu").toString + "/tgt"
     val snap = (0L until 1000L).map(i => (i, i * 1.0)).toDF("pk", "val")
     PartitionedUpsert.init(snap, dir, "pk", nBuckets = 16)
-    val before = (0 until 16).map(b =>
-      b -> new java.io.File(s"$dir/bucket=$b").lastModified()).toMap
-    Thread.sleep(1100)
+    val before = PartitionedUpsert.bucketPaths(spark, dir)
     // changes touching exactly the buckets of keys 3 and 500
     val changes = Seq(
       (10L, 3L, "u", 33.3), (11L, 500L, "d", 0.0), (12L, 2000L, "c", 42.0))
@@ -68,9 +66,15 @@ class ScaleSpec extends SparkSpec {
       .map(k => spark.range(1).select(
         PartitionedUpsert.bucketOf(lit(k), 16)).head().getLong(0)).distinct.sorted
     assert(touched === expectedBuckets)
-    // untouched buckets were not rewritten
-    (0 until 16).filterNot(b => touched.contains(b.toLong)).foreach { b =>
-      assert(new java.io.File(s"$dir/bucket=$b").lastModified() === before(b))
+    // untouched buckets keep their v1 paths (files untouched); touched
+    // buckets moved to the new version directory
+    val after = PartitionedUpsert.bucketPaths(spark, dir)
+    (0L until 16L).filterNot(touched.contains).foreach { b =>
+      assert(after(b) === before(b), s"untouched bucket $b was rewritten")
+    }
+    touched.foreach { b =>
+      assert(!before.get(b).contains(after.getOrElse(b, "")),
+        s"touched bucket $b did not move to a new version")
     }
     val state = PartitionedUpsert.read(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -78,6 +82,50 @@ class ScaleSpec extends SparkSpec {
     assert(!state.contains(500L))
     assert(state(2000L) === 42.0)
     assert(state.size === 1000)  // 1000 - 1 deleted + 1 inserted
+  }
+
+  test("PartitionedUpsert: crash between data write and manifest commit " +
+      "leaves the old state fully readable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pu5").toString + "/tgt"
+    val snap = (0L until 100L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    val changes = Seq((1L, 3L, "u", -3.0), (2L, 7L, "d", 0.0), (3L, 500L, "c", 5.0))
+      .toDF("lsn", "pk", "op", "val")
+    // "crash": prepare writes all v2 data files but we never commit
+    val pending = PartitionedUpsert.prepare(spark, dir, changes,
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    assert(new java.io.File(s"$dir/data/v${pending.version}").exists(),
+      "prepared data files should be on disk")
+    val state = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state.size === 100 && state(3L) === 3.0 && state.contains(7L),
+      "uncommitted merge must be invisible")
+    // recovery: re-running the merge (fresh version) converges
+    PartitionedUpsert.merge(spark, dir, changes, "pk", "lsn", "op", Seq("val"), 4)
+    val recovered = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(recovered(3L) === -3.0 && !recovered.contains(7L) && recovered(500L) === 5.0)
+  }
+
+  test("PartitionedUpsert: a reader resolved before a merge still sees " +
+      "the old snapshot after commit (reader isolation)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pu6").toString + "/tgt"
+    val snap = (0L until 100L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    val oldReader = PartitionedUpsert.read(spark, dir) // resolves manifest v1
+    val changes = (0L until 100L).map(i => (i + 1L, i, "u", -1.0))
+      .toDF("lsn", "pk", "op", "val")
+    PartitionedUpsert.merge(spark, dir, changes, "pk", "lsn", "op", Seq("val"), 4)
+    // v1 files are never touched by the merge, so the old plan executes
+    // against a consistent snapshot — no torn read
+    assert(oldReader.agg(sum($"val")).head().getDouble(0) === (0 until 100).sum.toDouble)
+    assert(PartitionedUpsert.read(spark, dir).agg(sum($"val")).head().getDouble(0) === -100.0)
+    // vacuum(keep=1) reclaims v1; the current state is unaffected
+    PartitionedUpsert.vacuum(spark, dir, keepManifests = 1)
+    assert(!new java.io.File(s"$dir/data/v1").exists(), "vacuum should reclaim v1")
+    assert(PartitionedUpsert.read(spark, dir).count() === 100)
   }
 
   test("PartitionedUpsert.merge is O(1) Spark jobs, not O(touched buckets)") {
@@ -119,13 +167,13 @@ class ScaleSpec extends SparkSpec {
     // delete every key living in key 7's bucket → that bucket empties
     val b = bucketOfKey(7L)
     val toDelete = keys.filter(bucketOfKey(_) == b)
-    assert(new java.io.File(s"$dir/bucket=$b").exists())
+    assert(PartitionedUpsert.bucketPaths(spark, dir).contains(b))
     val changes = toDelete.zipWithIndex
       .map { case (k, i) => (i.toLong + 1L, k, "d", 0.0) }
       .toDF("lsn", "pk", "op", "val")
     PartitionedUpsert.merge(spark, dir, changes, "pk", "lsn", "op", Seq("val"), 4)
-    assert(!new java.io.File(s"$dir/bucket=$b").exists(),
-      "emptied bucket directory must be removed, not left stale")
+    assert(!PartitionedUpsert.bucketPaths(spark, dir).contains(b),
+      "emptied bucket must vanish from the manifest (omission, not deletion)")
     assert(PartitionedUpsert.read(spark, dir).count() === 16L - toDelete.size)
   }
 
