@@ -141,4 +141,141 @@ object Cdc {
       .cast(LongType)
     df.agg(sum(rowFp).as("checksum"), count(lit(1)).as("n_rows"))
   }
+
+  // ---------------------------------------------------------------------
+  // Incremental (chunked) snapshot — how CDC tools snapshot a LIVE table
+  // without pausing capture (the DBLog / Debezium incremental-snapshot
+  // pattern, public knowledge). The table is read in key-range chunks;
+  // each chunk is stamped with the log position (watermark) at which it
+  // was read, so the chunk row already reflects every event ≤ watermark.
+  // Reconciliation is then pure compaction: snapshot rows enter the log
+  // as op='r' records AT their watermark lsn — later log events override
+  // them, earlier ones are shadowed.
+  // ---------------------------------------------------------------------
+
+  /** Key-range chunk boundaries in ONE approximate pass (no full sort):
+    * `nChunks+1` ascending bounds; chunk i covers [b(i), b(i+1)), last
+    * chunk closed. At 100 TB this is the only viable planner — an exact
+    * ntile would globally sort the table before the snapshot even
+    * starts. */
+  def planChunkBounds(table: DataFrame, keyCol: String,
+                      nChunks: Int): Seq[Double] = {
+    require(nChunks >= 1, "planChunkBounds: nChunks must be >= 1")
+    val probs = (0 to nChunks).map(_.toDouble / nChunks).toArray
+    val b = table.select(col(keyCol).cast(DoubleType).as(keyCol))
+      .stat.approxQuantile(keyCol, probs, 0.001).toSeq
+    // approxQuantile can repeat bounds on skewed keys; keep them — an
+    // empty chunk is harmless, a missing key range is not
+    b
+  }
+
+  /** Merge chunked-snapshot reads with the concurrently captured log.
+    *
+    * @param chunks snapshot rows: `keys ++ valueCols ++ watermarkCol`,
+    *               where `watermarkCol` is the log position at which
+    *               that row's chunk was read (the row reflects every
+    *               event with lsn <= watermark)
+    * @param log    the full change log (events before a chunk's
+    *               watermark are shadowed automatically — no trimming
+    *               needed)
+    *
+    * Snapshot rows win lsn TIES: a chunk read "at position p" includes
+    * event p's effect, so at equal lsn the 'r' record is the same state
+    * or newer. One shuffle (the compaction window); never collects.
+    */
+  def applyChunkedSnapshot(chunks: DataFrame, log: DataFrame,
+                           keys: Seq[String], offsetCol: String,
+                           opCol: String, valueCols: Seq[String],
+                           watermarkCol: String): DataFrame = {
+    val snapAsLog = chunks.select(
+      keys.map(col) ++ valueCols.map(col) :+
+        col(watermarkCol).cast(LongType).as(offsetCol) :+
+        lit("r").as(opCol) :+ lit(1).as("__prio"): _*)
+    val logAsLog = log.select(
+      keys.map(col) ++ valueCols.map(col) :+
+        col(offsetCol).cast(LongType).as(offsetCol) :+
+        col(opCol).as(opCol) :+ lit(0).as("__prio"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(offsetCol).desc, col("__prio").desc)
+    snapAsLog.unionByName(logAsLog)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "d")
+      .select(keys.map(col) ++ valueCols.map(col): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // DDL / schema-change events. Debezium-style streams interleave data
+  // events with schema-change events (op='s' here); beyond additive
+  // drift (alignSchemas above) the common lossless changes are column
+  // RENAME and numeric type WIDEN. Batches captured under an old schema
+  // are normalized FORWARD through the changes that followed them, then
+  // additive-union handles genuinely new columns.
+  // ---------------------------------------------------------------------
+
+  sealed trait SchemaChange
+  final case class RenameColumn(from: String, to: String) extends SchemaChange
+  final case class WidenColumn(name: String, to: DataType) extends SchemaChange
+
+  /** Replay schema changes onto a batch captured before them. Renames
+    * are plan-only; widens are lossless up-casts (checked — a lossy
+    * "widen" like long→int is a corruption, not a migration, and is
+    * rejected loudly). Zero shuffles. */
+  def applySchemaChanges(df: DataFrame, changes: Seq[SchemaChange]): DataFrame =
+    changes.foldLeft(df) {
+      case (d, RenameColumn(from, to)) =>
+        if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+      case (d, WidenColumn(name, to)) =>
+        if (!d.columns.contains(name)) d
+        else {
+          val from = d.schema(name).dataType
+          require(from == to ||
+              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
+            s"schema change on '$name' is not a lossless widen: " +
+              s"${from.catalogString} -> ${to.catalogString}")
+          d.withColumn(name, col(name).cast(to))
+        }
+    }
+
+  /** Align batches captured under evolving schemas: each batch carries
+    * the DDL events that happened AFTER it was captured; normalize each
+    * forward, then additive-union (new columns null-backfill, column
+    * order follows first appearance — same contract as alignSchemas). */
+  def alignSchemasWithDdl(batches: Seq[(DataFrame, Seq[SchemaChange])]): DataFrame = {
+    require(batches.nonEmpty, "alignSchemasWithDdl: no batches")
+    alignSchemas(batches.map { case (df, changes) =>
+      applySchemaChanges(df, changes)
+    })
+  }
+
+  /** Parse op='s' schema-change events out of a decoded log. The DDL
+    * payload is a compact JSON object:
+    *   {"rename":{"from":"a","to":"b"}} | {"widen":{"col":"v","to":"bigint"}}
+    * DDL events are rare and tiny (metadata, not data), so the
+    * lsn-ordered collect is bounded and correct — schema history IS
+    * driver state, exactly as Debezium keeps it in its schema-history
+    * topic. */
+  def schemaChangesFromLog(log: DataFrame, opCol: String, ddlCol: String,
+                           offsetCol: String): Seq[SchemaChange] = {
+    val ddlSchema = StructType(Seq(
+      StructField("rename", StructType(Seq(
+        StructField("from", StringType), StructField("to", StringType)))),
+      StructField("widen", StructType(Seq(
+        StructField("col", StringType), StructField("to", StringType))))))
+    log.filter(col(opCol) === "s")
+      .select(col(offsetCol),
+        from_json(col(ddlCol), ddlSchema).as("__ddl"))
+      .orderBy(col(offsetCol))
+      .select("__ddl.rename.from", "__ddl.rename.to",
+        "__ddl.widen.col", "__ddl.widen.to")
+      .collect()
+      .map { r =>
+        if (r.getString(0) != null) RenameColumn(r.getString(0), r.getString(1))
+        else if (r.getString(2) != null)
+          WidenColumn(r.getString(2),
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(r.getString(3)))
+        else throw new IllegalArgumentException(
+          s"unrecognized schema-change payload at ${offsetCol}=${r}")
+      }.toSeq
+  }
 }

@@ -69,14 +69,21 @@ object Knn {
     * seeded deterministic hyperplanes. Cosine-similar vectors agree on
     * most bits (P[bit match] = 1 - angle/π), so bucketing on bit-bands
     * finds cosine near-duplicates without an all-pairs join — the
-    * embedding analog of MinHash banding. */
+    * embedding analog of MinHash banding.
+    *
+    * Uses the native codegen dot kernel: this runs nPlanes dots PER ROW
+    * on the candidate-generation hot path, so the interpreted HOF cost
+    * multiplies by nPlanes. Sign is threshold-compared, so HOF-vs-
+    * native bit-identity (same left fold) keeps signatures unchanged.
+    * Requires VectorExpressions.register (callers go through withNorm,
+    * which registers). */
   def hyperplaneSignature(v: Column, dim: Int, nPlanes: Int,
                           seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
     (0 until nPlanes).map { p =>
       val plane = typedLit(planes(p).toSeq)
-      when(dot(v, plane) > 0.0, shiftleft(lit(1L), p)).otherwise(0L)
+      when(dotNative(v, plane) > 0.0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 

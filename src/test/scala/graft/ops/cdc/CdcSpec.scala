@@ -126,6 +126,50 @@ class CdcSpec extends SparkSpec {
     assert(state.collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("DDL schema change: rename + type-widen normalize old batches forward") {
+    import spark.implicits._
+    // batch 1 captured under (id, val_old: int); then DDL renamed
+    // val_old -> val and widened int -> bigint; batch 2 is post-DDL
+    val b1 = Seq((1L, 10), (2L, 20)).toDF("id", "val_old")
+    val b2 = Seq((3L, 3000000000L)).toDF("id", "val")
+    val unified = Cdc.alignSchemasWithDdl(Seq(
+      b1 -> Seq(Cdc.RenameColumn("val_old", "val"),
+                Cdc.WidenColumn("val", LongType)),
+      b2 -> Nil))
+    assert(unified.columns.toSeq === Seq("id", "val"))
+    assert(unified.schema("val").dataType === LongType)
+    val out = unified.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 10L, 2L -> 20L, 3L -> 3000000000L))
+  }
+
+  test("DDL schema change: a lossy 'widen' is rejected loudly") {
+    import spark.implicits._
+    val b = Seq((1L, 3000000000L)).toDF("id", "val")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applySchemaChanges(b, Seq(Cdc.WidenColumn("val", IntegerType)))
+    }
+    assert(e.getMessage.contains("not a lossless widen"))
+  }
+
+  test("DDL schema change: op='s' events parse from the log in lsn order") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "u", null.asInstanceOf[String]),
+      (2L, "s", """{"rename":{"from":"a","to":"b"}}"""),
+      (5L, "s", """{"widen":{"col":"b","to":"bigint"}}"""),
+      (3L, "u", null.asInstanceOf[String]))
+      .toDF("lsn", "op", "ddl")
+    val changes = Cdc.schemaChangesFromLog(log, "op", "ddl", "lsn")
+    assert(changes === Seq(
+      Cdc.RenameColumn("a", "b"), Cdc.WidenColumn("b", LongType)))
+    // and they replay end-to-end: old batch (a: int) -> (b: bigint)
+    val old = Seq(7).toDF("a")
+    val replayed = Cdc.applySchemaChanges(old, changes)
+    assert(replayed.columns.toSeq === Seq("b"))
+    assert(replayed.schema("b").dataType === LongType)
+    assert(replayed.head().getLong(0) === 7L)
+  }
+
   test("schema drift: Cdc.readWithDrift and Cdc.alignSchemas handle additive columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString

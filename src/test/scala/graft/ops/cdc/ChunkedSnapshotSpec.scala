@@ -1,0 +1,112 @@
+package graft.ops.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Incremental (chunked) snapshot reconciliation — the DBLog pattern:
+  * read a live table in key-range chunks interleaved with ongoing
+  * capture, then prove the merged result equals a monolithic
+  * snapshot+apply of the same log.
+  *
+  * The "live table" is simulated driver-side: chunk i's content is the
+  * state after folding the log prefix lsn <= watermark_i, restricted to
+  * chunk i's key range. That is exactly what a chunked SELECT against a
+  * live source returns.
+  */
+class ChunkedSnapshotSpec extends SparkSpec {
+
+  private val genLog: Gen[List[(Long, Long, String, Double)]] = for {
+    n <- Gen.chooseNum(5, 120)
+    rows <- Gen.listOfN(n, for {
+      pk <- Gen.chooseNum(0L, 20L)
+      op <- Gen.frequency(3 -> Gen.const("c"), 5 -> Gen.const("u"), 2 -> Gen.const("d"))
+      v <- Gen.chooseNum(0, 10000).map(_ / 100.0)
+    } yield (pk, op, v))
+  } yield rows.zipWithIndex.map { case ((pk, op, v), i) => (i.toLong + 1L, pk, op, v) }
+
+  /** Driver-side reference fold of a log prefix over an initial state. */
+  private def fold(init: Map[Long, Double],
+                   log: List[(Long, Long, String, Double)],
+                   uptoLsn: Long): Map[Long, Double] =
+    log.filter(_._1 <= uptoLsn).sortBy(_._1).foldLeft(init) {
+      case (st, (_, pk, op, v)) => if (op == "d") st - pk else st + (pk -> v)
+    }
+
+  private def logDf(log: List[(Long, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    log.toDF("lsn", "pk", "op", "val")
+  }
+
+  test("property: chunked snapshot + log == monolithic final state") {
+    import spark.implicits._
+    val init: Map[Long, Double] = (0L to 20L by 2).map(k => k -> k * 1.0).toMap
+    val prop = Prop.forAll(genLog) { log =>
+      val maxLsn = log.map(_._1).max
+      val nChunks = 4
+      // chunk i covers keys [i*6, (i+1)*6) and is read at an increasing
+      // log position — capture keeps running while the snapshot walks
+      val chunks = (0 until nChunks).flatMap { i =>
+        val watermark = maxLsn * (i + 1) / nChunks
+        val stateAtRead = fold(init, log, watermark)
+        stateAtRead.collect {
+          case (pk, v) if pk >= i * 6 && pk < (i + 1) * 6 => (pk, v, watermark)
+        }
+      }
+      val chunksDf = chunks.toDF("pk", "val", "wm")
+      val merged = Cdc.applyChunkedSnapshot(chunksDf, logDf(log),
+          Seq("pk"), "lsn", "op", Seq("val"), "wm")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expected = fold(init, log, maxLsn)
+      merged == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8)
+        .withInitialSeed(Seed(4242L)), prop)
+    assert(result.passed, s"chunked-snapshot equivalence: $result")
+  }
+
+  test("events after a chunk's watermark override its rows; earlier are shadowed") {
+    import spark.implicits._
+    // chunk read at wm=10 says pk=1 -> 5.0 (already reflects lsn<=10)
+    val chunks = Seq((1L, 5.0, 10L), (2L, 7.0, 10L)).toDF("pk", "val", "wm")
+    val log = Seq(
+      (3L, 1L, "u", 99.0),   // before watermark: shadowed by the chunk row
+      (15L, 2L, "u", 42.0),  // after watermark: overrides the chunk row
+      (16L, 3L, "c", 1.0),   // created after the chunk was read
+      (17L, 3L, "d", 0.0))   // ... and deleted again
+      .toDF("lsn", "pk", "op", "val")
+    val out = Cdc.applyChunkedSnapshot(chunks, log,
+        Seq("pk"), "lsn", "op", Seq("val"), "wm")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 5.0, 2L -> 42.0))
+  }
+
+  test("snapshot record wins an lsn tie (chunk read AT an event's position)") {
+    import spark.implicits._
+    val chunks = Seq((1L, 8.0, 5L)).toDF("pk", "val", "wm")
+    val log = Seq((5L, 1L, "u", 8.0)).toDF("lsn", "pk", "op", "val")
+    val out = Cdc.applyChunkedSnapshot(chunks, log,
+      Seq("pk"), "lsn", "op", Seq("val"), "wm").collect()
+    assert(out.length === 1 && out.head.getDouble(1) === 8.0)
+  }
+
+  test("planChunkBounds covers the full key range in one approximate pass") {
+    import spark.implicits._
+    val table = (0L until 1000L).map(k => (k, k * 1.0)).toDF("pk", "val")
+    val bounds = Cdc.planChunkBounds(table, "pk", 8)
+    assert(bounds.length === 9)
+    assert(bounds.head <= 0.0 && bounds.last >= 999.0,
+      s"bounds must span the key range: $bounds")
+    assert(bounds.sliding(2).forall(p => p(0) <= p(1)), "bounds must ascend")
+    // every key falls in exactly one [b(i), b(i+1)) range (last closed)
+    val covered = (0L until 1000L).forall { k =>
+      bounds.sliding(2).zipWithIndex.exists { case (Seq(lo, hi), i) =>
+        k >= lo && (k < hi || (i == 7 && k <= hi))
+      }
+    }
+    assert(covered, "chunk ranges must cover every key")
+  }
+}

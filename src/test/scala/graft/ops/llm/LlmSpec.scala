@@ -67,6 +67,42 @@ class LlmSpec extends SparkSpec {
     assert(brute.count() === 5 * 3)
   }
 
+  test("hyperplane LSH: recall >= 0.9 at cosine 0.9 vs exhaustive truth; precision exact") {
+    import spark.implicits._
+    // the corpus embeddings have no high-cosine pairs (max ~0.48), so
+    // build a seeded fixture: 40 random bases, each with a perturbed
+    // near-copy (cosine ~0.95+) — ground truth from an exact all-pairs
+    val dim = 32
+    val rnd = new scala.util.Random(7L)
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + (rnd.nextGaussian() * 0.1).toFloat)
+    val bases = (0 until 40).map(_ => vec())
+    val rows = bases.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, perturb(v).toSeq))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val truth = {
+      def cos(a: Seq[Float], b: Seq[Float]) = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+             math.sqrt(b.map(x => x.toDouble * x).sum))
+      }
+      (for {
+        (ia, va) <- rows; (ib, vb) <- rows
+        if ia < ib && cos(va, vb) >= 0.9
+      } yield (ia, ib)).toSet
+    }
+    assert(truth.size >= 30, s"fixture degenerate: only ${truth.size} true pairs")
+    val found = Knn.cosineNearDups(corpus, dim, threshold = 0.9,
+        nPlanes = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cosine is verified on every candidate → precision exact by construction
+    assert(found.subsetOf(truth))
+    // 4 bands x 4 bits: P(candidate | cos=0.9) ≈ 1-(1-0.856^4)^4 ≈ 0.95
+    assert(found.size.toDouble / truth.size >= 0.9,
+      s"recall ${found.size}/${truth.size}")
+  }
+
   test("lshCandidatesWithStats reports dropped mega-buckets instead of hiding them") {
     import spark.implicits._
     val mega = "spam " * 40
