@@ -73,6 +73,44 @@ object CdcStream {
       .start()
   }
 
+  /** Streaming → PartitionedUpsert: the production-shape CDC sink.
+    * Each micro-batch merges into the bucket-partitioned, manifest-
+    * committed target (O(touched buckets) per batch; readers see
+    * atomic snapshots — see ops.cdc.PartitionedUpsert).
+    *
+    * Exactly-once is idempotence + state: offsets commit to the
+    * checkpoint WAL, the merge is last-write-wins by lsn (replaying a
+    * batch converges), and `dropDuplicates(lsnCol)` suppresses
+    * REDELIVERED events whose lsn was already applied — without it a
+    * stale replay (old lsn, old value) would clobber newer state,
+    * because the materialized target keeps no per-key lsn to compare
+    * against. That dedup state lives in the state store: run with the
+    * RocksDB provider + changelog checkpointing so it scales past
+    * executor heap and survives restart (asserted by the
+    * kill-and-resume run in graft.StreamSmoke). At 100 TB/day swap the
+    * unbounded dedup for dropDuplicatesWithinWatermark to bound state
+    * by the redelivery horizon. */
+  def partitionedUpsertSink(changes: DataFrame, targetDir: String,
+                            checkpointDir: String, keyCol: String,
+                            lsnCol: String, opCol: String,
+                            valueCols: Seq[String], nBuckets: Int): StreamingQuery = {
+    import graft.ops.cdc.PartitionedUpsert
+    val spark = changes.sparkSession
+    changes.dropDuplicates(lsnCol)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (PartitionedUpsert.currentManifest(spark, targetDir).isEmpty) {
+          val empty = batch.select((keyCol +: valueCols).map(col): _*).limit(0)
+          PartitionedUpsert.init(empty, targetDir, keyCol, nBuckets)
+        }
+        PartitionedUpsert.merge(spark, targetDir, batch, keyCol, lsnCol,
+          opCol, valueCols, nBuckets): Unit
+      }
+      .start()
+  }
+
   /** Stateful running current-state view via flatMapGroupsWithState:
     * emits (pk, value, lsn) whenever a key's latest value changes;
     * tombstones emit a null value and clear state. The stable-API

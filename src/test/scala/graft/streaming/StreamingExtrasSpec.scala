@@ -80,6 +80,53 @@ class StreamingExtrasSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/out").count() === 3)
   }
 
+  test("partitionedUpsertSink: kill-and-resume is exactly-once (RocksDB + " +
+      "changelog checkpointing; stale redelivery suppressed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val payload = StructType(Seq(
+        StructField("pk", LongType), StructField("val", DoubleType)))
+      val base = java.nio.file.Files.createTempDirectory("graft_eo2").toString
+      val srcDir = s"$base/in"; new java.io.File(srcDir).mkdirs()
+      def env(op: String, pk: Long, v: Double, lsn: Long) =
+        s"""{"op":"$op","after":{"pk":$pk,"val":$v},"source":{"table":"t","lsn":$lsn},"ts_ms":${1700000000000L + lsn}}"""
+      def write(name: String, lines: Seq[String]): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$srcDir/$name"), lines.mkString("\n")): Unit
+      def start() = CdcStream.partitionedUpsertSink(
+        CdcStream.source(spark, srcDir, payload)
+          .select($"after.pk".as("pk"), $"after.val".as("val"), $"op", $"lsn"),
+        s"$base/tgt", s"$base/ckpt", "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+
+      write("a.json", Seq(env("c", 1, 1.0, 1), env("c", 2, 2.0, 2)))
+      val q1 = start()
+      q1.processAllAvailable()
+      write("b.json", Seq(env("u", 1, 7.5, 3), env("d", 2, 0.0, 4)))
+      q1.processAllAvailable()
+      q1.stop() // kill
+
+      // resume: lsn 3 is REDELIVERED with a stale value — only dedup
+      // state recovered from the checkpoint keeps 7.5 in place
+      write("c.json", Seq(env("u", 1, 1111.0, 3), env("c", 5, 5.0, 5)))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val state = graft.ops.cdc.PartitionedUpsert.read(spark, s"$base/tgt")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(state === Map(1L -> 7.5, 5L -> 5.0), s"got $state")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("cache/persist: cached plan shows InMemoryTableScan and unpersist clears") {
     val df = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
       .groupBy("l_returnflag").count()
