@@ -98,6 +98,69 @@ object ScaleSmoke {
       ops.llm.Knn.bruteForceTopK(emb.filter($"vec_id" < 100), emb, 5).count() }
     time("asof join (events 1M)") {
       ops.relational.Joins.qJoinAsof(spark, work).count() }
+
+    // ---- skew: one user owns 50% of events ----------------------------
+    // AQE skew-split rewrites sort-merge JOIN partitions at runtime;
+    // window operators are out of its reach (compact relies on
+    // WindowGroupLimit map-side top-1; the fallback for pathological
+    // window skew is Cdc.compactSalted — equivalence tested in CdcSpec).
+    if (!new java.io.File(s"$work/events_skew.parquet").exists) {
+      println("[gen] skewed events: user_id 42 owns 50% of rows")
+      Tables.table(spark, work, "events")
+        .withColumn("user_id",
+          when(col("event_id") % 2 === 0, lit(42L)).otherwise(col("user_id")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$work/events_skew.parquet")
+    }
+    val skewEvents = spark.read.parquet(s"$work/events_skew.parquet")
+    val users = Tables.table(spark, work, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    def skewJoinCount(): (Long, Boolean) = {
+      // hash over every payload column so pruning cannot narrow the
+      // shuffled rows to just the (constant, hyper-compressible) hot
+      // key — the skew must exist in BYTES, which is what AQE measures
+      val j = skewEvents.join(users, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(sum(pmod(xxhash64(col("event_id"), col("ts"), col("event_type"),
+          col("value"), col("props")), lit(1000000000L))).as("n"))
+      // collect() (not count()) so the SAME QueryExecution runs and its
+      // final adaptive plan carries the skew=true annotations
+      val n = j.collect().length.toLong
+      (n, j.queryExecution.executedPlan.toString.contains("skew=true"))
+    }
+    // thresholds lowered so the smoke-scale hot partition (~tens of MB)
+    // crosses the skew bar; production defaults (256 MB) fire unchanged
+    // at real scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      time("skew join, AQE split OFF") { skewJoinCount()._1 }
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      var split = false
+      time("skew join, AQE split ON") {
+        val (n, s) = skewJoinCount(); split = s; n }
+      println(s"[scale] AQE skew-split applied: $split")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      time("skew compact (window, group-limit)") {
+        ops.cdc.Cdc.compact(
+          skewEvents.select(col("user_id").as("pk"), col("event_id").as("lsn"),
+            col("value")), Seq("pk"), "lsn").count() }
+      time("skew compact (salted fallback)") {
+        ops.cdc.Cdc.compactSalted(
+          skewEvents.select(col("user_id").as("pk"), col("event_id").as("lsn"),
+            col("value")), Seq("pk"), "lsn", nSalts = 16).count() }
+    } finally {
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.enabled").foreach(spark.conf.unset)
+    }
     spark.stop()
   }
 }

@@ -51,6 +51,32 @@ object Cdc {
       .drop("__rn")
   }
 
+  /** Skew-resistant compaction: two-stage salted top-1 for HOT keys.
+    *
+    * `compact` is a window top-1; Spark's WindowGroupLimit already
+    * keeps only each map task's local top-1 per key before the
+    * shuffle, so a hot key receives ≤ numMapTasks rows — compact skew
+    * is usually a non-problem. But when per-(key, mapTask) groups are
+    * still huge (one key owning most of the table at 1000-executor
+    * scale) or the pipeline disables group-limit pushdown, salting
+    * splits the hot key across `nSalts` reducers: stage 1 takes the
+    * top-1 per (key, salt), stage 2 the top-1 of those ≤nSalts
+    * survivors per key. Correct because max-by-offset is associative.
+    * AQE skew-split does NOT apply here — it only rewrites sort-merge
+    * JOIN partitions, never window exchanges — so salting is the
+    * documented fallback for skewed window operators. */
+  def compactSalted(log: DataFrame, keys: Seq[String], offsetCol: String,
+                    nSalts: Int = 16): DataFrame = {
+    require(nSalts >= 1, "compactSalted: nSalts must be >= 1")
+    val salted = log.withColumn("__salt",
+      pmod(xxhash64(col(offsetCol)), lit(nSalts)))
+    val w1 = Window.partitionBy(keys.map(col) :+ col("__salt"): _*)
+      .orderBy(col(offsetCol).desc)
+    val survivors = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1).drop("__rn", "__salt")
+    compact(survivors, keys, offsetCol)
+  }
+
   /** Apply a change log to a snapshot: upsert creates/updates, drop
     * tombstones, pass through untouched snapshot rows.
     *

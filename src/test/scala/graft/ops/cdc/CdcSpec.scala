@@ -37,6 +37,19 @@ class CdcSpec extends SparkSpec {
     assert(once.count() === log.select("pk").distinct().count())
   }
 
+  test("compactSalted equals compact (incl. a 50%-hot-key log)") {
+    import spark.implicits._
+    val base = randomLog(17, 600, 19)
+    // slam half the rows onto one hot key — the skew shape salting exists for
+    val hot = base.withColumn("pk",
+      when($"lsn" % 2 === 0, lit(7L)).otherwise($"pk"))
+    for (log <- Seq(base, hot)) {
+      val plain = Cdc.compact(log, Seq("pk"), "lsn")
+      val salted = Cdc.compactSalted(log, Seq("pk"), "lsn", nSalts = 8)
+      assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    }
+  }
+
   test("apply is associative: apply(s, l1++l2) == apply(apply(s, l1), l2)") {
     import spark.implicits._
     val snap = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (50L, 9.9))
