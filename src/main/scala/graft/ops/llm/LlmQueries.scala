@@ -133,6 +133,20 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** Language-ID end-to-end, oracled: per-language top-20 token
+    * profiles (ties: cnt desc, token asc) → classify every document by
+    * profile overlap (ties: score desc, lang asc). Single-space split
+    * on both engines (PARITY precedent: q_llm_tf). Profiles are
+    * broadcast-sized; classification never shuffles the corpus. */
+  def qLlmLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+    val prof = TextAnalysis.buildProfiles(docs, "lang", "text", 20, " ")
+    TextAnalysis.classifyLanguage(docs, prof, "doc_id", "text", " ")
+      .select($"doc_id", $"pred_lang", $"score".cast("long").as("score"))
+      .orderBy($"doc_id")
+  }
+
   /** Quality scoring: word counts, avg word length, stopword ratio,
     * quality band — the heuristics of a pretraining text filter. */
   def qLlmQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -166,7 +180,8 @@ object LlmQueries {
     "q_llm_knn_bucketed" -> (qLlmKnnBucketed _),
     "q_llm_l2norm" -> (qLlmL2norm _),
     "q_llm_quality" -> (qLlmQuality _),
-    "q_llm_fingerprint" -> (qLlmFingerprint _)
+    "q_llm_fingerprint" -> (qLlmFingerprint _),
+    "q_llm_langid" -> (qLlmLangid _)
   )
 
   private val dotFold =
@@ -296,6 +311,23 @@ object LlmQueries {
         |        t -> ('0x' || substring(md5(t), 1, 7))::BIGINT)),
         |    (acc, h) -> (acc * 31 + h % 1000000007) % 1000000007) AS fingerprint,
         |  len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_llm_langid" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |cnt AS (SELECT lang, t, count(*) AS cnt FROM tok GROUP BY lang, t),
+        |prof_tok AS (
+        |  SELECT lang, t FROM cnt
+        |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, t ASC) <= 20),
+        |prof AS (SELECT lang, list(t ORDER BY t) AS profile FROM prof_tok GROUP BY lang),
+        |d AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+        |      FROM documents),
+        |scored AS (
+        |  SELECT d.doc_id, p.lang,
+        |    len(list_intersect(d.toks, p.profile))::BIGINT AS score
+        |  FROM d CROSS JOIN prof p)
+        |SELECT doc_id, lang AS pred_lang, score FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+        |ORDER BY doc_id""".stripMargin
   )
 }

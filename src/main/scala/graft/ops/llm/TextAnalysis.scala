@@ -23,11 +23,17 @@ object TextAnalysis {
     * from a labelled corpus (top-N tokens by tf), then classify by
     * profile-overlap score. Profiles are a broadcast-sized table —
     * classification is a broadcast join, no shuffle of the corpus.
-    */
+    *
+    * `splitPattern` defaults to whitespace-runs; the oracled twin
+    * (q_llm_langid) passes a single space to match the corpus's
+    * single-space tokenization on both engines (PARITY precedent:
+    * q_llm_tf). Both build and classify are fully deterministic:
+    * profile ties break (cnt desc, token asc), classification ties
+    * (score desc, lang asc). */
   def buildProfiles(labelled: DataFrame, langCol: String, textCol: String,
-                    topN: Int = 20): DataFrame = {
+                    topN: Int = 20, splitPattern: String = "\\s+"): DataFrame = {
     val tok = labelled.select(col(langCol).as("lang"),
-      explode(split(lower(col(textCol)), "\\s+")).as("t"))
+      explode(split(lower(col(textCol)), splitPattern)).as("t"))
     val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("t").asc)
     tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w))
@@ -39,9 +45,10 @@ object TextAnalysis {
   /** Classify each doc to the language whose profile overlaps its
     * token set most (ties → lexicographically first language). */
   def classifyLanguage(docs: DataFrame, profiles: DataFrame,
-                       idCol: String, textCol: String): DataFrame = {
+                       idCol: String, textCol: String,
+                       splitPattern: String = "\\s+"): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"),
-      array_distinct(split(lower(col(textCol)), "\\s+")).as("toks"))
+      array_distinct(split(lower(col(textCol)), splitPattern)).as("toks"))
     val scored = d.crossJoin(broadcast(profiles))
       .withColumn("score", size(array_intersect(col("toks"), col("profile"))))
     val w = Window.partitionBy(col("doc_id"))
