@@ -37,6 +37,29 @@ object MicroBench {
     val n = time("NATIVE graft_dot codegen")(workload(v => functions.VectorExpressions.dot_native(v, $"qv")))
     assert(math.abs(h - n) < 1e-6 * math.abs(h).max(1.0), "results diverge")
 
+    // hyperplane-LSH signature: nPlanes dots PER ROW — the candidate-
+    // generation hot path where the HOF cost multiplies by nPlanes
+    {
+      val dim = 64; val nPlanes = 16
+      val rnd = new scala.util.Random(42L)
+      val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+      val corp = emb.filter(size($"v") === dim).crossJoin(spark.range(5))
+      def sigWork(dotf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+          => org.apache.spark.sql.Column): Long = {
+        val sig = (0 until nPlanes).map { p =>
+          val plane = typedLit(planes(p).toSeq)
+          when(dotf($"v", plane) > 0.0, shiftleft(lit(1L), p)).otherwise(0L)
+        }.reduce((a, b) => a.bitwiseOR(b))
+        corp.select(sum(sig).as("s")).head().getLong(0)
+      }
+      sigWork(ops.llm.Knn.dot) // warmup both
+      sigWork(functions.VectorExpressions.dot_native)
+      val sh = time("HOF    hyperplane sig x16")(sigWork(ops.llm.Knn.dot))
+      val sn = time("NATIVE hyperplane sig x16")(
+        sigWork(functions.VectorExpressions.dot_native))
+      assert(sh == sn, s"signatures diverge: $sh vs $sn")
+    }
+
     // normalize: 2-regex-pass vs single-pass char scan, 20x documents
     functions.NormalizeText.register(spark)
     val docs = Tables.table(spark, sfDir, "documents")

@@ -68,6 +68,39 @@ object CdcQueries {
     snap.unionByName(inc).orderBy($"pk", $"lsn")
   }
 
+  /** Incremental chunked snapshot, oracled end-to-end: the customer
+    * table is "snapshotted live" in 4 modulo-keyed chunks at
+    * increasing log watermarks (wm_i = (i+1)·max_lsn/4); each chunk's
+    * content is the state the live table would show at that position
+    * (simulated in-query so the DuckDB oracle sees the identical
+    * chunks), then Cdc.applyChunkedSnapshot reconciles chunks with the
+    * FULL log. Result = the same current state a monolithic
+    * snapshot+apply yields, but obtained without ever pausing capture. */
+  def qCdcSnapshotChunked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snap = Tables.table(spark, dir, "customer")
+      .select($"c_custkey".as("pk"), $"c_acctbal".as("val"))
+    val log = changeLog(spark, dir)
+      .select($"lsn", $"pk", $"op", $"after_value".as("val"))
+    val spec = spark.range(4).toDF("chunk")
+      .crossJoin(log.agg(max($"lsn").as("mx")))
+      .select($"chunk", expr("((chunk + 1) * mx) DIV 4").as("wm"))
+    val unionSrc = snap.select($"pk", $"val", lit(-1L).as("lsn"), lit("r").as("op"))
+      .unionByName(log.select($"pk", $"val", $"lsn", $"op"))
+    // simulated live-table read of chunk i at position wm_i
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"chunk", $"pk").orderBy($"lsn".desc)
+    val chunkState = spec
+      .join(unionSrc, unionSrc("pk") % 4 === spec("chunk") &&
+        unionSrc("lsn") <= spec("wm"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "d")
+      .select($"pk", $"val", $"wm")
+    Cdc.applyChunkedSnapshot(chunkState, log,
+        Seq("pk"), "lsn", "op", Seq("val"), "wm")
+      .orderBy($"pk")
+  }
+
   /** Log compaction: last-write-wins per key. */
   def qCdcCompact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -145,6 +178,7 @@ object CdcQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_decode" -> (qCdcDecode _),
     "q_cdc_snapshot" -> (qCdcSnapshot _),
+    "q_cdc_snapshot_chunked" -> (qCdcSnapshotChunked _),
     "q_cdc_compact" -> (qCdcCompact _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_cdc_scd2" -> (qCdcScd2 _),
@@ -177,6 +211,27 @@ object CdcQueries {
         |UNION ALL
         |SELECT lsn, pk, op, after_value FROM log
         |ORDER BY pk, lsn""".stripMargin,
+    "q_cdc_snapshot_chunked" ->
+      s"""WITH $logCte,
+        |snap AS (SELECT c_custkey AS pk, c_acctbal AS val FROM customer),
+        |spec AS (
+        |  SELECT i AS chunk, ((i + 1) * (SELECT max(lsn) FROM log)) // 4 AS wm
+        |  FROM range(4) t(i)),
+        |union_src AS (
+        |  SELECT pk, val, -1 AS lsn, 'r' AS op FROM snap
+        |  UNION ALL SELECT pk, after_value AS val, lsn, op FROM log),
+        |chunk_latest AS (
+        |  SELECT c.chunk, c.wm, u.pk, u.val, u.lsn, u.op
+        |  FROM spec c JOIN union_src u ON u.pk % 4 = c.chunk AND u.lsn <= c.wm
+        |  QUALIFY row_number() OVER (PARTITION BY c.chunk, u.pk ORDER BY u.lsn DESC) = 1),
+        |chunk_state AS (SELECT pk, val, wm FROM chunk_latest WHERE op != 'd'),
+        |merged AS (
+        |  SELECT pk, val, wm AS lsn, 'r' AS op, 1 AS prio FROM chunk_state
+        |  UNION ALL SELECT pk, after_value AS val, lsn, op, 0 AS prio FROM log)
+        |SELECT pk, val FROM merged
+        |QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC, prio DESC) = 1
+        |  AND op != 'd'
+        |ORDER BY pk""".stripMargin,
     "q_cdc_compact" ->
       s"""WITH $logCte
         |SELECT pk, lsn, op, after_value FROM log
