@@ -120,6 +120,104 @@ object Knn {
       .filter(col("cosine") >= threshold)
   }
 
+  // ---------------------------------------------------------------------
+  // Real IVF: spherical k-means coarse quantizer + nprobe search.
+  // bucketedTopK below blocks on a PRE-EXISTING bucket column; these
+  // build the buckets from the data itself — the production IVF shape.
+  // ---------------------------------------------------------------------
+
+  /** Spherical k-means centroids via Lloyd's iterations, DataFrame ops
+    * only. Deterministic: init = first k vectors by xxhash64(vec_id)
+    * order (a seeded pseudo-random sample), ties in assignment break
+    * by centroid id. Per iteration: one broadcast-crossJoin assign (no
+    * corpus shuffle beyond the k×dim agg) + one element-wise mean.
+    * Centroids (k×dim doubles) collect to the driver each iteration —
+    * bounded by the codebook size, never by the corpus; that codebook
+    * IS driver state, exactly like every IVF index build. */
+  def ivfCentroids(corpus: DataFrame, dim: Int, k: Int, iters: Int = 5,
+                   seed: Long = 42L): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val unit = withNorm(corpus, "embedding")
+      .filter(size(col("v")) === dim && col("nrm") > 0.0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      .persist()
+    try {
+      var centroids: Array[Array[Double]] = unit
+        .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+        .limit(k).select(col("u")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      var it = 0
+      while (it < iters) {
+        val cdf = spark.createDataFrame(
+          centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
+          .toDF("cid", "cv")
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cid").asc)
+        val assigned = unit.crossJoin(broadcast(cdf))
+          .withColumn("sim", dotNative(col("u"), col("cv")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        val means = assigned
+          .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("mean"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        centroids = centroids.indices.map { i =>
+          means.get(i).map { m =>
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n > 0) m.map(_ / n) else centroids(i) // empty/degenerate: keep
+          }.getOrElse(centroids(i))
+        }.toArray
+        it += 1
+      }
+      centroids
+    } finally { unit.unpersist(); () }
+  }
+
+  /** Assign each vector to its `nprobe` nearest centroids (by cosine;
+    * ties break by centroid id). One broadcast crossJoin + window —
+    * the corpus is never shuffled on anything but the final bucket. */
+  def ivfAssign(df: DataFrame, centroids: Array[Array[Double]],
+                nprobe: Int): DataFrame = {
+    val spark = df.sparkSession
+    val cdf = spark.createDataFrame(
+      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cid", "cv")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    df.crossJoin(broadcast(cdf))
+      .withColumn("csim", dotNative(col("v"), col("cv")) / col("nrm"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= nprobe)
+      .drop("cv", "csim", "crn")
+  }
+
+  /** IVF top-k: corpus vectors live in their single nearest-centroid
+    * bucket; each query probes its `nprobe` nearest buckets and takes
+    * the exact top-k over everything it saw. ONE shuffle on the bucket
+    * key; per-bucket exact scoring; recall rises with nprobe and
+    * reaches brute-force EXACTLY at nprobe = k (every bucket probed —
+    * the invariant the spec asserts). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
+    val q = ivfAssign(withNorm(queries, "embedding"), centroids, nprobe)
+      .select(col("vec_id").as("q_vec_id"), col("cid").as("__bkt"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = ivfAssign(withNorm(corpus, "embedding"), centroids, nprobe = 1)
+      .select(col("vec_id").as("c_vec_id"), col("cid").as("__bkt"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val scored = c.join(q, "__bkt")
+      .filter(col("q_vec_id") =!= col("c_vec_id"))
+      .withColumn("sim", dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("sim").desc, col("c_vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_vec_id"), col("rn"), col("c_vec_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Blocked ANN: score only pairs sharing a coarse bucket. Recall is
     * exact for neighbours in the same bucket; cross-bucket neighbours
     * are missed by design (raise nprobe / refine buckets to trade). */

@@ -103,6 +103,39 @@ class LlmSpec extends SparkSpec {
       s"recall ${found.size}/${truth.size}")
   }
 
+  test("IVF: nprobe=k equals brute force exactly; recall monotone in nprobe") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val cents = Knn.ivfCentroids(emb, dim = 64, k = 8, iters = 3)
+    assert(cents.length === 8)
+    // every centroid is unit-length (spherical k-means invariant)
+    cents.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9) }
+    // determinism: same seed → same codebook
+    val cents2 = Knn.ivfCentroids(emb, dim = 64, k = 8, iters = 3)
+    assert(cents.map(_.toSeq).toSeq === cents2.map(_.toSeq).toSeq)
+
+    val brute = Knn.bruteForceTopK(queries, emb, 5)
+      .select("q_vec_id", "rn", "c_vec_id", "sim")
+    // probing every bucket IS brute force — exact equality, not recall
+    val full = Knn.ivfTopK(queries, emb, cents, k = 5, nprobe = 8)
+      .select("q_vec_id", "rn", "c_vec_id", "sim")
+    assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty)
+
+    def recall(nprobe: Int): Double = {
+      val truth = brute.select("q_vec_id", "c_vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Knn.ivfTopK(queries, emb, cents, k = 5, nprobe = nprobe)
+        .select("q_vec_id", "c_vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1); val r4 = recall(4)
+    assert(r4 >= r1, s"recall must not fall as nprobe grows: r1=$r1 r4=$r4")
+    assert(r4 >= 0.5, s"nprobe=4 of 8 buckets should find most neighbours: $r4")
+  }
+
   test("lshCandidatesWithStats reports dropped mega-buckets instead of hiding them") {
     import spark.implicits._
     val mega = "spam " * 40
