@@ -136,14 +136,10 @@ object PartitionedUpsert {
     * under `data/v<N>` and return the manifest that `commit` would
     * publish. Nothing is visible to readers until `commit`. Split from
     * `merge` so crash-between-write-and-commit is directly testable. */
-  def prepare(spark: SparkSession, dir: String, changes: DataFrame,
-              keyCol: String, lsnCol: String, opCol: String,
-              valueCols: Seq[String], nBuckets: Int): Pending = {
-    val fs = fsOf(spark, dir)
-    val prior = currentManifest(spark, dir).getOrElse(
-      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
-    // skip past orphaned data dirs from crashed prepares, not just past
-    // the committed manifest — recovery re-runs must never collide
+  /** Next writable version: past the committed manifest AND past any
+    * orphaned data dirs from crashed prepares — recovery re-runs must
+    * never collide. */
+  private def nextVersion(fs: FileSystem, dir: String, prior: Manifest): Long = {
     val orphanMax = {
       val dataDir = new Path(s"$dir/data")
       if (!fs.exists(dataDir)) 0L
@@ -151,7 +147,16 @@ object PartitionedUpsert {
         .filter(_.startsWith("v")).flatMap(_.stripPrefix("v").toLongOption)
         .foldLeft(0L)(math.max)
     }
-    val version = math.max(prior.version, orphanMax) + 1
+    math.max(prior.version, orphanMax) + 1
+  }
+
+  def prepare(spark: SparkSession, dir: String, changes: DataFrame,
+              keyCol: String, lsnCol: String, opCol: String,
+              valueCols: Seq[String], nBuckets: Int): Pending = {
+    val fs = fsOf(spark, dir)
+    val prior = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    val version = nextVersion(fs, dir, prior)
     val withBucket = changes.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .persist()
     try {
@@ -195,6 +200,31 @@ object PartitionedUpsert {
       valueCols, nBuckets)
     commit(spark, dir, pending)
     pending.touched
+  }
+
+  /** Apply DDL schema changes (rename / lossless widen) to the
+    * committed table, atomically. Parquet's physical types cannot be
+    * up-cast in place by the vectorized reader, so a widen rewrites
+    * every bucket into a fresh version — O(table), the honest cost of
+    * a type migration anywhere — then publishes via the same atomic
+    * manifest swap: readers see the old schema or the new one, never a
+    * mix, and a crash mid-rewrite leaves the old table intact.
+    * `keyCol` is the key's POST-change name. */
+  def evolveSchema(spark: SparkSession, dir: String,
+                   changes: Seq[Cdc.SchemaChange], keyCol: String,
+                   nBuckets: Int): Unit = {
+    val fs = fsOf(spark, dir)
+    val prior = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    val version = nextVersion(fs, dir, prior)
+    val evolved = Cdc.applySchemaChanges(read(spark, dir), changes)
+    evolved
+      .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+      .write.mode("errorifexists")
+      .partitionBy("bucket").parquet(s"$dir/data/v$version")
+    val written = listBuckets(fs, s"$dir/data/v$version")
+    writeManifest(fs, dir, Manifest(version, evolved.schema,
+      written.map(b => b -> dataRel(version, b)).toMap))
   }
 
   /** Read the committed state: exactly the files the newest manifest

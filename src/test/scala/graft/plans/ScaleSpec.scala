@@ -50,6 +50,38 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("applyChunkedSnapshot is ONE shuffle (the compaction window)") {
+    import spark.implicits._
+    val chunks = (0L until 100L).map(k => (k, k * 1.0, 50L)).toDF("pk", "val", "wm")
+    val log = (0L until 200L).map(i => (i, i % 100, "u", i * 2.0))
+      .toDF("lsn", "pk", "op", "val")
+    val merged = graft.ops.cdc.Cdc.applyChunkedSnapshot(
+      chunks, log, Seq("pk"), "lsn", "op", Seq("val"), "wm")
+    merged.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // exchanges only in the final plan section
+    val plan = merged.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"chunked-snapshot reconcile should shuffle ONCE on the key:\n$plan")
+    // and the window is group-limited before the shuffle where possible
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("compactSalted: hot key spreads across (key, salt) reducers") {
+    import spark.implicits._
+    val log = (0L until 1000L).map(i => (i, 7L, "u", i * 1.0))
+      .toDF("lsn", "pk", "op", "val")
+    val out = graft.ops.cdc.Cdc.compactSalted(log, Seq("pk"), "lsn", nSalts = 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // stage 1 partitions by (pk, __salt) — the hot key occupies 8
+    // reducers instead of 1; stage 2 partitions by pk over ≤8 rows/key
+    assert(plan.contains("hashpartitioning(pk"), plan)
+    assert(plan.contains("__salt"), s"salted stage must partition by salt:\n$plan")
+  }
+
   test("PartitionedUpsert: merge rewrites only touched buckets") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pu").toString + "/tgt"
@@ -126,6 +158,31 @@ class ScaleSpec extends SparkSpec {
     PartitionedUpsert.vacuum(spark, dir, keepManifests = 1)
     assert(!new java.io.File(s"$dir/data/v1").exists(), "vacuum should reclaim v1")
     assert(PartitionedUpsert.read(spark, dir).count() === 100)
+  }
+
+  test("PartitionedUpsert.evolveSchema: rename+widen rewrite commits atomically " +
+      "and post-DDL merges apply in the new schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pu7").toString + "/tgt"
+    val snap = (0L until 50L).map(i => (i, i.toInt)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    PartitionedUpsert.evolveSchema(spark, dir,
+      Seq(graft.ops.cdc.Cdc.RenameColumn("val", "amount"),
+          graft.ops.cdc.Cdc.WidenColumn("amount", LongType)),
+      "pk", nBuckets = 4)
+    val evolved = PartitionedUpsert.read(spark, dir)
+    assert(evolved.schema("amount").dataType === LongType)
+    assert(evolved.count() === 50)
+    assert(evolved.filter($"pk" === 7L).head().getLong(1) === 7L)
+    // post-DDL merge speaks the new schema, incl. values beyond int range
+    val changes = Seq((1L, 7L, "u", 3000000000L), (2L, 100L, "c", 5L))
+      .toDF("lsn", "pk", "op", "amount")
+    PartitionedUpsert.merge(spark, dir, changes, "pk", "lsn", "op",
+      Seq("amount"), nBuckets = 4)
+    val state = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state(7L) === 3000000000L && state(100L) === 5L && state.size === 51)
   }
 
   test("PartitionedUpsert.merge is O(1) Spark jobs, not O(touched buckets)") {
