@@ -124,6 +124,28 @@ object NearDup {
       i => substr(s, i, lit(n))))
   }
 
+  /** doc_id + distinct char-n-gram set (the shingle twin of tokenSets). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_sort(charShingles(col(textCol), n)).as("tokens"))
+
+  /** n-gram Jaccard near-dup: the MinHash+LSH pipeline over char
+    * shingles instead of word tokens. Catches edits INSIDE words and
+    * works without word boundaries (CJK, concatenated text) — a
+    * one-character change shifts only n of the shingles, where
+    * word-token Jaccard between two single-token docs is 0 or 1.
+    * Same cost shape as minHashNearDups: one shuffle to sign, banded
+    * buckets, candidates-only verification. */
+  def shingleNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val cand = lshCandidates(minHashSignatures(sets, k), bands, k / bands)
+    exactJaccard(cand, sets).filter(col("jaccard") >= threshold)
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash fingerprint per doc: per-bit majority vote over

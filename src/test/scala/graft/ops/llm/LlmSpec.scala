@@ -156,6 +156,24 @@ class LlmSpec extends SparkSpec {
     assert(pairs === Set((100L, 101L)))
   }
 
+  test("shingleNearDups: finds in-word edits that word-token Jaccard misses") {
+    import spark.implicits._
+    val base = "thequickbrownfoxjumpsoverthelazydogandkeepsrunningallday"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "hazy")),      // one in-word edit, no spaces
+      (3L, "completelydifferentcontentwithnothingsharedatallhonestly"))
+      .toDF("doc_id", "text")
+    // word view: each doc is ONE token → Jaccard(1,2) = 0, invisible
+    val word = NearDup.minHashNearDups(d, "doc_id", "text", threshold = 0.5)
+    assert(word.count() === 0)
+    // shingle view: the edit shifts only ~n shingles → high Jaccard
+    val found = NearDup.shingleNearDups(d, "doc_id", "text", n = 5,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === Set((1L, 2L)), s"got $found")
+  }
+
   test("charShingles: correct n-gram window") {
     import spark.implicits._
     val out = Seq("abcd").toDF("t")

@@ -127,6 +127,54 @@ class StreamingExtrasSpec extends SparkSpec {
     }
   }
 
+  test("mid-stream DDL: stop at the schema change, evolve the target, resume " +
+      "with the new payload schema on the same checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the Debezium-consumer pattern: a schema-change event stops the
+    // query, the target evolves atomically, and the query restarts with
+    // the new payload schema — offsets continue from the checkpoint
+    val base = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    val srcDir = s"$base/in"; new java.io.File(srcDir).mkdirs()
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/$name"), lines.mkString("\n")): Unit
+
+    val payloadA = StructType(Seq(
+      StructField("pk", LongType), StructField("val", IntegerType)))
+    write("a.json", Seq(
+      """{"op":"c","after":{"pk":1,"val":10},"source":{"table":"t","lsn":1},"ts_ms":1}""",
+      """{"op":"c","after":{"pk":2,"val":20},"source":{"table":"t","lsn":2},"ts_ms":2}"""))
+    val q1 = CdcStream.partitionedUpsertSink(
+      CdcStream.source(spark, srcDir, payloadA)
+        .select($"after.pk".as("pk"), $"after.val".as("val"), $"op", $"lsn"),
+      s"$base/tgt", s"$base/ckpt", "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    q1.processAllAvailable()
+    q1.stop() // the schema-change event arrives out-of-band: stop
+
+    graft.ops.cdc.PartitionedUpsert.evolveSchema(spark, s"$base/tgt",
+      Seq(graft.ops.cdc.Cdc.RenameColumn("val", "amount"),
+          graft.ops.cdc.Cdc.WidenColumn("amount", LongType)),
+      "pk", nBuckets = 4)
+
+    val payloadB = StructType(Seq(
+      StructField("pk", LongType), StructField("amount", LongType)))
+    write("b.json", Seq(
+      s"""{"op":"u","after":{"pk":1,"amount":3000000000},"source":{"table":"t","lsn":3},"ts_ms":3}""",
+      s"""{"op":"c","after":{"pk":9,"amount":9},"source":{"table":"t","lsn":4},"ts_ms":4}"""))
+    val q2 = CdcStream.partitionedUpsertSink(
+      CdcStream.source(spark, srcDir, payloadB)
+        .select($"after.pk".as("pk"), $"after.amount".as("amount"), $"op", $"lsn"),
+      s"$base/tgt", s"$base/ckpt", "pk", "lsn", "op", Seq("amount"), nBuckets = 4)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = graft.ops.cdc.PartitionedUpsert.read(spark, s"$base/tgt")
+    assert(out.schema("amount").dataType === LongType)
+    val state = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state === Map(1L -> 3000000000L, 2L -> 20L, 9L -> 9L), s"got $state")
+  }
+
   test("cache/persist: cached plan shows InMemoryTableScan and unpersist clears") {
     val df = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
       .groupBy("l_returnflag").count()
