@@ -98,6 +98,13 @@ object ScaleSmoke {
       ops.llm.Knn.bruteForceTopK(emb.filter($"vec_id" < 100), emb, 5).count() }
     time("asof join (events 1M)") {
       ops.relational.Joins.qJoinAsof(spark, work).count() }
+    time("chunked snapshot (1.5M x 1M)") {
+      ops.cdc.CdcQueries.qCdcSnapshotChunked(spark, work).count() }
+    time("ivf build+search (20k, k=16)") {
+      val emb = Tables.table(spark, work, "embeddings")
+      val cents = ops.llm.Knn.ivfCentroids(emb, dim = 64, k = 16, iters = 3)
+      ops.llm.Knn.ivfTopK(emb.filter($"vec_id" < 100), emb, cents,
+        k = 5, nprobe = 4).count() }
 
     // ---- skew: one user owns 50% of events ----------------------------
     // AQE skew-split rewrites sort-merge JOIN partitions at runtime;

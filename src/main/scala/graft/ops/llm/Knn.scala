@@ -151,11 +151,16 @@ object Knn {
         val cdf = spark.createDataFrame(
           centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
           .toDF("cid", "cv")
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("cid").asc)
+        // argmax via max(struct(sim, -cid)): lexicographic struct max ==
+        // (sim desc, cid asc) — same tie-break as a window, but it
+        // partial-aggregates map-side instead of shuffling the k-fold
+        // crossJoin output into a per-vector sort
         val assigned = unit.crossJoin(broadcast(cdf))
           .withColumn("sim", dotNative(col("u"), col("cv")))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("b"),
+            first(col("u")).as("u"))
+          .select((-col("b.ncid")).as("cid"), col("u"))
         val means = assigned
           .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
           .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
@@ -176,21 +181,31 @@ object Knn {
   }
 
   /** Assign each vector to its `nprobe` nearest centroids (by cosine;
-    * ties break by centroid id). One broadcast crossJoin + window —
-    * the corpus is never shuffled on anything but the final bucket. */
+    * ties break by centroid id). Returns (vec_id, v, nrm, cid).
+    * nprobe=1 — the corpus-side hot path — is an argmax aggregation
+    * (map-side partial, no per-vector sort); nprobe>1 (bounded query
+    * sets) takes the window. */
   def ivfAssign(df: DataFrame, centroids: Array[Array[Double]],
                 nprobe: Int): DataFrame = {
     val spark = df.sparkSession
     val cdf = spark.createDataFrame(
       centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
       .toDF("cid", "cv")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
-    df.crossJoin(broadcast(cdf))
+    val scored = df.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cdf))
       .withColumn("csim", dotNative(col("v"), col("cv")) / col("nrm"))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= nprobe)
-      .drop("cv", "csim", "crn")
+    if (nprobe == 1)
+      scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("b"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("v"), col("nrm"), (-col("b.ncid")).as("cid"))
+    else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      scored.withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= nprobe)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    }
   }
 
   /** IVF top-k: corpus vectors live in their single nearest-centroid
