@@ -262,10 +262,21 @@ object PartitionedUpsert {
     val reachable: Set[String] = kept.flatMap { v =>
       readManifest(fs, dir, v).buckets.values.map(_.split('/')(1)) // "v<N>"
     }.toSet
+    // only reclaim data versions BELOW the committed max: an in-flight
+    // prepare stages at a version ABOVE every committed manifest (see
+    // nextVersion), and is unreachable only because it hasn't committed
+    // YET — deleting it would corrupt the commit that follows. Crashed
+    // prepares start above the committed max too, but fall below it as
+    // soon as the next successful commit lands, and are reclaimed then.
+    val committedMax = versions.max
     val dataDir = new Path(s"$dir/data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).map(_.getPath).foreach { p =>
-        if (!reachable.contains(p.getName)) { fs.delete(p, true); () }
+        val vnum = p.getName.stripPrefix("v").toLongOption
+        val belowCommitted = vnum.exists(_ < committedMax)
+        if (!reachable.contains(p.getName) && belowCommitted) {
+          fs.delete(p, true); ()
+        }
       }
     versions.dropRight(keepManifests).foreach { v =>
       fs.delete(manifestPath(dir, v), false); ()

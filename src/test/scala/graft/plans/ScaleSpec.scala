@@ -160,6 +160,36 @@ class ScaleSpec extends SparkSpec {
     assert(PartitionedUpsert.read(spark, dir).count() === 100)
   }
 
+  test("vacuum never reclaims an in-flight prepare; crashed orphans go " +
+      "after the next commit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pu8").toString + "/tgt"
+    val snap = (0L until 50L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    val c1 = Seq((1L, 3L, "u", -3.0)).toDF("lsn", "pk", "op", "val")
+    // stage a merge but do NOT commit — then vacuum aggressively
+    val pending = PartitionedUpsert.prepare(spark, dir, c1,
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    PartitionedUpsert.vacuum(spark, dir, keepManifests = 1)
+    assert(new java.io.File(s"$dir/data/v${pending.version}").exists(),
+      "vacuum must not reclaim a staged-but-uncommitted version")
+    PartitionedUpsert.commit(spark, dir, pending)
+    val state = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state(3L) === -3.0, "commit after vacuum must publish intact data")
+    // a crashed prepare's orphan IS reclaimed once a later commit lands
+    val orphan = PartitionedUpsert.prepare(spark, dir,
+      Seq((2L, 5L, "u", 5.5)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4) // never committed
+    PartitionedUpsert.merge(spark, dir,
+      Seq((3L, 6L, "u", 6.6)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    PartitionedUpsert.vacuum(spark, dir, keepManifests = 1)
+    assert(!new java.io.File(s"$dir/data/v${orphan.version}").exists(),
+      "orphan below the committed max must be reclaimed")
+    assert(PartitionedUpsert.read(spark, dir).count() === 50)
+  }
+
   test("PartitionedUpsert.evolveSchema: rename+widen rewrite commits atomically " +
       "and post-DDL merges apply in the new schema") {
     import spark.implicits._
