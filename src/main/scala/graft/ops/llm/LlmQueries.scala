@@ -147,6 +147,27 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** Exact char-5-gram Jaccard over the BOUNDED adjacent-doc_id pair
+    * set (linear in corpus, never all-pairs) — oracles the shingle
+    * tokenization + set-overlap arithmetic that shingleNearDups'
+    * seeded MinHash stage builds on. Jaccard in integer arithmetic
+    * ((10000·|∩|) DIV |∪| / 1e4) so both engines round identically
+    * (PARITY rule 5). */
+  def qLlmNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = NearDup.shingleSets(
+      Tables.table(spark, dir, "documents"), "doc_id", "text", n = 5)
+    val a = s.select($"doc_id".as("doc_a"), $"tokens".as("ta"))
+    val b = s.select(($"doc_id" - 1).as("doc_a"), $"doc_id".as("doc_b"),
+      $"tokens".as("tb"))
+    a.join(b, "doc_a")
+      .withColumn("i_len", size(array_intersect($"ta", $"tb")).cast("long"))
+      .withColumn("u_len", size(array_union($"ta", $"tb")).cast("long"))
+      .select($"doc_a", $"doc_b", $"i_len", $"u_len",
+        (expr("(10000 * i_len) DIV u_len") / 10000.0).as("jaccard_4dp"))
+      .orderBy($"doc_a")
+  }
+
   /** Quality scoring: word counts, avg word length, stopword ratio,
     * quality band — the heuristics of a pretraining text filter. */
   def qLlmQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -181,7 +202,8 @@ object LlmQueries {
     "q_llm_l2norm" -> (qLlmL2norm _),
     "q_llm_quality" -> (qLlmQuality _),
     "q_llm_fingerprint" -> (qLlmFingerprint _),
-    "q_llm_langid" -> (qLlmLangid _)
+    "q_llm_langid" -> (qLlmLangid _),
+    "q_llm_ngram_jaccard" -> (qLlmNgramJaccard _)
   )
 
   private val dotFold =
@@ -328,6 +350,22 @@ object LlmQueries {
         |  FROM d CROSS JOIN prof p)
         |SELECT doc_id, lang AS pred_lang, score FROM scored
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_llm_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(t) - 4, 1) + 1),
+        |      i -> substr(t, i, 5))) AS toks
+        |  FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |        FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.toks, b.toks))::BIGINT AS i_len,
+        |  len(list_distinct(list_concat(a.toks, b.toks)))::BIGINT AS u_len,
+        |  ((10000 * len(list_intersect(a.toks, b.toks))::BIGINT)
+        |    // len(list_distinct(list_concat(a.toks, b.toks)))::BIGINT) / 10000.0
+        |    AS jaccard_4dp
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin
   )
 }
