@@ -38,6 +38,32 @@ class CompositeKeySpec extends SparkSpec {
     assert(hist.count() === 5)
   }
 
+  test("compactSalted and applyChunkedSnapshot honor composite keys") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "t1", 1L, "c", 10.0),
+      (2L, "t2", 1L, "c", 20.0),
+      (3L, "t1", 1L, "u", 11.0),
+      (4L, "t2", 1L, "d", 0.0),
+      (5L, "t1", 2L, "c", 12.0)
+    ).toDF("lsn", "tbl", "pk", "op", "val")
+    val plain = Cdc.compact(log, Seq("tbl", "pk"), "lsn")
+    val salted = Cdc.compactSalted(log, Seq("tbl", "pk"), "lsn", nSalts = 4)
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+
+    // chunk read at wm=2: both tables' pk=1 exist (t2/1 not yet deleted)
+    val chunks = Seq(
+      ("t1", 1L, 10.0, 2L), ("t2", 1L, 20.0, 2L), ("t9", 9L, 99.0, 2L))
+      .toDF("tbl", "pk", "val", "wm")
+    val out = Cdc.applyChunkedSnapshot(chunks, log,
+        Seq("tbl", "pk"), "lsn", "op", Seq("val"), "wm")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // t1/1 updated at lsn 3 (> wm), t2/1 deleted at lsn 4, t1/2 created
+    // at lsn 5, t9/9 only in the chunk — untouched
+    assert(out === Map(
+      ("t1", 1L) -> 11.0, ("t1", 2L) -> 12.0, ("t9", 9L) -> 99.0))
+  }
+
   test("diff with composite keys classifies per (table, pk)") {
     import spark.implicits._
     val exp = Seq(("t1", 1L, "a"), ("t1", 2L, "b"), ("t2", 1L, "c"))
