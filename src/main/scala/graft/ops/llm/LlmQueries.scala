@@ -168,6 +168,36 @@ object LlmQueries {
       .orderBy($"doc_a")
   }
 
+  /** Portable SimHash fingerprints, oracled bit-for-bit: md5-prefix
+    * token hash (PARITY rule 19) + per-bit majority vote; the DuckDB
+    * side is GENERATED from the same bit loop so the 32 conditional
+    * sums cannot drift from the Spark ones. Single-space tokens per
+    * q_llm_tf precedent. One groupBy shuffle. */
+  def qLlmSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = Tables.table(spark, dir, "documents")
+      .select($"doc_id", array_distinct(split($"text", " ")).as("tokens"))
+    NearDup.simHashPortable(sets, nBits = 32).orderBy($"doc_id")
+  }
+
+  /** The generated oracle SQL for [[qLlmSimhash]]. */
+  private[llm] def simhashOracle: String = {
+    val bitSums = (0 until 32).map(b =>
+      s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n    ")
+    val fp = (0 until 32).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, ($fp)::BIGINT AS fp
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
   /** Quality scoring: word counts, avg word length, stopword ratio,
     * quality band — the heuristics of a pretraining text filter. */
   def qLlmQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -203,7 +233,8 @@ object LlmQueries {
     "q_llm_quality" -> (qLlmQuality _),
     "q_llm_fingerprint" -> (qLlmFingerprint _),
     "q_llm_langid" -> (qLlmLangid _),
-    "q_llm_ngram_jaccard" -> (qLlmNgramJaccard _)
+    "q_llm_ngram_jaccard" -> (qLlmNgramJaccard _),
+    "q_llm_simhash" -> (qLlmSimhash _)
   )
 
   private val dotFold =
@@ -366,6 +397,7 @@ object LlmQueries {
         |    // len(list_distinct(list_concat(a.toks, b.toks)))::BIGINT) / 10000.0
         |    AS jaccard_4dp
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
-        |ORDER BY doc_a""".stripMargin
+        |ORDER BY doc_a""".stripMargin,
+    "q_llm_simhash" -> simhashOracle
   )
 }

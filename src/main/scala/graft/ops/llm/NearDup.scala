@@ -167,6 +167,26 @@ object NearDup {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Engine-portable SimHash: same per-bit majority vote as [[simHash]]
+    * but the token hash is the first 8 md5 hex chars (32 bits) instead
+    * of Spark-seeded xxhash64 — md5 is bit-identical everywhere, so
+    * this variant is DuckDB-oracle-able (q_llm_simhash). A tied bit
+    * (sum 0) votes 0 on both engines. 32 bits is plenty for banding;
+    * the xxhash64 64-bit variant stays the production fast path. */
+  def simHashPortable(sets: DataFrame, nBits: Int = 32): DataFrame = {
+    require(nBits >= 1 && nBits <= 32, s"nBits=$nBits must be in [1,32]")
+    val tok = sets.select(col("doc_id"), explode(col("tokens")).as("t"))
+      .withColumn("hv", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until nBits).map(b =>
+      sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until nBits).map(b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fp.as("fp"))
+  }
+
   /** SimHash near-dups: bucket by 16-bit bands (a pair within hamming
     * distance 3 shares at least one of the 4 bands — pigeonhole), then
     * verify the distance. */

@@ -174,6 +174,22 @@ class LlmSpec extends SparkSpec {
     assert(found === Set((1L, 2L)), s"got $found")
   }
 
+  test("simHashPortable: identical docs collide, near docs closer than far") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, base), (2L, base), (3L, base + " omega"),
+      (4L, (1 to 60).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sets = d.select($"doc_id", array_distinct(split($"text", " ")).as("tokens"))
+    val fp = NearDup.simHashPortable(sets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    val near = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val far = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
   test("charShingles: correct n-gram window") {
     import spark.implicits._
     val out = Seq("abcd").toDF("t")
