@@ -28,8 +28,13 @@ import org.apache.spark.sql.types.StructType
   * garbage, reclaimed by `vacuum`. A bucket emptied by deletes simply
   * does not appear in the new manifest — there is no post-write
   * delete window (the round-3 resurrection bug class is gone by
-  * construction). Concurrent committers: the rename fails if the
-  * version already exists — optimistic concurrency, first wins.
+  * construction). Concurrent committers: every prepare targets
+  * manifest version base+1 while staging its DATA under an
+  * independent, always-unique directory number, so two merges racing
+  * from the same base collide on the manifest rename — the loser gets
+  * a clean conflict error and must re-prepare from the new state
+  * (optimistic concurrency with real conflict detection; a lost
+  * update is impossible by construction).
   *
   * Per-batch cost is O(touched buckets) in data and O(1) in Spark
   * jobs: one pruned read, one merge, one write (same single-job shape
@@ -45,7 +50,10 @@ object PartitionedUpsert {
                             buckets: Map[Long, String])
 
   /** A prepared-but-uncommitted merge: data files are on disk under
-    * `data/v<version>` but no reader can see them until `commit`. */
+    * `data/v<version>` (the STAGING number) but no reader can see
+    * them until `commit` publishes `manifest` (whose version is
+    * base+1 — the two numberings are independent; the manifest
+    * rename is the serialization point for conflict detection). */
   final case class Pending(version: Long, manifest: Manifest,
                            touched: Seq[Long])
 
@@ -105,8 +113,9 @@ object PartitionedUpsert {
     val dest = manifestPath(dir, m.version)
     if (!fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"concurrent commit: manifest v${m.version} already exists at $dest")
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict: manifest v${m.version} already published — another " +
+          s"writer committed from the same base; re-prepare from the new state")
     }
   }
 
@@ -136,18 +145,17 @@ object PartitionedUpsert {
     * under `data/v<N>` and return the manifest that `commit` would
     * publish. Nothing is visible to readers until `commit`. Split from
     * `merge` so crash-between-write-and-commit is directly testable. */
-  /** Next writable version: past the committed manifest AND past any
-    * orphaned data dirs from crashed prepares — recovery re-runs must
-    * never collide. */
-  private def nextVersion(fs: FileSystem, dir: String, prior: Manifest): Long = {
-    val orphanMax = {
-      val dataDir = new Path(s"$dir/data")
+  /** Next free STAGING directory number: past every existing data dir,
+    * committed or orphaned — concurrent and recovery prepares must
+    * never collide on a data path. Independent of manifest numbering. */
+  private def nextStaging(fs: FileSystem, dir: String): Long = {
+    val dataDir = new Path(s"$dir/data")
+    val existingMax =
       if (!fs.exists(dataDir)) 0L
       else fs.listStatus(dataDir).map(_.getPath.getName)
         .filter(_.startsWith("v")).flatMap(_.stripPrefix("v").toLongOption)
         .foldLeft(0L)(math.max)
-    }
-    math.max(prior.version, orphanMax) + 1
+    existingMax + 1
   }
 
   def prepare(spark: SparkSession, dir: String, changes: DataFrame,
@@ -156,7 +164,7 @@ object PartitionedUpsert {
     val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
-    val version = nextVersion(fs, dir, prior)
+    val version = nextStaging(fs, dir)
     val withBucket = changes.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .persist()
     try {
@@ -183,7 +191,10 @@ object PartitionedUpsert {
       // vanish by omission — no delete step, nothing to resurrect
       val buckets = (prior.buckets -- touched) ++
         written.map(b => b -> dataRel(version, b))
-      Pending(version, Manifest(version, prior.schema, buckets), touched)
+      // manifest version = base+1: a concurrent merge from the same
+      // base targets the SAME manifest name and loses the rename race
+      Pending(version, Manifest(prior.version + 1, prior.schema, buckets),
+        touched)
     } finally { withBucket.unpersist(); () }
   }
 
@@ -216,15 +227,15 @@ object PartitionedUpsert {
     val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
-    val version = nextVersion(fs, dir, prior)
+    val staging = nextStaging(fs, dir)
     val evolved = Cdc.applySchemaChanges(read(spark, dir), changes)
     evolved
       .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .write.mode("errorifexists")
-      .partitionBy("bucket").parquet(s"$dir/data/v$version")
-    val written = listBuckets(fs, s"$dir/data/v$version")
-    writeManifest(fs, dir, Manifest(version, evolved.schema,
-      written.map(b => b -> dataRel(version, b)).toMap))
+      .partitionBy("bucket").parquet(s"$dir/data/v$staging")
+    val written = listBuckets(fs, s"$dir/data/v$staging")
+    writeManifest(fs, dir, Manifest(prior.version + 1, evolved.schema,
+      written.map(b => b -> dataRel(staging, b)).toMap))
   }
 
   /** Read the committed state: exactly the files the newest manifest
@@ -249,8 +260,17 @@ object PartitionedUpsert {
   /** Reclaim data versions unreachable from the `keepManifests` newest
     * manifests (and drop the older manifests). Run AFTER readers of
     * old snapshots have drained — standard snapshot-isolation contract
-    * (same as Delta VACUUM). */
-  def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2): Unit = {
+    * (same as Delta VACUUM).
+    *
+    * `minStagingAgeMs` protects IN-FLIGHT prepares: a staged version
+    * is unreachable only because it has not committed YET, and
+    * deleting it would corrupt the commit that follows. Unreachable
+    * dirs are reclaimed only when older than this age — set it above
+    * the longest expected prepare duration (same contract as Delta's
+    * tombstone retention for uncommitted files). Crashed prepares age
+    * past it and are collected on a later run. */
+  def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2,
+             minStagingAgeMs: Long = 3600000L): Unit = {
     require(keepManifests >= 1, "must keep at least the current manifest")
     val fs = fsOf(spark, dir)
     val mdir = new Path(s"$dir/_manifests")
@@ -262,20 +282,13 @@ object PartitionedUpsert {
     val reachable: Set[String] = kept.flatMap { v =>
       readManifest(fs, dir, v).buckets.values.map(_.split('/')(1)) // "v<N>"
     }.toSet
-    // only reclaim data versions BELOW the committed max: an in-flight
-    // prepare stages at a version ABOVE every committed manifest (see
-    // nextVersion), and is unreachable only because it hasn't committed
-    // YET — deleting it would corrupt the commit that follows. Crashed
-    // prepares start above the committed max too, but fall below it as
-    // soon as the next successful commit lands, and are reclaimed then.
-    val committedMax = versions.max
+    val cutoff = System.currentTimeMillis() - minStagingAgeMs
     val dataDir = new Path(s"$dir/data")
     if (fs.exists(dataDir))
-      fs.listStatus(dataDir).map(_.getPath).foreach { p =>
-        val vnum = p.getName.stripPrefix("v").toLongOption
-        val belowCommitted = vnum.exists(_ < committedMax)
-        if (!reachable.contains(p.getName) && belowCommitted) {
-          fs.delete(p, true); ()
+      fs.listStatus(dataDir).foreach { st =>
+        val oldEnough = st.getModificationTime < cutoff
+        if (!reachable.contains(st.getPath.getName) && oldEnough) {
+          fs.delete(st.getPath, true); ()
         }
       }
     versions.dropRight(keepManifests).foreach { v =>

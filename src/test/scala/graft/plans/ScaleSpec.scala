@@ -154,8 +154,8 @@ class ScaleSpec extends SparkSpec {
     // against a consistent snapshot — no torn read
     assert(oldReader.agg(sum($"val")).head().getDouble(0) === (0 until 100).sum.toDouble)
     assert(PartitionedUpsert.read(spark, dir).agg(sum($"val")).head().getDouble(0) === -100.0)
-    // vacuum(keep=1) reclaims v1; the current state is unaffected
-    PartitionedUpsert.vacuum(spark, dir, keepManifests = 1)
+    // vacuum(keep=1, age=0) reclaims v1; the current state is unaffected
+    PartitionedUpsert.vacuum(spark, dir, keepManifests = 1, minStagingAgeMs = 0)
     assert(!new java.io.File(s"$dir/data/v1").exists(), "vacuum should reclaim v1")
     assert(PartitionedUpsert.read(spark, dir).count() === 100)
   }
@@ -167,7 +167,8 @@ class ScaleSpec extends SparkSpec {
     val snap = (0L until 50L).map(i => (i, i * 1.0)).toDF("pk", "val")
     PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
     val c1 = Seq((1L, 3L, "u", -3.0)).toDF("lsn", "pk", "op", "val")
-    // stage a merge but do NOT commit — then vacuum aggressively
+    // stage a merge but do NOT commit — then vacuum aggressively (the
+    // default minStagingAgeMs shields anything younger than an hour)
     val pending = PartitionedUpsert.prepare(spark, dir, c1,
       "pk", "lsn", "op", Seq("val"), nBuckets = 4)
     PartitionedUpsert.vacuum(spark, dir, keepManifests = 1)
@@ -184,10 +185,37 @@ class ScaleSpec extends SparkSpec {
     PartitionedUpsert.merge(spark, dir,
       Seq((3L, 6L, "u", 6.6)).toDF("lsn", "pk", "op", "val"),
       "pk", "lsn", "op", Seq("val"), nBuckets = 4)
-    PartitionedUpsert.vacuum(spark, dir, keepManifests = 1)
+    // age 0 simulates an orphan older than the retention window
+    PartitionedUpsert.vacuum(spark, dir, keepManifests = 1, minStagingAgeMs = 0)
     assert(!new java.io.File(s"$dir/data/v${orphan.version}").exists(),
-      "orphan below the committed max must be reclaimed")
+      "an aged unreachable orphan must be reclaimed")
     assert(PartitionedUpsert.read(spark, dir).count() === 50)
+  }
+
+  test("concurrent merges from the same base: loser gets a commit conflict, " +
+      "no lost update") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pu9").toString + "/tgt"
+    val snap = (0L until 50L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    val changesA = Seq((1L, 3L, "u", -3.0)).toDF("lsn", "pk", "op", "val")
+    val changesB = Seq((2L, 4L, "u", -4.0)).toDF("lsn", "pk", "op", "val")
+    // both writers prepare from the SAME base manifest
+    val a = PartitionedUpsert.prepare(spark, dir, changesA,
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    val b = PartitionedUpsert.prepare(spark, dir, changesB,
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    PartitionedUpsert.commit(spark, dir, a)
+    // b would silently drop a's update if it committed — it must fail
+    intercept[java.util.ConcurrentModificationException] {
+      PartitionedUpsert.commit(spark, dir, b)
+    }
+    // the loser retries from the NEW state and both updates survive
+    PartitionedUpsert.merge(spark, dir, changesB,
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    val state = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state(3L) === -3.0 && state(4L) === -4.0, s"lost update: $state")
   }
 
   test("PartitionedUpsert.evolveSchema: rename+widen rewrite commits atomically " +
