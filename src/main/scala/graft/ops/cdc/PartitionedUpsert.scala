@@ -250,6 +250,38 @@ object PartitionedUpsert {
     else spark.read.schema(m.schema).parquet(paths: _*)
   }
 
+  /** Time travel: read the table AS OF a committed manifest version.
+    * Works for any version vacuum has not reclaimed — the manifest
+    * pins its exact file set, so the historical snapshot is as
+    * consistent as the current one. */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(manifestPath(dir, version)))
+      throw new IllegalArgumentException(
+        s"version $version does not exist (or was vacuumed) at $dir")
+    val m = readManifest(fs, dir, version)
+    val paths = m.buckets.values.toSeq.sorted.map(rel => s"$dir/$rel")
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(paths: _*)
+  }
+
+  /** Commit history: (version, commit time ms, bucket count) per
+    * retained manifest, newest first — operational observability. */
+  def history(spark: SparkSession, dir: String): Seq[(Long, Long, Int)] = {
+    val fs = fsOf(spark, dir)
+    val mdir = new Path(s"$dir/_manifests")
+    if (!fs.exists(mdir)) return Seq.empty
+    fs.listStatus(mdir).toSeq
+      .filter(st => st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.endsWith(".manifest"))
+      .map { st =>
+        val v = st.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong
+        (v, st.getModificationTime, readManifest(fs, dir, v).buckets.size)
+      }
+      .sortBy(-_._1)
+  }
+
   /** Absolute data path per bucket in the committed state (for tests
     * and operational inspection). */
   def bucketPaths(spark: SparkSession, dir: String): Map[Long, String] =

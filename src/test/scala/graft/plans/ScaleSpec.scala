@@ -192,6 +192,29 @@ class ScaleSpec extends SparkSpec {
     assert(PartitionedUpsert.read(spark, dir).count() === 50)
   }
 
+  test("time travel: readVersion pins historical snapshots; history lists commits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pu10").toString + "/tgt"
+    val snap = (0L until 20L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    PartitionedUpsert.merge(spark, dir,
+      Seq((1L, 3L, "u", -3.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    PartitionedUpsert.merge(spark, dir,
+      Seq((2L, 3L, "d", 0.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    def valAt(v: Long) = PartitionedUpsert.readVersion(spark, dir, v)
+      .filter($"pk" === 3L).collect().map(_.getDouble(1)).toSeq
+    assert(valAt(1L) === Seq(3.0))   // initial snapshot
+    assert(valAt(2L) === Seq(-3.0))  // after the update
+    assert(valAt(3L) === Seq())      // after the delete
+    val hist = PartitionedUpsert.history(spark, dir)
+    assert(hist.map(_._1) === Seq(3L, 2L, 1L), s"history: $hist")
+    intercept[IllegalArgumentException] {
+      PartitionedUpsert.readVersion(spark, dir, 99L)
+    }
+  }
+
   test("concurrent merges from the same base: loser gets a commit conflict, " +
       "no lost update") {
     import spark.implicits._
