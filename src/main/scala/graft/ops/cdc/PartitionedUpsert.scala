@@ -132,6 +132,20 @@ object PartitionedUpsert {
       written.map(b => b -> dataRel(version, b)).toMap))
   }
 
+  /** Bootstrap the target from a chunked LIVE-table snapshot plus the
+    * log captured concurrently (the DBLog pattern — see
+    * Cdc.applyChunkedSnapshot): reconcile, then commit as manifest v1.
+    * Capture never pauses; events after the last chunk watermark land
+    * through ordinary `merge` calls on the same code path. */
+  def initChunked(spark: SparkSession, dir: String, chunks: DataFrame,
+                  log: DataFrame, keyCol: String, lsnCol: String,
+                  opCol: String, valueCols: Seq[String],
+                  watermarkCol: String, nBuckets: Int): Unit = {
+    val state = Cdc.applyChunkedSnapshot(chunks, log, Seq(keyCol),
+      lsnCol, opCol, valueCols, watermarkCol)
+    init(state, dir, keyCol, nBuckets)
+  }
+
   /** Bucket ids present as `bucket=<i>` subdirectories — an FS listing,
     * zero Spark jobs. */
   private def listBuckets(fs: FileSystem, dataDir: String): Seq[Long] = {

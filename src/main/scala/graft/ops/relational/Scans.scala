@@ -53,6 +53,15 @@ object Scans {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** ORC source/sink (built-in columnar alternative; same pushdown +
+    * pruning machinery as parquet — ScansSpec asserts PushedFilters
+    * reach the ORC scan too). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> (qScanParquet _),
     "q_scan_pruned" -> (qScanPruned _)

@@ -93,6 +93,25 @@ class ChunkedSnapshotSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getDouble(1) === 8.0)
   }
 
+  test("initChunked bootstraps the upsert target live; later merges continue") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_boot").toString + "/tgt"
+    // chunk read at wm=10 while capture runs; log has pre- and post-wm events
+    val chunks = Seq((1L, 5.0, 10L), (2L, 7.0, 10L)).toDF("pk", "val", "wm")
+    val log = Seq((3L, 1L, "u", 99.0), (15L, 2L, "u", 42.0), (16L, 3L, "c", 1.0))
+      .toDF("lsn", "pk", "op", "val")
+    PartitionedUpsert.initChunked(spark, dir, chunks, log,
+      "pk", "lsn", "op", Seq("val"), "wm", nBuckets = 4)
+    val boot = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(boot === Map(1L -> 5.0, 2L -> 42.0, 3L -> 1.0))
+    // capture continues on the same code path after bootstrap
+    PartitionedUpsert.merge(spark, dir,
+      Seq((20L, 3L, "d", 0.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    assert(PartitionedUpsert.read(spark, dir).count() === 2)
+  }
+
   test("planChunkBounds covers the full key range in one approximate pass") {
     import spark.implicits._
     val table = (0L until 1000L).map(k => (k, k * 1.0)).toDF("pk", "val")

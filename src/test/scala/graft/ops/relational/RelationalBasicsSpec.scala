@@ -87,6 +87,26 @@ class RelationalBasicsSpec extends SparkSpec {
     assert(jsonl.select("name").head().getString(0) === "gamma")
   }
 
+  test("ORC source/sink: round-trip preserves data; filters push to the ORC scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = spark.read.parquet(s"$sfSmoke/orders.parquet")
+    Scans.writeOrc(src, s"$dir/orders_orc")
+    val back = Scans.readOrc(spark, s"$dir/orders_orc")
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    val filtered = back.select($"o_orderkey", $"o_totalprice")
+      .filter($"o_totalprice" > 100000.0)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,100000.0)]") ||
+      plan.contains("GreaterThan(o_totalprice,100000.0)"), plan)
+    // column pruning reaches the ORC reader
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      plan)
+  }
+
   test("partitioned parquet sink: hive layout + partition pruning on read-back") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
