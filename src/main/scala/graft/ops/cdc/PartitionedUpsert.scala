@@ -50,11 +50,11 @@ object PartitionedUpsert {
                             buckets: Map[Long, String])
 
   /** A prepared-but-uncommitted merge: data files are on disk under
-    * `data/v<version>` (the STAGING number) but no reader can see
-    * them until `commit` publishes `manifest` (whose version is
-    * base+1 — the two numberings are independent; the manifest
-    * rename is the serialization point for conflict detection). */
-  final case class Pending(version: Long, manifest: Manifest,
+    * `data/<staging>` but no reader can see them until `commit`
+    * publishes `manifest` (whose version is base+1 — staging names
+    * and manifest versions are independent; the manifest publish is
+    * the serialization point for conflict detection). */
+  final case class Pending(staging: String, manifest: Manifest,
                            touched: Seq[Long])
 
   def bucketOf(keyCol: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
@@ -66,8 +66,8 @@ object PartitionedUpsert {
   private def manifestPath(dir: String, version: Long): Path =
     new Path(s"$dir/_manifests/v%020d.manifest".format(version))
 
-  private def dataRel(version: Long, bucket: Long): String =
-    s"data/v$version/bucket=$bucket"
+  private def dataRel(staging: String, bucket: Long): String =
+    s"data/$staging/bucket=$bucket"
 
   /** Highest committed manifest, or None for an uninitialized table. */
   def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
@@ -95,10 +95,16 @@ object PartitionedUpsert {
     Manifest(version, schema, buckets)
   }
 
-  /** Atomic commit: write to a temp name, rename into place. Rename
-    * within one directory is atomic on HDFS and POSIX local FS; it
-    * fails if the destination exists, which turns a concurrent commit
-    * of the same version into a clean first-wins error. */
+  /** Publish a manifest: write to a temp name, then rename into place
+    * with NO-OVERWRITE semantics via FileContext (Options.Rename.NONE).
+    * On HDFS this is an atomic compare-and-publish; Spark's local
+    * `file://` proxy also rejects an existing destination. Raw
+    * LocalFileSystem.rename would silently OVERWRITE (POSIX rename(2))
+    * — which is exactly why this goes through FileContext, whose local
+    * AbstractFileSystem enforces the no-overwrite check. On object
+    * stores replace this with a conditional put (if-none-match); the
+    * rest of the protocol is store-agnostic. A losing racer gets a
+    * clean conflict error and must re-prepare from the new state. */
   private def writeManifest(fs: FileSystem, dir: String, m: Manifest): Unit = {
     val mdir = new Path(s"$dir/_manifests")
     fs.mkdirs(mdir)
@@ -111,25 +117,48 @@ object PartitionedUpsert {
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     val dest = manifestPath(dir, m.version)
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"commit conflict: manifest v${m.version} already published — another " +
-          s"writer committed from the same base; re-prepare from the new state")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dest.toUri, fs.getConf)
+      fc.rename(tmp.makeQualified(fs.getUri, fs.getWorkingDirectory),
+        dest.makeQualified(fs.getUri, fs.getWorkingDirectory))
+    } catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict: manifest v${m.version} already published — " +
+            s"another writer committed from the same base; re-prepare " +
+            s"from the new state (${e.getMessage})")
+      case e: java.io.IOException if fs.exists(dest) =>
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict: manifest v${m.version} already published — " +
+            s"another writer committed from the same base; re-prepare " +
+            s"from the new state (${e.getMessage})")
     }
   }
 
-  /** Initialize the target from a snapshot (commits manifest v1). */
+  /** Initialize the target from a snapshot (commits manifest v1).
+    * Stages under a fresh directory like every other writer — an init
+    * racing a live table must NEVER touch directories a committed
+    * manifest references, so re-init of an initialized table fails
+    * before writing anything, and two racing inits collide on the
+    * v1 manifest publish with at most an orphaned staging dir. */
   def init(snapshot: DataFrame, dir: String, keyCol: String, nBuckets: Int): Unit = {
     val spark = snapshot.sparkSession
     val fs = fsOf(spark, dir)
-    val version = 1L
+    if (currentManifest(spark, dir).nonEmpty)
+      throw new IllegalStateException(
+        s"$dir is already an initialized upsert target; merge into it or " +
+          s"choose a fresh directory")
+    val staging = newStagingName(fs, dir)
     snapshot
       .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/data/v$version")
-    val written = listBuckets(fs, s"$dir/data/v$version")
-    writeManifest(fs, dir, Manifest(version, snapshot.schema,
-      written.map(b => b -> dataRel(version, b)).toMap))
+      .write.mode("errorifexists").partitionBy("bucket")
+      .parquet(s"$dir/data/$staging")
+    val written = listBuckets(fs, s"$dir/data/$staging")
+    writeManifest(fs, dir, Manifest(1L, snapshot.schema,
+      written.map(b => b -> dataRel(staging, b)).toMap))
   }
 
   /** Bootstrap the target from a chunked LIVE-table snapshot plus the
@@ -159,17 +188,24 @@ object PartitionedUpsert {
     * under `data/v<N>` and return the manifest that `commit` would
     * publish. Nothing is visible to readers until `commit`. Split from
     * `merge` so crash-between-write-and-commit is directly testable. */
-  /** Next free STAGING directory number: past every existing data dir,
-    * committed or orphaned — concurrent and recovery prepares must
-    * never collide on a data path. Independent of manifest numbering. */
-  private def nextStaging(fs: FileSystem, dir: String): Long = {
+  /** Fresh STAGING directory name `v<n>-<uuid8>`: the numeric prefix
+    * is a human-readable monotonic hint, the uuid suffix is what makes
+    * the name unique even when two prepares race the listing from
+    * separate drivers — a shared max+1 would let both stage into the
+    * SAME directory and commingle data files. Independent of manifest
+    * numbering. */
+  private def newStagingName(fs: FileSystem, dir: String): String = {
     val dataDir = new Path(s"$dir/data")
     val existingMax =
       if (!fs.exists(dataDir)) 0L
       else fs.listStatus(dataDir).map(_.getPath.getName)
-        .filter(_.startsWith("v")).flatMap(_.stripPrefix("v").toLongOption)
+        .filter(_.startsWith("v"))
+        .flatMap(n => {
+          val digits = n.stripPrefix("v").takeWhile(_.isDigit)
+          if (digits.nonEmpty) Some(digits.toLong) else None
+        })
         .foldLeft(0L)(math.max)
-    existingMax + 1
+    s"v${existingMax + 1}-${java.util.UUID.randomUUID.toString.take(8)}"
   }
 
   def prepare(spark: SparkSession, dir: String, changes: DataFrame,
@@ -178,38 +214,46 @@ object PartitionedUpsert {
     val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
-    val version = nextStaging(fs, dir)
+    val staging = newStagingName(fs, dir)
     val withBucket = changes.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .persist()
     try {
       // small by construction: ≤ nBuckets longs
       val touched = withBucket.select("bucket").distinct()
         .collect().map(_.getLong(0)).sorted.toSeq
-      val currentPaths = touched.flatMap(prior.buckets.get).map(rel => s"$dir/$rel")
-      val current =
-        if (currentPaths.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            prior.schema)
-        else spark.read.schema(prior.schema).parquet(currentPaths: _*)
+      val current = bucketsDf(spark, dir, prior,
+        only = Some(touched.flatMap(prior.buckets.get)))
       val next = Cdc.apply(current, withBucket.drop("bucket"),
           Seq(keyCol), lsnCol, opCol, valueCols)
         .drop("src")
         .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
-      // fresh versioned dir: the plan reads v<N-1> files and writes
-      // v<N> — no read-write conflict, no checkpoint materialization
+      // fresh staging dir: the plan reads the old files and writes new
+      // ones — no read-write conflict, no checkpoint materialization
       next.write.mode("errorifexists")
-        .partitionBy("bucket").parquet(s"$dir/data/v$version")
-      val written = listBuckets(fs, s"$dir/data/v$version")
+        .partitionBy("bucket").parquet(s"$dir/data/$staging")
+      val written = listBuckets(fs, s"$dir/data/$staging")
       // untouched buckets keep their old paths; touched buckets move to
-      // v<N>; touched-but-absent buckets were emptied by deletes and
-      // vanish by omission — no delete step, nothing to resurrect
+      // the staging dir; touched-but-absent buckets were emptied by
+      // deletes and vanish by omission — nothing to resurrect
       val buckets = (prior.buckets -- touched) ++
-        written.map(b => b -> dataRel(version, b))
+        written.map(b => b -> dataRel(staging, b))
       // manifest version = base+1: a concurrent merge from the same
-      // base targets the SAME manifest name and loses the rename race
-      Pending(version, Manifest(prior.version + 1, prior.schema, buckets),
+      // base targets the SAME manifest name and loses the publish race
+      Pending(staging, Manifest(prior.version + 1, prior.schema, buckets),
         touched)
     } finally { withBucket.unpersist(); () }
+  }
+
+  /** Materialize a manifest ('s listed files) as a DataFrame; `only`
+    * restricts to a subset of bucket paths (path-pruned merge read). */
+  private def bucketsDf(spark: SparkSession, dir: String, m: Manifest,
+                        only: Option[Seq[String]] = None): DataFrame = {
+    val rels = only.getOrElse(m.buckets.values.toSeq.sorted)
+    val paths = rels.map(rel => s"$dir/$rel")
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema)
+    else spark.read.schema(m.schema).parquet(paths: _*)
   }
 
   /** Publish a prepared merge (atomic manifest rename). */
@@ -241,13 +285,13 @@ object PartitionedUpsert {
     val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
-    val staging = nextStaging(fs, dir)
+    val staging = newStagingName(fs, dir)
     val evolved = Cdc.applySchemaChanges(read(spark, dir), changes)
     evolved
       .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .write.mode("errorifexists")
-      .partitionBy("bucket").parquet(s"$dir/data/v$staging")
-    val written = listBuckets(fs, s"$dir/data/v$staging")
+      .partitionBy("bucket").parquet(s"$dir/data/$staging")
+    val written = listBuckets(fs, s"$dir/data/$staging")
     writeManifest(fs, dir, Manifest(prior.version + 1, evolved.schema,
       written.map(b => b -> dataRel(staging, b)).toMap))
   }
@@ -258,10 +302,7 @@ object PartitionedUpsert {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
-    val paths = m.buckets.values.toSeq.sorted.map(rel => s"$dir/$rel")
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema).parquet(paths: _*)
+    bucketsDf(spark, dir, m)
   }
 
   /** Time travel: read the table AS OF a committed manifest version.
@@ -273,11 +314,7 @@ object PartitionedUpsert {
     if (!fs.exists(manifestPath(dir, version)))
       throw new IllegalArgumentException(
         s"version $version does not exist (or was vacuumed) at $dir")
-    val m = readManifest(fs, dir, version)
-    val paths = m.buckets.values.toSeq.sorted.map(rel => s"$dir/$rel")
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema).parquet(paths: _*)
+    bucketsDf(spark, dir, readManifest(fs, dir, version))
   }
 
   /** Commit history: (version, commit time ms, bucket count) per

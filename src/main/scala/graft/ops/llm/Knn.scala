@@ -148,9 +148,7 @@ object Knn {
         .map(_.getSeq[Double](0).toArray)
       var it = 0
       while (it < iters) {
-        val cdf = spark.createDataFrame(
-          centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
-          .toDF("cid", "cv")
+        val cdf = centroidDf(spark, centroids)
         // argmax via max(struct(sim, -cid)): lexicographic struct max ==
         // (sim desc, cid asc) — same tie-break as a window, but it
         // partial-aggregates map-side instead of shuffling the k-fold
@@ -158,8 +156,7 @@ object Knn {
         val assigned = unit.crossJoin(broadcast(cdf))
           .withColumn("sim", dotNative(col("u"), col("cv")))
           .groupBy(col("vec_id"))
-          .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("b"),
-            first(col("u")).as("u"))
+          .agg(argmaxCid(col("sim")), first(col("u")).as("u"))
           .select((-col("b.ncid")).as("cid"), col("u"))
         val means = assigned
           .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
@@ -180,23 +177,38 @@ object Knn {
     } finally { unit.unpersist(); () }
   }
 
+  /** Centroid codebook as a broadcast-sized DataFrame — the ONE
+    * encoding shared by codebook build and search (a divergence here
+    * would silently split assignment between the two). */
+  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+                         centroids: Array[Array[Double]]): DataFrame =
+    spark.createDataFrame(
+      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cid", "cv")
+
+  /** Shared argmax aggregate: max(struct(score, -cid)) == (score desc,
+    * cid asc) — the single tie-break rule for every assignment. */
+  private def argmaxCid(score: Column): Column =
+    max(struct(score, (-col("cid")).as("ncid"))).as("b")
+
   /** Assign each vector to its `nprobe` nearest centroids (by cosine;
     * ties break by centroid id). Returns (vec_id, v, nrm, cid).
-    * nprobe=1 — the corpus-side hot path — is an argmax aggregation
-    * (map-side partial, no per-vector sort); nprobe>1 (bounded query
-    * sets) takes the window. */
+    * Zero-norm vectors are EXCLUDED up front: their cosine is 0/0 =
+    * NaN, which Spark orders above every real number — without the
+    * filter a degenerate vector wins every ranking it appears in
+    * (ivfCentroids applies the same guard). nprobe=1 — the corpus-side
+    * hot path — is an argmax aggregation (map-side partial, no
+    * per-vector sort); nprobe>1 (bounded query sets) takes the window. */
   def ivfAssign(df: DataFrame, centroids: Array[Array[Double]],
                 nprobe: Int): DataFrame = {
     val spark = df.sparkSession
-    val cdf = spark.createDataFrame(
-      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
-      .toDF("cid", "cv")
     val scored = df.select(col("vec_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(cdf))
+      .filter(col("nrm") > 0.0)
+      .crossJoin(broadcast(centroidDf(spark, centroids)))
       .withColumn("csim", dotNative(col("v"), col("cv")) / col("nrm"))
     if (nprobe == 1)
       scored.groupBy(col("vec_id"))
-        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("b"),
+        .agg(argmaxCid(col("csim")),
           first(col("v")).as("v"), first(col("nrm")).as("nrm"))
         .select(col("vec_id"), col("v"), col("nrm"), (-col("b.ncid")).as("cid"))
     else {
@@ -212,8 +224,9 @@ object Knn {
     * bucket; each query probes its `nprobe` nearest buckets and takes
     * the exact top-k over everything it saw. ONE shuffle on the bucket
     * key; per-bucket exact scoring; recall rises with nprobe and
-    * reaches brute-force EXACTLY at nprobe = k (every bucket probed —
-    * the invariant the spec asserts). */
+    * reaches brute force EXACTLY at nprobe = centroids.length (every
+    * bucket probed — the invariant the spec asserts; note that is the
+    * CODEBOOK size, unrelated to the top-k parameter `k`). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
     val q = ivfAssign(withNorm(queries, "embedding"), centroids, nprobe)

@@ -103,7 +103,13 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (PartitionedUpsert.currentManifest(spark, targetDir).isEmpty) {
           val empty = batch.select((keyCol +: valueCols).map(col): _*).limit(0)
-          PartitionedUpsert.init(empty, targetDir, keyCol, nBuckets)
+          // a racing query may initialize between the check and here;
+          // losing that race is fine — the table exists either way
+          try PartitionedUpsert.init(empty, targetDir, keyCol, nBuckets)
+          catch {
+            case _: IllegalStateException |
+                 _: java.util.ConcurrentModificationException => ()
+          }
         }
         PartitionedUpsert.merge(spark, targetDir, batch, keyCol, lsnCol,
           opCol, valueCols, nBuckets): Unit

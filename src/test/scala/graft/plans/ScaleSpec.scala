@@ -127,7 +127,7 @@ class ScaleSpec extends SparkSpec {
     // "crash": prepare writes all v2 data files but we never commit
     val pending = PartitionedUpsert.prepare(spark, dir, changes,
       "pk", "lsn", "op", Seq("val"), nBuckets = 4)
-    assert(new java.io.File(s"$dir/data/v${pending.version}").exists(),
+    assert(new java.io.File(s"$dir/data/${pending.staging}").exists(),
       "prepared data files should be on disk")
     val state = PartitionedUpsert.read(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -172,7 +172,7 @@ class ScaleSpec extends SparkSpec {
     val pending = PartitionedUpsert.prepare(spark, dir, c1,
       "pk", "lsn", "op", Seq("val"), nBuckets = 4)
     PartitionedUpsert.vacuum(spark, dir, keepManifests = 1)
-    assert(new java.io.File(s"$dir/data/v${pending.version}").exists(),
+    assert(new java.io.File(s"$dir/data/${pending.staging}").exists(),
       "vacuum must not reclaim a staged-but-uncommitted version")
     PartitionedUpsert.commit(spark, dir, pending)
     val state = PartitionedUpsert.read(spark, dir)
@@ -187,9 +187,29 @@ class ScaleSpec extends SparkSpec {
       "pk", "lsn", "op", Seq("val"), nBuckets = 4)
     // age 0 simulates an orphan older than the retention window
     PartitionedUpsert.vacuum(spark, dir, keepManifests = 1, minStagingAgeMs = 0)
-    assert(!new java.io.File(s"$dir/data/v${orphan.version}").exists(),
+    assert(!new java.io.File(s"$dir/data/${orphan.staging}").exists(),
       "an aged unreachable orphan must be reclaimed")
     assert(PartitionedUpsert.read(spark, dir).count() === 50)
+  }
+
+  test("re-init of an initialized target fails BEFORE touching any committed data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pu11").toString + "/tgt"
+    val snap = (0L until 30L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    PartitionedUpsert.merge(spark, dir,
+      Seq((1L, 3L, "u", -3.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    val before = PartitionedUpsert.bucketPaths(spark, dir)
+    intercept[IllegalStateException] {
+      PartitionedUpsert.init(
+        Seq((9L, 999.0)).toDF("pk", "val"), dir, "pk", nBuckets = 4)
+    }
+    // the live table is untouched: same manifest, same files, same data
+    assert(PartitionedUpsert.bucketPaths(spark, dir) === before)
+    val state = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state.size === 30 && state(3L) === -3.0)
   }
 
   test("time travel: readVersion pins historical snapshots; history lists commits") {
