@@ -17,8 +17,9 @@ import org.apache.spark.sql.types.StructType
   *   4. writes the merged buckets to a FRESH versioned directory
   *      `data/v<N>/bucket=<i>/` — never in place,
   *   5. commits by publishing manifest `_manifests/v<N>.manifest`
-  *      via write-to-temp + same-directory rename (atomic on HDFS
-  *      and POSIX file systems).
+  *      via write-to-temp + FileContext rename with no-overwrite
+  *      semantics (atomic compare-and-publish on HDFS; on object
+  *      stores substitute a conditional put).
   *
   * Readers resolve the highest committed manifest and read exactly
   * the files it lists, so a reader sees either the pre-merge or the
@@ -30,11 +31,12 @@ import org.apache.spark.sql.types.StructType
   * delete window (the round-3 resurrection bug class is gone by
   * construction). Concurrent committers: every prepare targets
   * manifest version base+1 while staging its DATA under an
-  * independent, always-unique directory number, so two merges racing
-  * from the same base collide on the manifest rename — the loser gets
-  * a clean conflict error and must re-prepare from the new state
+  * independent, uuid-unique directory name, so two merges racing
+  * from the same base collide on the manifest publish — the loser
+  * gets a clean conflict error and must re-prepare from the new state
   * (optimistic concurrency with real conflict detection; a lost
-  * update is impossible by construction).
+  * update is impossible wherever the publish is atomic — HDFS, or a
+  * conditional put on object stores).
   *
   * Per-batch cost is O(touched buckets) in data and O(1) in Spark
   * jobs: one pruned read, one merge, one write (same single-job shape
