@@ -97,6 +97,25 @@ object Cdc {
         when(col("__in_log").isNotNull, lit("log")).otherwise(lit("snapshot")).as("src"): _*)
   }
 
+  /** Transaction-atomic apply: events carry a transaction id, and a
+    * transaction becomes visible only once its COMMIT marker (op='t',
+    * the Debezium transaction-metadata pattern) has arrived — an
+    * in-flight transaction is withheld entirely, so the replica never
+    * shows half of one (the boundary-preservation guarantee CDC tools
+    * make). One extra semi-join against the (tiny, broadcastable)
+    * committed-transaction set on top of the ordinary apply. Returns
+    * the applied state; replay later with the completed log and the
+    * withheld transactions fold in — same LWW semantics. */
+  def applyTransactional(snapshot: DataFrame, log: DataFrame,
+                         keys: Seq[String], offsetCol: String, opCol: String,
+                         valueCols: Seq[String], txCol: String): DataFrame = {
+    val committed = log.filter(col(opCol) === "t")
+      .select(col(txCol)).distinct()
+    val visible = log.filter(col(opCol) =!= "t")
+      .join(broadcast(committed), Seq(txCol), "left_semi")
+    apply(snapshot, visible, keys, offsetCol, opCol, valueCols)
+  }
+
   /** SCD Type-2 history: one row per key-version with
     * [valid_from, valid_to) intervals; open intervals are current. */
   def scd2(log: DataFrame, keys: Seq[String], offsetCol: String,

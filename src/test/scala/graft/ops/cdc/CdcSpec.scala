@@ -139,6 +139,30 @@ class CdcSpec extends SparkSpec {
     assert(state.collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("applyTransactional: in-flight transactions are withheld atomically") {
+    import spark.implicits._
+    val snap = Seq((1L, 10.0), (2L, 20.0)).toDF("pk", "val")
+    // tx "a" committed (marker at lsn 4); tx "b" touches TWO keys but
+    // its marker never arrived — neither of its events may apply
+    val log = Seq(
+      (1L, "a", 1L, "u", 11.0),
+      (2L, "b", 1L, "u", 99.0),
+      (3L, "b", 2L, "d", 0.0),
+      (4L, "a", -1L, "t", 0.0))
+      .toDF("lsn", "tx", "pk", "op", "val")
+    val out = Cdc.applyTransactional(snap, log,
+        Seq("pk"), "lsn", "op", Seq("val"), "tx")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 11.0, 2L -> 20.0), s"got $out")
+    // once b's marker arrives, BOTH of its events become visible at once
+    val complete = log.unionByName(
+      Seq((5L, "b", -1L, "t", 0.0)).toDF("lsn", "tx", "pk", "op", "val"))
+    val after = Cdc.applyTransactional(snap, complete,
+        Seq("pk"), "lsn", "op", Seq("val"), "tx")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after === Map(1L -> 99.0), s"got $after")
+  }
+
   test("DDL schema change: rename + type-widen normalize old batches forward") {
     import spark.implicits._
     // batch 1 captured under (id, val_old: int); then DDL renamed
