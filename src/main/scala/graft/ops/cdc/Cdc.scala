@@ -102,17 +102,22 @@ object Cdc {
     * the Debezium transaction-metadata pattern) has arrived — an
     * in-flight transaction is withheld entirely, so the replica never
     * shows half of one (the boundary-preservation guarantee CDC tools
-    * make). One extra semi-join against the (tiny, broadcastable)
-    * committed-transaction set on top of the ordinary apply. Returns
-    * the applied state; replay later with the completed log and the
-    * withheld transactions fold in — same LWW semantics. */
+    * make). Events with a NULL transaction id are non-transactional
+    * (sources without tx metadata, connector restarts) and apply
+    * directly — a semi-join alone would silently drop them. One extra
+    * semi-join against the (tiny, broadcastable) committed-transaction
+    * set on top of the ordinary apply. Returns the applied state;
+    * replay later with the completed log and the withheld transactions
+    * fold in — same LWW semantics. */
   def applyTransactional(snapshot: DataFrame, log: DataFrame,
                          keys: Seq[String], offsetCol: String, opCol: String,
                          valueCols: Seq[String], txCol: String): DataFrame = {
+    val events = log.filter(col(opCol) =!= "t")
     val committed = log.filter(col(opCol) === "t")
       .select(col(txCol)).distinct()
-    val visible = log.filter(col(opCol) =!= "t")
+    val visible = events.filter(col(txCol).isNotNull)
       .join(broadcast(committed), Seq(txCol), "left_semi")
+      .unionByName(events.filter(col(txCol).isNull))
     apply(snapshot, visible, keys, offsetCol, opCol, valueCols)
   }
 

@@ -125,18 +125,15 @@ object PartitionedUpsert {
       fc.rename(tmp.makeQualified(fs.getUri, fs.getWorkingDirectory),
         dest.makeQualified(fs.getUri, fs.getWorkingDirectory))
     } catch {
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        fs.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"commit conflict: manifest v${m.version} already published — " +
-            s"another writer committed from the same base; re-prepare " +
-            s"from the new state (${e.getMessage})")
-      case e: java.io.IOException if fs.exists(dest) =>
-        fs.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"commit conflict: manifest v${m.version} already published — " +
-            s"another writer committed from the same base; re-prepare " +
-            s"from the new state (${e.getMessage})")
+      case e: java.io.IOException =>
+        fs.delete(tmp, false) // never leak the temp file
+        if (e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+            fs.exists(dest))
+          throw new java.util.ConcurrentModificationException(
+            s"commit conflict: manifest v${m.version} already published — " +
+              s"another writer committed from the same base; re-prepare " +
+              s"from the new state (${e.getMessage})")
+        else throw e
     }
   }
 
@@ -168,10 +165,10 @@ object PartitionedUpsert {
     * Cdc.applyChunkedSnapshot): reconcile, then commit as manifest v1.
     * Capture never pauses; events after the last chunk watermark land
     * through ordinary `merge` calls on the same code path. */
-  def initChunked(spark: SparkSession, dir: String, chunks: DataFrame,
-                  log: DataFrame, keyCol: String, lsnCol: String,
-                  opCol: String, valueCols: Seq[String],
-                  watermarkCol: String, nBuckets: Int): Unit = {
+  def initChunked(dir: String, chunks: DataFrame, log: DataFrame,
+                  keyCol: String, lsnCol: String, opCol: String,
+                  valueCols: Seq[String], watermarkCol: String,
+                  nBuckets: Int): Unit = {
     val state = Cdc.applyChunkedSnapshot(chunks, log, Seq(keyCol),
       lsnCol, opCol, valueCols, watermarkCol)
     init(state, dir, keyCol, nBuckets)
@@ -379,5 +376,11 @@ object PartitionedUpsert {
     versions.dropRight(keepManifests).foreach { v =>
       fs.delete(manifestPath(dir, v), false); ()
     }
+    // temp manifests from crashed commits (create succeeded, rename
+    // never ran) are invisible garbage — reclaim aged ones here too
+    fs.listStatus(mdir)
+      .filter(st => st.getPath.getName.startsWith(".tmp-") &&
+        st.getModificationTime < cutoff)
+      .foreach { st => fs.delete(st.getPath, false); () }
   }
 }

@@ -41,11 +41,16 @@ object Knn {
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Attach `v` (double vector) and `nrm` columns (native kernel). */
+  /** Attach `v` (double vector) and `nrm` columns (native kernel),
+    * EXCLUDING zero-norm vectors: their cosine is 0/0 = NaN, and Spark
+    * orders NaN above every real number, so one degenerate vector
+    * would otherwise rank as the top neighbour of every query in
+    * every ranking path (brute force, bucketed, IVF, LSH alike). */
   def withNorm(df: DataFrame, embCol: String): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     df.withColumn("v", asDouble(col(embCol)))
       .withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
+      .filter(col("nrm") > 0.0)
   }
 
   /** Exact top-k cosine neighbours of each query vector. */

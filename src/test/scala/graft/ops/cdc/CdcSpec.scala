@@ -161,6 +161,14 @@ class CdcSpec extends SparkSpec {
         Seq("pk"), "lsn", "op", Seq("val"), "tx")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(after === Map(1L -> 99.0), s"got $after")
+    // NULL tx id = non-transactional event: applies directly, never dropped
+    val mixed = log.unionByName(
+      Seq((6L, null.asInstanceOf[String], 7L, "c", 70.0))
+        .toDF("lsn", "tx", "pk", "op", "val"))
+    val withPlain = Cdc.applyTransactional(snap, mixed,
+        Seq("pk"), "lsn", "op", Seq("val"), "tx")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(withPlain === Map(1L -> 11.0, 2L -> 20.0, 7L -> 70.0), s"got $withPlain")
   }
 
   test("DDL schema change: rename + type-widen normalize old batches forward") {

@@ -100,7 +100,7 @@ class ChunkedSnapshotSpec extends SparkSpec {
     val chunks = Seq((1L, 5.0, 10L), (2L, 7.0, 10L)).toDF("pk", "val", "wm")
     val log = Seq((3L, 1L, "u", 99.0), (15L, 2L, "u", 42.0), (16L, 3L, "c", 1.0))
       .toDF("lsn", "pk", "op", "val")
-    PartitionedUpsert.initChunked(spark, dir, chunks, log,
+    PartitionedUpsert.initChunked(dir, chunks, log,
       "pk", "lsn", "op", Seq("val"), "wm", nBuckets = 4)
     val boot = PartitionedUpsert.read(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

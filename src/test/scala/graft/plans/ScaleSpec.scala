@@ -146,6 +146,11 @@ class ScaleSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_pu6").toString + "/tgt"
     val snap = (0L until 100L).map(i => (i, i * 1.0)).toDF("pk", "val")
     PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    // remember the v1 staging dirs by their REAL (uuid-suffixed) names —
+    // asserting on a literal "v1" path would be vacuously green
+    val v1Dirs = PartitionedUpsert.bucketPaths(spark, dir).values
+      .map(p => new java.io.File(p).getParentFile).toSet
+    assert(v1Dirs.nonEmpty && v1Dirs.forall(_.exists()))
     val oldReader = PartitionedUpsert.read(spark, dir) // resolves manifest v1
     val changes = (0L until 100L).map(i => (i + 1L, i, "u", -1.0))
       .toDF("lsn", "pk", "op", "val")
@@ -154,9 +159,9 @@ class ScaleSpec extends SparkSpec {
     // against a consistent snapshot — no torn read
     assert(oldReader.agg(sum($"val")).head().getDouble(0) === (0 until 100).sum.toDouble)
     assert(PartitionedUpsert.read(spark, dir).agg(sum($"val")).head().getDouble(0) === -100.0)
-    // vacuum(keep=1, age=0) reclaims v1; the current state is unaffected
+    // vacuum(keep=1, age=0) reclaims the v1 staging dirs; state unaffected
     PartitionedUpsert.vacuum(spark, dir, keepManifests = 1, minStagingAgeMs = 0)
-    assert(!new java.io.File(s"$dir/data/v1").exists(), "vacuum should reclaim v1")
+    assert(v1Dirs.forall(!_.exists()), s"vacuum should reclaim $v1Dirs")
     assert(PartitionedUpsert.read(spark, dir).count() === 100)
   }
 
