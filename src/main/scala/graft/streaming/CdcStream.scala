@@ -117,6 +117,46 @@ object CdcStream {
       .start()
   }
 
+  /** Streaming transaction buffer — the streaming twin of
+    * Cdc.applyTransactional: events of a transaction are held in
+    * per-tx state and released ONLY when the commit marker (op='t')
+    * arrives, so downstream (e.g. the upsert sink) never applies half
+    * a transaction. Abandoned transactions (marker never arrives —
+    * source crash mid-tx) time out and are dropped, bounding state.
+    * Input must be transactional events; route NULL-tx events around
+    * the buffer (they are their own transaction). */
+  case class TxEvent(tx: String, lsn: Long, pk: Long, op: String, value: Double)
+
+  def transactionalBuffer(events: Dataset[TxEvent],
+                          abandonedTimeoutMs: Long = 3600000L): Dataset[TxEvent] = {
+    import events.sparkSession.implicits._
+    // timeout <= 0 disables expiry: a ProcessingTime-timeout query never
+    // quiesces (the engine keeps scheduling cleanup batches), so
+    // deterministic tests need the NoTimeout mode
+    val timeoutMode =
+      if (abandonedTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.tx)
+      .flatMapGroupsWithState[List[TxEvent], TxEvent](
+        OutputMode.Append(), timeoutMode) {
+        (_: String, rows: Iterator[TxEvent], state: GroupState[List[TxEvent]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty // abandoned: marker never arrived
+          } else {
+            val buf = state.getOption.getOrElse(Nil) ++ rows
+            if (buf.exists(_.op == "t")) {
+              state.remove()
+              buf.filterNot(_.op == "t").sortBy(_.lsn).iterator
+            } else {
+              state.update(buf)
+              if (abandonedTimeoutMs > 0) state.setTimeoutDuration(abandonedTimeoutMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Stateful running current-state view via flatMapGroupsWithState:
     * emits (pk, value, lsn) whenever a key's latest value changes;
     * tombstones emit a null value and clear state. The stable-API

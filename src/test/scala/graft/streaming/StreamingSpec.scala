@@ -126,6 +126,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transactionalBuffer: events release only at their commit marker") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CdcStream.TxEvent]
+    // timeout 0 = NoTimeout mode, so processAllAvailable quiesces
+    val out = CdcStream.transactionalBuffer(in.toDS(), abandonedTimeoutMs = 0).toDF()
+    val rows = runBatches(in, out, OutputMode.Append(), Seq(
+      // tx a: two events + marker in one batch → released, lsn-ordered
+      Seq(CdcStream.TxEvent("a", 2L, 1L, "u", 11.0),
+          CdcStream.TxEvent("a", 1L, 2L, "c", 20.0),
+          CdcStream.TxEvent("a", 3L, -1L, "t", 0.0),
+          // tx b: no marker yet → withheld
+          CdcStream.TxEvent("b", 4L, 3L, "u", 99.0)),
+      // tx b commits in a LATER batch → both its events release together
+      Seq(CdcStream.TxEvent("b", 5L, 4L, "c", 40.0),
+          CdcStream.TxEvent("b", 6L, -1L, "t", 0.0))))
+    val byTx = rows.map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    assert(byTx("a").map(_._2).toSeq === Seq(1L, 2L), "tx a releases lsn-ordered")
+    assert(byTx("b").map(_._2).toSeq.sorted === Seq(4L, 5L),
+      "tx b releases only after its marker")
+    assert(!rows.exists(_.getString(3) == "t"), "markers are not emitted")
+  }
+
   test("flatMapGroupsWithState: running CDC state with tombstones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
