@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSession
   * - UTC session timezone (oracle/corpus contract)
   * - native function registration (graft_dot, graft_normalize_text)
   *
+  * Deliberately NOT set: `spark.sql.parquet.aggregatePushdown` — it
+  * only fires on the DSv2 path (empty `useV1SourceList`), and flipping
+  * every parquet read to v2 for one metadata-count win risks subtle
+  * behavior changes (TIMESTAMP(NANOS) handling, mergeSchema) across
+  * the whole oracled surface; the v1 count already reads struct<>
+  * (row-group headers only). Measured, see BASELINE.md.
+  *
   * On a real cluster the same builder applies — only master/memory
   * change; `spark.sql.extensions=graft.functions.GraftExtensions` is
   * the config-file alternative to `registerFunctions`.
