@@ -207,16 +207,52 @@ object Cdc {
     * `nChunks+1` ascending bounds; chunk i covers [b(i), b(i+1)), last
     * chunk closed. At 100 TB this is the only viable planner — an exact
     * ntile would globally sort the table before the snapshot even
-    * starts. */
+    * starts.
+    *
+    * Plans on the key's NATIVE integral type end-to-end: a
+    * snowflake-style 64-bit id above 2^53 collapses two distinct
+    * bounds into one under ANY double conversion, and misaligned
+    * chunks skew the snapshot walk. Both approxQuantile AND
+    * percentile_approx round through doubles internally (measured:
+    * percentile_approx returns 2^53+1000 for a max of 2^53+999 — odd
+    * longs above 2^53 are unrepresentable), so neither is usable; the
+    * honest planner is the RangePartitioner pattern (public Spark
+    * design): one agg pass for (count, min, max), then a bounded key
+    * SAMPLE sorted driver-side with split points read off it — ~20k
+    * longs of driver state regardless of table size. Non-integral keys
+    * are rejected loudly — floats lose identity above 2^53 and string
+    * keys need a different split-point encoding, so silently degrading
+    * is the one wrong answer. */
   def planChunkBounds(table: DataFrame, keyCol: String,
-                      nChunks: Int): Seq[Double] = {
+                      nChunks: Int): Seq[Long] = {
     require(nChunks >= 1, "planChunkBounds: nChunks must be >= 1")
-    val probs = (0 to nChunks).map(_.toDouble / nChunks).toArray
-    val b = table.select(col(keyCol).cast(DoubleType).as(keyCol))
-      .stat.approxQuantile(keyCol, probs, 0.001).toSeq
-    // approxQuantile can repeat bounds on skewed keys; keep them — an
-    // empty chunk is harmless, a missing key range is not
-    b
+    val dt = table.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"planChunkBounds: chunk key '$keyCol' must be integral, got " +
+        s"${dt.catalogString} — fractional keys lose identity above 2^53 " +
+        s"and non-numeric keys need a sampled split-point planner")
+    val k = col(keyCol).cast(LongType) // lossless up-cast for integrals
+    val stats = table.agg(count(k).as("n"), min(k).as("mn"), max(k).as("mx"))
+      .head()
+    require(!stats.isNullAt(1),
+      s"planChunkBounds: '$keyCol' has no non-null keys to chunk")
+    val (n, mn, mx) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (nChunks == 1) return Seq(mn, mx)
+    val targetSample = math.max(20000, nChunks * 200)
+    val fraction = math.min(1.0, targetSample.toDouble / n)
+    val sample = table.select(k.as("k")).na.drop()
+      .sample(withReplacement = false, fraction, seed = 42)
+      .collect().map(_.getLong(0)).sorted
+    // inner split points at the sample's quantile positions; exact
+    // min/max close the range. The sample can repeat bounds on skewed
+    // keys; keep them — an empty chunk is harmless, a missing key
+    // range is not
+    val inner = (1 until nChunks).map { i =>
+      if (sample.isEmpty) mn
+      else sample(math.min(((i.toLong * sample.length) / nChunks).toInt,
+        sample.length - 1))
+    }
+    mn +: inner :+ mx
   }
 
   /** Merge chunked-snapshot reads with the concurrently captured log.

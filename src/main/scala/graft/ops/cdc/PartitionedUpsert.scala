@@ -46,10 +46,14 @@ import org.apache.spark.sql.types.StructType
   */
 object PartitionedUpsert {
 
-  /** Committed table state: data-file schema + bucket → path-relative-
-    * to-table-root of the versioned directory holding that bucket. */
+  /** Committed table state: data-file schema, the bucket COUNT the
+    * table is laid out in (the hash-fn modulus — recorded so a caller
+    * whose `nBuckets` drifts from the physical layout is rejected
+    * instead of silently routing keys to the wrong files), and
+    * bucket → path-relative-to-table-root of the versioned directory
+    * holding that bucket. */
   final case class Manifest(version: Long, schema: StructType,
-                            buckets: Map[Long, String])
+                            nBuckets: Int, buckets: Map[Long, String])
 
   /** A prepared-but-uncommitted merge: data files are on disk under
     * `data/<staging>` but no reader can see them until `commit`
@@ -83,41 +87,52 @@ object PartitionedUpsert {
     else Some(readManifest(fs, dir, versions.max))
   }
 
-  private def readManifest(fs: FileSystem, dir: String, version: Long): Manifest = {
+  private def readManifestText(fs: FileSystem, dir: String, version: Long): String = {
     val in = fs.open(manifestPath(dir, version))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    val lines = text.split('\n').filter(_.nonEmpty)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Manifest file format: line 1 = schema JSON, line 2 = bucket count,
+    * remaining lines = `<bucket>\t<relative path>`. */
+  private def manifestBody(m: Manifest): String =
+    (Seq(m.schema.json, m.nBuckets.toString) ++
+      m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" })
+      .mkString("\n")
+
+  private def readManifest(fs: FileSystem, dir: String, version: Long): Manifest = {
+    val lines = readManifestText(fs, dir, version).split('\n').filter(_.nonEmpty)
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(lines.head).asInstanceOf[StructType]
-    val buckets = lines.tail.map { l =>
+    val nBuckets = lines(1).toInt
+    val buckets = lines.drop(2).map { l =>
       val Array(b, rel) = l.split('\t')
       b.toLong -> rel
     }.toMap
-    Manifest(version, schema, buckets)
+    Manifest(version, schema, nBuckets, buckets)
   }
 
   /** Publish a manifest: write to a temp name, then rename into place
     * with NO-OVERWRITE semantics via FileContext (Options.Rename.NONE).
-    * On HDFS this is an atomic compare-and-publish; Spark's local
-    * `file://` proxy also rejects an existing destination. Raw
-    * LocalFileSystem.rename would silently OVERWRITE (POSIX rename(2))
-    * — which is exactly why this goes through FileContext, whose local
-    * AbstractFileSystem enforces the no-overwrite check. On object
-    * stores replace this with a conditional put (if-none-match); the
-    * rest of the protocol is store-agnostic. A losing racer gets a
-    * clean conflict error and must re-prepare from the new state. */
+    * On HDFS this is an atomic compare-and-publish. On the local
+    * AbstractFileSystem the no-overwrite check is BEST-EFFORT, not
+    * atomic: it is getFileStatus-then-rename (check-then-act), so two
+    * commits racing within that TOCTOU window could both "succeed"
+    * with the last overwrite winning. The production contract is HDFS
+    * rename atomicity or a conditional put (if-none-match) on object
+    * stores; as a cheap lost-update DETECTOR everywhere else, the
+    * published manifest is re-read after the rename and must byte-match
+    * what this writer staged — a mismatch means another writer's rename
+    * overwrote ours, and the losing commit fails loudly instead of
+    * silently dropping an update. A losing racer gets a clean conflict
+    * error and must re-prepare from the new state. */
   private def writeManifest(fs: FileSystem, dir: String, m: Manifest): Unit = {
     val mdir = new Path(s"$dir/_manifests")
     fs.mkdirs(mdir)
     val tmp = new Path(mdir, s".tmp-v${m.version}-${java.util.UUID.randomUUID}")
+    val body = manifestBody(m)
     val out = fs.create(tmp, false)
-    try {
-      val body = (m.schema.json +:
-        m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" })
-        .mkString("\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     val dest = manifestPath(dir, m.version)
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -135,6 +150,14 @@ object PartitionedUpsert {
               s"from the new state (${e.getMessage})")
         else throw e
     }
+    // lost-update detector for stores whose no-overwrite rename is
+    // check-then-act: what is published must be what WE staged
+    val published = readManifestText(fs, dir, m.version)
+    if (published != body)
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict: manifest v${m.version} was overwritten by a " +
+          s"concurrent writer after our rename (non-atomic no-overwrite " +
+          s"on this filesystem); re-prepare from the new state")
   }
 
   /** Initialize the target from a snapshot (commits manifest v1).
@@ -156,7 +179,7 @@ object PartitionedUpsert {
       .write.mode("errorifexists").partitionBy("bucket")
       .parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
-    writeManifest(fs, dir, Manifest(1L, snapshot.schema,
+    writeManifest(fs, dir, Manifest(1L, snapshot.schema, nBuckets,
       written.map(b => b -> dataRel(staging, b)).toMap))
   }
 
@@ -207,12 +230,42 @@ object PartitionedUpsert {
     s"v${existingMax + 1}-${java.util.UUID.randomUUID.toString.take(8)}"
   }
 
+  /** Caller/layout bucket-count agreement: a mismatched modulus routes
+    * change keys to bucket ids the data layout never used — the merge
+    * would read the wrong files and duplicate keys. Rejected loudly. */
+  private def requireBucketCount(prior: Manifest, nBuckets: Int, dir: String): Unit =
+    require(nBuckets == prior.nBuckets,
+      s"$dir is laid out in ${prior.nBuckets} buckets but the caller " +
+        s"passed nBuckets=$nBuckets — a mismatched bucket fn would route " +
+        s"keys to the wrong files; call rebucket($nBuckets) to change the layout")
+
+  /** Merged output must match the committed schema EXACTLY (names,
+    * order, types) before anything is staged: a change batch whose
+    * value column promotes past the table's (double changes onto an
+    * int column) would write parquet whose physical type diverges from
+    * the manifest schema — commit would succeed and every later read
+    * of those buckets would fail with a conversion error, bricking the
+    * table until manually repaired. Fail the prepare instead; a type
+    * migration goes through evolveSchema. */
+  private def requireSchemaMatch(next: StructType, committed: StructType,
+                                 dir: String): Unit = {
+    // order-insensitive: the read path resolves parquet columns by NAME
+    // (bucketsDf reads with the manifest schema), so field order is free
+    val n = next.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    val c = committed.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(n == c,
+      s"merge output schema ${next.catalogString} does not match $dir's " +
+        s"committed schema ${committed.catalogString} — widen/rename the " +
+        s"table via evolveSchema before applying this batch")
+  }
+
   def prepare(spark: SparkSession, dir: String, changes: DataFrame,
               keyCol: String, lsnCol: String, opCol: String,
               valueCols: Seq[String], nBuckets: Int): Pending = {
     val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    requireBucketCount(prior, nBuckets, dir)
     val staging = newStagingName(fs, dir)
     val withBucket = changes.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .persist()
@@ -222,10 +275,11 @@ object PartitionedUpsert {
         .collect().map(_.getLong(0)).sorted.toSeq
       val current = bucketsDf(spark, dir, prior,
         only = Some(touched.flatMap(prior.buckets.get)))
-      val next = Cdc.apply(current, withBucket.drop("bucket"),
+      val merged = Cdc.apply(current, withBucket.drop("bucket"),
           Seq(keyCol), lsnCol, opCol, valueCols)
         .drop("src")
-        .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+      requireSchemaMatch(merged.schema, prior.schema, dir)
+      val next = merged.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       // fresh staging dir: the plan reads the old files and writes new
       // ones — no read-write conflict, no checkpoint materialization
       next.write.mode("errorifexists")
@@ -238,7 +292,8 @@ object PartitionedUpsert {
         written.map(b => b -> dataRel(staging, b))
       // manifest version = base+1: a concurrent merge from the same
       // base targets the SAME manifest name and loses the publish race
-      Pending(staging, Manifest(prior.version + 1, prior.schema, buckets),
+      Pending(staging,
+        Manifest(prior.version + 1, prior.schema, prior.nBuckets, buckets),
         touched)
     } finally { withBucket.unpersist(); () }
   }
@@ -284,6 +339,7 @@ object PartitionedUpsert {
     val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    requireBucketCount(prior, nBuckets, dir)
     val staging = newStagingName(fs, dir)
     val evolved = Cdc.applySchemaChanges(read(spark, dir), changes)
     evolved
@@ -291,7 +347,34 @@ object PartitionedUpsert {
       .write.mode("errorifexists")
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
-    writeManifest(fs, dir, Manifest(prior.version + 1, evolved.schema,
+    writeManifest(fs, dir, Manifest(prior.version + 1, evolved.schema, nBuckets,
+      written.map(b => b -> dataRel(staging, b)).toMap))
+  }
+
+  /** Change the table's bucket COUNT — the operation a growing table
+    * needs once per-bucket size outgrows the merge budget (a 100 TB
+    * table initialized at 16 buckets rewrites ~6 TB per touched bucket
+    * per merge; splitting to 1024 buckets drops that 64×). Same
+    * machinery as evolveSchema: rewrite every bucket under the NEW
+    * modulus into a fresh staging version, then publish atomically —
+    * readers see the old layout or the new one, never a mix; a crash
+    * mid-rewrite leaves the old table intact; time travel across the
+    * boundary still resolves, because each manifest pins its own
+    * layout. O(table), the honest cost of re-hashing anywhere — but
+    * ONE rewrite, versus every future merge overpaying forever. */
+  def rebucket(spark: SparkSession, dir: String, keyCol: String,
+               newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"rebucket: newBuckets must be >= 1, got $newBuckets")
+    val fs = fsOf(spark, dir)
+    val prior = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    val staging = newStagingName(fs, dir)
+    bucketsDf(spark, dir, prior)
+      .withColumn("bucket", bucketOf(col(keyCol), newBuckets))
+      .write.mode("errorifexists")
+      .partitionBy("bucket").parquet(s"$dir/data/$staging")
+    val written = listBuckets(fs, s"$dir/data/$staging")
+    writeManifest(fs, dir, Manifest(prior.version + 1, prior.schema, newBuckets,
       written.map(b => b -> dataRel(staging, b)).toMap))
   }
 
@@ -360,11 +443,20 @@ object PartitionedUpsert {
     val versions = fs.listStatus(mdir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).sorted
-    val kept = versions.takeRight(keepManifests)
+    val cutoff = System.currentTimeMillis() - minStagingAgeMs
+    // retention is uniformly time-bounded: superseded manifests younger
+    // than the age cutoff survive too, so a time-travel reader that just
+    // resolved an older version cannot lose its manifest (or, since
+    // reachability is computed over ALL kept manifests, its data dirs)
+    // to two quick commits plus an aggressive vacuum
+    val newest = versions.takeRight(keepManifests).toSet
+    val kept = versions.filter { v =>
+      newest.contains(v) ||
+        fs.getFileStatus(manifestPath(dir, v)).getModificationTime >= cutoff
+    }
     val reachable: Set[String] = kept.flatMap { v =>
       readManifest(fs, dir, v).buckets.values.map(_.split('/')(1)) // "v<N>"
     }.toSet
-    val cutoff = System.currentTimeMillis() - minStagingAgeMs
     val dataDir = new Path(s"$dir/data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
@@ -373,7 +465,7 @@ object PartitionedUpsert {
           fs.delete(st.getPath, true); ()
         }
       }
-    versions.dropRight(keepManifests).foreach { v =>
+    versions.filterNot(kept.contains).foreach { v =>
       fs.delete(manifestPath(dir, v), false); ()
     }
     // temp manifests from crashed commits (create succeeded, rename

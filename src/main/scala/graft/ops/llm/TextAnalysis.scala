@@ -43,19 +43,26 @@ object TextAnalysis {
   }
 
   /** Classify each doc to the language whose profile overlaps its
-    * token set most (ties → lexicographically first language). */
+    * token set most (ties → lexicographically first language).
+    *
+    * Argmax via `min(struct(-score, lang))` instead of a row_number
+    * window: the aggregate partial-combines map-side, so the shuffle
+    * carries one (doc_id, int, lang) row per doc instead of
+    * |docs|×|langs| rows still holding the token arrays (the same
+    * 2.3× pattern as Knn's IVF assignment). min of (-score, lang)
+    * keeps the (score desc, lang asc) tie-break exactly. */
   def classifyLanguage(docs: DataFrame, profiles: DataFrame,
                        idCol: String, textCol: String,
                        splitPattern: String = "\\s+"): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"),
       array_distinct(split(lower(col(textCol)), splitPattern)).as("toks"))
     val scored = d.crossJoin(broadcast(profiles))
-      .withColumn("score", size(array_intersect(col("toks"), col("profile"))))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("lang").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+      .select(col("doc_id"), col("lang"),
+        size(array_intersect(col("toks"), col("profile"))).as("score"))
+    scored.groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("lang").as("lang"))).as("best"))
+      .select(col("doc_id"), col("best.lang").as("pred_lang"),
+        (-col("best.ns")).as("score"))
   }
 
   /** Rolling polynomial fingerprint of the token stream (order-

@@ -33,44 +33,27 @@ object CdcStream {
       col("ts_ms"))
   }
 
-  /** foreachBatch upsert sink: maintains a parquet current-state table
-    * by applying each micro-batch with the batch CDC apply (reuses
-    * ops.cdc.Cdc.apply — same code path batch and streaming).
+  /** foreachBatch upsert sink — a thin delegation to
+    * [[partitionedUpsertSink]] (same signature shape as the original
+    * whole-table sink, same read path via `PartitionedUpsert.read`).
     *
-    * Merge-by-rewrite (no Delta jar in the container): each batch
-    * rewrites the target. At scale the rewrite narrows to only the
-    * partitions whose keys appear in the batch (partition the target
-    * by a key bucket; join batch keys → affected partitions).
-    */
+    * The first-generation implementation read and rewrote the ENTIRE
+    * state table every micro-batch (O(table) per trigger — at 100 TB
+    * the sink can never keep up) and committed via two successive
+    * overwrites, so a crash mid-second-overwrite left the target
+    * half-written with no manifest to fall back to. The bucket-
+    * partitioned target kills both: each batch rewrites only touched
+    * buckets, and the atomic manifest publish means a crash at ANY
+    * point leaves the previous committed state fully readable. */
   def upsertSink(changes: DataFrame, targetDir: String, checkpointDir: String,
-                 keys: Seq[String], valueCols: Seq[String]): StreamingQuery = {
-    val spark = changes.sparkSession
-    changes.writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val target = s"$targetDir/state"
-        // existence via the path's Hadoop FileSystem — a java.io.File
-        // check is silently false for hdfs://..., which would truncate
-        // the state to the last batch on every trigger
-        val targetPath = new org.apache.hadoop.fs.Path(target)
-        val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val current =
-          if (fs.exists(targetPath))
-            spark.read.parquet(target)
-          else {
-            val sel = keys.map(c => col(c)) ++
-              valueCols.map(c => col(c)) :+ lit("snapshot").as("src")
-            batch.select(sel: _*).limit(0).drop("src")
-          }
-        val next = Cdc.apply(current, batch, keys, "lsn", "op", valueCols)
-          .drop("src")
-        // rewrite via temp dir: the source of the read is the write target
-        val tmp = s"$targetDir/.tmp_state"
-        next.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target)
-      }
-      .start()
+                 keys: Seq[String], valueCols: Seq[String],
+                 nBuckets: Int = 16): StreamingQuery = {
+    require(keys.length == 1,
+      "upsertSink buckets the target by a single key column; pass a " +
+        "composite key pre-combined into one column (e.g. a struct or " +
+        "concat_ws fingerprint)")
+    partitionedUpsertSink(changes, targetDir, checkpointDir, keys.head,
+      "lsn", "op", valueCols, nBuckets)
   }
 
   /** Streaming → PartitionedUpsert: the production-shape CDC sink.

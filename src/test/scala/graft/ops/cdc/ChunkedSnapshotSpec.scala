@@ -117,7 +117,7 @@ class ChunkedSnapshotSpec extends SparkSpec {
     val table = (0L until 1000L).map(k => (k, k * 1.0)).toDF("pk", "val")
     val bounds = Cdc.planChunkBounds(table, "pk", 8)
     assert(bounds.length === 9)
-    assert(bounds.head <= 0.0 && bounds.last >= 999.0,
+    assert(bounds.head <= 0L && bounds.last >= 999L,
       s"bounds must span the key range: $bounds")
     assert(bounds.sliding(2).forall(p => p(0) <= p(1)), "bounds must ascend")
     // every key falls in exactly one [b(i), b(i+1)) range (last closed)
@@ -127,5 +127,37 @@ class ChunkedSnapshotSpec extends SparkSpec {
       }
     }
     assert(covered, "chunk ranges must cover every key")
+  }
+
+  test("planChunkBounds: snowflake-style keys above 2^53 keep distinct, " +
+      "exact bounds (no double collapse)") {
+    import spark.implicits._
+    // consecutive longs here are NOT representable as doubles: a double
+    // cast maps base+1 and base+2 to the same value and bounds collapse
+    val base = 1L << 53
+    val table = (0L until 1000L).map(k => (base + k, 1.0)).toDF("pk", "val")
+    val bounds = Cdc.planChunkBounds(table, "pk", 8)
+    assert(bounds.length === 9)
+    assert(bounds.head === base && bounds.last === base + 999L,
+      s"bounds must be exact key values: $bounds")
+    assert(bounds.sliding(2).forall(p => p(0) < p(1)),
+      s"1000 distinct keys across 8 chunks must yield strictly ascending " +
+        s"bounds — a collapse means double precision loss: $bounds")
+    // every bound is an actual key, not a rounded neighbor
+    bounds.foreach(b => assert(b >= base && b <= base + 999L, s"bound $b"))
+  }
+
+  test("planChunkBounds rejects non-integral keys loudly") {
+    import spark.implicits._
+    val strKeys = Seq(("a", 1.0), ("b", 2.0)).toDF("pk", "val")
+    val e1 = intercept[IllegalArgumentException] {
+      Cdc.planChunkBounds(strKeys, "pk", 2)
+    }
+    assert(e1.getMessage.contains("must be integral"))
+    val dblKeys = Seq((1.5, 1.0), (2.5, 2.0)).toDF("pk", "val")
+    val e2 = intercept[IllegalArgumentException] {
+      Cdc.planChunkBounds(dblKeys, "pk", 2)
+    }
+    assert(e2.getMessage.contains("must be integral"))
   }
 }

@@ -356,6 +356,104 @@ class ScaleSpec extends SparkSpec {
       viaBatch.exceptAll(viaBuckets).isEmpty)
   }
 
+  test("rebucket: atomic bucket-count evolution — state preserved, merges " +
+      "continue at the new count, time travel crosses the boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rb").toString + "/tgt"
+    val snap = (0L until 500L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)               // v1
+    PartitionedUpsert.merge(spark, dir,
+      Seq((1L, 3L, "u", -3.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)                      // v2
+    PartitionedUpsert.rebucket(spark, dir, "pk", newBuckets = 16)       // v3
+    // state survives the rewrite bit-for-bit
+    val after = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after.size === 500 && after(3L) === -3.0)
+    // the physical layout really did split: more distinct buckets than 4
+    assert(PartitionedUpsert.bucketPaths(spark, dir).keySet.size > 4)
+    // merges continue at the NEW count on the same code path...
+    PartitionedUpsert.merge(spark, dir,
+      Seq((2L, 7L, "u", -7.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 16)                     // v4
+    assert(PartitionedUpsert.read(spark, dir)
+      .filter($"pk" === 7L).head().getDouble(1) === -7.0)
+    // ...and the STALE count is rejected before touching anything: a
+    // mismatched modulus would route keys to the wrong files
+    val e = intercept[IllegalArgumentException] {
+      PartitionedUpsert.merge(spark, dir,
+        Seq((3L, 9L, "u", -9.0)).toDF("lsn", "pk", "op", "val"),
+        "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    }
+    assert(e.getMessage.contains("rebucket"))
+    // time travel across the rebucket boundary resolves old manifests
+    // (each manifest pins its own layout)
+    assert(PartitionedUpsert.readVersion(spark, dir, 2L)
+      .filter($"pk" === 7L).head().getDouble(1) === 7.0)
+    assert(PartitionedUpsert.readVersion(spark, dir, 1L)
+      .filter($"pk" === 3L).head().getDouble(1) === 3.0)
+    val hist = PartitionedUpsert.history(spark, dir)
+    assert(hist.map(_._1) === Seq(4L, 3L, 2L, 1L), s"history: $hist")
+  }
+
+  test("prepare rejects a change batch whose value type promotes past the " +
+      "table schema — fail fast, never a bricked table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sv").toString + "/tgt"
+    val snap = (0L until 50L).map(i => (i, i.toInt)).toDF("pk", "val") // val: int
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    val before = PartitionedUpsert.bucketPaths(spark, dir)
+    // double changes onto an int table: the merged column promotes to
+    // double — staging it would diverge parquet physical types from the
+    // manifest schema and every later read of those buckets would fail
+    val badBatch = Seq((1L, 3L, "u", 3.5)).toDF("lsn", "pk", "op", "val")
+    val e = intercept[IllegalArgumentException] {
+      PartitionedUpsert.merge(spark, dir, badBatch,
+        "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    // nothing was committed; the table reads fine and is unchanged
+    assert(PartitionedUpsert.bucketPaths(spark, dir) === before)
+    assert(PartitionedUpsert.read(spark, dir).count() === 50)
+    // the migration path works: widen first, then the double batch lands
+    PartitionedUpsert.evolveSchema(spark, dir,
+      Seq(graft.ops.cdc.Cdc.WidenColumn("val",
+        org.apache.spark.sql.types.DoubleType)), "pk", nBuckets = 4)
+    PartitionedUpsert.merge(spark, dir, badBatch,
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    assert(PartitionedUpsert.read(spark, dir)
+      .filter($"pk" === 3L).head().getDouble(1) === 3.5)
+  }
+
+  test("vacuum age-guards manifest deletion: a just-superseded version " +
+      "stays time-travelable until the retention window lapses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vg").toString + "/tgt"
+    val snap = (0L until 20L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)               // v1
+    PartitionedUpsert.merge(spark, dir,
+      Seq((1L, 3L, "u", -3.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)                      // v2
+    PartitionedUpsert.merge(spark, dir,
+      Seq((2L, 3L, "u", 33.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)                      // v3
+    // two quick commits + aggressive vacuum: with the default retention
+    // window the young superseded manifests (and their data) survive —
+    // a reader that just resolved v1/v2 cannot lose them
+    PartitionedUpsert.vacuum(spark, dir, keepManifests = 1)
+    assert(PartitionedUpsert.readVersion(spark, dir, 1L)
+      .filter($"pk" === 3L).head().getDouble(1) === 3.0)
+    assert(PartitionedUpsert.readVersion(spark, dir, 2L)
+      .filter($"pk" === 3L).head().getDouble(1) === -3.0)
+    // once aged past the window they are reclaimed uniformly
+    PartitionedUpsert.vacuum(spark, dir, keepManifests = 1, minStagingAgeMs = 0)
+    intercept[IllegalArgumentException] {
+      PartitionedUpsert.readVersion(spark, dir, 1L)
+    }
+    assert(PartitionedUpsert.read(spark, dir)
+      .filter($"pk" === 3L).head().getDouble(1) === 33.0)
+  }
+
   test("hyperplane LSH finds planted cosine near-duplicates") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
