@@ -42,6 +42,41 @@ object Cdc {
         col("__env.source.lsn").as("lsn"), col("__env.ts_ms").as("ts_ms"))
       .drop("__env", jsonCol)
 
+  /** Dead-letter decode: split raw JSON change records into (good,
+    * quarantined). `decode` silently turns corrupt JSON into null
+    * structs (from_json semantics) — a poisoned event vanishes into
+    * null-key rows. A CDC tool treats bad records as a FIRST-CLASS
+    * output (Debezium's dead-letter / skip-and-log policies): the
+    * quarantine keeps the raw record for replay-after-fix plus a
+    * failure class for the audit, and nothing is silently dropped.
+    *
+    * Classes, in check order: `malformed_json` (unparseable — detected
+    * with try_parse_json, independent of the payload schema),
+    * `missing_op`, `invalid_op` (op outside `allowedOps`),
+    * `missing_lsn`. All checks are row-local expressions — the split
+    * is two narrow scans of the same stage, zero shuffles. */
+  def decodeWithDlq(df: DataFrame, jsonCol: String, payload: StructType,
+                    allowedOps: Seq[String] = Seq("c", "u", "d", "r", "s", "t"))
+      : (DataFrame, DataFrame) = {
+    val env = from_json(col(jsonCol), envelopeSchema(payload))
+    val failure =
+      when(col(jsonCol).isNull || try_parse_json(col(jsonCol)).isNull,
+        "malformed_json")
+        .when(env.getField("op").isNull, "missing_op")
+        .when(!env.getField("op").isin(allowedOps: _*), "invalid_op")
+        .when(env.getField("source").getField("lsn").isNull, "missing_lsn")
+    val tagged = df.withColumn("__env", env).withColumn("__fail", failure)
+    val good = tagged.filter(col("__fail").isNull)
+      .select(col("*"), col("__env.op").as("op"),
+        col("__env.before").as("before"), col("__env.after").as("after"),
+        col("__env.source.table").as("src_table"),
+        col("__env.source.lsn").as("lsn"), col("__env.ts_ms").as("ts_ms"))
+      .drop("__env", "__fail", jsonCol)
+    val bad = tagged.filter(col("__fail").isNotNull)
+      .select(col(jsonCol).as("raw"), col("__fail").as("failure_class"))
+    (good, bad)
+  }
+
   /** Log compaction: keep the latest record per key (last-write-wins by
     * offset; offset must be unique per key — a log sequence number). */
   def compact(log: DataFrame, keys: Seq[String], offsetCol: String): DataFrame = {
@@ -341,27 +376,37 @@ object Cdc {
     * driver state, exactly as Debezium keeps it in its schema-history
     * topic. */
   def schemaChangesFromLog(log: DataFrame, opCol: String, ddlCol: String,
-                           offsetCol: String): Seq[SchemaChange] = {
+                           offsetCol: String): Seq[SchemaChange] =
+    schemaChangesWithLsn(log, opCol, ddlCol, offsetCol).map(_._2)
+
+  /** As [[schemaChangesFromLog]], but keeps each change's log position —
+    * what a streaming sink needs to SPLIT a micro-batch at the DDL
+    * boundary (apply-before / evolve / apply-after). */
+  def schemaChangesWithLsn(log: DataFrame, opCol: String, ddlCol: String,
+                           offsetCol: String): Seq[(Long, SchemaChange)] = {
     val ddlSchema = StructType(Seq(
       StructField("rename", StructType(Seq(
         StructField("from", StringType), StructField("to", StringType)))),
       StructField("widen", StructType(Seq(
         StructField("col", StringType), StructField("to", StringType))))))
     log.filter(col(opCol) === "s")
-      .select(col(offsetCol),
+      .select(col(offsetCol).cast(LongType),
         from_json(col(ddlCol), ddlSchema).as("__ddl"))
       .orderBy(col(offsetCol))
-      .select("__ddl.rename.from", "__ddl.rename.to",
-        "__ddl.widen.col", "__ddl.widen.to")
+      .select(col(offsetCol), col("__ddl.rename.from"), col("__ddl.rename.to"),
+        col("__ddl.widen.col"), col("__ddl.widen.to"))
       .collect()
       .map { r =>
-        if (r.getString(0) != null) RenameColumn(r.getString(0), r.getString(1))
-        else if (r.getString(2) != null)
-          WidenColumn(r.getString(2),
-            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-              .parseDataType(r.getString(3)))
-        else throw new IllegalArgumentException(
-          s"unrecognized schema-change payload at ${offsetCol}=${r}")
+        val lsn = r.getLong(0)
+        val change =
+          if (r.getString(1) != null) RenameColumn(r.getString(1), r.getString(2))
+          else if (r.getString(3) != null)
+            WidenColumn(r.getString(3),
+              org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parseDataType(r.getString(4)))
+          else throw new IllegalArgumentException(
+            s"unrecognized schema-change payload at ${offsetCol}=${r}")
+        lsn -> change
       }.toSeq
   }
 }

@@ -58,6 +58,41 @@ object CdcQueries {
       .orderBy($"event_id")
   }
 
+  /** Dead-letter decode, oracled end-to-end: a deterministic fraction
+    * of the in-query envelope fixture is corrupted (lsn%13 → truncated
+    * JSON, else lsn%17 → op outside the c/u/d/r/s/t set, else lsn%19 →
+    * null lsn), then decodeWithDlq splits good from quarantined and
+    * the audit counts rows per failure class — the observability
+    * surface a CDC tool owes its operator (nothing vanishes silently). */
+  def qCdcBadrecords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changeLog(spark, dir)
+      .withColumn("kind",
+        when($"lsn" % 13 === 0, "malformed")
+          .when($"lsn" % 17 === 0, "badop")
+          .when($"lsn" % 19 === 0, "nolsn")
+          .otherwise("ok"))
+    val j0 = concat(
+      lit("{\"op\":\""),
+      when($"kind" === "badop", lit("x")).otherwise($"op"),
+      lit("\",\"after\":{\"pk\":"), $"pk",
+      lit(",\"v\":"), $"after_value",
+      lit("},\"source\":{\"table\":\"events\",\"lsn\":"),
+      when($"kind" === "nolsn", lit("null")).otherwise($"lsn".cast(StringType)),
+      lit("},\"ts_ms\":"), unix_timestamp($"ts") * 1000,
+      lit("}"))
+    val raw = log.select(
+      when($"kind" === "malformed", j0.substr(lit(1), length(j0) - 1))
+        .otherwise(j0).as("j"))
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("v", DoubleType)))
+    val (good, bad) = Cdc.decodeWithDlq(raw, "j", payload)
+    bad.groupBy($"failure_class").agg(count(lit(1)).as("n"))
+      .unionByName(good.agg(count(lit(1)).as("n"))
+        .select(lit("ok").as("failure_class"), $"n"))
+      .orderBy($"failure_class")
+  }
+
   /** Initial snapshot (op='r') unioned with incrementals, lsn-ordered. */
   def qCdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -177,6 +212,7 @@ object CdcQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_decode" -> (qCdcDecode _),
+    "q_cdc_badrecords" -> (qCdcBadrecords _),
     "q_cdc_snapshot" -> (qCdcSnapshot _),
     "q_cdc_snapshot_chunked" -> (qCdcSnapshotChunked _),
     "q_cdc_compact" -> (qCdcCompact _),
@@ -204,6 +240,43 @@ object CdcQueries {
         |  json_extract(j, '$$.source.lsn')::BIGINT AS lsn,
         |  json_extract(j, '$$.ts_ms')::BIGINT AS ts_ms
         |FROM env ORDER BY event_id""".stripMargin,
+    "q_cdc_badrecords" ->
+      s"""WITH $logCte,
+        |kinded AS (
+        |  SELECT *, CASE WHEN lsn % 13 = 0 THEN 'malformed'
+        |                 WHEN lsn % 17 = 0 THEN 'badop'
+        |                 WHEN lsn % 19 = 0 THEN 'nolsn'
+        |                 ELSE 'ok' END AS kind
+        |  FROM log),
+        |env AS (
+        |  SELECT kind,
+        |    '{"op":"' || CASE WHEN kind = 'badop' THEN 'x' ELSE op END ||
+        |    '","after":{"pk":' || pk || ',"v":' || after_value ||
+        |    '},"source":{"table":"events","lsn":' ||
+        |    CASE WHEN kind = 'nolsn' THEN 'null' ELSE lsn::VARCHAR END ||
+        |    '},"ts_ms":' || epoch(ts)::BIGINT * 1000 || '}' AS j0
+        |  FROM kinded),
+        |raw AS (
+        |  SELECT CASE WHEN kind = 'malformed' THEN substr(j0, 1, length(j0) - 1)
+        |              ELSE j0 END AS j
+        |  FROM env),
+        |-- malformed rows must be FILTERED OUT before any json_extract
+        |-- runs: DuckDB's json functions THROW on malformed input even
+        |-- under a CASE guard (vectorized eval), unlike Spark's null-out
+        |mal AS (
+        |  SELECT 'malformed_json' AS failure_class
+        |  FROM raw WHERE j IS NULL OR NOT json_valid(j)),
+        |cls AS (
+        |  SELECT CASE
+        |    WHEN json_extract_string(j, '$$.op') IS NULL THEN 'missing_op'
+        |    WHEN json_extract_string(j, '$$.op')
+        |      NOT IN ('c','u','d','r','s','t') THEN 'invalid_op'
+        |    WHEN json_extract_string(j, '$$.source.lsn') IS NULL THEN 'missing_lsn'
+        |    ELSE 'ok' END AS failure_class
+        |  FROM raw WHERE j IS NOT NULL AND json_valid(j)),
+        |unioned AS (SELECT * FROM mal UNION ALL SELECT * FROM cls)
+        |SELECT failure_class, count(*)::BIGINT AS n
+        |FROM unioned GROUP BY failure_class ORDER BY failure_class""".stripMargin,
     "q_cdc_snapshot" ->
       s"""WITH $logCte
         |SELECT -1 AS lsn, c_custkey AS pk, 'r' AS op, c_acctbal AS after_value

@@ -100,19 +100,141 @@ object CdcStream {
       .start()
   }
 
+  /** Schema-agnostic streaming change-log source: the payload stays a
+    * raw JSON STRING (`after`), so one continuous query can carry
+    * events captured under EVOLVING schemas — the auto-DDL sink parses
+    * each segment with its era's schema. DDL events (op='s') carry
+    * their payload in `ddl`. */
+  def rawSource(spark: SparkSession, dir: String,
+                maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .select(
+        get_json_object(col("value"), "$.op").as("op"),
+        get_json_object(col("value"), "$.source.lsn").cast("long").as("lsn"),
+        get_json_object(col("value"), "$.after").as("after"),
+        get_json_object(col("value"), "$.ddl").as("ddl"))
+
+  /** Era schema for a segment that predates `changes`: later renames
+    * are inverted (the old JSON spells the old name) while types stay
+    * FINAL — parsing an int-era payload with the widened type is a
+    * lossless read, and keeping final types means no per-segment cast
+    * bookkeeping. */
+  private def invertRenames(schema: StructType,
+                            changes: Seq[Cdc.SchemaChange]): StructType =
+    changes.reverse.foldLeft(schema) {
+      case (s, Cdc.RenameColumn(from, to)) =>
+        StructType(s.fields.map(f => if (f.name == to) f.copy(name = from) else f))
+      case (s, _) => s
+    }
+
+  /** Auto-DDL upsert sink: schema-change events are DATA-PLANE events,
+    * not an operator runbook — when an op='s' event arrives mid-stream
+    * the sink splits the micro-batch at the DDL boundary, evolves the
+    * target atomically, and applies the remainder under the new
+    * schema. No stop → evolveSchema → resume choreography.
+    *
+    * Per batch: (1) evolve the target through every DDL in the batch
+    * (idempotent on replay: a re-run rename finds the column already
+    * renamed and skips; a re-run widen is from==to); (2) parse each
+    * data segment with its ERA schema (final schema with later renames
+    * inverted — see [[invertRenames]]), normalize forward through the
+    * remaining changes, and (3) merge the whole batch ONCE into the
+    * manifest-committed target. Doing all evolution before the single
+    * merge means a crash anywhere replays cleanly: era-correct parsing
+    * cannot null-out pre-DDL events the way "parse everything with the
+    * current schema" would after a mid-batch restart. */
+  def autoDdlUpsertSink(events: DataFrame, targetDir: String,
+                        checkpointDir: String, keyCol: String,
+                        initialPayload: StructType,
+                        nBuckets: Int): StreamingQuery = {
+    import graft.ops.cdc.PartitionedUpsert
+    val spark = events.sparkSession
+    events.dropDuplicates("lsn")
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (PartitionedUpsert.currentManifest(spark, targetDir).isEmpty) {
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], initialPayload)
+          try PartitionedUpsert.init(empty, targetDir, keyCol, nBuckets)
+          catch {
+            case _: IllegalStateException |
+                 _: java.util.ConcurrentModificationException => ()
+          }
+        }
+        val ddls = Cdc.schemaChangesWithLsn(batch, "op", "ddl", "lsn")
+        ddls.foreach {
+          case (_, Cdc.RenameColumn(from, _)) =>
+            require(from != keyCol,
+              s"auto-DDL sink cannot rename the bucket key column '$keyCol' " +
+                s"— the key is the table's physical layout")
+          case _ => ()
+        }
+        ddls.foreach { case (_, change) =>
+          PartitionedUpsert.evolveSchema(spark, targetDir, Seq(change),
+            keyCol, nBuckets)
+        }
+        val target = PartitionedUpsert.currentManifest(spark, targetDir).get.schema
+        val bounds = (Long.MinValue +: ddls.map(_._1)) :+ Long.MaxValue
+        val segments = bounds.sliding(2).zipWithIndex.map {
+          case (Seq(lo, hi), i) =>
+            val era = invertRenames(target, ddls.drop(i).map(_._2))
+            val seg = batch
+              .filter(col("op") =!= "s" && col("lsn") >= lo && col("lsn") < hi)
+              .withColumn("__p", from_json(col("after"), era))
+              .select(era.fieldNames.map(f => col(s"__p.$f")).toSeq :+
+                col("op") :+ col("lsn"): _*)
+            Cdc.applySchemaChanges(seg, ddls.drop(i).map(_._2))
+        }.toSeq
+        val unioned = segments.reduce(_.unionByName(_))
+        if (!unioned.isEmpty)
+          PartitionedUpsert.merge(spark, targetDir, unioned, keyCol, "lsn",
+            "op", target.fieldNames.filterNot(_ == keyCol).toSeq, nBuckets): Unit
+      }
+      .start()
+  }
+
   /** Streaming transaction buffer — the streaming twin of
     * Cdc.applyTransactional: events of a transaction are held in
     * per-tx state and released ONLY when the commit marker (op='t')
     * arrives, so downstream (e.g. the upsert sink) never applies half
     * a transaction. Abandoned transactions (marker never arrives —
-    * source crash mid-tx) time out and are dropped, bounding state.
+    * source crash mid-tx) time out and are dropped, bounding state in
+    * TIME; `maxBufferedEvents` bounds it in SIZE — one bulk tx (a
+    * 10M-row backfill committed as one transaction, routine in real
+    * CDC) must not accumulate in a single state-store entry until the
+    * executor OOMs. Overflow policy: the buffered events FLUSH
+    * downstream immediately, lsn-ordered, and the rest of that tx
+    * streams through as it arrives — atomicity degrades to
+    * at-boundary-best-effort for that one oversized tx (counted on
+    * `overflowCounter`, never silently), which beats both OOM and
+    * silent drop. After a tx commits, a TOMBSTONE survives in state:
+    * events of that tx REDELIVERED after their marker was processed
+    * are dropped instead of re-opening a buffer that waits forever for
+    * a marker that already came (with a timeout the tombstone expires
+    * with it; with NoTimeout it persists — run the buffer downstream
+    * of the lsn dedup to keep redelivery out entirely).
     * Input must be transactional events; route NULL-tx events around
     * the buffer (they are their own transaction). */
   case class TxEvent(tx: String, lsn: Long, pk: Long, op: String, value: Double)
 
+  /** Per-tx buffer state: pending events; `overflowed` = the size cap
+    * tripped and earlier events already flushed; `committed` = marker
+    * processed, state is now a redelivery tombstone. */
+  case class TxBufState(buf: List[TxEvent], overflowed: Boolean,
+                        committed: Boolean)
+
   def transactionalBuffer(events: Dataset[TxEvent],
-                          abandonedTimeoutMs: Long = 3600000L): Dataset[TxEvent] = {
+                          abandonedTimeoutMs: Long = 3600000L,
+                          maxBufferedEvents: Int = 1000000,
+                          overflowCounter: Option[org.apache.spark.util.LongAccumulator] = None
+                         ): Dataset[TxEvent] = {
     import events.sparkSession.implicits._
+    require(maxBufferedEvents >= 1,
+      s"transactionalBuffer: maxBufferedEvents must be >= 1, got $maxBufferedEvents")
     // timeout <= 0 disables expiry: a ProcessingTime-timeout query never
     // quiesces (the engine keeps scheduling cleanup batches), so
     // deterministic tests need the NoTimeout mode
@@ -120,21 +242,47 @@ object CdcStream {
       if (abandonedTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.tx)
-      .flatMapGroupsWithState[List[TxEvent], TxEvent](
+      .flatMapGroupsWithState[TxBufState, TxEvent](
         OutputMode.Append(), timeoutMode) {
-        (_: String, rows: Iterator[TxEvent], state: GroupState[List[TxEvent]]) =>
+        (_: String, rows: Iterator[TxEvent], state: GroupState[TxBufState]) =>
+          def armTimeout(): Unit =
+            if (abandonedTimeoutMs > 0) state.setTimeoutDuration(abandonedTimeoutMs)
           if (state.hasTimedOut) {
             state.remove()
-            Iterator.empty // abandoned: marker never arrived
+            Iterator.empty // abandoned (or an expired tombstone)
           } else {
-            val buf = state.getOption.getOrElse(Nil) ++ rows
-            if (buf.exists(_.op == "t")) {
-              state.remove()
-              buf.filterNot(_.op == "t").sortBy(_.lsn).iterator
-            } else {
-              state.update(buf)
-              if (abandonedTimeoutMs > 0) state.setTimeoutDuration(abandonedTimeoutMs)
+            val prior = state.getOption.getOrElse(TxBufState(Nil, false, false))
+            val incoming = rows.toList
+            if (prior.committed) {
+              // redelivered after the commit marker: already applied
+              // downstream (lsn dedup / idempotent sink) — drop, keep
+              // the tombstone armed
+              state.update(prior)
+              armTimeout()
               Iterator.empty
+            } else {
+              val buf = prior.buf ++ incoming
+              val (markers, pending) = buf.partition(_.op == "t")
+              if (markers.nonEmpty) {
+                state.update(TxBufState(Nil, false, committed = true))
+                armTimeout()
+                pending.sortBy(_.lsn).iterator
+              } else if (prior.overflowed) {
+                // cap already tripped: stream through, keep waiting for
+                // the marker to tombstone the tx
+                state.update(prior)
+                armTimeout()
+                pending.sortBy(_.lsn).iterator
+              } else if (pending.length > maxBufferedEvents) {
+                overflowCounter.foreach(_.add(1))
+                state.update(TxBufState(Nil, overflowed = true, committed = false))
+                armTimeout()
+                pending.sortBy(_.lsn).iterator
+              } else {
+                state.update(TxBufState(pending, false, false))
+                armTimeout()
+                Iterator.empty
+              }
             }
           }
       }

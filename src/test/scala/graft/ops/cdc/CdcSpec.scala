@@ -139,6 +139,36 @@ class CdcSpec extends SparkSpec {
     assert(state.collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("decodeWithDlq partitions the input: every record lands in exactly " +
+      "one side, quarantine keeps the raw record and a failure class") {
+    import spark.implicits._
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("v", DoubleType)))
+    def env(op: String, pk: Long, lsn: String) =
+      s"""{"op":"$op","after":{"pk":$pk,"v":1.5},"source":{"table":"t","lsn":$lsn},"ts_ms":1}"""
+    val records = Seq(
+      env("c", 1, "1"),                       // good
+      env("u", 2, "2"),                       // good
+      env("c", 3, "3").dropRight(1),          // malformed_json (truncated)
+      "not json at all",                      // malformed_json
+      env("x", 4, "4"),                       // invalid_op
+      env("c", 5, "null"),                    // missing_lsn
+      """{"after":{"pk":6,"v":2.0},"source":{"table":"t","lsn":6},"ts_ms":1}""") // missing_op
+    val df = records.toDF("j")
+    val (good, bad) = Cdc.decodeWithDlq(df, "j", payload)
+    assert(good.count() + bad.count() === records.length,
+      "good and quarantined must partition the input")
+    assert(good.count() === 2)
+    assert(good.select("after.pk").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    val byClass = bad.collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getString(0)).toSeq).toMap
+    assert(byClass("malformed_json").length === 2)
+    assert(byClass("invalid_op") === Seq(env("x", 4, "4")),
+      "quarantine must keep the RAW record for replay-after-fix")
+    assert(byClass("missing_lsn").length === 1)
+    assert(byClass("missing_op").length === 1)
+  }
+
   test("applyTransactional: in-flight transactions are withheld atomically") {
     import spark.implicits._
     val snap = Seq((1L, 10.0), (2L, 20.0)).toDF("pk", "val")

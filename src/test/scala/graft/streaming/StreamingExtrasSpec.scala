@@ -127,14 +127,10 @@ class StreamingExtrasSpec extends SparkSpec {
     }
   }
 
-  test("mid-stream DDL: stop at the schema change, evolve the target, resume " +
-      "with the new payload schema on the same checkpoint") {
-    import spark.implicits._
+  test("auto-DDL: op='s' events evolve the target INLINE — one continuous " +
+      "query, DDL splitting a single micro-batch, no stop/resume choreography") {
     import org.apache.spark.sql.types._
-    // the Debezium-consumer pattern: a schema-change event stops the
-    // query, the target evolves atomically, and the query restarts with
-    // the new payload schema — offsets continue from the checkpoint
-    val base = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_addl").toString
     val srcDir = s"$base/in"; new java.io.File(srcDir).mkdirs()
     def write(name: String, lines: Seq[String]): Unit =
       java.nio.file.Files.writeString(
@@ -142,37 +138,38 @@ class StreamingExtrasSpec extends SparkSpec {
 
     val payloadA = StructType(Seq(
       StructField("pk", LongType), StructField("val", IntegerType)))
+    // batch 1: plain data under the initial schema
     write("a.json", Seq(
       """{"op":"c","after":{"pk":1,"val":10},"source":{"table":"t","lsn":1},"ts_ms":1}""",
       """{"op":"c","after":{"pk":2,"val":20},"source":{"table":"t","lsn":2},"ts_ms":2}"""))
-    val q1 = CdcStream.partitionedUpsertSink(
-      CdcStream.source(spark, srcDir, payloadA)
-        .select($"after.pk".as("pk"), $"after.val".as("val"), $"op", $"lsn"),
-      s"$base/tgt", s"$base/ckpt", "pk", "lsn", "op", Seq("val"), nBuckets = 4)
-    q1.processAllAvailable()
-    q1.stop() // the schema-change event arrives out-of-band: stop
-
-    graft.ops.cdc.PartitionedUpsert.evolveSchema(spark, s"$base/tgt",
-      Seq(graft.ops.cdc.Cdc.RenameColumn("val", "amount"),
-          graft.ops.cdc.Cdc.WidenColumn("amount", LongType)),
-      "pk", nBuckets = 4)
-
-    val payloadB = StructType(Seq(
-      StructField("pk", LongType), StructField("amount", LongType)))
-    write("b.json", Seq(
-      s"""{"op":"u","after":{"pk":1,"amount":3000000000},"source":{"table":"t","lsn":3},"ts_ms":3}""",
-      s"""{"op":"c","after":{"pk":9,"amount":9},"source":{"table":"t","lsn":4},"ts_ms":4}"""))
-    val q2 = CdcStream.partitionedUpsertSink(
-      CdcStream.source(spark, srcDir, payloadB)
-        .select($"after.pk".as("pk"), $"after.amount".as("amount"), $"op", $"lsn"),
-      s"$base/tgt", s"$base/ckpt", "pk", "lsn", "op", Seq("amount"), nBuckets = 4)
-    q2.processAllAvailable()
-    q2.stop()
+    val q = CdcStream.autoDdlUpsertSink(
+      CdcStream.rawSource(spark, srcDir),
+      s"$base/tgt", s"$base/ckpt", "pk", payloadA, nBuckets = 4)
+    try {
+      q.processAllAvailable()
+      // batch 2 interleaves THREE eras inside one micro-batch: old-schema
+      // data (lsn 3), a rename DDL (4), mid-era data (5), a widen DDL
+      // (6), then post-widen data (7, 8) with a value beyond int range —
+      // the sink must split at both boundaries and evolve inline
+      write("b.json", Seq(
+        """{"op":"u","after":{"pk":2,"val":25},"source":{"table":"t","lsn":3},"ts_ms":3}""",
+        """{"op":"s","ddl":{"rename":{"from":"val","to":"amount"}},"source":{"table":"t","lsn":4},"ts_ms":4}""",
+        """{"op":"c","after":{"pk":5,"amount":50},"source":{"table":"t","lsn":5},"ts_ms":5}""",
+        """{"op":"s","ddl":{"widen":{"col":"amount","to":"bigint"}},"source":{"table":"t","lsn":6},"ts_ms":6}""",
+        """{"op":"u","after":{"pk":1,"amount":3000000000},"source":{"table":"t","lsn":7},"ts_ms":7}""",
+        """{"op":"c","after":{"pk":9,"amount":9},"source":{"table":"t","lsn":8},"ts_ms":8}"""))
+      q.processAllAvailable()
+    } finally q.stop()
 
     val out = graft.ops.cdc.PartitionedUpsert.read(spark, s"$base/tgt")
     assert(out.schema("amount").dataType === LongType)
     val state = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(state === Map(1L -> 3000000000L, 2L -> 20L, 9L -> 9L), s"got $state")
+    assert(state === Map(1L -> 3000000000L, 2L -> 25L, 5L -> 50L, 9L -> 9L),
+      s"got $state")
+    // the DDL commits are visible in the table history (init + batch-1
+    // merge + rename + widen + batch-2 merge = 5 versions)
+    val hist = graft.ops.cdc.PartitionedUpsert.history(spark, s"$base/tgt")
+    assert(hist.map(_._1) === Seq(5L, 4L, 3L, 2L, 1L), s"history: $hist")
   }
 
   test("cache/persist: cached plan shows InMemoryTableScan and unpersist clears") {

@@ -149,6 +149,57 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_.getString(3) == "t"), "markers are not emitted")
   }
 
+  test("transactionalBuffer: an oversized tx trips the cap, flushes in lsn " +
+      "order, streams the remainder, and still releases everything once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CdcStream.TxEvent]
+    val overflows = spark.sparkContext.longAccumulator("txOverflows")
+    val out = CdcStream.transactionalBuffer(in.toDS(), abandonedTimeoutMs = 0,
+      maxBufferedEvents = 3, overflowCounter = Some(overflows)).toDF()
+    val rows = runBatches(in, out, OutputMode.Append(), Seq(
+      // 4 events > cap 3 → overflow flush (lsn-ordered), counter bumps
+      Seq(CdcStream.TxEvent("big", 4L, 4L, "u", 4.0),
+          CdcStream.TxEvent("big", 2L, 2L, "u", 2.0),
+          CdcStream.TxEvent("big", 3L, 3L, "u", 3.0),
+          CdcStream.TxEvent("big", 1L, 1L, "c", 1.0)),
+      // post-overflow events stream through as they arrive
+      Seq(CdcStream.TxEvent("big", 5L, 5L, "u", 5.0)),
+      // the marker closes the tx; a small tx in the same batch is
+      // unaffected by big's overflow (caps are per-tx)
+      Seq(CdcStream.TxEvent("big", 6L, -1L, "t", 0.0),
+          CdcStream.TxEvent("small", 7L, 9L, "c", 9.0),
+          CdcStream.TxEvent("small", 8L, -1L, "t", 0.0))))
+    val big = rows.filter(_.getString(0) == "big").map(_.getLong(1)).toSeq
+    assert(big.take(4) === Seq(1L, 2L, 3L, 4L),
+      s"overflow flush must release buffered events lsn-ordered: $big")
+    assert(big.sorted === Seq(1L, 2L, 3L, 4L, 5L),
+      s"every event releases exactly once: $big")
+    assert(rows.filter(_.getString(0) == "small").map(_.getLong(1)).toSeq === Seq(7L))
+    assert(!rows.exists(_.getString(3) == "t"), "markers are not emitted")
+    assert(overflows.value === 1L, "the cap engagement must be observable")
+  }
+
+  test("transactionalBuffer: events redelivered AFTER their commit marker " +
+      "hit the tombstone and are dropped, not re-buffered forever") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CdcStream.TxEvent]
+    val out = CdcStream.transactionalBuffer(in.toDS(), abandonedTimeoutMs = 0).toDF()
+    val rows = runBatches(in, out, OutputMode.Append(), Seq(
+      Seq(CdcStream.TxEvent("a", 1L, 1L, "c", 1.0),
+          CdcStream.TxEvent("a", 2L, -1L, "t", 0.0)),
+      // connector restart redelivers lsn 1 after its marker was seen:
+      // without the tombstone this re-opens state waiting for a second
+      // marker that never comes (leak) — with it, the event is dropped
+      Seq(CdcStream.TxEvent("a", 1L, 1L, "c", 1.0)),
+      Seq(CdcStream.TxEvent("b", 3L, 2L, "c", 2.0),
+          CdcStream.TxEvent("b", 4L, -1L, "t", 0.0))))
+    val byTx = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq)
+    assert(byTx("a") === Seq(1L), s"redelivery must not duplicate: ${byTx("a")}")
+    assert(byTx("b") === Seq(3L))
+  }
+
   test("flatMapGroupsWithState: running CDC state with tombstones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
