@@ -84,13 +84,9 @@ object CdcQueries {
     val raw = log.select(
       when($"kind" === "malformed", j0.substr(lit(1), length(j0) - 1))
         .otherwise(j0).as("j"))
-    val payload = StructType(Seq(
-      StructField("pk", LongType), StructField("v", DoubleType)))
-    val (good, bad) = Cdc.decodeWithDlq(raw, "j", payload)
-    bad.groupBy($"failure_class").agg(count(lit(1)).as("n"))
-      .unionByName(good.agg(count(lit(1)).as("n"))
-        .select(lit("ok").as("failure_class"), $"n"))
-      .orderBy($"failure_class")
+    // single-pass audit (one scan, one shuffle) on the same classifier
+    // expression decodeWithDlq splits with — drift-impossible
+    Cdc.dlqAudit(raw, "j").orderBy($"failure_class")
   }
 
   /** Initial snapshot (op='r') unioned with incrementals, lsn-ordered. */

@@ -98,6 +98,27 @@ object LlmQueries {
       .orderBy($"q_vec_id", $"rn")
   }
 
+  /** Real-IVF search oracled end-to-end at BOTH ends of the recall
+    * dial: a fixed 4-centroid codebook (c_i[j] = 1.0 if j%4==i else
+    * 0.1 — equal norms, so assignment is scale-free) is inlined
+    * in-query on both engines; nprobe=1 exercises the bucket-pruned
+    * search path, nprobe=4 probes every bucket and must equal brute
+    * force — the DuckDB side of that arm IS the brute-force query, so
+    * the hash match doubles as a cross-engine probe-all==exhaustive
+    * proof. ONE shuffle on the bucket key per arm. */
+  def qLlmIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Array.tabulate(4, 64)((i, j) => if (j % 4 == i) 1.0 else 0.1)
+    val emb = Tables.table(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    Knn.ivfTopK(q, emb, cents, k = 3, nprobe = 1)
+      .withColumn("nprobe", lit(1L))
+      .unionByName(Knn.ivfTopK(q, emb, cents, k = 3, nprobe = 4)
+        .withColumn("nprobe", lit(4L)))
+      .select($"nprobe", $"q_vec_id", $"rn", $"c_vec_id", $"sim")
+      .orderBy($"nprobe", $"q_vec_id", $"rn")
+  }
+
   /** L2-normalized embeddings (values rounded 4dp for the compare). */
   def qLlmL2norm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -229,6 +250,7 @@ object LlmQueries {
     "q_llm_tfidf" -> (qLlmTfidf _),
     "q_llm_knn_cosine" -> (qLlmKnnCosine _),
     "q_llm_knn_bucketed" -> (qLlmKnnBucketed _),
+    "q_llm_ivf" -> (qLlmIvf _),
     "q_llm_l2norm" -> (qLlmL2norm _),
     "q_llm_quality" -> (qLlmQuality _),
     "q_llm_fingerprint" -> (qLlmFingerprint _),
@@ -326,6 +348,48 @@ object LlmQueries {
         |FROM pairs
         |QUALIFY rn <= 3
         |ORDER BY q_vec_id, rn""".stripMargin,
+    "q_llm_ivf" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(${dotFold.format("v", "v", "v")}) AS nrm
+        |  FROM e),
+        |cents AS (
+        |  SELECT i::INT AS cid,
+        |    list_transform(range(1, 65),
+        |      j -> CASE WHEN (j - 1) % 4 = i THEN 1.0 ELSE 0.1 END) AS cv
+        |  FROM range(4) t(i)),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, cid
+        |  FROM n CROSS JOIN cents
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+        |    ${dotFold.format("v", "v", "cv")} / nrm DESC, cid ASC) = 1),
+        |probe1 AS (
+        |  SELECT 1::BIGINT AS nprobe, q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_apply(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+        |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS sim
+        |  FROM (SELECT * FROM assign WHERE vec_id < 10) q
+        |  JOIN assign c ON q.cid = c.cid AND q.vec_id != c.vec_id),
+        |-- probe-all arm: literally the brute-force query — a hash match
+        |-- here proves ivfTopK(nprobe = codebook size) == exhaustive
+        |-- search ACROSS engines, not just within Spark
+        |probeall AS (
+        |  SELECT 4::BIGINT AS nprobe, q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_apply(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+        |      (acc, x) -> acc + x) / (q.nrm * c.nrm) AS sim
+        |  FROM (SELECT * FROM n WHERE vec_id < 10) q
+        |  JOIN n c ON q.vec_id != c.vec_id)
+        |SELECT nprobe, q_vec_id,
+        |  row_number() OVER (PARTITION BY nprobe, q_vec_id
+        |    ORDER BY sim DESC, c_vec_id ASC) AS rn,
+        |  c_vec_id, round(sim, 4) AS sim
+        |FROM (SELECT * FROM probe1 UNION ALL SELECT * FROM probeall)
+        |QUALIFY rn <= 3
+        |ORDER BY nprobe, q_vec_id, rn""".stripMargin,
     "q_llm_l2norm" ->
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
