@@ -46,14 +46,19 @@ import org.apache.spark.sql.types.StructType
   */
 object PartitionedUpsert {
 
-  /** Committed table state: data-file schema, the bucket COUNT the
-    * table is laid out in (the hash-fn modulus — recorded so a caller
-    * whose `nBuckets` drifts from the physical layout is rejected
-    * instead of silently routing keys to the wrong files), and
-    * bucket → path-relative-to-table-root of the versioned directory
-    * holding that bucket. */
+  /** Committed table state: data-file schema, the bucket LAYOUT the
+    * table is hashed into — count (the hash-fn modulus) and key column
+    * — both recorded so a caller whose `nBuckets` or key drifts from
+    * the physical layout is rejected instead of silently routing keys
+    * to the wrong files; the latest applied TRANSACTION version per
+    * writer app (the Delta txnAppId/txnVersion pattern: a replayed
+    * streaming micro-batch is recognized and skipped instead of
+    * re-merged); and bucket → path-relative-to-table-root of the
+    * versioned directory holding that bucket. */
   final case class Manifest(version: Long, schema: StructType,
-                            nBuckets: Int, buckets: Map[Long, String])
+                            nBuckets: Int, keyCol: String,
+                            txns: Map[String, Long],
+                            buckets: Map[Long, String])
 
   /** A prepared-but-uncommitted merge: data files are on disk under
     * `data/<staging>` but no reader can see them until `commit`
@@ -94,9 +99,11 @@ object PartitionedUpsert {
   }
 
   /** Manifest file format: line 1 = schema JSON, line 2 = bucket count,
-    * remaining lines = `<bucket>\t<relative path>`. */
+    * line 3 = `key\t<col>`, then `txn\t<appId>\t<version>` lines (one
+    * per writer app), then `<bucket>\t<relative path>` lines. */
   private def manifestBody(m: Manifest): String =
-    (Seq(m.schema.json, m.nBuckets.toString) ++
+    (Seq(m.schema.json, m.nBuckets.toString, s"key\t${m.keyCol}") ++
+      m.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn\t$a\t$v" } ++
       m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" })
       .mkString("\n")
 
@@ -105,11 +112,17 @@ object PartitionedUpsert {
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(lines.head).asInstanceOf[StructType]
     val nBuckets = lines(1).toInt
-    val buckets = lines.drop(2).map { l =>
+    val keyCol = lines(2).split('\t')(1)
+    val rest = lines.drop(3)
+    val txns = rest.filter(_.startsWith("txn\t")).map { l =>
+      val Array(_, a, v) = l.split('\t')
+      a -> v.toLong
+    }.toMap
+    val buckets = rest.filterNot(_.startsWith("txn\t")).map { l =>
       val Array(b, rel) = l.split('\t')
       b.toLong -> rel
     }.toMap
-    Manifest(version, schema, nBuckets, buckets)
+    Manifest(version, schema, nBuckets, keyCol, txns, buckets)
   }
 
   /** Publish a manifest: write to a temp name, then rename into place
@@ -179,8 +192,8 @@ object PartitionedUpsert {
       .write.mode("errorifexists").partitionBy("bucket")
       .parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
-    writeManifest(fs, dir, Manifest(1L, snapshot.schema, nBuckets,
-      written.map(b => b -> dataRel(staging, b)).toMap))
+    writeManifest(fs, dir, Manifest(1L, snapshot.schema, nBuckets, keyCol,
+      Map.empty, written.map(b => b -> dataRel(staging, b)).toMap))
   }
 
   /** Bootstrap the target from a chunked LIVE-table snapshot plus the
@@ -230,14 +243,21 @@ object PartitionedUpsert {
     s"v${existingMax + 1}-${java.util.UUID.randomUUID.toString.take(8)}"
   }
 
-  /** Caller/layout bucket-count agreement: a mismatched modulus routes
-    * change keys to bucket ids the data layout never used — the merge
-    * would read the wrong files and duplicate keys. Rejected loudly. */
-  private def requireBucketCount(prior: Manifest, nBuckets: Int, dir: String): Unit =
+  /** Caller/layout agreement: a mismatched bucket modulus OR key
+    * column routes change keys to bucket ids the data layout never
+    * used — the merge would read the wrong files and duplicate keys.
+    * Both are recorded in the manifest; drift is rejected loudly. */
+  private def requireLayout(prior: Manifest, nBuckets: Int, keyCol: String,
+                            dir: String): Unit = {
     require(nBuckets == prior.nBuckets,
       s"$dir is laid out in ${prior.nBuckets} buckets but the caller " +
         s"passed nBuckets=$nBuckets — a mismatched bucket fn would route " +
         s"keys to the wrong files; call rebucket($nBuckets) to change the layout")
+    require(keyCol == prior.keyCol,
+      s"$dir is bucketed by '${prior.keyCol}' but the caller passed " +
+        s"keyCol='$keyCol' — bucketing by a different column would route " +
+        s"keys to the wrong files")
+  }
 
   /** Merged output must match the committed schema EXACTLY (names,
     * order, types) before anything is staged: a change batch whose
@@ -247,12 +267,28 @@ object PartitionedUpsert {
     * of those buckets would fail with a conversion error, bricking the
     * table until manually repaired. Fail the prepare instead; a type
     * migration goes through evolveSchema. */
+  /** Nullability erased at every nesting level: parquet reads with the
+    * manifest schema resolve by name and tolerate nullable drift, and a
+    * struct-typed (composite surrogate) key would otherwise fail the
+    * match on invisible inner-field nullability. */
+  private def ignoreNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, ignoreNullable(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(ignoreNullable(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        ignoreNullable(m.keyType), ignoreNullable(m.valueType))
+    case other => other
+  }
+
   private def requireSchemaMatch(next: StructType, committed: StructType,
                                  dir: String): Unit = {
     // order-insensitive: the read path resolves parquet columns by NAME
     // (bucketsDf reads with the manifest schema), so field order is free
-    val n = next.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-    val c = committed.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    val n = next.fields.map(f => (f.name, ignoreNullable(f.dataType))).sortBy(_._1).toSeq
+    val c = committed.fields.map(f => (f.name, ignoreNullable(f.dataType))).sortBy(_._1).toSeq
     require(n == c,
       s"merge output schema ${next.catalogString} does not match $dir's " +
         s"committed schema ${committed.catalogString} — widen/rename the " +
@@ -261,11 +297,17 @@ object PartitionedUpsert {
 
   def prepare(spark: SparkSession, dir: String, changes: DataFrame,
               keyCol: String, lsnCol: String, opCol: String,
-              valueCols: Seq[String], nBuckets: Int): Pending = {
+              valueCols: Seq[String], nBuckets: Int,
+              txn: Option[(String, Long)] = None): Pending = {
     val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
-    requireBucketCount(prior, nBuckets, dir)
+    requireLayout(prior, nBuckets, keyCol, dir)
+    txn.foreach { case (app, ver) =>
+      require(!prior.txns.get(app).exists(_ >= ver),
+        s"transaction ($app, $ver) is already applied to $dir " +
+          s"(latest = ${prior.txns(app)}); use merge, which skips replays")
+    }
     val staging = newStagingName(fs, dir)
     val withBucket = changes.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .persist()
@@ -293,7 +335,8 @@ object PartitionedUpsert {
       // manifest version = base+1: a concurrent merge from the same
       // base targets the SAME manifest name and loses the publish race
       Pending(staging,
-        Manifest(prior.version + 1, prior.schema, prior.nBuckets, buckets),
+        Manifest(prior.version + 1, prior.schema, prior.nBuckets,
+          prior.keyCol, prior.txns ++ txn, buckets),
         touched)
     } finally { withBucket.unpersist(); () }
   }
@@ -315,14 +358,41 @@ object PartitionedUpsert {
     writeManifest(fsOf(spark, dir), dir, pending.manifest)
 
   /** Merge a change batch: prepare + commit. Returns the touched
-    * bucket ids (for observability). */
+    * bucket ids (for observability).
+    *
+    * `txn` = (writerAppId, monotonic version) makes the merge
+    * IDEMPOTENT across replays (the Delta txnAppId/txnVersion pattern,
+    * public knowledge): the manifest records the latest applied
+    * version per app, and a merge whose version is <= the recorded one
+    * returns without reading, writing, or burning a table version —
+    * so a restarted streaming query that re-delivers a committed
+    * micro-batch is a metadata no-op instead of a convergent-but-real
+    * rewrite. Under a same-txn race both writers prepare, one wins the
+    * manifest publish, and the loser's retry sees the recorded version
+    * and skips — exactly-once either way. */
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
             keyCol: String, lsnCol: String, opCol: String,
-            valueCols: Seq[String], nBuckets: Int): Seq[Long] = {
+            valueCols: Seq[String], nBuckets: Int,
+            txn: Option[(String, Long)] = None): Seq[Long] = {
+    txn.foreach { case (app, ver) =>
+      val prior = currentManifest(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"$dir is not an initialized upsert target"))
+      if (prior.txns.get(app).exists(_ >= ver)) return Seq.empty
+    }
     val pending = prepare(spark, dir, changes, keyCol, lsnCol, opCol,
-      valueCols, nBuckets)
-    commit(spark, dir, pending)
-    pending.touched
+      valueCols, nBuckets, txn)
+    try {
+      commit(spark, dir, pending)
+      pending.touched
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // same-txn race: if the winner applied OUR txn, this replay is done
+        if (txn.exists { case (app, ver) =>
+          currentManifest(spark, dir).exists(_.txns.get(app).exists(_ >= ver))
+        }) Seq.empty
+        else throw e
+    }
   }
 
   /** Apply DDL schema changes (rename / lossless widen) to the
@@ -339,7 +409,13 @@ object PartitionedUpsert {
     val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
-    requireBucketCount(prior, nBuckets, dir)
+    // `keyCol` is the key's POST-change name: validate against the
+    // recorded key tracked FORWARD through this batch's renames
+    val trackedKey = changes.foldLeft(prior.keyCol) {
+      case (k, Cdc.RenameColumn(from, to)) if from == k => to
+      case (k, _) => k
+    }
+    requireLayout(prior.copy(keyCol = trackedKey), nBuckets, keyCol, dir)
     val staging = newStagingName(fs, dir)
     val evolved = Cdc.applySchemaChanges(read(spark, dir), changes)
     evolved
@@ -348,7 +424,7 @@ object PartitionedUpsert {
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
     writeManifest(fs, dir, Manifest(prior.version + 1, evolved.schema, nBuckets,
-      written.map(b => b -> dataRel(staging, b)).toMap))
+      keyCol, prior.txns, written.map(b => b -> dataRel(staging, b)).toMap))
   }
 
   /** Change the table's bucket COUNT — the operation a growing table
@@ -368,6 +444,9 @@ object PartitionedUpsert {
     val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    require(keyCol == prior.keyCol,
+      s"$dir is bucketed by '${prior.keyCol}', not '$keyCol' — rebucket " +
+        s"changes the modulus, never the key")
     val staging = newStagingName(fs, dir)
     bucketsDf(spark, dir, prior)
       .withColumn("bucket", bucketOf(col(keyCol), newBuckets))
@@ -375,7 +454,7 @@ object PartitionedUpsert {
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
     writeManifest(fs, dir, Manifest(prior.version + 1, prior.schema, newBuckets,
-      written.map(b => b -> dataRel(staging, b)).toMap))
+      keyCol, prior.txns, written.map(b => b -> dataRel(staging, b)).toMap))
   }
 
   /** Read the committed state: exactly the files the newest manifest

@@ -83,7 +83,7 @@ object CdcStream {
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (PartitionedUpsert.currentManifest(spark, targetDir).isEmpty) {
           val empty = batch.select((keyCol +: valueCols).map(col): _*).limit(0)
           // a racing query may initialize between the check and here;
@@ -94,8 +94,12 @@ object CdcStream {
                  _: java.util.ConcurrentModificationException => ()
           }
         }
+        // txn = (checkpoint, batchId): a replayed micro-batch (crash
+        // after commit, before the checkpoint advanced) is recognized
+        // from the manifest and skipped as a metadata no-op — true
+        // exactly-once, not merely LWW convergence
         PartitionedUpsert.merge(spark, targetDir, batch, keyCol, lsnCol,
-          opCol, valueCols, nBuckets): Unit
+          opCol, valueCols, nBuckets, txn = Some((checkpointDir, batchId))): Unit
       }
       .start()
   }
@@ -155,7 +159,7 @@ object CdcStream {
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (PartitionedUpsert.currentManifest(spark, targetDir).isEmpty) {
           val empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], initialPayload)
@@ -192,7 +196,8 @@ object CdcStream {
         val unioned = segments.reduce(_.unionByName(_))
         if (!unioned.isEmpty)
           PartitionedUpsert.merge(spark, targetDir, unioned, keyCol, "lsn",
-            "op", target.fieldNames.filterNot(_ == keyCol).toSeq, nBuckets): Unit
+            "op", target.fieldNames.filterNot(_ == keyCol).toSeq, nBuckets,
+            txn = Some((checkpointDir, batchId))): Unit
       }
       .start()
   }

@@ -425,6 +425,89 @@ class ScaleSpec extends SparkSpec {
       .filter($"pk" === 3L).head().getDouble(1) === 3.5)
   }
 
+  test("merge with txn (appId, version): a replayed batch is a metadata " +
+      "no-op — no version burn, no rewrite, no double apply") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txn").toString + "/tgt"
+    val snap = (0L until 100L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)               // v1
+    val batch1 = Seq((1L, 3L, "u", -3.0)).toDF("lsn", "pk", "op", "val")
+    val t1 = PartitionedUpsert.merge(spark, dir, batch1,
+      "pk", "lsn", "op", Seq("val"), 4, txn = Some(("ckpt-A", 0L)))     // v2
+    assert(t1.nonEmpty)
+    val m2 = PartitionedUpsert.currentManifest(spark, dir).get
+    val paths2 = PartitionedUpsert.bucketPaths(spark, dir)
+    // the crash-replay shape: same (app, version) delivered again —
+    // recognized from the manifest, nothing read or written
+    val replay = PartitionedUpsert.merge(spark, dir, batch1,
+      "pk", "lsn", "op", Seq("val"), 4, txn = Some(("ckpt-A", 0L)))
+    assert(replay.isEmpty, "replayed txn must be skipped")
+    assert(PartitionedUpsert.currentManifest(spark, dir).get.version === m2.version,
+      "a replay must not burn a table version")
+    assert(PartitionedUpsert.bucketPaths(spark, dir) === paths2,
+      "a replay must not rewrite any bucket")
+    // the NEXT batch of the same app applies; other apps are independent
+    val t3 = PartitionedUpsert.merge(spark, dir,
+      Seq((2L, 5L, "u", -5.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), 4, txn = Some(("ckpt-A", 1L)))     // v3
+    assert(t3.nonEmpty)
+    val t4 = PartitionedUpsert.merge(spark, dir,
+      Seq((3L, 7L, "u", -7.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), 4, txn = Some(("ckpt-B", 0L)))     // v4
+    assert(t4.nonEmpty)
+    val state = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state(3L) === -3.0 && state(5L) === -5.0 && state(7L) === -7.0)
+    assert(PartitionedUpsert.currentManifest(spark, dir).get.txns ===
+      Map("ckpt-A" -> 1L, "ckpt-B" -> 0L))
+    // prepare refuses an already-applied txn outright (merge is the
+    // API that turns replays into no-ops)
+    intercept[IllegalArgumentException] {
+      PartitionedUpsert.prepare(spark, dir, batch1,
+        "pk", "lsn", "op", Seq("val"), 4, txn = Some(("ckpt-A", 1L)))
+    }
+  }
+
+  test("manifest records the bucket key column: a drifted caller is " +
+      "rejected before touching anything") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kd").toString + "/tgt"
+    val snap = (0L until 20L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      // 'val' exists as a column, so only the manifest can catch this
+      PartitionedUpsert.merge(spark, dir,
+        Seq((1L, 3L, "u", -3.0)).toDF("lsn", "pk", "op", "val"),
+        "val", "lsn", "op", Seq("pk"), 4)
+    }
+    assert(e.getMessage.contains("bucketed by 'pk'"))
+    assert(PartitionedUpsert.read(spark, dir).count() === 20)
+  }
+
+  test("composite-key upsert via a struct surrogate: bucketOf hashes the " +
+      "struct, Cdc.apply joins on it — the documented composite pattern") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString + "/tgt"
+    // composite PK (region, id) packed into ONE struct column
+    val snap = (for { r <- Seq("eu", "us"); i <- 0L until 50L } yield (r, i, 1.0))
+      .toDF("region", "id", "val")
+      .select(struct($"region", $"id").as("ck"), $"val")
+    PartitionedUpsert.init(snap, dir, "ck", nBuckets = 4)
+    val changes = Seq(("eu", 7L, "u", 77.0), ("us", 7L, "d", 0.0),
+        ("ap", 1L, "c", 9.0))
+      .toDF("region", "id", "op", "v")
+      .select(monotonically_increasing_id().as("lsn"),
+        struct($"region", $"id").as("ck"), $"op", $"v".as("val"))
+    PartitionedUpsert.merge(spark, dir, changes, "ck", "lsn", "op", Seq("val"), 4)
+    val state = PartitionedUpsert.read(spark, dir)
+      .select($"ck.region", $"ck.id", $"val")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(state(("eu", 7L)) === 77.0, "only the (eu,7) half of the pair updates")
+    assert(!state.contains(("us", 7L)), "(us,7) tombstoned independently")
+    assert(state(("ap", 1L)) === 9.0)
+    assert(state.size === 100 - 1 + 1)
+  }
+
   test("vacuum age-guards manifest deletion: a just-superseded version " +
       "stays time-travelable until the retention window lapses") {
     import spark.implicits._
