@@ -457,6 +457,60 @@ object PartitionedUpsert {
       keyCol, prior.txns, written.map(b => b -> dataRel(staging, b)).toMap))
   }
 
+  /** Compact fragmented buckets (the OPTIMIZE of this table format):
+    * every merge writes a touched bucket from up to
+    * `spark.sql.shuffle.partitions` tasks, so a hot bucket accretes
+    * files until reads drown in per-file open/footer overhead — the
+    * small-file problem every log-structured table hits. Rewrites ONLY
+    * buckets whose file count exceeds `maxFilesPerBucket`, one file
+    * per bucket (coalesced via repartition on the bucket key, so each
+    * bucket lands wholly in one task), and publishes through the same
+    * atomic manifest swap as a merge: data is bit-identical, readers
+    * see old or new files never a mix, a crash leaves the old table
+    * intact, and a racing merge gets the standard conflict error.
+    * O(fragmented buckets), not O(table). Returns the bucket ids
+    * compacted (empty = nothing fragmented, no table version burned). */
+  def compactFiles(spark: SparkSession, dir: String,
+                   maxFilesPerBucket: Int = 4): Seq[Long] = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+    val fs = fsOf(spark, dir)
+    val prior = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    val fragmented = prior.buckets.filter { case (_, rel) =>
+      fs.listStatus(new Path(s"$dir/$rel"))
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
+    }
+    if (fragmented.isEmpty) return Seq.empty
+    val staging = newStagingName(fs, dir)
+    bucketsDf(spark, dir, prior, only = Some(fragmented.values.toSeq.sorted))
+      .withColumn("bucket", bucketOf(col(prior.keyCol), prior.nBuckets))
+      .repartition(fragmented.size, col("bucket"))
+      .write.mode("errorifexists")
+      .partitionBy("bucket").parquet(s"$dir/data/$staging")
+    val written = listBuckets(fs, s"$dir/data/$staging")
+    writeManifest(fs, dir, Manifest(prior.version + 1, prior.schema,
+      prior.nBuckets, prior.keyCol, prior.txns,
+      prior.buckets ++ written.map(b => b -> dataRel(staging, b))))
+    fragmented.keys.toSeq.sorted
+  }
+
+  /** Physical per-bucket stats of the committed state: (bucket, files,
+    * bytes), FS metadata only — zero Spark jobs. The operational
+    * signals for this format: file count per bucket says when to
+    * [[compactFiles]], byte skew across buckets says when to
+    * [[rebucket]] (or that the key has a hot spot). */
+  def stats(spark: SparkSession, dir: String): Seq[(Long, Int, Long)] = {
+    val fs = fsOf(spark, dir)
+    val m = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    m.buckets.toSeq.sortBy(_._1).map { case (b, rel) =>
+      val files = fs.listStatus(new Path(s"$dir/$rel"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      (b, files.length, files.map(_.getLen).sum)
+    }
+  }
+
   /** Read the committed state: exactly the files the newest manifest
     * lists. Isolated from in-flight merges (they write elsewhere) and
     * from crashes (an uncommitted version is invisible). */

@@ -1,0 +1,209 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2-K oracled LLM-pipeline queries, part 2 (round 5): PII scrub,
+  * deterministic sampling/splitting, int8 quantization, and
+  * duplicate-cluster assignment. Split from [[LlmQueries]] on the
+  * Scalars/Scalars2 precedent (keep modules reviewable).
+  *
+  * Scale notes: pii / sample / quantize are narrow per-row projections
+  * (no shuffle at any corpus size); dedup_cluster is the iterative
+  * hash-min component search over a BOUNDED edge list (adjacent-pair
+  * candidates here; banded LSH candidates in production — never
+  * all-pairs).
+  */
+object LlmQueries2 {
+
+  /** PII detect + redact over a deterministic in-query fixture: the
+    * synthetic corpus carries no digits or '@' (verified), so PII is
+    * injected by doc_id arithmetic — every count below is forced by
+    * construction, the redaction provably fires, and both engines see
+    * the identical text (same fixture pattern as q_cdc_badrecords). */
+  def qLlmPii(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val injected = Tables.table(spark, dir, "documents").select(
+      $"doc_id",
+      concat(
+        $"text",
+        when(pmod($"doc_id", lit(7)) === 0,
+          lit(" contact alice.k+test@data-mail.example.com asap"))
+          .otherwise(lit("")),
+        when(pmod($"doc_id", lit(11)) === 0,
+          lit(" node 10.42.7.199 dialed 555-867-5309 twice"))
+          .otherwise(lit(""))).as("text"))
+    injected.select(
+      $"doc_id",
+      PiiRedact.countMatches($"text", PiiRedact.EmailPattern)
+        .cast("long").as("n_email"),
+      PiiRedact.countMatches($"text", PiiRedact.PhonePattern)
+        .cast("long").as("n_phone"),
+      PiiRedact.countMatches($"text", PiiRedact.Ipv4Pattern)
+        .cast("long").as("n_ip"),
+      PiiRedact.redact($"text").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic stratified sample + train/val/test split: the
+    * data-mixing config is (en 60%, zh 40%, rest 25%), split 80/10/10
+    * on an independent salt. Hash-bucketed (md5 prefix), so the same
+    * doc keeps its fate across runs and engines — no rand() anywhere. */
+  def qLlmSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kept = Sampling.stratifiedSample(
+      Tables.table(spark, dir, "documents"),
+      "doc_id", "lang", Map("en" -> 60, "zh" -> 40), defaultPct = 25,
+      salt = "mix")
+    kept.select($"doc_id", $"lang", $"sample_bucket",
+      Sampling.assignSplit($"doc_id", 80, 10, "split").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** Symmetric int8 quantization of every embedding: absmax scale,
+    * codes via explicit half-up floor (engine-exact), plus an integer
+    * L1 checksum of the codes and the max reconstruction error. */
+  def qLlmQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "embeddings")
+      .withColumn("v", Knn.asDouble($"embedding"))
+      .withColumn("scale", Quantize.absmaxScale($"v"))
+      .withColumn("codes", Quantize.int8Codes($"v", $"scale"))
+      .select(
+        $"vec_id",
+        round($"scale", 6).as("scale_6dp"),
+        array_join(transform($"codes", _.cast("string")), ",").as("codes"),
+        aggregate($"codes", lit(0L), (a, c) => a + abs(c)).as("l1_codes"),
+        round(Quantize.maxAbsError($"v", $"codes", $"scale"), 6)
+          .as("max_err_6dp"))
+      .orderBy($"vec_id")
+  }
+
+  /** Duplicate-cluster assignment end-to-end: adjacent-pair char-5-gram
+    * Jaccard edges at >= 0.22 (integer-DIV jaccard, so the threshold
+    * compare is engine-exact), hash-min connected components, then one
+    * cluster id per document (singletons = own id). The oracle computes
+    * the same clustering in closed form — on a consecutive-id edge set,
+    * components are runs, so cluster(d) = the latest doc <= d with no
+    * incoming edge ("gaps and islands") — which cross-checks the
+    * GENERAL iterative clusterer against an independent formulation. */
+  def qLlmDedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+    val s = NearDup.shingleSets(docs, "doc_id", "text", n = 5)
+    val a = s.select($"doc_id".as("doc_a"), $"tokens".as("ta"))
+    val b = s.select(($"doc_id" - 1).as("doc_a"), $"doc_id".as("doc_b"),
+      $"tokens".as("tb"))
+    val edges = a.join(b, "doc_a")
+      .withColumn("i_len", size(array_intersect($"ta", $"tb")).cast("long"))
+      .withColumn("u_len", size(array_union($"ta", $"tb")).cast("long"))
+      .filter(expr("(10000 * i_len) DIV u_len") / 10000.0 >= 0.22)
+      .select($"doc_a", $"doc_b")
+    DedupCluster.assignClusters(docs.select($"doc_id"), edges,
+        "doc_id", "doc_a", "doc_b")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"cluster")))
+      .select($"doc_id", $"cluster", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_pii" -> (qLlmPii _),
+    "q_llm_sample" -> (qLlmSample _),
+    "q_llm_quantize" -> (qLlmQuantize _),
+    "q_llm_dedup_cluster" -> (qLlmDedupCluster _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    // same fixture, same patterns, same replace ORDER (email, phone,
+    // ip); DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default
+    "q_llm_pii" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text ||
+        |      CASE WHEN doc_id % 7 = 0
+        |        THEN ' contact alice.k+test@data-mail.example.com asap'
+        |        ELSE '' END ||
+        |      CASE WHEN doc_id % 11 = 0
+        |        THEN ' node 10.42.7.199 dialed 555-867-5309 twice'
+        |        ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_llm_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 7))::BIGINT % 100
+        |      AS sample_bucket,
+        |    ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 7))::BIGINT % 100
+        |      AS sb
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_bucket,
+        |  CASE WHEN sb < 80 THEN 'train'
+        |       WHEN sb < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b
+        |WHERE sample_bucket <
+        |  CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 40 ELSE 25 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_llm_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE floor(x * 127 / scale + 0.5)::INT END) AS codes
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale_6dp,
+        |  array_to_string(list_transform(codes, c -> c::VARCHAR), ',') AS codes,
+        |  list_sum(list_transform(codes, c -> abs(c)::BIGINT))::BIGINT AS l1_codes,
+        |  round(list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(v[i] - codes[i] * scale / 127))), 6) AS max_err_6dp
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q_llm_dedup_cluster" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(t) - 4, 1) + 1),
+        |      i -> substr(t, i, 5))) AS toks
+        |  FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |        FROM documents)),
+        |e AS (
+        |  SELECT b.doc_id AS d,
+        |    ((10000 * len(list_intersect(a.toks, b.toks))::BIGINT)
+        |      // len(list_distinct(list_concat(a.toks, b.toks)))::BIGINT)
+        |      / 10000.0 >= 0.22 AS linked
+        |  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1),
+        |d AS (
+        |  SELECT documents.doc_id, coalesce(e.linked, FALSE) AS linked
+        |  FROM documents LEFT JOIN e ON e.d = documents.doc_id),
+        |-- gaps and islands: on consecutive-id edges a component is a
+        |-- run, and its min id is the latest unlinked doc <= d
+        |r AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN NOT linked THEN doc_id END)
+        |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cluster
+        |  FROM d)
+        |SELECT doc_id, cluster,
+        |  count(*) OVER (PARTITION BY cluster)::BIGINT AS cluster_size
+        |FROM r ORDER BY doc_id""".stripMargin
+  )
+}

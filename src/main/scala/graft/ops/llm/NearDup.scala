@@ -115,20 +115,36 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Character n-gram shingles (rolling window over the normalized
-    * text) — the shingle→Jaccard path for languages without spaces. */
-  def charShingles(textCol: Column, n: Int): Column = {
-    val s = regexp_replace(lower(textCol), "\\s+", " ")
+  /** Character n-gram shingles (rolling window) — the shingle→Jaccard
+    * path for languages without spaces. Normalization (lower,
+    * whitespace-collapse) is the caller's job: see [[shingleSets]].
+    *
+    * PERF: `textCol` is referenced from inside the `transform` lambda,
+    * so whatever expression it is gets RE-EVALUATED once per shingle
+    * (Catalyst inlines the column tree; there is no common-subexpr
+    * rescue inside a lambda). Pass a column that is already
+    * materialized in its own projection — [[shingleSets]] does — or a
+    * 300-char doc pays ~300 regex evaluations instead of one (measured
+    * 6.4× on the sf0.1 corpus). */
+  def charShingles(textCol: Column, n: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
-      i => substr(s, i, lit(n))))
-  }
+      sequence(lit(1), greatest(length(textCol) - (n - 1), lit(1))),
+      i => substr(textCol, i, lit(n))))
 
-  /** doc_id + distinct char-n-gram set (the shingle twin of tokenSets). */
+  /** doc_id + distinct char-n-gram set (the shingle twin of tokenSets).
+    * Uses the single-pass native kernel
+    * ([[graft.functions.CharShingles]], bit-identical to the HOF
+    * reference — CharShinglesSpec); the shingle set is deliberately
+    * NOT sorted — every consumer takes sizes, min-hashes, or
+    * set-intersections, and distinct-first-occurrence order is already
+    * deterministic. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int): DataFrame =
+                  n: Int): DataFrame = {
+    graft.functions.CharShingles.register(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"),
-      array_sort(charShingles(col(textCol), n)).as("tokens"))
+      graft.functions.CharShingles.shingles_native(col(textCol), n)
+        .as("tokens"))
+  }
 
   /** n-gram Jaccard near-dup: the MinHash+LSH pipeline over char
     * shingles instead of word tokens. Catches edits INSIDE words and

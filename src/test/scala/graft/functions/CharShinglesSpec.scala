@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native single-pass shingle kernel must be BIT-IDENTICAL to the
+  * readable HOF reference: normalize in its own projection
+  * (regexp_replace(lower, \s+, ' ')) then windowed substr + distinct. */
+class CharShinglesSpec extends SparkSpec {
+
+  private def hofReference(df: org.apache.spark.sql.DataFrame, n: Int) =
+    df.select(col("id"),
+        regexp_replace(lower(col("t")), "\\s+", " ").as("norm"))
+      .select(col("id"),
+        graft.ops.llm.NearDup.charShingles(col("norm"), n).as("tokens"))
+
+  private def native(df: org.apache.spark.sql.DataFrame, n: Int) = {
+    CharShingles.register(spark)
+    df.select(col("id"), CharShingles.shingles_native(col("t"), n).as("tokens"))
+  }
+
+  test("native == HOF on edge strings (element order included)") {
+    import spark.implicits._
+    val edge = Seq(
+      "", " ", "    ", "ab", "abcd", "abcde", "abcdef",
+      "  leading run", "trailing run   ", "a\t\n\f\rb",
+      "tab\tand  double  space", "中文字符没有空格的文本测试",
+      "mixed 中文 and ascii", "exactly5", "UPPER Case MiXeD")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (n <- Seq(1, 3, 5)) {
+      val h = hofReference(edge, n).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val nv = native(edge, n).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(nv == h, s"n=$n")
+    }
+  }
+
+  test("native == HOF on the whole corpus at n=5") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id").as("id"), col("text").as("t"))
+    val h = hofReference(docs, 5)
+    val nv = native(docs, 5)
+    val joined = h.as("h").join(nv.as("n"), "id")
+      .filter(col("h.tokens") =!= col("n.tokens"))
+    assert(joined.isEmpty, "native kernel diverged from the HOF reference")
+  }
+
+  test("null text yields null, not a crash") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, Some("ok text"))).toDF("id", "t")
+    val out = native(df, 5).orderBy("id").collect()
+    assert(out(0).isNullAt(1))
+    assert(out(1).getSeq[String](1).nonEmpty)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-5 LLM-pipeline operators: PII redaction, deterministic
+  * sampling/splitting, int8 quantization, duplicate clustering. */
+class PipelineOpsSpec extends SparkSpec {
+
+  // ---- PII ----
+
+  test("pii: detects and redacts email, phone, and ipv4; clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jo.smith+x@corp.example.org or 555-123-4567"),
+      (2L, "server 192.168.0.1 answered"),
+      (3L, "nothing sensitive here")
+    ).toDF("id", "text")
+    val out = df.select(
+      $"id",
+      PiiRedact.countMatches($"text", PiiRedact.EmailPattern).as("ne"),
+      PiiRedact.countMatches($"text", PiiRedact.PhonePattern).as("np"),
+      PiiRedact.countMatches($"text", PiiRedact.Ipv4Pattern).as("ni"),
+      PiiRedact.redact($"text").as("red"),
+      PiiRedact.hasPii($"text").as("has"))
+      .orderBy($"id").collect()
+    assert(out(0).getAs[Int]("ne") == 1 && out(0).getAs[Int]("np") == 1)
+    assert(out(0).getAs[String]("red") ==
+      "reach me at <EMAIL> or <PHONE>")
+    assert(out(1).getAs[Int]("ni") == 1 &&
+      out(1).getAs[String]("red") == "server <IP> answered")
+    assert(out(2).getAs[String]("red") == "nothing sensitive here")
+    assert(out.map(_.getAs[Boolean]("has")).toSeq == Seq(true, true, false))
+  }
+
+  test("pii: redacted output contains no residual matches") {
+    import spark.implicits._
+    val docs = graft.Tables.table(spark, sfSmoke, "documents")
+      .select($"doc_id", concat($"text",
+        lit(" mail a@b.co ip 10.0.0.1 tel 555-000-1111")).as("text"))
+    val residual = docs.select(PiiRedact.redact($"text").as("red"))
+      .filter(PiiRedact.hasPii($"red"))
+    assert(residual.isEmpty)
+  }
+
+  // ---- Sampling ----
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    import spark.implicits._
+    val docs = graft.Tables.table(spark, sfSmoke, "documents")
+    val rates = Map("en" -> 60, "zh" -> 40)
+    val s1 = Sampling.stratifiedSample(docs, "doc_id", "lang", rates, 25)
+    val s2 = Sampling.stratifiedSample(docs, "doc_id", "lang", rates, 25)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).isEmpty &&
+      s2.select("doc_id").except(s1.select("doc_id")).isEmpty,
+      "same config must select the same rows")
+    // the md5 bucket is uniform, so kept/total per stratum tracks the
+    // rate; small strata get a loose tolerance
+    val got = s1.groupBy("lang").agg(count(lit(1)).as("kept"))
+      .join(docs.groupBy("lang").agg(count(lit(1)).as("total")), "lang")
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("kept").toDouble / r.getAs[Long]("total"))).toMap
+    got.foreach { case (lang, frac) =>
+      val want = rates.getOrElse(lang, 25) / 100.0
+      assert(math.abs(frac - want) < 0.22,
+        s"$lang kept fraction $frac too far from $want")
+    }
+  }
+
+  test("split assignment partitions every row into exactly one of train/val/test") {
+    import spark.implicits._
+    val docs = graft.Tables.table(spark, sfSmoke, "documents")
+      .withColumn("split", Sampling.assignSplit($"doc_id", 80, 10))
+    val byrow = docs.groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("split") -> r.getAs[Long]("n")).toMap
+    assert(byrow.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byrow.values.sum == docs.count())
+    assert(byrow("train") > byrow.getOrElse("val", 0L),
+      "train must dominate at 80/10/10")
+  }
+
+  test("sample and split salts are independent (split distribution inside the sample)") {
+    import spark.implicits._
+    val docs = graft.Tables.table(spark, sfSmoke, "documents")
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 60), 25)
+      .withColumn("split", Sampling.assignSplit($"doc_id", 80, 10))
+    val trainFrac = kept.filter($"split" === "train").count().toDouble /
+      kept.count()
+    assert(math.abs(trainFrac - 0.8) < 0.15,
+      s"train fraction inside the sample was $trainFrac — correlated salts?")
+  }
+
+  // ---- Quantization ----
+
+  test("int8 quantization: codes bounded, max element hits ±127, error bounded") {
+    import spark.implicits._
+    val emb = graft.Tables.table(spark, sfSmoke, "embeddings")
+      .withColumn("v", Knn.asDouble($"embedding"))
+      .withColumn("scale", Quantize.absmaxScale($"v"))
+      .withColumn("codes", Quantize.int8Codes($"v", $"scale"))
+      .withColumn("cmax", array_max(transform($"codes", c => abs(c))))
+      .withColumn("err", Quantize.maxAbsError($"v", $"codes", $"scale"))
+    assert(emb.filter($"cmax" > 127).isEmpty, "codes must fit int8")
+    assert(emb.filter($"cmax" =!= 127).isEmpty,
+      "absmax scaling maps the max-magnitude element to ±127")
+    // half-up rounding error <= scale/254 (+ tiny fp slack)
+    assert(emb.filter($"err" > $"scale" / 254.0 + 1e-12).isEmpty,
+      "reconstruction error exceeded the absmax int8 bound")
+  }
+
+  test("int8 quantization: zero vector yields zero codes, not NaN") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.0, 0.0, 0.0))).toDF("id", "v")
+      .withColumn("scale", Quantize.absmaxScale($"v"))
+      .withColumn("codes", Quantize.int8Codes($"v", $"scale"))
+    val r = df.select($"scale", $"codes").head()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getSeq[Int](1) == Seq(0, 0, 0))
+  }
+
+  // ---- Dedup clustering ----
+
+  test("connected components: two chains and an isolated edge cluster correctly") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val cc = DedupCluster.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+  }
+
+  test("connected components: direction and duplicate edges don't matter") {
+    import spark.implicits._
+    val e1 = Seq((5L, 9L), (9L, 7L)).toDF("src", "dst")
+    val e2 = Seq((9L, 5L), (7L, 9L), (9L, 7L)).toDF("src", "dst")
+    val c1 = DedupCluster.connectedComponents(e1, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c2 = DedupCluster.connectedComponents(e2, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c1 == c2 && c1 == Set((5L, 5L), (7L, 5L), (9L, 5L)))
+  }
+
+  test("assignClusters: singletons keep their own id; members share the min") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val edges = Seq((2L, 4L)).toDF("doc_a", "doc_b")
+    val out = DedupCluster.assignClusters(docs, edges, "doc_id",
+        "doc_a", "doc_b")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 5L))
+  }
+
+  test("connected components converges on a long chain (diameter stress)") {
+    import spark.implicits._
+    val n = 40
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("src", "dst")
+    val cc = DedupCluster.connectedComponents(edges, "src", "dst")
+    assert(cc.filter($"cluster" =!= 1L).isEmpty,
+      s"all $n chain nodes must collapse to cluster 1")
+  }
+}

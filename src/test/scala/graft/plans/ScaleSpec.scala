@@ -116,6 +116,47 @@ class ScaleSpec extends SparkSpec {
     assert(state.size === 1000)  // 1000 - 1 deleted + 1 inserted
   }
 
+  test("PartitionedUpsert: compactFiles merges fragmented buckets, " +
+      "preserves contents, and keeps time travel across the boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_puc").toString + "/tgt"
+    val snap = (0L until 400L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    // 8 input tasks × partitionBy(bucket) → ~8 files per bucket dir
+    // (the same accretion a 32-shuffle-partition merge write produces
+    // in production; AQE coalesces the tiny test merges to one task,
+    // so the fragmentation is seeded at init)
+    PartitionedUpsert.init(snap.repartition(8), dir, "pk", nBuckets = 2)
+    val preVersion = PartitionedUpsert.history(spark, dir).head._1
+    val preState = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val preStats = PartitionedUpsert.stats(spark, dir)
+    assert(preStats.exists(_._2 > 1), s"fixture not fragmented: $preStats")
+
+    val compacted = PartitionedUpsert.compactFiles(spark, dir,
+      maxFilesPerBucket = 1)
+    assert(compacted.nonEmpty)
+    val postStats = PartitionedUpsert.stats(spark, dir)
+    assert(postStats.forall(_._2 == 1),
+      s"compaction must leave one file per bucket: $postStats")
+    val postState = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(postState === preState, "compaction must not change the data")
+    // time travel to the pre-compaction version still resolves
+    val travelled = PartitionedUpsert.readVersion(spark, dir, preVersion)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(travelled === preState)
+    // idempotent: nothing fragmented now → no-op, no version burned
+    val v = PartitionedUpsert.history(spark, dir).head._1
+    assert(PartitionedUpsert.compactFiles(spark, dir, 1).isEmpty)
+    assert(PartitionedUpsert.history(spark, dir).head._1 === v)
+    // and ordinary merges continue against the compacted layout
+    PartitionedUpsert.merge(spark, dir,
+      Seq((9000L, 7L, "u", -7.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 2)
+    assert(PartitionedUpsert.read(spark, dir)
+      .filter($"pk" === 7L).head().getDouble(1) === -7.0)
+  }
+
   test("PartitionedUpsert: crash between data write and manifest commit " +
       "leaves the old state fully readable") {
     import spark.implicits._
