@@ -110,7 +110,43 @@ object LlmQueries2 {
       .orderBy($"doc_id")
   }
 
+  /** Bigram frequency: top-5 two-token sequences per language — the
+    * first rung of LM n-gram statistics (and the q_llm_tf shape one
+    * level up: the shuffle carries (lang, bigram) pairs, never text). */
+  def qLlmNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.table(spark, dir, "documents")
+      .select($"lang", split($"text", " ").as("toks"))
+    val bi = toks.filter(size($"toks") >= 2)
+      .select($"lang", explode(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => array_join(slice($"toks", i, lit(2)), " "))).as("bigram"))
+    val counts = bi.groupBy($"lang", $"bigram").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"cnt".desc, $"bigram".asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"lang", $"rk", $"bigram", $"cnt")
+      .orderBy($"lang", $"rk")
+  }
+
+  /** Train/test contamination audit end-to-end: deterministic split
+    * (same salt as q_llm_sample's split stage), 4-token shingles, test
+    * docs ranked by distinct shingles shared with ANY train doc.
+    * Probed on this corpus: 4 tokens is the discriminative width
+    * (2–3 drown in common phrases, 5 finds almost nothing). */
+  def qLlmContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+      .withColumn("split", Sampling.assignSplit($"doc_id", 80, 10, "split"))
+    Contamination.crossSplitOverlap(docs, "doc_id", "text", "split",
+        probeSplit = "test", corpusSplit = "train", n = 4, minHits = 5)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_ngrams" -> (qLlmNgrams _),
+    "q_llm_contamination" -> (qLlmContamination _),
     "q_llm_pii" -> (qLlmPii _),
     "q_llm_sample" -> (qLlmSample _),
     "q_llm_quantize" -> (qLlmQuantize _),
@@ -118,6 +154,40 @@ object LlmQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_ngrams" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT lang,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT lang, bigram, count(*) AS cnt FROM b GROUP BY lang, bigram)
+        |SELECT lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS rk,
+        |  bigram, cnt
+        |FROM c
+        |QUALIFY rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+    // same split arithmetic as q_llm_sample; DuckDB list slice l[i:j]
+    // is 1-based inclusive, so toks[i:i+3] is the 4-token window
+    "q_llm_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, split,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+3], ' ')))) AS sh
+        |  FROM d WHERE len(toks) >= 4),
+        |tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+        |te AS (SELECT DISTINCT doc_id, sh FROM sh WHERE split = 'test')
+        |SELECT doc_id, count(*) AS n_hits, count(*) >= 5 AS contaminated
+        |FROM te JOIN tr USING (sh)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // same fixture, same patterns, same replace ORDER (email, phone,
     // ip); DuckDB regexp_replace needs the 'g' flag to match Spark's
     // replace-all default

@@ -156,6 +156,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 5L))
   }
 
+  // ---- Contamination ----
+
+  test("tokenShingles: 4-token windows, short rows yield no shingles") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "x y z")).toDF("id", "text")
+      .select($"id", split($"text", " ").as("toks"))
+      .select($"id", Contamination.tokenShingles($"toks", 4).as("sh"))
+      .orderBy($"id").collect()
+    assert(df(0).getSeq[String](1) == Seq("a b c d", "b c d e"))
+    assert(df(1).getSeq[String](1).isEmpty)
+  }
+
+  test("crossSplitOverlap: a test doc copying train text is flagged; clean docs absent") {
+    import spark.implicits._
+    val train = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, "train", train),
+      (2L, "train", "completely different training material here for padding"),
+      (10L, "test", train + " with a small suffix"),           // contaminated
+      (11L, "test", "novel held out evaluation text nothing shared at all"))
+      .toDF("doc_id", "split", "text")
+    val out = Contamination.crossSplitOverlap(docs, "doc_id", "text",
+        "split", "test", "train", n = 4, minHits = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out.contains(10L) && out(10L)._2,
+      s"copied doc must be flagged contaminated: $out")
+    assert(out(10L)._1 >= 8, "nearly every 4-gram of the copy is shared")
+    assert(!out.contains(11L), "clean doc must not appear in the report")
+  }
+
   test("connected components converges on a long chain (diameter stress)") {
     import spark.implicits._
     val n = 40

@@ -69,6 +69,30 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("narrow LLM ops (pii, sample, quantize) are shuffle-free projections") {
+    import spark.implicits._
+    import graft.ops.llm.{PiiRedact, Quantize, Sampling}
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    def assertNoExchange(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"),
+        s"$tag must not shuffle — it is a per-row projection:\n$plan")
+    }
+    assertNoExchange(docs.select($"doc_id",
+      PiiRedact.countMatches($"text", PiiRedact.EmailPattern).as("n"),
+      PiiRedact.redact($"text").as("red")), "pii")
+    assertNoExchange(Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 60), 25).withColumn("split",
+      Sampling.assignSplit($"doc_id", 80, 10)), "sample+split")
+    assertNoExchange(emb
+      .withColumn("v", graft.ops.llm.Knn.asDouble($"embedding"))
+      .withColumn("scale", Quantize.absmaxScale($"v"))
+      .withColumn("codes", Quantize.int8Codes($"v", $"scale")), "quantize")
+  }
+
   test("compactSalted: hot key spreads across (key, salt) reducers") {
     import spark.implicits._
     val log = (0L until 1000L).map(i => (i, 7L, "u", i * 1.0))
