@@ -144,7 +144,33 @@ object LlmQueries2 {
       .orderBy($"doc_id")
   }
 
+  /** Portable MinHash signatures (k=8, md5-prefix salted hashes),
+    * oracled bit-for-bit — the cross-engine proof of the MinHash
+    * arithmetic the LSH dedup pipeline builds on (the seeded xxhash64
+    * production path is scalatest-validated against exact Jaccard).
+    * Single-space tokens per the q_llm_tf precedent; the oracle SQL is
+    * GENERATED from the same salt loop so the two sides cannot drift. */
+  def qLlmMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = Tables.table(spark, dir, "documents")
+      .select($"doc_id", array_distinct(split($"text", " ")).as("tokens"))
+    NearDup.minHashSignaturesPortable(sets, k = 8).orderBy($"doc_id")
+  }
+
+  private[llm] def minhashOracle: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(('0x' || substr(md5('$i:' || t), 1, 7))::BIGINT) AS mh_$i")
+      .mkString(",\n  ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $mins
+       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_minhash" -> (qLlmMinhash _),
     "q_llm_ngrams" -> (qLlmNgrams _),
     "q_llm_contamination" -> (qLlmContamination _),
     "q_llm_pii" -> (qLlmPii _),
@@ -154,6 +180,7 @@ object LlmQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_minhash" -> minhashOracle,
     "q_llm_ngrams" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
         |b AS (

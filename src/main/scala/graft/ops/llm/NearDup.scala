@@ -33,6 +33,21 @@ object NearDup {
     tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Engine-portable MinHash signatures: the same k-min-aggs-in-one-
+    * pass shape as [[minHashSignatures]], but the salted token hash is
+    * an md5 prefix (`md5("<i>:" + token)`, 28 bits) instead of
+    * Spark-seeded xxhash64 — md5 is bit-identical everywhere, so the
+    * signatures are DuckDB-oracle-able (q_llm_minhash cross-checks the
+    * MinHash arithmetic itself across engines). The xxhash64 variant
+    * stays the production fast path. */
+  def minHashSignaturesPortable(sets: DataFrame, k: Int): DataFrame = {
+    val tok = sets.select(col("doc_id"), explode(col("tokens")).as("t"))
+    val mins = (0 until k).map(i =>
+      min(conv(substring(md5(concat(lit(s"$i:"), col("t"))), 1, 7), 16, 10)
+        .cast("long")).as(s"mh_$i"))
+    tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
   /** LSH candidate pairs: docs sharing any band of the signature.
     * bands × rowsPerBand must equal the signature length.
     *

@@ -196,4 +196,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cc.filter($"cluster" =!= 1L).isEmpty,
       s"all $n chain nodes must collapse to cluster 1")
   }
+
+  test("connected components == union-find on random graphs (property)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 30L)
+        b <- Gen.chooseNum(0L, 30L)
+      } yield (a, b))
+    } yield es
+    def unionFind(es: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id root for every node (attach roots to their min member)
+      parent.keys.toSeq.map(x => x -> find(x)).toMap
+    }
+    val prop = Prop.forAll(genEdges) { es =>
+      val expected = unionFind(es)
+      val got = DedupCluster.connectedComponents(
+        es.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8)
+        .withInitialSeed(Seed(20260812L)), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
