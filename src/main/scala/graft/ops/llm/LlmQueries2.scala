@@ -169,7 +169,31 @@ object LlmQueries2 {
        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-label embedding centroid — the bootstrap primitive of k-means
+    * / IVF codebook builds (Knn.ivfCodebook iterates exactly this).
+    * Shuffle shape: posexplode → ONE (label, pos) aggregation → one
+    * (label) gather; element means round at 4dp (cross-row double sums
+    * are order-nondeterministic at the last ulp — same tolerance rule
+    * as q_agg_stats). */
+  def qLlmCentroid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DecimalType, StringType}
+    val emb = Tables.table(spark, dir, "embeddings")
+    val d = emb.withColumn("v", Knn.asDouble($"embedding"))
+      .select($"label", posexplode($"v").as(Seq("pos", "x")))
+    val cent = d.groupBy($"label", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"pos", $"m"))),
+          s => round(s("m"), 4).cast(DecimalType(12, 4)).cast(StringType)),
+        ",").as("centroid"))
+    emb.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
+      .join(cent, "label")
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_centroid" -> (qLlmCentroid _),
     "q_llm_minhash" -> (qLlmMinhash _),
     "q_llm_ngrams" -> (qLlmNgrams _),
     "q_llm_contamination" -> (qLlmContamination _),
@@ -180,6 +204,26 @@ object LlmQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    // v[i] is 1-based in DuckDB, posexplode 0-based in Spark — only the
+    // ORDER matters (the pos column is not output), and DECIMAL(12,4)
+    // canonicalizes IEEE -0.0 (PARITY rule 13, l2norm precedent)
+    "q_llm_centroid" ->
+      """WITH e AS (
+        |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT label, i AS pos, v[i] AS x
+        |  FROM e CROSS JOIN range(1, 65) t(i)),
+        |g AS (SELECT label, pos, avg(x) AS m FROM d GROUP BY label, pos),
+        |c AS (
+        |  SELECT label,
+        |    array_to_string(list(round(m, 4)::DECIMAL(12,4)::VARCHAR ORDER BY pos), ',')
+        |      AS centroid
+        |  FROM g GROUP BY label)
+        |SELECT label, count(*) AS n_vecs, any_value(centroid) AS centroid
+        |FROM embeddings JOIN c USING (label)
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
     "q_llm_minhash" -> minhashOracle,
     "q_llm_ngrams" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
