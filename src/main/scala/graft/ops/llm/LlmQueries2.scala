@@ -7,15 +7,19 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** §2-K oracled LLM-pipeline queries, part 2 (round 5): PII scrub,
-  * deterministic sampling/splitting, int8 quantization, and
-  * duplicate-cluster assignment. Split from [[LlmQueries]] on the
-  * Scalars/Scalars2 precedent (keep modules reviewable).
+  * deterministic sampling/splitting, int8 quantization,
+  * duplicate-cluster assignment, bigram statistics, train/test
+  * contamination, portable MinHash, and per-label centroids. Split
+  * from [[LlmQueries]] on the Scalars/Scalars2 precedent (keep modules
+  * reviewable).
   *
   * Scale notes: pii / sample / quantize are narrow per-row projections
-  * (no shuffle at any corpus size); dedup_cluster is the iterative
-  * hash-min component search over a BOUNDED edge list (adjacent-pair
-  * candidates here; banded LSH candidates in production — never
-  * all-pairs).
+  * (asserted shuffle-free in ScaleSpec); ngrams / minhash / centroid
+  * are single-aggregation shapes whose shuffles carry derived pairs or
+  * partial aggregates, never raw text; contamination is ONE hash-join
+  * keyed by shingle; dedup_cluster is the iterative hash-min component
+  * search over a BOUNDED edge list (adjacent-pair candidates here;
+  * banded LSH candidates in production — never all-pairs).
   */
 object LlmQueries2 {
 

@@ -120,6 +120,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getSeq[Int](1) == Seq(0, 0, 0))
   }
 
+  test("int8-quantized cosine search preserves exact top-5 ranking quality") {
+    import spark.implicits._
+    // the point of quantization at scale: search over codes (a quarter
+    // of the bytes through every shuffle/scan) without losing the
+    // neighbors. Rank by the dequantized dot product and compare the
+    // top-5 sets against exact float cosine.
+    val emb = graft.Tables.table(spark, sfSmoke, "embeddings")
+      .withColumn("v", Knn.asDouble($"embedding"))
+      .withColumn("scale", Quantize.absmaxScale($"v"))
+      .withColumn("codes", Quantize.int8Codes($"v", $"scale"))
+    val exact = Knn.bruteForceTopK(emb.filter($"vec_id" < 5), emb, k = 5)
+      .select($"q_vec_id", $"c_vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_vec_id"), $"codes".as("qc"), $"scale".as("qs"))
+    val scored = q.crossJoin(
+        emb.select($"vec_id".as("c_vec_id"), $"codes".as("cc"), $"scale".as("cs")))
+      .filter($"q_vec_id" =!= $"c_vec_id")
+      // integer dot of codes, scaled back: (Σ qc·cc)·qs·cs/127² — then
+      // normalized by the dequantized norms for a cosine-equivalent
+      .withColumn("dot",
+        aggregate(zip_with($"qc", $"cc", (a, b) => a.cast("long") * b),
+          lit(0L), (acc, x) => acc + x).cast("double") *
+          $"qs" * $"cs" / lit(127.0 * 127.0))
+      .withColumn("qn", sqrt(aggregate(zip_with($"qc", $"qc",
+        (a, b) => a.cast("long") * b), lit(0L), (acc, x) => acc + x)
+        .cast("double")) * $"qs" / lit(127.0))
+      .withColumn("cn", sqrt(aggregate(zip_with($"cc", $"cc",
+        (a, b) => a.cast("long") * b), lit(0L), (acc, x) => acc + x)
+        .cast("double")) * $"cs" / lit(127.0))
+      .withColumn("sim", $"dot" / ($"qn" * $"cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_vec_id").orderBy($"sim".desc, $"c_vec_id".asc)
+    val approx = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"q_vec_id", $"c_vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"int8 search recall $recall < 0.9 vs exact float cosine")
+  }
+
   // ---- Dedup clustering ----
 
   test("connected components: two chains and an isolated edge cluster correctly") {
