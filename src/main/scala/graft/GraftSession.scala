@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * - AQE on (runtime coalescing, skew-join splitting, SMJ→broadcast)
   * - shuffle partitions sized to the machine, not the 200 default
   * - UTC session timezone (oracle/corpus contract)
-  * - native function registration (graft_dot, graft_normalize_text)
+  * - native function registration (graft_dot, graft_normalize_text,
+  *   graft_char_shingles)
   *
   * Deliberately NOT set: `spark.sql.parquet.aggregatePushdown` — it
   * only fires on the DSv2 path (empty `useV1SourceList`), and flipping
@@ -43,5 +44,6 @@ object GraftSession {
   def registerFunctions(spark: SparkSession): Unit = {
     functions.VectorExpressions.register(spark)
     functions.NormalizeText.register(spark)
+    functions.CharShingles.register(spark)
   }
 }

@@ -102,12 +102,29 @@ object VectorExpressions {
 
 /** SparkSessionExtensions hook: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` — registers
-  * the native functions at session build, SQL and DataFrame both. */
+  * ALL the native graft functions at session build, SQL and DataFrame
+  * both (the config-file twin of GraftSession.registerFunctions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize_text"),
+      (exprs: Seq[Expression]) => NormalizeText(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_shingles"),
+      new ExpressionInfo(classOf[CharShingles].getName, "graft_char_shingles"),
+      (exprs: Seq[Expression]) => {
+        val width = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_char_shingles width must be an int literal, got $other")
+        }
+        CharShingles(exprs.head, width)
+      }))
   }
 }

@@ -6,10 +6,12 @@ class GraftSessionSpec extends SparkSpec {
     GraftSession.registerFunctions(spark)  // idempotent
     val d = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d," +
-        " graft_normalize_text('  A  B!! ') AS n")
+        " graft_normalize_text('  A  B!! ') AS n," +
+        " graft_char_shingles('AB cd', 3) AS s")
       .head()
     assert(d.getDouble(0) === 11.0)
     assert(d.getString(1) === "a b")
+    assert(d.getSeq[String](2) === Seq("ab ", "b c", " cd"))
   }
 
   test("builder posture: AQE on, UTC, sized shuffle partitions") {
