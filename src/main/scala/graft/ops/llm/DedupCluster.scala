@@ -34,8 +34,11 @@ object DedupCluster {
     * (id, cluster) where cluster = min node id reachable over the
     * undirected edge set. Deterministic (min is order-free).
     *
-    * @param maxIter hard bound on propagation rounds; the fixpoint
-    *                check stops earlier as soon as no label changes.
+    * @param maxIter hard bound on loop iterations (each runs TWO
+    *                propagation rounds — see below), so label
+    *                propagation reaches up to 2·maxIter hops; the
+    *                fixpoint check stops earlier as soon as no label
+    *                changes.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50): DataFrame = {

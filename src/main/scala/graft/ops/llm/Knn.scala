@@ -125,6 +125,25 @@ object Knn {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Cosine near-duplicate pairs within a PRE-EXISTING bucket column —
+    * the deterministic (and therefore ORACLED) embedding near-dup
+    * path, where [[cosineNearDups]]' seeded hyperplane banding is the
+    * self-bucketing variant. Same blocked shape: ONE shuffle on the
+    * bucket key, pairs only inside a block, never all-pairs. */
+  def bucketedNearDups(corpus: DataFrame, bucketCol: String,
+                       threshold: Double): DataFrame = {
+    val n = withNorm(corpus, "embedding")
+    val a = n.select(col(bucketCol).as("bk"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col(bucketCol).as("bk"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
+
   // ---------------------------------------------------------------------
   // Real IVF: spherical k-means coarse quantizer + nprobe search.
   // bucketedTopK below blocks on a PRE-EXISTING bucket column; these

@@ -196,7 +196,27 @@ object LlmQueries2 {
       .orderBy($"label")
   }
 
+  /** Embedding-cosine near-dup, oracled end-to-end: the corpus has no
+    * organic near-duplicate vectors (max label-blocked cosine 0.475 —
+    * probed), so 20 perturbed twins (v + 0.05 element-wise, in DOUBLE
+    * space so both engines round identically) are planted in-query;
+    * at threshold 0.9 the detector must return exactly the planted
+    * pairs (min planted sim 0.917 — a 0.44 separation margin, no
+    * threshold-edge risk). The seeded hyperplane-LSH variant remains
+    * the self-bucketing production path (scalatest). */
+  def qLlmCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.table(spark, dir, "embeddings")
+      .select($"vec_id", $"label", Knn.asDouble($"embedding").as("embedding"))
+    val planted = base.filter($"vec_id" < 20)
+      .select(($"vec_id" + 10000).as("vec_id"), $"label",
+        transform($"embedding", x => x + lit(0.05)).as("embedding"))
+    Knn.bucketedNearDups(base.unionByName(planted), "label", 0.9)
+      .orderBy($"vec_a")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_cosine_neardup" -> (qLlmCosineNeardup _),
     "q_llm_centroid" -> (qLlmCentroid _),
     "q_llm_minhash" -> (qLlmMinhash _),
     "q_llm_ngrams" -> (qLlmNgrams _),
@@ -208,6 +228,31 @@ object LlmQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_cosine_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 10000 AS vec_id, label,
+        |    list_transform(v, x -> x + 0.05) AS v
+        |  FROM base WHERE vec_id < 20),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_apply(range(1, len(v) + 1), i -> v[i] * v[i])),
+        |      (a, x) -> a + x)) AS nrm
+        |  FROM u),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_prepend(0.0,
+        |      list_apply(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+        |      (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0)
+        |SELECT vec_a, vec_b, round(sim, 4) AS sim
+        |FROM p WHERE sim >= 0.9
+        |ORDER BY vec_a""".stripMargin,
     // v[i] is 1-based in DuckDB, posexplode 0-based in Spark — only the
     // ORDER matters (the pos column is not output), and DECIMAL(12,4)
     // canonicalizes IEEE -0.0 (PARITY rule 13, l2norm precedent)
