@@ -76,6 +76,30 @@ object MicroBench {
       val r = textWork(functions.NormalizeText.normalize_native)
       println(f"NATIVE normalize 1-pass   : ${(System.nanoTime() - t0) / 1e9}%.2f s"); r }
     assert(tr == tn, s"normalize outputs diverge: $tr vs $tn")
+
+    // char shingles: HOF (normalize projection + transform lambda) vs
+    // the single-pass native kernel, 5x documents. The HOF side below
+    // is the FIXED formulation (normalization in its own projection);
+    // the original lambda-inlined form re-ran the regex per shingle
+    // and measured another ~6x slower (BASELINE.md round-5 notes).
+    functions.CharShingles.register(spark)
+    val sdocs = Tables.table(spark, sfDir, "documents")
+      .crossJoin(spark.range(5)).select($"text")
+    sdocs.count() // warm cache
+    // two-projection HOF reference (cannot fuse into one Column
+    // without re-triggering the lambda-inlining trap)
+    val hofForced = sdocs
+      .select(regexp_replace(lower($"text"), "\\s+", " ").as("t"))
+      .select(size(ops.llm.NearDup.charShingles($"t", 5)).as("n"))
+    def hofWork() = hofForced.select(sum($"n")).head().getLong(0)
+    def natWork() = sdocs.select(sum(size(
+      functions.CharShingles.shingles_native($"text", 5)))).head().getLong(0)
+    hofWork(); natWork() // warmup
+    val shh = { val t0 = System.nanoTime(); val r = hofWork()
+      println(f"HOF    char shingles n=5  : ${(System.nanoTime() - t0) / 1e9}%.2f s"); r }
+    val shn = { val t0 = System.nanoTime(); val r = natWork()
+      println(f"NATIVE char shingles n=5  : ${(System.nanoTime() - t0) / 1e9}%.2f s"); r }
+    assert(shh == shn, s"shingle counts diverge: $shh vs $shn")
     spark.stop()
   }
 }
