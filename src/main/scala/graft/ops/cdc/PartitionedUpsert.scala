@@ -532,6 +532,54 @@ object PartitionedUpsert {
     bucketsDf(spark, dir, readManifest(fs, dir, version))
   }
 
+  /** Change data feed between two committed versions (the Delta CDF
+    * analog, derived rather than stored): row-level insert / update /
+    * delete records computed by diffing ONLY the buckets whose data
+    * path changed between the two manifests — an untouched bucket is
+    * skipped by manifest comparison alone, zero reads, so the feed is
+    * O(changed data) not O(table). A rebucketed boundary degrades
+    * gracefully: every path differs, the diff goes full-table (the
+    * honest cost — bucket identity is gone). Output: the key column,
+    * `change_type` ∈ insert/update/delete, and the AFTER-image value
+    * columns (null for deletes). Requires both versions to share the
+    * schema — diff across a schema evolution is not row-comparable;
+    * evolve-then-diff from the post-evolution version instead. */
+  def changesBetween(spark: SparkSession, dir: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween: fromVersion $fromVersion must precede toVersion $toVersion")
+    val fs = fsOf(spark, dir)
+    Seq(fromVersion, toVersion).foreach { v =>
+      if (!fs.exists(manifestPath(dir, v)))
+        throw new IllegalArgumentException(
+          s"version $v does not exist (or was vacuumed) at $dir")
+    }
+    val from = readManifest(fs, dir, fromVersion)
+    val to = readManifest(fs, dir, toVersion)
+    require(from.schema.json == to.schema.json,
+      s"changesBetween: schema changed between v$fromVersion and " +
+        s"v$toVersion — diff within one schema era")
+    val changed = (from.buckets.keySet ++ to.buckets.keySet)
+      .filter(b => from.buckets.get(b) != to.buckets.get(b))
+    val key = to.keyCol
+    val valueCols = to.schema.fieldNames.filterNot(_ == key).toSeq
+    val old = bucketsDf(spark, dir, from,
+      only = Some(changed.toSeq.flatMap(from.buckets.get).sorted))
+    val neu = bucketsDf(spark, dir, to,
+      only = Some(changed.toSeq.flatMap(to.buckets.get).sorted))
+    val fp = Cdc.rowFingerprint(valueCols)
+    val o = old.select(col(key), fp.as("__old_fp"))
+    val n = neu.select((col(key) +: valueCols.map(col)) :+ fp.as("__new_fp"): _*)
+    o.join(n, Seq(key), "full_outer")
+      .filter(col("__old_fp").isNull || col("__new_fp").isNull ||
+        col("__old_fp") =!= col("__new_fp"))
+      .select((col(key) +:
+        when(col("__old_fp").isNull, "insert")
+          .when(col("__new_fp").isNull, "delete")
+          .otherwise("update").as("change_type") +:
+        valueCols.map(col)): _*)
+  }
+
   /** Commit history: (version, commit time ms, bucket count) per
     * retained manifest, newest first — operational observability. */
   def history(spark: SparkSession, dir: String): Seq[(Long, Long, Int)] = {

@@ -181,6 +181,40 @@ class ScaleSpec extends SparkSpec {
       .filter($"pk" === 7L).head().getDouble(1) === -7.0)
   }
 
+  test("PartitionedUpsert: changesBetween derives the exact row-level CDF " +
+      "from manifests, reading only changed buckets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf").toString + "/tgt"
+    val snap = (0L until 1000L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 16)          // v1
+    val c1 = Seq((10L, 3L, "u", 33.3), (11L, 500L, "d", 0.0),
+      (12L, 2000L, "c", 42.0)).toDF("lsn", "pk", "op", "val")
+    PartitionedUpsert.merge(spark, dir, c1, "pk", "lsn", "op",
+      Seq("val"), 16)                                               // v2
+    val c2 = Seq((20L, 3L, "u", 44.4)).toDF("lsn", "pk", "op", "val")
+    PartitionedUpsert.merge(spark, dir, c2, "pk", "lsn", "op",
+      Seq("val"), 16)                                               // v3
+    val cdf12 = PartitionedUpsert.changesBetween(spark, dir, 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(cdf12 == Set((3L, "update", Some(33.3)), (500L, "delete", None),
+      (2000L, "insert", Some(42.0))), s"v1→v2 CDF wrong: $cdf12")
+    // transitive window collapses intermediate states (3: 33.3 → 44.4)
+    val cdf13 = PartitionedUpsert.changesBetween(spark, dir, 1L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cdf13 == Set((3L, "update"), (500L, "delete"), (2000L, "insert")))
+    // identical versions → empty feed without touching data
+    assert(PartitionedUpsert.changesBetween(spark, dir, 2L, 3L)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // schema guard: evolve then diff across the boundary must fail loudly
+    PartitionedUpsert.evolveSchema(spark, dir,
+      Seq(graft.ops.cdc.Cdc.RenameColumn("val", "amount")), "pk", 16) // v4
+    val err = intercept[IllegalArgumentException] {
+      PartitionedUpsert.changesBetween(spark, dir, 3L, 4L)
+    }
+    assert(err.getMessage.contains("schema changed"))
+  }
+
   test("PartitionedUpsert: crash between data write and manifest commit " +
       "leaves the old state fully readable") {
     import spark.implicits._
