@@ -105,6 +105,16 @@ object ScaleSmoke {
       val cents = ops.llm.Knn.ivfCentroids(emb, dim = 64, k = 16, iters = 3)
       ops.llm.Knn.ivfTopK(emb.filter($"vec_id" < 100), emb, cents,
         k = 5, nprobe = 4).count() }
+    time("dedup_cluster (50k docs)") {
+      // r5 family: shingle edges over adjacent ids + hash-min components
+      ops.llm.LlmQueries2.qLlmDedupCluster(spark, work).count() }
+    time("contamination (50k docs)") {
+      ops.llm.LlmQueries2.qLlmContamination(spark, work).count() }
+    time("quantize+pii+sample (50k)") {
+      // the narrow trio in one pass — per-row cost only, no shuffle
+      ops.llm.LlmQueries2.qLlmQuantize(spark, work).count() +
+        ops.llm.LlmQueries2.qLlmPii(spark, work).count() +
+        ops.llm.LlmQueries2.qLlmSample(spark, work).count() }
 
     // ---- skew: one user owns 50% of events ----------------------------
     // AQE skew-split rewrites sort-merge JOIN partitions at runtime;
