@@ -172,6 +172,50 @@ class StreamingExtrasSpec extends SparkSpec {
     assert(hist.map(_._1) === Seq(5L, 4L, 3L, 2L, 1L), s"history: $hist")
   }
 
+  test("streaming document-ingest pipeline: pii-redact + quality-band + " +
+      "watermarked exact-dedup, composed from the batch operators") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // the production ingest shape for a training corpus: every stage is
+    // the SAME column expression the oracled batch query uses — batch/
+    // stream parity by construction, only the dedup becomes stateful
+    // (dropDuplicatesWithinWatermark bounds state by the lateness horizon)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    graft.functions.NormalizeText.register(spark)
+    val cleaned = in.toDF().toDF("doc_id", "text", "ts")
+      .withWatermark("ts", "10 minutes")
+      .withColumn("redacted",
+        graft.ops.llm.PiiRedact.redact($"text"))
+      .withColumn("n_words", size(split($"redacted", " ")).cast("long"))
+      .withColumn("band", when($"n_words" < 5, "short").otherwise("ok"))
+      .withColumn("h", sha2(
+        graft.functions.NormalizeText.normalize_native($"redacted"), 256))
+      .dropDuplicatesWithinWatermark("h")
+    val name = s"ingest_${System.nanoTime()}"
+    val q = cleaned.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      in.addData(
+        (1L, "reach me at a@b.co about the large corpus cleanup today", t),
+        (2L, "reach me at z@y.org about the large corpus cleanup today", t),
+        (3L, "tiny doc", t))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select($"doc_id", $"redacted", $"band").collect()
+      // doc 1 and 2 redact to the SAME text (<EMAIL> placeholder) →
+      // the dedup keeps only the first to arrive; doc 3 is short-banded
+      assert(rows.length === 2, rows.mkString(";"))
+      val byId = rows.map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2))).toMap
+      assert(byId.keySet.intersect(Set(1L, 2L)).size === 1,
+        "redaction-equal docs must dedup to one survivor")
+      assert(byId.values.forall(!_._1.contains("@")), "emails must be gone")
+      assert(byId(3L)._2 === "short")
+    } finally q.stop()
+  }
+
   test("cache/persist: cached plan shows InMemoryTableScan and unpersist clears") {
     val df = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
       .groupBy("l_returnflag").count()
