@@ -1,0 +1,85 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus preparation pipeline — every stage
+  * is one of this package's operators, composed in the order a
+  * production ingest runs them:
+  *
+  *  1. PII redaction ([[PiiRedact]] — narrow projection)
+  *  2. quality filter ([[LlmQueries.qLlmQuality]]'s banding rules —
+  *     narrow projection; short/boilerplate docs dropped)
+  *  3. exact dedup (native-normalize sha256, keep min id per hash —
+  *     one shuffle; ALWAYS before near-dup so identical-text clusters
+  *     never reach LSH banding, the mega-bucket lesson in BASELINE.md)
+  *  4. near-dup clustering (MinHash+LSH candidates → verified Jaccard
+  *     edges → hash-min components — bucket-bounded, never all-pairs)
+  *     keeping the min doc id of every cluster
+  *  5. deterministic stratified sampling + train/val/test split
+  *     ([[Sampling]] — narrow projections, reproducible by hash)
+  *
+  * Order matters for cost, not just semantics: the narrow filters run
+  * first so the shuffling stages see the smallest corpus, and exact
+  * dedup halves near-dup's candidate volume before LSH.
+  *
+  * Deterministic end to end: same input → same corpus, on every run
+  * and at every scale (nothing samples by `rand()`, every hash is
+  * seeded/content-based).
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      stopwords: Seq[String] = Seq("the", "a"),
+      minWords: Int = 20,
+      nearDupThreshold: Double = 0.8,
+      minHashK: Int = 32,
+      minHashBands: Int = 8,
+      sampleRatesPct: Map[String, Int] = Map.empty,
+      defaultSamplePct: Int = 100,
+      trainPct: Int = 80,
+      valPct: Int = 10)
+
+  /** Returns the prepared corpus: surviving rows of `docs` with
+    * `redacted` (scrubbed text), `cluster` (near-dup cluster id — its
+    * own id for uniques), and `split` ∈ train/val/test. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+              stratumCol: String, cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.NormalizeText.register(spark)
+
+    // 1-2: scrub then band on the scrubbed text; only 'ok' survives
+    val scrubbed = docs
+      .withColumn("redacted", PiiRedact.redact(col(textCol)))
+      .withColumn("__toks", split(col("redacted"), " "))
+      .withColumn("__n_words", size(col("__toks")).cast("long"))
+      .withColumn("__n_stop", size(filter(col("__toks"),
+        t => t.isin(cfg.stopwords: _*))).cast("long"))
+      .filter(col("__n_words") >= cfg.minWords &&
+        !(col("__n_stop") * 5 > col("__n_words")))
+      .drop("__toks", "__n_words", "__n_stop")
+
+    // 3: exact dedup on normalized content (min id wins — stable)
+    val hashed = scrubbed.withColumn("__h", sha2(
+      graft.functions.NormalizeText.normalize_native(col("redacted")), 256))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol).asc)
+    val uniq = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__h")
+
+    // 4: near-dup edges (banded candidates, verified Jaccard) →
+    // components → keep each cluster's min id
+    val edges = NearDup.minHashNearDups(uniq, idCol, "redacted",
+      cfg.minHashK, cfg.minHashBands, cfg.nearDupThreshold)
+    val clustered = DedupCluster.assignClusters(uniq, edges, idCol,
+      "doc_a", "doc_b")
+      .filter(col("cluster") === col(idCol))
+
+    // 5: deterministic mixing + split
+    Sampling.stratifiedSample(clustered, idCol, stratumCol,
+        cfg.sampleRatesPct, cfg.defaultSamplePct)
+      .withColumn("split",
+        Sampling.assignSplit(col(idCol), cfg.trainPct, cfg.valPct))
+      .drop("sample_bucket")
+  }
+}

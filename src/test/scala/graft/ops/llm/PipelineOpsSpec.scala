@@ -239,6 +239,46 @@ class PipelineOpsSpec extends SparkSpec {
       s"all $n chain nodes must collapse to cluster 1")
   }
 
+  // ---- End-to-end corpus pipeline ----
+
+  test("CorpusPipeline.prepare: scrubs, filters, dedups, clusters, splits — deterministically") {
+    import spark.implicits._
+    val real = graft.Tables.table(spark, sfSmoke, "documents")
+      .select($"doc_id", $"text", $"lang")
+    // plant: an exact duplicate of doc 0 (id 9001), a near-duplicate
+    // of doc 1 (id 9002, one word changed), a PII doc (id 9003), and
+    // a too-short doc (id 9004)
+    val d0 = real.filter($"doc_id" === 0).head().getString(1)
+    val d1words = real.filter($"doc_id" === 1).head().getString(1).split(" ")
+    val nearD1 = (d1words.take(d1words.length - 1) :+ "changedword").mkString(" ")
+    val planted = Seq(
+      (9001L, d0, "en"),
+      (9002L, nearD1, "en"),
+      (9003L, d0 + " contact leak@example.com now or call 555-123-9999 ok", "en"),
+      (9004L, "way too short", "en")).toDF("doc_id", "text", "lang")
+    val corpus = real.unionByName(planted)
+    val out = CorpusPipeline.prepare(corpus, "doc_id", "text", "lang")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9001L), "exact duplicate must lose to doc 0")
+    assert(ids.contains(0L), "the min-id original must survive")
+    assert(!ids.contains(9002L) && ids.contains(1L),
+      "near-duplicate must collapse into doc 1's cluster")
+    assert(!ids.contains(9004L), "short doc must be quality-filtered")
+    // 9003 = doc0's text + unique suffix: survives dedup as its own
+    // doc, but its PII must be scrubbed
+    val redacted9003 = out.filter($"doc_id" === 9003L)
+      .select("redacted").collect()
+    redacted9003.foreach { r =>
+      assert(!r.getString(0).contains("@") && !r.getString(0).contains("555-"),
+        s"PII must be scrubbed: ${r.getString(0)}")
+    }
+    // deterministic end to end
+    val again = CorpusPipeline.prepare(corpus, "doc_id", "text", "lang")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // split covers every survivor
+    assert(out.filter(!$"split".isin("train", "val", "test")).isEmpty)
+  }
+
   test("connected components == union-find on random graphs (property)") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}

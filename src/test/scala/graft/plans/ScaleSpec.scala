@@ -206,11 +206,21 @@ class ScaleSpec extends SparkSpec {
     // identical versions → empty feed without touching data
     assert(PartitionedUpsert.changesBetween(spark, dir, 2L, 3L)
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // compaction rewrites bucket PATHS without changing data — the CDF
+    // must not invent changes across that boundary (every compacted
+    // bucket is path-changed, so this exercises the row-level diff)
+    if (PartitionedUpsert.compactFiles(spark, dir, 1).nonEmpty) {   // v4
+      val v = PartitionedUpsert.history(spark, dir).head._1
+      assert(PartitionedUpsert.changesBetween(spark, dir, 3L, v).isEmpty,
+        "compaction must produce an empty change feed")
+    }
     // schema guard: evolve then diff across the boundary must fail loudly
+    val preEvolve = PartitionedUpsert.history(spark, dir).head._1
     PartitionedUpsert.evolveSchema(spark, dir,
-      Seq(graft.ops.cdc.Cdc.RenameColumn("val", "amount")), "pk", 16) // v4
+      Seq(graft.ops.cdc.Cdc.RenameColumn("val", "amount")), "pk", 16)
     val err = intercept[IllegalArgumentException] {
-      PartitionedUpsert.changesBetween(spark, dir, 3L, 4L)
+      PartitionedUpsert.changesBetween(spark, dir, preEvolve,
+        PartitionedUpsert.history(spark, dir).head._1)
     }
     assert(err.getMessage.contains("schema changed"))
   }
