@@ -97,16 +97,22 @@ object CharShingles {
     new GenericArrayData(out)
   }
 
+  /** Shared builder for BOTH registration paths (temp function here,
+    * SparkSessionExtensions in GraftExtensions) — one place decides
+    * the accepted literal forms, so the two session flavors cannot
+    * diverge. */
+  def fromExprs(exprs: Seq[Expression]): CharShingles = {
+    val width = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_char_shingles width must be an int literal, got $other")
+    }
+    CharShingles(exprs.head, width)
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_char_shingles", exprs => {
-        val width = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_char_shingles width must be an int literal, got $other")
-        }
-        CharShingles(exprs.head, width)
-      }, "built-in")
+      "graft_char_shingles", fromExprs, "built-in")
 
   def shingles_native(c: Column, n: Int): Column =
     call_function("graft_char_shingles", c, org.apache.spark.sql.functions.lit(n))

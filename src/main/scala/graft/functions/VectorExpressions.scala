@@ -117,14 +117,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_char_shingles"),
       new ExpressionInfo(classOf[CharShingles].getName, "graft_char_shingles"),
-      (exprs: Seq[Expression]) => {
-        val width = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(
-            v: Int, org.apache.spark.sql.types.IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_char_shingles width must be an int literal, got $other")
-        }
-        CharShingles(exprs.head, width)
-      }))
+      (exprs: Seq[Expression]) => CharShingles.fromExprs(exprs)))
   }
 }

@@ -428,6 +428,12 @@ object Cdc {
         col("__ddl.widen.col"), col("__ddl.widen.to"))
       .collect()
       .map { r =>
+        // a DDL that cannot be ordered is unreplayable — fail with a
+        // classified error, not the bare NPE getLong would throw
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"schema-change event with NULL $offsetCol cannot be ordered " +
+            s"against the data stream — every op='s' event must carry " +
+            s"the log offset (payload: ${r.mkString(", ")})")
         val lsn = r.getLong(0)
         val change =
           if (r.getString(1) != null) RenameColumn(r.getString(1), r.getString(2))

@@ -299,9 +299,21 @@ object PartitionedUpsert {
               keyCol: String, lsnCol: String, opCol: String,
               valueCols: Seq[String], nBuckets: Int,
               txn: Option[(String, Long)] = None): Pending = {
-    val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    prepareFrom(spark, dir, prior, changes, keyCol, lsnCol, opCol,
+      valueCols, nBuckets, txn)
+  }
+
+  /** [[prepare]] against an ALREADY-RESOLVED manifest — `merge` passes
+    * the one it read for its txn fast-path so a streaming sink's hot
+    * path pays one manifest listing+read per trigger, not two (each is
+    * a remote round-trip on object stores). */
+  private def prepareFrom(spark: SparkSession, dir: String, prior: Manifest,
+                          changes: DataFrame, keyCol: String, lsnCol: String,
+                          opCol: String, valueCols: Seq[String], nBuckets: Int,
+                          txn: Option[(String, Long)]): Pending = {
+    val fs = fsOf(spark, dir)
     requireLayout(prior, nBuckets, keyCol, dir)
     txn.foreach { case (app, ver) =>
       require(!prior.txns.get(app).exists(_ >= ver),
@@ -374,14 +386,15 @@ object PartitionedUpsert {
             keyCol: String, lsnCol: String, opCol: String,
             valueCols: Seq[String], nBuckets: Int,
             txn: Option[(String, Long)] = None): Seq[Long] = {
+    // resolved ONCE: the txn fast-path check and prepare share it
+    val prior = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir is not an initialized upsert target"))
     txn.foreach { case (app, ver) =>
-      val prior = currentManifest(spark, dir).getOrElse(
-        throw new IllegalStateException(
-          s"$dir is not an initialized upsert target"))
       if (prior.txns.get(app).exists(_ >= ver)) return Seq.empty
     }
-    val pending = prepare(spark, dir, changes, keyCol, lsnCol, opCol,
-      valueCols, nBuckets, txn)
+    val pending = prepareFrom(spark, dir, prior, changes, keyCol, lsnCol,
+      opCol, valueCols, nBuckets, txn)
     try {
       commit(spark, dir, pending)
       pending.touched
@@ -416,8 +429,13 @@ object PartitionedUpsert {
       case (k, _) => k
     }
     requireLayout(prior.copy(keyCol = trackedKey), nBuckets, keyCol, dir)
-    val staging = newStagingName(fs, dir)
     val evolved = Cdc.applySchemaChanges(read(spark, dir), changes)
+    // replay no-op guard: a re-delivered DDL batch (rename already
+    // applied, widen already at the target type) evolves to the
+    // IDENTICAL schema — skip the O(table) rewrite and the manifest
+    // version instead of paying both again on every replay
+    if (evolved.schema.json == prior.schema.json) return
+    val staging = newStagingName(fs, dir)
     evolved
       .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .write.mode("errorifexists")

@@ -48,15 +48,18 @@ object CorpusPipeline {
     val spark = docs.sparkSession
     graft.functions.NormalizeText.register(spark)
 
-    // 1-2: scrub then band on the scrubbed text; only 'ok' survives
+    // 1-2: scrub then band on the scrubbed text; only 'ok' survives —
+    // the band comes from the SAME rules the oracled quality query
+    // uses (TextAnalysis.qualityBand), so the pipeline cannot drift
+    // from the cross-engine-verified definition
     val scrubbed = docs
       .withColumn("redacted", PiiRedact.redact(col(textCol)))
       .withColumn("__toks", split(col("redacted"), " "))
       .withColumn("__n_words", size(col("__toks")).cast("long"))
       .withColumn("__n_stop", size(filter(col("__toks"),
         t => t.isin(cfg.stopwords: _*))).cast("long"))
-      .filter(col("__n_words") >= cfg.minWords &&
-        !(col("__n_stop") * 5 > col("__n_words")))
+      .filter(TextAnalysis.qualityBand(col("__n_words"), col("__n_stop"),
+        cfg.minWords) === "ok")
       .drop("__toks", "__n_words", "__n_stop")
 
     // 3: exact dedup on normalized content (min id wins — stable)

@@ -234,10 +234,7 @@ object LlmQueries {
         expr("(200 * sum_len + n_words) DIV (2 * n_words)") / 100.0)
       .withColumn("stop_ratio_pct",
         expr("(200 * n_stop * 100 + n_words) DIV (2 * n_words)") / 100.0)
-      .withColumn("band",
-        when($"n_words" < 20, "short")
-          .when($"n_stop" * 5 > $"n_words", "boilerplate")
-          .otherwise("ok"))
+      .withColumn("band", TextAnalysis.qualityBand($"n_words", $"n_stop"))
       .select($"doc_id", $"n_words", $"n_stop", $"avg_word_len",
         $"stop_ratio_pct", $"band")
       .orderBy($"doc_id")

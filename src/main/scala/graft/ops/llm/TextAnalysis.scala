@@ -19,6 +19,16 @@ object TextAnalysis {
   def subwordCount(textCol: Column): Column =
     size(split(textCol, "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
 
+  /** Quality band from word/stopword counts — the SINGLE source of the
+    * banding rules: oracled in q_llm_quality, filtered on in
+    * CorpusPipeline. Changing a threshold here changes both, so the
+    * shipped corpus can never drift from what the cross-engine-verified
+    * quality query says survives. */
+  def qualityBand(nWords: Column, nStop: Column, minWords: Int = 20): Column =
+    when(nWords < minWords, "short")
+      .when(nStop * 5 > nWords, "boilerplate")
+      .otherwise("ok")
+
   /** N-gram-profile language ID: build per-language token profiles
     * from a labelled corpus (top-N tokens by tf), then classify by
     * profile-overlap score. Profiles are a broadcast-sized table —

@@ -177,10 +177,13 @@ object CdcStream {
                 s"— the key is the table's physical layout")
           case _ => ()
         }
-        ddls.foreach { case (_, change) =>
-          PartitionedUpsert.evolveSchema(spark, targetDir, Seq(change),
+        // ONE evolveSchema call for the whole batch (one table rewrite,
+        // one manifest version, however many DDLs arrived); a replayed
+        // batch whose changes are already applied evolves to the
+        // identical schema and evolveSchema skips as a no-op
+        if (ddls.nonEmpty)
+          PartitionedUpsert.evolveSchema(spark, targetDir, ddls.map(_._2),
             keyCol, nBuckets)
-        }
         val target = PartitionedUpsert.currentManifest(spark, targetDir).get.schema
         val bounds = (Long.MinValue +: ddls.map(_._1)) :+ Long.MaxValue
         val segments = bounds.sliding(2).zipWithIndex.map {
@@ -216,7 +219,10 @@ object CdcStream {
     * streams through as it arrives — atomicity degrades to
     * at-boundary-best-effort for that one oversized tx (counted on
     * `overflowCounter`, never silently), which beats both OOM and
-    * silent drop. After a tx commits, a TOMBSTONE survives in state:
+    * silent drop. The corrupting corner — an overflowed tx that is
+    * then ABANDONED, its streamed prefix never bounded by a marker —
+    * is counted separately on `abandonedOverflowCounter` at timeout so
+    * operators can trigger reconciliation. After a tx commits, a TOMBSTONE survives in state:
     * events of that tx REDELIVERED after their marker was processed
     * are dropped instead of re-opening a buffer that waits forever for
     * a marker that already came (with a timeout the tombstone expires
@@ -232,10 +238,18 @@ object CdcStream {
   case class TxBufState(buf: List[TxEvent], overflowed: Boolean,
                         committed: Boolean)
 
+  /** @param abandonedOverflowCounter counts the CORRUPTING case: a tx
+    *        that overflowed (its prefix already streamed downstream)
+    *        and was then abandoned — partial effects are applied and
+    *        no marker will ever bound them. Distinct from
+    *        `overflowCounter` (any cap trip, benign when the commit
+    *        marker later arrives); a nonzero value here is the signal
+    *        to reconcile downstream against the source. */
   def transactionalBuffer(events: Dataset[TxEvent],
                           abandonedTimeoutMs: Long = 3600000L,
                           maxBufferedEvents: Int = 1000000,
-                          overflowCounter: Option[org.apache.spark.util.LongAccumulator] = None
+                          overflowCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+                          abandonedOverflowCounter: Option[org.apache.spark.util.LongAccumulator] = None
                          ): Dataset[TxEvent] = {
     import events.sparkSession.implicits._
     require(maxBufferedEvents >= 1,
@@ -253,6 +267,11 @@ object CdcStream {
           def armTimeout(): Unit =
             if (abandonedTimeoutMs > 0) state.setTimeoutDuration(abandonedTimeoutMs)
           if (state.hasTimedOut) {
+            // an abandoned tx that had OVERFLOWED already leaked its
+            // prefix downstream — count it loudly (the un-overflowed
+            // case emitted nothing, so dropping it is clean)
+            if (state.getOption.exists(s => s.overflowed && !s.committed))
+              abandonedOverflowCounter.foreach(_.add(1))
             state.remove()
             Iterator.empty // abandoned (or an expired tombstone)
           } else {

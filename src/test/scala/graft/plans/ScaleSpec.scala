@@ -181,6 +181,27 @@ class ScaleSpec extends SparkSpec {
       .filter($"pk" === 7L).head().getDouble(1) === -7.0)
   }
 
+  test("evolveSchema no-op guard: a replayed DDL batch burns no version " +
+      "and rewrites nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddl2").toString + "/tgt"
+    val snap = (0L until 50L).map(i => (i, i.toInt)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)             // v1
+    val changes = Seq(
+      graft.ops.cdc.Cdc.RenameColumn("val", "amount"),
+      graft.ops.cdc.Cdc.WidenColumn("amount",
+        org.apache.spark.sql.types.LongType))
+    PartitionedUpsert.evolveSchema(spark, dir, changes, "pk", 4)      // v2
+    val v = PartitionedUpsert.history(spark, dir).head._1
+    // replay: rename finds no 'val', widen is already long → identical
+    // schema → must return without a rewrite or a manifest version
+    PartitionedUpsert.evolveSchema(spark, dir, changes, "pk", 4)
+    assert(PartitionedUpsert.history(spark, dir).head._1 === v,
+      "replayed DDL must be a metadata no-op")
+    assert(PartitionedUpsert.read(spark, dir).columns.toSeq ===
+      Seq("pk", "amount"))
+  }
+
   test("PartitionedUpsert: changesBetween derives the exact row-level CDF " +
       "from manifests, reading only changed buckets") {
     import spark.implicits._

@@ -166,10 +166,12 @@ class StreamingExtrasSpec extends SparkSpec {
     val state = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(state === Map(1L -> 3000000000L, 2L -> 25L, 5L -> 50L, 9L -> 9L),
       s"got $state")
-    // the DDL commits are visible in the table history (init + batch-1
-    // merge + rename + widen + batch-2 merge = 5 versions)
+    // the DDL commit is visible in the table history: init + batch-1
+    // merge + ONE folded rename+widen evolution + batch-2 merge = 4
+    // versions (one table rewrite for the whole DDL batch, however
+    // many changes it carries)
     val hist = graft.ops.cdc.PartitionedUpsert.history(spark, s"$base/tgt")
-    assert(hist.map(_._1) === Seq(5L, 4L, 3L, 2L, 1L), s"history: $hist")
+    assert(hist.map(_._1) === Seq(4L, 3L, 2L, 1L), s"history: $hist")
   }
 
   test("streaming document-ingest pipeline: pii-redact + quality-band + " +
