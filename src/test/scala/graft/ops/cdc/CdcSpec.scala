@@ -261,4 +261,18 @@ class CdcSpec extends SparkSpec {
     assert(u.filter($"c2_added".isNull).count() === 1)
     assert(u.count() === 2)
   }
+
+  test("schemaChangesWithLsn: a DDL event with a NULL offset fails with a " +
+      "classified error, not an NPE") {
+    import spark.implicits._
+    val log = Seq(
+      ("s", """{"rename":{"from":"a","to":"b"}}""", Some(1L)),
+      ("s", """{"widen":{"col":"b","to":"bigint"}}""", Option.empty[Long]))
+      .toDF("op", "ddl", "lsn")
+    val err = intercept[IllegalArgumentException] {
+      Cdc.schemaChangesWithLsn(log, "op", "ddl", "lsn")
+    }
+    assert(err.getMessage.contains("NULL lsn"),
+      s"unexpected message: ${err.getMessage}")
+  }
 }

@@ -180,6 +180,41 @@ class StreamingSpec extends SparkSpec {
     assert(overflows.value === 1L, "the cap engagement must be observable")
   }
 
+  test("transactionalBuffer: an overflowed tx that is then ABANDONED is " +
+      "counted as a corruption signal at timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CdcStream.TxEvent]
+    val overflows = spark.sparkContext.longAccumulator("ovf")
+    val abandoned = spark.sparkContext.longAccumulator("ovfAbandoned")
+    val out = CdcStream.transactionalBuffer(in.toDS(),
+      abandonedTimeoutMs = 1500, maxBufferedEvents = 1,
+      overflowCounter = Some(overflows),
+      abandonedOverflowCounter = Some(abandoned)).toDF()
+    val name = s"txab_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // ProcessingTime-timeout queries never quiesce, so POLL the
+      // accumulators instead of processAllAvailable (TtlCounter
+      // precedent above)
+      def await(cond: => Boolean): Boolean = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(500)
+        cond
+      }
+      // overflow tx "leak": 2 events > cap 1 → its prefix streams out
+      in.addData(CdcStream.TxEvent("leak", 1L, 1L, "c", 1.0),
+        CdcStream.TxEvent("leak", 2L, 2L, "u", 2.0))
+      assert(await(overflows.value >= 1L), "cap must trip")
+      assert(abandoned.value === 0L, "not abandoned yet")
+      // no marker ever arrives — the timeout lapses and the engine's
+      // own cleanup batches fire the expiry
+      assert(await(abandoned.value >= 1L),
+        "an abandoned overflowed tx must be counted as a corruption signal")
+    } finally q.stop()
+  }
+
   test("transactionalBuffer: events redelivered AFTER their commit marker " +
       "hit the tombstone and are dropped, not re-buffered forever") {
     import spark.implicits._
