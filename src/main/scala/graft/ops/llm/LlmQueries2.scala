@@ -114,6 +114,33 @@ object LlmQueries2 {
       .orderBy($"doc_id")
   }
 
+  /** Boilerplate cleaning over a deterministic in-query fixture (the
+    * corpus carries no URLs or markup — verified for the PII fixture):
+    * URLs and HTML tags injected by doc_id arithmetic, stripped by the
+    * fixed-order clean pass, whitespace renormalized. Counts prove the
+    * patterns fired; the cleaned text proves the strip round-trips. */
+  def qLlmClean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val injected = Tables.table(spark, dir, "documents").select(
+      $"doc_id",
+      concat(
+        when(pmod($"doc_id", lit(9)) === 0,
+          lit("<div class=\"ad\"> promo </div> ")).otherwise(lit("")),
+        $"text",
+        when(pmod($"doc_id", lit(5)) === 0,
+          lit(" see https://tracker.example.com/p?id=7&u=2 and " +
+            "http://cdn.example.net/x.js <br/>")).otherwise(lit("")))
+        .as("text"))
+    injected.select(
+      $"doc_id",
+      TextClean.countMatches($"text", TextClean.UrlPattern)
+        .cast("long").as("n_urls"),
+      TextClean.countMatches($"text", TextClean.HtmlTagPattern)
+        .cast("long").as("n_tags"),
+      TextClean.clean($"text").as("cleaned"))
+      .orderBy($"doc_id")
+  }
+
   /** Bigram frequency: top-5 two-token sequences per language — the
     * first rung of LM n-gram statistics (and the q_llm_tf shape one
     * level up: the shuffle carries (lang, bigram) pairs, never text). */
@@ -219,6 +246,7 @@ object LlmQueries2 {
     "q_llm_cosine_neardup" -> (qLlmCosineNeardup _),
     "q_llm_centroid" -> (qLlmCentroid _),
     "q_llm_minhash" -> (qLlmMinhash _),
+    "q_llm_clean" -> (qLlmClean _),
     "q_llm_ngrams" -> (qLlmNgrams _),
     "q_llm_contamination" -> (qLlmContamination _),
     "q_llm_pii" -> (qLlmPii _),
@@ -274,6 +302,24 @@ object LlmQueries2 {
         |GROUP BY label
         |ORDER BY label""".stripMargin,
     "q_llm_minhash" -> minhashOracle,
+    "q_llm_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN '<div class="ad"> promo </div> ' ELSE '' END ||
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' see https://tracker.example.com/p?id=7&u=2 and http://cdn.example.net/x.js <br/>'
+        |      ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, 'https?://[^ \t\n\r]+'))::BIGINT AS n_urls,
+        |  len(regexp_extract_all(text, '</?[a-zA-Z][^<>]*>'))::BIGINT AS n_tags,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '</?[a-zA-Z][^<>]*>', ' ', 'g'),
+        |    'https?://[^ \t\n\r]+', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS cleaned
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_llm_ngrams" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
         |b AS (

@@ -44,6 +44,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(residual.isEmpty)
   }
 
+  test("text clean: strips urls and tags, renormalizes whitespace, leaves clean text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "read <a href=\"https://x.com/a\">this</a> at https://ex.com/p?a=1&b=2 now"),
+      (2L, "plain text stays untouched"),
+      (3L, "<p>wrapped</p>   and   spaced")
+    ).toDF("id", "text")
+    val out = df.select($"id",
+      TextClean.countMatches($"text", TextClean.UrlPattern).as("nu"),
+      TextClean.countMatches($"text", TextClean.HtmlTagPattern).as("nt"),
+      TextClean.clean($"text").as("c")).orderBy($"id").collect()
+    assert(out(0).getAs[String]("c") == "read this at now")
+    assert(out(0).getAs[Int]("nt") == 2)
+    assert(out(1).getAs[String]("c") == "plain text stays untouched")
+    assert(out(2).getAs[String]("c") == "wrapped and spaced" &&
+      out(2).getAs[Int]("nt") == 2)
+  }
+
   // ---- Sampling ----
 
   test("stratified sample is deterministic and respects per-stratum rates") {
