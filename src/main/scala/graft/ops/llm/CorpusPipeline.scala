@@ -53,6 +53,10 @@ object CorpusPipeline {
     // uses (TextAnalysis.qualityBand), so the pipeline cannot drift
     // from the cross-engine-verified definition
     val scrubbed = docs
+      // a NULL text is unusable in every later stage — drop it
+      // EXPLICITLY rather than relying on SQL null propagation
+      // (qualityBand's otherwise("ok") would wave a NULL through)
+      .filter(col(textCol).isNotNull)
       .withColumn("redacted", PiiRedact.redact(col(textCol)))
       .withColumn("__toks", split(col("redacted"), " "))
       .withColumn("__n_words", size(col("__toks")).cast("long"))

@@ -21,8 +21,10 @@ object TextClean {
   val UrlPattern: String = "https?://[^ \\t\\n\\r]+"
   val HtmlTagPattern: String = "</?[a-zA-Z][^<>]*>"
 
+  /** Non-overlapping match count — one implementation, shared contract:
+    * see [[PiiRedact.countMatches]]. */
   def countMatches(text: Column, pattern: String): Column =
-    regexp_count(text, lit(pattern))
+    PiiRedact.countMatches(text, pattern)
 
   /** Strip tags then URLs, collapse whitespace runs, trim. */
   def clean(text: Column): Column = {

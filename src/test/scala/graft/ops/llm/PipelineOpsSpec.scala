@@ -273,7 +273,8 @@ class PipelineOpsSpec extends SparkSpec {
       (9001L, d0, "en"),
       (9002L, nearD1, "en"),
       (9003L, d0 + " contact leak@example.com now or call 555-123-9999 ok", "en"),
-      (9004L, "way too short", "en")).toDF("doc_id", "text", "lang")
+      (9004L, "way too short", "en"),
+      (9005L, null.asInstanceOf[String], "en")).toDF("doc_id", "text", "lang")
     val corpus = real.unionByName(planted)
     val out = CorpusPipeline.prepare(corpus, "doc_id", "text", "lang")
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
@@ -282,6 +283,8 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!ids.contains(9002L) && ids.contains(1L),
       "near-duplicate must collapse into doc 1's cluster")
     assert(!ids.contains(9004L), "short doc must be quality-filtered")
+    assert(!ids.contains(9005L),
+      "null-text doc must be dropped, not null-propagated to band 'ok'")
     // 9003 = doc0's text + unique suffix: survives dedup as its own
     // doc, but its PII must be scrubbed
     val redacted9003 = out.filter($"doc_id" === 9003L)
