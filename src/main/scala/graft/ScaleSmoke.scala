@@ -115,6 +115,15 @@ object ScaleSmoke {
       ops.llm.LlmQueries2.qLlmQuantize(spark, work).count() +
         ops.llm.LlmQueries2.qLlmPii(spark, work).count() +
         ops.llm.LlmQueries2.qLlmSample(spark, work).count() }
+    time("corpus_pipeline e2e (50k)") {
+      // the capstone: scrub → quality → exact-dedup → MinHash cluster →
+      // sample → split, end to end on the 10x-replicated corpus (the
+      // replication makes exact-dedup-first do real work before LSH)
+      val docs = Tables.table(spark, work, "documents")
+        .select($"doc_id", $"text", $"lang")
+      ops.llm.CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
+        ops.llm.CorpusPipeline.Config(
+          sampleRatesPct = Map("en" -> 60), defaultSamplePct = 25)).count() }
 
     // ---- skew: one user owns 50% of events ----------------------------
     // AQE skew-split rewrites sort-merge JOIN partitions at runtime;
