@@ -47,6 +47,38 @@ class CharShinglesSpec extends SparkSpec {
     assert(joined.isEmpty, "native kernel diverged from the HOF reference")
   }
 
+  test("native == HOF on random unicode strings (property, incl. non-BMP)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    // characters that stress every branch: ascii, uppercase (lowering),
+    // all five \s whitespace chars, CJK, combining marks, and
+    // SUPPLEMENTARY-plane code points (UTF-16 surrogate pairs — the
+    // case where counting code units instead of code points diverges)
+    val alphabet: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("\t"),
+      Gen.const("\n"), Gen.const(""), Gen.const("\f"), Gen.const("\r"),
+      Gen.oneOf("中", "文", "É", "ß", "é"),
+      Gen.oneOf("😀", "𑀀")) // 😀, 𑀀
+    val genText: Gen[String] = for {
+      n <- Gen.chooseNum(0, 40)
+      parts <- Gen.listOfN(n, alphabet)
+    } yield parts.mkString
+    val prop = Prop.forAll(Gen.listOfN(12, genText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+      val h = hofReference(df, 5).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val nv = native(df, 5).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      nv == h
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10)
+        .withInitialSeed(Seed(20260813L)), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("null text yields null, not a crash") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String]), (2L, Some("ok text"))).toDF("id", "t")

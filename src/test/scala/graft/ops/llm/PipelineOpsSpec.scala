@@ -128,6 +128,29 @@ class PipelineOpsSpec extends SparkSpec {
       "reconstruction error exceeded the absmax int8 bound")
   }
 
+  test("int8 quantization roundtrip bound holds on random vectors (property)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val genVec: Gen[Array[Double]] = for {
+      d <- Gen.chooseNum(1, 32)
+      v <- Gen.listOfN(d, Gen.chooseNum(-1e6, 1e6).map(_ / 1e3))
+    } yield v.toArray
+    val prop = Prop.forAll(Gen.listOfN(16, genVec)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+        .withColumn("scale", Quantize.absmaxScale($"v"))
+        .withColumn("codes", Quantize.int8Codes($"v", $"scale"))
+        .withColumn("cmax", array_max(transform($"codes", c => abs(c))))
+        .withColumn("err", Quantize.maxAbsError($"v", $"codes", $"scale"))
+      df.filter($"cmax" > 127 || $"err" > $"scale" / 254.0 + 1e-9).isEmpty
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10)
+        .withInitialSeed(Seed(20260813L)), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("int8 quantization: zero vector yields zero codes, not NaN") {
     import spark.implicits._
     val df = Seq((1L, Array(0.0, 0.0, 0.0))).toDF("id", "v")
