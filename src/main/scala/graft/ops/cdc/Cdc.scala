@@ -163,6 +163,86 @@ object Cdc {
         when(col("__in_log").isNotNull, lit("log")).otherwise(lit("snapshot")).as("src"): _*)
   }
 
+  // ---------------------------------------------------------------------
+  // Sparse (partial) after-images. Postgres TOAST columns and wide-table
+  // sources emit updates whose after-image carries ONLY the changed
+  // columns; applying such an event as a full row would null out every
+  // untouched column. Convention (the Debezium/TOAST distinction):
+  //   key ABSENT from the after-image JSON  = column unchanged
+  //   key present with EXPLICIT null        = column set to NULL
+  // json_object_keys sees explicit-null keys, so the two cases decode
+  // apart — from_json alone cannot make the distinction (both become
+  // SQL NULL).
+  // ---------------------------------------------------------------------
+
+  /** Decode one field of a sparse after-image JSON column into
+    * (value, present). `present` is the column-changed flag `applySparse`
+    * keys on; value NULL while present=true means explicit SET NULL. */
+  def sparseField(jsonCol: Column, field: String, dt: DataType): (Column, Column) =
+    (get_json_object(jsonCol, s"$$.$field").cast(dt),
+      array_contains(json_object_keys(jsonCol), field))
+
+  /** Apply a change log with SPARSE after-images: column-level
+    * last-write-wins. `log` carries, per value column c, columns `c`
+    * and `c<presentSuffix>` (boolean). Semantics per key, in offset
+    * order: 'c'/'r' events carry FULL images (every column resets to
+    * the image); 'd' removes the row; 'u' events set only their
+    * present columns — an update on a deleted/absent key resurrects a
+    * partial row whose unset columns are NULL, never the pre-delete
+    * values.
+    *
+    * Closed form (validated against an event-by-event fold): with
+    * barrier = the latest 'c'/'r'/'d' event, a column's final value is
+    * the latest present-'u' AFTER the barrier, else the barrier image
+    * ('c'/'r'), else NULL ('d' barrier), else the snapshot value. ONE
+    * exchange on the keys: every per-key quantity is a full-partition
+    * window over the same partitioning (stacked Window operators reuse
+    * the sort), then the snapshot join shuffles the (already
+    * one-row-per-key) summary — same cost class as `apply`. */
+  def applySparse(snapshot: DataFrame, log: DataFrame, keys: Seq[String],
+                  offsetCol: String, opCol: String, valueCols: Seq[String],
+                  presentSuffix: String = "_present"): DataFrame = {
+    val part = Window.partitionBy(keys.map(col): _*)
+    val ordFull = part.orderBy(col(offsetCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val isBarrier = col(opCol).isin("c", "r", "d")
+    // pass 1: per-key barrier position + latest/barrier op
+    val s1 = log
+      .withColumn("__last_op", last(col(opCol)).over(ordFull))
+      .withColumn("__barrier_lsn", max(when(isBarrier, col(offsetCol))).over(part))
+      .withColumn("__barrier_op", last(when(isBarrier, col(opCol)), true).over(ordFull))
+    // pass 2 (same partitioning — no new exchange): per column, the
+    // latest post-barrier present-'u' override and the barrier image.
+    // struct-wrapping keeps ignoreNulls from conflating "no override"
+    // with "override to explicit NULL".
+    val s2 = valueCols.foldLeft(s1) { (d, c) =>
+      d.withColumn(s"__ov_$c",
+          last(when(col(opCol) === "u" && col(s"$c$presentSuffix") &&
+            (col("__barrier_lsn").isNull || col(offsetCol) > col("__barrier_lsn")),
+            struct(col(c).as("x"))), true).over(ordFull))
+        .withColumn(s"__base_$c",
+          last(when(col(opCol).isin("c", "r") &&
+            col(offsetCol) === col("__barrier_lsn"),
+            struct(col(c).as("x"))), true).over(ordFull))
+    }
+    val perKey = s2
+      .withColumn("__rn", row_number().over(part.orderBy(col(offsetCol).desc)))
+      .filter(col("__rn") === 1)
+      .select(keys.map(col) ++
+        Seq(col("__last_op"), col("__barrier_op"), lit(1).as("__in_log")) ++
+        valueCols.flatMap(c => Seq(col(s"__ov_$c"), col(s"__base_$c"))): _*)
+    snapshot.join(perKey, keys, "full_outer")
+      .filter(col("__in_log").isNull || col("__last_op") =!= "d")
+      .select(keys.map(col) ++ valueCols.map { c =>
+        when(col("__in_log").isNull, col(c))
+          .when(col(s"__ov_$c").isNotNull, col(s"__ov_$c.x"))
+          .when(col("__barrier_op").isin("c", "r"), col(s"__base_$c.x"))
+          .when(col("__barrier_op") === "d", lit(null))
+          .otherwise(col(c))
+          .as(c)
+      }: _*)
+  }
+
   /** Transaction-atomic apply: events carry a transaction id, and a
     * transaction becomes visible only once its COMMIT marker (op='t',
     * the Debezium transaction-metadata pattern) has arrived — an

@@ -298,11 +298,12 @@ object PartitionedUpsert {
   def prepare(spark: SparkSession, dir: String, changes: DataFrame,
               keyCol: String, lsnCol: String, opCol: String,
               valueCols: Seq[String], nBuckets: Int,
-              txn: Option[(String, Long)] = None): Pending = {
+              txn: Option[(String, Long)] = None,
+              sparse: Boolean = false): Pending = {
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
     prepareFrom(spark, dir, prior, changes, keyCol, lsnCol, opCol,
-      valueCols, nBuckets, txn)
+      valueCols, nBuckets, txn, sparse)
   }
 
   /** [[prepare]] against an ALREADY-RESOLVED manifest — `merge` passes
@@ -312,7 +313,8 @@ object PartitionedUpsert {
   private def prepareFrom(spark: SparkSession, dir: String, prior: Manifest,
                           changes: DataFrame, keyCol: String, lsnCol: String,
                           opCol: String, valueCols: Seq[String], nBuckets: Int,
-                          txn: Option[(String, Long)]): Pending = {
+                          txn: Option[(String, Long)],
+                          sparse: Boolean = false): Pending = {
     val fs = fsOf(spark, dir)
     requireLayout(prior, nBuckets, keyCol, dir)
     txn.foreach { case (app, ver) =>
@@ -329,9 +331,17 @@ object PartitionedUpsert {
         .collect().map(_.getLong(0)).sorted.toSeq
       val current = bucketsDf(spark, dir, prior,
         only = Some(touched.flatMap(prior.buckets.get)))
-      val merged = Cdc.apply(current, withBucket.drop("bucket"),
+      // sparse = TOAST-style partial after-images: the batch carries a
+      // `<col>_present` flag per value column and Cdc.applySparse does
+      // column-level LWW against the current bucket state (the bucket
+      // read IS the "snapshot" — absent columns keep their stored
+      // values). Same O(touched buckets) shape either way.
+      val merged =
+        if (sparse) Cdc.applySparse(current, withBucket.drop("bucket"),
           Seq(keyCol), lsnCol, opCol, valueCols)
-        .drop("src")
+        else Cdc.apply(current, withBucket.drop("bucket"),
+          Seq(keyCol), lsnCol, opCol, valueCols)
+          .drop("src")
       requireSchemaMatch(merged.schema, prior.schema, dir)
       val next = merged.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       // fresh staging dir: the plan reads the old files and writes new
@@ -385,7 +395,8 @@ object PartitionedUpsert {
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
             keyCol: String, lsnCol: String, opCol: String,
             valueCols: Seq[String], nBuckets: Int,
-            txn: Option[(String, Long)] = None): Seq[Long] = {
+            txn: Option[(String, Long)] = None,
+            sparse: Boolean = false): Seq[Long] = {
     // resolved ONCE: the txn fast-path check and prepare share it
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(
@@ -394,7 +405,7 @@ object PartitionedUpsert {
       if (prior.txns.get(app).exists(_ >= ver)) return Seq.empty
     }
     val pending = prepareFrom(spark, dir, prior, changes, keyCol, lsnCol,
-      opCol, valueCols, nBuckets, txn)
+      opCol, valueCols, nBuckets, txn, sparse)
     try {
       commit(spark, dir, pending)
       pending.touched
