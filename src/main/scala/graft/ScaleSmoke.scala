@@ -125,6 +125,35 @@ object ScaleSmoke {
         ops.llm.CorpusPipeline.Config(
           sampleRatesPct = Map("en" -> 60), defaultSamplePct = 25)).count() }
 
+    time("hist_dedup init (50k corpus)") {
+      // bucket-partitioned corpus table keyed by content hash — the
+      // accumulated-history side of streaming exact dedup
+      val dir = s"$work/hist_corpus"
+      if (!new java.io.File(s"$dir/_manifests").exists)
+        streaming.HistoricalDedup.initCorpus(
+          Tables.table(spark, work, "documents").select($"doc_id", $"text"),
+          dir, "doc_id", "text", nBuckets = 64)
+      ops.cdc.PartitionedUpsert.read(spark, dir).count() }
+    time("hist_dedup batch vs history") {
+      // the per-trigger path: a 200-doc batch (100 re-crawls of corpus
+      // docs + 100 genuinely new) probes the 50k-doc table; the history
+      // read is bounded by the batch's bucket fan-out (<= 64 buckets
+      // here regardless of corpus size), never a corpus scan
+      import streaming.HistoricalDedup
+      val dir = s"$work/hist_corpus"
+      val docs100 = Tables.table(spark, work, "documents")
+        .filter($"doc_id" < 100)
+      val batch = docs100
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+        .unionByName(docs100.select(($"doc_id" + 20000000L).as("doc_id"),
+          concat($"text", lit(" fresh suffix")).as("text")))
+      val hashed = batch
+        .withColumn("content_hash", HistoricalDedup.contentHash($"text"))
+      val existing = ops.cdc.PartitionedUpsert.readForKeys(spark, dir,
+        hashed.select($"content_hash"), "content_hash")
+        .select($"content_hash")
+      hashed.join(existing, Seq("content_hash"), "left_anti").count() }
+
     // ---- skew: one user owns 50% of events ----------------------------
     // AQE skew-split rewrites sort-merge JOIN partitions at runtime;
     // window operators are out of its reach (compact relies on

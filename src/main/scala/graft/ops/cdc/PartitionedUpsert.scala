@@ -549,6 +549,24 @@ object PartitionedUpsert {
     bucketsDf(spark, dir, m)
   }
 
+  /** Committed rows living in the buckets that `keys`' values hash to —
+    * the path-pruned point-lookup read. `keys` is a (small) frame whose
+    * `keyCol` column has the SAME type as the table's key (bucket
+    * routing hashes the value, so a type mismatch routes to the wrong
+    * files — same hazard requireLayout guards against for writers).
+    * Reads at most min(|distinct keys|, nBuckets) buckets, never the
+    * whole table: the cost of a stream-vs-history lookup is bounded by
+    * the BATCH size, not the corpus size. The distinct-bucket collect
+    * is ≤ nBuckets longs of driver state (same bound as prepare). */
+  def readForKeys(spark: SparkSession, dir: String, keys: DataFrame,
+                  keyCol: String): DataFrame = {
+    val m = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    val touched = keys.select(bucketOf(col(keyCol), m.nBuckets).as("__b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    bucketsDf(spark, dir, m, only = Some(touched.flatMap(m.buckets.get)))
+  }
+
   /** Time travel: read the table AS OF a committed manifest version.
     * Works for any version vacuum has not reclaimed — the manifest
     * pins its exact file set, so the historical snapshot is as
