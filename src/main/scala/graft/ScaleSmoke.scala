@@ -105,6 +105,16 @@ object ScaleSmoke {
       val cents = ops.llm.Knn.ivfCentroids(emb, dim = 64, k = 16, iters = 3)
       ops.llm.Knn.ivfTopK(emb.filter($"vec_id" < 100), emb, cents,
         k = 5, nprobe = 4).count() }
+    time("ivf_index persisted (20k)") {
+      // build-once / search-many: assignments stored by centroid id, a
+      // search reads only its probed cid partitions via the manifest
+      val dir = s"$work/ivf_index"
+      val emb = Tables.table(spark, work, "embeddings")
+      if (!new java.io.File(s"$dir/_manifests").exists)
+        ops.llm.IvfIndex.build(emb.select($"vec_id", $"embedding"), dir,
+          dim = 64, k = 16, iters = 3)
+      ops.llm.IvfIndex.search(spark, dir,
+        emb.filter($"vec_id" < 100), k = 5, nprobe = 4).count() }
     time("dedup_cluster (50k docs)") {
       // r5 family: shingle edges over adjacent ids + hash-min components
       ops.llm.LlmQueries2.qLlmDedupCluster(spark, work).count() }

@@ -92,11 +92,8 @@ object PartitionedUpsert {
     else Some(readManifest(fs, dir, versions.max))
   }
 
-  private def readManifestText(fs: FileSystem, dir: String, version: Long): String = {
-    val in = fs.open(manifestPath(dir, version))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
+  private def readManifestText(fs: FileSystem, dir: String, version: Long): String =
+    AtomicPublish.readText(fs, manifestPath(dir, version))
 
   /** Manifest file format: line 1 = schema JSON, line 2 = bucket count,
     * line 3 = `key\t<col>`, then `txn\t<appId>\t<version>` lines (one
@@ -125,53 +122,14 @@ object PartitionedUpsert {
     Manifest(version, schema, nBuckets, keyCol, txns, buckets)
   }
 
-  /** Publish a manifest: write to a temp name, then rename into place
-    * with NO-OVERWRITE semantics via FileContext (Options.Rename.NONE).
-    * On HDFS this is an atomic compare-and-publish. On the local
-    * AbstractFileSystem the no-overwrite check is BEST-EFFORT, not
-    * atomic: it is getFileStatus-then-rename (check-then-act), so two
-    * commits racing within that TOCTOU window could both "succeed"
-    * with the last overwrite winning. The production contract is HDFS
-    * rename atomicity or a conditional put (if-none-match) on object
-    * stores; as a cheap lost-update DETECTOR everywhere else, the
-    * published manifest is re-read after the rename and must byte-match
-    * what this writer staged — a mismatch means another writer's rename
-    * overwrote ours, and the losing commit fails loudly instead of
-    * silently dropping an update. A losing racer gets a clean conflict
-    * error and must re-prepare from the new state. */
-  private def writeManifest(fs: FileSystem, dir: String, m: Manifest): Unit = {
-    val mdir = new Path(s"$dir/_manifests")
-    fs.mkdirs(mdir)
-    val tmp = new Path(mdir, s".tmp-v${m.version}-${java.util.UUID.randomUUID}")
-    val body = manifestBody(m)
-    val out = fs.create(tmp, false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val dest = manifestPath(dir, m.version)
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        dest.toUri, fs.getConf)
-      fc.rename(tmp.makeQualified(fs.getUri, fs.getWorkingDirectory),
-        dest.makeQualified(fs.getUri, fs.getWorkingDirectory))
-    } catch {
-      case e: java.io.IOException =>
-        fs.delete(tmp, false) // never leak the temp file
-        if (e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-            fs.exists(dest))
-          throw new java.util.ConcurrentModificationException(
-            s"commit conflict: manifest v${m.version} already published — " +
-              s"another writer committed from the same base; re-prepare " +
-              s"from the new state (${e.getMessage})")
-        else throw e
-    }
-    // lost-update detector for stores whose no-overwrite rename is
-    // check-then-act: what is published must be what WE staged
-    val published = readManifestText(fs, dir, m.version)
-    if (published != body)
-      throw new java.util.ConcurrentModificationException(
-        s"commit conflict: manifest v${m.version} was overwritten by a " +
-          s"concurrent writer after our rename (non-atomic no-overwrite " +
-          s"on this filesystem); re-prepare from the new state")
-  }
+  /** Publish a manifest via [[AtomicPublish.publishNoOverwrite]] —
+    * write-to-temp + no-overwrite rename (atomic compare-and-publish
+    * on HDFS) + read-back lost-update detector for stores whose
+    * no-overwrite rename is check-then-act. A losing racer gets a
+    * clean conflict error and must re-prepare from the new state. */
+  private def writeManifest(fs: FileSystem, dir: String, m: Manifest): Unit =
+    AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version),
+      manifestBody(m))
 
   /** Initialize the target from a snapshot (commits manifest v1).
     * Stages under a fresh directory like every other writer — an init

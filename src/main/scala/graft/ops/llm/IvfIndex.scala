@@ -1,0 +1,267 @@
+package graft.ops.llm
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.cdc.AtomicPublish
+
+/** Persisted, incrementally-maintained IVF index. At 100 TB the index
+  * IS the asset: [[Knn.ivfCentroids]] alone recomputes k-means per job
+  * and throws the assignments away — this stores both, so vectors are
+  * assigned ONCE and every later search pays only a pruned read.
+  *
+  * Layout (same manifest-committed pattern as the upsert table —
+  * [[AtomicPublish]] is the shared commit primitive):
+  *
+  *   dir/_manifests/v<N>.manifest   codebook + data-path list, atomic
+  *   dir/data/<staging>/cid=<i>/    assignments PARTITIONED BY CENTROID
+  *
+  * Partitioning by centroid id is the point: a search probing `nprobe`
+  * centroids reads ONLY those cid directories — the inverted-list read
+  * pattern of every IVF implementation, expressed as manifest-driven
+  * path pruning. Per operation:
+  *
+  *  - [[build]]: train codebook (Lloyd's — bounded driver state), assign
+  *    every vector to its nearest centroid, write by cid, commit v1.
+  *  - [[append]]: ASSIGN-ONLY — new vectors get one broadcast-codebook
+  *    argmax and land in a fresh staging dir; the manifest's new version
+  *    reuses every existing file. O(batch), no retrain, no rewrite.
+  *  - [[search]]: assign queries to their nprobe nearest centroids
+  *    (broadcast codebook), read only the probed cid partitions, exact
+  *    top-k within them. ONE shuffle on the centroid key.
+  *  - [[retrain]]: explicit, versioned O(index) operation — re-run
+  *    Lloyd's over the stored vectors, reassign, rewrite, commit. Time
+  *    travel across the boundary works because each manifest pins its
+  *    OWN codebook with its file set (searching v1 after a retrain uses
+  *    v1's centroids against v1's files — never a mixed read).
+  *
+  * Appends are append-only (an index, not a table): re-appending a
+  * vec_id duplicates it. Route replacements through retrain, or dedup
+  * upstream (HistoricalDedup-style anti-join on vec_id).
+  *
+  * Stored row: (vec_id long, v array<double>, nrm double) — norm
+  * precomputed at write time so search never recomputes it. Centroid
+  * doubles round-trip the manifest via Double.toString/parseDouble
+  * (exact), so a reopened index assigns bit-identically.
+  */
+object IvfIndex {
+
+  final case class IndexManifest(version: Long, dim: Int,
+                                 centroids: Array[Array[Double]],
+                                 paths: Map[Int, Seq[String]])
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String, version: Long): Path =
+    new Path(s"$dir/_manifests/v%020d.manifest".format(version))
+
+  /** Manifest: `dim\t<d>` then one `c\t<cid>\t<x,x,…>` per centroid
+    * (order = cid), then `p\t<cid>\t<relative path>` lines (a cid may
+    * list many paths — appends accumulate). */
+  private def body(m: IndexManifest): String =
+    (Seq(s"dim\t${m.dim}") ++
+      m.centroids.zipWithIndex.map { case (c, i) =>
+        s"c\t$i\t${c.map(_.toString).mkString(",")}"
+      } ++
+      m.paths.toSeq.sortBy(_._1).flatMap { case (cid, rels) =>
+        rels.sorted.map(rel => s"p\t$cid\t$rel")
+      }).mkString("\n")
+
+  private def parse(version: Long, text: String): IndexManifest = {
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val dim = lines.head.split('\t')(1).toInt
+    val cents = lines.filter(_.startsWith("c\t")).map { l =>
+      val Array(_, cid, xs) = l.split('\t')
+      cid.toInt -> xs.split(',').map(java.lang.Double.parseDouble)
+    }.sortBy(_._1).map(_._2)
+    val paths = lines.filter(_.startsWith("p\t")).map { l =>
+      val Array(_, cid, rel) = l.split('\t')
+      cid.toInt -> rel
+    }.groupBy(_._1).map { case (cid, rs) => cid -> rs.map(_._2).toSeq }
+    IndexManifest(version, dim, cents, paths)
+  }
+
+  def currentManifest(spark: SparkSession, dir: String): Option[IndexManifest] = {
+    val fs = fsOf(spark, dir)
+    val mdir = new Path(s"$dir/_manifests")
+    if (!fs.exists(mdir)) return None
+    val versions = fs.listStatus(mdir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+    if (versions.isEmpty) None
+    else Some(readManifest(fs, dir, versions.max))
+  }
+
+  private def readManifest(fs: FileSystem, dir: String, version: Long): IndexManifest =
+    parse(version, AtomicPublish.readText(fs, manifestPath(dir, version)))
+
+  private def requireManifest(spark: SparkSession, dir: String): IndexManifest =
+    currentManifest(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir is not an initialized IVF index — run IvfIndex.build first"))
+
+  def codebook(spark: SparkSession, dir: String): Array[Array[Double]] =
+    requireManifest(spark, dir).centroids
+
+  /** Committed versions, newest first. */
+  def history(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsOf(spark, dir)
+    val mdir = new Path(s"$dir/_manifests")
+    if (!fs.exists(mdir)) return Seq.empty
+    fs.listStatus(mdir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .sorted.reverse.toSeq
+  }
+
+  private def newStaging(fs: FileSystem, dir: String): String = {
+    val dataDir = new Path(s"$dir/data")
+    val existingMax =
+      if (!fs.exists(dataDir)) 0L
+      else fs.listStatus(dataDir).map(_.getPath.getName)
+        .filter(_.startsWith("v"))
+        .flatMap { n =>
+          val digits = n.stripPrefix("v").takeWhile(_.isDigit)
+          if (digits.nonEmpty) Some(digits.toLong) else None
+        }.foldLeft(0L)(math.max)
+    s"v${existingMax + 1}-${java.util.UUID.randomUUID.toString.take(8)}"
+  }
+
+  /** Assign (vec_id, embedding) rows with the given codebook and write
+    * them by cid under a fresh staging; returns cid -> relative path
+    * for the cids actually written. */
+  private def writeAssigned(spark: SparkSession, dir: String, vecs: DataFrame,
+                            centroids: Array[Array[Double]], dim: Int,
+                            staging: String): Map[Int, Seq[String]] = {
+    val assigned = Knn.ivfAssign(
+        Knn.withNorm(vecs, "embedding").filter(size(col("v")) === dim),
+        centroids, nprobe = 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    assigned.write.mode("errorifexists")
+      .partitionBy("cid").parquet(s"$dir/data/$staging")
+    val fs = fsOf(spark, dir)
+    fs.listStatus(new Path(s"$dir/data/$staging"))
+      .map(_.getPath.getName).filter(_.startsWith("cid="))
+      .map(n => n.stripPrefix("cid=").toInt ->
+        Seq(s"data/$staging/$n")).toMap
+  }
+
+  /** Train + assign + commit v1. `corpus` carries (vec_id, embedding). */
+  def build(corpus: DataFrame, dir: String, dim: Int, k: Int,
+            iters: Int = 5, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    if (currentManifest(spark, dir).nonEmpty)
+      throw new IllegalStateException(
+        s"$dir is already an IVF index; append into it, retrain it, or " +
+          s"choose a fresh directory")
+    val centroids = Knn.ivfCentroids(corpus, dim, k, iters, seed)
+    val fs = fsOf(spark, dir)
+    val staging = newStaging(fs, dir)
+    val written = writeAssigned(spark, dir, corpus, centroids, dim, staging)
+    AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, 1L),
+      body(IndexManifest(1L, dim, centroids, written)))
+  }
+
+  /** Assign-only incremental maintenance: one broadcast-codebook argmax
+    * per new vector, a fresh staging dir, and a manifest that reuses
+    * every existing file — O(batch) however large the index. */
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val m = requireManifest(spark, dir)
+    val fs = fsOf(spark, dir)
+    val staging = newStaging(fs, dir)
+    val written = writeAssigned(spark, dir, newVecs, m.centroids, m.dim, staging)
+    val merged = (m.paths.keySet ++ written.keySet).map { cid =>
+      cid -> (m.paths.getOrElse(cid, Seq.empty) ++
+        written.getOrElse(cid, Seq.empty))
+    }.toMap
+    AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
+      body(m.copy(version = m.version + 1, paths = merged)))
+  }
+
+  /** Stored assignments of one version, cid partition column restored;
+    * `onlyCids` prunes the read to the probed inverted lists. */
+  private def readAssignments(spark: SparkSession, dir: String,
+                              m: IndexManifest,
+                              onlyCids: Option[Set[Int]] = None): DataFrame = {
+    val wanted = onlyCids.map(cs => m.paths.filter(c => cs(c._1)))
+      .getOrElse(m.paths)
+    val perCid = wanted.toSeq.sortBy(_._1).map { case (cid, rels) =>
+      spark.read.parquet(rels.sorted.map(rel => s"$dir/$rel"): _*)
+        .withColumn("cid", lit(cid))
+    }
+    if (perCid.isEmpty)
+      spark.range(0).select(col("id").as("vec_id"),
+        array().cast("array<double>").as("v"), lit(0.0).as("nrm"),
+        lit(0).as("cid"))
+    else perCid.reduce(_.unionByName(_))
+  }
+
+  /** Stored vectors of the current version (for retrain / audit);
+    * `onlyCids` exposes the same pruned read the search path uses. */
+  def readVectors(spark: SparkSession, dir: String,
+                  onlyCids: Option[Set[Int]] = None): DataFrame =
+    readAssignments(spark, dir, requireManifest(spark, dir), onlyCids)
+
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             k: Int, nprobe: Int): DataFrame =
+    searchManifest(spark, dir, requireManifest(spark, dir), queries, k, nprobe)
+
+  /** Time travel: search AS OF a committed version — its codebook
+    * against its file set, never a mixed read. */
+  def searchVersion(spark: SparkSession, dir: String, version: Long,
+                    queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(manifestPath(dir, version)))
+      throw new IllegalArgumentException(
+        s"version $version does not exist at $dir")
+    searchManifest(spark, dir, readManifest(fs, dir, version), queries, k, nprobe)
+  }
+
+  private def searchManifest(spark: SparkSession, dir: String,
+                             m: IndexManifest, queries: DataFrame,
+                             k: Int, nprobe: Int): DataFrame = {
+    val q = Knn.ivfAssign(
+        Knn.withNorm(queries, "embedding").filter(size(col("v")) === m.dim),
+        m.centroids, nprobe)
+      .select(col("vec_id").as("q_vec_id"), col("cid"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    // the probe plan is ≤ |codebook| ints of driver state; the query
+    // assignment is recomputed in the scoring join below — queries are
+    // the bounded side, and staying lazy beats materializing here
+    val probed = q.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val c = readAssignments(spark, dir, m, Some(probed))
+      .select(col("vec_id").as("c_vec_id"), col("cid"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val scored = c.join(q, "cid")
+      .filter(col("q_vec_id") =!= col("c_vec_id"))
+      .withColumn("sim",
+        Knn.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("sim").desc, col("c_vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_vec_id"), col("rn"), col("c_vec_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Explicit O(index) re-optimization: re-run Lloyd's over the stored
+    * vectors, reassign every vector under the NEW codebook, rewrite
+    * into one staging, commit as the next version. Old versions stay
+    * searchable (their manifests pin codebook + files) until their
+    * staging dirs are manually reclaimed. */
+  def retrain(spark: SparkSession, dir: String, k: Int,
+              iters: Int = 5, seed: Long = 42L): Unit = {
+    val m = requireManifest(spark, dir)
+    val stored = readAssignments(spark, dir, m)
+      .select(col("vec_id"), col("v").as("embedding"))
+    val centroids = Knn.ivfCentroids(stored, m.dim, k, iters, seed)
+    val fs = fsOf(spark, dir)
+    val staging = newStaging(fs, dir)
+    val written = writeAssigned(spark, dir, stored, centroids, m.dim, staging)
+    AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
+      body(IndexManifest(m.version + 1, m.dim, centroids, written)))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted IVF index: search equals the in-memory ivfTopK on the
+  * same codebook, append is assign-only and keeps the equivalence,
+  * retrain is an explicit versioned operation with working time
+  * travel, and the probed read prunes to the probed cid partitions. */
+class IvfIndexSpec extends SparkSpec {
+
+  private def emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getDouble(3))).toSet
+
+  test("search == in-memory ivfTopK on the same codebook (build + reopen)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    val queries = emb.filter(col("vec_id") < 15)
+    IvfIndex.build(emb, dir, dim = 64, k = 8, iters = 3)
+    val cents = IvfIndex.codebook(spark, dir) // round-tripped via manifest
+    val mem = Knn.ivfTopK(queries, emb, cents, k = 5, nprobe = 2)
+    val idx = IvfIndex.search(spark, dir, queries, k = 5, nprobe = 2)
+    assert(pairs(idx) === pairs(mem))
+    // round-trip exactness: the reopened codebook IS the trained one
+    val trained = Knn.ivfCentroids(emb, dim = 64, k = 8, iters = 3)
+    assert(cents.map(_.toSeq).toSeq === trained.map(_.toSeq).toSeq)
+  }
+
+  test("append is assign-only: search over the grown index equals " +
+      "ivfTopK over the full corpus under the ORIGINAL codebook") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ap").toString + "/idx"
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    IvfIndex.build(first, dir, dim = 64, k = 8, iters = 3)
+    val cents = IvfIndex.codebook(spark, dir)
+    IvfIndex.append(spark, dir, rest)
+    // codebook unchanged by append
+    assert(IvfIndex.codebook(spark, dir).map(_.toSeq).toSeq ===
+      cents.map(_.toSeq).toSeq)
+    val queries = emb.filter(col("vec_id") < 15)
+    val idx = IvfIndex.search(spark, dir, queries, k = 5, nprobe = 3)
+    val mem = Knn.ivfTopK(queries, emb, cents, k = 5, nprobe = 3)
+    assert(pairs(idx) === pairs(mem))
+    // recall invariant: appended vectors are findable
+    val appendedHits = idx.join(rest.select(col("vec_id").as("c_vec_id")),
+      "c_vec_id").count()
+    assert(appendedHits > 0, "appended vectors must appear in results")
+  }
+
+  test("retrain is a versioned operation; time travel searches the OLD " +
+      "codebook against the OLD files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString + "/idx"
+    val queries = emb.filter(col("vec_id") < 10)
+    IvfIndex.build(emb, dir, dim = 64, k = 4, iters = 2)
+    val v1 = IvfIndex.history(spark, dir).head
+    val preRetrain = pairs(IvfIndex.search(spark, dir, queries, 5, 2))
+    IvfIndex.retrain(spark, dir, k = 8, iters = 3)
+    val hist = IvfIndex.history(spark, dir)
+    assert(hist.length === 2 && hist.head === v1 + 1)
+    assert(IvfIndex.codebook(spark, dir).length === 8)
+    // current search runs under the NEW codebook and stays correct:
+    // probe-all == brute force over the stored vectors
+    val brute = Knn.bruteForceTopK(queries, emb, 5)
+    val probeAll = IvfIndex.search(spark, dir, queries, 5, nprobe = 8)
+    assert(pairs(probeAll) === pairs(brute))
+    // time travel: v1's codebook + v1's files reproduce the old results
+    assert(pairs(IvfIndex.searchVersion(spark, dir, v1, queries, 5, 2))
+      === preRetrain)
+  }
+
+  test("search reads ONLY the probed cid partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_pr").toString + "/idx"
+    IvfIndex.build(emb, dir, dim = 64, k = 8, iters = 3)
+    val oneQuery = emb.filter(col("vec_id") === 3)
+    val res = IvfIndex.search(spark, dir, oneQuery, k = 3, nprobe = 2)
+    assert(res.count() > 0)
+    // the corpus side of search goes through the manifest-pruned read:
+    // only the probed cids' partition directories are ever listed/read
+    val m = IvfIndex.currentManifest(spark, dir).get
+    val q = Knn.ivfAssign(Knn.withNorm(oneQuery, "embedding"), m.centroids, 2)
+    val probed = q.select(col("cid")).distinct().collect().map(_.getInt(0)).toSet
+    assert(probed.size <= 2)
+    val touched = IvfIndex.readVectors(spark, dir, Some(probed))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(touched.length <= probed.size,
+      s"probing ${probed.size} cids must touch <= ${probed.size} dirs")
+    assert(touched.forall(_.matches(".*/cid=\\d+")) &&
+      touched.map(_.split("cid=").last.toInt).toSet.subsetOf(probed),
+      s"read dirs ${touched.toSeq} must lie inside probed cids $probed")
+  }
+}
