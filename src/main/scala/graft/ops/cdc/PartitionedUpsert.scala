@@ -58,7 +58,24 @@ object PartitionedUpsert {
   final case class Manifest(version: Long, schema: StructType,
                             nBuckets: Int, keyCol: String,
                             txns: Map[String, Long],
-                            buckets: Map[Long, String])
+                            buckets: Map[Long, String],
+                            stats: Map[Long, BucketStat] = Map.empty)
+
+  /** Per-bucket data-skipping stats, recorded AT WRITE TIME in the
+    * manifest (the write path lists/aggregates its staged files
+    * anyway) so `stats`, [[readKeyRange]] and [[changesSinceLsn]]
+    * never have to list or scan buckets to decide what to skip.
+    *  - files/bytes: physical footprint (compaction/rebucket signals);
+    *  - minKey/maxKey: key range, recorded for INTEGRAL keys only
+    *    (a line format cannot carry arbitrary binary/string keys
+    *    safely; non-integral keys simply get no range pruning);
+    *  - maxLsn: highest change-batch lsn ever applied to the bucket —
+    *    `Long.MinValue` for a bucket untouched since init, None for
+    *    manifests written before stats existed (consumers must treat
+    *    None conservatively: the bucket may contain anything). */
+  final case class BucketStat(files: Int, bytes: Long,
+                              minKey: Option[Long], maxKey: Option[Long],
+                              maxLsn: Option[Long])
 
   /** A prepared-but-uncommitted merge: data files are on disk under
     * `data/<staging>` but no reader can see them until `commit`
@@ -97,12 +114,22 @@ object PartitionedUpsert {
 
   /** Manifest file format: line 1 = schema JSON, line 2 = bucket count,
     * line 3 = `key\t<col>`, then `txn\t<appId>\t<version>` lines (one
-    * per writer app), then `<bucket>\t<relative path>` lines. */
-  private def manifestBody(m: Manifest): String =
+    * per writer app), then `stats\t<bucket>\t<files>\t<bytes>\t<minKey
+    * |->\t<maxKey|->\t<maxLsn|->` lines ('-' = unknown), then
+    * `<bucket>\t<relative path>` lines. Readers that predate a line
+    * kind skip it by prefix; manifests that predate stats parse to an
+    * empty stats map. */
+  private def manifestBody(m: Manifest): String = {
+    def opt(v: Option[Long]): String = v.map(_.toString).getOrElse("-")
     (Seq(m.schema.json, m.nBuckets.toString, s"key\t${m.keyCol}") ++
       m.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn\t$a\t$v" } ++
+      m.stats.toSeq.sortBy(_._1).map { case (b, s) =>
+        s"stats\t$b\t${s.files}\t${s.bytes}\t${opt(s.minKey)}\t" +
+          s"${opt(s.maxKey)}\t${opt(s.maxLsn)}"
+      } ++
       m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" })
       .mkString("\n")
+  }
 
   private def readManifest(fs: FileSystem, dir: String, version: Long): Manifest = {
     val lines = readManifestText(fs, dir, version).split('\n').filter(_.nonEmpty)
@@ -111,15 +138,22 @@ object PartitionedUpsert {
     val nBuckets = lines(1).toInt
     val keyCol = lines(2).split('\t')(1)
     val rest = lines.drop(3)
+    def opt(s: String): Option[Long] = if (s == "-") None else Some(s.toLong)
     val txns = rest.filter(_.startsWith("txn\t")).map { l =>
       val Array(_, a, v) = l.split('\t')
       a -> v.toLong
     }.toMap
-    val buckets = rest.filterNot(_.startsWith("txn\t")).map { l =>
-      val Array(b, rel) = l.split('\t')
-      b.toLong -> rel
+    val stats = rest.filter(_.startsWith("stats\t")).map { l =>
+      val Array(_, b, f, by, mnk, mxk, mxl) = l.split('\t')
+      b.toLong -> BucketStat(f.toInt, by.toLong, opt(mnk), opt(mxk), opt(mxl))
     }.toMap
-    Manifest(version, schema, nBuckets, keyCol, txns, buckets)
+    val buckets = rest
+      .filterNot(l => l.startsWith("txn\t") || l.startsWith("stats\t"))
+      .map { l =>
+        val Array(b, rel) = l.split('\t')
+        b.toLong -> rel
+      }.toMap
+    Manifest(version, schema, nBuckets, keyCol, txns, buckets, stats)
   }
 
   /** Publish a manifest via [[AtomicPublish.publishNoOverwrite]] —
@@ -150,8 +184,11 @@ object PartitionedUpsert {
       .write.mode("errorifexists").partitionBy("bucket")
       .parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
+    // maxLsn = MinValue: untouched-since-init, skippable for any since
+    val st = stagedStats(spark, fs, dir, staging, written, keyCol,
+      snapshot.schema(keyCol).dataType, _ => Some(Long.MinValue))
     writeManifest(fs, dir, Manifest(1L, snapshot.schema, nBuckets, keyCol,
-      Map.empty, written.map(b => b -> dataRel(staging, b)).toMap))
+      Map.empty, written.map(b => b -> dataRel(staging, b)).toMap, st))
   }
 
   /** Bootstrap the target from a chunked LIVE-table snapshot plus the
@@ -175,6 +212,41 @@ object PartitionedUpsert {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath.getName)
       .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toLong).toSeq
+  }
+
+  private val integralTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(
+    org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+
+  /** Stats for the buckets a write just staged: physical footprint
+    * from one FS listing per bucket, key ranges (integral keys only)
+    * from ONE footer-cheap aggregation over the staging dir's key
+    * column — both recorded while the write path already holds the
+    * listing, so later readers never re-list or re-scan to prune.
+    * `maxLsnOf` supplies the per-bucket lsn watermark. */
+  private def stagedStats(spark: SparkSession, fs: FileSystem, dir: String,
+                          staging: String, written: Seq[Long], keyCol: String,
+                          keyType: org.apache.spark.sql.types.DataType,
+                          maxLsnOf: Long => Option[Long]): Map[Long, BucketStat] = {
+    // a merge that empties every touched bucket stages NOTHING — no
+    // files to stat, and reading the empty dir cannot infer a schema
+    if (written.isEmpty) return Map.empty
+    val ranges: Map[Long, (Long, Long)] =
+      if (!integralTypes.contains(keyType)) Map.empty
+      else spark.read.parquet(s"$dir/data/$staging")
+        .groupBy(col("bucket").cast(org.apache.spark.sql.types.LongType).as("b"))
+        .agg(min(col(keyCol).cast(org.apache.spark.sql.types.LongType)).as("mn"),
+          max(col(keyCol).cast(org.apache.spark.sql.types.LongType)).as("mx"))
+        .collect()
+        .flatMap(r => if (r.isNullAt(1)) None
+          else Some(r.getLong(0) -> (r.getLong(1), r.getLong(2))))
+        .toMap
+    written.map { b =>
+      val files = fs.listStatus(new Path(s"$dir/${dataRel(staging, b)}"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      b -> BucketStat(files.length, files.map(_.getLen).sum,
+        ranges.get(b).map(_._1), ranges.get(b).map(_._2), maxLsnOf(b))
+    }.toMap
   }
 
   /** Stage a merge: write the post-merge state of every touched bucket
@@ -312,11 +384,36 @@ object PartitionedUpsert {
       // deletes and vanish by omission — nothing to resurrect
       val buckets = (prior.buckets -- touched) ++
         written.map(b => b -> dataRel(staging, b))
+      // lsn watermark: max(prior watermark, this batch's max per
+      // bucket). A bucket whose prior manifest had no stats keeps None
+      // — its historical lsn ceiling is unknowable, and claiming this
+      // batch's max could make an out-of-order consumer skip real
+      // changes; a bucket new to the table starts from this batch.
+      val batchMaxLsn: Map[Long, Long] = withBucket
+        .groupBy(col("bucket"))
+        .agg(max(col(lsnCol).cast(org.apache.spark.sql.types.LongType)).as("mx"))
+        .collect()
+        .flatMap(r => if (r.isNullAt(1)) None
+          else Some(r.getLong(0) -> r.getLong(1)))
+        .toMap
+      val st = stagedStats(spark, fs, dir, staging, written, keyCol,
+        prior.schema(keyCol).dataType,
+        b => {
+          val priorLsn =
+            if (!prior.buckets.contains(b)) Some(Long.MinValue)
+            else prior.stats.get(b).flatMap(_.maxLsn)
+          (priorLsn, batchMaxLsn.get(b)) match {
+            case (Some(p), Some(n)) => Some(math.max(p, n))
+            case (Some(p), None) => Some(p)
+            case (None, _) => None
+          }
+        })
       // manifest version = base+1: a concurrent merge from the same
       // base targets the SAME manifest name and loses the publish race
       Pending(staging,
         Manifest(prior.version + 1, prior.schema, prior.nBuckets,
-          prior.keyCol, prior.txns ++ txn, buckets),
+          prior.keyCol, prior.txns ++ txn, buckets,
+          (prior.stats -- touched) ++ st),
         touched)
     } finally { withBucket.unpersist(); () }
   }
@@ -410,8 +507,13 @@ object PartitionedUpsert {
       .write.mode("errorifexists")
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
+    // key values (and bucket identity) survive a rename/widen: ranges
+    // recomputed from the staged files, lsn watermarks carried over
+    val st = stagedStats(spark, fs, dir, staging, written, keyCol,
+      evolved.schema(keyCol).dataType,
+      b => prior.stats.get(b).flatMap(_.maxLsn))
     writeManifest(fs, dir, Manifest(prior.version + 1, evolved.schema, nBuckets,
-      keyCol, prior.txns, written.map(b => b -> dataRel(staging, b)).toMap))
+      keyCol, prior.txns, written.map(b => b -> dataRel(staging, b)).toMap, st))
   }
 
   /** Change the table's bucket COUNT — the operation a growing table
@@ -440,8 +542,20 @@ object PartitionedUpsert {
       .write.mode("errorifexists")
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
+    // rows rehash across buckets: key ranges recomputed; per-bucket lsn
+    // history is gone with the old identity, so every new bucket takes
+    // the GLOBAL prior ceiling (conservative-correct: >= its true max)
+    // — or None if any prior bucket's ceiling was unknown
+    val globalLsn: Option[Long] = {
+      val per = prior.buckets.keySet.toSeq
+        .map(b => prior.stats.get(b).flatMap(_.maxLsn))
+      if (per.exists(_.isEmpty)) None
+      else per.flatten.reduceOption((a: Long, b: Long) => math.max(a, b))
+    }
+    val st = stagedStats(spark, fs, dir, staging, written, keyCol,
+      prior.schema(keyCol).dataType, _ => globalLsn)
     writeManifest(fs, dir, Manifest(prior.version + 1, prior.schema, newBuckets,
-      keyCol, prior.txns, written.map(b => b -> dataRel(staging, b)).toMap))
+      keyCol, prior.txns, written.map(b => b -> dataRel(staging, b)).toMap, st))
   }
 
   /** Compact fragmented buckets (the OPTIMIZE of this table format):
@@ -476,26 +590,95 @@ object PartitionedUpsert {
       .write.mode("errorifexists")
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
+    // compaction is bit-identical data: ranges recomputed from the
+    // staged files (equal by construction), lsn watermarks carried
+    val st = stagedStats(spark, fs, dir, staging, written, prior.keyCol,
+      prior.schema(prior.keyCol).dataType,
+      b => prior.stats.get(b).flatMap(_.maxLsn))
     writeManifest(fs, dir, Manifest(prior.version + 1, prior.schema,
       prior.nBuckets, prior.keyCol, prior.txns,
-      prior.buckets ++ written.map(b => b -> dataRel(staging, b))))
+      prior.buckets ++ written.map(b => b -> dataRel(staging, b)),
+      prior.stats ++ st))
     fragmented.keys.toSeq.sorted
   }
 
   /** Physical per-bucket stats of the committed state: (bucket, files,
-    * bytes), FS metadata only — zero Spark jobs. The operational
-    * signals for this format: file count per bucket says when to
+    * bytes). Served from the MANIFEST when the bucket's stats were
+    * recorded at write time — zero FS calls; falls back to listing for
+    * buckets committed before stats existed. The operational signals
+    * for this format: file count per bucket says when to
     * [[compactFiles]], byte skew across buckets says when to
     * [[rebucket]] (or that the key has a hot spot). */
-  def stats(spark: SparkSession, dir: String): Seq[(Long, Int, Long)] = {
+  def stats(spark: SparkSession, dir: String): Seq[(Long, Int, Long)] =
+    bucketStats(spark, dir).map { case (b, s) => (b, s.files, s.bytes) }
+
+  /** Full per-bucket stats including the data-skipping columns
+    * (minKey, maxKey, maxLsn) — what [[readKeyRange]] and
+    * [[changesSinceLsn]] prune with. Buckets whose manifest predates
+    * stats fall back to an FS listing with unknown ranges. */
+  def bucketStats(spark: SparkSession, dir: String): Seq[(Long, BucketStat)] = {
     val fs = fsOf(spark, dir)
     val m = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
     m.buckets.toSeq.sortBy(_._1).map { case (b, rel) =>
-      val files = fs.listStatus(new Path(s"$dir/$rel"))
-        .filter(_.getPath.getName.endsWith(".parquet"))
-      (b, files.length, files.map(_.getLen).sum)
+      b -> m.stats.getOrElse(b, {
+        val files = fs.listStatus(new Path(s"$dir/$rel"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        BucketStat(files.length, files.map(_.getLen).sum, None, None, None)
+      })
     }
+  }
+
+  /** Rows with `lo <= key <= hi`, reading ONLY buckets whose recorded
+    * key range intersects the interval (stats-less buckets are read —
+    * conservative). Honest limit: under hash bucketing a uniformly
+    * distributed key range spans every bucket, so this prunes SPARSE /
+    * outlier ranges — e.g. recent monotonically-assigned surrogate ids
+    * that only a few buckets have received — not arbitrary interior
+    * ranges. Point lookups should use [[readForKeys]] (exact bucket
+    * routing) instead. */
+  def readKeyRange(spark: SparkSession, dir: String,
+                   lo: Long, hi: Long): DataFrame = {
+    val m = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    val wanted = m.buckets.filter { case (b, _) =>
+      m.stats.get(b) match {
+        case Some(BucketStat(_, _, Some(mn), Some(mx), _)) =>
+          !(mx < lo || mn > hi)
+        case _ => true
+      }
+    }
+    val k = col(m.keyCol).cast(org.apache.spark.sql.types.LongType)
+    bucketsDf(spark, dir, m, only = Some(wanted.values.toSeq.sorted))
+      .filter(k >= lo && k <= hi)
+  }
+
+  /** Bucket ids that MAY hold rows applied after `sinceLsn`: recorded
+    * watermark above the cutoff, or unknown (conservative include). */
+  def bucketsChangedSince(spark: SparkSession, dir: String,
+                          sinceLsn: Long): Seq[Long] = {
+    val m = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    m.buckets.keys.filter { b =>
+      m.stats.get(b).flatMap(_.maxLsn) match {
+        case Some(mx) => mx > sinceLsn
+        case None => true
+      }
+    }.toSeq.sorted
+  }
+
+  /** Current rows of every bucket that may have changed after
+    * `sinceLsn` — the lsn-addressed companion of [[changesBetween]]
+    * for consumers that track a LOG POSITION instead of table
+    * versions (no old manifest required, so it works even after
+    * vacuum reclaimed the older versions). Manifest-only pruning:
+    * untouched buckets cost zero reads, zero listings. */
+  def changesSinceLsn(spark: SparkSession, dir: String,
+                      sinceLsn: Long): DataFrame = {
+    val m = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    val wanted = bucketsChangedSince(spark, dir, sinceLsn)
+    bucketsDf(spark, dir, m, only = Some(wanted.flatMap(m.buckets.get).sorted))
   }
 
   /** Read the committed state: exactly the files the newest manifest

@@ -1,0 +1,129 @@
+package graft.ops.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Per-bucket data-skipping stats recorded in the manifest at write
+  * time: physical footprint without FS listings, key-range pruning for
+  * sparse ranges, and lsn-watermark pruning for incremental consumers. */
+class ManifestStatsSpec extends SparkSpec {
+
+  private def mkTarget(dir: String, n: Long = 100L, nBuckets: Int = 8): Unit = {
+    import spark.implicits._
+    val snap = (0L until n).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets)
+  }
+
+  private def dirsTouched(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.toSeq
+
+  test("write paths record files/bytes/minKey/maxKey/maxLsn; init " +
+      "buckets carry the untouched-since-init watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ms").toString + "/t"
+    mkTarget(dir)
+    val atInit = PartitionedUpsert.bucketStats(spark, dir).toMap
+    assert(atInit.nonEmpty)
+    assert(atInit.values.forall(s => s.files >= 1 && s.bytes > 0))
+    assert(atInit.values.forall(_.maxLsn.contains(Long.MinValue)))
+    assert(atInit.values.forall(s => s.minKey.isDefined && s.maxKey.isDefined))
+    // ranges cover the data: global min/max across buckets = 0 / 99
+    assert(atInit.values.flatMap(_.minKey).min === 0L)
+    assert(atInit.values.flatMap(_.maxKey).max === 99L)
+
+    val touched = PartitionedUpsert.merge(spark, dir,
+      Seq((100L, 7L, "u", -7.0), (101L, 8L, "u", -8.0))
+        .toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), 8)
+    val after = PartitionedUpsert.bucketStats(spark, dir).toMap
+    // each touched bucket carries the max lsn IT received (keys 7 and 8
+    // may hash apart); the ceiling across touched buckets is the batch max
+    touched.foreach(b => assert(
+      after(b).maxLsn.exists(l => l == 100L || l == 101L),
+      s"merged bucket $b must carry a ceiling from this batch, got ${after(b)}"))
+    assert(touched.flatMap(b => after(b).maxLsn).max === 101L)
+    after.keySet.diff(touched.toSet).foreach(b =>
+      assert(after(b).maxLsn.contains(Long.MinValue),
+        s"untouched bucket $b must keep its init watermark"))
+    // stats() is now manifest-backed and agrees with the full view
+    val flat = PartitionedUpsert.stats(spark, dir)
+      .map { case (b, f, by) => b -> ((f, by)) }.toMap
+    assert(flat === after.map { case (b, s) => b -> ((s.files, s.bytes)) })
+  }
+
+  test("readKeyRange prunes to the buckets holding a sparse key range, " +
+      "results identical to the unpruned scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ms_kr").toString + "/t"
+    mkTarget(dir) // keys 0..99 across all 8 buckets
+    // three outlier keys land in at most 3 buckets
+    PartitionedUpsert.merge(spark, dir,
+      Seq((200L, 1000L, "c", 1.0), (201L, 1001L, "c", 2.0),
+        (202L, 1002L, "c", 3.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), 8)
+    val ranged = PartitionedUpsert.readKeyRange(spark, dir, 1000L, 2000L)
+    assert(dirsTouched(ranged).length <= 3,
+      s"3 outlier keys must prune to <= 3 buckets, touched ${dirsTouched(ranged)}")
+    val expected = PartitionedUpsert.read(spark, dir)
+      .filter($"pk" >= 1000L && $"pk" <= 2000L)
+    assert(ranged.collect().map(_.getLong(0)).sorted.toSeq ===
+      expected.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(ranged.count() === 3)
+  }
+
+  test("changesSinceLsn skips buckets whose watermark is below the " +
+      "cutoff — manifest-only, zero reads for untouched buckets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ms_cs").toString + "/t"
+    mkTarget(dir)
+    // nothing changed since init: candidate set is EMPTY at any cutoff
+    assert(PartitionedUpsert.bucketsChangedSince(spark, dir, 0L).isEmpty)
+    assert(PartitionedUpsert.changesSinceLsn(spark, dir, 0L).isEmpty)
+    val touched = PartitionedUpsert.merge(spark, dir,
+      Seq((100L, 3L, "u", -3.0), (105L, 4L, "u", -4.0))
+        .toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), 8)
+    assert(PartitionedUpsert.bucketsChangedSince(spark, dir, 50L).sorted
+      === touched.sorted)
+    // the candidate rows include every merged key
+    val rows = PartitionedUpsert.changesSinceLsn(spark, dir, 50L)
+      .select("pk").collect().map(_.getLong(0)).toSet
+    assert(Set(3L, 4L).subsetOf(rows))
+    // cutoff above the ceiling: empty again
+    assert(PartitionedUpsert.bucketsChangedSince(spark, dir, 105L).isEmpty)
+    // cutoff mid-batch: lsn 100 <= 104 < 105 — only bucket(s) whose
+    // ceiling exceeds the cutoff remain
+    val mid = PartitionedUpsert.bucketsChangedSince(spark, dir, 104L)
+    assert(mid.nonEmpty && mid.toSet.subsetOf(touched.toSet))
+  }
+
+  test("stats stay coherent across compactFiles and rebucket") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ms_cr").toString + "/t"
+    import spark.implicits._
+    val snap = (0L until 200L).map(i => (i, i * 1.0)).toDF("pk", "val")
+    PartitionedUpsert.init(snap.repartition(8), dir, "pk", 2)
+    PartitionedUpsert.merge(spark, dir,
+      Seq((500L, 5L, "u", -5.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), 2)
+    val pre = PartitionedUpsert.bucketStats(spark, dir).toMap
+    PartitionedUpsert.compactFiles(spark, dir, maxFilesPerBucket = 1)
+    val post = PartitionedUpsert.bucketStats(spark, dir).toMap
+    post.foreach { case (b, s) =>
+      assert(s.files === 1, "compacted buckets hold one file")
+      assert(s.minKey === pre(b).minKey && s.maxKey === pre(b).maxKey,
+        "compaction is bit-identical data — ranges must not move")
+      assert(s.maxLsn === pre(b).maxLsn, "watermarks carry through compaction")
+    }
+    PartitionedUpsert.rebucket(spark, dir, "pk", newBuckets = 4)
+    // after rehashing, every bucket takes the conservative global
+    // ceiling; range pruning still answers correctly
+    val reb = PartitionedUpsert.bucketStats(spark, dir).toMap
+    assert(reb.values.forall(_.maxLsn.contains(500L)))
+    val hit = PartitionedUpsert.readKeyRange(spark, dir, 5L, 5L)
+    assert(hit.count() === 1 && hit.head().getDouble(1) === -5.0)
+  }
+}
