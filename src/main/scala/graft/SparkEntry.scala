@@ -30,7 +30,8 @@ object SparkEntry {
       (graft.ops.cdc.CdcQueries.queries, graft.ops.cdc.CdcQueries.oracle),
       (graft.ops.cdc.Quality.queries, graft.ops.cdc.Quality.oracle),
       (graft.ops.llm.LlmQueries.queries, graft.ops.llm.LlmQueries.oracle),
-      (graft.ops.llm.LlmQueries2.queries, graft.ops.llm.LlmQueries2.oracle)
+      (graft.ops.llm.LlmQueries2.queries, graft.ops.llm.LlmQueries2.oracle),
+      (graft.ops.llm.Multimodal.queries, graft.ops.llm.Multimodal.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

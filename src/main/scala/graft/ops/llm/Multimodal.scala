@@ -100,6 +100,71 @@ object Multimodal {
       .drop("rn")
   }
 
+  /** Oracled multimodal dedup (`q_mm_dedup`): deterministic binary
+    * payloads built in-query on BOTH engines (hex template → unhex),
+    * exact content dedup over a real BinaryType column with a typed
+    * metadata struct. Parity note (probed): DuckDB 1.0's sha256 only
+    * accepts VARCHAR — no BLOB overload — so the oracle groups by the
+    * payload's HEX encoding, which is bijective with the bytes and
+    * therefore the identical partition; the Spark side dedups on
+    * sha2(binary, 256) as production would, and content identity is
+    * still cross-checked through the hex(payload) roundtrip column
+    * (computed FROM the binary on the Spark side). 37 payload
+    * families over the corpus → ~13 copies each at sf0.01. */
+  def qMmDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = graft.Tables.table(spark, dir, "documents")
+      .select($"doc_id")
+      .withColumn("family", $"doc_id" % 37)
+      .withColumn("phex", concat(
+        md5(concat(lit("blob"), $"family")),
+        md5(concat(lit("blob2"), $"family"))))
+      .withColumn("payload", unhex($"phex"))
+      .withColumn("meta", struct(
+        when($"family" % 3 === 0, "image/png")
+          .when($"family" % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        (lit(160) + ($"family" % 5) * 32).cast(IntegerType).as("width"),
+        (lit(120) + ($"family" % 4) * 30).cast(IntegerType).as("height")))
+    d.groupBy(sha2($"payload", 256).as("__h"))
+      .agg(min($"doc_id").as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        min(length($"payload")).as("n_bytes"),
+        min(upper(hex($"payload"))).as("payload_hex"),
+        min($"meta.mime").as("mime"),
+        min($"meta.width").as("width"),
+        min($"meta.height").as("height"))
+      .drop("__h")
+      .orderBy($"keeper_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_dedup" -> (qMmDedup _))
+
+  val oracle: Map[String, String] = Map(
+    "q_mm_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 37 AS family,
+        |    md5('blob' || (doc_id % 37)) || md5('blob2' || (doc_id % 37)) AS phex
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, family, phex, unhex(phex) AS payload,
+        |    CASE family % 3 WHEN 0 THEN 'image/png'
+        |                    WHEN 1 THEN 'audio/wav'
+        |                    ELSE 'video/mp4' END AS mime,
+        |    (160 + (family % 5) * 32)::INT AS width,
+        |    (120 + (family % 4) * 30)::INT AS height
+        |  FROM d)
+        |-- DuckDB 1.0 sha256 has no BLOB overload (probed), so the
+        |-- grouping key is the hex encoding — bijective with the bytes,
+        |-- identical partition to Spark's sha2(binary) groups
+        |SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+        |  min(octet_length(payload))::INT AS n_bytes,
+        |  min(upper(hex(payload))) AS payload_hex,
+        |  min(mime) AS mime, min(width) AS width, min(height) AS height
+        |FROM m GROUP BY phex
+        |ORDER BY keeper_id""".stripMargin)
+
   /** Spread decode work: repartition by a payload-size-aware salt so
     * heavy payloads don't pile onto few tasks before a decode map. */
   def repartitionForDecode(media: DataFrame, partitions: Int): DataFrame =
