@@ -247,6 +247,83 @@ object IvfIndex {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Compact a centroid's accumulated append files (the small-file
+    * problem of assign-only appends: every [[append]] adds at least
+    * one file per touched cid, and a year of hourly appends drowns
+    * the probed read in per-file open/footer overhead). Rewrites ONLY
+    * cids whose file count exceeds `maxFilesPerCid` — one file each —
+    * and publishes a version that reuses every other cid's files.
+    * Data is bit-identical; O(fragmented cids), not O(index). Returns
+    * the cids compacted (empty = nothing fragmented, no version
+    * burned). */
+  def compactIndex(spark: SparkSession, dir: String,
+                   maxFilesPerCid: Int = 4): Seq[Int] = {
+    require(maxFilesPerCid >= 1,
+      s"maxFilesPerCid must be >= 1, got $maxFilesPerCid")
+    val m = requireManifest(spark, dir)
+    val fs = fsOf(spark, dir)
+    val fragmented = m.paths.filter { case (_, rels) =>
+      rels.map(rel => fs.listStatus(new Path(s"$dir/$rel"))
+        .count(_.getPath.getName.endsWith(".parquet"))).sum > maxFilesPerCid
+    }
+    if (fragmented.isEmpty) return Seq.empty
+    val staging = newStaging(fs, dir)
+    readAssignments(spark, dir, m, Some(fragmented.keySet.toSet))
+      .repartition(fragmented.size, col("cid"))
+      .write.mode("errorifexists")
+      .partitionBy("cid").parquet(s"$dir/data/$staging")
+    val written = fs.listStatus(new Path(s"$dir/data/$staging"))
+      .map(_.getPath.getName).filter(_.startsWith("cid="))
+      .map(n => n.stripPrefix("cid=").toInt -> Seq(s"data/$staging/$n"))
+      .toMap
+    AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
+      body(m.copy(version = m.version + 1, paths = m.paths ++ written)))
+    fragmented.keys.toSeq.sorted
+  }
+
+  /** Reclaim staging dirs unreachable from the `keepManifests` newest
+    * manifests (and drop the older manifests) — same snapshot-
+    * isolation contract and in-flight-write age guard as the upsert
+    * table's vacuum: an unreachable staging younger than
+    * `minStagingAgeMs` may be an uncommitted build/append/retrain and
+    * is left alone; crashed writes age past the guard and go on a
+    * later run. */
+  def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2,
+             minStagingAgeMs: Long = 3600000L): Unit = {
+    require(keepManifests >= 1, "must keep at least the current manifest")
+    val fs = fsOf(spark, dir)
+    val mdir = new Path(s"$dir/_manifests")
+    if (!fs.exists(mdir)) return
+    val versions = fs.listStatus(mdir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).sorted
+    val cutoff = System.currentTimeMillis() - minStagingAgeMs
+    val newest = versions.takeRight(keepManifests).toSet
+    val kept = versions.filter { v =>
+      newest.contains(v) ||
+        fs.getFileStatus(manifestPath(dir, v)).getModificationTime >= cutoff
+    }
+    val reachable: Set[String] = kept.flatMap { v =>
+      readManifest(fs, dir, v).paths.values.flatten
+        .map(_.split('/')(1)) // "data/<staging>/cid=<i>"
+    }.toSet
+    val dataDir = new Path(s"$dir/data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach { st =>
+        if (!reachable.contains(st.getPath.getName) &&
+            st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    versions.filterNot(kept.contains).foreach { v =>
+      fs.delete(manifestPath(dir, v), false); ()
+    }
+    fs.listStatus(mdir)
+      .filter(st => st.getPath.getName.startsWith(".tmp-") &&
+        st.getModificationTime < cutoff)
+      .foreach { st => fs.delete(st.getPath, false); () }
+  }
+
   /** Explicit O(index) re-optimization: re-run Lloyd's over the stored
     * vectors, reassign every vector under the NEW codebook, rewrite
     * into one staging, commit as the next version. Old versions stay

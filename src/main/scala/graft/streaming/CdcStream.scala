@@ -73,10 +73,16 @@ object CdcStream {
     * kill-and-resume run in graft.StreamSmoke). At 100 TB/day swap the
     * unbounded dedup for dropDuplicatesWithinWatermark to bound state
     * by the redelivery horizon. */
+  /** @param sparse TOAST-style partial after-images: `changes` carries
+    *        a `<col>_present` flag per value column and the merge is
+    *        column-level LWW against stored bucket state (see
+    *        Cdc.applySparse) — absent columns keep their stored values
+    *        instead of nulling out. */
   def partitionedUpsertSink(changes: DataFrame, targetDir: String,
                             checkpointDir: String, keyCol: String,
                             lsnCol: String, opCol: String,
-                            valueCols: Seq[String], nBuckets: Int): StreamingQuery = {
+                            valueCols: Seq[String], nBuckets: Int,
+                            sparse: Boolean = false): StreamingQuery = {
     import graft.ops.cdc.PartitionedUpsert
     val spark = changes.sparkSession
     changes.dropDuplicates(lsnCol)
@@ -99,7 +105,8 @@ object CdcStream {
         // from the manifest and skipped as a metadata no-op — true
         // exactly-once, not merely LWW convergence
         PartitionedUpsert.merge(spark, targetDir, batch, keyCol, lsnCol,
-          opCol, valueCols, nBuckets, txn = Some((checkpointDir, batchId))): Unit
+          opCol, valueCols, nBuckets, txn = Some((checkpointDir, batchId)),
+          sparse = sparse): Unit
       }
       .start()
   }

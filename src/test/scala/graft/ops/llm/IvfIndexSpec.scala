@@ -72,6 +72,40 @@ class IvfIndexSpec extends SparkSpec {
       === preRetrain)
   }
 
+  test("compactIndex collapses append-accumulated files; results and " +
+      "codebook unchanged; vacuum reclaims aged unreachable stagings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cv").toString + "/idx"
+    val parts = (0 until 4).map(i => emb.filter(col("vec_id") % 4 === i))
+    IvfIndex.build(parts.head, dir, dim = 64, k = 4, iters = 2)
+    parts.tail.foreach(p => IvfIndex.append(spark, dir, p))
+    val queries = emb.filter(col("vec_id") < 10)
+    val pre = pairs(IvfIndex.search(spark, dir, queries, 5, 4))
+    val cents = IvfIndex.codebook(spark, dir)
+    val compacted = IvfIndex.compactIndex(spark, dir, maxFilesPerCid = 1)
+    assert(compacted.nonEmpty, "3 appends must fragment at least one cid")
+    // one path entry per compacted cid now; data and codebook unchanged
+    val m = IvfIndex.currentManifest(spark, dir).get
+    compacted.foreach(cid => assert(m.paths(cid).length === 1))
+    assert(m.centroids.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+    assert(pairs(IvfIndex.search(spark, dir, queries, 5, 4)) === pre)
+    // idempotent: nothing fragmented now → no version burned
+    val v = IvfIndex.history(spark, dir).head
+    assert(IvfIndex.compactIndex(spark, dir, 1).isEmpty)
+    assert(IvfIndex.history(spark, dir).head === v)
+    // vacuum with age-guard up: everything survives (in-flight safety)
+    IvfIndex.vacuum(spark, dir, keepManifests = 1)
+    assert(IvfIndex.history(spark, dir).length >= 2)
+    assert(pairs(IvfIndex.search(spark, dir, queries, 5, 4)) === pre)
+    // aged-out: only the newest version survives, old stagings go,
+    // current search still answers identically
+    IvfIndex.vacuum(spark, dir, keepManifests = 1, minStagingAgeMs = 0L)
+    assert(IvfIndex.history(spark, dir) === Seq(v))
+    assert(pairs(IvfIndex.search(spark, dir, queries, 5, 4)) === pre)
+    intercept[IllegalArgumentException] {
+      IvfIndex.searchVersion(spark, dir, v - 1, queries, 5, 4)
+    }
+  }
+
   test("search reads ONLY the probed cid partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_pr").toString + "/idx"
     IvfIndex.build(emb, dir, dim = 64, k = 8, iters = 3)

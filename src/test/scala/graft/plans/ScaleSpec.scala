@@ -69,6 +69,29 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("applySparse runs its whole per-key closed form on ONE log-side " +
+      "exchange (stacked same-partition windows reuse the sort)") {
+    import spark.implicits._
+    val snap = (0L until 100L).map(k => (k, k * 1.0, s"s$k"))
+      .toDF("pk", "v", "lbl")
+    val log = (0L until 300L).map { i =>
+      (i, i % 100, if (i % 11 == 0) "d" else "u",
+        i * 2.0, i % 3 != 0, s"u$i", i % 5 != 0)
+    }.toDF("lsn", "pk", "op", "v", "v_present", "lbl", "lbl_present")
+    val merged = graft.ops.cdc.Cdc.applySparse(snap, log,
+      Seq("pk"), "lsn", "op", Seq("v", "lbl"))
+    merged.collect()
+    val plan = merged.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // log-side barrier/override/base windows + snapshot join side:
+    // exactly TWO hash exchanges — a third would mean a window spec
+    // stopped sharing the partitioning (the regression this guards)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"applySparse must shuffle once per join side, found $exchanges:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("narrow LLM ops (pii, sample, quantize) are shuffle-free projections") {
     import spark.implicits._
     import graft.ops.llm.{PiiRedact, Quantize, Sampling}

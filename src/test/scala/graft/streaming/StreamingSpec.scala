@@ -351,6 +351,44 @@ class StreamingSpec extends SparkSpec {
     assert(recovered === Map(1L -> 9.9, 2L -> 2.0, 5L -> 5.0))
   }
 
+  test("partitionedUpsertSink(sparse): TOAST-style partial updates keep " +
+      "untouched columns across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.ops.cdc.{Cdc, PartitionedUpsert}
+    val base = java.nio.file.Files.createTempDirectory("graft_sparse_sink").toString
+    val srcDir = s"$base/changes"; new java.io.File(srcDir).mkdirs()
+    def line(op: String, pk: Long, lsn: Long, after: String) =
+      s"""{"op":"$op","pk":$pk,"lsn":$lsn,"after":$after}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f1.json"),
+      Seq(line("c", 1, 1, """{"v":1.5,"lbl":"A"}"""),
+        line("c", 2, 2, """{"v":2.0,"lbl":"B"}""")).mkString("\n"))
+    // batch 2 arrives AFTER batch 1 committed: the sparse update must
+    // merge against STORED state, not within-batch state
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f2.json"),
+      Seq(line("u", 1, 3, """{"v":9.5}"""),        // lbl ABSENT → kept
+        line("u", 2, 4, """{"lbl":null}""")).mkString("\n")) // explicit NULL
+    val sch = StructType(Seq(StructField("op", StringType),
+      StructField("pk", LongType), StructField("lsn", LongType),
+      StructField("after", StringType)))
+    val raw = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).json(srcDir)
+    val (v, vp) = Cdc.sparseField($"after", "v", DoubleType)
+    val (l, lp) = Cdc.sparseField($"after", "lbl", StringType)
+    val changes = raw.select($"pk", $"lsn", $"op", v.as("v"),
+      vp.as("v_present"), l.as("lbl"), lp.as("lbl_present"))
+    val q = CdcStream.partitionedUpsertSink(changes, s"$base/tgt",
+      s"$base/ckpt", "pk", "lsn", "op", Seq("v", "lbl"), 4, sparse = true)
+    try q.processAllAvailable() finally q.stop()
+    val state = PartitionedUpsert.read(spark, s"$base/tgt").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(state(1L) === (Some(9.5), Some("A")),
+      "absent lbl must survive the partial update")
+    assert(state(2L) === (Some(2.0), None),
+      "explicit null must SET null while absent v survives")
+  }
+
   test("exactly-once parquet sink: checkpointed restart does not duplicate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
