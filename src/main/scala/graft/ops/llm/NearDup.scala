@@ -69,8 +69,11 @@ object NearDup {
     * visible — a caller can count/log the dropped set, alert on it, or
     * re-run its docs through finer shingles. The dropped frame is lazy
     * and ≤ (docs×bands)/maxBucketSize rows by construction. */
-  def lshCandidatesWithStats(sig: DataFrame, bands: Int, rowsPerBand: Int,
-                             maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
+  /** (doc_id, band, bh) band-bucket keys of a signature frame — the
+    * ONE banding encoding shared by batch candidate generation and the
+    * historical (stream-vs-corpus) band index, so the two can never
+    * hash a band differently. */
+  def bandKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val sigLen = sig.columns.count(_.startsWith("mh_"))
     require(bands * rowsPerBand == sigLen,
       s"bands($bands) x rowsPerBand($rowsPerBand) must equal signature length ($sigLen)")
@@ -78,8 +81,13 @@ object NearDup {
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  def lshCandidatesWithStats(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                             maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
+    val exploded = bandKeys(sig, bands, rowsPerBand)
     // the oversized-bucket list is tiny by construction → broadcast
     // anti-join beats a per-bucket window count (no extra sort pass)
     val dropped = exploded.groupBy(col("band"), col("bh"))

@@ -153,6 +153,45 @@ class SparseApplySpec extends SparkSpec {
     assert(s2(1L) == (Some(11.0), Some("Z"))) // keeps batch1's v
   }
 
+  test("sequential sparse merges == one-shot applySparse over the " +
+      "concatenated log (incremental/batch equivalence, property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(424242L)
+    for (trial <- 1 to 2) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_sparse_eq$trial").toString + "/t"
+      val snap = (0L until 15L).filter(_ => rnd.nextBoolean())
+        .map(pk => (pk, Some(rnd.nextInt(100).toDouble): Option[Double],
+          Some(s"s$pk"): Option[String]))
+      val log = (0 until 200).map { i =>
+        val pk = rnd.nextInt(20).toLong
+        rnd.nextInt(10) match {
+          case 0 => Ev(i, pk, "c", Some(rnd.nextInt(100).toDouble), true,
+            Some(s"c$i"), true)
+          case 1 => Ev(i, pk, "d", None, false, None, false)
+          case _ =>
+            val vSet = rnd.nextInt(3) != 0
+            val lSet = rnd.nextInt(3) != 0
+            Ev(i, pk, "u",
+              if (vSet && rnd.nextInt(4) != 0) Some(rnd.nextInt(100).toDouble) else None, vSet,
+              if (lSet && rnd.nextInt(4) != 0) Some(s"u$i") else None, lSet)
+        }
+      }
+      PartitionedUpsert.init(snap.toDF("pk", "v", "lbl"), dir, "pk", 4)
+      // lsn-ordered batches: stored state stands in as the snapshot of
+      // every later batch — the merge must compose exactly
+      log.grouped(50).foreach { batch =>
+        val df = batch.map(e => (e.lsn, e.pk, e.op, e.v, e.vSet, e.lbl, e.lblSet))
+          .toDF("lsn", "pk", "op", "v", "v_present", "lbl", "lbl_present")
+        PartitionedUpsert.merge(spark, dir, df, "pk", "lsn", "op",
+          Seq("v", "lbl"), 4, sparse = true)
+      }
+      val incremental = PartitionedUpsert.read(spark, dir).collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      assert(incremental === run(snap, log), s"trial $trial")
+    }
+  }
+
   test("sparseField distinguishes absent / explicit-null / set") {
     import spark.implicits._
     val df = Seq(
