@@ -164,6 +164,24 @@ object ScaleSmoke {
         .select($"content_hash")
       hashed.join(existing, Seq("content_hash"), "left_anti").count() }
 
+    time("hist_neardup index (5k uniq)") {
+      // fuzzy sibling: signature table + LSH band index over the
+      // exact-deduped corpus (5k unique docs of the 50k replicated)
+      val sigDir = s"$work/hnd_sig"; val bandDir = s"$work/hnd_band"
+      if (!new java.io.File(s"$sigDir/_manifests").exists) {
+        functions.NormalizeText.register(spark)
+        val docs = Tables.table(spark, work, "documents")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"h").orderBy($"doc_id")
+        val uniq = docs.withColumn("h",
+            sha2(functions.NormalizeText.normalize_native($"text"), 256))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).select($"doc_id", $"text")
+        streaming.HistoricalNearDup.initCorpus(uniq, sigDir, bandDir,
+          "doc_id", "text", nBuckets = 64)
+      }
+      ops.cdc.PartitionedUpsert.read(spark, sigDir).count() }
+
     // ---- skew: one user owns 50% of events ----------------------------
     // AQE skew-split rewrites sort-merge JOIN partitions at runtime;
     // window operators are out of its reach (compact relies on

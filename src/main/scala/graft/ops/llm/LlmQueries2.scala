@@ -246,7 +246,45 @@ object LlmQueries2 {
       .orderBy($"vec_a")
   }
 
+  /** Count-based bigram LM quality score (the KenLM-shaped filter of a
+    * training pipeline, minus the model file): corpus bigram counts →
+    * Laplace-smoothed conditional P(w2|w1) = (c12+1)/(c1+V) → per-doc
+    * mean log-probability. Low scores flag disfluent/boilerplate text.
+    * Shape: bigram build is NARROW (windowed indexing over the
+    * materialized token array — never a per-doc shuffle, q_llm_ngrams
+    * precedent; the array is its own projection per the lambda-inlining
+    * rule); count aggs shuffle (w1,w2)/(w1) pairs, never text; V is a
+    * broadcast 1-row frame; final per-doc agg is one doc_id shuffle.
+    * ln() cross-engine parity is proven by q_llm_tfidf; 4dp rounding
+    * absorbs cross-row sum ordering (q_agg_stats tolerance rule).
+    * Docs with < 2 tokens have no bigrams and are excluded on both
+    * engines (sequence(0, size-2) would go DESCENDING for size 1 —
+    * Spark's auto-step — so the filter is correctness, not cosmetics). */
+  def qLlmBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+    val arr = docs.select($"doc_id", split($"text", " ").as("toks"))
+    val big = arr.filter(size($"toks") >= 2)
+      .select($"doc_id", explode(transform(
+        sequence(lit(0), size($"toks") - 2),
+        i => struct($"toks".getItem(i).as("w1"),
+          $"toks".getItem(i + 1).as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val c12 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val v = arr.select(explode($"toks").as("w")).agg(
+      countDistinct($"w").as("v"))
+    big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(($"c12" + 1).cast("double") / ($"c1" + $"v"))), 4)
+          .as("score"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_bigram_lm" -> (qLlmBigramLm _),
     "q_llm_cosine_neardup" -> (qLlmCosineNeardup _),
     "q_llm_centroid" -> (qLlmCentroid _),
     "q_llm_minhash" -> (qLlmMinhash _),
@@ -260,6 +298,24 @@ object LlmQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+        |  FROM f),
+        |big AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(toks) AS w FROM t))
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + v.v))), 4) AS score
+        |FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q_llm_cosine_neardup" ->
       """WITH base AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
