@@ -243,6 +243,18 @@ object Cdc {
       }: _*)
   }
 
+  /** Point-in-time state (PITR read): apply only events at or below
+    * `asOfLsn`. The log after the cut simply does not exist for this
+    * read — the recovery question every CDC tool owes its operator
+    * ("what did the replica look like before the bad deploy?"). Same
+    * cost class as `apply` (the filter prunes BEFORE the compaction
+    * shuffle). */
+  def stateAsOf(snapshot: DataFrame, log: DataFrame, keys: Seq[String],
+                offsetCol: String, opCol: String, valueCols: Seq[String],
+                asOfLsn: Long): DataFrame =
+    apply(snapshot, log.filter(col(offsetCol) <= asOfLsn),
+      keys, offsetCol, opCol, valueCols)
+
   /** Transaction-atomic apply: events carry a transaction id, and a
     * transaction becomes visible only once its COMMIT marker (op='t',
     * the Debezium transaction-metadata pattern) has arrived — an

@@ -192,6 +192,22 @@ object CdcQueries {
       .orderBy($"pk")
   }
 
+  /** Point-in-time recovery: replica state AS OF the log midpoint
+    * (cut = max(lsn) DIV 2, derived in-query on both engines so the
+    * fixture needs no driver-side action). Events after the cut do
+    * not exist for this read. */
+  def qCdcStateAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snap = Tables.table(spark, dir, "customer")
+      .select($"c_custkey".as("pk"), $"c_acctbal".as("val"))
+    val log = changeLog(spark, dir).withColumnRenamed("after_value", "val")
+    val cut = log.agg(expr("max(lsn) DIV 2").as("cut"))
+    val trimmed = log.crossJoin(broadcast(cut))
+      .filter($"lsn" <= $"cut").drop("cut")
+    Cdc.apply(snap, trimmed, Seq("pk"), "lsn", "op", Seq("val"))
+      .orderBy($"pk")
+  }
+
   /** SCD Type-2 history with [valid_from, valid_to) intervals. */
   def qCdcScd2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -256,6 +272,7 @@ object CdcQueries {
     "q_cdc_compact" -> (qCdcCompact _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_cdc_apply_sparse" -> (qCdcApplySparse _),
+    "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_audit" -> (qCdcAudit _),
     "q_cdc_diff" -> (qCdcDiff _),
@@ -353,6 +370,20 @@ object CdcQueries {
       s"""WITH $logCte,
         |latest AS (
         |  SELECT * FROM log
+        |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1),
+        |snap AS (SELECT c_custkey AS pk, c_acctbal AS val FROM customer)
+        |SELECT coalesce(s.pk, l.pk) AS pk,
+        |  CASE WHEN l.pk IS NOT NULL THEN l.after_value ELSE s.val END AS val,
+        |  CASE WHEN l.pk IS NOT NULL THEN 'log' ELSE 'snapshot' END AS src
+        |FROM snap s FULL OUTER JOIN latest l ON s.pk = l.pk
+        |WHERE l.pk IS NULL OR l.op != 'd'
+        |ORDER BY pk""".stripMargin,
+    "q_cdc_state_asof" ->
+      s"""WITH $logCte,
+        |cut AS (SELECT max(lsn) // 2 AS cut FROM log),
+        |flog AS (SELECT l.* FROM log l CROSS JOIN cut WHERE l.lsn <= cut.cut),
+        |latest AS (
+        |  SELECT * FROM flog
         |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1),
         |snap AS (SELECT c_custkey AS pk, c_acctbal AS val FROM customer)
         |SELECT coalesce(s.pk, l.pk) AS pk,
