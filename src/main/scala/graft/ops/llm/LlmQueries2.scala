@@ -283,7 +283,30 @@ object LlmQueries2 {
       .orderBy($"doc_id")
   }
 
+  /** Zipf rank-frequency diagnostic per language: slope (and r²) of
+    * ln(freq) ~ ln(rank) over the top-100 vocabulary — the standard
+    * corpus-health check (natural text ≈ -1; a flat or erratic slope
+    * flags templated/synthetic/spam text, which is exactly what this
+    * corpus shows). One (lang, token) count shuffle + a top-k window +
+    * one tiny per-lang regression agg; regr_slope/regr_r2 exist in
+    * both engines with the same (y, x) argument order, ln parity per
+    * q_llm_tfidf, 4dp rounding per q_agg_stats. */
+  def qLlmZipf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.table(spark, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("token"))
+    val cnt = tok.groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"lang").orderBy($"c".desc, $"token".asc)
+    cnt.withColumn("rk", row_number().over(w)).filter($"rk" <= 100)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_top"),
+        round(regr_slope(log($"c"), log($"rk")), 4).as("zipf_slope"),
+        round(regr_r2(log($"c"), log($"rk")), 4).as("fit_r2"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_zipf" -> (qLlmZipf _),
     "q_llm_bigram_lm" -> (qLlmBigramLm _),
     "q_llm_cosine_neardup" -> (qLlmCosineNeardup _),
     "q_llm_centroid" -> (qLlmCentroid _),
@@ -298,6 +321,19 @@ object LlmQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_zipf" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, token, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, token ASC) AS rk
+        |  FROM cnt QUALIFY rk <= 100)
+        |SELECT lang, count(*) AS n_top,
+        |  round(regr_slope(ln(c), ln(rk)), 4) AS zipf_slope,
+        |  round(regr_r2(ln(c), ln(rk)), 4) AS fit_r2
+        |FROM ranked GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "q_llm_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
