@@ -201,10 +201,10 @@ object CdcQueries {
     val snap = Tables.table(spark, dir, "customer")
       .select($"c_custkey".as("pk"), $"c_acctbal".as("val"))
     val log = changeLog(spark, dir).withColumnRenamed("after_value", "val")
-    val cut = log.agg(expr("max(lsn) DIV 2").as("cut"))
-    val trimmed = log.crossJoin(broadcast(cut))
-      .filter($"lsn" <= $"cut").drop("cut")
-    Cdc.apply(snap, trimmed, Seq("pk"), "lsn", "op", Seq("val"))
+    // a one-row driver read prices like every other bounded collect in
+    // this package, and routes the query through the actual public API
+    val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
+    Cdc.stateAsOf(snap, log, Seq("pk"), "lsn", "op", Seq("val"), cut)
       .orderBy($"pk")
   }
 

@@ -147,12 +147,15 @@ object PartitionedUpsert {
       val Array(_, b, f, by, mnk, mxk, mxl) = l.split('\t')
       b.toLong -> BucketStat(f.toInt, by.toLong, opt(mnk), opt(mxk), opt(mxl))
     }.toMap
+    // bucket lines are WHITELISTED (exactly "<digits>\t<path>") rather
+    // than "everything unrecognized" — that is what makes the skip-by-
+    // prefix forward-compat contract real: a reader that predates a
+    // future line kind must ignore it, not MatchError on it
     val buckets = rest
-      .filterNot(l => l.startsWith("txn\t") || l.startsWith("stats\t"))
-      .map { l =>
-        val Array(b, rel) = l.split('\t')
-        b.toLong -> rel
-      }.toMap
+      .map(_.split('\t'))
+      .filter(p => p.length == 2 && p(0).nonEmpty && p(0).forall(_.isDigit))
+      .map(p => p(0).toLong -> p(1))
+      .toMap
     Manifest(version, schema, nBuckets, keyCol, txns, buckets, stats)
   }
 
@@ -220,9 +223,11 @@ object PartitionedUpsert {
 
   /** Stats for the buckets a write just staged: physical footprint
     * from one FS listing per bucket, key ranges (integral keys only)
-    * from ONE footer-cheap aggregation over the staging dir's key
-    * column — both recorded while the write path already holds the
-    * listing, so later readers never re-list or re-scan to prune.
+    * from one aggregation over the staging dir's KEY COLUMN ONLY —
+    * an extra job per write, but a columnar single-column read of
+    * exactly the buckets the write just rewrote with ALL columns, so
+    * it is a small fraction of the rewrite it rides on. Recorded at
+    * write time so later readers never list or scan to prune.
     * `maxLsnOf` supplies the per-bucket lsn watermark. */
   private def stagedStats(spark: SparkSession, fs: FileSystem, dir: String,
                           staging: String, written: Seq[Long], keyCol: String,
@@ -507,11 +512,27 @@ object PartitionedUpsert {
       .write.mode("errorifexists")
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
-    // key values (and bucket identity) survive a rename/widen: ranges
-    // recomputed from the staged files, lsn watermarks carried over
+    // ranges are recomputed from the staged files either way; lsn
+    // watermarks carry over ONLY while bucket identity survives. A
+    // widen of the KEY column changes xxhash64 routing (Spark hashes
+    // Int and Long differently), rehashing rows across buckets while
+    // the old per-bucket watermarks describe the OLD identities — an
+    // incremental consumer could then skip real changes. Same hazard
+    // as rebucket: take the conservative global ceiling instead.
+    val keyTypeChanged =
+      evolved.schema(keyCol).dataType != prior.schema(prior.keyCol).dataType
+    val carriedLsn: Long => Option[Long] =
+      if (!keyTypeChanged) b => prior.stats.get(b).flatMap(_.maxLsn)
+      else {
+        val per = prior.buckets.keySet.toSeq
+          .map(b => prior.stats.get(b).flatMap(_.maxLsn))
+        val global =
+          if (per.exists(_.isEmpty)) None
+          else per.flatten.reduceOption((a: Long, b: Long) => math.max(a, b))
+        _ => global
+      }
     val st = stagedStats(spark, fs, dir, staging, written, keyCol,
-      evolved.schema(keyCol).dataType,
-      b => prior.stats.get(b).flatMap(_.maxLsn))
+      evolved.schema(keyCol).dataType, carriedLsn)
     writeManifest(fs, dir, Manifest(prior.version + 1, evolved.schema, nBuckets,
       keyCol, prior.txns, written.map(b => b -> dataRel(staging, b)).toMap, st))
   }

@@ -204,24 +204,35 @@ object IvfIndex {
                   onlyCids: Option[Set[Int]] = None): DataFrame =
     readAssignments(spark, dir, requireManifest(spark, dir), onlyCids)
 
+  /** @param excludeSelfId drop hits where the stored vec_id equals the
+    *        query's vec_id — correct when queries are drawn FROM the
+    *        indexed corpus (the ivfTopK self-search convention, and
+    *        what the parity specs assert). Pass FALSE for an external
+    *        query set with its own id space: there an id collision is
+    *        a coincidence, and excluding it would silently drop a real
+    *        neighbour. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-             k: Int, nprobe: Int): DataFrame =
-    searchManifest(spark, dir, requireManifest(spark, dir), queries, k, nprobe)
+             k: Int, nprobe: Int, excludeSelfId: Boolean = true): DataFrame =
+    searchManifest(spark, dir, requireManifest(spark, dir), queries, k,
+      nprobe, excludeSelfId)
 
   /** Time travel: search AS OF a committed version — its codebook
     * against its file set, never a mixed read. */
   def searchVersion(spark: SparkSession, dir: String, version: Long,
-                    queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+                    queries: DataFrame, k: Int, nprobe: Int,
+                    excludeSelfId: Boolean = true): DataFrame = {
     val fs = fsOf(spark, dir)
     if (!fs.exists(manifestPath(dir, version)))
       throw new IllegalArgumentException(
         s"version $version does not exist at $dir")
-    searchManifest(spark, dir, readManifest(fs, dir, version), queries, k, nprobe)
+    searchManifest(spark, dir, readManifest(fs, dir, version), queries, k,
+      nprobe, excludeSelfId)
   }
 
   private def searchManifest(spark: SparkSession, dir: String,
                              m: IndexManifest, queries: DataFrame,
-                             k: Int, nprobe: Int): DataFrame = {
+                             k: Int, nprobe: Int,
+                             excludeSelfId: Boolean): DataFrame = {
     val q = Knn.ivfAssign(
         Knn.withNorm(queries, "embedding").filter(size(col("v")) === m.dim),
         m.centroids, nprobe)
@@ -236,7 +247,7 @@ object IvfIndex {
       .select(col("vec_id").as("c_vec_id"), col("cid"),
         col("v").as("cv"), col("nrm").as("cn"))
     val scored = c.join(q, "cid")
-      .filter(col("q_vec_id") =!= col("c_vec_id"))
+      .filter(!lit(excludeSelfId) || col("q_vec_id") =!= col("c_vec_id"))
       .withColumn("sim",
         Knn.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("q_vec_id"))

@@ -63,12 +63,6 @@ object NearDup {
                     maxBucketSize: Int = 1000): DataFrame =
     lshCandidatesWithStats(sig, bands, rowsPerBand, maxBucketSize)._1
 
-  /** [[lshCandidates]] plus the buckets the cap dropped, as
-    * `(candidates, dropped)` where dropped = (band, bh, bucket_size).
-    * The cap trades recall for boundedness; this makes the trade
-    * visible — a caller can count/log the dropped set, alert on it, or
-    * re-run its docs through finer shingles. The dropped frame is lazy
-    * and ≤ (docs×bands)/maxBucketSize rows by construction. */
   /** (doc_id, band, bh) band-bucket keys of a signature frame — the
     * ONE banding encoding shared by batch candidate generation and the
     * historical (stream-vs-corpus) band index, so the two can never
@@ -85,6 +79,12 @@ object NearDup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** [[lshCandidates]] plus the buckets the cap dropped, as
+    * `(candidates, dropped)` where dropped = (band, bh, bucket_size).
+    * The cap trades recall for boundedness; this makes the trade
+    * visible — a caller can count/log the dropped set, alert on it, or
+    * re-run its docs through finer shingles. The dropped frame is lazy
+    * and ≤ (docs×bands)/maxBucketSize rows by construction. */
   def lshCandidatesWithStats(sig: DataFrame, bands: Int, rowsPerBand: Int,
                              maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
     val exploded = bandKeys(sig, bands, rowsPerBand)

@@ -127,19 +127,32 @@ object HistoricalNearDup {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (PartitionedUpsert.currentManifest(spark, sigDir).isEmpty) {
-          val e = signed(batch, idCol, textCol, cfg).limit(0)
-          try {
-            PartitionedUpsert.init(sigTableRows(e, cfg), sigDir, "doc_id", nBuckets)
-            PartitionedUpsert.init(
-              bandRows(docBandKeys(e, cfg), emptyBandFrame(spark), cfg),
-              bandDir, "bkey", nBuckets)
-          } catch {
+        // each table's init is guarded INDEPENDENTLY: a crash between
+        // the two inits must not leave bandDir permanently
+        // uninitialized behind an initialized sigDir (the restart
+        // would otherwise skip the whole block and wedge on reads)
+        val e = signed(batch, idCol, textCol, cfg).limit(0)
+        if (PartitionedUpsert.currentManifest(spark, sigDir).isEmpty)
+          try PartitionedUpsert.init(sigTableRows(e, cfg), sigDir, "doc_id",
+            nBuckets)
+          catch {
             case _: IllegalStateException |
                  _: java.util.ConcurrentModificationException => ()
           }
-        }
+        if (PartitionedUpsert.currentManifest(spark, bandDir).isEmpty)
+          try PartitionedUpsert.init(
+            bandRows(docBandKeys(e, cfg), emptyBandFrame(spark), cfg),
+            bandDir, "bkey", nBuckets)
+          catch {
+            case _: IllegalStateException |
+                 _: java.util.ConcurrentModificationException => ()
+          }
+        // every frame persisted in this batch is released in the ONE
+        // finally below — a merge failure (conflict, IO) must not leak
+        // cached blocks across the retries Structured Streaming runs
+        val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
         val sig = signed(batch, idCol, textCol, cfg).persist()
+        persisted += sig
         try {
           // 2: within-batch near-dups — verified pairs, greedy keep-min
           // (doc_a < doc_b by construction, so dropping every doc_b
@@ -151,9 +164,11 @@ object HistoricalNearDup {
           val kept = sig.join(innerDrops, Seq("doc_id"), "left_anti")
           // 3: historical candidates — two pruned point lookups
           val keys = docBandKeys(kept, cfg).persist()
+          persisted += keys
           val priorBands = PartitionedUpsert
             .readForKeys(spark, bandDir, keys.select(col("bkey")), "bkey")
             .persist() // reused for the read-modify-write in step 4
+          persisted += priorBands
           val candidateIds = keys
             .join(priorBands, "bkey")
             .select(col("doc_id"), explode(col("members")).as("cand_id"))
@@ -172,6 +187,7 @@ object HistoricalNearDup {
             .select(col("doc_id")).distinct()
           val survivors = kept.join(histDrops, Seq("doc_id"), "left_anti")
             .persist()
+          persisted += survivors
           droppedCounter.foreach { acc =>
             acc.add(sig.count() - survivors.count())
           }
@@ -188,9 +204,7 @@ object HistoricalNearDup {
           PartitionedUpsert.merge(spark, bandDir, newBand,
             "bkey", "lsn", "op", Seq("members", "overflowed"), nBuckets,
             txn = Some((s"$checkpointDir#band", batchId))): Unit
-          survivors.unpersist(); priorBands.unpersist(); keys.unpersist()
-          ()
-        } finally { sig.unpersist(); () }
+        } finally { persisted.foreach(_.unpersist()); () }
       }
       .start()
   }

@@ -100,6 +100,26 @@ class ManifestStatsSpec extends SparkSpec {
     assert(mid.nonEmpty && mid.toSet.subsetOf(touched.toSet))
   }
 
+  test("widening the KEY column rehashes buckets — watermarks fall back " +
+      "to the global ceiling, never stale per-bucket carryover") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ms_kw").toString + "/t"
+    val snap = (0 until 50).map(i => (i, i * 1.0)).toDF("pk", "val") // Int key
+    PartitionedUpsert.init(snap, dir, "pk", 4)
+    PartitionedUpsert.merge(spark, dir,
+      Seq((100L, 7, "u", -7.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), 4)
+    // Int and Long hash differently: the widen rehashes every row, so
+    // per-bucket lsn history is meaningless under the new identities
+    PartitionedUpsert.evolveSchema(spark, dir,
+      Seq(Cdc.WidenColumn("pk", org.apache.spark.sql.types.LongType)), "pk", 4)
+    val st = PartitionedUpsert.bucketStats(spark, dir).toMap
+    assert(st.values.forall(_.maxLsn.contains(100L)),
+      s"post-widen watermarks must take the global ceiling, got $st")
+    // a consumer asking for changes since the ceiling correctly gets none
+    assert(PartitionedUpsert.bucketsChangedSince(spark, dir, 100L).isEmpty)
+  }
+
   test("stats stay coherent across compactFiles and rebucket") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ms_cr").toString + "/t"

@@ -106,6 +106,21 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("excludeSelfId=false: an external query whose id collides with a " +
+      "stored vec_id still sees that stored vector") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ex").toString + "/idx"
+    IvfIndex.build(emb, dir, dim = 64, k = 4, iters = 2)
+    // query = stored vector 5 under its own id: with the self-search
+    // convention it excludes itself; as an external query it must find
+    // itself at sim 1.0, rank 1
+    val q5 = emb.filter(col("vec_id") === 5)
+    val self = IvfIndex.search(spark, dir, q5, k = 1, nprobe = 1)
+    assert(!self.collect().exists(_.getLong(2) == 5L))
+    val ext = IvfIndex.search(spark, dir, q5, k = 1, nprobe = 1,
+      excludeSelfId = false).head()
+    assert(ext.getLong(2) === 5L && ext.getDouble(3) === 1.0)
+  }
+
   test("search reads ONLY the probed cid partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_pr").toString + "/idx"
     IvfIndex.build(emb, dir, dim = 64, k = 8, iters = 3)
