@@ -217,6 +217,36 @@ object CdcQueries {
       .orderBy($"pk", $"lsn")
   }
 
+  /** SCD2 temporal lookup — the consumer query history tables exist
+    * for: which version of each key was valid at time T? Probes are
+    * derived in-query (3 evenly spaced instants per key across the
+    * log's time span, integer-second arithmetic so both engines land
+    * on identical timestamps); the join is pk-equi + validity-range —
+    * the equi key bounds it, so the range predicate is a post-filter
+    * on a hash join, never a cross product. */
+  def qCdcScd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changeLog(spark, dir)
+    val hist = Cdc.scd2(log, Seq("pk"), "lsn", "ts")
+      .select($"pk", $"lsn", $"op", $"after_value", $"valid_from", $"valid_to")
+    val b = log.agg(unix_timestamp(min($"ts")).as("mn"),
+      unix_timestamp(max($"ts")).as("mx"))
+    val probes = log.select($"pk").distinct()
+      .crossJoin(broadcast(b))
+      .select($"pk", explode(array((1 to 3).map(i =>
+        struct(lit(i).as("probe_idx"),
+          timestamp_seconds(expr(s"mn + ($i * (mx - mn)) DIV 4")).as("pt"))): _*))
+        .as("p"))
+      .select($"pk", $"p.probe_idx".as("probe_idx"), $"p.pt".as("pt"))
+    probes.as("p").join(hist.as("h"),
+        $"p.pk" === $"h.pk" && $"h.valid_from" <= $"p.pt" &&
+          ($"h.valid_to".isNull || $"p.pt" < $"h.valid_to"))
+      .select($"p.pk".as("pk"), $"probe_idx", $"pt",
+        $"h.lsn".as("lsn"), $"h.op".as("op"),
+        $"h.after_value".as("after_value"))
+      .orderBy($"pk", $"probe_idx")
+  }
+
   /** Pipeline observability: change counts by op per hour. */
   def qCdcAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -274,6 +304,7 @@ object CdcQueries {
     "q_cdc_apply_sparse" -> (qCdcApplySparse _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_scd2" -> (qCdcScd2 _),
+    "q_cdc_scd2_lookup" -> (qCdcScd2Lookup _),
     "q_cdc_audit" -> (qCdcAudit _),
     "q_cdc_diff" -> (qCdcDiff _),
     "q_cdc_checksum" -> (qCdcChecksum _)
@@ -463,6 +494,23 @@ object CdcQueries {
         |FROM log
         |WINDOW w AS (PARTITION BY pk ORDER BY lsn ASC)
         |ORDER BY pk, lsn""".stripMargin,
+    "q_cdc_scd2_lookup" ->
+      s"""WITH $logCte,
+        |hist AS (
+        |  SELECT pk, lsn, op, after_value, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY pk ORDER BY lsn ASC) AS valid_to
+        |  FROM log),
+        |b AS (SELECT epoch(min(ts))::BIGINT AS mn, epoch(max(ts))::BIGINT AS mx
+        |      FROM log),
+        |probes AS (
+        |  SELECT pk, i AS probe_idx,
+        |    to_timestamp(b.mn + (i * (b.mx - b.mn)) // 4)::TIMESTAMP AS pt
+        |  FROM (SELECT DISTINCT pk FROM log) CROSS JOIN b CROSS JOIN range(1, 4) t(i))
+        |SELECT p.pk, p.probe_idx, p.pt, h.lsn, h.op, h.after_value
+        |FROM probes p JOIN hist h
+        |  ON p.pk = h.pk AND h.valid_from <= p.pt
+        |  AND (h.valid_to IS NULL OR p.pt < h.valid_to)
+        |ORDER BY p.pk, p.probe_idx""".stripMargin,
     "q_cdc_audit" ->
       s"""WITH $logCte
         |SELECT date_trunc('hour', ts) AS hr, op,
