@@ -662,6 +662,13 @@ object PartitionedUpsert {
                    lo: Long, hi: Long): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    // a non-integral key would cast to NULL row-by-row and silently
+    // return an empty frame — reject loudly instead (planChunkBounds
+    // precedent: silent degradation is the one wrong answer)
+    require(integralTypes.contains(m.schema(m.keyCol).dataType),
+      s"readKeyRange needs an integral key; '$dir' is keyed by " +
+        s"'${m.keyCol}: ${m.schema(m.keyCol).dataType.catalogString}' — " +
+        s"use readForKeys for point lookups on non-numeric keys")
     val wanted = m.buckets.filter { case (b, _) =>
       m.stats.get(b) match {
         case Some(BucketStat(_, _, Some(mn), Some(mx), _)) =>

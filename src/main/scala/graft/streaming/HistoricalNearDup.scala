@@ -71,10 +71,11 @@ object HistoricalNearDup {
         concat(col("band"), lit(":"), col("bh")).as("bkey"))
 
   /** Band-index rows for a set of accepted docs: members sorted,
-    * capped, overflow flagged. `priorMembers` (bkey, members,
-    * overflowed) folds in the existing rows. */
-  private def bandRows(newKeys: DataFrame, prior: DataFrame,
-                       cfg: Config): DataFrame =
+    * capped, overflow flagged. `prior` (bkey, members, overflowed)
+    * folds in the existing rows. private[streaming] so the cap/flag
+    * arithmetic is directly testable. */
+  private[streaming] def bandRows(newKeys: DataFrame, prior: DataFrame,
+                                  cfg: Config): DataFrame =
     newKeys.groupBy(col("bkey"))
       .agg(collect_list(col("doc_id")).as("new_members"))
       .join(prior, Seq("bkey"), "left")

@@ -120,6 +120,18 @@ class ManifestStatsSpec extends SparkSpec {
     assert(PartitionedUpsert.bucketsChangedSince(spark, dir, 100L).isEmpty)
   }
 
+  test("readKeyRange rejects non-integral keys loudly instead of " +
+      "silently returning nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ms_sk").toString + "/t"
+    val snap = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "val")
+    PartitionedUpsert.init(snap, dir, "k", 2)
+    val e = intercept[IllegalArgumentException] {
+      PartitionedUpsert.readKeyRange(spark, dir, 0L, 10L)
+    }
+    assert(e.getMessage.contains("integral key"))
+  }
+
   test("stats stay coherent across compactFiles and rebucket") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ms_cr").toString + "/t"

@@ -76,6 +76,24 @@ class HistoricalNearDupSpec extends SparkSpec {
     assert(members === Set(1L, 2L, 11L, 21L))
   }
 
+  test("band-index cap: an overflowing bucket keeps the smallest cap " +
+      "members and raises the overflow flag — never silently") {
+    import spark.implicits._
+    val small = HistoricalNearDup.Config(k = 16, bands = 8,
+      threshold = 0.8, maxBucketMembers = 2)
+    val prior = Seq(("0:7", Seq(1L, 2L), false))
+      .toDF("bkey", "members", "overflowed")
+    val newKeys = Seq((3L, "0:7"), (9L, "0:7"), (5L, "1:4"))
+      .toDF("doc_id", "bkey")
+    val out = HistoricalNearDup.bandRows(newKeys, prior, small)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Long](1), r.getBoolean(2)))).toMap
+    assert(out("0:7") === ((Seq(1L, 2L), true)),
+      "full bucket keeps its cap members and flags the overflow")
+    assert(out("1:4") === ((Seq(5L), false)),
+      "a fresh under-cap bucket carries no flag")
+  }
+
   test("kill-and-resume: restart keeps exactly-once, no duplicate " +
       "signature rows, accepted docs stay visible to later batches") {
     val base = java.nio.file.Files.createTempDirectory("graft_hnd_kr").toString
