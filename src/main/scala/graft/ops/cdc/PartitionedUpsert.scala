@@ -464,6 +464,10 @@ object PartitionedUpsert {
     txn.foreach { case (app, ver) =>
       if (prior.txns.get(app).exists(_ >= ver)) return Seq.empty
     }
+    // an EMPTY batch (idle streaming trigger) must not burn a table
+    // version and churn the manifest once per trigger — a no-op read
+    // here beats a no-op commit
+    if (changes.isEmpty) return Seq.empty
     val pending = prepareFrom(spark, dir, prior, changes, keyCol, lsnCol,
       opCol, valueCols, nBuckets, txn, sparse)
     try {

@@ -172,6 +172,12 @@ object IvfIndex {
     val fs = fsOf(spark, dir)
     val staging = newStaging(fs, dir)
     val written = writeAssigned(spark, dir, newVecs, m.centroids, m.dim, staging)
+    if (written.isEmpty) {
+      // nothing assigned (empty/filtered-out batch): burn no version,
+      // leave no orphan staging dir
+      fs.delete(new Path(s"$dir/data/$staging"), true)
+      return
+    }
     val merged = (m.paths.keySet ++ written.keySet).map { cid =>
       cid -> (m.paths.getOrElse(cid, Seq.empty) ++
         written.getOrElse(cid, Seq.empty))

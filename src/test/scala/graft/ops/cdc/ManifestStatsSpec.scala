@@ -120,6 +120,20 @@ class ManifestStatsSpec extends SparkSpec {
     assert(PartitionedUpsert.bucketsChangedSince(spark, dir, 100L).isEmpty)
   }
 
+  test("an empty change batch (idle streaming trigger) burns no table " +
+      "version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ms_eb").toString + "/t"
+    mkTarget(dir, n = 10L, nBuckets = 2)
+    val v = PartitionedUpsert.history(spark, dir).head._1
+    val touched = PartitionedUpsert.merge(spark, dir,
+      Seq.empty[(Long, Long, String, Double)].toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), 2)
+    assert(touched.isEmpty)
+    assert(PartitionedUpsert.history(spark, dir).head._1 === v,
+      "no manifest version may be burned for a no-op batch")
+  }
+
   test("readKeyRange rejects non-integral keys loudly instead of " +
       "silently returning nothing") {
     import spark.implicits._

@@ -121,6 +121,16 @@ class IvfIndexSpec extends SparkSpec {
     assert(ext.getLong(2) === 5L && ext.getDouble(3) === 1.0)
   }
 
+  test("an empty append burns no index version and leaves no orphan staging") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ea").toString + "/idx"
+    IvfIndex.build(emb, dir, dim = 64, k = 4, iters = 2)
+    val v = IvfIndex.history(spark, dir).head
+    IvfIndex.append(spark, dir, emb.filter(col("vec_id") < 0))
+    assert(IvfIndex.history(spark, dir).head === v)
+    val stagings = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+    assert(stagings.length === 1, s"empty append must clean up: ${stagings.toSeq}")
+  }
+
   test("search reads ONLY the probed cid partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_pr").toString + "/idx"
     IvfIndex.build(emb, dir, dim = 64, k = 8, iters = 3)
