@@ -94,6 +94,55 @@ class HistoricalNearDupSpec extends SparkSpec {
       "a fresh under-cap bucket carries no flag")
   }
 
+  test("planted duplicate groups: exactly ONE representative per group " +
+      "survives across init + two batches (randomized grouping)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hnd_gp").toString
+    val srcDir = s"$base/in"; new java.io.File(srcDir).mkdirs()
+    import spark.implicits._
+    // 8 disjoint-vocabulary base texts; each group = the base + light
+    // edits of it (J >= 0.9); docs are dealt across init/batch1/batch2
+    // by a fixed pseudo-random schedule
+    val bases = (0 until 8).map { g =>
+      (0 until 20).map(i => s"g${g}w${i}").mkString(" ")
+    }
+    val rnd = new scala.util.Random(777L)
+    val docs = for {
+      g <- 0 until 8
+      copy <- 0 until 3
+    } yield {
+      val id = (g * 10 + copy).toLong
+      val text = if (copy == 0) bases(g) else edit(bases(g), s"e$g$copy")
+      // initCorpus documents a PRE-DEDUPED corpus, so at most the
+      // first copy of a group may land there; later copies go to the
+      // streaming batches (0 = init, 1 = batch 1, 2 = batch 2)
+      val slot = if (copy == 0) rnd.nextInt(2) else 1 + rnd.nextInt(2)
+      (id, text, slot)
+    }
+    val init = docs.filter(_._3 == 0).map(d => (d._1, d._2))
+    HistoricalNearDup.initCorpus(
+      (if (init.nonEmpty) init
+       else Seq((999L, "seed only doc for an empty draw"))).toDF("doc_id", "text"),
+      s"$base/sig", s"$base/band", "doc_id", "text", cfg, nBuckets = 8)
+    for (b <- 1 to 2)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/f$b.json"),
+        docs.filter(_._3 == b).map(d => docLine(d._1, d._2)).mkString("\n"))
+    val q = HistoricalNearDup.ingestSink(
+      spark.readStream.schema(docSchema).option("maxFilesPerTrigger", 1)
+        .json(srcDir),
+      s"$base/sig", s"$base/band", s"$base/ckpt", "doc_id", "text", cfg,
+      nBuckets = 8)
+    try q.processAllAvailable() finally q.stop()
+    // every group contributed >= 1 doc somewhere; exactly one survives
+    val accepted = acceptedIds(s"$base/sig").filter(_ != 999L)
+    val byGroup = accepted.groupBy(_ / 10)
+    assert(byGroup.keySet === (0 until 8).map(_.toLong).toSet,
+      s"every group must keep a representative: $byGroup")
+    byGroup.foreach { case (g, ids) =>
+      assert(ids.size === 1, s"group $g kept ${ids.size} copies: $ids")
+    }
+  }
+
   test("kill-and-resume: restart keeps exactly-once, no duplicate " +
       "signature rows, accepted docs stay visible to later batches") {
     val base = java.nio.file.Files.createTempDirectory("graft_hnd_kr").toString
