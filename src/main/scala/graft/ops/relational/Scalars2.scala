@@ -88,7 +88,28 @@ object Scalars2 {
       .orderBy($"doc_id")
   }
 
+  /** Bitwise scalar surface: AND/OR/XOR/NOT, shifts, popcount — all on
+    * two's-complement BIGINT, so every result is exact on both engines
+    * (negatives included; shift operands kept non-negative because
+    * DuckDB's >> on negatives is implementation-defined while Spark's
+    * sign-extends). */
+  def qFnBitwise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "events")
+      .select(
+        $"event_id",
+        ($"event_id".bitwiseAND($"user_id")).as("b_and"),
+        ($"event_id".bitwiseOR($"user_id")).as("b_or"),
+        ($"event_id".bitwiseXOR($"user_id")).as("b_xor"),
+        expr("~(event_id % 256)").as("b_not"),
+        shiftleft($"event_id" % 1024, 3).cast("long").as("shl"),
+        shiftright($"event_id", 2).as("shr"),
+        bit_count($"event_id").as("bits"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_bitwise" -> (qFnBitwise _),
     "q_fn_try" -> (qFnTry _),
     "q_fn_string2" -> (qFnString2 _),
     "q_fn_array2" -> (qFnArray2 _),
@@ -96,6 +117,17 @@ object Scalars2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_bitwise" ->
+      """SELECT event_id,
+        |  event_id & user_id AS b_and,
+        |  event_id | user_id AS b_or,
+        |  xor(event_id, user_id) AS b_xor,
+        |  ~(event_id % 256) AS b_not,
+        |  ((event_id % 1024) << 3)::BIGINT AS shl,
+        |  event_id >> 2 AS shr,
+        |  bit_count(event_id)::INT AS bits
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "q_fn_try" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
