@@ -357,13 +357,19 @@ object PartitionedUpsert {
         s"transaction ($app, $ver) is already applied to $dir " +
           s"(latest = ${prior.txns(app)}); use merge, which skips replays")
     }
-    val staging = newStagingName(fs, dir)
     val withBucket = changes.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
       .persist()
     try {
       // small by construction: ≤ nBuckets longs
       val touched = withBucket.select("bucket").distinct()
         .collect().map(_.getLong(0)).sorted.toSeq
+      // an EMPTY batch (idle streaming trigger) stages nothing and must
+      // burn no table version — the emptiness signal falls out of the
+      // `touched` collect the prepare needs anyway, so the hot path
+      // pays nothing extra; merge/commit treat touched.isEmpty as no-op
+      if (touched.isEmpty)
+        return Pending("", prior, Seq.empty)
+      val staging = newStagingName(fs, dir)
       val current = bucketsDf(spark, dir, prior,
         only = Some(touched.flatMap(prior.buckets.get)))
       // sparse = TOAST-style partial after-images: the batch carries a
@@ -435,9 +441,12 @@ object PartitionedUpsert {
     else spark.read.schema(m.schema).parquet(paths: _*)
   }
 
-  /** Publish a prepared merge (atomic manifest rename). */
+  /** Publish a prepared merge (atomic manifest rename). A no-op
+    * prepare (empty batch — `touched` empty, manifest unchanged)
+    * publishes nothing. */
   def commit(spark: SparkSession, dir: String, pending: Pending): Unit =
-    writeManifest(fsOf(spark, dir), dir, pending.manifest)
+    if (pending.touched.nonEmpty)
+      writeManifest(fsOf(spark, dir), dir, pending.manifest)
 
   /** Merge a change batch: prepare + commit. Returns the touched
     * bucket ids (for observability).
@@ -464,12 +473,9 @@ object PartitionedUpsert {
     txn.foreach { case (app, ver) =>
       if (prior.txns.get(app).exists(_ >= ver)) return Seq.empty
     }
-    // an EMPTY batch (idle streaming trigger) must not burn a table
-    // version and churn the manifest once per trigger — a no-op read
-    // here beats a no-op commit
-    if (changes.isEmpty) return Seq.empty
     val pending = prepareFrom(spark, dir, prior, changes, keyCol, lsnCol,
       opCol, valueCols, nBuckets, txn, sparse)
+    if (pending.touched.isEmpty) return Seq.empty // empty batch: no-op
     try {
       commit(spark, dir, pending)
       pending.touched
@@ -666,11 +672,15 @@ object PartitionedUpsert {
                    lo: Long, hi: Long): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
-    // a non-integral key would cast to NULL row-by-row and silently
-    // return an empty frame — reject loudly instead (planChunkBounds
-    // precedent: silent degradation is the one wrong answer)
-    require(integralTypes.contains(m.schema(m.keyCol).dataType),
-      s"readKeyRange needs an integral key; '$dir' is keyed by " +
+    // NUMERIC keys (incl. decimal surrogate keys) cast to long with
+    // defined row semantics, so the range filter is meaningful even
+    // when stats are absent (conservative full read). A STRING/other
+    // key would cast to NULL row-by-row and silently return an empty
+    // frame — reject that loudly (planChunkBounds precedent: silent
+    // degradation is the one wrong answer).
+    require(m.schema(m.keyCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"readKeyRange needs a numeric key; '$dir' is keyed by " +
         s"'${m.keyCol}: ${m.schema(m.keyCol).dataType.catalogString}' — " +
         s"use readForKeys for point lookups on non-numeric keys")
     val wanted = m.buckets.filter { case (b, _) =>

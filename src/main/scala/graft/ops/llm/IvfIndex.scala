@@ -170,14 +170,21 @@ object IvfIndex {
   def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
     val m = requireManifest(spark, dir)
     val fs = fsOf(spark, dir)
+    // a TRUE empty batch is a no-op; a batch whose vectors would ALL
+    // (or partially) be dropped by the dim/zero-norm filter is DATA
+    // LOSS and must fail loudly — an index append silently losing
+    // vectors is the one wrong answer (two batch-bounded counts)
+    val total = newVecs.count()
+    if (total == 0) return // burn no version, stage nothing
+    val eligible = Knn.withNorm(newVecs, "embedding")
+      .filter(size(col("v")) === m.dim).count()
+    if (eligible < total)
+      throw new IllegalArgumentException(
+        s"append would drop ${total - eligible} of $total vectors " +
+          s"(dimension != ${m.dim} or zero norm) — filter or fix " +
+          s"upstream; an index append must not silently lose vectors")
     val staging = newStaging(fs, dir)
     val written = writeAssigned(spark, dir, newVecs, m.centroids, m.dim, staging)
-    if (written.isEmpty) {
-      // nothing assigned (empty/filtered-out batch): burn no version,
-      // leave no orphan staging dir
-      fs.delete(new Path(s"$dir/data/$staging"), true)
-      return
-    }
     val merged = (m.paths.keySet ++ written.keySet).map { cid =>
       cid -> (m.paths.getOrElse(cid, Seq.empty) ++
         written.getOrElse(cid, Seq.empty))

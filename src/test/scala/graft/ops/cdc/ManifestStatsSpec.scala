@@ -143,7 +143,17 @@ class ManifestStatsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       PartitionedUpsert.readKeyRange(spark, dir, 0L, 10L)
     }
-    assert(e.getMessage.contains("integral key"))
+    assert(e.getMessage.contains("numeric key"))
+    // NUMERIC non-integral keys (decimal surrogate ids) still work:
+    // stats are absent (conservative full read), results correct
+    import spark.implicits._
+    val ddir = java.nio.file.Files.createTempDirectory("graft_ms_dk").toString + "/t"
+    val dsnap = Seq((BigDecimal(1), 1.0), (BigDecimal(7), 7.0),
+      (BigDecimal(1500), 15.0)).toDF("k", "val")
+    PartitionedUpsert.init(dsnap, ddir, "k", 2)
+    val got = PartitionedUpsert.readKeyRange(spark, ddir, 0L, 10L)
+      .collect().map(_.getDouble(1)).toSet
+    assert(got === Set(1.0, 7.0))
   }
 
   test("stats stay coherent across compactFiles and rebucket") {

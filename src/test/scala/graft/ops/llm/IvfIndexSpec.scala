@@ -121,14 +121,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(ext.getLong(2) === 5L && ext.getDouble(3) === 1.0)
   }
 
-  test("an empty append burns no index version and leaves no orphan staging") {
+  test("an empty append burns no index version and leaves no staging; " +
+      "a filtered-out append FAILS loudly instead of losing vectors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ea").toString + "/idx"
     IvfIndex.build(emb, dir, dim = 64, k = 4, iters = 2)
     val v = IvfIndex.history(spark, dir).head
-    IvfIndex.append(spark, dir, emb.filter(col("vec_id") < 0))
+    IvfIndex.append(spark, dir, emb.filter(col("vec_id") < 0)) // truly empty
+    assert(IvfIndex.history(spark, dir).head === v)
+    // vectors of the WRONG dimension would be silently dropped by the
+    // assignment filter — that is data loss, not an empty batch
+    val wrongDim = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, dir, wrongDim)
+    }
+    assert(e.getMessage.contains("must not silently lose vectors"))
     assert(IvfIndex.history(spark, dir).head === v)
     val stagings = new java.io.File(s"$dir/data").listFiles().map(_.getName)
-    assert(stagings.length === 1, s"empty append must clean up: ${stagings.toSeq}")
+    assert(stagings.length === 1, s"no staging may survive: ${stagings.toSeq}")
   }
 
   test("search reads ONLY the probed cid partitions") {
