@@ -144,7 +144,11 @@ object PartitionedUpsert {
       a -> v.toLong
     }.toMap
     val stats = rest.filter(_.startsWith("stats\t")).map { l =>
-      val Array(_, b, f, by, mnk, mxk, mxl) = l.split('\t')
+      // tolerate trailing fields a future writer may append — the same
+      // forward-compat contract the bucket-line whitelist upholds; an
+      // exact-arity destructure would MatchError old readers instead
+      val p = l.split('\t')
+      val Array(_, b, f, by, mnk, mxk, mxl) = p.take(7)
       b.toLong -> BucketStat(f.toInt, by.toLong, opt(mnk), opt(mxk), opt(mxl))
     }.toMap
     // bucket lines are WHITELISTED (exactly "<digits>\t<path>") rather
@@ -415,8 +419,13 @@ object PartitionedUpsert {
             else prior.stats.get(b).flatMap(_.maxLsn)
           (priorLsn, batchMaxLsn.get(b)) match {
             case (Some(p), Some(n)) => Some(math.max(p, n))
-            case (Some(p), None) => Some(p)
-            case (None, _) => None
+            // every bucket reaching this callback was touched by THIS
+            // batch; if the batch's lsn ceiling for it is unknown (all
+            // lsn null/uncastable), neither the stale prior value nor
+            // a new bucket's MinValue floor may stand — both would let
+            // changesSinceLsn skip a bucket this batch actually
+            // changed. None = conservative include.
+            case _ => None
           }
         })
       // manifest version = base+1: a concurrent merge from the same

@@ -174,23 +174,30 @@ object IvfIndex {
     // (or partially) be dropped by the dim/zero-norm filter is DATA
     // LOSS and must fail loudly — an index append silently losing
     // vectors is the one wrong answer (two batch-bounded counts)
-    val total = newVecs.count()
-    if (total == 0) return // burn no version, stage nothing
-    val eligible = Knn.withNorm(newVecs, "embedding")
-      .filter(size(col("v")) === m.dim).count()
-    if (eligible < total)
-      throw new IllegalArgumentException(
-        s"append would drop ${total - eligible} of $total vectors " +
-          s"(dimension != ${m.dim} or zero norm) — filter or fix " +
-          s"upstream; an index append must not silently lose vectors")
-    val staging = newStaging(fs, dir)
-    val written = writeAssigned(spark, dir, newVecs, m.centroids, m.dim, staging)
-    val merged = (m.paths.keySet ++ written.keySet).map { cid =>
-      cid -> (m.paths.getOrElse(cid, Seq.empty) ++
-        written.getOrElse(cid, Seq.empty))
-    }.toMap
-    AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
-      body(m.copy(version = m.version + 1, paths = merged)))
+    // pin the batch before the guard counts AND the write read it:
+    // un-persisted, the pipeline would be evaluated three times, and a
+    // non-deterministic source could pass the total/eligible guard yet
+    // write a different set of rows
+    val pinned = newVecs.persist()
+    try {
+      val total = pinned.count()
+      if (total == 0) return // burn no version, stage nothing
+      val eligible = Knn.withNorm(pinned, "embedding")
+        .filter(size(col("v")) === m.dim).count()
+      if (eligible < total)
+        throw new IllegalArgumentException(
+          s"append would drop ${total - eligible} of $total vectors " +
+            s"(dimension != ${m.dim} or zero norm) — filter or fix " +
+            s"upstream; an index append must not silently lose vectors")
+      val staging = newStaging(fs, dir)
+      val written = writeAssigned(spark, dir, pinned, m.centroids, m.dim, staging)
+      val merged = (m.paths.keySet ++ written.keySet).map { cid =>
+        cid -> (m.paths.getOrElse(cid, Seq.empty) ++
+          written.getOrElse(cid, Seq.empty))
+      }.toMap
+      AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
+        body(m.copy(version = m.version + 1, paths = merged)))
+    } finally { pinned.unpersist(); () }
   }
 
   /** Stored assignments of one version, cid partition column restored;

@@ -79,14 +79,22 @@ object HistoricalNearDup {
     newKeys.groupBy(col("bkey"))
       .agg(collect_list(col("doc_id")).as("new_members"))
       .join(prior, Seq("bkey"), "left")
+      // existing members are NEVER evicted: an accepted doc that was
+      // indexed in this band must stay discoverable through it. Only
+      // NEW ids are capped, to the remaining capacity (smallest first,
+      // for determinism — collect_list order isn't stable). array_except
+      // also makes replay idempotent: re-offered ids fold to no-op.
+      .withColumn("existing",
+        coalesce(col("members"), array().cast("array<long>")))
+      .withColumn("fresh",
+        array_sort(array_except(col("new_members"), col("existing"))))
+      .withColumn("capacity",
+        greatest(lit(cfg.maxBucketMembers) - size(col("existing")), lit(0)))
       .select(col("bkey"),
-        slice(array_sort(array_union(
-          coalesce(col("members"), array().cast("array<long>")),
-          col("new_members"))), 1, cfg.maxBucketMembers).as("members"),
+        concat(col("existing"),
+          slice(col("fresh"), lit(1), col("capacity"))).as("members"),
         (coalesce(col("overflowed"), lit(false)) ||
-          size(array_union(
-            coalesce(col("members"), array().cast("array<long>")),
-            col("new_members"))) > cfg.maxBucketMembers).as("overflowed"))
+          size(col("fresh")) > col("capacity")).as("overflowed"))
 
   /** Index an existing (already-deduped) corpus: signature table +
     * band index, committed as v1 of each. */

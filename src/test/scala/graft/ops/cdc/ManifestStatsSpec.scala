@@ -100,6 +100,31 @@ class ManifestStatsSpec extends SparkSpec {
     assert(mid.nonEmpty && mid.toSet.subsetOf(touched.toSet))
   }
 
+  test("a touched bucket whose batch lsn ceiling is unknown (all-null " +
+      "lsn) falls back to the conservative-include watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ms_nl").toString + "/t"
+    mkTarget(dir)
+    // establish a real prior watermark on key 7's bucket
+    val t1 = PartitionedUpsert.merge(spark, dir,
+      Seq((100L, 7L, "u", -7.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), 8)
+    // then touch the SAME key with a null-lsn batch: the stale prior
+    // Some(100) must NOT stand — changesSinceLsn(100) would skip a
+    // bucket this batch just changed
+    val t2 = PartitionedUpsert.merge(spark, dir,
+      Seq((null.asInstanceOf[java.lang.Long], 7L, "u", -77.0))
+        .toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), 8)
+    assert(t1 === t2)
+    val st = PartitionedUpsert.bucketStats(spark, dir).toMap
+    t2.foreach(b => assert(st(b).maxLsn.isEmpty,
+      s"bucket $b ceiling must be unknown after a null-lsn touch, got ${st(b)}"))
+    // conservative include: the bucket stays a candidate at ANY cutoff
+    assert(t2.toSet.subsetOf(
+      PartitionedUpsert.bucketsChangedSince(spark, dir, Long.MaxValue - 1).toSet))
+  }
+
   test("widening the KEY column rehashes buckets — watermarks fall back " +
       "to the global ceiling, never stale per-bucket carryover") {
     import spark.implicits._

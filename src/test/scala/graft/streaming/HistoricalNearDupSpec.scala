@@ -94,6 +94,29 @@ class HistoricalNearDupSpec extends SparkSpec {
       "a fresh under-cap bucket carries no flag")
   }
 
+  test("band-index cap: a new smaller doc_id never evicts an " +
+      "already-indexed member, and replayed ids fold to a no-op") {
+    import spark.implicits._
+    val small = HistoricalNearDup.Config(k = 16, bands = 8,
+      threshold = 0.8, maxBucketMembers = 3)
+    val prior = Seq(("0:7", Seq(5L, 9L), false))
+      .toDF("bkey", "members", "overflowed")
+    // ids 1 and 2 both sort BEFORE every existing member; only one
+    // slot is free — the eviction-prone formulation would keep (1,2,5)
+    // and orphan 9 in the sig table forever
+    val newKeys = Seq((1L, "0:7"), (2L, "0:7"), (9L, "0:7"))
+      .toDF("doc_id", "bkey")
+    val out = HistoricalNearDup.bandRows(newKeys, prior, small)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Long](1), r.getBoolean(2)))).toMap
+    val (members, over) = out("0:7")
+    assert(members.toSet.intersect(Set(5L, 9L)) === Set(5L, 9L),
+      "existing members must survive the cap")
+    assert(members === Seq(5L, 9L, 1L),
+      "one free slot goes to the smallest NEW id; 9 (replayed) is a no-op")
+    assert(over, "the dropped new id 2 must raise the overflow flag")
+  }
+
   test("planted duplicate groups: exactly ONE representative per group " +
       "survives across init + two batches (randomized grouping)") {
     val base = java.nio.file.Files.createTempDirectory("graft_hnd_gp").toString
