@@ -89,7 +89,7 @@ object MicroBench {
     // two-projection HOF reference (cannot fuse into one Column
     // without re-triggering the lambda-inlining trap)
     val hofForced = sdocs
-      .select(regexp_replace(lower($"text"), "\\s+", " ").as("t"))
+      .select(regexp_replace(lower($"text"), Ws.Plus, " ").as("t"))
       .select(size(ops.llm.NearDup.charShingles($"t", 5)).as("n"))
     def hofWork() = hofForced.select(sum($"n")).head().getLong(0)
     def natWork() = sdocs.select(sum(size(

@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * one space → distinct n-char windows, in ONE code-point scan.
   *
   * Bit-identical to the readable HOF reference
-  * (`regexp_replace(lower(text), "\\s+", " ")` in its own projection,
+  * (`regexp_replace(lower(text), Ws.Plus, " ")` in its own projection,
   * then `NearDup.charShingles`) — CharShinglesSpec asserts element-
   * for-element equality on the corpus and on edge strings. The HOF
   * pipeline pays an interpreted lambda per window plus an `array_sort`
@@ -22,8 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingleNearDups), measured ~5× on the sf0.1 corpus.
   *
   * Semantics pinned to the reference formulation:
-  *  - whitespace = Java-regex `\s` = [ \t\n\x0B\f\r] (ASCII; matches
-  *    the oracle's RE2 `\s` on every corpus we oracle — PARITY §5.4);
+  *  - whitespace = RE2 `\s` = [ \t\n\f\r] (graft.Ws) — the oracle's
+  *    regex engine; NOT Java `\s`, which adds \x0B and would diverge
+  *    on a corpus containing a vertical tab (closed round 7);
   *  - a whitespace RUN anywhere (including leading/trailing) becomes
   *    exactly one space — `regexp_replace` does not trim;
   *  - windows count CODE POINTS (SQL substr/length semantics), so
@@ -71,7 +72,10 @@ object CharShingles {
     while (i < lowered.length) {
       val cp = lowered.codePointAt(i)
       i += Character.charCount(cp)
-      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+      // RE2 `\s` = [ \t\n\f\r] — NO \x0B. The DuckDB oracle is RE2;
+      // including the vertical tab (Java `\s`) would silently diverge
+      // on any corpus containing one (graft.Ws has the full rationale)
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' ||
         cp == '\f' || cp == '\r'
       if (isWs) pendingSpace = true
       else {

@@ -227,7 +227,7 @@ object LlmQueries {
     Tables.table(spark, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .withColumn("n_words", size($"toks").cast("long"))
-      .withColumn("sum_len", length(regexp_replace($"text", "\\s", "")).cast("long"))
+      .withColumn("sum_len", length(regexp_replace($"text", graft.Ws.S, "")).cast("long"))
       .withColumn("n_stop",
         size(filter($"toks", t => t.isin(stop: _*))).cast("long"))
       .withColumn("avg_word_len",

@@ -23,7 +23,7 @@ object NearDup {
   /** doc_id + distinct-token set (sorted for determinism). */
   def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      array_sort(array_distinct(split(col(textCol), "\\s+"))).as("tokens"))
+      array_sort(array_distinct(split(col(textCol), graft.Ws.Plus))).as("tokens"))
 
   /** MinHash signatures: k seeded xxhash64 min-aggregates in ONE pass
     * over the exploded tokens (single shuffle on doc_id). */

@@ -11,13 +11,13 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace token count. */
-  def tokenCount(textCol: Column): Column = size(split(textCol, "\\s+"))
+  def tokenCount(textCol: Column): Column = size(split(textCol, graft.Ws.Plus))
 
   /** BPE-ish subword count: split on whitespace AND letter/digit
     * boundaries — approximates subword token inflation vs plain words
     * (a cheap stand-in for a real tokenizer's token count). */
   def subwordCount(textCol: Column): Column =
-    size(split(textCol, "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
+    size(split(textCol, graft.Ws.Plus + "|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
 
   /** Quality band from word/stopword counts — the SINGLE source of the
     * banding rules: oracled in q_llm_quality, filtered on in
@@ -41,7 +41,7 @@ object TextAnalysis {
     * profile ties break (cnt desc, token asc), classification ties
     * (score desc, lang asc). */
   def buildProfiles(labelled: DataFrame, langCol: String, textCol: String,
-                    topN: Int = 20, splitPattern: String = "\\s+"): DataFrame = {
+                    topN: Int = 20, splitPattern: String = graft.Ws.Plus): DataFrame = {
     val tok = labelled.select(col(langCol).as("lang"),
       explode(split(lower(col(textCol)), splitPattern)).as("t"))
     val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("t").asc)
@@ -63,7 +63,7 @@ object TextAnalysis {
     * keeps the (score desc, lang asc) tie-break exactly. */
   def classifyLanguage(docs: DataFrame, profiles: DataFrame,
                        idCol: String, textCol: String,
-                       splitPattern: String = "\\s+"): DataFrame = {
+                       splitPattern: String = graft.Ws.Plus): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"),
       array_distinct(split(lower(col(textCol)), splitPattern)).as("toks"))
     val scored = d.crossJoin(broadcast(profiles))
@@ -89,7 +89,7 @@ object TextAnalysis {
     // (Spark 4 runs ANSI mode: long overflow throws, not wraps)
     val m = lit(1000000007L)
     aggregate(
-      split(textCol, "\\s+"),
+      split(textCol, graft.Ws.Plus),
       lit(0L),
       (acc, t) => pmod(acc * 31 + pmod(tokenHash(t), m), m))
   }

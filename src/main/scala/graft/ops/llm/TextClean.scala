@@ -30,6 +30,6 @@ object TextClean {
   def clean(text: Column): Column = {
     val noTag = regexp_replace(text, HtmlTagPattern, " ")
     val noUrl = regexp_replace(noTag, UrlPattern, " ")
-    trim(regexp_replace(noUrl, "\\s+", " "))
+    trim(regexp_replace(noUrl, graft.Ws.Plus, " "))
   }
 }

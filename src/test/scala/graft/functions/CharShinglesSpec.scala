@@ -11,7 +11,7 @@ class CharShinglesSpec extends SparkSpec {
 
   private def hofReference(df: org.apache.spark.sql.DataFrame, n: Int) =
     df.select(col("id"),
-        regexp_replace(lower(col("t")), "\\s+", " ").as("norm"))
+        regexp_replace(lower(col("t")), graft.Ws.Plus, " ").as("norm"))
       .select(col("id"),
         graft.ops.llm.NearDup.charShingles(col("norm"), n).as("tokens"))
 
@@ -94,11 +94,30 @@ class CharShinglesSpec extends SparkSpec {
     assert(!chain(e).exists(_.isInstanceOf[IndexOutOfBoundsException]))
   }
 
-  test("oracled corpora contain no \\x0B (Java \\s vs RE2 \\s parity probe)") {
-    // The kernel pins Java-regex \s (includes U+000B vertical tab);
-    // DuckDB's RE2 \s excludes it. The oracle-parity claim (PARITY
-    // §5.4) therefore rests on the corpus being \x0B-free — enforce it
-    // instead of asserting it in a comment (review finding r5).
+  test("a string containing \\x0B shingles identically in kernel, HOF " +
+      "twin, and the DuckDB-pinned RE2 semantics") {
+    // Round-7 closure of the r5/r6 carried finding: the kernel and the
+    // HOF twin now BOTH pin RE2 `\s` = [ \t\n\f\r] (graft.Ws), so a
+    // vertical tab is an ordinary character — kept in shingles, never
+    // collapsed — exactly what the DuckDB oracle computes.
+    import spark.implicits._
+    val df = Seq((1L, "ab\u000Bcd"), (2L, "x \u000B y"),
+      (3L, "\u000B"), (4L, "a \u000B\u000B b")).toDF("id", "t")
+    val h = hofReference(df, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val nv = native(df, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(nv === h, "kernel and HOF twin must agree on \\x0B input")
+    assert(h(1L).exists(_.contains("\u000B")),
+      "\\x0B is NOT whitespace under RE2 — it must survive into shingles")
+    assert(h(3L) === Seq("\u000B"),
+      "a lone \\x0B is a 1-char document, not an empty one")
+  }
+
+  test("oracled corpora contain no \\x0B (corpus-property record)") {
+    // No longer load-bearing for parity (the kernel pins RE2 `\s`
+    // itself now) — kept as a record of the corpus property and an
+    // early tripwire if the generator ever starts emitting \x0B.
     for (sfd <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val hits = spark.read.parquet(s"${sf(sfd)}/documents.parquet")
         .filter(col("text").contains("\u000B"))
