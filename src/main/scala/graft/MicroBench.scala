@@ -100,6 +100,46 @@ object MicroBench {
     val shn = { val t0 = System.nanoTime(); val r = natWork()
       println(f"NATIVE char shingles n=5  : ${(System.nanoTime() - t0) / 1e9}%.2f s"); r }
     assert(shh == shn, s"shingle counts diverge: $shh vs $shn")
+
+    // contamination join transport: string shingles vs xxhash64 keys.
+    // The report is identical (PipelineOpsSpec proves it); what changes
+    // is the bytes every exchange carries — measured here via the
+    // stage-level shuffle-write metrics, not guessed.
+    {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      val cdocs = Tables.table(spark, sfDir, "documents")
+        .withColumn("split",
+          ops.llm.Sampling.assignSplit($"doc_id", 80, 10, "split"))
+      def contamWork(hashed: Boolean): (Long, Long) = {
+        shuffleBytes.set(0L)
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val rows = ops.llm.Contamination.crossSplitOverlap(
+            cdocs, "doc_id", "text", "split", "test", "train",
+            n = 4, minHits = 5, hashJoinKeys = hashed).count()
+          // stage-completed events are async: quiesce until the counter
+          // is stable (bounded), then read it
+          var prev = -1L; var waited = 0
+          while (shuffleBytes.get() != prev && waited < 20) {
+            prev = shuffleBytes.get(); Thread.sleep(100); waited += 1
+          }
+          (rows, shuffleBytes.get())
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      contamWork(false); contamWork(true) // warmup
+      val (rs, bs) = { val t0 = System.nanoTime(); val r = contamWork(false)
+        println(f"STRING contamination join : ${(System.nanoTime() - t0) / 1e9}%.2f s  shuffled=${r._2 / 1048576.0}%.1f MiB"); r }
+      val (rh, bh) = { val t0 = System.nanoTime(); val r = contamWork(true)
+        println(f"XXHASH contamination join : ${(System.nanoTime() - t0) / 1e9}%.2f s  shuffled=${r._2 / 1048576.0}%.1f MiB"); r }
+      assert(rs == rh, s"contamination reports diverge: $rs vs $rh rows")
+      assert(bh < bs, s"hashed keys must shuffle fewer bytes: $bh vs $bs")
+      println(f"xxhash64 keys shuffle ${100.0 * (bs - bh) / bs}%.0f%% fewer bytes")
+    }
     spark.stop()
   }
 }

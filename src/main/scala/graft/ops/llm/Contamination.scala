@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: shingle both sides, distinct, and hash-join on the
   * shingle — ONE shuffle keyed by shingle, the same shape as every
-  * dedup candidate generator here. At 100 TB, join on a 64-bit hash of
-  * the shingle instead of the string (xxhash64 halves the shuffled
-  * bytes; collisions only ADD candidate hits, which the per-doc
-  * threshold absorbs) — the string form below stays because the oracle
-  * compares it cross-engine.
+  * dedup candidate generator here. At 100 TB, pass
+  * `hashJoinKeys = true`: both sides then distinct/join on
+  * `xxhash64(shingle)` and the n-token strings never enter a shuffle
+  * (MicroBench measures the shuffled-bytes reduction). A 64-bit
+  * collision can only conflate two shingles — at worst one spurious
+  * or one merged hit per colliding pair, absorbed by the per-doc
+  * threshold — so the flag is a pure transport optimization. The
+  * string form stays the default because the oracle compares it
+  * cross-engine (xxhash64's seed is Spark-specific, PARITY rule 19).
   */
 object Contamination {
 
@@ -41,12 +45,18 @@ object Contamination {
   def crossSplitOverlap(docs: DataFrame, idCol: String, textCol: String,
                         splitCol: String, probeSplit: String,
                         corpusSplit: String, n: Int = 4,
-                        minHits: Int = 5): DataFrame = {
-    val sh = docs
+                        minHits: Int = 5,
+                        hashJoinKeys: Boolean = false): DataFrame = {
+    val exploded = docs
       .select(col(idCol).as("doc_id"), col(splitCol).as("split"),
         split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), col("split"),
-        explode(tokenShingles(col("toks"), n)).as("sh"))
+        explode(tokenShingles(col("toks"), n)).as("shingle"))
+    // the key projection happens BEFORE the distincts, so under
+    // hashJoinKeys the string shingle is pruned off every exchange —
+    // both distincts and the join shuffle 8-byte longs
+    val sh = exploded.select(col("doc_id"), col("split"),
+      (if (hashJoinKeys) xxhash64(col("shingle")) else col("shingle")).as("sh"))
     val corpus = sh.filter(col("split") === corpusSplit)
       .select(col("sh")).distinct()
     val probe = sh.filter(col("split") === probeSplit)

@@ -270,6 +270,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(11L), "clean doc must not appear in the report")
   }
 
+  test("crossSplitOverlap hashJoinKeys=true: identical report on the " +
+      "corpus, and the string shingle is pruned off the exchanges") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .withColumn("split",
+        graft.ops.llm.Sampling.assignSplit(col("doc_id"), 80, 10, "split"))
+    def run(hashed: Boolean) =
+      Contamination.crossSplitOverlap(docs, "doc_id", "text", "split",
+        "test", "train", n = 4, minHits = 5, hashJoinKeys = hashed)
+    val byId = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(byId(run(true)) === byId(run(false)),
+      "hashed join keys must reproduce the string-keyed report exactly " +
+        "(no 64-bit collisions on this corpus)")
+    // transport claim: no string column survives into the hashed plan's
+    // exchanges — every shuffle carries the 8-byte key (+ doc_id)
+    val plan = run(true).queryExecution.executedPlan.toString
+    val exchangeAttrs = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchangeAttrs.contains("string"),
+      s"hashed variant must not shuffle strings:\n$exchangeAttrs")
+  }
+
   test("connected components converges on a long chain (diameter stress)") {
     import spark.implicits._
     val n = 40
