@@ -247,6 +247,47 @@ object CdcQueries {
       .orderBy($"pk", $"probe_idx")
   }
 
+  /** Incremental aggregate maintenance, oracled end-to-end: the log is
+    * split at its midpoint into "already applied" and "new window";
+    * the maintained per-segment aggregate is computed as
+    * agg(state₁) ⊕ deltaAggregate(diff(state₁, state₂)) — the exact
+    * algebra AggMaintain.maintainAggregate runs against the table-
+    * backed CDF — while the DuckDB oracle aggregates state₂ DIRECTLY.
+    * Equality proves delta-application composes (insert/update/delete
+    * and group-migration updates all present: the after-image segment
+    * is re-derived from lsn%5, so updates move keys between groups).
+    * Measures in integer cents so sums are exact and order-free on
+    * both engines; avg derives from the exact sum/count pair. */
+  def qCdcIncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val snap = Tables.table(spark, dir, "customer").select(
+      $"c_custkey".as("pk"), $"c_mktsegment".as("seg"),
+      round($"c_acctbal" * 100).cast(LongType).as("cents"))
+    val log = changeLog(spark, dir).select(
+      $"lsn", $"pk", $"op",
+      element_at(array(segs.map(lit): _*),
+        ($"lsn" % 5 + 1).cast(IntegerType)).as("seg"),
+      when($"lsn" % 7 === 0, lit(null).cast(LongType))
+        .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
+    val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
+    val state1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
+      Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
+    val state2 = Cdc.apply(snap, log,
+      Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
+    val agg1 = AggMaintain.fullAggregate(state1, Seq("seg"), Seq("cents"))
+    val deltas = AggMaintain.deltaAggregate(
+      AggMaintain.diffImages(state1, state2, Seq("pk"), Seq("seg", "cents")),
+      Seq("seg"), Seq("cents"))
+    val maintained = AggMaintain.deltaApply(agg1, deltas,
+      Seq("seg"), Seq("cents"))
+    AggMaintain.exposed(maintained, Seq("seg"), Seq("cents"))
+      .select($"seg", $"cnt", $"sum_cents",
+        round($"avg_cents", 4).as("avg_cents"))
+      .orderBy($"seg")
+  }
+
   /** Pipeline observability: change counts by op per hour. */
   def qCdcAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -303,6 +344,7 @@ object CdcQueries {
     "q_cdc_apply" -> (qCdcApply _),
     "q_cdc_apply_sparse" -> (qCdcApplySparse _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
+    "q_cdc_incr_agg" -> (qCdcIncrAgg _),
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_scd2_lookup" -> (qCdcScd2Lookup _),
     "q_cdc_audit" -> (qCdcAudit _),
@@ -486,6 +528,32 @@ object CdcQueries {
         |FROM snap sn FULL OUTER JOIN m ON sn.pk = m.pk
         |WHERE m.pk IS NULL OR m.last_op != 'd'
         |ORDER BY pk""".stripMargin,
+    // the oracle aggregates the final state DIRECTLY — the Spark side
+    // composes agg(state1) with the state1→state2 image-diff deltas, so
+    // a hash match proves the delta algebra, not just the aggregation
+    "q_cdc_incr_agg" ->
+      s"""WITH $logCte,
+        |seglog AS (
+        |  SELECT lsn, pk, op,
+        |    ['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY']
+        |      [(lsn % 5 + 1)::INTEGER] AS seg,
+        |    CASE WHEN lsn % 7 = 0 THEN NULL
+        |         ELSE round(after_value * 100)::BIGINT END AS cents
+        |  FROM log),
+        |snap AS (SELECT c_custkey AS pk, c_mktsegment AS seg,
+        |  round(c_acctbal * 100)::BIGINT AS cents FROM customer),
+        |latest AS (
+        |  SELECT * FROM seglog
+        |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1),
+        |state2 AS (
+        |  SELECT coalesce(s.pk, l.pk) AS pk,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.seg ELSE s.seg END AS seg,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.cents ELSE s.cents END AS cents
+        |  FROM snap s FULL OUTER JOIN latest l ON s.pk = l.pk
+        |  WHERE l.pk IS NULL OR l.op != 'd')
+        |SELECT seg, count(*)::BIGINT AS cnt, sum(cents)::BIGINT AS sum_cents,
+        |  round((sum(cents)::BIGINT)::DOUBLE / count(cents), 4) AS avg_cents
+        |FROM state2 GROUP BY seg ORDER BY seg""".stripMargin,
     "q_cdc_scd2" ->
       s"""WITH $logCte
         |SELECT pk, lsn, op, after_value, ts AS valid_from,

@@ -178,7 +178,8 @@ object PartitionedUpsert {
     * manifest references, so re-init of an initialized table fails
     * before writing anything, and two racing inits collide on the
     * v1 manifest publish with at most an orphaned staging dir. */
-  def init(snapshot: DataFrame, dir: String, keyCol: String, nBuckets: Int): Unit = {
+  def init(snapshot: DataFrame, dir: String, keyCol: String, nBuckets: Int,
+           txn: Option[(String, Long)] = None): Unit = {
     val spark = snapshot.sparkSession
     val fs = fsOf(spark, dir)
     if (currentManifest(spark, dir).nonEmpty)
@@ -195,7 +196,7 @@ object PartitionedUpsert {
     val st = stagedStats(spark, fs, dir, staging, written, keyCol,
       snapshot.schema(keyCol).dataType, _ => Some(Long.MinValue))
     writeManifest(fs, dir, Manifest(1L, snapshot.schema, nBuckets, keyCol,
-      Map.empty, written.map(b => b -> dataRel(staging, b)).toMap, st))
+      txn.toMap, written.map(b => b -> dataRel(staging, b)).toMap, st))
   }
 
   /** Bootstrap the target from a chunked LIVE-table snapshot plus the
@@ -785,6 +786,39 @@ object PartitionedUpsert {
     * evolve-then-diff from the post-evolution version instead. */
   def changesBetween(spark: SparkSession, dir: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
+    val (old, neu, key, valueCols) =
+      changedBucketFrames(spark, dir, fromVersion, toVersion)
+    val fp = Cdc.rowFingerprint(valueCols)
+    val o = old.select(col(key), fp.as("__old_fp"))
+    val n = neu.select((col(key) +: valueCols.map(col)) :+ fp.as("__new_fp"): _*)
+    o.join(n, Seq(key), "full_outer")
+      .filter(col("__old_fp").isNull || col("__new_fp").isNull ||
+        col("__old_fp") =!= col("__new_fp"))
+      .select((col(key) +:
+        when(col("__old_fp").isNull, "insert")
+          .when(col("__new_fp").isNull, "delete")
+          .otherwise("update").as("change_type") +:
+        valueCols.map(col)): _*)
+  }
+
+  /** [[changesBetween]] with BEFORE images too: key, change_type, and
+    * `before`/`after` value structs (null struct on the missing side)
+    * — what delta-maintenance consumers (AggMaintain) need to SUBTRACT
+    * an updated or deleted row's old contribution. Same manifest-diff
+    * bucket pruning: an untouched bucket costs zero reads. */
+  def changesBetweenImages(spark: SparkSession, dir: String,
+                           fromVersion: Long, toVersion: Long): DataFrame = {
+    val (old, neu, key, valueCols) =
+      changedBucketFrames(spark, dir, fromVersion, toVersion)
+    AggMaintain.diffImages(old, neu, Seq(key), valueCols)
+  }
+
+  /** Shared CDF plumbing: resolve both manifests, diff their bucket
+    * maps, and return path-pruned frames of ONLY the changed buckets
+    * (plus the key and value column names). */
+  private def changedBucketFrames(spark: SparkSession, dir: String,
+                                  fromVersion: Long, toVersion: Long)
+      : (DataFrame, DataFrame, String, Seq[String]) = {
     require(fromVersion < toVersion,
       s"changesBetween: fromVersion $fromVersion must precede toVersion $toVersion")
     val fs = fsOf(spark, dir)
@@ -806,17 +840,7 @@ object PartitionedUpsert {
       only = Some(changed.toSeq.flatMap(from.buckets.get).sorted))
     val neu = bucketsDf(spark, dir, to,
       only = Some(changed.toSeq.flatMap(to.buckets.get).sorted))
-    val fp = Cdc.rowFingerprint(valueCols)
-    val o = old.select(col(key), fp.as("__old_fp"))
-    val n = neu.select((col(key) +: valueCols.map(col)) :+ fp.as("__new_fp"): _*)
-    o.join(n, Seq(key), "full_outer")
-      .filter(col("__old_fp").isNull || col("__new_fp").isNull ||
-        col("__old_fp") =!= col("__new_fp"))
-      .select((col(key) +:
-        when(col("__old_fp").isNull, "insert")
-          .when(col("__new_fp").isNull, "delete")
-          .otherwise("update").as("change_type") +:
-        valueCols.map(col)): _*)
+    (old, neu, key, valueCols)
   }
 
   /** Commit history: (version, commit time ms, bucket count) per
