@@ -253,8 +253,10 @@ object LlmQueries2 {
     * Shape: bigram build is NARROW (windowed indexing over the
     * materialized token array — never a per-doc shuffle, q_llm_ngrams
     * precedent; the array is its own projection per the lambda-inlining
-    * rule); count aggs shuffle (w1,w2)/(w1) pairs, never text; V is a
-    * broadcast 1-row frame; final per-doc agg is one doc_id shuffle.
+    * rule); count aggs shuffle (w1,w2)/(w1) pairs, never text; the
+    * occurrence-sized side joins ONCE, on the (w1,w2) pair key (c1
+    * pre-joins onto the vocabulary-sized c12 — see inline note); V is
+    * a broadcast 1-row frame; final per-doc agg is one doc_id shuffle.
     * ln() cross-engine parity is proven by q_llm_tfidf; 4dp rounding
     * absorbs cross-row sum ordering (q_agg_stats tolerance rule).
     * Docs with < 2 tokens have no bigrams and are excluded on both
@@ -274,7 +276,13 @@ object LlmQueries2 {
     val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val v = arr.select(explode($"toks").as("w")).agg(
       countDistinct($"w").as("v"))
-    big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    // c1 attaches to the VOCABULARY-sized c12 first: joining the
+    // occurrence-sized `big` on w1 alone would concentrate the Zipf
+    // head ("the", "of") into hot partitions at 100 TB; on the
+    // (w1,w2) pair key the occurrence side joins ONCE, far better
+    // spread (pair frequencies are much flatter than unigram's)
+    val pairs = c12.join(c1, Seq("w1"))
+    big.join(pairs, Seq("w1", "w2"))
       .crossJoin(broadcast(v))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
