@@ -111,6 +111,44 @@ object CdcStream {
       .start()
   }
 
+  /** Streaming SCD2 history sink: each micro-batch closes the touched
+    * keys' open intervals and appends their new version rows through
+    * [[graft.ops.cdc.Scd2Maintain.applyBatch]] — O(batch) per trigger
+    * (the open-interval lookup is a bucket-pruned point read), with
+    * the history MAINTAINED instead of re-derived from the whole log
+    * per run. Exactly-once under restart: (checkpoint, batchId)
+    * transactions guard BOTH targets, and a crash between the history
+    * and open-table merges heals on replay (Scd2MaintainSpec proves
+    * the seam directly). Same redelivered-lsn dedup rationale as
+    * [[partitionedUpsertSink]]. */
+  def scd2HistorySink(changes: DataFrame, historyDir: String, openDir: String,
+                      checkpointDir: String, keyCol: String, lsnCol: String,
+                      tsCol: String, valueCols: Seq[String],
+                      nBuckets: Int = 16): StreamingQuery = {
+    import graft.ops.cdc.Scd2Maintain
+    val spark = changes.sparkSession
+    changes.dropDuplicates(lsnCol)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (graft.ops.cdc.PartitionedUpsert
+            .currentManifest(spark, historyDir).isEmpty) {
+          // losing an init race is fine — the targets exist either way
+          try Scd2Maintain.init(batch, historyDir, openDir, keyCol, lsnCol,
+            tsCol, valueCols, nBuckets)
+          catch {
+            case _: IllegalStateException |
+                 _: java.util.ConcurrentModificationException => ()
+          }
+        }
+        Scd2Maintain.applyBatch(spark, historyDir, openDir, batch, keyCol,
+          lsnCol, tsCol, valueCols, nBuckets,
+          txn = Some((checkpointDir, batchId))): Unit
+      }
+      .start()
+  }
+
   /** Schema-agnostic streaming change-log source: the payload stays a
     * raw JSON STRING (`after`), so one continuous query can carry
     * events captured under EVOLVING schemas — the auto-DDL sink parses
