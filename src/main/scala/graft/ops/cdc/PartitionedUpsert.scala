@@ -59,7 +59,23 @@ object PartitionedUpsert {
                             nBuckets: Int, keyCol: String,
                             txns: Map[String, Long],
                             buckets: Map[Long, String],
-                            stats: Map[Long, BucketStat] = Map.empty)
+                            stats: Map[Long, BucketStat] = Map.empty,
+                            layout: String = LayoutHash,
+                            splits: Seq[Long] = Seq.empty)
+
+  /** Bucket layouts. `hash` (default): bucket = xxhash64(key) mod n —
+    * uniform under any key distribution, ideal for point workloads,
+    * but a key RANGE spans every bucket. `range`: bucket i holds keys
+    * in [split(i-1), split(i)) per the manifest's recorded split
+    * points (planChunkBounds pattern) — readKeyRange prunes interior
+    * ranges to O(touched buckets), the access pattern CDC consumers
+    * (changesSinceLsn readers, PITR audits) actually have; the
+    * trade-off is hot-range write skew, which hash never has. Range
+    * requires an integral key (split points are longs) and is chosen
+    * at init / rebucket — every router derives from the manifest, so
+    * caller drift is impossible by construction. */
+  val LayoutHash = "hash"
+  val LayoutRange = "range"
 
   /** Per-bucket data-skipping stats, recorded AT WRITE TIME in the
     * manifest (the write path lists/aggregates its staged files
@@ -87,6 +103,30 @@ object PartitionedUpsert {
 
   def bucketOf(keyCol: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(keyCol), lit(nBuckets))
+
+  /** Range-layout bucket id: the count of split points at or below the
+    * key (linear fold over ≤ nBuckets-1 literal longs — codegen'd and
+    * cheap at any realistic bucket count; a native binary-search
+    * expression is the >10k-bucket refinement). Keys below the first
+    * split land in bucket 0, above the last in bucket n-1, so NEW keys
+    * outside the planned range still route deterministically. NULL
+    * keys route to bucket 0 (when(null >= s) takes the otherwise
+    * branch), mirroring hash's deterministic null bucket. */
+  def rangeBucketOf(keyCol: org.apache.spark.sql.Column,
+                    splits: Seq[Long]): org.apache.spark.sql.Column =
+    if (splits.isEmpty) lit(0L)
+    else aggregate(typedLit(splits), lit(0L),
+      (acc, s) => acc + when(keyCol.cast(org.apache.spark.sql.types.LongType) >= s,
+        1L).otherwise(0L))
+
+  /** The router for a committed table: layout and split points come
+    * from the manifest, never from the caller — the drift class
+    * requireLayout guards against cannot exist for layout. `k` is the
+    * key column IN THE CALLER'S FRAME (changes batch, lookup keys). */
+  private def routeExpr(m: Manifest, k: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    if (m.layout == LayoutRange) rangeBucketOf(k, m.splits)
+    else bucketOf(k, m.nBuckets)
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -122,6 +162,11 @@ object PartitionedUpsert {
   private def manifestBody(m: Manifest): String = {
     def opt(v: Option[Long]): String = v.map(_.toString).getOrElse("-")
     (Seq(m.schema.json, m.nBuckets.toString, s"key\t${m.keyCol}") ++
+      // hash tables omit the line (manifests predating layouts parse
+      // identically); range records its split points inline
+      (if (m.layout == LayoutRange)
+        Seq(s"layout\t${m.layout}\t${m.splits.mkString(",")}")
+      else Seq.empty) ++
       m.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn\t$a\t$v" } ++
       m.stats.toSeq.sortBy(_._1).map { case (b, s) =>
         s"stats\t$b\t${s.files}\t${s.bytes}\t${opt(s.minKey)}\t" +
@@ -160,7 +205,15 @@ object PartitionedUpsert {
       .filter(p => p.length == 2 && p(0).nonEmpty && p(0).forall(_.isDigit))
       .map(p => p(0).toLong -> p(1))
       .toMap
-    Manifest(version, schema, nBuckets, keyCol, txns, buckets, stats)
+    val (layout, splits) = rest.find(_.startsWith("layout\t")) match {
+      case Some(l) =>
+        val p = l.split('\t')
+        (p(1), if (p.length < 3 || p(2).isEmpty) Seq.empty[Long]
+        else p(2).split(',').toSeq.map(_.toLong))
+      case None => (LayoutHash, Seq.empty[Long])
+    }
+    Manifest(version, schema, nBuckets, keyCol, txns, buckets, stats,
+      layout, splits)
   }
 
   /** Publish a manifest via [[AtomicPublish.publishNoOverwrite]] —
@@ -179,24 +232,38 @@ object PartitionedUpsert {
     * before writing anything, and two racing inits collide on the
     * v1 manifest publish with at most an orphaned staging dir. */
   def init(snapshot: DataFrame, dir: String, keyCol: String, nBuckets: Int,
-           txn: Option[(String, Long)] = None): Unit = {
+           txn: Option[(String, Long)] = None,
+           layout: String = LayoutHash): Unit = {
+    require(layout == LayoutHash || layout == LayoutRange,
+      s"unknown layout '$layout' — use LayoutHash or LayoutRange")
     val spark = snapshot.sparkSession
     val fs = fsOf(spark, dir)
     if (currentManifest(spark, dir).nonEmpty)
       throw new IllegalStateException(
         s"$dir is already an initialized upsert target; merge into it or " +
           s"choose a fresh directory")
+    // range: split points planned once from the snapshot (the
+    // planChunkBounds native-long pattern — integral keys enforced
+    // there, loudly); an EMPTY snapshot has no distribution to plan
+    // from, so it starts as one catch-all bucket and is re-split by
+    // rebucket once data exists
+    val splits: Seq[Long] =
+      if (layout != LayoutRange) Seq.empty
+      else if (snapshot.isEmpty) Seq.empty
+      else Cdc.planChunkBounds(snapshot, keyCol, nBuckets).slice(1, nBuckets)
+    val m0 = Manifest(1L, snapshot.schema, nBuckets, keyCol, txn.toMap,
+      Map.empty, Map.empty, layout, splits)
     val staging = newStagingName(fs, dir)
     snapshot
-      .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+      .withColumn("bucket", routeExpr(m0, col(keyCol)))
       .write.mode("errorifexists").partitionBy("bucket")
       .parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
     // maxLsn = MinValue: untouched-since-init, skippable for any since
     val st = stagedStats(spark, fs, dir, staging, written, keyCol,
       snapshot.schema(keyCol).dataType, _ => Some(Long.MinValue))
-    writeManifest(fs, dir, Manifest(1L, snapshot.schema, nBuckets, keyCol,
-      txn.toMap, written.map(b => b -> dataRel(staging, b)).toMap, st))
+    writeManifest(fs, dir, m0.copy(
+      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st))
   }
 
   /** Bootstrap the target from a chunked LIVE-table snapshot plus the
@@ -362,7 +429,7 @@ object PartitionedUpsert {
         s"transaction ($app, $ver) is already applied to $dir " +
           s"(latest = ${prior.txns(app)}); use merge, which skips replays")
     }
-    val withBucket = changes.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+    val withBucket = changes.withColumn("bucket", routeExpr(prior, col(keyCol)))
       .persist()
     try {
       // small by construction: ≤ nBuckets longs
@@ -389,7 +456,7 @@ object PartitionedUpsert {
           Seq(keyCol), lsnCol, opCol, valueCols)
           .drop("src")
       requireSchemaMatch(merged.schema, prior.schema, dir)
-      val next = merged.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+      val next = merged.withColumn("bucket", routeExpr(prior, col(keyCol)))
       // fresh staging dir: the plan reads the old files and writes new
       // ones — no read-write conflict, no checkpoint materialization
       next.write.mode("errorifexists")
@@ -432,9 +499,8 @@ object PartitionedUpsert {
       // manifest version = base+1: a concurrent merge from the same
       // base targets the SAME manifest name and loses the publish race
       Pending(staging,
-        Manifest(prior.version + 1, prior.schema, prior.nBuckets,
-          prior.keyCol, prior.txns ++ txn, buckets,
-          (prior.stats -- touched) ++ st),
+        prior.copy(version = prior.version + 1, txns = prior.txns ++ txn,
+          buckets = buckets, stats = (prior.stats -- touched) ++ st),
         touched)
     } finally { withBucket.unpersist(); () }
   }
@@ -528,21 +594,25 @@ object PartitionedUpsert {
     if (evolved.schema.json == prior.schema.json) return
     val staging = newStagingName(fs, dir)
     evolved
-      .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+      .withColumn("bucket", routeExpr(prior.copy(keyCol = keyCol), col(keyCol)))
       .write.mode("errorifexists")
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
     // ranges are recomputed from the staged files either way; lsn
-    // watermarks carry over ONLY while bucket identity survives. A
-    // widen of the KEY column changes xxhash64 routing (Spark hashes
-    // Int and Long differently), rehashing rows across buckets while
-    // the old per-bucket watermarks describe the OLD identities — an
-    // incremental consumer could then skip real changes. Same hazard
-    // as rebucket: take the conservative global ceiling instead.
+    // watermarks carry over ONLY while bucket identity survives. Under
+    // HASH layout a widen of the KEY column changes xxhash64 routing
+    // (Spark hashes Int and Long differently), rehashing rows across
+    // buckets while the old per-bucket watermarks describe the OLD
+    // identities — an incremental consumer could then skip real
+    // changes; same hazard as rebucket, so take the conservative
+    // global ceiling. RANGE layout routes by VALUE comparison, which a
+    // lossless widen preserves — bucket identity survives and the
+    // per-bucket watermarks stay valid.
     val keyTypeChanged =
       evolved.schema(keyCol).dataType != prior.schema(prior.keyCol).dataType
     val carriedLsn: Long => Option[Long] =
-      if (!keyTypeChanged) b => prior.stats.get(b).flatMap(_.maxLsn)
+      if (!keyTypeChanged || prior.layout == LayoutRange)
+        b => prior.stats.get(b).flatMap(_.maxLsn)
       else {
         val per = prior.buckets.keySet.toSeq
           .map(b => prior.stats.get(b).flatMap(_.maxLsn))
@@ -553,8 +623,9 @@ object PartitionedUpsert {
       }
     val st = stagedStats(spark, fs, dir, staging, written, keyCol,
       evolved.schema(keyCol).dataType, carriedLsn)
-    writeManifest(fs, dir, Manifest(prior.version + 1, evolved.schema, nBuckets,
-      keyCol, prior.txns, written.map(b => b -> dataRel(staging, b)).toMap, st))
+    writeManifest(fs, dir, prior.copy(version = prior.version + 1,
+      schema = evolved.schema, keyCol = keyCol,
+      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st))
   }
 
   /** Change the table's bucket COUNT — the operation a growing table
@@ -577,9 +648,18 @@ object PartitionedUpsert {
     require(keyCol == prior.keyCol,
       s"$dir is bucketed by '${prior.keyCol}', not '$keyCol' — rebucket " +
         s"changes the modulus, never the key")
+    // range layout re-plans its split points from the CURRENT data at
+    // the new bucket count (this is also how an empty-initialized
+    // range table gets real splits once data exists)
+    val current = bucketsDf(spark, dir, prior)
+    val newSplits: Seq[Long] =
+      if (prior.layout != LayoutRange) Seq.empty
+      else if (current.isEmpty) Seq.empty
+      else Cdc.planChunkBounds(current, keyCol, newBuckets).slice(1, newBuckets)
+    val next0 = prior.copy(nBuckets = newBuckets, splits = newSplits)
     val staging = newStagingName(fs, dir)
-    bucketsDf(spark, dir, prior)
-      .withColumn("bucket", bucketOf(col(keyCol), newBuckets))
+    current
+      .withColumn("bucket", routeExpr(next0, col(keyCol)))
       .write.mode("errorifexists")
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
@@ -595,8 +675,8 @@ object PartitionedUpsert {
     }
     val st = stagedStats(spark, fs, dir, staging, written, keyCol,
       prior.schema(keyCol).dataType, _ => globalLsn)
-    writeManifest(fs, dir, Manifest(prior.version + 1, prior.schema, newBuckets,
-      keyCol, prior.txns, written.map(b => b -> dataRel(staging, b)).toMap, st))
+    writeManifest(fs, dir, next0.copy(version = prior.version + 1,
+      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st))
   }
 
   /** Compact fragmented buckets (the OPTIMIZE of this table format):
@@ -626,7 +706,7 @@ object PartitionedUpsert {
     if (fragmented.isEmpty) return Seq.empty
     val staging = newStagingName(fs, dir)
     bucketsDf(spark, dir, prior, only = Some(fragmented.values.toSeq.sorted))
-      .withColumn("bucket", bucketOf(col(prior.keyCol), prior.nBuckets))
+      .withColumn("bucket", routeExpr(prior, col(prior.keyCol)))
       .repartition(fragmented.size, col("bucket"))
       .write.mode("errorifexists")
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
@@ -672,12 +752,15 @@ object PartitionedUpsert {
 
   /** Rows with `lo <= key <= hi`, reading ONLY buckets whose recorded
     * key range intersects the interval (stats-less buckets are read —
-    * conservative). Honest limit: under hash bucketing a uniformly
+    * conservative). Honest limit: under HASH bucketing a uniformly
     * distributed key range spans every bucket, so this prunes SPARSE /
     * outlier ranges — e.g. recent monotonically-assigned surrogate ids
     * that only a few buckets have received — not arbitrary interior
-    * ranges. Point lookups should use [[readForKeys]] (exact bucket
-    * routing) instead. */
+    * ranges; point lookups should use [[readForKeys]] (exact bucket
+    * routing) instead. Under RANGE layout the recorded per-bucket
+    * [minKey, maxKey] are tight by construction, so ARBITRARY interior
+    * ranges prune to O(covering buckets) — the same stats intersection,
+    * made effective by the clustered write path. */
   def readKeyRange(spark: SparkSession, dir: String,
                    lo: Long, hi: Long): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
@@ -755,7 +838,7 @@ object PartitionedUpsert {
                   keyCol: String): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
-    val touched = keys.select(bucketOf(col(keyCol), m.nBuckets).as("__b"))
+    val touched = keys.select(routeExpr(m, col(keyCol)).as("__b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     bucketsDf(spark, dir, m, only = Some(touched.flatMap(m.buckets.get)))
   }
