@@ -50,7 +50,8 @@ object IvfIndex {
 
   final case class IndexManifest(version: Long, dim: Int,
                                  centroids: Array[Array[Double]],
-                                 paths: Map[Int, Seq[String]])
+                                 paths: Map[Int, Seq[String]],
+                                 quantized: Boolean = false)
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -63,6 +64,9 @@ object IvfIndex {
     * list many paths — appends accumulate). */
   private def body(m: IndexManifest): String =
     (Seq(s"dim\t${m.dim}") ++
+      // full-precision indexes omit the line (older manifests parse
+      // identically); sq8 marks the stored-row schema switch
+      (if (m.quantized) Seq("quant\tsq8") else Seq.empty) ++
       m.centroids.zipWithIndex.map { case (c, i) =>
         s"c\t$i\t${c.map(_.toString).mkString(",")}"
       } ++
@@ -81,7 +85,8 @@ object IvfIndex {
       val Array(_, cid, rel) = l.split('\t')
       cid.toInt -> rel
     }.groupBy(_._1).map { case (cid, rs) => cid -> rs.map(_._2).toSeq }
-    IndexManifest(version, dim, cents, paths)
+    IndexManifest(version, dim, cents, paths,
+      quantized = lines.contains("quant\tsq8"))
   }
 
   def currentManifest(spark: SparkSession, dir: String): Option[IndexManifest] = {
@@ -134,11 +139,22 @@ object IvfIndex {
     * for the cids actually written. */
   private def writeAssigned(spark: SparkSession, dir: String, vecs: DataFrame,
                             centroids: Array[Array[Double]], dim: Int,
-                            staging: String): Map[Int, Seq[String]] = {
-    val assigned = Knn.ivfAssign(
+                            staging: String,
+                            quantized: Boolean = false): Map[Int, Seq[String]] = {
+    val base = Knn.ivfAssign(
         Knn.withNorm(vecs, "embedding").filter(size(col("v")) === dim),
         centroids, nprobe = 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    // sq8 rows store int8 codes + the per-vector absmax scale instead
+    // of the doubles (4-8x smaller on disk and through every probed
+    // read); nrm stays the EXACT norm of the original vector so the
+    // quantized score's denominator is not itself an approximation
+    val assigned =
+      if (quantized) base
+        .withColumn("scale", Quantize.absmaxScale(col("v")))
+        .select(col("vec_id"),
+          Quantize.int8Codes(col("v"), col("scale")).as("q"),
+          col("scale"), col("nrm"), col("cid"))
+      else base.select(col("vec_id"), col("v"), col("nrm"), col("cid"))
     assigned.write.mode("errorifexists")
       .partitionBy("cid").parquet(s"$dir/data/$staging")
     val fs = fsOf(spark, dir)
@@ -148,9 +164,15 @@ object IvfIndex {
         Seq(s"data/$staging/$n")).toMap
   }
 
-  /** Train + assign + commit v1. `corpus` carries (vec_id, embedding). */
+  /** Train + assign + commit v1. `corpus` carries (vec_id, embedding).
+    * `quantized = true` stores int8 absmax codes + per-vector scale
+    * (the FAISS SQ8 storage rung) instead of the double vectors —
+    * search then scores on the dequantized dot and should re-rank its
+    * top candidates against the full-precision source (the `refine`
+    * parameter of [[search]]). */
   def build(corpus: DataFrame, dir: String, dim: Int, k: Int,
-            iters: Int = 5, seed: Long = 42L): Unit = {
+            iters: Int = 5, seed: Long = 42L,
+            quantized: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     if (currentManifest(spark, dir).nonEmpty)
       throw new IllegalStateException(
@@ -159,9 +181,10 @@ object IvfIndex {
     val centroids = Knn.ivfCentroids(corpus, dim, k, iters, seed)
     val fs = fsOf(spark, dir)
     val staging = newStaging(fs, dir)
-    val written = writeAssigned(spark, dir, corpus, centroids, dim, staging)
+    val written = writeAssigned(spark, dir, corpus, centroids, dim, staging,
+      quantized)
     AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, 1L),
-      body(IndexManifest(1L, dim, centroids, written)))
+      body(IndexManifest(1L, dim, centroids, written, quantized)))
   }
 
   /** Assign-only incremental maintenance: one broadcast-codebook argmax
@@ -190,7 +213,8 @@ object IvfIndex {
             s"(dimension != ${m.dim} or zero norm) — filter or fix " +
             s"upstream; an index append must not silently lose vectors")
       val staging = newStaging(fs, dir)
-      val written = writeAssigned(spark, dir, pinned, m.centroids, m.dim, staging)
+      val written = writeAssigned(spark, dir, pinned, m.centroids, m.dim,
+        staging, m.quantized)
       val merged = (m.paths.keySet ++ written.keySet).map { cid =>
         cid -> (m.paths.getOrElse(cid, Seq.empty) ++
           written.getOrElse(cid, Seq.empty))
@@ -211,11 +235,17 @@ object IvfIndex {
       spark.read.parquet(rels.sorted.map(rel => s"$dir/$rel"): _*)
         .withColumn("cid", lit(cid))
     }
-    if (perCid.isEmpty)
-      spark.range(0).select(col("id").as("vec_id"),
-        array().cast("array<double>").as("v"), lit(0.0).as("nrm"),
-        lit(0).as("cid"))
-    else perCid.reduce(_.unionByName(_))
+    if (perCid.isEmpty) {
+      val empty = spark.range(0)
+      if (m.quantized)
+        empty.select(col("id").as("vec_id"),
+          array().cast("array<int>").as("q"), lit(0.0).as("scale"),
+          lit(0.0).as("nrm"), lit(0).as("cid"))
+      else
+        empty.select(col("id").as("vec_id"),
+          array().cast("array<double>").as("v"), lit(0.0).as("nrm"),
+          lit(0).as("cid"))
+    } else perCid.reduce(_.unionByName(_))
   }
 
   /** Stored vectors of the current version (for retrain / audit);
@@ -230,29 +260,38 @@ object IvfIndex {
     *        what the parity specs assert). Pass FALSE for an external
     *        query set with its own id space: there an id collision is
     *        a coincidence, and excluding it would silently drop a real
-    *        neighbour. */
+    *        neighbour.
+    * @param refine for a QUANTIZED index: (full-precision source with
+    *        (vec_id, embedding), candidate factor c) — the top c·k by
+    *        dequantized score are re-ranked with exact dots against
+    *        the source (FAISS's refine stage; the source is read only
+    *        for the candidate ids, a semi-bounded join). Ignored for
+    *        full-precision indexes, whose scores are already exact. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-             k: Int, nprobe: Int, excludeSelfId: Boolean = true): DataFrame =
+             k: Int, nprobe: Int, excludeSelfId: Boolean = true,
+             refine: Option[(DataFrame, Int)] = None): DataFrame =
     searchManifest(spark, dir, requireManifest(spark, dir), queries, k,
-      nprobe, excludeSelfId)
+      nprobe, excludeSelfId, refine)
 
   /** Time travel: search AS OF a committed version — its codebook
     * against its file set, never a mixed read. */
   def searchVersion(spark: SparkSession, dir: String, version: Long,
                     queries: DataFrame, k: Int, nprobe: Int,
-                    excludeSelfId: Boolean = true): DataFrame = {
+                    excludeSelfId: Boolean = true,
+                    refine: Option[(DataFrame, Int)] = None): DataFrame = {
     val fs = fsOf(spark, dir)
     if (!fs.exists(manifestPath(dir, version)))
       throw new IllegalArgumentException(
         s"version $version does not exist at $dir")
     searchManifest(spark, dir, readManifest(fs, dir, version), queries, k,
-      nprobe, excludeSelfId)
+      nprobe, excludeSelfId, refine)
   }
 
   private def searchManifest(spark: SparkSession, dir: String,
                              m: IndexManifest, queries: DataFrame,
                              k: Int, nprobe: Int,
-                             excludeSelfId: Boolean): DataFrame = {
+                             excludeSelfId: Boolean,
+                             refine: Option[(DataFrame, Int)] = None): DataFrame = {
     val q = Knn.ivfAssign(
         Knn.withNorm(queries, "embedding").filter(size(col("v")) === m.dim),
         m.centroids, nprobe)
@@ -263,19 +302,62 @@ object IvfIndex {
     // the bounded side, and staying lazy beats materializing here
     val probed = q.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).toSet
-    val c = readAssignments(spark, dir, m, Some(probed))
-      .select(col("vec_id").as("c_vec_id"), col("cid"),
-        col("v").as("cv"), col("nrm").as("cn"))
+    val stored = readAssignments(spark, dir, m, Some(probed))
+    // quantized score: dot(q, dequant(codes)) = dot(q, codes)·scale/127
+    // — the scale factors OUT of the int dot, so no per-row dequantized
+    // array is ever materialized
+    val c =
+      if (m.quantized) stored.select(col("vec_id").as("c_vec_id"),
+        col("cid"), col("q").cast("array<double>").as("cv"),
+        col("scale"), col("nrm").as("cn"))
+      else stored.select(col("vec_id").as("c_vec_id"), col("cid"),
+        col("v").as("cv"), lit(null).cast("double").as("scale"),
+        col("nrm").as("cn"))
+    val rawSim =
+      if (m.quantized)
+        Knn.dotNative(col("qv"), col("cv")) * col("scale") /
+          (lit(127.0) * col("qn") * col("cn"))
+      else Knn.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn"))
     val scored = c.join(q, "cid")
       .filter(!lit(excludeSelfId) || col("q_vec_id") =!= col("c_vec_id"))
-      .withColumn("sim",
-        Knn.dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("sim", rawSim)
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("sim").desc, col("c_vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_vec_id"), col("rn"), col("c_vec_id"),
-        round(col("sim"), 4).as("sim"))
+    refine match {
+      case Some((full, factor)) if m.quantized =>
+        require(factor >= 1, s"refine factor must be >= 1, got $factor")
+        val cand = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k.toLong * factor)
+          .select(col("q_vec_id"), col("c_vec_id"), col("qv"), col("qn"))
+        val f = Knn.withNorm(full, "embedding")
+          .select(col("vec_id").as("c_vec_id"), col("v").as("fv"),
+            col("nrm").as("fn"))
+        val exact = cand.join(f, "c_vec_id")
+          .withColumn("sim",
+            Knn.dotNative(col("qv"), col("fv")) / (col("qn") * col("fn")))
+        exact.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("q_vec_id"), col("rn"), col("c_vec_id"),
+            round(col("sim"), 4).as("sim"))
+      case _ =>
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("q_vec_id"), col("rn"), col("c_vec_id"),
+            round(col("sim"), 4).as("sim"))
+    }
+  }
+
+  /** Physical footprint of the current version: (data files, bytes) —
+    * the observable the sq8 rung exists for (and the fragmentation
+    * signal for [[compactIndex]]). */
+  def indexStats(spark: SparkSession, dir: String): (Int, Long) = {
+    val m = requireManifest(spark, dir)
+    val fs = fsOf(spark, dir)
+    val files = m.paths.values.flatten.toSeq.flatMap { rel =>
+      fs.listStatus(new Path(s"$dir/$rel"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+    }
+    (files.length, files.map(_.getLen).sum)
   }
 
   /** Compact a centroid's accumulated append files (the small-file
@@ -363,13 +445,25 @@ object IvfIndex {
   def retrain(spark: SparkSession, dir: String, k: Int,
               iters: Int = 5, seed: Long = 42L): Unit = {
     val m = requireManifest(spark, dir)
-    val stored = readAssignments(spark, dir, m)
-      .select(col("vec_id"), col("v").as("embedding"))
+    // an sq8 index retrains from its RECONSTRUCTIONS (code·scale/127):
+    // the stored doubles are gone by design, and a codebook trained on
+    // ≤0.8%-perturbed points partitions the space the same way — the
+    // standard quantized-retrain trade (re-coding quantizes what was
+    // already quantized once; vectors never degrade FURTHER because
+    // each version re-codes from the same reconstructions it stores)
+    val stored =
+      if (m.quantized) readAssignments(spark, dir, m)
+        .select(col("vec_id"),
+          Quantize.dequantize(col("q"), col("scale")).as("embedding"))
+      else readAssignments(spark, dir, m)
+        .select(col("vec_id"), col("v").as("embedding"))
     val centroids = Knn.ivfCentroids(stored, m.dim, k, iters, seed)
     val fs = fsOf(spark, dir)
     val staging = newStaging(fs, dir)
-    val written = writeAssigned(spark, dir, stored, centroids, m.dim, staging)
+    val written = writeAssigned(spark, dir, stored, centroids, m.dim, staging,
+      m.quantized)
     AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
-      body(IndexManifest(m.version + 1, m.dim, centroids, written)))
+      body(IndexManifest(m.version + 1, m.dim, centroids, written,
+        m.quantized)))
   }
 }
