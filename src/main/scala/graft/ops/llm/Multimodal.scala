@@ -1,6 +1,6 @@
 package graft.ops.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -138,8 +138,66 @@ object Multimodal {
       .orderBy($"keeper_id")
   }
 
+  /** Width/height/format from REAL image container headers (public
+    * formats: PNG's IHDR chunk sits at fixed offsets after the 8-byte
+    * magic; JPEG's SOF0 segment carries precision/height/width after
+    * its FFC0 marker). Catalyst-friendly: the payload's hex transcript
+    * is parsed with substring/conv/locate — fully codegen'd, no UDF,
+    * and the narrow projection shuffles nothing. Caveat (documented,
+    * not hidden): the JPEG branch reads the FIRST FFC0 byte pair; a
+    * production scanner walks segment lengths to skip entropy data
+    * that could alias the marker — headers parsed here sit before any
+    * entropy bytes, where the alias cannot occur. */
+  def headerMeta(payload: Column): Column = {
+    val h = upper(hex(payload))
+    val isPng = substring(h, 1, 16) === "89504E470D0A1A0A"
+    val isJpeg = substring(h, 1, 6) === "FFD8FF"
+    def hexInt(c: Column): Column = conv(c, 16, 10).cast(IntegerType)
+    val sof = locate("FFC0", h)
+    val width = when(isPng, hexInt(substring(h, 33, 8)))
+      .when(isJpeg && sof > 0, hexInt(h.substr(sof + 14, lit(4))))
+    val height = when(isPng, hexInt(substring(h, 41, 8)))
+      .when(isJpeg && sof > 0, hexInt(h.substr(sof + 10, lit(4))))
+    struct(
+      when(isPng, "png").when(isJpeg, "jpeg").otherwise("unknown")
+        .as("format"),
+      width.as("width"), height.as("height"))
+  }
+
+  /** Oracled header-metadata extraction (`q_mm_meta`): deterministic
+    * PNG / JPEG / opaque payloads are built in-query from hex
+    * templates with per-family dimensions, roundtripped through
+    * unhex → BinaryType, and parsed back by [[headerMeta]] FROM the
+    * binary — the hash match proves the offset arithmetic against
+    * DuckDB running the identical parse on its own hex transcript. */
+  def qMmMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = graft.Tables.table(spark, dir, "documents")
+      .select($"doc_id")
+      .withColumn("family", $"doc_id" % 37)
+      .withColumn("w", (lit(16) + ($"family" % 5) * 16).cast(IntegerType))
+      .withColumn("h", (lit(12) + ($"family" % 4) * 12).cast(IntegerType))
+    val phex = when($"family" % 3 === 0, concat(
+        lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex($"w"), 8, "0"), lpad(hex($"h"), 8, "0"),
+        lit("0806000000"), upper(md5(concat(lit("pngtail"), $"family")))))
+      .when($"family" % 3 === 1, concat(
+        lit("FFD8FFE000104A46494600010100004800480000FFC0001108"),
+        lpad(hex($"h"), 4, "0"), lpad(hex($"w"), 4, "0"),
+        lit("03011100021101031101"),
+        upper(md5(concat(lit("jpgtail"), $"family")))))
+      .otherwise(upper(md5(concat(lit("rawtail"), $"family"))))
+    d.withColumn("payload", unhex(phex))
+      .withColumn("meta", headerMeta($"payload"))
+      .select($"doc_id", $"meta.format".as("format"),
+        $"meta.width".as("width"), $"meta.height".as("height"),
+        length($"payload").cast(IntegerType).as("n_bytes"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_mm_dedup" -> (qMmDedup _))
+    "q_mm_dedup" -> (qMmDedup _),
+    "q_mm_meta" -> (qMmMeta _))
 
   val oracle: Map[String, String] = Map(
     "q_mm_dedup" ->
@@ -163,7 +221,43 @@ object Multimodal {
         |  min(upper(hex(payload))) AS payload_hex,
         |  min(mime) AS mime, min(width) AS width, min(height) AS height
         |FROM m GROUP BY phex
-        |ORDER BY keeper_id""".stripMargin)
+        |ORDER BY keeper_id""".stripMargin,
+    "q_mm_meta" ->
+      """WITH d AS (SELECT doc_id, doc_id % 37 AS family FROM documents),
+        |dims AS (
+        |  SELECT doc_id, family,
+        |    (16 + (family % 5) * 16)::INT AS w,
+        |    (12 + (family % 4) * 12)::INT AS h
+        |  FROM d),
+        |px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN family % 3 = 0 THEN
+        |      '89504E470D0A1A0A0000000D49484452' || lpad(hex(w), 8, '0') ||
+        |      lpad(hex(h), 8, '0') || '0806000000' ||
+        |      upper(md5('pngtail' || family))
+        |    WHEN family % 3 = 1 THEN
+        |      'FFD8FFE000104A46494600010100004800480000FFC0001108' ||
+        |      lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0') ||
+        |      '03011100021101031101' || upper(md5('jpgtail' || family))
+        |    ELSE upper(md5('rawtail' || family)) END AS phex
+        |  FROM dims),
+        |parsed AS (SELECT doc_id, upper(hex(unhex(phex))) AS hx FROM px)
+        |SELECT doc_id,
+        |  CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+        |       WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |       ELSE 'unknown' END AS format,
+        |  CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A'
+        |         THEN ('0x' || substr(hx, 33, 8))::BIGINT::INT
+        |       WHEN substr(hx, 1, 6) = 'FFD8FF'
+        |         THEN ('0x' || substr(hx, strpos(hx, 'FFC0') + 14, 4))::BIGINT::INT
+        |       END AS width,
+        |  CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A'
+        |         THEN ('0x' || substr(hx, 41, 8))::BIGINT::INT
+        |       WHEN substr(hx, 1, 6) = 'FFD8FF'
+        |         THEN ('0x' || substr(hx, strpos(hx, 'FFC0') + 10, 4))::BIGINT::INT
+        |       END AS height,
+        |  (length(hx) // 2)::INT AS n_bytes
+        |FROM parsed ORDER BY doc_id""".stripMargin)
 
   /** Spread decode work: repartition by a payload-size-aware salt so
     * heavy payloads don't pile onto few tasks before a decode map. */
