@@ -158,10 +158,23 @@ object AggMaintain {
   def initAggregate(spark: SparkSession, sourceDir: String, aggDir: String,
                     groupCols: Seq[String], sumCols: Seq[String],
                     nBuckets: Int): Long = {
+    // group names may not collide with the maintained measure columns
+    // (cnt / s_* / n_*): specOf recovers the spec from the schema, and
+    // a group named like a measure would be misclassified — reject
+    // loudly at the only moment the caller states the spec explicitly
+    groupCols.foreach(g => require(
+      g != "cnt" && !g.startsWith("s_") && !g.startsWith("n_"),
+      s"group column '$g' collides with the maintained measure naming " +
+        s"(cnt / s_* / n_*) — rename it before maintaining an aggregate"))
     val sm = PartitionedUpsert.currentManifest(spark, sourceDir).getOrElse(
       throw new IllegalStateException(
         s"$sourceDir is not an initialized upsert target"))
-    val agg = fullAggregate(PartitionedUpsert.read(spark, sourceDir),
+    // read PINNED to the recorded version: a merge committing between
+    // the manifest resolve and an unpinned read would seed an aggregate
+    // that already contains version N+1 while the txn records N — the
+    // next maintain step would then double-apply N→N+1's deltas
+    val agg = fullAggregate(
+        PartitionedUpsert.readVersion(spark, sourceDir, sm.version),
         groupCols, sumCols)
       .withColumn("gkey", gkeyOf(groupCols))
     PartitionedUpsert.init(agg, aggDir, "gkey", nBuckets,
@@ -222,6 +235,15 @@ object AggMaintain {
       PartitionedUpsert.changesBetweenImages(spark, sourceDir, from, to),
       groupCols, sumCols).persist()
     try {
+      // a window that nets ZERO row changes (source compact/rebucket:
+      // paths move, fingerprints identical) must still advance the
+      // recorded txn — an empty merge skips it, and the stale `from`
+      // would make every later call re-diff the same rewritten buckets
+      // (a FULL-table diff forever after a rebucket)
+      if (deltas.isEmpty) {
+        PartitionedUpsert.recordTxn(spark, aggDir, srcApp(sourceDir), to)
+        return (from, to)
+      }
       // prior values of exactly the touched groups' buckets; right
       // outer keeps the change log sized by the delta group set
       val prior = PartitionedUpsert.readForKeys(spark, aggDir,

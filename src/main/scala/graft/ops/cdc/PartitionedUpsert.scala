@@ -517,6 +517,24 @@ object PartitionedUpsert {
     else spark.read.schema(m.schema).parquet(paths: _*)
   }
 
+  /** Record a writer-app transaction version WITHOUT data changes —
+    * the metadata-only commit an incremental consumer needs when its
+    * input window nets zero row changes (source compacted/rebucketed:
+    * versions advanced, content identical) but its progress cursor
+    * must still move. Publishes prior.copy(version+1, txns advanced)
+    * through the same atomic manifest swap; a racing data merge gets
+    * or causes the standard conflict error. A version at or below the
+    * recorded one is a no-op (same idempotence as merge's fast path). */
+  def recordTxn(spark: SparkSession, dir: String, app: String,
+                ver: Long): Unit = {
+    val prior = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir is not an initialized upsert target"))
+    if (prior.txns.get(app).exists(_ >= ver)) return
+    writeManifest(fsOf(spark, dir), dir,
+      prior.copy(version = prior.version + 1, txns = prior.txns + (app -> ver)))
+  }
+
   /** Publish a prepared merge (atomic manifest rename). A no-op
     * prepare (empty batch — `touched` empty, manifest unchanged)
     * publishes nothing. */

@@ -36,10 +36,14 @@ import org.apache.spark.sql.functions._
 object Scd2Maintain {
 
   /** Initialize both targets from an empty history (schemas derived
-    * from a template batch — no rows are written). */
+    * from a template batch — no rows are written). Idempotent PER
+    * TARGET: a crash between the two inits must be healable by calling
+    * init again (the streaming sink's lazy-init does exactly that), so
+    * an already-initialized target is skipped instead of throwing. */
   def init(template: DataFrame, historyDir: String, openDir: String,
            keyCol: String, lsnCol: String, tsCol: String,
            valueCols: Seq[String], nBuckets: Int): Unit = {
+    val spark = template.sparkSession
     val base = template.select(
       (Seq(keyCol, lsnCol, tsCol) ++ valueCols).map(col): _*)
     val openEmpty = base.limit(0)
@@ -49,8 +53,10 @@ object Scd2Maintain {
       .withColumn("is_current", lit(true))
       .withColumn("hkey", struct(col(keyCol), col(lsnCol)))
       .limit(0)
-    PartitionedUpsert.init(histEmpty, historyDir, "hkey", nBuckets)
-    PartitionedUpsert.init(openEmpty, openDir, keyCol, nBuckets)
+    if (PartitionedUpsert.currentManifest(spark, historyDir).isEmpty)
+      PartitionedUpsert.init(histEmpty, historyDir, "hkey", nBuckets)
+    if (PartitionedUpsert.currentManifest(spark, openDir).isEmpty)
+      PartitionedUpsert.init(openEmpty, openDir, keyCol, nBuckets)
   }
 
   /** Apply one micro-batch of change events (key, lsn, ts, values…).
@@ -83,7 +89,10 @@ object Scd2Maintain {
       // merge-order lsn for rewritten history rows: strictly above any
       // prior batch's (lsn is monotonic across batches per contract),
       // so the closing rewrite of an open row wins LWW deterministically
-      val wm = b.agg(max(col(lsnCol))).head().getLong(0)
+      // (cast: an IntegerType lsn must not ClassCastException here when
+      // the merge path itself casts tolerantly)
+      val wm = b.agg(max(col(lsnCol)
+        .cast(org.apache.spark.sql.types.LongType))).head().getLong(0)
       val keys = b.select(col(keyCol)).distinct()
       // open intervals of exactly the batch's keys — bucket-pruned
       // point lookup, then restricted to the batch keys (readForKeys
@@ -94,27 +103,33 @@ object Scd2Maintain {
       // is the key's first new event (closing its interval); the last
       // new row has no lead and stays current
       val w = Window.partitionBy(col(keyCol)).orderBy(col(lsnCol).asc)
+      // pinned like `b`: the history merge, the open merge, and the
+      // returned count all consume this frame — unpersisted, the chain
+      // window and the open-bucket read would run three times
       val chained = open.unionByName(b)
         .withColumn("valid_from", col(tsCol))
         .withColumn("valid_to", lead(col(tsCol), 1).over(w))
         .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
-      val histCols = cols ++ Seq("valid_from", "valid_to", "is_current")
-      val hist = chained.select(
-        struct(col(keyCol), col(lsnCol)).as("hkey") +:
-          lit(wm).as("__mlsn") +: lit("u").as("__mop") +:
-          histCols.map(col): _*)
-      val written = PartitionedUpsert.merge(spark, historyDir, hist,
-        "hkey", "__mlsn", "__mop", histCols, nBuckets, txn)
-      if (crashAfterHistory)
-        throw new RuntimeException("injected crash between merges")
-      // the key's new open version replaces the old one (keyed by key,
-      // so the close-and-replace is a single upsert per key)
-      val newOpen = chained.filter(col("is_current"))
-        .select(lit(wm).as("__mlsn") +: lit("u").as("__mop") +:
-          cols.map(col): _*)
-      PartitionedUpsert.merge(spark, openDir, newOpen,
-        keyCol, "__mlsn", "__mop", cols.filterNot(_ == keyCol), nBuckets, txn)
-      if (written.isEmpty) 0L else chained.count()
+        .persist()
+      try {
+        val histCols = cols ++ Seq("valid_from", "valid_to", "is_current")
+        val hist = chained.select(
+          struct(col(keyCol), col(lsnCol)).as("hkey") +:
+            lit(wm).as("__mlsn") +: lit("u").as("__mop") +:
+            histCols.map(col): _*)
+        val written = PartitionedUpsert.merge(spark, historyDir, hist,
+          "hkey", "__mlsn", "__mop", histCols, nBuckets, txn)
+        if (crashAfterHistory)
+          throw new RuntimeException("injected crash between merges")
+        // the key's new open version replaces the old one (keyed by key,
+        // so the close-and-replace is a single upsert per key)
+        val newOpen = chained.filter(col("is_current"))
+          .select(lit(wm).as("__mlsn") +: lit("u").as("__mop") +:
+            cols.map(col): _*)
+        PartitionedUpsert.merge(spark, openDir, newOpen,
+          keyCol, "__mlsn", "__mop", cols.filterNot(_ == keyCol), nBuckets, txn)
+        if (written.isEmpty) 0L else chained.count()
+      } finally { chained.unpersist(); () }
     } finally { b.unpersist(); () }
   }
 

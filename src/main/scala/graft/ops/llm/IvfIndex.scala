@@ -328,13 +328,19 @@ object IvfIndex {
         require(factor >= 1, s"refine factor must be >= 1, got $factor")
         val cand = scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k.toLong * factor)
-          .select(col("q_vec_id"), col("c_vec_id"), col("qv"), col("qn"))
+          .select(col("q_vec_id"), col("c_vec_id"), col("qv"), col("qn"),
+            col("sim").as("__qsim"))
         val f = Knn.withNorm(full, "embedding")
           .select(col("vec_id").as("c_vec_id"), col("v").as("fv"),
             col("nrm").as("fn"))
-        val exact = cand.join(f, "c_vec_id")
-          .withColumn("sim",
+        // LEFT join: a candidate the refine source lacks (stale corpus
+        // passed after an append) keeps its quantized score instead of
+        // vanishing — degraded precision for that hit, never a silently
+        // dropped neighbour (the append guard's loud-failure stance)
+        val exact = cand.join(f, Seq("c_vec_id"), "left_outer")
+          .withColumn("sim", when(col("fv").isNotNull,
             Knn.dotNative(col("qv"), col("fv")) / (col("qn") * col("fn")))
+            .otherwise(col("__qsim")))
         exact.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k)
           .select(col("q_vec_id"), col("rn"), col("c_vec_id"),

@@ -143,21 +143,25 @@ object Multimodal {
     * magic; JPEG's SOF0 segment carries precision/height/width after
     * its FFC0 marker). Catalyst-friendly: the payload's hex transcript
     * is parsed with substring/conv/locate — fully codegen'd, no UDF,
-    * and the narrow projection shuffles nothing. Caveat (documented,
-    * not hidden): the JPEG branch reads the FIRST FFC0 byte pair; a
-    * production scanner walks segment lengths to skip entropy data
-    * that could alias the marker — headers parsed here sit before any
-    * entropy bytes, where the alias cannot occur. */
+    * and the narrow projection shuffles nothing. Caveats (documented,
+    * not hidden): the JPEG branch reads the first BYTE-ALIGNED FFC0
+    * pair — the alignment guard (1-based hex offset must be odd) kills
+    * the mid-byte alias a metadata segment like 0x1F 0xFC 0x05 would
+    * produce, and an unaligned-only match yields NULL dims rather than
+    * garbage; only baseline SOF0 is decoded (progressive FFC2 returns
+    * format=jpeg with null dims) — a production scanner walks segment
+    * lengths, which is a kernel, not an expression. */
   def headerMeta(payload: Column): Column = {
     val h = upper(hex(payload))
     val isPng = substring(h, 1, 16) === "89504E470D0A1A0A"
     val isJpeg = substring(h, 1, 6) === "FFD8FF"
     def hexInt(c: Column): Column = conv(c, 16, 10).cast(IntegerType)
     val sof = locate("FFC0", h)
+    val sofOk = sof > 0 && sof % 2 === 1
     val width = when(isPng, hexInt(substring(h, 33, 8)))
-      .when(isJpeg && sof > 0, hexInt(h.substr(sof + 14, lit(4))))
+      .when(isJpeg && sofOk, hexInt(h.substr(sof + 14, lit(4))))
     val height = when(isPng, hexInt(substring(h, 41, 8)))
-      .when(isJpeg && sof > 0, hexInt(h.substr(sof + 10, lit(4))))
+      .when(isJpeg && sofOk, hexInt(h.substr(sof + 10, lit(4))))
     struct(
       when(isPng, "png").when(isJpeg, "jpeg").otherwise("unknown")
         .as("format"),
@@ -249,11 +253,13 @@ object Multimodal {
         |  CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A'
         |         THEN ('0x' || substr(hx, 33, 8))::BIGINT::INT
         |       WHEN substr(hx, 1, 6) = 'FFD8FF'
+        |            AND strpos(hx, 'FFC0') > 0 AND strpos(hx, 'FFC0') % 2 = 1
         |         THEN ('0x' || substr(hx, strpos(hx, 'FFC0') + 14, 4))::BIGINT::INT
         |       END AS width,
         |  CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A'
         |         THEN ('0x' || substr(hx, 41, 8))::BIGINT::INT
         |       WHEN substr(hx, 1, 6) = 'FFD8FF'
+        |            AND strpos(hx, 'FFC0') > 0 AND strpos(hx, 'FFC0') % 2 = 1
         |         THEN ('0x' || substr(hx, strpos(hx, 'FFC0') + 10, 4))::BIGINT::INT
         |       END AS height,
         |  (length(hx) // 2)::INT AS n_bytes

@@ -132,8 +132,15 @@ object CdcStream {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // BOTH targets checked: a crash between the two inits would
+        // otherwise wedge the stream forever (history exists → guard
+        // skips → every applyBatch throws on the missing open table);
+        // Scd2Maintain.init is idempotent per target, so healing the
+        // half-initialized state is just calling it again
         if (graft.ops.cdc.PartitionedUpsert
-            .currentManifest(spark, historyDir).isEmpty) {
+            .currentManifest(spark, historyDir).isEmpty ||
+          graft.ops.cdc.PartitionedUpsert
+            .currentManifest(spark, openDir).isEmpty) {
           // losing an init race is fine — the targets exist either way
           try Scd2Maintain.init(batch, historyDir, openDir, keyCol, lsnCol,
             tsCol, valueCols, nBuckets)

@@ -116,6 +116,30 @@ class AggMaintainSpec extends SparkSpec {
     }
   }
 
+  test("a zero-row-change window (source rebucket) still advances the " +
+      "cursor — no eternal re-diff; colliding group names rejected") {
+    import spark.implicits._
+    val (srcDir, aggDir) = freshDirs()
+    PartitionedUpsert.init(
+      (0L until 32L).map(i => (i, s"g${i % 3}", java.lang.Long.valueOf(i)))
+        .toDF("pk", "grp", "v"), srcDir, "pk", 4)
+    AggMaintain.initAggregate(spark, srcDir, aggDir, G, S, nBuckets = 2)
+    // version bumps, every bucket path changes, zero row changes
+    PartitionedUpsert.rebucket(spark, srcDir, "pk", 8)
+    val (f, t) = AggMaintain.maintainAggregate(spark, srcDir, aggDir)
+    assert(f < t, "the step must claim the window it examined")
+    // the cursor moved: the next call is the zero-read fast path
+    val (f2, t2) = AggMaintain.maintainAggregate(spark, srcDir, aggDir)
+    assert(f2 === t2)
+    assertCurrent(srcDir, aggDir)
+    // a group column named like a measure would be misclassified by
+    // specOf — rejected at init, the only moment the spec is explicit
+    intercept[IllegalArgumentException] {
+      AggMaintain.initAggregate(spark, srcDir, freshDirs()._2,
+        Seq("s_grp"), S, nBuckets = 2)
+    }
+  }
+
   test("CDF window pruning: a window whose merge touched one bucket " +
       "reads only that bucket's files, on both manifest sides") {
     import spark.implicits._

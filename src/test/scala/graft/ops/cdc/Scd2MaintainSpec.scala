@@ -86,6 +86,18 @@ class Scd2MaintainSpec extends SparkSpec {
       Map(1L -> 30L, 2L -> 22L, 3L -> 12L, 4L -> 31L))
   }
 
+  test("init is idempotent per target: a crash between the two inits " +
+      "heals by calling init again") {
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2i").toString
+    val (hDir, oDir) = (s"$base/hist", s"$base/open")
+    val b1 = df(log.take(3))
+    Scd2Maintain.init(b1, hDir, oDir, "pk", "lsn", "ts", V, nBuckets = 4)
+    // replayed init (the streaming sink's lazy-init path) must not throw
+    Scd2Maintain.init(b1, hDir, oDir, "pk", "lsn", "ts", V, nBuckets = 4)
+    Scd2Maintain.applyBatch(spark, hDir, oDir, b1, "pk", "lsn", "ts", V, 4)
+    assert(collectHist(Scd2Maintain.readHistory(spark, hDir)) === reference(3))
+  }
+
   test("empty batch is a no-op; per-batch cost reads only the batch " +
       "keys' open buckets") {
     val base = java.nio.file.Files.createTempDirectory("graft_scd2e").toString

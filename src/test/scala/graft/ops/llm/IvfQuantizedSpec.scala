@@ -94,5 +94,14 @@ class IvfQuantizedSpec extends SparkSpec {
     // time travel: the pre-retrain version still answers identically
     assert(hitSets(IvfIndex.searchVersion(spark, dir, v2, queries, 5, 2))
       === before)
+    // STALE refine source (missing the appended odd vectors): hits the
+    // source lacks keep their quantized score instead of vanishing —
+    // every query still gets its full k results
+    val stale = IvfIndex.search(spark, dir, queries, 5, 4,
+      refine = Some((first, 4)))
+    val perQuery = stale.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.length).toMap
+    assert(perQuery.nonEmpty && perQuery.values.forall(_ === 5),
+      s"stale refine source must not shrink result sets: $perQuery")
   }
 }

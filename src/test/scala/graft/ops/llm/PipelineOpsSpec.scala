@@ -285,12 +285,38 @@ class PipelineOpsSpec extends SparkSpec {
       "hashed join keys must reproduce the string-keyed report exactly " +
         "(no 64-bit collisions on this corpus)")
     // transport claim: no string column survives into the hashed plan's
-    // exchanges — every shuffle carries the 8-byte key (+ doc_id)
-    val plan = run(true).queryExecution.executedPlan.toString
-    val exchangeAttrs = plan.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
-    assert(!exchangeAttrs.contains("string"),
-      s"hashed variant must not shuffle strings:\n$exchangeAttrs")
+    // exchanges — every shuffle carries the 8-byte key (+ doc_id).
+    // Typed walk (incl. adaptive stages): a plan-STRING grep is vacuous
+    // here, because exchange lines print attributes as name#id with no
+    // type token for strings
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val hashed = run(true)
+    hashed.collect() // materialize so adaptive stages are final
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    val exchanges = walk(hashed.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected shuffles in the contamination plan")
+    exchanges.foreach(e => assert(
+      !e.output.exists(_.dataType ==
+        org.apache.spark.sql.types.StringType),
+      s"hashed variant must not shuffle strings: ${e.output.mkString(", ")}"))
+    // the same walk CAN fail: the string-keyed plan does shuffle strings
+    val plain = run(false)
+    plain.collect()
+    assert(walk(plain.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+      .exists(_.output.exists(_.dataType ==
+        org.apache.spark.sql.types.StringType)),
+      "sanity: the string-keyed plan must shuffle a string column")
   }
 
   test("connected components converges on a long chain (diameter stress)") {
