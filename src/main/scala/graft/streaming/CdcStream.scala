@@ -111,6 +111,50 @@ object CdcStream {
       .start()
   }
 
+  /** The CDC-automation capstone sink: one continuous query keeps BOTH
+    * the replica and a derived aggregate table current — change events
+    * merge into the bucket-partitioned target, then
+    * [[graft.ops.cdc.AggMaintain.maintainAggregate]] consumes exactly
+    * the CDF window that merge created (never recomputing the source).
+    * Exactly-once composes from the two cursors: the merge carries
+    * txn=(checkpoint, batchId) and the maintenance step records the
+    * source VERSION it applied, so any crash point replays to a
+    * metadata no-op — after merge: replay skips the merge and the
+    * maintenance catches up; after maintenance: both skip. The
+    * aggregate is seeded from the FIRST batch's committed version
+    * (initAggregate pins its read to the version it records). */
+  def maintainedAggregateSink(changes: DataFrame, targetDir: String,
+                              aggDir: String, checkpointDir: String,
+                              keyCol: String, lsnCol: String, opCol: String,
+                              valueCols: Seq[String], groupCols: Seq[String],
+                              sumCols: Seq[String], nBuckets: Int = 16,
+                              aggBuckets: Int = 16): StreamingQuery = {
+    import graft.ops.cdc.{AggMaintain, PartitionedUpsert}
+    val spark = changes.sparkSession
+    changes.dropDuplicates(lsnCol)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (PartitionedUpsert.currentManifest(spark, targetDir).isEmpty) {
+          val empty = batch.select((keyCol +: valueCols).map(col): _*).limit(0)
+          try PartitionedUpsert.init(empty, targetDir, keyCol, nBuckets)
+          catch {
+            case _: IllegalStateException |
+                 _: java.util.ConcurrentModificationException => ()
+          }
+        }
+        PartitionedUpsert.merge(spark, targetDir, batch, keyCol, lsnCol,
+          opCol, valueCols, nBuckets, txn = Some((checkpointDir, batchId)))
+        if (PartitionedUpsert.currentManifest(spark, aggDir).isEmpty)
+          AggMaintain.initAggregate(spark, targetDir, aggDir,
+            groupCols, sumCols, aggBuckets): Unit
+        else
+          AggMaintain.maintainAggregate(spark, targetDir, aggDir): Unit
+      }
+      .start()
+  }
+
   /** Streaming SCD2 history sink: each micro-batch closes the touched
     * keys' open intervals and appends their new version rows through
     * [[graft.ops.cdc.Scd2Maintain.applyBatch]] — O(batch) per trigger
