@@ -217,6 +217,31 @@ object CdcQueries {
       .orderBy($"pk", $"lsn")
   }
 
+  /** Incremental SCD2 maintenance, oracled end-to-end (the history
+    * sibling of q_cdc_incr_agg): the log splits at its midpoint into
+    * "already maintained" and "new batch"; the maintained history =
+    * closed rows of the first half ∪ Scd2Maintain.chainBatch(open
+    * rows, batch) — the EXACT algebra the per-trigger upkeep runs —
+    * while the DuckDB oracle derives the history from the FULL log
+    * directly. Equality proves interval closing, within-batch
+    * chaining, and untouched-key passthrough compose. */
+  def qCdcScd2Incr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changeLog(spark, dir)
+    val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
+    val hist1 = Cdc.scd2(log.filter($"lsn" <= cut), Seq("pk"), "lsn", "ts")
+    val open = hist1.filter($"is_current")
+      .select($"pk", $"lsn", $"ts", $"op", $"after_value")
+    val batch = log.filter($"lsn" > cut)
+      .select($"pk", $"lsn", $"ts", $"op", $"after_value")
+    val outCols = Seq($"pk", $"lsn", $"op", $"after_value",
+      $"valid_from", $"valid_to", $"is_current")
+    Scd2Maintain.chainBatch(open, batch, "pk", "lsn", "ts")
+      .select(outCols: _*)
+      .unionByName(hist1.filter(!$"is_current").select(outCols: _*))
+      .orderBy($"pk", $"lsn")
+  }
+
   /** SCD2 temporal lookup — the consumer query history tables exist
     * for: which version of each key was valid at time T? Probes are
     * derived in-query (3 evenly spaced instants per key across the
@@ -346,6 +371,7 @@ object CdcQueries {
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_incr_agg" -> (qCdcIncrAgg _),
     "q_cdc_scd2" -> (qCdcScd2 _),
+    "q_cdc_scd2_incr" -> (qCdcScd2Incr _),
     "q_cdc_scd2_lookup" -> (qCdcScd2Lookup _),
     "q_cdc_audit" -> (qCdcAudit _),
     "q_cdc_diff" -> (qCdcDiff _),
@@ -555,6 +581,17 @@ object CdcQueries {
         |  round((sum(cents)::BIGINT)::DOUBLE / count(cents), 4) AS avg_cents
         |FROM state2 GROUP BY seg ORDER BY seg""".stripMargin,
     "q_cdc_scd2" ->
+      s"""WITH $logCte
+        |SELECT pk, lsn, op, after_value, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM log
+        |WINDOW w AS (PARTITION BY pk ORDER BY lsn ASC)
+        |ORDER BY pk, lsn""".stripMargin,
+    // the oracle derives the history from the FULL log — the Spark side
+    // composes first-half history with the chained batch, so the hash
+    // match proves the incremental upkeep algebra
+    "q_cdc_scd2_incr" ->
       s"""WITH $logCte
         |SELECT pk, lsn, op, after_value, ts AS valid_from,
         |  lead(ts) OVER w AS valid_to,

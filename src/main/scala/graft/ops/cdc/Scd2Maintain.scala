@@ -59,6 +59,21 @@ object Scd2Maintain {
       PartitionedUpsert.init(openEmpty, openDir, keyCol, nBuckets)
   }
 
+  /** The pure chain step — the algebra of incremental SCD2 upkeep,
+    * factored out so the oracled twin (q_cdc_scd2_incr) and the
+    * table-backed [[applyBatch]] share one implementation: one window
+    * over (open ∪ batch) rows per key closes each open interval at its
+    * key's first new event and chains the new versions; an open row
+    * whose key has no new events keeps lead = null and stays current. */
+  def chainBatch(open: DataFrame, batch: DataFrame, keyCol: String,
+                 lsnCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(lsnCol).asc)
+    open.unionByName(batch)
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
+  }
+
   /** Apply one micro-batch of change events (key, lsn, ts, values…).
     * `txn` = (writerAppId, monotonic batchId) — pass it from a
     * streaming sink's batchId for exactly-once under restart. Returns
@@ -102,15 +117,10 @@ object Scd2Maintain {
       // one window chains open + new rows per key: the open row's lead
       // is the key's first new event (closing its interval); the last
       // new row has no lead and stays current
-      val w = Window.partitionBy(col(keyCol)).orderBy(col(lsnCol).asc)
       // pinned like `b`: the history merge, the open merge, and the
       // returned count all consume this frame — unpersisted, the chain
       // window and the open-bucket read would run three times
-      val chained = open.unionByName(b)
-        .withColumn("valid_from", col(tsCol))
-        .withColumn("valid_to", lead(col(tsCol), 1).over(w))
-        .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
-        .persist()
+      val chained = chainBatch(open, b, keyCol, lsnCol, tsCol).persist()
       try {
         val histCols = cols ++ Seq("valid_from", "valid_to", "is_current")
         val hist = chained.select(
