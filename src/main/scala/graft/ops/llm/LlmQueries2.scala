@@ -291,6 +291,53 @@ object LlmQueries2 {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style repetition quality signals: fraction of bigram
+    * occurrences claimed by the single most frequent bigram, and
+    * fraction of trigram occurrences belonging to any repeated
+    * trigram — the standard boilerplate/spam filters of a training
+    * pipeline (published Gopher/FineWeb heuristics). Ten repetitive
+    * docs are PLANTED in-query (ids from max(doc_id)+1, the
+    * scale-safe planted-twin pattern) so the `repetitive` flag is
+    * exercised on both engines: the real corpus tops out at
+    * top2_frac ≈ 0.167 (probed), cleanly under the 0.18 threshold.
+    * Shape: gram build is narrow (windowed indexing over the
+    * materialized token array, lambda-inlining rule respected);
+    * count aggs shuffle (doc, gram) pairs then per-doc rollups —
+    * the q_llm_tf cost class; exact integer ratios, round-4. */
+  def qLlmRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val mx = docs.agg(max($"doc_id").as("mx"))
+    val planted = docs.filter($"doc_id" < 10).crossJoin(broadcast(mx))
+      .select(($"doc_id" + $"mx" + 1).as("doc_id"),
+        trim(repeat(lit("buy now "), 40)).as("text"))
+    val arr = docs.unionByName(planted)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+    val b2 = arr.select($"doc_id", (size($"t") - 1).as("n2"),
+      explode(transform(sequence(lit(0), size($"t") - 2),
+        i => concat_ws(" ", $"t".getItem(i), $"t".getItem(i + 1)))).as("g"))
+    val t3 = arr.select($"doc_id", (size($"t") - 2).as("n3"),
+      explode(transform(sequence(lit(0), size($"t") - 3),
+        i => concat_ws(" ", $"t".getItem(i), $"t".getItem(i + 1),
+          $"t".getItem(i + 2)))).as("g"))
+    val top2 = b2.groupBy($"doc_id", $"g").agg(first($"n2").as("n2"),
+        count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(first($"n2").as("n2"), max($"c").as("top2"))
+    val dup3 = t3.groupBy($"doc_id", $"g").agg(first($"n3").as("n3"),
+        count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(first($"n3").as("n3"),
+        coalesce(sum(when($"c" >= 2, $"c")), lit(0L)).as("dup3"))
+    top2.join(dup3, "doc_id")
+      .select($"doc_id",
+        round($"top2".cast("double") / $"n2", 4).as("top2_frac"),
+        round($"dup3".cast("double") / $"n3", 4).as("dup3_frac"),
+        ($"top2".cast("double") / $"n2" > 0.18 ||
+          $"dup3".cast("double") / $"n3" > 0.30).as("repetitive"))
+      .orderBy($"doc_id")
+  }
+
   /** Zipf rank-frequency diagnostic per language: slope (and r²) of
     * ln(freq) ~ ln(rank) over the top-100 vocabulary — the standard
     * corpus-health check (natural text ≈ -1; a flat or erratic slope
@@ -315,6 +362,7 @@ object LlmQueries2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_zipf" -> (qLlmZipf _),
+    "q_llm_repetition" -> (qLlmRepetition _),
     "q_llm_bigram_lm" -> (qLlmBigramLm _),
     "q_llm_cosine_neardup" -> (qLlmCosineNeardup _),
     "q_llm_centroid" -> (qLlmCentroid _),
@@ -329,6 +377,42 @@ object LlmQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_repetition" ->
+      """WITH planted AS (
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |    trim(repeat('buy now ', 40)) AS text
+        |  FROM documents WHERE doc_id < 10),
+        |alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM alldocs
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |b2 AS (
+        |  SELECT doc_id, len(t) - 1 AS n2,
+        |    unnest(list_transform(range(len(t) - 1),
+        |      i -> t[i + 1] || ' ' || t[i + 2])) AS g
+        |  FROM toks),
+        |t3 AS (
+        |  SELECT doc_id, len(t) - 2 AS n3,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS g
+        |  FROM toks),
+        |top2 AS (
+        |  SELECT doc_id, any_value(n2) AS n2, max(c) AS top2 FROM (
+        |    SELECT doc_id, n2, g, count(*) AS c FROM b2 GROUP BY 1, 2, 3)
+        |  GROUP BY doc_id),
+        |dup3 AS (
+        |  SELECT doc_id, any_value(n3) AS n3,
+        |    coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT AS dup3 FROM (
+        |    SELECT doc_id, n3, g, count(*) AS c FROM t3 GROUP BY 1, 2, 3)
+        |  GROUP BY doc_id)
+        |SELECT top2.doc_id,
+        |  round(top2::DOUBLE / n2, 4) AS top2_frac,
+        |  round(dup3::DOUBLE / n3, 4) AS dup3_frac,
+        |  (top2::DOUBLE / n2 > 0.18 OR dup3::DOUBLE / n3 > 0.30) AS repetitive
+        |FROM top2 JOIN dup3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_llm_zipf" ->
       """WITH tok AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
