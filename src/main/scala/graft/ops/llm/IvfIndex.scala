@@ -39,7 +39,10 @@ import graft.ops.cdc.AtomicPublish
   *
   * Appends are append-only (an index, not a table): re-appending a
   * vec_id duplicates it. Route replacements through retrain, or dedup
-  * upstream (HistoricalDedup-style anti-join on vec_id).
+  * upstream (HistoricalDedup-style anti-join on vec_id). BATCH REPLAY
+  * is the exception: append's optional (appId, version) transaction
+  * records progress in the manifest, so a streaming sink's redelivered
+  * micro-batch is skipped, not duplicated (streaming.EmbeddingStream).
   *
   * Stored row: (vec_id long, v array<double>, nrm double) — norm
   * precomputed at write time so search never recomputes it. Centroid
@@ -51,7 +54,8 @@ object IvfIndex {
   final case class IndexManifest(version: Long, dim: Int,
                                  centroids: Array[Array[Double]],
                                  paths: Map[Int, Seq[String]],
-                                 quantized: Boolean = false)
+                                 quantized: Boolean = false,
+                                 txns: Map[String, Long] = Map.empty)
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -67,6 +71,9 @@ object IvfIndex {
       // full-precision indexes omit the line (older manifests parse
       // identically); sq8 marks the stored-row schema switch
       (if (m.quantized) Seq("quant\tsq8") else Seq.empty) ++
+      // writer-app transaction versions (the upsert table's pattern):
+      // a replayed streaming append is recognized and skipped
+      m.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn\t$a\t$v" } ++
       m.centroids.zipWithIndex.map { case (c, i) =>
         s"c\t$i\t${c.map(_.toString).mkString(",")}"
       } ++
@@ -85,8 +92,12 @@ object IvfIndex {
       val Array(_, cid, rel) = l.split('\t')
       cid.toInt -> rel
     }.groupBy(_._1).map { case (cid, rs) => cid -> rs.map(_._2).toSeq }
+    val txns = lines.filter(_.startsWith("txn\t")).map { l =>
+      val Array(_, a, v) = l.split('\t')
+      a -> v.toLong
+    }.toMap
     IndexManifest(version, dim, cents, paths,
-      quantized = lines.contains("quant\tsq8"))
+      quantized = lines.contains("quant\tsq8"), txns = txns)
   }
 
   def currentManifest(spark: SparkSession, dir: String): Option[IndexManifest] = {
@@ -189,9 +200,22 @@ object IvfIndex {
 
   /** Assign-only incremental maintenance: one broadcast-codebook argmax
     * per new vector, a fresh staging dir, and a manifest that reuses
-    * every existing file — O(batch) however large the index. */
-  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    * every existing file — O(batch) however large the index.
+    *
+    * `txn` = (writerAppId, monotonic version) makes the append
+    * IDEMPOTENT across replays — without it, appends are append-only
+    * and a redelivered batch DUPLICATES its vectors (the documented
+    * contract above). A streaming sink must pass its (checkpoint,
+    * batchId) here: a replayed micro-batch is then recognized from the
+    * manifest and skipped before anything is staged, and a crash after
+    * publish but before the checkpoint advanced replays to a no-op —
+    * the same exactly-once composition as the upsert sink. */
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame,
+             txn: Option[(String, Long)] = None): Unit = {
     val m = requireManifest(spark, dir)
+    txn.foreach { case (app, ver) =>
+      if (m.txns.get(app).exists(_ >= ver)) return
+    }
     val fs = fsOf(spark, dir)
     // a TRUE empty batch is a no-op; a batch whose vectors would ALL
     // (or partially) be dropped by the dim/zero-norm filter is DATA
@@ -220,7 +244,8 @@ object IvfIndex {
           written.getOrElse(cid, Seq.empty))
       }.toMap
       AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
-        body(m.copy(version = m.version + 1, paths = merged)))
+        body(m.copy(version = m.version + 1, paths = merged,
+          txns = m.txns ++ txn)))
     } finally { pinned.unpersist(); () }
   }
 
@@ -470,6 +495,6 @@ object IvfIndex {
       m.quantized)
     AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
       body(IndexManifest(m.version + 1, m.dim, centroids, written,
-        m.quantized)))
+        m.quantized, m.txns)))
   }
 }

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.ops.llm.IvfIndex
+
+/** Streaming maintenance of the persisted ANN index: each micro-batch
+  * of (vec_id, embedding) rows is assign-only appended to an
+  * ALREADY-BUILT [[IvfIndex]] — one broadcast-codebook argmax per
+  * vector and a manifest publish, O(batch) per trigger however large
+  * the index has grown.
+  *
+  * Exactly-once: the append carries txn = (checkpoint, batchId), so a
+  * micro-batch redelivered after a crash is recognized from the index
+  * manifest and skipped BEFORE anything is staged — without it an
+  * append-only index would duplicate every replayed vector (the
+  * failure mode the IvfIndex contract documents). Build (codebook
+  * training) stays an explicit batch step: a stream cannot train
+  * Lloyd's incrementally, and pretending otherwise would silently
+  * degrade the codebook — run [[IvfIndex.retrain]] on an operator's
+  * schedule instead. */
+object EmbeddingStream {
+
+  def appendSink(vectors: DataFrame, indexDir: String,
+                 checkpointDir: String): StreamingQuery = {
+    val spark = vectors.sparkSession
+    // fail at START if the index is missing — not per batch
+    IvfIndex.codebook(spark, indexDir): Unit
+    vectors
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IvfIndex.append(spark, indexDir, batch,
+          txn = Some((checkpointDir, batchId)))
+      }
+      .start()
+  }
+}
