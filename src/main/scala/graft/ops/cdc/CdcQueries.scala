@@ -313,6 +313,58 @@ object CdcQueries {
       .orderBy($"seg")
   }
 
+  /** Incremental JOIN maintenance, oracled end-to-end (the enrichment
+    * sibling of q_cdc_incr_agg): fact (customer balances, fk derived
+    * per event) and dim (nation, keys rewritten by their own log)
+    * each split their change log at a DIFFERENT midpoint; the
+    * maintained join = deltaApply(fullJoin(F₁, D₁), fact image diff,
+    * changed dim keys, D₂) — the exact algebra JoinMaintain.
+    * maintainJoin runs against table-backed CDFs — while the DuckDB
+    * oracle LEFT-joins the two final states DIRECTLY. fk/dk range over
+    * lsn%31 against nation's 25 keys, so dangling fks, dim inserts
+    * that RESURRECT previously-unmatched fact rows, dim deletes that
+    * orphan matched rows, and fact fk-retarget updates all occur; the
+    * hash match proves every path of the delta-join algebra
+    * cross-engine. Measures in integer cents (exact, order-free). */
+  def qCdcIncrJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val factLog = changeLog(spark, dir).select(
+      $"lsn", $"pk", $"op",
+      when($"lsn" % 7 === 0, lit(null).cast(LongType))
+        .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"),
+      ($"lsn" % 31).cast(LongType).as("fk"))
+    val dimLog = changeLog(spark, dir).select(
+      $"lsn", ($"lsn" % 31).cast(LongType).as("dk"), $"op",
+      concat(lit("N"), ($"lsn" % 10).cast(StringType)).as("dname"))
+    val factSnap = Tables.table(spark, dir, "customer").select(
+      $"c_custkey".as("pk"),
+      round($"c_acctbal" * 100).cast(LongType).as("cents"),
+      $"c_nationkey".cast(LongType).as("fk"))
+    val dimSnap = Tables.table(spark, dir, "nation").select(
+      $"n_nationkey".cast(LongType).as("dk"), $"n_name".as("dname"))
+    val cutF = factLog.agg(expr("max(lsn) DIV 2").as("c")).head().getLong(0)
+    val cutD = dimLog.agg(expr("max(lsn) DIV 3").as("c")).head().getLong(0)
+    def applyF(log: DataFrame) = Cdc.apply(factSnap, log,
+      Seq("pk"), "lsn", "op", Seq("cents", "fk")).drop("src")
+    def applyD(log: DataFrame) = Cdc.apply(dimSnap, log,
+      Seq("dk"), "lsn", "op", Seq("dname")).drop("src")
+    val fact1 = applyF(factLog.filter($"lsn" <= cutF))
+    val fact2 = applyF(factLog)
+    val dim1 = applyD(dimLog.filter($"lsn" <= cutD))
+    val dim2 = applyD(dimLog)
+    val j1 = JoinMaintain.fullJoin(fact1, dim1, "pk", "fk", "dk",
+      Seq("cents", "fk"), Seq("dname"))
+    val factDiff = AggMaintain.diffImages(fact1, fact2,
+      Seq("pk"), Seq("cents", "fk"))
+    val dimKeys = AggMaintain.diffImages(dim1, dim2, Seq("dk"), Seq("dname"))
+      .select($"dk")
+    JoinMaintain.deltaApply(j1, factDiff, dimKeys, dim2,
+        "pk", "fk", "dk", Seq("cents", "fk"), Seq("dname"))
+      .select($"pk", $"cents", $"fk",
+        col(JoinMaintain.markerCol("fk")).as("matched"), $"dname")
+      .orderBy($"pk")
+  }
+
   /** Pipeline observability: change counts by op per hour. */
   def qCdcAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -370,6 +422,7 @@ object CdcQueries {
     "q_cdc_apply_sparse" -> (qCdcApplySparse _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_incr_agg" -> (qCdcIncrAgg _),
+    "q_cdc_incr_join" -> (qCdcIncrJoin _),
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_scd2_incr" -> (qCdcScd2Incr _),
     "q_cdc_scd2_lookup" -> (qCdcScd2Lookup _),
@@ -580,6 +633,46 @@ object CdcQueries {
         |SELECT seg, count(*)::BIGINT AS cnt, sum(cents)::BIGINT AS sum_cents,
         |  round((sum(cents)::BIGINT)::DOUBLE / count(cents), 4) AS avg_cents
         |FROM state2 GROUP BY seg ORDER BY seg""".stripMargin,
+    // the oracle LEFT-joins the two final states DIRECTLY — the Spark
+    // side composes fullJoin(F₁, D₁) with both change windows through
+    // the delta-join algebra, so a hash match proves the maintenance
+    // composes (fact upsert/delete/fk-retarget, dim insert/update/
+    // delete, dangling-fk resurrection) — not just the join
+    "q_cdc_incr_join" ->
+      s"""WITH $logCte,
+        |flog AS (
+        |  SELECT lsn, pk, op,
+        |    CASE WHEN lsn % 7 = 0 THEN NULL
+        |         ELSE round(after_value * 100)::BIGINT END AS cents,
+        |    (lsn % 31)::BIGINT AS fk
+        |  FROM log),
+        |dlog AS (
+        |  SELECT lsn, (lsn % 31)::BIGINT AS dk, op,
+        |    'N' || (lsn % 10)::VARCHAR AS dname
+        |  FROM log),
+        |fsnap AS (SELECT c_custkey AS pk,
+        |  round(c_acctbal * 100)::BIGINT AS cents,
+        |  c_nationkey::BIGINT AS fk FROM customer),
+        |dsnap AS (SELECT n_nationkey::BIGINT AS dk, n_name AS dname
+        |  FROM nation),
+        |flatest AS (SELECT * FROM flog
+        |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1),
+        |fact2 AS (
+        |  SELECT coalesce(s.pk, l.pk) AS pk,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.cents ELSE s.cents END AS cents,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.fk ELSE s.fk END AS fk
+        |  FROM fsnap s FULL OUTER JOIN flatest l ON s.pk = l.pk
+        |  WHERE l.pk IS NULL OR l.op != 'd'),
+        |dlatest AS (SELECT * FROM dlog
+        |  QUALIFY row_number() OVER (PARTITION BY dk ORDER BY lsn DESC) = 1),
+        |dim2 AS (
+        |  SELECT coalesce(s.dk, l.dk) AS dk,
+        |    CASE WHEN l.dk IS NOT NULL THEN l.dname ELSE s.dname END AS dname
+        |  FROM dsnap s FULL OUTER JOIN dlatest l ON s.dk = l.dk
+        |  WHERE l.dk IS NULL OR l.op != 'd')
+        |SELECT f.pk, f.cents, f.fk, (d.dk IS NOT NULL) AS matched, d.dname
+        |FROM fact2 f LEFT JOIN dim2 d ON f.fk = d.dk
+        |ORDER BY f.pk""".stripMargin,
     "q_cdc_scd2" ->
       s"""WITH $logCte
         |SELECT pk, lsn, op, after_value, ts AS valid_from,

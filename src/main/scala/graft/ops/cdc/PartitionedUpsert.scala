@@ -233,7 +233,17 @@ object PartitionedUpsert {
     * v1 manifest publish with at most an orphaned staging dir. */
   def init(snapshot: DataFrame, dir: String, keyCol: String, nBuckets: Int,
            txn: Option[(String, Long)] = None,
-           layout: String = LayoutHash): Unit = {
+           layout: String = LayoutHash): Unit =
+    initWith(snapshot, dir, keyCol, nBuckets, txn.toSeq, layout)
+
+  /** [[init]] recording SEVERAL writer-app transactions atomically in
+    * the v1 manifest — what a consumer of multiple sources needs
+    * (JoinMaintain records both its fact and dim cursors in one write,
+    * so there is no crash window with one cursor present and the other
+    * missing). */
+  def initWith(snapshot: DataFrame, dir: String, keyCol: String,
+               nBuckets: Int, txns: Seq[(String, Long)],
+               layout: String = LayoutHash): Unit = {
     require(layout == LayoutHash || layout == LayoutRange,
       s"unknown layout '$layout' — use LayoutHash or LayoutRange")
     val spark = snapshot.sparkSession
@@ -251,7 +261,7 @@ object PartitionedUpsert {
       if (layout != LayoutRange) Seq.empty
       else if (snapshot.isEmpty) Seq.empty
       else Cdc.planChunkBounds(snapshot, keyCol, nBuckets).slice(1, nBuckets)
-    val m0 = Manifest(1L, snapshot.schema, nBuckets, keyCol, txn.toMap,
+    val m0 = Manifest(1L, snapshot.schema, nBuckets, keyCol, txns.toMap,
       Map.empty, Map.empty, layout, splits)
     val staging = newStagingName(fs, dir)
     snapshot
@@ -410,7 +420,7 @@ object PartitionedUpsert {
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
     prepareFrom(spark, dir, prior, changes, keyCol, lsnCol, opCol,
-      valueCols, nBuckets, txn, sparse)
+      valueCols, nBuckets, txn.toSeq, sparse)
   }
 
   /** [[prepare]] against an ALREADY-RESOLVED manifest — `merge` passes
@@ -420,11 +430,11 @@ object PartitionedUpsert {
   private def prepareFrom(spark: SparkSession, dir: String, prior: Manifest,
                           changes: DataFrame, keyCol: String, lsnCol: String,
                           opCol: String, valueCols: Seq[String], nBuckets: Int,
-                          txn: Option[(String, Long)],
+                          txns: Seq[(String, Long)],
                           sparse: Boolean = false): Pending = {
     val fs = fsOf(spark, dir)
     requireLayout(prior, nBuckets, keyCol, dir)
-    txn.foreach { case (app, ver) =>
+    txns.foreach { case (app, ver) =>
       require(!prior.txns.get(app).exists(_ >= ver),
         s"transaction ($app, $ver) is already applied to $dir " +
           s"(latest = ${prior.txns(app)}); use merge, which skips replays")
@@ -499,7 +509,7 @@ object PartitionedUpsert {
       // manifest version = base+1: a concurrent merge from the same
       // base targets the SAME manifest name and loses the publish race
       Pending(staging,
-        prior.copy(version = prior.version + 1, txns = prior.txns ++ txn,
+        prior.copy(version = prior.version + 1, txns = prior.txns ++ txns,
           buckets = buckets, stats = (prior.stats -- touched) ++ st),
         touched)
     } finally { withBucket.unpersist(); () }
@@ -526,13 +536,25 @@ object PartitionedUpsert {
     * or causes the standard conflict error. A version at or below the
     * recorded one is a no-op (same idempotence as merge's fast path). */
   def recordTxn(spark: SparkSession, dir: String, app: String,
-                ver: Long): Unit = {
+                ver: Long): Unit =
+    recordTxns(spark, dir, Seq(app -> ver))
+
+  /** [[recordTxn]] for SEVERAL cursors in one atomic manifest write —
+    * a multi-source consumer's zero-change-window advance has no
+    * crash seam with one cursor moved and the other stale. Entries at
+    * or below their recorded value are dropped; all-stale is a no-op
+    * (no version burn). */
+  def recordTxns(spark: SparkSession, dir: String,
+                 txns: Seq[(String, Long)]): Unit = {
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"$dir is not an initialized upsert target"))
-    if (prior.txns.get(app).exists(_ >= ver)) return
+    val advancing = txns.filterNot { case (app, ver) =>
+      prior.txns.get(app).exists(_ >= ver)
+    }
+    if (advancing.isEmpty) return
     writeManifest(fsOf(spark, dir), dir,
-      prior.copy(version = prior.version + 1, txns = prior.txns + (app -> ver)))
+      prior.copy(version = prior.version + 1, txns = prior.txns ++ advancing))
   }
 
   /** Publish a prepared merge (atomic manifest rename). A no-op
@@ -559,24 +581,39 @@ object PartitionedUpsert {
             keyCol: String, lsnCol: String, opCol: String,
             valueCols: Seq[String], nBuckets: Int,
             txn: Option[(String, Long)] = None,
-            sparse: Boolean = false): Seq[Long] = {
+            sparse: Boolean = false): Seq[Long] =
+    mergeWith(spark, dir, changes, keyCol, lsnCol, opCol, valueCols,
+      nBuckets, txn.toSeq, sparse)
+
+  /** [[merge]] recording SEVERAL writer-app transactions in the SAME
+    * atomic manifest write as the data — a multi-source consumer
+    * (JoinMaintain) advances all its cursors together or not at all.
+    * The replay fast-path skips only when EVERY entry is already
+    * applied; a partial overlap (some applied, some not) fails loudly
+    * in prepare — cursors written atomically can only drift apart
+    * through foreign interference. */
+  def mergeWith(spark: SparkSession, dir: String, changes: DataFrame,
+                keyCol: String, lsnCol: String, opCol: String,
+                valueCols: Seq[String], nBuckets: Int,
+                txns: Seq[(String, Long)],
+                sparse: Boolean = false): Seq[Long] = {
     // resolved ONCE: the txn fast-path check and prepare share it
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"$dir is not an initialized upsert target"))
-    txn.foreach { case (app, ver) =>
-      if (prior.txns.get(app).exists(_ >= ver)) return Seq.empty
-    }
+    if (txns.nonEmpty && txns.forall { case (app, ver) =>
+      prior.txns.get(app).exists(_ >= ver)
+    }) return Seq.empty
     val pending = prepareFrom(spark, dir, prior, changes, keyCol, lsnCol,
-      opCol, valueCols, nBuckets, txn, sparse)
+      opCol, valueCols, nBuckets, txns, sparse)
     if (pending.touched.isEmpty) return Seq.empty // empty batch: no-op
     try {
       commit(spark, dir, pending)
       pending.touched
     } catch {
       case e: java.util.ConcurrentModificationException =>
-        // same-txn race: if the winner applied OUR txn, this replay is done
-        if (txn.exists { case (app, ver) =>
+        // same-txn race: if the winner applied OUR txns, this replay is done
+        if (txns.nonEmpty && txns.forall { case (app, ver) =>
           currentManifest(spark, dir).exists(_.txns.get(app).exists(_ >= ver))
         }) Seq.empty
         else throw e

@@ -78,35 +78,48 @@ object CdcStream {
     *        column-level LWW against stored bucket state (see
     *        Cdc.applySparse) — absent columns keep their stored values
     *        instead of nulling out. */
+  /** Lazy-init + txn-guarded merge of one micro-batch into an upsert
+    * target — the shared body of [[partitionedUpsertSink]] and
+    * [[maintainedAggregateSink]] (one copy so the race-guard exception
+    * list and txn plumbing cannot drift between them). */
+  private def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                         targetDir: String, checkpointDir: String,
+                         keyCol: String, lsnCol: String, opCol: String,
+                         valueCols: Seq[String], nBuckets: Int,
+                         sparse: Boolean = false): Unit = {
+    import graft.ops.cdc.PartitionedUpsert
+    if (PartitionedUpsert.currentManifest(spark, targetDir).isEmpty) {
+      val empty = batch.select((keyCol +: valueCols).map(col): _*).limit(0)
+      // a racing query may initialize between the check and here;
+      // losing that race is fine — the table exists either way
+      try PartitionedUpsert.init(empty, targetDir, keyCol, nBuckets)
+      catch {
+        case _: IllegalStateException |
+             _: java.util.ConcurrentModificationException => ()
+      }
+    }
+    // txn = (checkpoint, batchId): a replayed micro-batch (crash
+    // after commit, before the checkpoint advanced) is recognized
+    // from the manifest and skipped as a metadata no-op — true
+    // exactly-once, not merely LWW convergence
+    PartitionedUpsert.merge(spark, targetDir, batch, keyCol, lsnCol,
+      opCol, valueCols, nBuckets, txn = Some((checkpointDir, batchId)),
+      sparse = sparse): Unit
+  }
+
   def partitionedUpsertSink(changes: DataFrame, targetDir: String,
                             checkpointDir: String, keyCol: String,
                             lsnCol: String, opCol: String,
                             valueCols: Seq[String], nBuckets: Int,
                             sparse: Boolean = false): StreamingQuery = {
-    import graft.ops.cdc.PartitionedUpsert
     val spark = changes.sparkSession
     changes.dropDuplicates(lsnCol)
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (PartitionedUpsert.currentManifest(spark, targetDir).isEmpty) {
-          val empty = batch.select((keyCol +: valueCols).map(col): _*).limit(0)
-          // a racing query may initialize between the check and here;
-          // losing that race is fine — the table exists either way
-          try PartitionedUpsert.init(empty, targetDir, keyCol, nBuckets)
-          catch {
-            case _: IllegalStateException |
-                 _: java.util.ConcurrentModificationException => ()
-          }
-        }
-        // txn = (checkpoint, batchId): a replayed micro-batch (crash
-        // after commit, before the checkpoint advanced) is recognized
-        // from the manifest and skipped as a metadata no-op — true
-        // exactly-once, not merely LWW convergence
-        PartitionedUpsert.merge(spark, targetDir, batch, keyCol, lsnCol,
-          opCol, valueCols, nBuckets, txn = Some((checkpointDir, batchId)),
-          sparse = sparse): Unit
+        mergeBatch(spark, batch, batchId, targetDir, checkpointDir,
+          keyCol, lsnCol, opCol, valueCols, nBuckets, sparse)
       }
       .start()
   }
@@ -136,21 +149,82 @@ object CdcStream {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (PartitionedUpsert.currentManifest(spark, targetDir).isEmpty) {
-          val empty = batch.select((keyCol +: valueCols).map(col): _*).limit(0)
-          try PartitionedUpsert.init(empty, targetDir, keyCol, nBuckets)
-          catch {
-            case _: IllegalStateException |
-                 _: java.util.ConcurrentModificationException => ()
-          }
-        }
-        PartitionedUpsert.merge(spark, targetDir, batch, keyCol, lsnCol,
-          opCol, valueCols, nBuckets, txn = Some((checkpointDir, batchId)))
-        if (PartitionedUpsert.currentManifest(spark, aggDir).isEmpty)
-          AggMaintain.initAggregate(spark, targetDir, aggDir,
-            groupCols, sumCols, aggBuckets): Unit
-        else
+        mergeBatch(spark, batch, batchId, targetDir, checkpointDir,
+          keyCol, lsnCol, opCol, valueCols, nBuckets)
+        // aggDir lazy init carries the same race guard as the target's:
+        // a racing initializer between the check and initAggregate must
+        // not fail the query — losing the race just means the table
+        // exists, so fall through to the maintenance step
+        val seeded =
+          if (PartitionedUpsert.currentManifest(spark, aggDir).isEmpty)
+            try {
+              AggMaintain.initAggregate(spark, targetDir, aggDir,
+                groupCols, sumCols, aggBuckets)
+              true // seeded at the just-merged version — already current
+            } catch {
+              case _: IllegalStateException |
+                   _: java.util.ConcurrentModificationException => false
+            }
+          else false
+        if (!seeded)
           AggMaintain.maintainAggregate(spark, targetDir, aggDir): Unit
+      }
+      .start()
+  }
+
+  /** The enrichment sibling of [[maintainedAggregateSink]]: one
+    * continuous query keeps the FACT replica and a materialized
+    * fact⋈dim join current — change events merge into the
+    * bucket-partitioned fact target, then
+    * [[graft.ops.cdc.JoinMaintain.maintainJoin]] consumes the CDF
+    * window that merge created, PLUS any dimension windows committed
+    * out-of-band since the last trigger (the dim is its own upsert
+    * target maintained by whoever owns it; its cursor rides the join's
+    * manifest like the fact's). Exactly-once composes exactly as the
+    * aggregate sink's: any crash point replays to a metadata no-op.
+    * The trigger is fact-driven — a dim-only change propagates at the
+    * NEXT fact trigger (document-honest: a dim-triggered refresh wants
+    * a second query calling maintainJoin on the dim's own cadence,
+    * which the shared cursors make safe to run concurrently-ish —
+    * conflicting steps resolve through the manifest publish race). */
+  def maintainedJoinSink(changes: DataFrame, factDir: String, dimDir: String,
+                         joinDir: String, checkpointDir: String,
+                         keyCol: String, lsnCol: String, opCol: String,
+                         valueCols: Seq[String], fkCol: String,
+                         nBuckets: Int = 16,
+                         joinBuckets: Int = 16): StreamingQuery = {
+    import graft.ops.cdc.{JoinMaintain, PartitionedUpsert}
+    require(valueCols.contains(fkCol),
+      s"fk column '$fkCol' must be one of the fact value columns")
+    val spark = changes.sparkSession
+    // fail at START if the dimension table is missing — not per batch
+    PartitionedUpsert.currentManifest(spark, dimDir).getOrElse(
+      throw new IllegalStateException(
+        s"$dimDir is not an initialized upsert target — the dimension " +
+          "must exist before a join over it can be maintained"))
+    changes.dropDuplicates(lsnCol)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(spark, batch, batchId, factDir, checkpointDir,
+          keyCol, lsnCol, opCol, valueCols, nBuckets)
+        // joinDir lazy init carries the aggregate sink's race guard:
+        // losing the race just means the table exists — fall through
+        // to the maintenance step
+        val seeded =
+          if (PartitionedUpsert.currentManifest(spark, joinDir).isEmpty)
+            try {
+              JoinMaintain.initJoin(spark, factDir, dimDir, joinDir,
+                fkCol, joinBuckets)
+              true // seeded at the just-merged fact version — current
+            } catch {
+              case _: IllegalStateException |
+                   _: java.util.ConcurrentModificationException => false
+            }
+          else false
+        if (!seeded)
+          JoinMaintain.maintainJoin(spark, factDir, dimDir, joinDir): Unit
       }
       .start()
   }
