@@ -243,9 +243,21 @@ object IvfIndex {
         cid -> (m.paths.getOrElse(cid, Seq.empty) ++
           written.getOrElse(cid, Seq.empty))
       }.toMap
-      AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
+      try AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
         body(m.copy(version = m.version + 1, paths = merged,
           txns = m.txns ++ txn)))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // same-txn publish race (zombie vs takeover driver replaying
+          // one micro-batch): if the winner recorded OUR txn, this
+          // replay already happened — succeed instead of failing the
+          // query (mirror of PartitionedUpsert.merge's recovery). The
+          // loser's staged files are unreferenced and age out via
+          // vacuum, like any crashed-before-publish staging dir.
+          if (!txn.exists { case (app, ver) =>
+            currentManifest(spark, dir).exists(_.txns.get(app).exists(_ >= ver))
+          }) throw e
+      }
     } finally { pinned.unpersist(); () }
   }
 

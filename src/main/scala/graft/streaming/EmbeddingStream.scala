@@ -27,7 +27,13 @@ object EmbeddingStream {
     val spark = vectors.sparkSession
     // fail at START if the index is missing — not per batch
     IvfIndex.codebook(spark, indexDir): Unit
-    vectors
+    // cross-batch redelivery dedup: the txn guard only skips WHOLE
+    // replayed micro-batches; an at-least-once upstream re-sending a
+    // vec_id in a LATER batch would silently duplicate the vector in
+    // an append-only index (the contract's "one wrong answer") — the
+    // same stale-redelivery rationale as partitionedUpsertSink's
+    // dropDuplicates(lsn), keyed here by the vector identity
+    vectors.dropDuplicates("vec_id")
       .writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)

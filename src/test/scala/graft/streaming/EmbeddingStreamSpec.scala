@@ -62,6 +62,19 @@ class EmbeddingStreamSpec extends SparkSpec {
     assert(stored.length === 45, s"expected 45 distinct ids, got ${stored.length}")
     assert(stored.forall(_.getLong(1) === 1L),
       "no vector may be assigned twice after the restart")
+    // wave 3: an at-least-once upstream REDELIVERS wave-1 vectors in a
+    // brand-new batch (different batchId — the txn guard alone cannot
+    // catch it) alongside genuinely new ids: the cross-batch vec_id
+    // dedup must drop the stale copies, state surviving the restart
+    val w3 = emb.filter(col("vec_id") >= 45 && col("vec_id") < 50).collect()
+    writeWave(srcDir, "f3.json", (w1 ++ w3).toSeq)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val stored3 = IvfIndex.readVectors(spark, idxDir)
+      .groupBy(col("vec_id")).count().collect()
+    assert(stored3.length === 50, s"expected 50 distinct ids, got ${stored3.length}")
+    assert(stored3.forall(_.getLong(1) === 1L),
+      "a redelivered vec_id in a later batch must not re-enter the index")
     // appended vectors are findable through the index
     val hits = IvfIndex.search(spark, idxDir,
         emb.filter(col("vec_id") < 5), k = 5, nprobe = 4)
