@@ -223,6 +223,43 @@ object LlmQueries2 {
       .orderBy($"label")
   }
 
+  /** Edit-distance (Levenshtein) fuzzy dedup over prefix blocks — the
+    * short-string dedup flavor (titles, queries, boilerplate lines)
+    * complementing the token/shingle/vector families: pairs of docs
+    * whose normalized 40-char titles are within edit distance 3,
+    * candidates generated ONLY inside 16-char-prefix blocks (probed:
+    * max block 3 at sf0.01, 10 at sf0.1 — the blocked self-join is
+    * bounded; at 100 TB a hot boilerplate prefix wants the NearDup
+    * bucket-cap-with-overflow-flag treatment, documented not hidden).
+    * Ten twins planted in-query (ids above max(doc_id), the
+    * q_llm_cosine_neardup derivation) with one substitution at char
+    * 20 — inside the block, distance 1 — so the detector is
+    * non-vacuous at any scale. Spark evaluates the THRESHOLDED
+    * levenshtein (banded DP, early exit at k=3 — O(k·n) not O(n·m));
+    * the returned distance equals DuckDB's unbounded one whenever it
+    * survives the filter, which is exactly the rows compared. */
+  def qLlmEditDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.table(spark, dir, "documents")
+      .select($"doc_id", substring(lower($"text"), 1, 40).as("title"))
+    // 1-row aggregate broadcasts; planted ids derived, never hard-coded
+    val mx = src.agg(max($"doc_id").as("mx"))
+    val planted = src.filter($"doc_id" < 10 && length($"title") >= 40)
+      .crossJoin(mx)
+      .select(($"doc_id" + $"mx" + 1).as("doc_id"),
+        concat(substring($"title", 1, 19), lit("~"),
+          substring($"title", 21, 20)).as("title"))
+    val all = src.unionByName(planted)
+      .withColumn("blk", substring($"title", 1, 16))
+    val a = all.select($"doc_id".as("doc_a"), $"title".as("ta"), $"blk")
+    val b = all.select($"doc_id".as("doc_b"), $"title".as("tb"), $"blk")
+    a.join(b, Seq("blk")).filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"ta", $"tb", 3).cast("long").as("dist"))
+      .filter($"dist" >= 0)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Embedding-cosine near-dup, oracled end-to-end: the corpus has no
     * organic near-duplicate vectors (max label-blocked cosine 0.475 —
     * probed), so 20 perturbed twins (v + 0.05 element-wise, in DOUBLE
@@ -365,6 +402,7 @@ object LlmQueries2 {
     "q_llm_repetition" -> (qLlmRepetition _),
     "q_llm_bigram_lm" -> (qLlmBigramLm _),
     "q_llm_cosine_neardup" -> (qLlmCosineNeardup _),
+    "q_llm_editdist" -> (qLlmEditDist _),
     "q_llm_centroid" -> (qLlmCentroid _),
     "q_llm_minhash" -> (qLlmMinhash _),
     "q_llm_clean" -> (qLlmClean _),
@@ -377,6 +415,28 @@ object LlmQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB computes the UNBOUNDED levenshtein then filters <= 3;
+    // Spark's thresholded form returns the same distance for every
+    // surviving row (and -1 only for rows both engines discard)
+    "q_llm_editdist" ->
+      """WITH src AS (
+        |  SELECT doc_id, substr(lower(text), 1, 40) AS title
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) AS m FROM documents),
+        |planted AS (
+        |  SELECT doc_id + (SELECT m FROM mx) + 1 AS doc_id,
+        |    substr(title, 1, 19) || '~' || substr(title, 21, 20) AS title
+        |  FROM src WHERE doc_id < 10 AND length(title) >= 40),
+        |everything AS (
+        |  SELECT doc_id, title, substr(title, 1, 16) AS blk FROM src
+        |  UNION ALL
+        |  SELECT doc_id, title, substr(title, 1, 16) AS blk FROM planted)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.title, b.title)::BIGINT AS dist
+        |FROM everything a JOIN everything b
+        |  ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_llm_repetition" ->
       """WITH planted AS (
         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
