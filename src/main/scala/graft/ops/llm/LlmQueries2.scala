@@ -223,6 +223,75 @@ object LlmQueries2 {
       .orderBy($"label")
   }
 
+  /** Context-window chunking — the RAG/pretraining chunker: each doc
+    * splits into overlapping token windows (32 tokens, stride 24 —
+    * sized to the corpus; real pipelines use 512/384, same algebra).
+    * Per chunk: index, token count, and an md5 fingerprint of the
+    * re-joined window proving the SLICING (boundaries, overlap, short
+    * tail) matches cross-engine token-for-token, not just counts.
+    * Shape: narrow per-doc explode — the token array is materialized
+    * BEFORE the explode (lambda-inlining rule), window starts come
+    * from `sequence`, and nothing shuffles until the contract's
+    * presentation orderBy. At 100 TB this is a map-only stage. */
+  def qLlmChunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.table(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 1)
+    toks
+      .select($"doc_id", $"t",
+        explode(sequence(lit(0), size($"t") - 1, lit(24))).as("s"))
+      .select($"doc_id", expr("s DIV 24").as("chunk_idx"),
+        slice($"t", $"s" + 1, lit(32)).as("c"))
+      .select($"doc_id", $"chunk_idx",
+        size($"c").cast("long").as("n_tokens"),
+        md5(array_join($"c", " ")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Sequence packing — deterministic assignment of docs to
+    * fixed-token-budget bins (2048 here) in (lang, doc_id) order: the
+    * context-window packing step of a pretraining pipeline, with
+    * per-bin fill-ratio observability. A doc's bin is where its
+    * running token count STARTS — exactly the greedy sequential
+    * packer, but expressed as a prefix sum so it distributes.
+    *
+    * Scale shape — the naive form is a single window partitioned by
+    * lang, which serializes EVERY doc of a language into one task (the
+    * classic cumsum scale-killer). This implementation is the
+    * distributed prefix sum instead: (1) within-BUCKET cumsum, windows
+    * partitioned by (lang, doc_id DIV 1024) — thousands of bounded
+    * parallel partitions; (2) per-bucket totals cumsum'd in a window
+    * over the tiny bucket-summary frame (rows = #buckets, not #docs);
+    * (3) broadcast-join the bucket offsets back. Identical result to
+    * the serial window, proven by the oracle hash match (DuckDB runs
+    * the ONE-window serial form). */
+  def qLlmPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.table(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n"),
+        expr("doc_id DIV 1024").as("bkt"))
+    val inBucket = Window.partitionBy($"lang", $"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = toks.withColumn("brun", sum($"n").over(inBucket))
+    // tiny frame: one row per (lang, bucket) — the serial window runs
+    // over THIS, never over the docs
+    val offsets = cum.groupBy($"lang", $"bkt")
+      .agg(max($"brun").as("btot"))
+      .withColumn("off",
+        coalesce(sum($"btot").over(
+          Window.partitionBy($"lang").orderBy($"bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"lang", $"bkt", $"off")
+    cum.join(broadcast(offsets), Seq("lang", "bkt"))
+      .select($"lang", expr("(off + brun - n) DIV 2048").as("bin"), $"n")
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("docs"), sum($"n").as("tokens"),
+        round(sum($"n") / lit(2048.0), 4).as("fill"))
+      .orderBy($"lang", $"bin")
+  }
+
   /** Edit-distance (Levenshtein) fuzzy dedup over prefix blocks — the
     * short-string dedup flavor (titles, queries, boilerplate lines)
     * complementing the token/shingle/vector families: pairs of docs
@@ -403,6 +472,8 @@ object LlmQueries2 {
     "q_llm_bigram_lm" -> (qLlmBigramLm _),
     "q_llm_cosine_neardup" -> (qLlmCosineNeardup _),
     "q_llm_editdist" -> (qLlmEditDist _),
+    "q_llm_chunk" -> (qLlmChunk _),
+    "q_llm_pack" -> (qLlmPack _),
     "q_llm_centroid" -> (qLlmCentroid _),
     "q_llm_minhash" -> (qLlmMinhash _),
     "q_llm_clean" -> (qLlmClean _),
@@ -415,6 +486,35 @@ object LlmQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    // the md5 over the re-joined window proves slicing parity
+    // token-for-token (boundaries, overlap, short tails)
+    "q_llm_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |starts AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, s // 24 AS chunk_idx, t[s + 1 : s + 32] AS c
+        |  FROM starts)
+        |SELECT doc_id, chunk_idx, len(c)::BIGINT AS n_tokens,
+        |  md5(list_aggregate(c, 'string_agg', ' ')) AS chunk_md5
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    // DuckDB runs the SERIAL one-window prefix sum; Spark runs the
+    // distributed bucketed form — the hash match proves equivalence
+    "q_llm_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n FROM documents),
+        |cum AS (
+        |  SELECT doc_id, lang, n,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |                 ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM toks),
+        |bins AS (SELECT lang, (run - n) // 2048 AS bin, n FROM cum)
+        |SELECT lang, bin, count(*)::BIGINT AS docs,
+        |  sum(n)::BIGINT AS tokens, round(sum(n) / 2048.0, 4) AS fill
+        |FROM bins GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     // DuckDB computes the UNBOUNDED levenshtein then filters <= 3;
     // Spark's thresholded form returns the same distance for every
     // surviving row (and -1 only for rows both engines discard)
