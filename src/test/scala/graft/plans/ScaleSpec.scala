@@ -116,6 +116,49 @@ class ScaleSpec extends SparkSpec {
       .withColumn("codes", Quantize.int8Codes($"v", $"scale")), "quantize")
   }
 
+  test("q_llm_chunk shuffles only for presentation; q_llm_pack's " +
+      "doc-sized window partitions by (lang, bkt) — the serial per-lang " +
+      "window exists only over the bucket-summary aggregate") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    // chunking: the ONLY exchange is the contract's presentation sort
+    val chunk = graft.ops.llm.LlmQueries2.qLlmChunk(spark, sfSmoke)
+    chunk.collect()
+    val cex = walk(chunk.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(cex.nonEmpty, "expected the presentation sort exchange")
+    cex.foreach(e => assert(
+      e.outputPartitioning.isInstanceOf[RangePartitioning],
+      s"chunking must be map-only before the orderBy — found a " +
+        s"non-range exchange: ${e.outputPartitioning}"))
+    // packing: every window over doc-sized input keys (lang, bkt);
+    // any per-lang-only window consumes the per-bucket AGGREGATE
+    val pack = graft.ops.llm.LlmQueries2.qLlmPack(spark, sfSmoke)
+    pack.collect()
+    val wins = walk(pack.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window nodes in the packing plan")
+    val (serial, bucketed) = wins.partition(_.partitionSpec.size == 1)
+    assert(bucketed.nonEmpty,
+      "the doc cumsum must partition by (lang, bkt), not lang alone")
+    serial.foreach(w => assert(
+      walk(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
+      s"a per-lang window may only run over the bucket-summary " +
+        s"aggregate, not raw docs:\n$w"))
+  }
+
   test("compactSalted: hot key spreads across (key, salt) reducers") {
     import spark.implicits._
     val log = (0L until 1000L).map(i => (i, 7L, "u", i * 1.0))
