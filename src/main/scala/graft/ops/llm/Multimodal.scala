@@ -168,6 +168,85 @@ object Multimodal {
       width.as("width"), height.as("height"))
   }
 
+  /** WAV (canonical RIFF/PCM 44-byte header) metadata from the binary
+    * payload — the audio sibling of [[headerMeta]]. All multi-byte
+    * fields are LITTLE-endian, parsed by byte-swapping the hex
+    * transcript before the base-16 conversion (the reverse of PNG's
+    * big-endian reads). Non-canonical layouts (extra chunks between
+    * fmt and data) yield format=unknown rather than garbage — a
+    * production scanner walks chunk lengths, which is a kernel, not
+    * an expression; this is the honest expression-level boundary,
+    * same trade as JPEG's SOF0-only decode. Returns the RAW header
+    * fields; derived quantities (sample count, duration) belong to
+    * the caller, where integer-DIV semantics are explicit. */
+  def wavMeta(payload: Column): Column = {
+    val h = upper(hex(payload))
+    def le(start: Int, nBytes: Int): Column = conv(concat(
+      (0 until nBytes).reverse.map(b => substring(h, start + 2 * b, 2)): _*),
+      16, 10).cast(LongType)
+    val isWav = length(h) >= 88 &&
+      substring(h, 1, 8) === "52494646" &&   // "RIFF"
+      substring(h, 17, 8) === "57415645" &&  // "WAVE"
+      substring(h, 25, 8) === "666D7420" &&  // "fmt "
+      substring(h, 73, 8) === "64617461"     // "data" at the PCM offset
+    struct(
+      when(isWav, "wav").otherwise("unknown").as("format"),
+      when(isWav, le(45, 2)).as("channels"),
+      when(isWav, le(49, 4)).as("sample_rate"),
+      when(isWav, le(65, 2)).as("block_align"),
+      when(isWav, le(69, 2)).as("bits"),
+      when(isWav, le(81, 4)).as("data_bytes"))
+  }
+
+  /** Oracled audio-header extraction (`q_mm_audio`): canonical WAV
+    * payloads with per-family sample rate / channels / bit depth /
+    * sample count (plus opaque non-audio payloads) are built in-query
+    * from hex templates — every little-endian field byte-swapped into
+    * place — roundtripped through unhex → BinaryType, and parsed back
+    * by [[wavMeta]] FROM the binary; duration derives via integer DIV
+    * on both engines. The hash match proves the LE offset arithmetic
+    * cross-engine (the q_mm_meta proof pattern, opposite endianness). */
+  def qMmAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def leHex(c: Column, nBytes: Int): Column = {
+      val be = lpad(hex(c), 2 * nBytes, "0")
+      concat((0 until nBytes).map(b => substring(be, 2 * b + 1, 2)).reverse: _*)
+    }
+    val d = graft.Tables.table(spark, dir, "documents")
+      .select($"doc_id")
+      .withColumn("family", $"doc_id" % 23)
+      .withColumn("rate",
+        when($"family" % 5 === 0, 8000L).when($"family" % 5 === 1, 16000L)
+          .when($"family" % 5 === 2, 22050L).when($"family" % 5 === 3, 44100L)
+          .otherwise(48000L))
+      .withColumn("ch", lit(1L) + $"family" % 2)
+      .withColumn("bits",
+        when($"family" % 3 === 0, 8L).when($"family" % 3 === 1, 16L)
+          .otherwise(32L))
+      .withColumn("nsamp", lit(1000L) + $"family" * 977L)
+      .withColumn("align", expr("ch * bits DIV 8"))
+      .withColumn("dsz", $"nsamp" * $"align")
+      .withColumn("brate", $"rate" * $"align")
+    val phex = when($"family" % 4 === 3,
+        upper(md5(concat(lit("opaque"), $"family"))))
+      .otherwise(concat(
+        lit("52494646"), lit("00000000"), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"),
+        leHex($"ch", 2), leHex($"rate", 4), leHex($"brate", 4),
+        leHex($"align", 2), leHex($"bits", 2),
+        lit("64617461"), leHex($"dsz", 4),
+        upper(md5(concat(lit("wavtail"), $"family")))))
+    d.withColumn("payload", unhex(phex))
+      .withColumn("meta", wavMeta($"payload"))
+      .select($"doc_id", $"meta.format".as("format"),
+        $"meta.channels".as("channels"),
+        $"meta.sample_rate".as("sample_rate"), $"meta.bits".as("bits"),
+        expr("meta.data_bytes DIV meta.block_align").as("n_samples"),
+        expr("(meta.data_bytes DIV meta.block_align) * 1000 " +
+          "DIV meta.sample_rate").as("duration_ms"))
+      .orderBy($"doc_id")
+  }
+
   /** Oracled header-metadata extraction (`q_mm_meta`): deterministic
     * PNG / JPEG / opaque payloads are built in-query from hex
     * templates with per-family dimensions, roundtripped through
@@ -201,7 +280,8 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_dedup" -> (qMmDedup _),
-    "q_mm_meta" -> (qMmMeta _))
+    "q_mm_meta" -> (qMmMeta _),
+    "q_mm_audio" -> (qMmAudio _))
 
   val oracle: Map[String, String] = Map(
     "q_mm_dedup" ->
@@ -226,6 +306,80 @@ object Multimodal {
         |  min(mime) AS mime, min(width) AS width, min(height) AS height
         |FROM m GROUP BY phex
         |ORDER BY keeper_id""".stripMargin,
+    // every LE field is byte-swapped into place on BOTH the build and
+    // the parse side; casts guarded behind the iswav flag (an opaque
+    // 16-byte payload has no chars at the field offsets)
+    "q_mm_audio" ->
+      """WITH d AS (SELECT doc_id, doc_id % 23 AS family FROM documents),
+        |p AS (
+        |  SELECT doc_id, family,
+        |    (CASE family % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |          WHEN 2 THEN 22050 WHEN 3 THEN 44100
+        |          ELSE 48000 END)::BIGINT AS rate,
+        |    (1 + family % 2)::BIGINT AS ch,
+        |    (CASE family % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+        |          ELSE 32 END)::BIGINT AS bits,
+        |    (1000 + family * 977)::BIGINT AS nsamp
+        |  FROM d),
+        |hexed AS (
+        |  SELECT *, ch * bits // 8 AS align, nsamp * (ch * bits // 8) AS dsz,
+        |    rate * (ch * bits // 8) AS brate
+        |  FROM p),
+        |le AS (
+        |  SELECT *,
+        |    substr(lpad(hex(ch),4,'0'),3,2) ||
+        |      substr(lpad(hex(ch),4,'0'),1,2) AS chLE,
+        |    substr(lpad(hex(rate),8,'0'),7,2) ||
+        |      substr(lpad(hex(rate),8,'0'),5,2) ||
+        |      substr(lpad(hex(rate),8,'0'),3,2) ||
+        |      substr(lpad(hex(rate),8,'0'),1,2) AS rateLE,
+        |    substr(lpad(hex(align),4,'0'),3,2) ||
+        |      substr(lpad(hex(align),4,'0'),1,2) AS alignLE,
+        |    substr(lpad(hex(bits),4,'0'),3,2) ||
+        |      substr(lpad(hex(bits),4,'0'),1,2) AS bitsLE,
+        |    substr(lpad(hex(dsz),8,'0'),7,2) ||
+        |      substr(lpad(hex(dsz),8,'0'),5,2) ||
+        |      substr(lpad(hex(dsz),8,'0'),3,2) ||
+        |      substr(lpad(hex(dsz),8,'0'),1,2) AS dszLE,
+        |    substr(lpad(hex(brate),8,'0'),7,2) ||
+        |      substr(lpad(hex(brate),8,'0'),5,2) ||
+        |      substr(lpad(hex(brate),8,'0'),3,2) ||
+        |      substr(lpad(hex(brate),8,'0'),1,2) AS brLE
+        |  FROM hexed),
+        |payloads AS (
+        |  SELECT doc_id,
+        |    CASE WHEN family % 4 = 3 THEN upper(md5('opaque' || family))
+        |    ELSE '52494646' || '00000000' || '57415645' || '666D7420' ||
+        |      '10000000' || '0100' || chLE || rateLE || brLE || alignLE ||
+        |      bitsLE || '64617461' || dszLE || upper(md5('wavtail' || family))
+        |    END AS phex
+        |  FROM le),
+        |parsed AS (SELECT doc_id, upper(hex(unhex(phex))) AS h FROM payloads),
+        |flagged AS (
+        |  SELECT doc_id, h,
+        |    length(h) >= 88 AND substr(h,1,8) = '52494646'
+        |      AND substr(h,17,8) = '57415645' AND substr(h,25,8) = '666D7420'
+        |      AND substr(h,73,8) = '64617461' AS iswav
+        |  FROM parsed),
+        |meta AS (
+        |  SELECT doc_id, iswav,
+        |    CASE WHEN iswav THEN ('0x' || substr(h,47,2) ||
+        |      substr(h,45,2))::BIGINT END AS channels,
+        |    CASE WHEN iswav THEN ('0x' || substr(h,55,2) || substr(h,53,2) ||
+        |      substr(h,51,2) || substr(h,49,2))::BIGINT END AS sample_rate,
+        |    CASE WHEN iswav THEN ('0x' || substr(h,67,2) ||
+        |      substr(h,65,2))::BIGINT END AS block_align,
+        |    CASE WHEN iswav THEN ('0x' || substr(h,71,2) ||
+        |      substr(h,69,2))::BIGINT END AS bits,
+        |    CASE WHEN iswav THEN ('0x' || substr(h,87,2) || substr(h,85,2) ||
+        |      substr(h,83,2) || substr(h,81,2))::BIGINT END AS dsz
+        |  FROM flagged)
+        |SELECT doc_id,
+        |  CASE WHEN iswav THEN 'wav' ELSE 'unknown' END AS format,
+        |  channels, sample_rate, bits,
+        |  dsz // block_align AS n_samples,
+        |  (dsz // block_align) * 1000 // sample_rate AS duration_ms
+        |FROM meta ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       """WITH d AS (SELECT doc_id, doc_id % 37 AS family FROM documents),
         |dims AS (
