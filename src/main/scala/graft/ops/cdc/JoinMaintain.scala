@@ -56,7 +56,12 @@ object JoinMaintain {
                dimCols: Seq[String]): DataFrame = {
     require(factCols.contains(fkCol),
       s"fk column '$fkCol' must be one of the fact value columns")
-    val overlap = (Set(pkCol) ++ factCols).intersect(dimCols.toSet)
+    require(!dimCols.contains(dkCol),
+      s"dim key '$dkCol' may not repeat among the dim value columns")
+    // dkCol included: a dim key named like the fact fk (the standard
+    // same-name star-schema join) would otherwise pass this guard and
+    // die later as an ambiguous-reference AnalysisException
+    val overlap = (Set(pkCol) ++ factCols).intersect((dkCol +: dimCols).toSet)
     require(overlap.isEmpty,
       s"fact and dim column names must be disjoint (clash: $overlap) — " +
         s"alias one side before materializing the join")
@@ -80,23 +85,39 @@ object JoinMaintain {
   def deltaApply(priorJ: DataFrame, factDiff: DataFrame, dimKeys: DataFrame,
                  dim2: DataFrame, pkCol: String, fkCol: String, dkCol: String,
                  factCols: Seq[String], dimCols: Seq[String]): DataFrame = {
-    // fact side changed: re-derive the whole row from the after-image
-    val factUpserts = factDiff.filter(col("after").isNotNull)
-      .select(col(pkCol) +: factCols.map(c => col(s"after.$c").as(c)): _*)
-    val factDeletes = factDiff.filter(col("after").isNull).select(col(pkCol))
-    // dim side changed, fact side untouched: the prior row's fact
-    // columns are still current — only its dim columns re-derive.
-    // Unmatched rows participate too (fk ∈ dimKeys with a fresh dim
-    // INSERT is exactly the dangling-fk resurrection path).
-    val dimTouched = priorJ
-      .join(dimKeys.select(col(dkCol)), col(fkCol) === col(dkCol), "left_semi")
-      .join(factUpserts.select(col(pkCol)), Seq(pkCol), "left_anti")
-      .join(factDeletes, Seq(pkCol), "left_anti")
-      .select(col(pkCol) +: factCols.map(col): _*)
+    val (factUpserts, factDeletes, dimTouched) = deltaRows(priorJ, factDiff,
+      dimKeys, pkCol, fkCol, dkCol, factCols, broadcastDimKeys = false)
     val recomputed = fullJoin(factUpserts.unionByName(dimTouched), dim2,
       pkCol, fkCol, dkCol, factCols, dimCols)
     val touched = recomputed.select(col(pkCol)).unionByName(factDeletes)
     priorJ.join(touched, Seq(pkCol), "left_anti").unionByName(recomputed)
+  }
+
+  /** The delta row-selection shared by the pure algebra ([[deltaApply]],
+    * which the oracled twin proves) and the table-backed step
+    * ([[maintainJoin]]) — ONE copy, so the two cannot drift apart and
+    * the oracle keeps vouching for what the tables run.
+    * Fact side changed → the whole row re-derives from the after-image;
+    * fact deletes delete; dim side changed with fact side untouched →
+    * the prior row's fact columns are still current, only its dim
+    * columns re-derive (unmatched rows participate: fk ∈ dimKeys with
+    * a fresh dim INSERT is exactly the dangling-fk resurrection path). */
+  private def deltaRows(priorJ: DataFrame, factDiff: DataFrame,
+                        dimKeys: DataFrame, pkCol: String, fkCol: String,
+                        dkCol: String, factCols: Seq[String],
+                        broadcastDimKeys: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val factUpserts = factDiff.filter(col("after").isNotNull)
+      .select(col(pkCol) +: factCols.map(c => col(s"after.$c").as(c)): _*)
+    val factDeletes = factDiff.filter(col("after").isNull).select(col(pkCol))
+    val dk = dimKeys.select(col(dkCol))
+    val dimTouched = priorJ
+      .join(if (broadcastDimKeys) broadcast(dk) else dk,
+        col(fkCol) === col(dkCol), "left_semi")
+      .join(factUpserts.select(col(pkCol)), Seq(pkCol), "left_anti")
+      .join(factDeletes, Seq(pkCol), "left_anti")
+      .select(col(pkCol) +: factCols.map(col): _*)
+    (factUpserts, factDeletes, dimTouched)
   }
 
   // -------------------------------------------------------------------
@@ -165,9 +186,31 @@ object JoinMaintain {
     * already current (two manifest lookups, zero data reads).
     * Idempotent: the merge advances both source cursors in the SAME
     * atomic manifest write as the data; a crash before commit leaves
-    * the prior materialization readable and the step simply re-runs. */
+    * the prior materialization readable and the step simply re-runs.
+    * Concurrent maintainers (a fact-cadence sink plus a dim-cadence
+    * one) resolve by retrying once from fresh manifests: the loser of
+    * the publish race — or a step whose window another maintainer
+    * partially applied first — recomputes against the winner's
+    * cursors, where the remaining window shrinks to what is genuinely
+    * unapplied. */
   def maintainJoin(spark: SparkSession, factDir: String, dimDir: String,
-                   joinDir: String): ((Long, Long), (Long, Long)) = {
+                   joinDir: String): ((Long, Long), (Long, Long)) =
+    try attemptMaintain(spark, factDir, dimDir, joinDir)
+    catch {
+      case _: java.util.ConcurrentModificationException =>
+        attemptMaintain(spark, factDir, dimDir, joinDir)
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("is already applied") =>
+        // another maintainer advanced one of OUR cursors between this
+        // step's manifest read and its merge — re-resolve and redo the
+        // (now smaller) remaining window
+        attemptMaintain(spark, factDir, dimDir, joinDir)
+    }
+
+  private def attemptMaintain(spark: SparkSession, factDir: String,
+                              dimDir: String, joinDir: String)
+      : ((Long, Long), (Long, Long)) = {
     val jm = manifestOf(spark, joinDir)
     val fm = manifestOf(spark, factDir)
     val dm = manifestOf(spark, dimDir)
@@ -182,18 +225,15 @@ object JoinMaintain {
       (if (tF > fF) Seq(app(factDir) -> tF) else Nil) ++
         (if (tD > fD) Seq(app(dimDir) -> tD) else Nil)
 
-    val emptyFactDiff = {
-      val j = PartitionedUpsert.read(spark, joinDir)
-      AggMaintain.diffImages(
-        j.select((pk +: factCols).map(col): _*).limit(0),
-        j.select((pk +: factCols).map(col): _*).limit(0),
-        Seq(pk), factCols)
-    }
     // pinned: the touched-bucket collects inside readForKeys/merge and
     // the change-log build must see the same diff rows
     val factDiff = (if (tF > fF)
       PartitionedUpsert.changesBetweenImages(spark, factDir, fF, tF)
-    else emptyFactDiff).persist()
+    else {
+      val empty = PartitionedUpsert.read(spark, joinDir)
+        .select((pk +: factCols).map(col): _*).limit(0)
+      AggMaintain.diffImages(empty, empty, Seq(pk), factCols)
+    }).persist()
     val dimKeys = (if (tD > fD)
       PartitionedUpsert.changesBetween(spark, dimDir, fD, tD)
         .select(col(dk)).distinct()
@@ -207,17 +247,12 @@ object JoinMaintain {
         PartitionedUpsert.recordTxns(spark, joinDir, cursors)
         return ((fF, tF), (fD, tD))
       }
-      val factUpserts = factDiff.filter(col("after").isNotNull)
-        .select(col(pk) +: factCols.map(c => col(s"after.$c").as(c)): _*)
-      val factDeletes = factDiff.filter(col("after").isNull).select(col(pk))
-      // join rows whose fk hits a changed dim key: narrow fk-filtered
-      // scan of the materialization (key + fact cols), dim keys
-      // broadcast — the one scan-shaped read, see the scaladoc
-      val dimTouched = PartitionedUpsert.read(spark, joinDir)
-        .join(broadcast(dimKeys), col(fk) === col(dk), "left_semi")
-        .join(factUpserts.select(col(pk)), Seq(pk), "left_anti")
-        .join(factDeletes, Seq(pk), "left_anti")
-        .select(col(pk) +: factCols.map(col): _*)
+      // the one scan-shaped read (dimTouched: join rows whose fk hits
+      // a changed dim key — narrow fk-filtered scan, dim keys
+      // broadcast) lives in deltaRows, SHARED with the oracled algebra
+      val (factUpserts, factDeletes, dimTouched) = deltaRows(
+        PartitionedUpsert.read(spark, joinDir), factDiff, dimKeys,
+        pk, fk, dk, factCols, broadcastDimKeys = true)
       val toRecompute = factUpserts.unionByName(dimTouched).persist()
       try {
         // dim side of the recompute: point lookup of exactly the fks
@@ -234,8 +269,16 @@ object JoinMaintain {
           // both cursors are nondecreasing and ≥ one strictly advances
           // per step, so the sum is a strictly increasing step lsn
           .withColumn("__lsn", lit(tF + tD))
-        PartitionedUpsert.mergeWith(spark, joinDir, changeLog, pk, "__lsn",
-          "__op", valueCols, jm.nBuckets, txns = cursors): Unit
+        val touched = PartitionedUpsert.mergeWith(spark, joinDir, changeLog,
+          pk, "__lsn", "__op", valueCols, jm.nBuckets, txns = cursors)
+        // a non-empty window can still net an EMPTY change log (a dim
+        // change whose key no join row references) — mergeWith's
+        // empty-batch fast path then skips the manifest write, so the
+        // cursors must advance here or every later call re-diffs the
+        // same window forever (recordTxns no-ops if a racing step
+        // already advanced them)
+        if (touched.isEmpty)
+          PartitionedUpsert.recordTxns(spark, joinDir, cursors)
         ((fF, tF), (fD, tD))
       } finally { toRecompute.unpersist(); () }
     } finally { factDiff.unpersist(); dimKeys.unpersist(); () }

@@ -151,25 +151,36 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(spark, batch, batchId, targetDir, checkpointDir,
           keyCol, lsnCol, opCol, valueCols, nBuckets)
-        // aggDir lazy init carries the same race guard as the target's:
-        // a racing initializer between the check and initAggregate must
-        // not fail the query — losing the race just means the table
-        // exists, so fall through to the maintenance step
-        val seeded =
-          if (PartitionedUpsert.currentManifest(spark, aggDir).isEmpty)
-            try {
-              AggMaintain.initAggregate(spark, targetDir, aggDir,
-                groupCols, sumCols, aggBuckets)
-              true // seeded at the just-merged version — already current
-            } catch {
-              case _: IllegalStateException |
-                   _: java.util.ConcurrentModificationException => false
-            }
-          else false
-        if (!seeded)
+        seedOrMaintain(spark, aggDir) {
+          AggMaintain.initAggregate(spark, targetDir, aggDir,
+            groupCols, sumCols, aggBuckets): Unit
+        } {
           AggMaintain.maintainAggregate(spark, targetDir, aggDir): Unit
+        }
       }
       .start()
+  }
+
+  /** Derived-table lazy-init plumbing shared by the maintenance sinks
+    * (ONE copy, so the race-guard exception list cannot drift between
+    * them): if the derived target is missing, seed it — a racing
+    * initializer may win between the check and the init, and losing
+    * that race just means the table exists, so fall through to the
+    * maintenance step; a successful seed reflects the just-merged
+    * source version and is already current, so maintenance is skipped
+    * this trigger. */
+  private def seedOrMaintain(spark: SparkSession, derivedDir: String)
+                            (init: => Unit)(maintain: => Unit): Unit = {
+    import graft.ops.cdc.PartitionedUpsert
+    val seeded =
+      if (PartitionedUpsert.currentManifest(spark, derivedDir).isEmpty)
+        try { init; true }
+        catch {
+          case _: IllegalStateException |
+               _: java.util.ConcurrentModificationException => false
+        }
+      else false
+    if (!seeded) maintain
   }
 
   /** The enrichment sibling of [[maintainedAggregateSink]]: one
@@ -185,8 +196,10 @@ object CdcStream {
     * The trigger is fact-driven — a dim-only change propagates at the
     * NEXT fact trigger (document-honest: a dim-triggered refresh wants
     * a second query calling maintainJoin on the dim's own cadence,
-    * which the shared cursors make safe to run concurrently-ish —
-    * conflicting steps resolve through the manifest publish race). */
+    * which the shared cursors make safe — a conflicting step loses the
+    * manifest publish race or hits the already-applied guard, and
+    * maintainJoin retries once from fresh cursors, where the remaining
+    * window shrinks to what is genuinely unapplied). */
   def maintainedJoinSink(changes: DataFrame, factDir: String, dimDir: String,
                          joinDir: String, checkpointDir: String,
                          keyCol: String, lsnCol: String, opCol: String,
@@ -209,22 +222,12 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(spark, batch, batchId, factDir, checkpointDir,
           keyCol, lsnCol, opCol, valueCols, nBuckets)
-        // joinDir lazy init carries the aggregate sink's race guard:
-        // losing the race just means the table exists — fall through
-        // to the maintenance step
-        val seeded =
-          if (PartitionedUpsert.currentManifest(spark, joinDir).isEmpty)
-            try {
-              JoinMaintain.initJoin(spark, factDir, dimDir, joinDir,
-                fkCol, joinBuckets)
-              true // seeded at the just-merged fact version — current
-            } catch {
-              case _: IllegalStateException |
-                   _: java.util.ConcurrentModificationException => false
-            }
-          else false
-        if (!seeded)
+        seedOrMaintain(spark, joinDir) {
+          JoinMaintain.initJoin(spark, factDir, dimDir, joinDir,
+            fkCol, joinBuckets): Unit
+        } {
           JoinMaintain.maintainJoin(spark, factDir, dimDir, joinDir): Unit
+        }
       }
       .start()
   }

@@ -164,6 +164,34 @@ class JoinMaintainSpec extends SparkSpec {
       JoinMaintain.fullJoin(f, d.withColumnRenamed("dname", "cents"),
         "pk", "fk", "dk", FactCols, Seq("cents"))
     }
+    // the standard same-name star-schema hazard: a dim KEY named like
+    // the fact fk must get the clear alias-one-side error, not an
+    // ambiguous-reference AnalysisException later
+    intercept[IllegalArgumentException] {
+      JoinMaintain.fullJoin(f, d.withColumnRenamed("dk", "fk"),
+        "pk", "fk", "fk", FactCols, DimCols)
+    }
+  }
+
+  test("a dim window whose keys no join row references still advances " +
+      "the dim cursor — an empty change log must not re-diff forever") {
+    import spark.implicits._
+    val (factDir, dimDir, joinDir) = freshDirs()
+    seed(factDir, dimDir, joinDir)
+    // dk=55: inserted, referenced by NO fact fk (not even the dangler)
+    PartitionedUpsert.merge(spark, dimDir,
+      Seq((300L, 55L, "c", "fiftyfive")).toDF("lsn", "dk", "op", "dname"),
+      "dk", "lsn", "op", DimCols, 2)
+    val ((fF, tF), (fD, tD)) =
+      JoinMaintain.maintainJoin(spark, factDir, dimDir, joinDir)
+    assert(fF === tF && fD < tD)
+    // the cursor moved despite the empty change log: the next call is
+    // the zero-read fast path, not a re-diff of the same window
+    val ((f2, t2), (d2, dt2)) =
+      JoinMaintain.maintainJoin(spark, factDir, dimDir, joinDir)
+    assert(f2 === t2 && d2 === dt2,
+      "the unreferenced-dim window must be claimed, not re-examined")
+    assertCurrent(factDir, dimDir, joinDir)
   }
 
   test("a zero-row-change window (both sources rebucketed) advances " +
