@@ -224,6 +224,54 @@ object ScaleSmoke {
         ops.cdc.PartitionedUpsert.read(spark, s"$work/am_src"),
         Seq("grp"), Seq("v")).count() }
 
+    // ---- incremental JOIN maintenance cost shape ---------------------
+    val (jmF, jmD, jmJ) = (s"$work/jm_fact", s"$work/jm_dim", s"$work/jm_join")
+    time("join_maintain init (150k x 25)") {
+      // seed: fact + dim upsert targets and the materialized join —
+      // the only O(fact JOIN dim) step in the lifecycle
+      if (!new java.io.File(s"$jmJ/_manifests").exists) {
+        ops.cdc.PartitionedUpsert.init(
+          Tables.table(spark, work, "customer").select(
+            $"c_custkey".as("pk"),
+            round($"c_acctbal" * 100).cast("long").as("cents"),
+            $"c_nationkey".cast("long").as("fk")),
+          jmF, "pk", 64)
+        ops.cdc.PartitionedUpsert.init(
+          Tables.table(spark, work, "nation").select(
+            $"n_nationkey".cast("long").as("dk"), $"n_name".as("dname")),
+          jmD, "dk", 4)
+        ops.cdc.JoinMaintain.initJoin(spark, jmF, jmD, jmJ, "fk", 64)
+      }
+      ops.cdc.JoinMaintain.readJoin(spark, jmJ).count() }
+    time("jm fact-batch + step (10-key)") {
+      // fact window: CDF of <= 10 changed buckets, dim point lookup of
+      // the touched fks, <= 10 join buckets rewritten — O(batch)
+      val batch = Tables.table(spark, work, "customer")
+        .filter($"c_custkey" < 10)
+        .select($"c_custkey".as("pk"),
+          ($"c_custkey" + 200000000L).as("lsn"), lit("u").as("op"),
+          (round($"c_acctbal" * 100).cast("long") + 7L).as("cents"),
+          $"c_nationkey".cast("long").as("fk"))
+      ops.cdc.PartitionedUpsert.merge(spark, jmF, batch,
+        "pk", "lsn", "op", Seq("cents", "fk"), 64)
+      ops.cdc.JoinMaintain.maintainJoin(spark, jmF, jmD, jmJ)
+      ops.cdc.JoinMaintain.readJoin(spark, jmJ).count() }
+    time("jm dim-rename + step (1 key)") {
+      // dim window: ONE renamed key re-derives ~1/25th of the join via
+      // the fk-filtered narrow scan + point lookups — the documented
+      // scan-shaped read, measured here rather than hidden
+      ops.cdc.PartitionedUpsert.merge(spark, jmD,
+        Seq((300000001L, 7L, "u", "RENAMED")).toDF("lsn", "dk", "op", "dname"),
+        "dk", "lsn", "op", Seq("dname"), 4)
+      ops.cdc.JoinMaintain.maintainJoin(spark, jmF, jmD, jmJ)
+      ops.cdc.JoinMaintain.readJoin(spark, jmJ).count() }
+    time("jm full re-join (150k)") {
+      // what each maintenance step above replaces
+      ops.cdc.JoinMaintain.fullJoin(
+        ops.cdc.PartitionedUpsert.read(spark, jmF),
+        ops.cdc.PartitionedUpsert.read(spark, jmD),
+        "pk", "fk", "dk", Seq("cents", "fk"), Seq("dname")).count() }
+
     // ---- skew: one user owns 50% of events ----------------------------
     // AQE skew-split rewrites sort-merge JOIN partitions at runtime;
     // window operators are out of its reach (compact relies on

@@ -249,9 +249,17 @@ object JoinMaintain {
       }
       // the one scan-shaped read (dimTouched: join rows whose fk hits
       // a changed dim key — narrow fk-filtered scan, dim keys
-      // broadcast) lives in deltaRows, SHARED with the oracled algebra
+      // broadcast) lives in deltaRows, SHARED with the oracled
+      // algebra. On a fact-only window the dim key set is empty, so
+      // the scan is replaced by an empty relation outright — the
+      // COMMON trigger path (fact-cadence sinks) must not pay a
+      // join-table scan to semi-join against nothing (measured: the
+      // scan was the bulk of the fact-step cost in the 10x smoke)
+      val priorForDim =
+        if (tD > fD) PartitionedUpsert.read(spark, joinDir)
+        else PartitionedUpsert.read(spark, joinDir).limit(0)
       val (factUpserts, factDeletes, dimTouched) = deltaRows(
-        PartitionedUpsert.read(spark, joinDir), factDiff, dimKeys,
+        priorForDim, factDiff, dimKeys,
         pk, fk, dk, factCols, broadcastDimKeys = true)
       val toRecompute = factUpserts.unionByName(dimTouched).persist()
       try {
