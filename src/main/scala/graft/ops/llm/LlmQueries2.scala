@@ -223,6 +223,29 @@ object LlmQueries2 {
       .orderBy($"label")
   }
 
+  /** Data-mixture report — the per-(lang, source) composition table
+    * every pretraining run is configured against: doc counts, token
+    * totals, and each cell's share of the corpus. Shape: one
+    * (lang, source) groupBy shuffle carrying partial counts; the
+    * share division runs over the POST-AGGREGATION frame (≤ |lang| ×
+    * |source| rows), so its unpartitioned window is driver-trivial at
+    * any corpus size — the window never sees doc-sized data. */
+  def qLlmMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = Tables.table(spark, dir, "documents")
+      .select($"lang", $"source",
+        size(split($"text", " ")).cast("long").as("n"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("docs"), sum($"n").as("tokens"))
+    val all = Window.partitionBy()
+    agg
+      .withColumn("token_share",
+        round($"tokens" / sum($"tokens").over(all), 4))
+      .withColumn("doc_share",
+        round($"docs" / sum($"docs").over(all), 4))
+      .orderBy($"lang", $"source")
+  }
+
   /** Context-window chunking — the RAG/pretraining chunker: each doc
     * splits into overlapping token windows (32 tokens, stride 24 —
     * sized to the corpus; real pipelines use 512/384, same algebra).
@@ -472,6 +495,7 @@ object LlmQueries2 {
     "q_llm_bigram_lm" -> (qLlmBigramLm _),
     "q_llm_cosine_neardup" -> (qLlmCosineNeardup _),
     "q_llm_editdist" -> (qLlmEditDist _),
+    "q_llm_mix" -> (qLlmMix _),
     "q_llm_chunk" -> (qLlmChunk _),
     "q_llm_pack" -> (qLlmPack _),
     "q_llm_centroid" -> (qLlmCentroid _),
@@ -486,6 +510,20 @@ object LlmQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    // shares are a single long/long division of identical aggregates
+    // (no sum-order variance), so round(.,4) is engine-stable
+    "q_llm_mix" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    len(string_split(text, ' '))::BIGINT AS n FROM documents),
+        |agg AS (
+        |  SELECT lang, source, count(*)::BIGINT AS docs,
+        |    sum(n)::BIGINT AS tokens
+        |  FROM t GROUP BY lang, source)
+        |SELECT lang, source, docs, tokens,
+        |  round(tokens / (sum(tokens) OVER ()), 4) AS token_share,
+        |  round(docs / (sum(docs) OVER ()), 4) AS doc_share
+        |FROM agg ORDER BY lang, source""".stripMargin,
     // the md5 over the re-joined window proves slicing parity
     // token-for-token (boundaries, overlap, short tails)
     "q_llm_chunk" ->

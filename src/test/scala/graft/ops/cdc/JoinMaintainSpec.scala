@@ -173,6 +173,28 @@ class JoinMaintainSpec extends SparkSpec {
     }
   }
 
+  test("the already-applied txn error carries the phrase maintainJoin's " +
+      "retry matches on — rewording the require would silently disable " +
+      "concurrent-maintainer recovery") {
+    import spark.implicits._
+    val (factDir, _, _) = freshDirs()
+    PartitionedUpsert.init(
+      Seq((1L, jLong(1L), jLong(10L))).toDF("pk", "cents", "fk"),
+      factDir, "pk", 2)
+    PartitionedUpsert.recordTxns(spark, factDir, Seq("app" -> 5L))
+    val e = intercept[IllegalArgumentException] {
+      PartitionedUpsert.mergeWith(spark, factDir,
+        Seq((9L, 2L, "c", jLong(2L), jLong(10L)))
+          .toDF("lsn", "pk", "op", "cents", "fk"),
+        "pk", "lsn", "op", FactCols, 2,
+        // 5 already applied, 9 not: the partial-overlap path — the
+        // all-applied fast path must NOT swallow it
+        txns = Seq("app" -> 5L, "other" -> 9L))
+    }
+    assert(e.getMessage.contains("is already applied"),
+      s"maintainJoin's retry matches on this phrase: ${e.getMessage}")
+  }
+
   test("a dim window whose keys no join row references still advances " +
       "the dim cursor — an empty change log must not re-diff forever") {
     import spark.implicits._
