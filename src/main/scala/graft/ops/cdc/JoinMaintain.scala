@@ -147,13 +147,23 @@ object JoinMaintain {
     (fk, factCols, names.drop(mi + 1))
   }
 
+  /** Companion fk-index location — nested inside the join dir, which
+    * is inert to PartitionedUpsert (its listings confine to `data/`
+    * and `_manifests/`). */
+  def fkIndexDir(joinDir: String): String = s"$joinDir/_fkidx"
+
   /** Seed the materialized join from both sources' CURRENT committed
     * states (the only O(fact ⋈ dim) step in the lifecycle), recording
     * the (fact, dim) versions it reflects — both reads pinned to the
     * versions the transaction map records (the initAggregate TOCTOU
-    * rule). Returns (factVersion, dimVersion). */
+    * rule). Returns (factVersion, dimVersion).
+    * `fkIndex = true` also builds the [[FkIndex]] companion: dim-side
+    * maintenance then finds rows to re-derive by point lookups instead
+    * of the fk-filtered join-table scan — the hot-dim path. */
   def initJoin(spark: SparkSession, factDir: String, dimDir: String,
-               joinDir: String, fkCol: String, nBuckets: Int): (Long, Long) = {
+               joinDir: String, fkCol: String, nBuckets: Int,
+               fkIndex: Boolean = false,
+               maxRefs: Int = FkIndex.DefaultMaxRefs): (Long, Long) = {
     val fm = manifestOf(spark, factDir)
     val dm = manifestOf(spark, dimDir)
     val pk = fm.keyCol
@@ -166,6 +176,9 @@ object JoinMaintain {
       pk, fkCol, dk, factCols, dimCols)
     PartitionedUpsert.initWith(j, joinDir, pk, nBuckets,
       txns = Seq(app(factDir) -> fm.version, app(dimDir) -> dm.version))
+    if (fkIndex)
+      FkIndex.init(spark, factDir, fkIndexDir(joinDir), fkCol, nBuckets,
+        maxRefs, atVersion = Some(fm.version)): Unit
     (fm.version, dm.version)
   }
 
@@ -254,10 +267,35 @@ object JoinMaintain {
       // the scan is replaced by an empty relation outright — the
       // COMMON trigger path (fact-cadence sinks) must not pay a
       // join-table scan to semi-join against nothing (measured: the
-      // scan was the bulk of the fact-step cost in the 10x smoke)
+      // scan was the bulk of the fact-step cost in the 10x smoke).
+      // With the FkIndex companion, the scan shrinks to point
+      // lookups: index rows for the changed dim keys → their pk lists
+      // → bucket-pruned join reads; only OVERFLOWED (hub) fks still
+      // scan, restricted to just those keys. The frame is a SUPERSET
+      // of the rows deltaRows' semi-join keeps, so the index only
+      // prunes — semantics stay with the one shared deltaRows copy.
       val priorForDim =
-        if (tD > fD) PartitionedUpsert.read(spark, joinDir)
-        else PartitionedUpsert.read(spark, joinDir).limit(0)
+        if (tD <= fD) PartitionedUpsert.read(spark, joinDir).limit(0)
+        else {
+          val idxDir = fkIndexDir(joinDir)
+          if (PartitionedUpsert.currentManifest(spark, idxDir).isEmpty)
+            PartitionedUpsert.read(spark, joinDir)
+          else {
+            // catch the index up to EXACTLY this step's fact target —
+            // pinning keeps a concurrent fact commit from advancing
+            // the index past the window being joined
+            FkIndex.maintain(spark, factDir, idxDir, toVersion = Some(tF))
+            val (pkKeys, hubFks) = FkIndex.lookup(spark, idxDir,
+              dimKeys.select(col(dk).as(fk)))
+            val point = PartitionedUpsert.readForKeys(spark, joinDir,
+              pkKeys.select(col("__pk").as(pk)), pk)
+            if (hubFks.isEmpty) point
+            else point.unionByName(
+              PartitionedUpsert.read(spark, joinDir).join(
+                broadcast(hubFks.select(col(fk).as("__hubfk"))),
+                col(fk) === col("__hubfk"), "left_semi"))
+          }
+        }
       val (factUpserts, factDeletes, dimTouched) = deltaRows(
         priorForDim, factDiff, dimKeys,
         pk, fk, dk, factCols, broadcastDimKeys = true)
