@@ -147,7 +147,8 @@ object AggMaintain {
   // replayed maintenance step a metadata no-op.
   // -------------------------------------------------------------------
 
-  private def srcApp(sourceDir: String): String = s"cdf:$sourceDir"
+  private def srcApp(sourceDir: String): String =
+    PartitionedUpsert.cdfApp(sourceDir)
 
   private def gkeyOf(groupCols: Seq[String]): Column =
     struct(groupCols.map(col): _*)

@@ -19,24 +19,26 @@ import org.apache.spark.sql.functions._
   *
   * Bounded rows: a hub fk (one dim key referenced by half the fact
   * table) would make its pk array a scale hazard, so arrays cap at
-  * `maxRefs` and the row is flagged `overflowed` — STICKY, because a
-  * truncated list can no longer prove completeness. Lookups route
-  * overflowed fks to the fk-filtered scan restricted to just those
-  * keys (correctness never depends on the index being complete; the
-  * index only prunes — the [[JoinMaintain]] integration feeds its
-  * result through the SAME deltaRows semantics as the scan path). */
+  * `maxRefs` — recorded in the index's own manifest at init, so
+  * maintenance can never silently use a different cap — and the row
+  * is flagged `overflowed`, STICKY, because a truncated list can no
+  * longer prove completeness. Lookups route overflowed fks to the
+  * fk-filtered scan restricted to just those keys (correctness never
+  * depends on the index being complete; the index only prunes — the
+  * [[JoinMaintain]] integration feeds its result through the SAME
+  * deltaRows semantics as the scan path). */
 object FkIndex {
 
-  private def app(dir: String): String = s"cdf:$dir"
+  import PartitionedUpsert.{cdfApp, manifestOrFail}
 
   /** Default cap on pks stored per fk before the row is flagged
     * overflowed and lookups fall back to a restricted scan. */
   val DefaultMaxRefs = 16384
 
-  private def manifestOf(spark: SparkSession, dir: String) =
-    PartitionedUpsert.currentManifest(spark, dir).getOrElse(
-      throw new IllegalStateException(
-        s"$dir is not an initialized upsert target"))
+  /** The init-time cap rides the index's txn map under this key (the
+    * map is the manifest's only extensible metadata; a cfg: prefix
+    * keeps it out of the cursor namespace). */
+  private val CapKey = "cfg:maxRefs"
 
   /** Build the index from the fact table's committed state at
     * `atVersion` (default: current), recording the version it reflects
@@ -47,7 +49,7 @@ object FkIndex {
            fkCol: String, nBuckets: Int,
            maxRefs: Int = DefaultMaxRefs,
            atVersion: Option[Long] = None): Long = {
-    val fm0 = manifestOf(spark, factDir)
+    val fm0 = manifestOrFail(spark, factDir)
     val fm = atVersion.fold(fm0)(v => fm0.copy(version = v))
     val pk = fm.keyCol
     val rows = PartitionedUpsert.readVersion(spark, factDir, fm.version)
@@ -56,34 +58,37 @@ object FkIndex {
       .agg(sort_array(collect_list(col(pk))).as("__all"))
       .select(col(fkCol), slice(col("__all"), 1, maxRefs).as("pks"),
         (size(col("__all")) > maxRefs).as("overflowed"))
-    PartitionedUpsert.init(rows, idxDir, fkCol, nBuckets,
-      txn = Some((app(factDir), fm.version)))
+    PartitionedUpsert.initWith(rows, idxDir, fkCol, nBuckets,
+      txns = Seq(cdfApp(factDir) -> fm.version, CapKey -> maxRefs.toLong))
     fm.version
   }
 
-  /** Advance the index to the fact's current version from the CDF.
-    * Only fk TRANSITIONS matter: a row whose fk is unchanged (the
-    * common value-update) contributes nothing, so the delta is usually
-    * far smaller than the change set. Empty transition windows advance
-    * the cursor as a metadata no-op (the mergeWith lesson).
-    * `maxRefs` should match the init-time cap; a mismatch only shifts
-    * WHERE rows overflow (pruning efficiency), never correctness —
-    * overflowed fks always route to the scan fallback.
-    * `toVersion` pins the catch-up target: [[JoinMaintain]] pins it to
-    * the fact version ITS step reads, so a fact commit landing
-    * concurrently cannot advance the index past the window being
-    * joined (which would let a just-retargeted pk vanish from its old
-    * fk's row before that row's dim side re-derived). */
+  /** Advance the index from the fact CDF, to `toVersion` (default:
+    * the fact's current version). Only fk TRANSITIONS matter: a row
+    * whose fk is unchanged (the common value-update) contributes
+    * nothing, so the delta is usually far smaller than the change
+    * set. Empty transition windows advance the cursor as a metadata
+    * no-op (the mergeWith lesson). The cap is read from the index's
+    * own manifest — callers cannot drift it.
+    *
+    * [[JoinMaintain]] pins `toVersion` to the fact version ITS step
+    * reads, so a fact commit landing concurrently cannot advance the
+    * index past the window being joined. Returns (from, to) as
+    * recorded; **from > to means the index is already AHEAD of the
+    * pinned target** (another maintainer advanced it) — the caller
+    * must NOT use the index for a window older than `from` (a pk
+    * retargeted after `to` is already gone from its old fk's row);
+    * JoinMaintain falls back to the scan path in that case. */
   def maintain(spark: SparkSession, factDir: String, idxDir: String,
-               maxRefs: Int = DefaultMaxRefs,
                toVersion: Option[Long] = None): (Long, Long) = {
-    val im = manifestOf(spark, idxDir)
-    val fm = manifestOf(spark, factDir)
-    val from = im.txns.getOrElse(app(factDir),
+    val im = manifestOrFail(spark, idxDir)
+    val fm = manifestOrFail(spark, factDir)
+    val from = im.txns.getOrElse(cdfApp(factDir),
       throw new IllegalStateException(
         s"$idxDir does not index $factDir — init it first"))
+    val maxRefs = im.txns.getOrElse(CapKey, DefaultMaxRefs.toLong).toInt
     val to = toVersion.getOrElse(fm.version)
-    if (to <= from) return (from, from)
+    if (to <= from) return (from, to)
     val pk = fm.keyCol
     val fkCol = im.keyCol
     val moves = PartitionedUpsert.changesBetweenImages(spark, factDir,
@@ -94,7 +99,7 @@ object FkIndex {
       .persist()
     try {
       if (moves.isEmpty) {
-        PartitionedUpsert.recordTxn(spark, idxDir, app(factDir), to)
+        PartitionedUpsert.recordTxn(spark, idxDir, cdfApp(factDir), to)
         return (from, to)
       }
       val delta = moves.filter(col("__ofk").isNotNull)
@@ -128,9 +133,9 @@ object FkIndex {
         col("pks"), col("overflowed"))
       val touched = PartitionedUpsert.mergeWith(spark, idxDir, changeLog,
         fkCol, "__lsn", "__op", Seq("pks", "overflowed"), im.nBuckets,
-        txns = Seq(app(factDir) -> to))
+        txns = Seq(cdfApp(factDir) -> to))
       if (touched.isEmpty)
-        PartitionedUpsert.recordTxn(spark, idxDir, app(factDir), to)
+        PartitionedUpsert.recordTxn(spark, idxDir, cdfApp(factDir), to)
       (from, to)
     } finally { moves.unpersist(); () }
   }
@@ -138,13 +143,17 @@ object FkIndex {
   /** Point-lookup the index for a set of fks: returns (pkKeys,
     * hubFks) — pk rows for the well-indexed fks (feed readForKeys on
     * the join table) and the overflowed fks that still need the
-    * restricted scan. Both frames are bounded by the lookup set. */
+    * restricted scan. readForKeys returns whole touched BUCKETS, so
+    * the rows are re-filtered to the requested fks here — otherwise
+    * an unrelated hub fk sharing a bucket would fire the scan
+    * fallback spuriously. Both frames are bounded by the lookup set. */
   def lookup(spark: SparkSession, idxDir: String,
              fks: DataFrame): (DataFrame, DataFrame) = {
-    val im = manifestOf(spark, idxDir)
+    val im = manifestOrFail(spark, idxDir)
     val fkCol = im.keyCol
     val rows = PartitionedUpsert.readForKeys(spark, idxDir,
-      fks.select(col(fkCol)), fkCol)
+        fks.select(col(fkCol)), fkCol)
+      .join(fks.select(col(fkCol)), Seq(fkCol), "left_semi")
     (rows.filter(!col("overflowed")).select(explode(col("pks")).as("__pk")),
      rows.filter(col("overflowed")).select(col(fkCol)))
   }

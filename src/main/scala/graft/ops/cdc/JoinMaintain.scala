@@ -127,12 +127,10 @@ object JoinMaintain {
   // advanced atomically in the same manifest write as the data merge.
   // -------------------------------------------------------------------
 
-  private def app(dir: String): String = s"cdf:$dir"
+  private def app(dir: String): String = PartitionedUpsert.cdfApp(dir)
 
   private def manifestOf(spark: SparkSession, dir: String) =
-    PartitionedUpsert.currentManifest(spark, dir).getOrElse(
-      throw new IllegalStateException(
-        s"$dir is not an initialized upsert target"))
+    PartitionedUpsert.manifestOrFail(spark, dir)
 
   /** Fact/dim column split and fk recovered from the maintained schema
     * itself (the marker column's position and name). */
@@ -284,16 +282,33 @@ object JoinMaintain {
             // catch the index up to EXACTLY this step's fact target —
             // pinning keeps a concurrent fact commit from advancing
             // the index past the window being joined
-            FkIndex.maintain(spark, factDir, idxDir, toVersion = Some(tF))
-            val (pkKeys, hubFks) = FkIndex.lookup(spark, idxDir,
-              dimKeys.select(col(dk).as(fk)))
-            val point = PartitionedUpsert.readForKeys(spark, joinDir,
-              pkKeys.select(col("__pk").as(pk)), pk)
-            if (hubFks.isEmpty) point
-            else point.unionByName(
-              PartitionedUpsert.read(spark, joinDir).join(
-                broadcast(hubFks.select(col(fk).as("__hubfk"))),
-                col(fk) === col("__hubfk"), "left_semi"))
+            val (idxFrom, _) =
+              FkIndex.maintain(spark, factDir, idxDir, Some(tF))
+            if (idxFrom > tF)
+              // another maintainer already advanced the index PAST
+              // this step's fact window: a pk retargeted after tF is
+              // gone from its old fk's row, so the index cannot
+              // vouch for this older window — scan instead (rare;
+              // only a concurrent-maintainer interleaving gets here)
+              PartitionedUpsert.read(spark, joinDir)
+            else {
+              val (pkKeys, hubFks) = FkIndex.lookup(spark, idxDir,
+                dimKeys.select(col(dk).as(fk)))
+              val point = PartitionedUpsert.readForKeys(spark, joinDir,
+                pkKeys.select(col("__pk").as(pk)), pk)
+              if (hubFks.isEmpty) point
+              else {
+                val hubs =
+                  broadcast(hubFks.select(col(fk).as("__hubfk")))
+                // a prior row whose fk is a hub fk can surface via
+                // BOTH the point read (bucket superset) and the hub
+                // scan — exclude it from the point side so the union
+                // never double-recomputes a row
+                point.join(hubs, col(fk) === col("__hubfk"), "left_anti")
+                  .unionByName(PartitionedUpsert.read(spark, joinDir)
+                    .join(hubs, col(fk) === col("__hubfk"), "left_semi"))
+              }
+            }
           }
         }
       val (factUpserts, factDeletes, dimTouched) = deltaRows(

@@ -137,6 +137,18 @@ object PartitionedUpsert {
   private def dataRel(staging: String, bucket: Long): String =
     s"data/$staging/bucket=$bucket"
 
+  /** Txn-map app id under which a CDF consumer of `dir` records the
+    * last source version it applied — ONE definition (AggMaintain,
+    * JoinMaintain and FkIndex all cursor under this convention; a
+    * drifting copy would silently orphan existing cursors). */
+  def cdfApp(dir: String): String = s"cdf:$dir"
+
+  /** [[currentManifest]] for callers that require the table to exist. */
+  def manifestOrFail(spark: SparkSession, dir: String): Manifest =
+    currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir is not an initialized upsert target"))
+
   /** Highest committed manifest, or None for an uninitialized table. */
   def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
     val fs = fsOf(spark, dir)

@@ -149,6 +149,29 @@ class FkIndexSpec extends SparkSpec {
     }
   }
 
+  test("maintenance caps with the INIT-time recorded maxRefs — a " +
+      "caller cannot silently grow an unflagged hub through catch-up") {
+    import spark.implicits._
+    val (factDir, _, _) = freshDirs()
+    val idxDir = s"$factDir.capidx"
+    PartitionedUpsert.init(
+      Seq((1L, jLong(1L), jLong(10L))).toDF("pk", "cents", "fk"),
+      factDir, "pk", 2)
+    FkIndex.init(spark, factDir, idxDir, "fk", 2, maxRefs = 1)
+    // a second pk lands on fk=10 through MAINTENANCE (no maxRefs arg
+    // anywhere — the cap must come from the index's own manifest)
+    PartitionedUpsert.merge(spark, factDir,
+      Seq((10L, 2L, "c", jLong(2L), jLong(10L)))
+        .toDF("lsn", "pk", "op", "cents", "fk"),
+      "pk", "lsn", "op", FactCols, 2)
+    FkIndex.maintain(spark, factDir, idxDir)
+    val r = PartitionedUpsert.read(spark, idxDir)
+      .filter(col("fk") === 10L).collect().head
+    assert(r.getAs[Boolean]("overflowed"),
+      "2 members past the recorded cap of 1 must flag overflow")
+    assert(r.getAs[Seq[Long]]("pks").length === 1)
+  }
+
   test("lookup is bounded: a 1-fk lookup reads <= 1 index bucket and " +
       "its pk point-read touches <= |pks| join buckets") {
     import spark.implicits._
