@@ -45,11 +45,52 @@ object Resample {
       .orderBy($"user_id", $"slot")
   }
 
+  /** Exponentially-decayed trailing activity score per event: the
+    * last 8 amounts per user, each halved per step of age — the
+    * recency-weighted feature every behavioral model starts from
+    * (bounded-window EWMA). Decay 0.5 is deliberate: every weight is
+    * a dyadic rational, so products and the running sum are EXACT in
+    * doubles — zero cross-engine float drift by construction (the
+    * integer-cents rule, extended to weights). Shape: one window pass
+    * per user (the same (user, event_id) sort q_window_* share); the
+    * trailing frame bounds state at 8 values per row. */
+  def qTsDecay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.table(spark, dir, "events")
+      .select($"user_id", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(-7, Window.currentRow)
+    base.withColumn("trail", collect_list($"cents").over(w))
+      .withColumn("n", size($"trail")) // materialized: lambda-inlining rule
+      .select($"user_id", $"event_id",
+        round(aggregate(
+          transform($"trail", (x, i) => x * pow(lit(0.5), $"n" - 1 - i)),
+          lit(0.0), (acc, x) => acc + x), 4).as("decayed"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_resample" -> (qResample _)
+    "q_resample" -> (qResample _),
+    "q_ts_decay" -> (qTsDecay _)
   )
 
   val oracle: Map[String, String] = Map(
+    // decay 0.5 → dyadic weights → exact doubles on both engines
+    "q_ts_decay" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id,
+        |    list(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |                      ROWS 7 PRECEDING) AS trail
+        |  FROM base)
+        |SELECT user_id, event_id,
+        |  round(list_sum(list_transform(range(len(trail)),
+        |    i -> trail[i + 1] * power(0.5, len(trail) - 1 - i))), 4)
+        |    AS decayed
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
     "q_resample" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, value, date_trunc('hour', ts) AS slot
