@@ -213,9 +213,29 @@ object AggMaintain {
     * Idempotent: the merge carries txn (cdf:<sourceDir>, toVersion),
     * so a replay after a crash-past-commit is a metadata no-op, and a
     * crash before commit leaves the prior aggregate readable with the
-    * step simply re-run. */
+    * step simply re-run. Concurrent maintainers (zombie vs takeover
+    * driver both running a maintenance sink) resolve like
+    * [[JoinMaintain.maintainJoin]]: the loser of the manifest publish
+    * race retries once from fresh manifests, where the remaining
+    * window shrinks to what is genuinely unapplied (possibly empty —
+    * the already-current fast path). */
   def maintainAggregate(spark: SparkSession, sourceDir: String,
-                        aggDir: String): (Long, Long) = {
+                        aggDir: String): (Long, Long) =
+    try attemptMaintain(spark, sourceDir, aggDir)
+    catch {
+      case _: java.util.ConcurrentModificationException =>
+        attemptMaintain(spark, sourceDir, aggDir)
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("is already applied") =>
+        // another maintainer advanced our cursor between this step's
+        // manifest read and its merge — re-resolve; the window is now
+        // smaller or already closed
+        attemptMaintain(spark, sourceDir, aggDir)
+    }
+
+  private def attemptMaintain(spark: SparkSession, sourceDir: String,
+                              aggDir: String): (Long, Long) = {
     val am = PartitionedUpsert.currentManifest(spark, aggDir).getOrElse(
       throw new IllegalStateException(
         s"$aggDir is not an initialized upsert target"))

@@ -50,7 +50,11 @@ object FkIndex {
            maxRefs: Int = DefaultMaxRefs,
            atVersion: Option[Long] = None): Long = {
     val fm0 = manifestOrFail(spark, factDir)
-    val fm = atVersion.fold(fm0)(v => fm0.copy(version = v))
+    // resolve the manifest OF version v, not current-with-version-v:
+    // keyCol/schema must describe the data actually read (the fact's
+    // key or schema may have evolved between v and current)
+    val fm = atVersion.fold(fm0)(v =>
+      PartitionedUpsert.manifestAt(spark, factDir, v))
     val pk = fm.keyCol
     val rows = PartitionedUpsert.readVersion(spark, factDir, fm.version)
       .filter(col(fkCol).isNotNull)

@@ -268,24 +268,32 @@ object PartitionedUpsert {
     // planChunkBounds native-long pattern — integral keys enforced
     // there, loudly); an EMPTY snapshot has no distribution to plan
     // from, so it starts as one catch-all bucket and is re-split by
-    // rebucket once data exists
-    val splits: Seq[Long] =
-      if (layout != LayoutRange) Seq.empty
-      else if (snapshot.isEmpty) Seq.empty
-      else Cdc.planChunkBounds(snapshot, keyCol, nBuckets).slice(1, nBuckets)
-    val m0 = Manifest(1L, snapshot.schema, nBuckets, keyCol, txns.toMap,
-      Map.empty, Map.empty, layout, splits)
-    val staging = newStagingName(fs, dir)
-    snapshot
-      .withColumn("bucket", routeExpr(m0, col(keyCol)))
-      .write.mode("errorifexists").partitionBy("bucket")
-      .parquet(s"$dir/data/$staging")
-    val written = listBuckets(fs, s"$dir/data/$staging")
-    // maxLsn = MinValue: untouched-since-init, skippable for any since
-    val st = stagedStats(spark, fs, dir, staging, written, keyCol,
-      snapshot.schema(keyCol).dataType, _ => Some(Long.MinValue))
-    writeManifest(fs, dir, m0.copy(
-      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st))
+    // rebucket once data exists. The snapshot is PINNED across split
+    // planning and the write (the prepareFrom/IvfIndex.append rule):
+    // for a non-deterministic source an unpersisted pipeline would
+    // re-evaluate per action and the planned splits could describe a
+    // different sample than the data written — placement-only, but
+    // bucket balance would silently degrade.
+    val pinned = if (layout == LayoutRange) snapshot.persist() else snapshot
+    try {
+      val splits: Seq[Long] =
+        if (layout != LayoutRange) Seq.empty
+        else if (pinned.isEmpty) Seq.empty
+        else Cdc.planChunkBounds(pinned, keyCol, nBuckets).slice(1, nBuckets)
+      val m0 = Manifest(1L, pinned.schema, nBuckets, keyCol, txns.toMap,
+        Map.empty, Map.empty, layout, splits)
+      val staging = newStagingName(fs, dir)
+      pinned
+        .withColumn("bucket", routeExpr(m0, col(keyCol)))
+        .write.mode("errorifexists").partitionBy("bucket")
+        .parquet(s"$dir/data/$staging")
+      val written = listBuckets(fs, s"$dir/data/$staging")
+      // maxLsn = MinValue: untouched-since-init, skippable for any since
+      val st = stagedStats(spark, fs, dir, staging, written, keyCol,
+        pinned.schema(keyCol).dataType, _ => Some(Long.MinValue))
+      writeManifest(fs, dir, m0.copy(
+        buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st))
+    } finally if (layout == LayoutRange) { pinned.unpersist(); () }
   }
 
   /** Bootstrap the target from a chunked LIVE-table snapshot plus the
@@ -920,6 +928,18 @@ object PartitionedUpsert {
       throw new IllegalArgumentException(
         s"version $version does not exist (or was vacuumed) at $dir")
     bucketsDf(spark, dir, readManifest(fs, dir, version))
+  }
+
+  /** The committed manifest AS OF a version — the metadata twin of
+    * [[readVersion]], for consumers whose pinned read must also take
+    * keyCol/schema from the SAME version (a later schema evolution
+    * must not be projected onto version-v data). */
+  def manifestAt(spark: SparkSession, dir: String, version: Long): Manifest = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(manifestPath(dir, version)))
+      throw new IllegalArgumentException(
+        s"version $version does not exist (or was vacuumed) at $dir")
+    readManifest(fs, dir, version)
   }
 
   /** Change data feed between two committed versions (the Delta CDF

@@ -549,7 +549,7 @@ object LlmQueries2 {
         |    sum(n) OVER (PARTITION BY lang ORDER BY doc_id
         |                 ROWS UNBOUNDED PRECEDING) AS run
         |  FROM toks),
-        |bins AS (SELECT lang, (run - n) // 2048 AS bin, n FROM cum)
+        |bins AS (SELECT lang, ((run - n) // 2048)::BIGINT AS bin, n FROM cum)
         |SELECT lang, bin, count(*)::BIGINT AS docs,
         |  sum(n)::BIGINT AS tokens, round(sum(n) / 2048.0, 4) AS fill
         |FROM bins GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,

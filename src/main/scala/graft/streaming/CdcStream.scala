@@ -168,7 +168,12 @@ object CdcStream {
     * that race just means the table exists, so fall through to the
     * maintenance step; a successful seed reflects the just-merged
     * source version and is already current, so maintenance is skipped
-    * this trigger. */
+    * this trigger. The catch is NARROW: it only swallows the init
+    * failure when the derived target exists by the time we look again
+    * (the lost-race signature). An init that failed with the target
+    * STILL missing — source genuinely uninitialized, txn key absent —
+    * rethrows the real cause instead of burying it under whatever the
+    * maintain path would say about a table that does not exist. */
   private def seedOrMaintain(spark: SparkSession, derivedDir: String)
                             (init: => Unit)(maintain: => Unit): Unit = {
     import graft.ops.cdc.PartitionedUpsert
@@ -176,8 +181,11 @@ object CdcStream {
       if (PartitionedUpsert.currentManifest(spark, derivedDir).isEmpty)
         try { init; true }
         catch {
-          case _: IllegalStateException |
-               _: java.util.ConcurrentModificationException => false
+          case e @ (_: IllegalStateException |
+                    _: java.util.ConcurrentModificationException) =>
+            if (PartitionedUpsert.currentManifest(spark, derivedDir).isEmpty)
+              throw e // not a lost init race — the target never appeared
+            false
         }
       else false
     if (!seeded) maintain

@@ -16,6 +16,39 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def family(t):
+    """Collapse an arrow type to the driver-equivalent dtype family.
+
+    int8..int64 all land in int64 under the driver's materialization, so
+    they are one family; decimal128 (DuckDB HUGEINT) is NOT — it comes
+    back float64/object and hash-mismatches Spark's int64 even when every
+    value is numerically equal (the q_llm_pack r7 failure class).
+    """
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<" + family(t.value_type) + ">"
+    if pa.types.is_struct(t):
+        return "struct{" + ",".join(
+            f.name + ":" + family(f.type) for f in t) + "}"
+    return str(t)
+
+
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -51,6 +84,21 @@ def main():
         ocols, scols = sorted(odf.column_names), sorted(sdf.column_names)
         if ocols != scols:
             print(f"FAIL {key}: schema mismatch oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        # The driver's compare is TYPED: an uncast DuckDB HUGEINT (e.g. a
+        # window sum, arrow decimal128) materializes as float64 while Spark
+        # writes int64 -> hash mismatch even when every value is equal.
+        # Both sides here come through the same DuckDB->arrow path, so
+        # comparing arrow-type FAMILIES per column catches that class early.
+        # Integer widths (int8..int64) are equivalent under the driver's
+        # materialization; decimal (HUGEINT) is NOT an integer family and
+        # must fail against Spark's int64.
+        dtbad = [(c, str(odf.column(c).type), str(sdf.column(c).type))
+                 for c in ocols
+                 if family(odf.column(c).type) != family(sdf.column(c).type)]
+        if dtbad:
+            print(f"FAIL {key}: dtype mismatch (oracle vs spark): {dtbad}")
             n_fail += 1
             continue
         orows = [[canon(v) for v in row] for row in
