@@ -50,11 +50,39 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+    // Prior per-key medians: the bench_results.json the PREVIOUS round
+    // committed (full precision, not the driver's truncated tail).
+    // Cross-session totals drift ±1.5x with zero code changes, so raw
+    // "slower than last round" is noise; the signal is a key that got
+    // slower RELATIVE to how much this whole session drifted. drift =
+    // median per-key ratio; a key regresses when its ratio exceeds
+    // 1.5x the drift AND the excess is over an absolute floor (sub-
+    // 0.15 s deltas on constant-cost trivia are scheduling jitter).
+    val prior: Map[String, Double] =
+      try {
+        val txt = scala.io.Source.fromFile("bench_results.json").mkString
+        // a prior at a DIFFERENT scale factor is not a baseline —
+        // constant overhead vs data cost mix differently per key
+        if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+        else """"(q_[a-zA-Z0-9_]+)":\{"median":([0-9.]+)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val ratios = results.flatMap { case (k, m, _) =>
+      prior.get(k).filter(_ > 0).map(p => (k, m, p, m / p)) }
+    val drift =
+      if (ratios.isEmpty) 1.0
+      else ratios.map(_._4).sorted.apply(ratios.size / 2)
+    val regressions = ratios.collect {
+      case (k, m, p, r) if r > 1.5 * drift && m - drift * p > 0.15 => k
+    }.sorted
+    val regressionsJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     // Full-precision artifact (all three runs per key) for offline reads.
     val fullQs = results.map { case (k, m, (a, b, c)) =>
-      f""""$k":{"median":$m%.6f,"runs":[$a%.6f,$b%.6f,$c%.6f]}"""
+      val pr = prior.get(k).map(p => f""","prior":$p%.6f""").getOrElse("")
+      f""""$k":{"median":$m%.6f,"runs":[$a%.6f,$b%.6f,$c%.6f]$pr}"""
     }.mkString("{", ",", "}")
-    val full = f"""{"metric":"total","value":$total%.6f,"unit":"sec","reps":3,"stat":"median","queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.6f,"unit":"sec","reps":3,"stat":"median","drift":$drift%.4f,"regressions":$regressionsJson,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_results.json")
       try w.println(full) finally w.close()
@@ -68,7 +96,7 @@ object Bench {
     val qs = results.map { case (k, m, _) => f""""$k":$m%.3f""" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"per_key","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":3,"stat":"median","keys":${results.size},"failed":$failedJson,"detail":"bench_results.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":3,"stat":"median","keys":${results.size},"drift":$drift%.2f,"regressions":$regressionsJson,"failed":$failedJson,"detail":"bench_results.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

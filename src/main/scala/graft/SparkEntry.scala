@@ -31,6 +31,7 @@ object SparkEntry {
       (graft.ops.cdc.Quality.queries, graft.ops.cdc.Quality.oracle),
       (graft.ops.llm.LlmQueries.queries, graft.ops.llm.LlmQueries.oracle),
       (graft.ops.llm.LlmQueries2.queries, graft.ops.llm.LlmQueries2.oracle),
+      (graft.ops.llm.Bpe.queries, graft.ops.llm.Bpe.oracle),
       (graft.ops.llm.Multimodal.queries, graft.ops.llm.Multimodal.oracle)
     )
 

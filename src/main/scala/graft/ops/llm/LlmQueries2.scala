@@ -1,6 +1,6 @@
 package graft.ops.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -256,20 +256,30 @@ object LlmQueries2 {
     * BEFORE the explode (lambda-inlining rule), window starts come
     * from `sequence`, and nothing shuffles until the contract's
     * presentation orderBy. At 100 TB this is a map-only stage. */
-  def qLlmChunk(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val toks = Tables.table(spark, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("t"))
-      .filter(size($"t") >= 1)
+  def qLlmChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(Tables.table(spark, dir, "documents"),
+      split(col("text"), " "))
+
+  /** The chunker over ANY token source — `toksOf` is the tokenizer
+    * mode: `split(text, " ")` is the oracled whitespace default;
+    * [[Bpe.tokensCol]] plugs in tokenizer-accurate windows (real
+    * pretraining chunks on tokenizer tokens, not words — BpeSpec
+    * exercises that mode). Same algebra either way: map-only explode,
+    * nothing shuffles before the presentation orderBy. */
+  def chunkTokens(docs: DataFrame, toksOf: Column,
+                  window: Int = 32, stride: Int = 24): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), toksOf.as("t"))
+      .filter(size(col("t")) >= 1)
     toks
-      .select($"doc_id", $"t",
-        explode(sequence(lit(0), size($"t") - 1, lit(24))).as("s"))
-      .select($"doc_id", expr("s DIV 24").as("chunk_idx"),
-        slice($"t", $"s" + 1, lit(32)).as("c"))
-      .select($"doc_id", $"chunk_idx",
-        size($"c").cast("long").as("n_tokens"),
-        md5(array_join($"c", " ")).as("chunk_md5"))
-      .orderBy($"doc_id", $"chunk_idx")
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(stride))).as("s"))
+      .select(col("doc_id"), expr(s"s DIV $stride").as("chunk_idx"),
+        slice(col("t"), col("s") + 1, lit(window)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).cast("long").as("n_tokens"),
+        md5(array_join(col("c"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** Sequence packing — deterministic assignment of docs to
@@ -289,11 +299,18 @@ object LlmQueries2 {
     * (3) broadcast-join the bucket offsets back. Identical result to
     * the serial window, proven by the oracle hash match (DuckDB runs
     * the ONE-window serial form). */
-  def qLlmPack(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val toks = Tables.table(spark, dir, "documents")
-      .select($"doc_id", $"lang",
-        size(split($"text", " ")).cast("long").as("n"),
+  def qLlmPack(spark: SparkSession, dir: String): DataFrame =
+    packTokens(Tables.table(spark, dir, "documents"),
+      size(split(col("text"), " ")).cast("long"))
+
+  /** The packer over ANY token-count source — `nOf` is the tokenizer
+    * mode: whitespace count is the oracled default; [[Bpe.countCol]]
+    * plugs in tokenizer-accurate budgets (BpeSpec exercises that
+    * mode). The distributed-prefix-sum shape is identical either way. */
+  def packTokens(docs: DataFrame, nOf: Column, budget: Int = 2048): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select($"doc_id", $"lang", nOf.as("n"),
         expr("doc_id DIV 1024").as("bkt"))
     val inBucket = Window.partitionBy($"lang", $"bkt").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -308,10 +325,10 @@ object LlmQueries2 {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select($"lang", $"bkt", $"off")
     cum.join(broadcast(offsets), Seq("lang", "bkt"))
-      .select($"lang", expr("(off + brun - n) DIV 2048").as("bin"), $"n")
+      .select($"lang", expr(s"(off + brun - n) DIV $budget").as("bin"), $"n")
       .groupBy($"lang", $"bin")
       .agg(count(lit(1)).as("docs"), sum($"n").as("tokens"),
-        round(sum($"n") / lit(2048.0), 4).as("fill"))
+        round(sum($"n") / lit(budget.toDouble), 4).as("fill"))
       .orderBy($"lang", $"bin")
   }
 
@@ -321,8 +338,10 @@ object LlmQueries2 {
     * whose normalized 40-char titles are within edit distance 3,
     * candidates generated ONLY inside 16-char-prefix blocks (probed:
     * max block 3 at sf0.01, 10 at sf0.1 — the blocked self-join is
-    * bounded; at 100 TB a hot boilerplate prefix wants the NearDup
-    * bucket-cap-with-overflow-flag treatment, documented not hidden).
+    * bounded; a hot boilerplate prefix at 100 TB engages the
+    * hot-prefix cap in [[editDistPairsWithStats]], whose default 1000
+    * sits far above the probed blocks here, so the oracle compares
+    * the uncapped result).
     * Ten twins planted in-query (ids above max(doc_id), the
     * q_llm_cosine_neardup derivation) with one substitution at char
     * 20 — inside the block, distance 1 — so the detector is
@@ -342,14 +361,42 @@ object LlmQueries2 {
         concat(substring($"title", 1, 19), lit("~"),
           substring($"title", 21, 20)).as("title"))
     val all = src.unionByName(planted)
-      .withColumn("blk", substring($"title", 1, 16))
-    val a = all.select($"doc_id".as("doc_a"), $"title".as("ta"), $"blk")
-    val b = all.select($"doc_id".as("doc_b"), $"title".as("tb"), $"blk")
-    a.join(b, Seq("blk")).filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        levenshtein($"ta", $"tb", 3).cast("long").as("dist"))
-      .filter($"dist" >= 0)
+    editDistPairsWithStats(all, "doc_id", "title")._1
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Production edit-distance near-dup pairs over prefix blocks, with
+    * the hot-prefix cap the 100 TB rung demands (the NearDup
+    * maxBucketSize treatment): a block of n titles yields n² candidate
+    * pairs, so one boilerplate prefix ("click here to accept…") turns
+    * the blocked self-join quadratic. Blocks larger than
+    * `maxBlockSize` are EXCLUDED from pairing and returned in the
+    * second frame as (blk, block_size) — visible, alertable, re-split-
+    * able by a longer prefix — never silently truncated. Returns
+    * `(pairs, overflowed)`; pairs on surviving blocks are identical to
+    * the uncapped run (EditDistCapSpec proves both halves). The
+    * overflowed frame is ≤ docs/maxBlockSize rows by construction →
+    * broadcast anti-join, no extra sort pass. */
+  def editDistPairsWithStats(docs: DataFrame, idCol: String,
+                             titleCol: String, k: Int = 3, blockLen: Int = 16,
+                             maxBlockSize: Int = 1000)
+      : (DataFrame, DataFrame) = {
+    val all = docs.select(col(idCol).as("doc_id"), col(titleCol).as("title"))
+      .withColumn("blk", substring(col("title"), 1, blockLen))
+    val overflowed = all.groupBy(col("blk"))
+      .agg(count(lit(1)).as("block_size"))
+      .filter(col("block_size") > maxBlockSize)
+    val bounded = all.join(broadcast(overflowed.select(col("blk"))),
+      Seq("blk"), "left_anti")
+    val a = bounded.select(col("blk"), col("doc_id").as("doc_a"),
+      col("title").as("ta"))
+    val b = bounded.select(col("blk"), col("doc_id").as("doc_b"),
+      col("title").as("tb"))
+    val pairs = a.join(b, Seq("blk")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb"), k).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+    (pairs, overflowed)
   }
 
   /** Embedding-cosine near-dup, oracled end-to-end: the corpus has no
