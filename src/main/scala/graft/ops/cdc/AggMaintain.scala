@@ -220,22 +220,24 @@ object AggMaintain {
     * window shrinks to what is genuinely unapplied (possibly empty —
     * the already-current fast path). */
   def maintainAggregate(spark: SparkSession, sourceDir: String,
-                        aggDir: String): (Long, Long) =
-    try attemptMaintain(spark, sourceDir, aggDir)
+                        aggDir: String,
+                        toVersion: Option[Long] = None): (Long, Long) =
+    try attemptMaintain(spark, sourceDir, aggDir, toVersion)
     catch {
       case _: java.util.ConcurrentModificationException =>
-        attemptMaintain(spark, sourceDir, aggDir)
+        attemptMaintain(spark, sourceDir, aggDir, toVersion)
       case e: IllegalArgumentException
           if e.getMessage != null &&
             e.getMessage.contains("is already applied") =>
         // another maintainer advanced our cursor between this step's
         // manifest read and its merge — re-resolve; the window is now
         // smaller or already closed
-        attemptMaintain(spark, sourceDir, aggDir)
+        attemptMaintain(spark, sourceDir, aggDir, toVersion)
     }
 
   private def attemptMaintain(spark: SparkSession, sourceDir: String,
-                              aggDir: String): (Long, Long) = {
+                              aggDir: String,
+                              toVersion: Option[Long]): (Long, Long) = {
     val am = PartitionedUpsert.currentManifest(spark, aggDir).getOrElse(
       throw new IllegalStateException(
         s"$aggDir is not an initialized upsert target"))
@@ -246,7 +248,10 @@ object AggMaintain {
       throw new IllegalStateException(
         s"$aggDir does not maintain an aggregate of $sourceDir — " +
           s"initAggregate it first (txn key ${srcApp(sourceDir)} absent)"))
-    val to = sm.version
+    // an explicit pin makes coordinated DAG rounds possible: every
+    // sibling target advances to the SAME source version, so a
+    // consistent cross-target read point exists (DagRead)
+    val to = toVersion.getOrElse(sm.version)
     if (to <= from) return (from, from)
     val (groupCols, sumCols) = specOf(am.schema)
     // pinned: the distinct-bucket collect inside readForKeys and the

@@ -205,29 +205,34 @@ object JoinMaintain {
     * cursors, where the remaining window shrinks to what is genuinely
     * unapplied. */
   def maintainJoin(spark: SparkSession, factDir: String, dimDir: String,
-                   joinDir: String): ((Long, Long), (Long, Long)) =
-    try attemptMaintain(spark, factDir, dimDir, joinDir)
+                   joinDir: String,
+                   toFact: Option[Long] = None,
+                   toDim: Option[Long] = None): ((Long, Long), (Long, Long)) =
+    try attemptMaintain(spark, factDir, dimDir, joinDir, toFact, toDim)
     catch {
       case _: java.util.ConcurrentModificationException =>
-        attemptMaintain(spark, factDir, dimDir, joinDir)
+        attemptMaintain(spark, factDir, dimDir, joinDir, toFact, toDim)
       case e: IllegalArgumentException
           if e.getMessage != null &&
             e.getMessage.contains("is already applied") =>
         // another maintainer advanced one of OUR cursors between this
         // step's manifest read and its merge — re-resolve and redo the
         // (now smaller) remaining window
-        attemptMaintain(spark, factDir, dimDir, joinDir)
+        attemptMaintain(spark, factDir, dimDir, joinDir, toFact, toDim)
     }
 
   private def attemptMaintain(spark: SparkSession, factDir: String,
-                              dimDir: String, joinDir: String)
+                              dimDir: String, joinDir: String,
+                              toFact: Option[Long], toDim: Option[Long])
       : ((Long, Long), (Long, Long)) = {
     val jm = manifestOf(spark, joinDir)
     val fm = manifestOf(spark, factDir)
     val dm = manifestOf(spark, dimDir)
     val fF = jm.txns.getOrElse(app(factDir), missing(joinDir, factDir))
     val fD = jm.txns.getOrElse(app(dimDir), missing(joinDir, dimDir))
-    val (tF, tD) = (fm.version, dm.version)
+    // explicit pins enable coordinated DAG rounds (DagRead): every
+    // sibling target steps to the SAME source version
+    val (tF, tD) = (toFact.getOrElse(fm.version), toDim.getOrElse(dm.version))
     if (tF <= fF && tD <= fD) return ((fF, fF), (fD, fD))
     val pk = jm.keyCol
     val dk = dm.keyCol

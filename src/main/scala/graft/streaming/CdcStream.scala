@@ -240,6 +240,85 @@ object CdcStream {
       .start()
   }
 
+  /** The full-DAG capstone: ONE continuous query advances replica →
+    * materialized join → aggregate-over-the-join, per micro-batch —
+    * change events merge into the bucket-partitioned fact replica,
+    * [[graft.ops.cdc.JoinMaintain.maintainJoin]] consumes the CDF
+    * window that merge created (plus any out-of-band dim windows), and
+    * [[graft.ops.cdc.AggMaintain.maintainAggregate]] then consumes the
+    * CDF window the JOIN maintenance created — so a dim rename ripples
+    * through both hops in the same trigger without either hop ever
+    * recomputing its source. The aggregate's group columns may name
+    * DIM attributes (the point of aggregating the enriched join).
+    *
+    * Exactly-once composes hop-wise, exactly as in the single-hop
+    * sinks: the merge carries txn=(checkpoint, batchId), each
+    * maintenance step records the SOURCE version it applied, and every
+    * step is idempotent — so a crash at ANY hop boundary replays to
+    * metadata no-ops up to the crash point and a catch-up beyond it
+    * (DagStreamSpec kills the query at each boundary via failpoints
+    * and proves the restart heals). Readers wanting a CONSISTENT
+    * (replica, join, aggregate) snapshot while the DAG is mid-trigger
+    * use [[graft.ops.cdc.DagRead.readConsistent]] — every hop's cursor
+    * history is already in its manifests. */
+  def maintainedDagSink(changes: DataFrame, factDir: String, dimDir: String,
+                        joinDir: String, aggDir: String, checkpointDir: String,
+                        keyCol: String, lsnCol: String, opCol: String,
+                        valueCols: Seq[String], fkCol: String,
+                        groupCols: Seq[String], sumCols: Seq[String],
+                        nBuckets: Int = 16, joinBuckets: Int = 16,
+                        aggBuckets: Int = 16): StreamingQuery =
+    maintainedDagSinkWithFailpoint(changes, factDir, dimDir, joinDir, aggDir,
+      checkpointDir, keyCol, lsnCol, opCol, valueCols, fkCol, groupCols,
+      sumCols, nBuckets, joinBuckets, aggBuckets, crashAfterHop = 0)
+
+  /** Failpoint twin of [[maintainedDagSink]] (test seam, same body):
+    * `crashAfterHop` = 1 throws after the replica merge, 2 after the
+    * join maintenance — the two inter-hop boundaries a real driver
+    * death can land on. */
+  private[streaming] def maintainedDagSinkWithFailpoint(
+      changes: DataFrame, factDir: String, dimDir: String,
+      joinDir: String, aggDir: String, checkpointDir: String,
+      keyCol: String, lsnCol: String, opCol: String,
+      valueCols: Seq[String], fkCol: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      nBuckets: Int, joinBuckets: Int, aggBuckets: Int,
+      crashAfterHop: Int): StreamingQuery = {
+    import graft.ops.cdc.{AggMaintain, JoinMaintain, PartitionedUpsert}
+    require(valueCols.contains(fkCol),
+      s"fk column '$fkCol' must be one of the fact value columns")
+    val spark = changes.sparkSession
+    PartitionedUpsert.currentManifest(spark, dimDir).getOrElse(
+      throw new IllegalStateException(
+        s"$dimDir is not an initialized upsert target — the dimension " +
+          "must exist before a join over it can be maintained"))
+    changes.dropDuplicates(lsnCol)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(spark, batch, batchId, factDir, checkpointDir,
+          keyCol, lsnCol, opCol, valueCols, nBuckets)
+        if (crashAfterHop == 1)
+          throw new RuntimeException("failpoint: crash after replica hop")
+        seedOrMaintain(spark, joinDir) {
+          JoinMaintain.initJoin(spark, factDir, dimDir, joinDir,
+            fkCol, joinBuckets): Unit
+        } {
+          JoinMaintain.maintainJoin(spark, factDir, dimDir, joinDir): Unit
+        }
+        if (crashAfterHop == 2)
+          throw new RuntimeException("failpoint: crash after join hop")
+        seedOrMaintain(spark, aggDir) {
+          AggMaintain.initAggregate(spark, joinDir, aggDir,
+            groupCols, sumCols, aggBuckets): Unit
+        } {
+          AggMaintain.maintainAggregate(spark, joinDir, aggDir): Unit
+        }
+      }
+      .start()
+  }
+
   /** Streaming SCD2 history sink: each micro-batch closes the touched
     * keys' open intervals and appends their new version rows through
     * [[graft.ops.cdc.Scd2Maintain.applyBatch]] — O(batch) per trigger
