@@ -70,12 +70,113 @@ object Resample {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Trailing z-score anomaly detection over the hourly series: each
+    * (type, hour) bucket scored against the mean/stddev of its own
+    * PRECEDING 24 hours (frame ends at -1 — the scored point never
+    * contaminates its own baseline), flagged at |z| > 3. The standard
+    * online monitor for an event feed. Engine-exact by the layered
+    * rules: integer-cents measure, the flag derived from the ROUNDED z
+    * on both sides (a boundary-straddling raw z cannot flip it), warmup
+    * (<12 trailing points) and zero-variance windows excluded. Shape:
+    * one (type, hour) shuffle for the rollup, then the three stacked
+    * trailing windows share ONE Exchange + sort (same partition/order);
+    * state per row is bounded by the 24-row frame. */
+  def qTsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(-24, -1)
+    val z = round(($"cents" - $"mu") / $"sd", 4)
+    hourly
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("mu", avg($"cents").over(w))
+      .withColumn("sd", stddev_samp($"cents").over(w))
+      .filter($"nw" >= 12 && $"sd" > 0)
+      .select($"event_type", $"h", $"cents", z.as("z"),
+        (abs(z) > 3).as("anomaly"))
+      .orderBy($"event_type", $"h")
+  }
+
+  /** CUSUM changepoint statistic over the daily series, in EXACT
+    * integer arithmetic: the textbook S_i = Σ(x_j − mean) is scaled by
+    * N (days in the series) so S_i = N·cum_i − i·T needs no float mean
+    * — every value is a BIGINT, the peak flag is an exact integer
+    * compare, zero cross-engine drift by construction (the
+    * integer-cents rule extended to the mean-centered cumsum). The
+    * argmax |S_i| day is the single-changepoint estimate (classic
+    * offline CUSUM). Shape: one (type, day) rollup shuffle; the
+    * ordered cumsum and the partition-wide N/T/max share the
+    * per-type partitioning, and a series is tiny per key (one row per
+    * day) no matter how many events fed it. */
+  def qTsCusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val ord = Window.partitionBy($"event_type").orderBy($"d")
+    val all = Window.partitionBy($"event_type")
+    daily
+      .withColumn("i", row_number().over(ord))
+      .withColumn("cum", sum($"cents").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("t", sum($"cents").over(all))
+      .withColumn("s", $"n" * $"cum" - $"i" * $"t")
+      .withColumn("peak", abs($"s") === max(abs($"s")).over(all))
+      .select($"event_type", $"d", $"cents", $"s", $"peak")
+      .orderBy($"event_type", $"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_resample" -> (qResample _),
-    "q_ts_decay" -> (qTsDecay _)
+    "q_ts_decay" -> (qTsDecay _),
+    "q_ts_anomaly" -> (qTsAnomaly _),
+    "q_ts_cusum" -> (qTsCusum _)
   )
 
   val oracle: Map[String, String] = Map(
+    // flag from the ROUNDED z on both sides; warmup + zero-variance
+    // windows excluded on both sides
+    "q_ts_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, h, cents,
+        |    count(*) OVER tw AS nw, avg(cents) OVER tw AS mu,
+        |    stddev_samp(cents) OVER tw AS sd
+        |  FROM hourly
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, h, cents,
+        |  round((cents - mu) / sd, 4) AS z,
+        |  abs(round((cents - mu) / sd, 4)) > 3 AS anomaly
+        |FROM w WHERE nw >= 12 AND sd > 0
+        |ORDER BY event_type, h""".stripMargin,
+    // S_i = N*cum_i - i*T keeps the mean-centered cumsum in exact
+    // BIGINTs — no float mean on either engine
+    "q_ts_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS d,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, d, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+        |    sum(cents) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(cents) OVER (PARTITION BY event_type) AS t
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, d, cents, (n * cum - i * t)::BIGINT AS s
+        |  FROM idx)
+        |SELECT event_type, d, cents, s,
+        |  abs(s) = max(abs(s)) OVER (PARTITION BY event_type) AS peak
+        |FROM s ORDER BY event_type, d""".stripMargin,
     // decay 0.5 → dyadic weights → exact doubles on both engines
     "q_ts_decay" ->
       """WITH base AS (
