@@ -22,6 +22,7 @@ object SparkEntry {
       (Joins.queries, Joins.oracle),
       (Subqueries.queries, Subqueries.oracle),
       (Resample.queries, Resample.oracle),
+      (Graph.queries, Graph.oracle),
       (Scalars.queries, Scalars.oracle),
       (Scalars2.queries, Scalars2.oracle),
       (graft.functions.TextUdf.queries, graft.functions.TextUdf.oracle),
