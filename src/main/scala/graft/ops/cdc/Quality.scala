@@ -68,6 +68,39 @@ object Quality {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Sequential conversion funnel view → click → purchase, each hop
+    * converting within 24 h of the previous stage's timestamp — the
+    * standard product-analytics companion of sessionization (ordered
+    * stages with per-hop windows; an unordered "did all three ever"
+    * count is just q_agg_conditional). Emits per-user stage
+    * timestamps and reached depth.
+    *
+    * Scale shape: each stage is a filtered per-user min (map-side
+    * partial agg) joined to the PREVIOUS stage's user-sized output —
+    * the stage frames shrink monotonically (stage k ≤ stage k−1 users
+    * ≤ distinct users ≪ events), so every hop join is broadcast-able
+    * no matter the event volume, and nothing windows over the raw
+    * event stream. Timestamps pass through untouched (same parquet
+    * microseconds on both engines — exact). */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+      .select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 24 HOURS"))
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"ts" > $"t2" && $"ts" <= $"t2" + expr("INTERVAL 24 HOURS"))
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select($"user_id", $"t1", $"t2", $"t3",
+        (lit(1) + when($"t2".isNotNull, 1).otherwise(0)
+          + when($"t3".isNotNull, 1).otherwise(0)).cast("long").as("depth"))
+      .orderBy($"user_id")
+  }
+
   /** Histogram: fixed-width value binning over order totals. */
   def qHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -85,6 +118,7 @@ object Quality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_constraints" -> (qDqConstraints _),
     "q_sessionize" -> (qSessionize _),
+    "q_funnel" -> (qFunnel _),
     "q_histogram" -> (qHistogram _)
   )
 
@@ -126,6 +160,25 @@ object Quality {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // timestamps pass through untouched — exact on both engines
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOURS GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 24 HOURS GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  (1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |  count(*) AS n,
