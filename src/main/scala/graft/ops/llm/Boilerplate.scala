@@ -38,18 +38,20 @@ object Boilerplate {
       explode(transform(sequence(lit(0), size($"t") - 8),
         i => concat_ws(" ", (0 to 7).map(k => $"t".getItem(i + k)): _*)))
         .as("g"))
-    // one row per (doc, gram) BEFORE the gram-keyed join: the hot-gram
-    // side is bounded by docs-containing, not occurrences
+    // one row per (doc, gram) BEFORE the gram-keyed shuffle: the
+    // hot-gram side is bounded by docs-containing, not occurrences
     val perDoc = grams.groupBy($"doc_id", $"g")
       .agg(max($"n_grams").as("n_grams"), count(lit(1)).as("occ"))
-    // grams present in >= 2 docs (perDoc is distinct per (doc, g), so
-    // count(*) IS the distinct-doc count)
-    val shared = perDoc.groupBy($"g").agg(count(lit(1)).as("nd"))
-      .filter($"nd" >= 2).select($"g", lit(1L).as("__sh"))
-    perDoc.join(shared, Seq("g"), "left")
+    // containing-doc count per gram as a whole-partition window over
+    // perDoc (distinct per (doc, g), so count(*) IS the doc count) —
+    // NOT a groupBy + join-back, which would evaluate the gram explode
+    // twice (column pruning makes the two subtrees differ, defeating
+    // exchange reuse): same single shuffle on g, half the scan work
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    perDoc.withColumn("nd", count(lit(1)).over(wg))
       .groupBy($"doc_id")
       .agg(max($"n_grams").as("n_grams"),
-        sum(when($"__sh".isNotNull, $"occ").otherwise(lit(0L)))
+        sum(when($"nd" >= 2, $"occ").otherwise(lit(0L)))
           .as("n_boiler"))
       .select($"doc_id", $"n_grams", $"n_boiler",
         round($"n_boiler" / $"n_grams", 4).as("boiler_frac"))

@@ -66,8 +66,55 @@ object Graph {
     ranks.select($"node", round($"r", 6).as("rank")).orderBy($"node")
   }
 
+  /** Hop-bounded BFS (single-source reachability with minimum hop
+    * count) over the same order graph, both directions, thresholded to
+    * repeat trade pairs (lineitem count >= 2) so the bipartite graph is
+    * sparse enough to have real multi-hop structure (frontiers at
+    * sf0.01: 1 -> 8 -> 608 -> 92 -> 843).
+    *
+    * Scale shape per hop: ONE join of the (small) frontier to the
+    * distributed edge set on the source key, then ONE anti-join
+    * against the visited set — both shuffles are frontier- and
+    * visited-sized, never |V|x|E|; the edge set is materialized once
+    * and the per-hop `localCheckpoint` truncates the growing lineage
+    * (the DedupCluster/PageRank iteration pattern). This is the
+    * textbook distributed BFS: level-synchronous frontier expansion,
+    * equivalent to the recursive-CTE evaluation a SQL engine runs —
+    * which is exactly what the oracle uses (`WITH RECURSIVE` + min-hop
+    * aggregate), so the hash match certifies the Spark loop against a
+    * genuinely different evaluation strategy. */
+  def qGraphReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+    val ord = Tables.table(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey".as("c"), $"l_suppkey".as("s"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+    val edges = pairs
+      .select(concat(lit("c"), $"c").as("src"), concat(lit("s"), $"s").as("dst"))
+      .union(pairs
+        .select(concat(lit("s"), $"s").as("src"), concat(lit("c"), $"c").as("dst")))
+      .localCheckpoint()
+    var visited = Seq(("c1", 0)).toDF("node", "hop").localCheckpoint()
+    var frontier = visited
+    for (h <- 1 to 4) {
+      frontier = edges
+        .join(frontier.select($"node".as("src")), "src")
+        .select($"dst".as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select($"node", lit(h).as("hop"))
+        .localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    visited.orderBy($"hop", $"node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_pagerank" -> (qGraphPagerank _)
+    "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_graph_reach" -> (qGraphReach _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,6 +161,26 @@ object Graph {
         |    round(0.15 / (SELECT n FROM meta)
         |      + 0.85 * coalesce(c3.c, 0.0), 8) AS r
         |  FROM nodes LEFT JOIN c3 USING (node))
-        |SELECT node, round(r, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+        |SELECT node, round(r, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+    // recursive-CTE BFS: UNION dedups (node, hop) pairs per round, the
+    // final min-hop aggregate collapses re-reachings — a genuinely
+    // different evaluation strategy than Spark's frontier loop
+    "q_graph_reach" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT 's' || s, 'c' || c FROM pairs),
+        |reach AS (
+        |  SELECT 'c1' AS node, 0 AS hop
+        |  UNION
+        |  SELECT e.dst, r.hop + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.hop < 4)
+        |SELECT node, min(hop) AS hop FROM reach
+        |GROUP BY node ORDER BY hop, node""".stripMargin
   )
 }
