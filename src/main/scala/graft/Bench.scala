@@ -64,11 +64,26 @@ object Bench {
         // a prior at a DIFFERENT scale factor is not a baseline —
         // constant overhead vs data cost mix differently per key
         if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
-        else """"(q_[a-zA-Z0-9_]+)":\{"median":([0-9.]+)""".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        else {
+          // a key that FAILED in the prior run still recorded a median
+          // (the elapsed time of the fast failure) — a bogus baseline
+          // that would flag the now-recovered key as a huge regression
+          val priorFailed = """"failed":\[([^\]]*)\]""".r
+            .findFirstMatchIn(txt)
+            .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+              .stripSuffix("\"")).filter(_.nonEmpty).toSet)
+            .getOrElse(Set.empty[String])
+          """"(q_[a-zA-Z0-9_]+)":\{"median":([0-9.]+)""".r
+            .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+            .filterNot { case (k, _) => priorFailed.contains(k) }.toMap
+        }
       } catch { case _: Throwable => Map.empty }
+    // keys failing THIS round contribute near-zero medians — exclude
+    // them from ratios so they neither drag the drift median down nor
+    // appear as (meaningless) per-key ratios themselves
     val ratios = results.flatMap { case (k, m, _) =>
-      prior.get(k).filter(_ > 0).map(p => (k, m, p, m / p)) }
+      if (failed.contains(k)) None
+      else prior.get(k).filter(_ > 0).map(p => (k, m, p, m / p)) }
     val drift =
       if (ratios.isEmpty) 1.0
       else ratios.map(_._4).sorted.apply(ratios.size / 2)

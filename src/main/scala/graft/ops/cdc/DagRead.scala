@@ -48,9 +48,8 @@ object DagRead {
     * and later compactions are the better-laid-out read. */
   def cursorHistory(spark: SparkSession, dir: String,
                     txnKey: String): Map[Long, Long] =
-    PartitionedUpsert.history(spark, dir).map(_._1).flatMap { v =>
-      PartitionedUpsert.manifestAt(spark, dir, v).txns.get(txnKey)
-        .map(cv => cv -> v)
+    PartitionedUpsert.manifests(spark, dir).flatMap { m =>
+      m.txns.get(txnKey).map(cv => cv -> m.version)
     }.groupBy(_._1).map { case (cv, vs) => cv -> vs.map(_._2).max }
 
   /** The newest cursor value present in EVERY target's retained
@@ -82,10 +81,16 @@ object DagRead {
   /** The consistent snapshot: the newest common point plus every
     * target read at it. None iff no common point is retained. */
   def readConsistent(spark: SparkSession, dirs: Seq[String], txnKey: String)
-      : Option[(Long, Map[String, DataFrame])] =
-    consistentPoint(spark, dirs, txnKey).map { p =>
-      p -> dirs.map(d => d -> readAt(spark, d, txnKey, p)).toMap
+      : Option[(Long, Map[String, DataFrame])] = {
+    require(dirs.nonEmpty, "readConsistent needs at least one target")
+    // one history walk per target, shared between finding the point
+    // and pinning each read to it
+    val hists = dirs.map(d => d -> cursorHistory(spark, d, txnKey)).toMap
+    hists.values.map(_.keySet).reduce(_ intersect _).maxOption.map { p =>
+      p -> dirs.map(d =>
+        d -> PartitionedUpsert.readVersion(spark, d, hists(d)(p))).toMap
     }
+  }
 
   /** One coordinated maintenance round over a source's derived
     * targets: resolve the source version ONCE, pin every step to it,

@@ -1029,6 +1029,24 @@ object PartitionedUpsert {
       .sortBy(-_._1)
   }
 
+  /** Every retained manifest, parsed ONCE each, newest first — for
+    * consumers (DagRead) that need per-version metadata without paying
+    * a re-read per version on top of the listing. */
+  def manifests(spark: SparkSession, dir: String): Seq[Manifest] = {
+    val fs = fsOf(spark, dir)
+    val mdir = new Path(s"$dir/_manifests")
+    if (!fs.exists(mdir)) return Seq.empty
+    fs.listStatus(mdir).toSeq
+      .filter(st => st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.endsWith(".manifest"))
+      .map { st =>
+        val v = st.getPath.getName
+          .stripPrefix("v").stripSuffix(".manifest").toLong
+        readManifest(fs, dir, v)
+      }
+      .sortBy(-_.version)
+  }
+
   /** Absolute data path per bucket in the committed state (for tests
     * and operational inspection). */
   def bucketPaths(spark: SparkSession, dir: String): Map[Long, String] =

@@ -112,12 +112,23 @@ object Bpe {
     if (text == null) Seq.empty
     else text.split(' ').toSeq.filter(_.nonEmpty).flatMap(encode(_, ranks))
 
+  // one broadcast per (session, merge table), not per call — repeated
+  // tokensCol/countCol invocations (bench reps, chunk/pack tokenizer
+  // mode) reuse the handle instead of accumulating undestroyed
+  // broadcast blocks; keyed by session so a restarted session rebuilds
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Seq[(String, String)]),
+    org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]]]()
+  private def ranksBc(spark: SparkSession, merges: Seq[(String, String)]) =
+    bcCache.computeIfAbsent((spark, merges),
+      _ => spark.sparkContext.broadcast(ranksOf(merges)))
+
   /** Column of BPE tokens (array<string>) for `text`, encoding against
-    * a rank map broadcast once per session — the hot path ships task
-    * closures a broadcast handle, not the table. */
+    * a rank map broadcast once per (session, merge table) — the hot
+    * path ships task closures a broadcast handle, not the table. */
   def tokensCol(spark: SparkSession, merges: Seq[(String, String)])
       : Column => Column = {
-    val bc = spark.sparkContext.broadcast(ranksOf(merges))
+    val bc = ranksBc(spark, merges)
     val enc = udf { text: String => tokenize(text, bc.value) }
     text => enc(text)
   }
@@ -126,7 +137,7 @@ object Bpe {
     * (pack/mix) — same encode, no token materialization. */
   def countCol(spark: SparkSession, merges: Seq[(String, String)])
       : Column => Column = {
-    val bc = spark.sparkContext.broadcast(ranksOf(merges))
+    val bc = ranksBc(spark, merges)
     val cnt = udf { text: String => tokenize(text, bc.value).size.toLong }
     text => cnt(text)
   }
@@ -198,6 +209,10 @@ object Bpe {
     Tables.table(spark, dir, "documents")
       .select(col("doc_id"),
         toks(lower(substring(col("text"), 1, 120))).as("toks"))
+      // domain = docs with at least one word in the 120-char prefix:
+      // the oracle's inner join-back drops wordless docs, so a NULL/
+      // blank-prefix doc must not emit an n_tokens=0 row here either
+      .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("toks"))).as("toks_md5"))

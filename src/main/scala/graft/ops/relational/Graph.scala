@@ -50,11 +50,16 @@ object Graph {
     val nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst".as("node"))).distinct()
       .localCheckpoint()
-    val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
+    // out-weights joined onto the edges ONCE and checkpointed with
+    // them — iterations then join only the ranks (a lazy outw plan
+    // would re-run its shuffle every iteration)
+    val ew = edges.join(
+      edges.groupBy($"src").agg(sum($"w").as("ow")), "src")
+      .localCheckpoint()
     val n = nodes.count()
     var ranks = nodes.select($"node", lit(1.0 / n).as("r"))
     for (_ <- 1 to 3) {
-      val contrib = edges.join(outw, "src")
+      val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select($"dst".as("node"), ($"r" * $"w" / $"ow").as("c"))
         .groupBy($"node").agg(sum($"c").as("c"))

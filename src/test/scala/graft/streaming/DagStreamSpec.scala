@@ -55,6 +55,7 @@ class DagStreamSpec extends SparkSpec {
     val cvKey = "spark.sql.streaming.stateStore.commitValidation.enabled"
     val cvPrior = spark.conf.getOption(cvKey)
     spark.conf.set(cvKey, "false")
+    try {
     val base = java.nio.file.Files.createTempDirectory("graft_dagst").toString
     val srcDir = s"$base/in"; new java.io.File(srcDir).mkdirs()
     val (fDir, dDir, jDir, aDir, ckpt) =
@@ -162,10 +163,14 @@ class DagStreamSpec extends SparkSpec {
     val pa = DagRead.consistentPoint(spark, Seq(aDir),
       PartitionedUpsert.cdfApp(jDir))
     assert(pa.nonEmpty, "the aggregate must expose join-cursor points")
-
-    cvPrior match {
-      case Some(v) => spark.conf.set(cvKey, v)
-      case None    => spark.conf.unset(cvKey)
+    } finally {
+      // restore even on a failing assert — the session is shared across
+      // suites, and leaking a disabled commit-validation guard would
+      // mask exactly the foreachBatch bugs it exists to catch
+      cvPrior match {
+        case Some(v) => spark.conf.set(cvKey, v)
+        case None    => spark.conf.unset(cvKey)
+      }
     }
   }
 }
