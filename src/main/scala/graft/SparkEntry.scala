@@ -33,6 +33,8 @@ object SparkEntry {
       (graft.ops.llm.LlmQueries.queries, graft.ops.llm.LlmQueries.oracle),
       (graft.ops.llm.LlmQueries2.queries, graft.ops.llm.LlmQueries2.oracle),
       (graft.ops.llm.Bpe.queries, graft.ops.llm.Bpe.oracle),
+      (graft.ops.llm.QualityFilters.queries, graft.ops.llm.QualityFilters.oracle),
+      (graft.ops.llm.Ranking.queries, graft.ops.llm.Ranking.oracle),
       (graft.ops.llm.Boilerplate.queries, graft.ops.llm.Boilerplate.oracle),
       (graft.ops.llm.Multimodal.queries, graft.ops.llm.Multimodal.oracle)
     )

@@ -1,6 +1,6 @@
 package graft.ops.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -117,9 +117,63 @@ object Graph {
     visited.orderBy($"hop", $"node")
   }
 
+  /** Triangle census of the part co-purchase graph (parts appearing
+    * together in ≥ 2 orders): edge / wedge / triangle counts — the
+    * standard clustering-structure probe over an entity graph.
+    *
+    * The scale-right algorithm: DEGREE-ORIENTED wedge closure (the
+    * MapReduce triangle-counting design from Suri & Vassilvitskii,
+    * WWW'11). Every undirected edge is oriented from its
+    * (degree, id)-smaller endpoint to the larger via a tuple compare —
+    * NO global rank window, so nothing serializes on a single
+    * partition — which (a) counts each triangle exactly once and (b)
+    * bounds any vertex's out-degree by O(√E), so the wedge self-join
+    * fans out per-vertex quadratically in a BOUNDED quantity instead
+    * of in raw hub degree (the Zipf-hub killer for the naive
+    * orientation). Shape: one order-key self-join builds co-purchase
+    * pairs co-partitioned on the order key; degrees are one endpoint
+    * rollup joined back; the wedge join and the closure join shuffle
+    * on vertex keys of the ORIENTED edge set. The ≥2-order threshold
+    * is the same sparsifier q_graph_reach uses. */
+  def qGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val e0 = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"u", $"v")
+    val deg = e0.select($"u".as("n")).union(e0.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val before = (dx: Column, x: Column, dy: Column, y: Column) =>
+      dx < dy || (dx === dy && x < y)
+    val oe = e0
+      .join(deg.select($"n".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+      .select(
+        when(before($"du", $"u", $"dv", $"v"), $"u").otherwise($"v").as("s"),
+        when(before($"du", $"u", $"dv", $"v"), $"v").otherwise($"u").as("t"),
+        when(before($"du", $"u", $"dv", $"v"), $"dv").otherwise($"du")
+          .as("dt"))
+      .localCheckpoint()
+    val wedges = oe.as("e1").join(oe.as("e2"),
+        $"e1.s" === $"e2.s" &&
+          before($"e1.dt", $"e1.t", $"e2.dt", $"e2.t"))
+      .select($"e1.t".as("b"), $"e2.t".as("c"))
+    val tri = wedges.join(oe.select($"s".as("b"), $"t".as("c")),
+      Seq("b", "c"), "left_semi")
+    e0.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
-    "q_graph_reach" -> (qGraphReach _)
+    "q_graph_reach" -> (qGraphReach _),
+    "q_graph_triangles" -> (qGraphTriangles _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -186,6 +240,38 @@ object Graph {
         |  FROM reach r JOIN edges e ON e.src = r.node
         |  WHERE r.hop < 4)
         |SELECT node, min(hop) AS hop FROM reach
-        |GROUP BY node ORDER BY hop, node""".stripMargin
+        |GROUP BY node ORDER BY hop, node""".stripMargin,
+    // same (degree, id) total order and oriented wedge closure — the
+    // hash match certifies orientation + closure against a second
+    // evaluation of the identical census
+    "q_graph_triangles" ->
+      """WITH e0 AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*)::BIGINT AS d FROM (
+        |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY n),
+        |oe AS (
+        |  SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |      THEN u ELSE v END AS s,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |      THEN v ELSE u END AS t,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |      THEN dv.d ELSE du.d END AS dt
+        |  FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v),
+        |w AS (
+        |  SELECT e1.t AS b, e2.t AS c
+        |  FROM oe e1 JOIN oe e2 ON e1.s = e2.s
+        |    AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)))
+        |SELECT
+        |  (SELECT count(*) FROM e0)::BIGINT AS n_edges,
+        |  (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+        |  (SELECT count(*) FROM w WHERE EXISTS (
+        |     SELECT 1 FROM oe WHERE oe.s = w.b AND oe.t = w.c))::BIGINT
+        |    AS n_triangles""".stripMargin
   )
 }

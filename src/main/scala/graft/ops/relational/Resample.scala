@@ -129,11 +129,50 @@ object Resample {
       .orderBy($"event_type", $"d")
   }
 
+  /** Autocorrelation function of the hourly event-count series per
+    * type, at lags {1,2,3,6,12,24} — the standard seasonality /
+    * burstiness diagnostic (a daily cycle shows as a lag-24 peak). In
+    * EXACT integer arithmetic end to end: with n = hours and T = Σx,
+    * the mean-centered term (x_t − T/n) is scaled by n to y_t =
+    * n·x_t − T (a BIGINT — the q_ts_cusum trick), so r_l =
+    * Σ y_t·y_{t−l} / Σ y_t² is a ratio of two exact BIGINTs and the
+    * n² scaling cancels; one double division, rounded 4 dp — zero
+    * cross-engine drift by construction. Shape: one (type, hour)
+    * rollup shuffle; the lag window and the per-type sums share the
+    * per-type partitioning, and the series is one row per hour per
+    * key no matter how many events fed it; the lag stack explodes the
+    * tiny aggregated frame, not the data. */
+  def qTsAcf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lags = Seq(1, 2, 3, 6, 12, 24)
+    val hourly = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val ord = Window.partitionBy($"event_type").orderBy($"h")
+    val all = Window.partitionBy($"event_type")
+    val withY = hourly
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("t", sum($"x").over(all))
+      .withColumn("y", $"n" * $"x" - $"t")
+    val lagged = lags.foldLeft(withY) { (df, l) =>
+      df.withColumn(s"y$l", lag($"y", l).over(ord))
+    }
+    val aggd = lagged.groupBy($"event_type").agg(
+      sum($"y" * $"y").as("den"),
+      lags.map(l => sum($"y" * col(s"y$l")).as(s"num$l")): _*)
+    val stacked = lags.map(l =>
+      s"${l}L, round(num$l / CAST(den AS DOUBLE), 4)").mkString(", ")
+    aggd.selectExpr("event_type",
+        s"stack(${lags.size}, $stacked) AS (lag, acf)")
+      .orderBy($"event_type", $"lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_resample" -> (qResample _),
     "q_ts_decay" -> (qTsDecay _),
     "q_ts_anomaly" -> (qTsAnomaly _),
-    "q_ts_cusum" -> (qTsCusum _)
+    "q_ts_cusum" -> (qTsCusum _),
+    "q_ts_acf" -> (qTsAcf _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -211,6 +250,39 @@ object Resample {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
         |FROM grid g LEFT JOIN hourly h
         |  ON g.user_id = h.user_id AND g.slot = h.slot
-        |ORDER BY g.user_id, g.slot""".stripMargin
+        |ORDER BY g.user_id, g.slot""".stripMargin,
+    // y_t = n*x_t - T keeps the mean-centered series in exact BIGINTs
+    // (the q_ts_cusum scaling); acf = one double division, 4 dp
+    "q_ts_acf" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |y AS (
+        |  SELECT event_type, h,
+        |    (count(*) OVER (PARTITION BY event_type) * x
+        |      - sum(x) OVER (PARTITION BY event_type))::BIGINT AS y
+        |  FROM hourly),
+        |lagged AS (
+        |  SELECT event_type, y,
+        |    lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2,
+        |    lag(y, 3) OVER w AS y3, lag(y, 6) OVER w AS y6,
+        |    lag(y, 12) OVER w AS y12, lag(y, 24) OVER w AS y24
+        |  FROM y WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |aggd AS (
+        |  SELECT event_type, sum(y * y)::BIGINT AS den,
+        |    sum(y * y1)::BIGINT AS num1, sum(y * y2)::BIGINT AS num2,
+        |    sum(y * y3)::BIGINT AS num3, sum(y * y6)::BIGINT AS num6,
+        |    sum(y * y12)::BIGINT AS num12, sum(y * y24)::BIGINT AS num24
+        |  FROM lagged GROUP BY event_type)
+        |SELECT event_type, lag, acf FROM (
+        |  SELECT event_type, 1::BIGINT AS lag,
+        |    round(num1 / CAST(den AS DOUBLE), 4) AS acf FROM aggd
+        |  UNION ALL SELECT event_type, 2, round(num2 / CAST(den AS DOUBLE), 4) FROM aggd
+        |  UNION ALL SELECT event_type, 3, round(num3 / CAST(den AS DOUBLE), 4) FROM aggd
+        |  UNION ALL SELECT event_type, 6, round(num6 / CAST(den AS DOUBLE), 4) FROM aggd
+        |  UNION ALL SELECT event_type, 12, round(num12 / CAST(den AS DOUBLE), 4) FROM aggd
+        |  UNION ALL SELECT event_type, 24, round(num24 / CAST(den AS DOUBLE), 4) FROM aggd)
+        |ORDER BY event_type, lag""".stripMargin
   )
 }
