@@ -537,6 +537,18 @@ object PartitionedUpsert {
 
   /** Materialize a manifest ('s listed files) as a DataFrame; `only`
     * restricts to a subset of bucket paths (path-pruned merge read). */
+  /** Package door for companion indexes ([[BloomIndex]]): read only
+    * the named buckets of a resolved manifest / route a caller frame's
+    * key the way this manifest does. Same visibility rationale as the
+    * FkIndex imports — companions must not reimplement routing. */
+  private[cdc] def readBuckets(spark: SparkSession, dir: String,
+                               m: Manifest, buckets: Seq[Long]): DataFrame =
+    bucketsDf(spark, dir, m,
+      only = Some(buckets.flatMap(m.buckets.get).sorted))
+
+  private[cdc] def routeFor(m: Manifest, k: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = routeExpr(m, k)
+
   private def bucketsDf(spark: SparkSession, dir: String, m: Manifest,
                         only: Option[Seq[String]] = None): DataFrame = {
     val rels = only.getOrElse(m.buckets.values.toSeq.sorted)
