@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) file clustering for TWO-dimensional data
+  * skipping — the layout rung single-column clustering cannot reach.
+  * A linear sort on column A gives tight per-file min/max on A and
+  * useless (full-range) stats on B; interleaving the bits of both
+  * columns' quantile-rank codes makes file locality track BOTH
+  * dimensions at once, so a predicate box on (A, B) — or on B alone —
+  * intersects O(few) files' stat ranges instead of all of them. This
+  * is the published Delta/Databricks OPTIMIZE ZORDER design point,
+  * rebuilt on public Spark primitives.
+  *
+  * Scale shape: rank codes come from APPROXIMATE quantile split
+  * points (one distributed percentile_approx agg per column,
+  * 2^bits−1 doubles collected — bounded driver state, the
+  * planChunkBounds class), applied as a broadcast literal fold
+  * (the rangeBucketOf pattern — codegen'd, no shuffle); the Morton
+  * interleave is pure bit arithmetic on those codes; the only
+  * exchange is the final repartitionByRange on the z-value (a range
+  * shuffle ANY clustered write pays), and files are written sorted
+  * within partitions so parquet row-group stats inherit the
+  * clustering. Nothing windows globally, nothing collects data rows.
+  *
+  * Approximation honesty: quantile error only SKEWS CODE BOUNDARIES
+  * — a misplaced split point degrades clustering quality (reads
+  * prune a little less), never correctness, because reads always
+  * re-filter exactly; the spec asserts pruning factors with planted
+  * skew, not exact file counts. */
+object ZOrderLayout {
+
+  /** Morton-interleave two `bits`-wide non-negative codes (a gets the
+    * odd bit positions, b the even). */
+  def morton(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Quantile-rank code in [0, 2^bits): count of split points at or
+    * below the (long-cast) value — rangeBucketOf's literal fold over
+    * the broadcast splits. */
+  def rankCode(c: Column, splits: Seq[Long]): Column =
+    graft.ops.cdc.PartitionedUpsert.rangeBucketOf(c, splits)
+
+  /** Distinct sorted interior split points giving ≤ 2^bits quantile
+    * buckets for `col` (numeric; long-cast like every range router
+    * here). Approximate by design — see the scaladoc honesty note. */
+  def planSplits(df: DataFrame, colName: String, bits: Int): Seq[Long] = {
+    val n = (1 << bits) - 1
+    val qs = array((1 to n).map(i => lit(i.toDouble / (1 << bits))): _*)
+    df.select(percentile_approx(col(colName).cast("double"), qs, lit(10000))
+        .as("q"))
+      .collect()(0).getSeq[Double](0)
+      .map(math.floor(_).toLong).distinct.sorted
+  }
+
+  /** Write `df` under `dir` clustered on the z-curve of (colA, colB):
+    * `numFiles` range partitions of the z-value, rows sorted by it
+    * within each, one parquet file per partition. Returns the split
+    * points used (callers wanting to route reads the same way). */
+  def write(df: DataFrame, dir: String, colA: String, colB: String,
+            numFiles: Int, bits: Int = 8): (Seq[Long], Seq[Long]) = {
+    val sa = planSplits(df, colA, bits)
+    val sb = planSplits(df, colB, bits)
+    val z = morton(rankCode(col(colA), sa), rankCode(col(colB), sb), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+    (sa, sb)
+  }
+
+  /** Per-file (min, max) of a column across the parquet files under
+    * `dir` — the stats a box-predicate reader prunes with (parquet
+    * footers carry the same ranges; this derives them portably for
+    * specs and for planners that cache stats table-side). */
+  def fileRanges(spark: SparkSession, dir: String, colName: String)
+      : Map[String, (Long, Long)] = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(colName).cast("long")).as("mn"),
+        max(col(colName).cast("long")).as("mx"))
+      .as[(String, Long, Long)].collect()
+      .map { case (f, mn, mx) => f -> (mn, mx) }.toMap
+  }
+
+  /** Files whose [min, max] on BOTH columns intersect the box —
+    * what a stats-pruning scan of the box predicate would read. */
+  def filesForBox(spark: SparkSession, dir: String,
+                  colA: String, loA: Long, hiA: Long,
+                  colB: String, loB: Long, hiB: Long): Seq[String] = {
+    val ra = fileRanges(spark, dir, colA)
+    val rb = fileRanges(spark, dir, colB)
+    ra.keys.toSeq.filter { f =>
+      val (amn, amx) = ra(f); val (bmn, bmx) = rb(f)
+      !(amx < loA || amn > hiA) && !(bmx < loB || bmn > hiB)
+    }.sorted
+  }
+
+  /** Count of data files under `dir`. */
+  def fileCount(spark: SparkSession, dir: String): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+}
