@@ -35,6 +35,7 @@ object SparkEntry {
       (graft.ops.llm.Bpe.queries, graft.ops.llm.Bpe.oracle),
       (graft.ops.llm.QualityFilters.queries, graft.ops.llm.QualityFilters.oracle),
       (graft.ops.llm.Ranking.queries, graft.ops.llm.Ranking.oracle),
+      (graft.ops.llm.Dsir.queries, graft.ops.llm.Dsir.oracle),
       (graft.ops.llm.Boilerplate.queries, graft.ops.llm.Boilerplate.oracle),
       (graft.ops.llm.Multimodal.queries, graft.ops.llm.Multimodal.oracle)
     )
