@@ -167,12 +167,58 @@ object Resample {
       .orderBy($"event_type", $"lag")
   }
 
+  /** Holt double exponential smoothing (level + trend) over the daily
+    * cents series per type, with the 1-step-ahead forecast — the
+    * classic baseline forecaster (Holt 1957). α=0.5, β=0.25: dyadic
+    * coefficients AND a per-step round(6) on level and trend — the
+    * q_graph_pagerank re-synchronization rule — so both engines fold
+    * from identical inputs at every step and summation drift cannot
+    * compound across the recursion (a recursive smoother is the one
+    * shape per-term IEEE equality alone cannot carry end-to-end).
+    * Shape: one (type, day) rollup shuffle; the fold runs over each
+    * type's COLLECTED daily array — one row per day per key (the
+    * q_ts_decay bounded-state argument: series length is bounded by
+    * the calendar, not the event volume); init l0 = x0, b0 = x1 − x0
+    * (the standard bootstrap). */
+  def qTsHolt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val series = daily.groupBy($"event_type")
+      .agg(transform(array_sort(collect_list(struct($"d", $"cents"))),
+        s => s.getField("cents").cast("double")).as("xs"))
+      .filter(size($"xs") >= 2)
+    val fold = aggregate(
+      slice($"xs", lit(3), greatest(size($"xs") - 2, lit(0))),
+      struct(
+        $"xs".getItem(1).as("l"),
+        ($"xs".getItem(1) - $"xs".getItem(0)).as("b")),
+      (acc, x) => {
+        val l2 = round(lit(0.5) * x + lit(0.5) * (acc.getField("l") + acc.getField("b")), 6)
+        struct(
+          l2.as("l"),
+          round(lit(0.25) * (l2 - acc.getField("l"))
+            + lit(0.75) * acc.getField("b"), 6).as("b"))
+      })
+    series
+      .withColumn("n", size($"xs"))
+      .withColumn("fit", fold)
+      .select($"event_type", $"n",
+        $"fit".getField("l").as("level"),
+        $"fit".getField("b").as("trend"),
+        round($"fit".getField("l") + $"fit".getField("b"), 6)
+          .as("forecast_1"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_resample" -> (qResample _),
     "q_ts_decay" -> (qTsDecay _),
     "q_ts_anomaly" -> (qTsAnomaly _),
     "q_ts_cusum" -> (qTsCusum _),
-    "q_ts_acf" -> (qTsAcf _)
+    "q_ts_acf" -> (qTsAcf _),
+    "q_ts_holt" -> (qTsHolt _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -251,6 +297,42 @@ object Resample {
         |FROM grid g LEFT JOIN hourly h
         |  ON g.user_id = h.user_id AND g.slot = h.slot
         |ORDER BY g.user_id, g.slot""".stripMargin,
+    // recursive-CTE evaluation of the same recursion (the q_graph_reach
+    // "different strategy" precedent — deliberately NOT list_reduce:
+    // DuckDB 1.0.0 evaluates struct_pack fields SEQUENTIALLY against a
+    // mutating accumulator inside list_reduce lambdas, so a two-field
+    // state update reads its sibling's NEW value — probed, and the
+    // kind of silent engine quirk the oracle must not depend on);
+    // per-step round(6) re-synchronizes both engines at every
+    // recursion step (the pagerank rule)
+    "q_ts_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+        |  FROM daily),
+        |sz AS (SELECT event_type, max(i)::BIGINT AS n FROM idx
+        |       GROUP BY event_type HAVING max(i) >= 2),
+        |rec AS (
+        |  SELECT x2.event_type, 2::BIGINT AS i,
+        |    x2.cents::DOUBLE AS l, (x2.cents - x1.cents)::DOUBLE AS b
+        |  FROM idx x1 JOIN idx x2 USING (event_type)
+        |  WHERE x1.i = 1 AND x2.i = 2
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |    round(0.5 * x.cents + 0.5 * (r.l + r.b), 6),
+        |    round(0.25 * (round(0.5 * x.cents + 0.5 * (r.l + r.b), 6)
+        |      - r.l) + 0.75 * r.b, 6)
+        |  FROM rec r JOIN idx x
+        |    ON x.event_type = r.event_type AND x.i = r.i + 1)
+        |SELECT r.event_type, sz.n, r.l AS level, r.b AS trend,
+        |  round(r.l + r.b, 6) AS forecast_1
+        |FROM rec r JOIN sz USING (event_type)
+        |WHERE r.i = sz.n
+        |ORDER BY r.event_type""".stripMargin,
     // y_t = n*x_t - T keeps the mean-centered series in exact BIGINTs
     // (the q_ts_cusum scaling); acf = one double division, 4 dp
     "q_ts_acf" ->
