@@ -159,6 +159,63 @@ class ScaleSpec extends SparkSpec {
         s"aggregate, not raw docs:\n$w"))
   }
 
+  test("r8 plan shapes: gopher/c4 never hash-shuffle doc rows, bm25 cuts " +
+      "top-k via TakeOrderedAndProject, quota's sub-rank windows key " +
+      "(lang, bucket) and no window anywhere runs unpartitioned") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    // quality filters: the only exchanges are the fixture-max scalar
+    // agg (single partition over one agg row) and the presentation
+    // sort — never a hash exchange carrying doc rows
+    Seq(
+      "gopher" -> graft.ops.llm.QualityFilters.qLlmGopher(spark, sfSmoke),
+      "c4" -> graft.ops.llm.QualityFilters.qLlmC4(spark, sfSmoke)
+    ).foreach { case (tag, df) =>
+      df.collect()
+      val hashEx = walk(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e }
+      assert(hashEx.isEmpty,
+        s"q_llm_$tag must stay a narrow projection — found hash " +
+          s"exchanges: ${hashEx.map(_.outputPartitioning)}")
+    }
+    // bm25: the global cut is a distributed partial top-k, not a
+    // whole-frame window
+    val bm25 = graft.ops.llm.Ranking.qLlmBm25(spark, sfSmoke)
+    bm25.collect()
+    assert(bm25.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      "bm25 top-20 must compile to TakeOrderedAndProject")
+    // quota + acf: every window partitioned (nothing serializes a
+    // stratum into one task); quota's first phase keys (lang, bucket)
+    Seq(
+      "quota" -> graft.ops.llm.Quota.qLlmQuota(spark, sfSmoke),
+      "acf" -> graft.ops.relational.Resample.qTsAcf(spark, sfSmoke)
+    ).foreach { case (tag, df) =>
+      df.collect()
+      val wins = walk(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$tag: expected window nodes")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$tag: unpartitioned window — one task would take the " +
+          s"whole frame:\n$w"))
+      if (tag == "quota")
+        assert(wins.exists(_.partitionSpec.size == 2),
+          "quota's sub-rank phase must partition by (lang, bucket)")
+    }
+  }
+
   test("compactSalted: hot key spreads across (key, salt) reducers") {
     import spark.implicits._
     val log = (0L until 1000L).map(i => (i, 7L, "u", i * 1.0))
