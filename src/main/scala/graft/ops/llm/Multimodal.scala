@@ -278,7 +278,84 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** MP4 (ISO-BMFF) header metadata from the binary payload — the
+    * video sibling of [[headerMeta]]/[[wavMeta]], completing the
+    * image/audio/video modality triple. BIG-endian box fields (like
+    * PNG, unlike WAV): validates 'ftyp' at byte 4, reads the ftyp box
+    * size to find the next box, and extracts movie timescale/duration
+    * from an mvhd v0 immediately inside a following 'moov'. A
+    * non-faststart file (mdat before moov) yields format/brand with
+    * NULL timing rather than garbage — walking arbitrary box chains
+    * is a kernel's job, not an expression's (the wavMeta honest
+    * boundary, stated there for chunk walks). */
+  def mp4Meta(payload: Column): Column = {
+    val h = upper(hex(payload))
+    def hexLong(c: Column): Column = conv(c, 16, 10).cast(LongType)
+    val isMp4 = length(h) >= 64 && substring(h, 9, 8) === "66747970"
+    val fsz = hexLong(substring(h, 1, 8)) // ftyp box size, bytes
+    def at(byteOff: Column, nBytes: Int): Column =
+      h.substr(byteOff * 2 + 1, lit(2 * nBytes))
+    val moovOk = isMp4 && at(fsz + 4, 4) === "6D6F6F76" &&
+      at(fsz + 12, 4) === "6D766864" && at(fsz + 16, 4) === "00000000"
+    val brandHex = substring(h, 17, 8)
+    struct(
+      when(isMp4, "mp4").otherwise("unknown").as("format"),
+      when(isMp4,
+        when(brandHex === "69736F6D", "isom")
+          .when(brandHex === "6D703432", "mp42")
+          .when(brandHex === "61766331", "avc1")
+          .otherwise("other")).as("brand"),
+      when(moovOk, hexLong(at(fsz + 28, 4))).as("timescale"),
+      when(moovOk, hexLong(at(fsz + 32, 4))).as("duration_units"))
+  }
+
+  /** Oracled video-header extraction (`q_mm_video`): canonical
+    * faststart MP4s, non-faststart (mdat-first) variants, and opaque
+    * payloads are built in-query from hex templates — big-endian box
+    * sizes and mvhd fields lpad-hexed into place — roundtripped
+    * through unhex → BinaryType, and parsed back by [[mp4Meta]] FROM
+    * the binary, the box offsets recomputed from the ftyp size, not
+    * assumed. The hash match proves the dynamic-offset arithmetic
+    * cross-engine (the q_mm_meta proof pattern, plus runtime offsets). */
+  def qMmVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = graft.Tables.table(spark, dir, "documents")
+      .select($"doc_id")
+      .withColumn("family", $"doc_id" % 29)
+      .withColumn("brand",
+        when($"family" % 3 === 0, "69736F6D")
+          .when($"family" % 3 === 1, "6D703432")
+          .otherwise("61766331"))
+      .withColumn("ts",
+        when($"family" % 4 === 0, 600L).when($"family" % 4 === 1, 1000L)
+          .when($"family" % 4 === 2, 90000L).otherwise(48000L))
+      .withColumn("dur", lit(1000L) + $"family" * 977L)
+    val ftyp = concat(lit("00000014"), lit("66747970"), $"brand",
+      lit("00000200"), lit("6D703431"))
+    val mvhd = concat(lit("0000006C"), lit("6D766864"), lit("00000000"),
+      lit("00000000"), lit("00000000"),
+      lpad(hex($"ts"), 8, "0"), lpad(hex($"dur"), 8, "0"))
+    val moov = concat(lit("00000074"), lit("6D6F6F76"), mvhd)
+    val phex = when($"family" % 5 === 4,
+        upper(md5(concat(lit("vopaque"), $"family"))))
+      .when($"family" % 7 === 5, concat(ftyp,
+        lit("00000018"), lit("6D646174"),
+        upper(md5(concat(lit("mdat"), $"family"))),
+        moov))
+      .otherwise(concat(ftyp, moov,
+        upper(md5(concat(lit("vtail"), $"family")))))
+    d.withColumn("payload", unhex(phex))
+      .withColumn("meta", mp4Meta($"payload"))
+      .select($"doc_id", $"meta.format".as("format"),
+        $"meta.brand".as("brand"), $"meta.timescale".as("timescale"),
+        $"meta.duration_units".as("duration_units"),
+        expr("meta.duration_units * 1000 DIV meta.timescale")
+          .as("duration_ms"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_video" -> (qMmVideo _),
     "q_mm_dedup" -> (qMmDedup _),
     "q_mm_meta" -> (qMmMeta _),
     "q_mm_audio" -> (qMmAudio _))
@@ -309,6 +386,70 @@ object Multimodal {
     // every LE field is byte-swapped into place on BOTH the build and
     // the parse side; casts guarded behind the iswav flag (an opaque
     // 16-byte payload has no chars at the field offsets)
+    // same hex transcripts, same dynamic offsets recomputed from the
+    // ftyp size — the `//` division and '0x' casts mirror Spark's DIV
+    // and conv; opaque-before-mdat precedence matches the Spark CASE
+    "q_mm_video" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 29 AS family FROM documents),
+        |parts AS (
+        |  SELECT doc_id, family,
+        |    CASE WHEN family % 3 = 0 THEN '69736F6D'
+        |         WHEN family % 3 = 1 THEN '6D703432'
+        |         ELSE '61766331' END AS brand,
+        |    CASE WHEN family % 4 = 0 THEN 600
+        |         WHEN family % 4 = 1 THEN 1000
+        |         WHEN family % 4 = 2 THEN 90000
+        |         ELSE 48000 END AS ts,
+        |    1000 + family * 977 AS dur
+        |  FROM d),
+        |px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN family % 5 = 4 THEN upper(md5('vopaque' || family))
+        |    WHEN family % 7 = 5 THEN
+        |      '0000001466747970' || brand || '000002006D703431' ||
+        |      '000000186D646174' || upper(md5('mdat' || family)) ||
+        |      '000000746D6F6F760000006C6D76686400000000' ||
+        |      '0000000000000000' ||
+        |      lpad(hex(ts), 8, '0') || lpad(hex(dur), 8, '0')
+        |    ELSE
+        |      '0000001466747970' || brand || '000002006D703431' ||
+        |      '000000746D6F6F760000006C6D76686400000000' ||
+        |      '0000000000000000' ||
+        |      lpad(hex(ts), 8, '0') || lpad(hex(dur), 8, '0') ||
+        |      upper(md5('vtail' || family)) END AS phex
+        |  FROM parts),
+        |parsed AS (
+        |  SELECT doc_id, upper(hex(unhex(phex))) AS hx FROM px),
+        |fs AS (
+        |  SELECT doc_id, hx,
+        |    length(hx) >= 64 AND substr(hx, 9, 8) = '66747970' AS is_mp4,
+        |    CASE WHEN length(hx) >= 64 AND substr(hx, 9, 8) = '66747970'
+        |      THEN ('0x' || substr(hx, 1, 8))::BIGINT END AS fsz
+        |  FROM parsed),
+        |ok AS (
+        |  SELECT doc_id, hx, is_mp4, fsz,
+        |    is_mp4 AND substr(hx, (fsz + 4) * 2 + 1, 8) = '6D6F6F76'
+        |      AND substr(hx, (fsz + 12) * 2 + 1, 8) = '6D766864'
+        |      AND substr(hx, (fsz + 16) * 2 + 1, 8) = '00000000' AS moov_ok
+        |  FROM fs)
+        |SELECT doc_id,
+        |  CASE WHEN is_mp4 THEN 'mp4' ELSE 'unknown' END AS format,
+        |  CASE WHEN is_mp4 THEN
+        |    CASE substr(hx, 17, 8) WHEN '69736F6D' THEN 'isom'
+        |      WHEN '6D703432' THEN 'mp42' WHEN '61766331' THEN 'avc1'
+        |      ELSE 'other' END END AS brand,
+        |  CASE WHEN moov_ok
+        |    THEN ('0x' || substr(hx, (fsz + 28) * 2 + 1, 8))::BIGINT
+        |    END AS timescale,
+        |  CASE WHEN moov_ok
+        |    THEN ('0x' || substr(hx, (fsz + 32) * 2 + 1, 8))::BIGINT
+        |    END AS duration_units,
+        |  CASE WHEN moov_ok
+        |    THEN (('0x' || substr(hx, (fsz + 32) * 2 + 1, 8))::BIGINT * 1000)
+        |      // ('0x' || substr(hx, (fsz + 28) * 2 + 1, 8))::BIGINT
+        |    END AS duration_ms
+        |FROM ok ORDER BY doc_id""".stripMargin,
     "q_mm_audio" ->
       """WITH d AS (SELECT doc_id, doc_id % 23 AS family FROM documents),
         |p AS (
