@@ -161,6 +161,52 @@ object CdcStream {
       .start()
   }
 
+  /** Point-lookup acceleration sibling of [[maintainedAggregateSink]]:
+    * one continuous query merges change events into the
+    * bucket-partitioned target AND keeps a
+    * [[graft.ops.cdc.BloomIndex]] over a secondary column fresh —
+    * each trigger's refresh rebuilds ONLY the buckets that trigger's
+    * merge touched (manifest diff). Exactly-once needs NO new
+    * machinery here because the index is PRUNE-ONLY derived state:
+    * merge committed + refresh crashed leaves a stale index whose
+    * lookups are conservative-but-correct (manifest-diff inclusion),
+    * and the next trigger's refresh heals it; a replayed batch is a
+    * metadata no-op on the table and a (0, n) refresh on the index. */
+  def bloomMaintainedSink(changes: DataFrame, targetDir: String,
+                          idxDir: String, checkpointDir: String,
+                          keyCol: String, lsnCol: String, opCol: String,
+                          valueCols: Seq[String], bloomCol: String,
+                          nBuckets: Int = 16): StreamingQuery =
+    bloomMaintainedSinkWithFailpoint(changes, targetDir, idxDir,
+      checkpointDir, keyCol, lsnCol, opCol, valueCols, bloomCol,
+      nBuckets, crashAfterMerge = false)
+
+  /** Failpoint twin (test seam, same body): crash between the table
+    * merge and the index refresh — the one seam this sink has. */
+  private[streaming] def bloomMaintainedSinkWithFailpoint(
+      changes: DataFrame, targetDir: String, idxDir: String,
+      checkpointDir: String, keyCol: String, lsnCol: String,
+      opCol: String, valueCols: Seq[String], bloomCol: String,
+      nBuckets: Int, crashAfterMerge: Boolean): StreamingQuery = {
+    import graft.ops.cdc.BloomIndex
+    val spark = changes.sparkSession
+    changes.dropDuplicates(lsnCol)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(spark, batch, batchId, targetDir, checkpointDir,
+          keyCol, lsnCol, opCol, valueCols, nBuckets)
+        if (crashAfterMerge)
+          throw new RuntimeException("failpoint: crash after merge")
+        if (BloomIndex.indexedVersion(spark, idxDir).isEmpty)
+          BloomIndex.build(spark, targetDir, idxDir, bloomCol): Unit
+        else
+          BloomIndex.refresh(spark, targetDir, idxDir): Unit
+      }
+      .start()
+  }
+
   /** Derived-table lazy-init plumbing shared by the maintenance sinks
     * (ONE copy, so the race-guard exception list cannot drift between
     * them): if the derived target is missing, seed it — a racing
