@@ -272,6 +272,55 @@ object ScaleSmoke {
         ops.cdc.PartitionedUpsert.read(spark, jmD),
         "pk", "fk", "dk", Seq("cents", "fk"), Seq("dname")).count() }
 
+    // ---- round-8 operators on the 10x corpus --------------------------
+    time("graph_triangles (6M li)") {
+      ops.relational.Graph.qGraphTriangles(spark, work).collect().length.toLong }
+    time("llm_pmi (500k docs)") {
+      ops.llm.Ranking.qLlmPmi(spark, work).count() }
+    time("llm_bm25 (500k docs)") {
+      ops.llm.Ranking.qLlmBm25(spark, work).count() }
+    time("llm_dsir (500k docs)") {
+      ops.llm.Dsir.qLlmDsir(spark, work).count() }
+    time("llm_quota 2-phase (500k)") {
+      ops.llm.Quota.qLlmQuota(spark, work).count() }
+    time("gopher+c4 filters (500k)") {
+      ops.llm.QualityFilters.qLlmGopher(spark, work).count() +
+        ops.llm.QualityFilters.qLlmC4(spark, work).count() }
+    val blT = s"$work/derived/bloom_t"; val blI = s"$work/derived/bloom_i"
+    if (!new java.io.File(blT).exists) {
+      time("bloom_index table init (1M)") {
+        ops.cdc.PartitionedUpsert.init(
+          Tables.table(spark, work, "events")
+            .select(col("event_id"), col("user_id"), col("value")),
+          blT, "event_id", 32)
+        // one planted RARE secondary value (single row) — the
+        // workload blooms exist for; the hot probe below is the
+        // honest contrast
+        ops.cdc.PartitionedUpsert.merge(spark, blT,
+          Seq((1L, 999999999L, "c", 424242424242L, 0.0))
+            .toDF("lsn", "event_id", "op", "user_id", "value"),
+          "event_id", "lsn", "op", Seq("user_id", "value"), 32)
+        ops.cdc.PartitionedUpsert.read(spark, blT).count() }
+      time("bloom_index build (1M rows)") {
+        ops.cdc.BloomIndex.build(spark, blT, blI, "user_id") }
+    }
+    time("bloom rare lookup (1 row)") {
+      // the pruning claim at scale: a near-unique secondary value
+      // reads ~1 of 32 buckets
+      val cand = ops.cdc.BloomIndex.candidateBuckets(
+        spark, blT, blI, "user_id", Seq(424242424242L))
+      println(s"[scale]   rare candidates: ${cand.size} of 32 buckets")
+      ops.cdc.BloomIndex.lookup(
+        spark, blT, blI, "user_id", Seq(424242424242L)).count() }
+    time("bloom hot lookup (~50 rows)") {
+      // the honest boundary: a hot value's rows land in most buckets
+      // by construction (key-hash placement), so blooms cannot prune
+      // it — same statement as hash layout vs readKeyRange
+      val cand = ops.cdc.BloomIndex.candidateBuckets(
+        spark, blT, blI, "user_id", Seq(77L))
+      println(s"[scale]   hot candidates: ${cand.size} of 32 buckets")
+      ops.cdc.BloomIndex.lookup(spark, blT, blI, "user_id", Seq(77L)).count() }
+
     // ---- skew: one user owns 50% of events ----------------------------
     // AQE skew-split rewrites sort-merge JOIN partitions at runtime;
     // window operators are out of its reach (compact relies on
