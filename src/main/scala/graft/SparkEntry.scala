@@ -37,6 +37,7 @@ object SparkEntry {
       (graft.ops.llm.Ranking.queries, graft.ops.llm.Ranking.oracle),
       (graft.ops.llm.Dsir.queries, graft.ops.llm.Dsir.oracle),
       (graft.ops.llm.Quota.queries, graft.ops.llm.Quota.oracle),
+      (graft.ops.llm.Winnow.queries, graft.ops.llm.Winnow.oracle),
       (graft.ops.llm.Boilerplate.queries, graft.ops.llm.Boilerplate.oracle),
       (graft.ops.llm.Multimodal.queries, graft.ops.llm.Multimodal.oracle)
     )
