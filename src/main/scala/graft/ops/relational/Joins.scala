@@ -143,6 +143,55 @@ object Joins {
       .orderBy($"r_regionkey", $"n_nationkey")
   }
 
+  /** Interval OVERLAP join (ranges × ranges — the genomics/temporal
+    * workload class; q_join_range is point-in-range): error-event
+    * incident windows (1–7 h, keyed off the event id) joined to
+    * purchase windows (1 h) on overlap, aggregated per incident.
+    *
+    * The scale-right plan: BINNED equi-join, not a theta join. Each
+    * interval explodes onto the hour cells it covers (≤ 8 rows per
+    * incident, 2 per purchase — generated narrow, the sequence()
+    * explode pattern), the join runs as an ordinary HASH join on the
+    * cell key, and each true overlap is counted EXACTLY ONCE without
+    * any distinct: a pair is kept only in the cell where
+    * greatest(start, start) falls — every overlapping pair has
+    * exactly one such cell inside both coverages, so dedup is free by
+    * construction. A theta join (the oracle's evaluation) is a
+    * nested-loop over the full cross product — correct, and exactly
+    * what does NOT survive 100 TB; the hash match certifies the
+    * binned decomposition against it. Time base is integer epoch
+    * MILLISECONDS on both engines (unix_millis / epoch_ms — both
+    * floor the µs-precision source, probed equal), so the overlap
+    * predicate and cell arithmetic are exact integer compares. */
+  def qJoinInterval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourMs = 3600000L
+    val ev = Tables.table(spark, dir, "events")
+      .select($"event_id", $"event_type",
+        // ts is TIMESTAMP_NTZ; the session is pinned UTC, so the
+        // ntz→ltz cast is instant-preserving and unix_millis matches
+        // DuckDB's epoch_ms on the naive value
+        unix_millis($"ts".cast("timestamp")).as("s"),
+        round($"value" * 100).cast("long").as("cents"))
+    val inc = ev.filter($"event_type" === "error")
+      .select($"event_id".as("inc_id"), $"s".as("i_lo"),
+        ($"s" + (pmod($"event_id", lit(7)) + 1) * hourMs).as("i_hi"))
+    val pur = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"s".as("p_lo"),
+        ($"s" + hourMs).as("p_hi"), $"cents")
+    val ic = inc.withColumn("cell",
+      explode(sequence(expr("i_lo DIV 3600000"), expr("i_hi DIV 3600000"))))
+    val pc = pur.withColumn("cell",
+      explode(sequence(expr("p_lo DIV 3600000"), expr("p_hi DIV 3600000"))))
+    ic.join(pc,
+        ic("cell") === pc("cell") &&
+          $"i_lo" <= $"p_hi" && $"p_lo" <= $"i_hi" &&
+          expr("greatest(i_lo, p_lo) DIV 3600000") === ic("cell"))
+      .groupBy($"inc_id")
+      .agg(count(lit(1)).as("n_overlaps"), sum($"cents").as("sum_cents"))
+      .orderBy($"inc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_sortmerge" -> (qJoinSortmerge _),
@@ -153,10 +202,30 @@ object Joins {
     "q_join_anti" -> (qJoinAnti _),
     "q_join_range" -> (qJoinRange _),
     "q_join_asof" -> (qJoinAsof _),
-    "q_join_cross" -> (qJoinCross _)
+    "q_join_cross" -> (qJoinCross _),
+    "q_join_interval" -> (qJoinInterval _)
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle evaluates the THETA form — a genuinely different
+    // strategy, so the hash match certifies the binned equi-join
+    // counts every overlapping pair exactly once
+    "q_join_interval" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, epoch_ms(ts) AS s,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |inc AS (
+        |  SELECT event_id AS inc_id, s AS i_lo,
+        |    s + (event_id % 7 + 1) * 3600000 AS i_hi
+        |  FROM ev WHERE event_type = 'error'),
+        |pur AS (
+        |  SELECT event_id AS p_id, s AS p_lo, s + 3600000 AS p_hi, cents
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT inc_id, count(*)::BIGINT AS n_overlaps,
+        |  sum(cents)::BIGINT AS sum_cents
+        |FROM inc JOIN pur ON i_lo <= p_hi AND p_lo <= i_hi
+        |GROUP BY inc_id ORDER BY inc_id""".stripMargin,
     "q_join_broadcast" ->
       """SELECT l_orderkey, l_linenumber, p_brand, p_name
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -197,6 +197,18 @@ class ScaleSpec extends SparkSpec {
     assert(bm25.queryExecution.executedPlan.toString
         .contains("TakeOrderedAndProject"),
       "bm25 top-20 must compile to TakeOrderedAndProject")
+    // interval overlap: the binned decomposition must compile to an
+    // EQUI join on the cell key — never the BroadcastNestedLoopJoin a
+    // raw theta overlap would produce
+    val ij = graft.ops.relational.Joins.qJoinInterval(spark, sfSmoke)
+    ij.collect()
+    val ijPlan = ij.queryExecution.executedPlan.toString
+    assert(!ijPlan.contains("BroadcastNestedLoopJoin"),
+      "interval join must bin to an equi join, not a nested loop")
+    assert(ijPlan.contains("SortMergeJoin") ||
+        ijPlan.contains("ShuffledHashJoin") ||
+        ijPlan.contains("BroadcastHashJoin"),
+      s"expected a hash/merge equi join on the cell key:\n$ijPlan")
     // quota + acf: every window partitioned (nothing serializes a
     // stratum into one task); quota's first phase keys (lang, bucket)
     Seq(
