@@ -304,21 +304,23 @@ object ScaleSmoke {
       time("bloom_index build (1M rows)") {
         ops.cdc.BloomIndex.build(spark, blT, blI, "user_id") }
     }
+    // diagnostics OUTSIDE the timed blocks — lookup() re-resolves its
+    // own candidates, so timing both would double-count the bloom reads
+    val rareCand = ops.cdc.BloomIndex.candidateBuckets(
+      spark, blT, blI, "user_id", Seq(424242424242L))
+    println(s"[scale]   rare candidates: ${rareCand.size} of 32 buckets")
+    val hotCand = ops.cdc.BloomIndex.candidateBuckets(
+      spark, blT, blI, "user_id", Seq(77L))
+    println(s"[scale]   hot candidates: ${hotCand.size} of 32 buckets")
     time("bloom rare lookup (1 row)") {
       // the pruning claim at scale: a near-unique secondary value
       // reads ~1 of 32 buckets
-      val cand = ops.cdc.BloomIndex.candidateBuckets(
-        spark, blT, blI, "user_id", Seq(424242424242L))
-      println(s"[scale]   rare candidates: ${cand.size} of 32 buckets")
       ops.cdc.BloomIndex.lookup(
         spark, blT, blI, "user_id", Seq(424242424242L)).count() }
     time("bloom hot lookup (~50 rows)") {
       // the honest boundary: a hot value's rows land in most buckets
       // by construction (key-hash placement), so blooms cannot prune
       // it — same statement as hash layout vs readKeyRange
-      val cand = ops.cdc.BloomIndex.candidateBuckets(
-        spark, blT, blI, "user_id", Seq(77L))
-      println(s"[scale]   hot candidates: ${cand.size} of 32 buckets")
       ops.cdc.BloomIndex.lookup(spark, blT, blI, "user_id", Seq(77L)).count() }
 
     // ---- skew: one user owns 50% of events ----------------------------

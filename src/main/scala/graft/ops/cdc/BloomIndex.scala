@@ -70,15 +70,25 @@ object BloomIndex {
       .sorted.lastOption
   }
 
-  /** The indexed column rides the _DONE marker so lookups cannot
-    * silently probe a different column than was indexed. */
-  private def doneColumn(spark: SparkSession, idxDir: String,
-                         v: Long): String = {
+  /** The indexed column AND fpp ride the _DONE marker — lookups
+    * cannot silently probe a different column than was indexed, and
+    * refresh cannot silently rebuild hot buckets at a different
+    * false-positive rate than the index was configured with. */
+  private def doneMeta(spark: SparkSession, idxDir: String,
+                       v: Long): (String, Double) = {
     val fs = fsOf(spark, idxDir)
     val in = fs.open(new Path(versionDir(idxDir, v), "_DONE"))
-    try scala.io.Source.fromInputStream(in).mkString.trim
-    finally in.close()
+    val lines = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    lines.split("\n") match {
+      case Array(c, f) => (c.trim, f.trim.toDouble)
+      case Array(c) => (c.trim, DefaultFpp) // pre-fpp marker era
+      case _ => sys.error(s"malformed _DONE at $idxDir v$v")
+    }
   }
+
+  private def doneColumn(spark: SparkSession, idxDir: String,
+                         v: Long): String = doneMeta(spark, idxDir, v)._1
 
   /** Build the index for the table's CURRENT version. Returns the
     * version indexed. Idempotent: an existing complete sidecar set
@@ -103,8 +113,7 @@ object BloomIndex {
     indexedVersion(spark, idxDir) match {
       case Some(v) if v == m.version => (0, m.buckets.size)
       case Some(v) =>
-        val column = doneColumn(spark, idxDir, v)
-        val fpp = DefaultFpp
+        val (column, fpp) = doneMeta(spark, idxDir, v)
         scala.util.Try(
             PartitionedUpsert.manifestAt(spark, tableDir, v)) match {
           case scala.util.Success(old) =>
@@ -130,11 +139,22 @@ object BloomIndex {
     * Exposed separately so callers (and specs) can observe pruning. */
   def candidateBuckets(spark: SparkSession, tableDir: String,
                        idxDir: String, column: String,
-                       values: Seq[Any]): Seq[Long] = {
+                       values: Seq[Any]): Seq[Long] =
+    candidateBucketsFor(spark, tableDir, idxDir, column, values,
+      PartitionedUpsert.manifestOrFail(spark, tableDir))
+
+  /** [[candidateBuckets]] against a caller-resolved manifest —
+    * [[lookup]] passes the SAME manifest it will read with, so a
+    * rebucket committing between two independent manifest reads can
+    * never make the candidate ids and the read layout disagree (the
+    * silent-row-loss race a double-resolve would open). */
+  private def candidateBucketsFor(spark: SparkSession, tableDir: String,
+                                  idxDir: String, column: String,
+                                  values: Seq[Any],
+                                  m: PartitionedUpsert.Manifest): Seq[Long] = {
     require(values.nonEmpty && !values.contains(null),
       "probe values must be non-empty and non-null (IS NULL never " +
         "matches an isin lookup; index nulls are not probed)")
-    val m = PartitionedUpsert.manifestOrFail(spark, tableDir)
     indexedVersion(spark, idxDir) match {
       case None => m.buckets.keySet.toSeq.sorted
       case Some(v) =>
@@ -182,7 +202,7 @@ object BloomIndex {
   def lookup(spark: SparkSession, tableDir: String, idxDir: String,
              column: String, values: Seq[Any]): DataFrame = {
     val m = PartitionedUpsert.manifestOrFail(spark, tableDir)
-    val cand = candidateBuckets(spark, tableDir, idxDir, column, values)
+    val cand = candidateBucketsFor(spark, tableDir, idxDir, column, values, m)
     PartitionedUpsert.readBuckets(spark, tableDir, m, cand)
       .filter(col(column).isin(values: _*))
   }
@@ -259,12 +279,45 @@ object BloomIndex {
       }
     }
     val done = fs.create(new Path(tmp, "_DONE"), true)
-    try done.write(column.getBytes("UTF-8")) finally done.close()
+    try done.write(s"$column\n$fpp".getBytes("UTF-8")) finally done.close()
     if (!fs.rename(tmp, target)) {
       // lost a publish race: someone else committed this version
       fs.delete(tmp, true)
       if (!fs.exists(new Path(target, "_DONE")))
         sys.error(s"publish of $target failed and no winner exists")
     }
+    vacuumIndex(spark, idxDir)
+  }
+
+  /** Reclaim superseded sidecar generations — without this a
+    * per-trigger streaming refresh grows the index directory by one
+    * full sidecar set per trigger, forever. Keeps the newest
+    * `keepVersions` COMPLETE versions (current + one predecessor by
+    * default: enough for any reader that resolved the index just
+    * before a publish), deletes older ones, and clears torn `.tmp-*`
+    * dirs past an age guard (a concurrent publisher's in-flight tmp
+    * is younger than the guard — same rule as the table vacuum's
+    * in-flight staging protection). Runs after every publish, so the
+    * index is self-maintaining; callable directly for a tighter keep. */
+  def vacuumIndex(spark: SparkSession, idxDir: String,
+                  keepVersions: Int = 2,
+                  tmpAgeMs: Long = 60 * 60 * 1000L): Unit = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val fs = fsOf(spark, idxDir)
+    val base = new Path(idxDir)
+    if (!fs.exists(base)) return
+    val entries = fs.listStatus(base).toSeq
+    val complete = entries
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .map(s => s.getPath.getName.stripPrefix("v").toLong)
+      .filter(v => fs.exists(new Path(versionDir(idxDir, v), "_DONE")))
+      .sorted
+    complete.dropRight(keepVersions)
+      .foreach(v => fs.delete(versionDir(idxDir, v), true))
+    val cutoff = System.currentTimeMillis() - tmpAgeMs
+    entries
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
   }
 }

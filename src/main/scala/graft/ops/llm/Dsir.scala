@@ -21,8 +21,9 @@ import graft.Tables
   * double division, ln parity per q_llm_tfidf; the per-doc MEAN sums
   * identical doubles and rounds 4 dp (the q_llm_bigram_lm rule).
   *
-  * Scale shape: two (token) count shuffles build the models
-  * (vocabulary-sized outputs); the per-token weight table is
+  * Scale shape: ONE (token) count shuffle builds BOTH models (the
+  * target count is a conditional agg of the same pass —
+  * vocabulary-sized output); the per-token weight table is
   * vocabulary-sized and joins the exploded corpus BY TOKEN (broadcast
   * at any realistic vocab); the only doc-sized exchange is the final
   * per-doc mean — (doc_id, double) pairs, never text. The V/T scalars
@@ -34,12 +35,13 @@ object Dsir {
     import spark.implicits._
     val toks = Tables.table(spark, dir, "documents")
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("t"))
-    val raw = toks.groupBy($"t").agg(count(lit(1)).as("cr"))
-    val tgt = toks.filter($"lang" === "en")
-      .groupBy($"t").agg(count(lit(1)).as("ct"))
-    val model = raw.join(tgt, Seq("t"), "left")
-      .select($"t", $"cr", coalesce($"ct", lit(0L)).as("ct"))
-      .localCheckpoint() // three scalar aggs + the corpus join read it
+    // BOTH models from ONE (token) shuffle: the target count is a
+    // conditional agg of the same pass, not a second corpus explode
+    // plus a vocab join (review finding, r8)
+    val model = toks.groupBy($"t").agg(
+        count(lit(1)).as("cr"),
+        count(when($"lang" === "en", 1)).as("ct"))
+      .localCheckpoint() // the scalar agg + the corpus join read it
     val scalars = model.agg(
       count(lit(1)).as("v"), sum($"cr").as("traw"), sum($"ct").as("ttgt"))
     val weights = model.crossJoin(broadcast(scalars))
@@ -66,13 +68,10 @@ object Dsir {
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
         |  FROM documents),
-        |raw AS (SELECT t, count(*)::BIGINT AS cr FROM toks GROUP BY t),
-        |tgt AS (
-        |  SELECT t, count(*)::BIGINT AS ct FROM toks
-        |  WHERE lang = 'en' GROUP BY t),
         |model AS (
-        |  SELECT raw.t, cr, coalesce(ct, 0)::BIGINT AS ct
-        |  FROM raw LEFT JOIN tgt USING (t)),
+        |  SELECT t, count(*)::BIGINT AS cr,
+        |    count(*) FILTER (WHERE lang = 'en')::BIGINT AS ct
+        |  FROM toks GROUP BY t),
         |scalars AS (
         |  SELECT count(*)::BIGINT AS v, sum(cr)::BIGINT AS traw,
         |    sum(ct)::BIGINT AS ttgt

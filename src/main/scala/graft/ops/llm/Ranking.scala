@@ -50,6 +50,9 @@ object Ranking {
       .filter($"token".isin(bm25Terms: _*))
       .groupBy($"doc_id", $"token")
       .agg(count(lit(1)).as("tf"), first($"dl").as("dl"))
+      // df and the scored join both reduce THIS tiny frame — without
+      // the checkpoint each re-runs the corpus explode (the pmi rule)
+      .localCheckpoint()
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df), "token")

@@ -46,7 +46,8 @@ object Winnow {
         .cast("long")
     val arr = Tables.table(spark, dir, "documents")
       .select($"doc_id", split($"text", " ").as("t"))
-      .filter(size($"t") >= K + W - 1 + 1) // ≥ one full window of grams
+      .filter(size($"t") >= K + W - 1) // ≥ one full window (W grams needs
+      // W+K-1 tokens — exactly the guarantee's minimum match length)
       .withColumn("h",
         transform(sequence(lit(0), size($"t") - K), i => gramHash($"t", i)))
     val winPick = (h: Column, i: Column) => {
@@ -76,7 +77,7 @@ object Winnow {
     "q_llm_winnow" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 8),
+        |  WHERE len(string_split(text, ' ')) >= 7),
         |h AS (
         |  SELECT doc_id, list_transform(range(len(tk) - 3), i ->
         |    ('0x' || substring(md5(

@@ -146,6 +146,10 @@ object Graph {
       .agg(count(lit(1)).as("w"))
       .filter($"w" >= 2)
       .select($"u", $"v")
+      // materialized ONCE: deg, the orientation join, and the final
+      // edge count all reduce THIS frame — unpersisted, the order-key
+      // self-join would re-run three times (the pmi checkpoint rule)
+      .localCheckpoint()
     val deg = e0.select($"u".as("n")).union(e0.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
     val before = (dx: Column, x: Column, dy: Column, y: Column) =>
@@ -163,6 +167,7 @@ object Graph {
         $"e1.s" === $"e2.s" &&
           before($"e1.dt", $"e1.t", $"e2.dt", $"e2.t"))
       .select($"e1.t".as("b"), $"e2.t".as("c"))
+      .localCheckpoint() // consumed by both the census and the closure
     val tri = wedges.join(oe.select($"s".as("b"), $"t".as("c")),
       Seq("b", "c"), "left_semi")
     e0.agg(count(lit(1)).as("n_edges"))

@@ -49,30 +49,47 @@ object ZOrderLayout {
   /** Distinct sorted interior split points giving ≤ 2^bits quantile
     * buckets for `col` (numeric; long-cast like every range router
     * here). Approximate by design — see the scaladoc honesty note. */
-  def planSplits(df: DataFrame, colName: String, bits: Int): Seq[Long] = {
+  def planSplits(df: DataFrame, colName: String, bits: Int): Seq[Long] =
+    planSplits2(df, colName, colName, bits)._1
+
+  /** Both columns' split points from ONE distributed agg pass. */
+  private def planSplits2(df: DataFrame, colA: String, colB: String,
+                          bits: Int): (Seq[Long], Seq[Long]) = {
     val n = (1 << bits) - 1
     val qs = array((1 to n).map(i => lit(i.toDouble / (1 << bits))): _*)
-    df.select(percentile_approx(col(colName).cast("double"), qs, lit(10000))
-        .as("q"))
-      .collect()(0).getSeq[Double](0)
-      .map(math.floor(_).toLong).distinct.sorted
+    val row = df.select(
+      percentile_approx(col(colA).cast("double"), qs, lit(10000)).as("qa"),
+      percentile_approx(col(colB).cast("double"), qs, lit(10000)).as("qb"))
+      .collect()(0)
+    def toSplits(i: Int) =
+      row.getSeq[Double](i).map(math.floor(_).toLong).distinct.sorted
+    (toSplits(0), toSplits(1))
   }
 
   /** Write `df` under `dir` clustered on the z-curve of (colA, colB):
     * `numFiles` range partitions of the z-value, rows sorted by it
     * within each, one parquet file per partition. Returns the split
-    * points used (callers wanting to route reads the same way). */
+    * points used (callers wanting to route reads the same way). The
+    * input is PINNED across split planning and the write (the
+    * PartitionedUpsert.initWith rule: an unpersisted non-deterministic
+    * pipeline would re-evaluate per action and the splits could
+    * describe a different sample than the rows written — clustering
+    * quality, not correctness, but silent), and both columns' split
+    * points come from ONE agg pass, so the input evaluates twice
+    * (plan + write), not three times. */
   def write(df: DataFrame, dir: String, colA: String, colB: String,
             numFiles: Int, bits: Int = 8): (Seq[Long], Seq[Long]) = {
-    val sa = planSplits(df, colA, bits)
-    val sb = planSplits(df, colB, bits)
-    val z = morton(rankCode(col(colA), sa), rankCode(col(colB), sb), bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(dir)
-    (sa, sb)
+    val pinned = df.persist()
+    try {
+      val (sa, sb) = planSplits2(pinned, colA, colB, bits)
+      val z = morton(rankCode(col(colA), sa), rankCode(col(colB), sb), bits)
+      pinned.withColumn("__z", z)
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(dir)
+      (sa, sb)
+    } finally { df.unpersist(); () }
   }
 
   /** Per-file (min, max) of a column across the parquet files under
@@ -80,26 +97,35 @@ object ZOrderLayout {
     * footers carry the same ranges; this derives them portably for
     * specs and for planners that cache stats table-side). */
   def fileRanges(spark: SparkSession, dir: String, colName: String)
-      : Map[String, (Long, Long)] = {
+      : Map[String, (Long, Long)] =
+    fileRanges2(spark, dir, colName, colName)
+      .map { case (f, (mn, mx, _, _)) => f -> (mn, mx) }
+
+  /** Per-file (min, max) of BOTH columns in ONE scan. */
+  private def fileRanges2(spark: SparkSession, dir: String,
+                          colA: String, colB: String)
+      : Map[String, (Long, Long, Long, Long)] = {
     import spark.implicits._
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(colName).cast("long")).as("mn"),
-        max(col(colName).cast("long")).as("mx"))
-      .as[(String, Long, Long)].collect()
-      .map { case (f, mn, mx) => f -> (mn, mx) }.toMap
+      .agg(min(col(colA).cast("long")).as("amn"),
+        max(col(colA).cast("long")).as("amx"),
+        min(col(colB).cast("long")).as("bmn"),
+        max(col(colB).cast("long")).as("bmx"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (f, amn, amx, bmn, bmx) => f -> (amn, amx, bmn, bmx) }
+      .toMap
   }
 
   /** Files whose [min, max] on BOTH columns intersect the box —
-    * what a stats-pruning scan of the box predicate would read. */
+    * what a stats-pruning scan of the box predicate would read.
+    * One scan gathers both columns' ranges. */
   def filesForBox(spark: SparkSession, dir: String,
                   colA: String, loA: Long, hiA: Long,
                   colB: String, loB: Long, hiB: Long): Seq[String] = {
-    val ra = fileRanges(spark, dir, colA)
-    val rb = fileRanges(spark, dir, colB)
-    ra.keys.toSeq.filter { f =>
-      val (amn, amx) = ra(f); val (bmn, bmx) = rb(f)
-      !(amx < loA || amn > hiA) && !(bmx < loB || bmn > hiB)
+    fileRanges2(spark, dir, colA, colB).toSeq.collect {
+      case (f, (amn, amx, bmn, bmx))
+        if !(amx < loA || amn > hiA) && !(bmx < loB || bmn > hiB) => f
     }.sorted
   }
 
