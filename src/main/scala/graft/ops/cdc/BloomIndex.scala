@@ -280,7 +280,18 @@ object BloomIndex {
     }
     val done = fs.create(new Path(tmp, "_DONE"), true)
     try done.write(s"$column\n$fpp".getBytes("UTF-8")) finally done.close()
-    if (!fs.rename(tmp, target)) {
+    // Hadoop's LOCAL FileSystem rename onto an existing destination
+    // directory does not fail — it moves the source UNDER it and
+    // returns true, which would nest this publisher's stale .tmp dir
+    // inside the winner's committed version dir where the root-level
+    // vacuum sweep never finds it. So: target existence immediately
+    // before the rename IS the lost race, and the rename's outcome is
+    // verified by checking the nested path afterwards (covers the
+    // exists→rename window against a concurrent publisher).
+    val renamed = !fs.exists(target) && fs.rename(tmp, target)
+    val nested = new Path(target, tmp.getName)
+    if (fs.exists(nested)) fs.delete(nested, true) // nested = we lost mid-window
+    if (!renamed || fs.exists(tmp)) {
       // lost a publish race: someone else committed this version
       fs.delete(tmp, true)
       if (!fs.exists(new Path(target, "_DONE")))
@@ -316,6 +327,15 @@ object BloomIndex {
       .foreach(v => fs.delete(versionDir(idxDir, v), true))
     val cutoff = System.currentTimeMillis() - tmpAgeMs
     entries
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
+    // belt-and-suspenders for the nested-rename hazard (local FS
+    // rename into an existing version dir): sweep .tmp-* one level
+    // INSIDE committed version dirs too, same age guard
+    entries
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => fs.listStatus(s.getPath).toSeq)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-") &&
         s.getModificationTime < cutoff)
       .foreach(s => fs.delete(s.getPath, true))

@@ -535,8 +535,6 @@ object PartitionedUpsert {
     } finally { withBucket.unpersist(); () }
   }
 
-  /** Materialize a manifest ('s listed files) as a DataFrame; `only`
-    * restricts to a subset of bucket paths (path-pruned merge read). */
   /** Package door for companion indexes ([[BloomIndex]]): read only
     * the named buckets of a resolved manifest / route a caller frame's
     * key the way this manifest does. Same visibility rationale as the
@@ -549,6 +547,8 @@ object PartitionedUpsert {
   private[cdc] def routeFor(m: Manifest, k: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = routeExpr(m, k)
 
+  /** Materialize a manifest ('s listed files) as a DataFrame; `only`
+    * restricts to a subset of bucket paths (path-pruned merge read). */
   private def bucketsDf(spark: SparkSession, dir: String, m: Manifest,
                         only: Option[Seq[String]] = None): DataFrame = {
     val rels = only.getOrElse(m.buckets.values.toSeq.sorted)

@@ -160,8 +160,11 @@ object Resample {
     val aggd = lagged.groupBy($"event_type").agg(
       sum($"y" * $"y").as("den"),
       lags.map(l => sum($"y" * col(s"y$l")).as(s"num$l")): _*)
+    // den = Σy² = 0 ⇔ the series is constant (every y = 0): Spark's
+    // double 0/0 is NaN where DuckDB's is NULL — null the ratio on
+    // both engines (the q_ts_anomaly zero-variance convention).
     val stacked = lags.map(l =>
-      s"${l}L, round(num$l / CAST(den AS DOUBLE), 4)").mkString(", ")
+      s"${l}L, round(num$l / CAST(nullif(den, 0) AS DOUBLE), 4)").mkString(", ")
     aggd.selectExpr("event_type",
         s"stack(${lags.size}, $stacked) AS (lag, acf)")
       .orderBy($"event_type", $"lag")
@@ -359,12 +362,12 @@ object Resample {
         |  FROM lagged GROUP BY event_type)
         |SELECT event_type, lag, acf FROM (
         |  SELECT event_type, 1::BIGINT AS lag,
-        |    round(num1 / CAST(den AS DOUBLE), 4) AS acf FROM aggd
-        |  UNION ALL SELECT event_type, 2, round(num2 / CAST(den AS DOUBLE), 4) FROM aggd
-        |  UNION ALL SELECT event_type, 3, round(num3 / CAST(den AS DOUBLE), 4) FROM aggd
-        |  UNION ALL SELECT event_type, 6, round(num6 / CAST(den AS DOUBLE), 4) FROM aggd
-        |  UNION ALL SELECT event_type, 12, round(num12 / CAST(den AS DOUBLE), 4) FROM aggd
-        |  UNION ALL SELECT event_type, 24, round(num24 / CAST(den AS DOUBLE), 4) FROM aggd)
+        |    round(num1 / CAST(nullif(den, 0) AS DOUBLE), 4) AS acf FROM aggd
+        |  UNION ALL SELECT event_type, 2, round(num2 / CAST(nullif(den, 0) AS DOUBLE), 4) FROM aggd
+        |  UNION ALL SELECT event_type, 3, round(num3 / CAST(nullif(den, 0) AS DOUBLE), 4) FROM aggd
+        |  UNION ALL SELECT event_type, 6, round(num6 / CAST(nullif(den, 0) AS DOUBLE), 4) FROM aggd
+        |  UNION ALL SELECT event_type, 12, round(num12 / CAST(nullif(den, 0) AS DOUBLE), 4) FROM aggd
+        |  UNION ALL SELECT event_type, 24, round(num24 / CAST(nullif(den, 0) AS DOUBLE), 4) FROM aggd)
         |ORDER BY event_type, lag""".stripMargin
   )
 }

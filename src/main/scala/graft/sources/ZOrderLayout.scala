@@ -79,7 +79,11 @@ object ZOrderLayout {
     * (plan + write), not three times. */
   def write(df: DataFrame, dir: String, colA: String, colB: String,
             numFiles: Int, bits: Int = 8): (Seq[Long], Seq[Long]) = {
-    val pinned = df.persist()
+    // pin only if the caller hasn't already — unconditional
+    // persist/unpersist here would silently drop a cache the caller
+    // set up for its own reuse
+    val wePinned = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val pinned = if (wePinned) df.persist() else df
     try {
       val (sa, sb) = planSplits2(pinned, colA, colB, bits)
       val z = morton(rankCode(col(colA), sa), rankCode(col(colB), sb), bits)
@@ -89,7 +93,7 @@ object ZOrderLayout {
         .drop("__z")
         .write.mode("overwrite").parquet(dir)
       (sa, sb)
-    } finally { df.unpersist(); () }
+    } finally { if (wePinned) df.unpersist(); () }
   }
 
   /** Per-file (min, max) of a column across the parquet files under
