@@ -58,8 +58,84 @@ object Boilerplate {
       .orderBy($"doc_id")
   }
 
+  /** Span-level repeated-text REMOVAL — the published
+    * dedup-training-data recipe excises the repeated span, not the
+    * document ([[qLlmBoilerplate]] only *scores* contamination; a
+    * pipeline user wants the surviving text). A token is removed iff
+    * it is covered by at least one occurrence of an n-gram that
+    * appears in ≥ `minDocs` DISTINCT documents; the cleaned text is
+    * the space-rejoin of the survivors — maximal repeated runs come
+    * out whole, unique prefix/suffix text stays.
+    *
+    * Returns `docs` plus `stripped` (cleaned text), `n_tokens`,
+    * `n_removed`. Scale shape = the boilerplate miner's: gram build is
+    * narrow windowed indexing over the materialized token array, the
+    * distinct/count and the occurrence join-back both shuffle the
+    * vocabulary-sized gram key (one row per (doc, gram) — never per
+    * occurrence pair), and the final excision is a per-doc array
+    * filter — no cross-doc pairs, linear where pairwise dedup is
+    * quadratic. (The contamination-style xxhash64 gram transport is
+    * the 100 TB upgrade for the join key; kept as strings here because
+    * a collision would wrongly mark a gram shared — not
+    * threshold-absorbed — and for oracle comparability.)
+    */
+  def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8, minDocs: Int = 2): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(n >= 2 && minDocs >= 2, "n-gram size and doc threshold must be >= 2")
+    val toks = docs.select(col(idCol).as("__id"), split(col(textCol), " ").as("__t"))
+    val grams = toks.filter(size($"__t") >= n)
+      .select($"__id", explode(transform(sequence(lit(0), size($"__t") - n),
+        i => struct(i.as("i"), concat_ws(" ",
+          (0 until n).map(k => $"__t".getItem(i + k)): _*).as("g")))).as("og"))
+      .select($"__id", $"og.i".as("i"), $"og.g".as("g"))
+    val shared = grams.select($"__id", $"g").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= minDocs).select($"g")
+    val covered = grams.join(shared, Seq("g"), "left_semi")
+      .groupBy($"__id").agg(collect_list($"i").as("__ss"))
+      .withColumnRenamed("__id", idCol)
+    docs.join(covered, Seq(idCol), "left")
+      .withColumn("__t", split(col(textCol), " "))
+      .withColumn("__ss", coalesce($"__ss", array().cast("array<int>")))
+      .withColumn("__cov",
+        array_distinct(flatten(transform($"__ss", s => sequence(s, s + n - 1)))))
+      .withColumn("__kept", filter($"__t", (_, j) => !array_contains($"__cov", j)))
+      .withColumn("n_tokens", size($"__t").cast("long"))
+      .withColumn("n_removed", (size($"__t") - size($"__kept")).cast("long"))
+      .withColumn("stripped", concat_ws(" ", $"__kept"))
+      .drop("__t", "__ss", "__cov", "__kept")
+  }
+
+  /** Oracled strip over documents ∪ ten planted template docs (unique
+    * 2-token prefix/suffix around a 12-token shared template, ids above
+    * max(doc_id) — the scale-safe planted pattern): the template's
+    * 8-grams repeat across the ten, so exactly the 12 middle tokens
+    * excise and the 4 unique ones survive — PARTIAL removal proven by
+    * the md5 over the cleaned text. Planted tokens carry digits; the
+    * organic corpus is lowercase-alpha (probed), so no accidental
+    * cross-contamination. */
+  def qLlmBoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs0 = Tables.table(spark, dir, "documents").select($"doc_id", $"text")
+    val mx = docs0.agg(max($"doc_id").as("mx"))
+    val tmpl = (0 until 12).map(k => s"tmpl$k").mkString(" ")
+    val planted = docs0.filter($"doc_id" < 10).crossJoin(broadcast(mx))
+      .select(($"doc_id" + $"mx" + 1).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("px"), $"doc_id"), concat(lit("py"), $"doc_id"),
+          lit(tmpl),
+          concat(lit("sx"), $"doc_id"), concat(lit("sy"), $"doc_id")).as("text"))
+    stripRepeatedSpans(docs0.unionByName(planted), "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"n_removed",
+        length($"stripped").cast("long").as("cleaned_chars"),
+        md5($"stripped").as("cleaned_md5"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_llm_boilerplate" -> (qLlmBoilerplate _)
+    "q_llm_boilerplate" -> (qLlmBoilerplate _),
+    "q_llm_boilerplate_strip" -> (qLlmBoilerplateStrip _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -85,6 +161,43 @@ object Boilerplate {
         |    / max(d.n_grams), 4) AS boiler_frac
         |FROM per_doc d LEFT JOIN shared s ON d.g = s.g
         |GROUP BY d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // 1-based twin of the Spark 0-based strip: range() is
+    // end-exclusive, so start i covers t[i..i+7] via range(i, i+8);
+    // string_agg over an empty kept list is NULL → coalesce '' (md5('')
+    // is the canonical empty digest on both engines, probed)
+    "q_llm_boilerplate_strip" ->
+      """WITH planted AS (
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |    'px' || doc_id || ' py' || doc_id ||
+        |    ' tmpl0 tmpl1 tmpl2 tmpl3 tmpl4 tmpl5 tmpl6 tmpl7 tmpl8 tmpl9 tmpl10 tmpl11 ' ||
+        |    'sx' || doc_id || ' sy' || doc_id AS text
+        |  FROM documents WHERE doc_id < 10),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM all_docs),
+        |grams AS (
+        |  SELECT doc_id, i, list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS r(i)
+        |  WHERE len(t) >= 8),
+        |shared AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g
+        |  HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT doc_id, list_distinct(flatten(list(range(i, i + 8)))) AS covered
+        |  FROM grams JOIN shared USING (g) GROUP BY doc_id),
+        |kept AS (
+        |  SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+        |    list_transform(list_filter(range(1, len(t.t) + 1),
+        |      j -> NOT list_contains(coalesce(c.covered, []::BIGINT[]), j)),
+        |      j -> t.t[j]) AS kt
+        |  FROM toks t LEFT JOIN cov c USING (doc_id))
+        |SELECT doc_id, n_tokens,
+        |  (n_tokens - len(kt))::BIGINT AS n_removed,
+        |  length(coalesce(list_aggregate(kt, 'string_agg', ' '), ''))::BIGINT
+        |    AS cleaned_chars,
+        |  md5(coalesce(list_aggregate(kt, 'string_agg', ' '), '')) AS cleaned_md5
+        |FROM kept ORDER BY doc_id""".stripMargin
   )
 }

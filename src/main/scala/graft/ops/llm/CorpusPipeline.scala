@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions._
   *  1. PII redaction ([[PiiRedact]] — narrow projection)
   *  2. quality filter ([[LlmQueries.qLlmQuality]]'s banding rules —
   *     narrow projection; short/boilerplate docs dropped)
+  *  2.5. (opt-in) span-level repeated-text removal ([[Boilerplate.
+  *     stripRepeatedSpans]] — corpus-repeated n-gram spans excised
+  *     from the text, fully-template docs dropped)
   *  3. exact dedup (native-normalize sha256, keep min id per hash —
   *     one shuffle; ALWAYS before near-dup so identical-text clusters
   *     never reach LSH banding, the mega-bucket lesson in BASELINE.md)
@@ -38,7 +41,13 @@ object CorpusPipeline {
       sampleRatesPct: Map[String, Int] = Map.empty,
       defaultSamplePct: Int = 100,
       trainPct: Int = 80,
-      valPct: Int = 10)
+      valPct: Int = 10,
+      // span-level repeated-text removal (stage 2.5): excise spans
+      // repeated VERBATIM across >= stripMinDocs docs before dedup —
+      // opt-in (it rewrites text; some corpora want scoring only)
+      stripSpans: Boolean = false,
+      stripNGram: Int = 8,
+      stripMinDocs: Int = 2)
 
   /** Returns the prepared corpus: surviving rows of `docs` with
     * `redacted` (scrubbed text), `cluster` (near-dup cluster id — its
@@ -66,8 +75,21 @@ object CorpusPipeline {
         cfg.minWords) === "ok")
       .drop("__toks", "__n_words", "__n_stop")
 
+    // 2.5 (opt-in): excise corpus-repeated spans from the surviving
+    // text BEFORE dedup — the published recipe removes the span, not
+    // the doc; stripping templates first also makes exact dedup see
+    // through per-doc unique framing around shared boilerplate. A doc
+    // stripped to nothing is dropped (it was all template).
+    val cleaned =
+      if (!cfg.stripSpans) scrubbed
+      else Boilerplate.stripRepeatedSpans(scrubbed, idCol, "redacted",
+          cfg.stripNGram, cfg.stripMinDocs)
+        .withColumn("redacted", col("stripped"))
+        .drop("stripped", "n_tokens", "n_removed")
+        .filter(length(col("redacted")) > 0)
+
     // 3: exact dedup on normalized content (min id wins — stable)
-    val hashed = scrubbed.withColumn("__h", sha2(
+    val hashed = cleaned.withColumn("__h", sha2(
       graft.functions.NormalizeText.normalize_native(col("redacted")), 256))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col(idCol).asc)
