@@ -39,6 +39,7 @@ object SparkEntry {
       (graft.ops.llm.Quota.queries, graft.ops.llm.Quota.oracle),
       (graft.ops.llm.Winnow.queries, graft.ops.llm.Winnow.oracle),
       (graft.ops.llm.Boilerplate.queries, graft.ops.llm.Boilerplate.oracle),
+      (graft.ops.llm.SemDedup.queries, graft.ops.llm.SemDedup.oracle),
       (graft.ops.llm.Multimodal.queries, graft.ops.llm.Multimodal.oracle)
     )
 

@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *  4. near-dup clustering (MinHash+LSH candidates → verified Jaccard
   *     edges → hash-min components — bucket-bounded, never all-pairs)
   *     keeping the min doc id of every cluster
+  *  4.5. (opt-in) semantic dedup ([[SemDedup]] — embedding-cluster
+  *     cosine twins collapse to the centroid-farthest member; the
+  *     paraphrase rung token-based dedup cannot reach)
   *  5. deterministic stratified sampling + train/val/test split
   *     ([[Sampling]] — narrow projections, reproducible by hash)
   *
@@ -47,7 +50,14 @@ object CorpusPipeline {
       // opt-in (it rewrites text; some corpora want scoring only)
       stripSpans: Boolean = false,
       stripNGram: Int = 8,
-      stripMinDocs: Int = 2)
+      stripMinDocs: Int = 2,
+      // semantic dedup (stage 4.5): SemDeDup over an embedding column
+      // the caller's docs carry — opt-in via a trained coarse codebook
+      // (paraphrases share no tokens, so the MinHash stage cannot see
+      // them; this one can)
+      semDedupCentroids: Option[Array[Array[Double]]] = None,
+      semDedupThreshold: Double = 0.95,
+      embCol: String = "embedding")
 
   /** Returns the prepared corpus: surviving rows of `docs` with
     * `redacted` (scrubbed text), `cluster` (near-dup cluster id — its
@@ -104,8 +114,18 @@ object CorpusPipeline {
       "doc_a", "doc_b")
       .filter(col("cluster") === col(idCol))
 
+    // 4.5 (opt-in): semantic dedup over the caller's embedding column
+    // — within-centroid cosine twins collapse to the most-diverse
+    // (centroid-farthest) member; zero-norm embeddings drop (no
+    // defined similarity)
+    val semantic = cfg.semDedupCentroids match {
+      case None => clustered
+      case Some(cents) => SemDedup.semDedup(clustered, idCol, cfg.embCol,
+        cents, cfg.semDedupThreshold)
+    }
+
     // 5: deterministic mixing + split
-    Sampling.stratifiedSample(clustered, idCol, stratumCol,
+    Sampling.stratifiedSample(semantic, idCol, stratumCol,
         cfg.sampleRatesPct, cfg.defaultSamplePct)
       .withColumn("split",
         Sampling.assignSplit(col(idCol), cfg.trainPct, cfg.valPct))
