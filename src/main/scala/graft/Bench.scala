@@ -61,9 +61,14 @@ object Bench {
     val prior: Map[String, Double] =
       try {
         val txt = scala.io.Source.fromFile("bench_results.json").mkString
-        // a prior at a DIFFERENT scale factor is not a baseline —
-        // constant overhead vs data cost mix differently per key
-        if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+        // a prior at a DIFFERENT scale factor OR core count is not a
+        // baseline — constant overhead vs data cost mix differently
+        // per key, and local[4] vs local[32] medians differ 2-6x on
+        // scheduling-bound keys (VERDICT r8: every flagged "regression"
+        // was a cross-config artifact). Legacy priors without a cpus
+        // field are treated as mismatched.
+        if (!txt.contains(s""""sf":"$sfDir"""") ||
+            !txt.contains(s""""cpus":"$cpus"""")) Map.empty
         else {
           // a key that FAILED in the prior run still recorded a median
           // (the elapsed time of the fast failure) — a bogus baseline
@@ -97,7 +102,7 @@ object Bench {
       val pr = prior.get(k).map(p => f""","prior":$p%.6f""").getOrElse("")
       f""""$k":{"median":$m%.6f,"runs":[$a%.6f,$b%.6f,$c%.6f]$pr}"""
     }.mkString("{", ",", "}")
-    val full = f"""{"metric":"total","value":$total%.6f,"unit":"sec","reps":3,"stat":"median","drift":$drift%.4f,"regressions":$regressionsJson,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.6f,"unit":"sec","reps":3,"stat":"median","cpus":"$cpus","drift":$drift%.4f,"regressions":$regressionsJson,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_results.json")
       try w.println(full) finally w.close()
@@ -111,7 +116,7 @@ object Bench {
     val qs = results.map { case (k, m, _) => f""""$k":$m%.3f""" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"per_key","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":3,"stat":"median","keys":${results.size},"drift":$drift%.2f,"regressions":$regressionsJson,"failed":$failedJson,"detail":"bench_results.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":3,"stat":"median","keys":${results.size},"cpus":"$cpus","drift":$drift%.2f,"regressions":$regressionsJson,"failed":$failedJson,"detail":"bench_results.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
