@@ -31,6 +31,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * to one source version, so siblings share cursor values by
   * construction rather than luck.
   *
+  * This module RECONSTRUCTS consistency from cursor histories — the
+  * right tool for ad-hoc readers over targets that advance on
+  * independent cadences. When the DAG is coordinated (one round
+  * advances every sibling), [[DagCommit]] is the stronger companion:
+  * a single atomically-swapped pointer manifest makes the whole round
+  * visible as ONE commit, so consumers need no history walk and a
+  * non-reconstructing reader cannot observe mixed source versions.
+  *
   * Honest boundary: the consistency window is the manifest RETENTION
   * window — vacuuming a target's old versions ages aligned points out
   * exactly like any other time-travel read. And a target whose
