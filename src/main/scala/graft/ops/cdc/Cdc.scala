@@ -459,11 +459,23 @@ object Cdc {
   sealed trait SchemaChange
   final case class RenameColumn(from: String, to: String) extends SchemaChange
   final case class WidenColumn(name: String, to: DataType) extends SchemaChange
+  /** Column DROP — the CDC reality the rename/widen pair left out.
+    * `dataType` records the dropped column's type: batch replay only
+    * needs the name (the projection just removes it), but a streaming
+    * era parser must RE-ADD the column to read pre-drop payloads
+    * ([[graft.streaming.CdcStream]]'s auto-DDL sink), and by then the
+    * live table no longer remembers the type — so the drop event
+    * carries it, the way Debezium's schema-history events carry the
+    * full before-schema. */
+  final case class DropColumn(name: String,
+                              dataType: Option[DataType] = None) extends SchemaChange
 
   /** Replay schema changes onto a batch captured before them. Renames
     * are plan-only; widens are lossless up-casts (checked — a lossy
     * "widen" like long→int is a corruption, not a migration, and is
-    * rejected loudly). Zero shuffles. */
+    * rejected loudly); drops are plan-only projections. All idempotent
+    * (already-applied changes no-op), which is what makes crashed-batch
+    * replay safe. Zero shuffles. */
   def applySchemaChanges(df: DataFrame, changes: Seq[SchemaChange]): DataFrame =
     changes.foldLeft(df) {
       case (d, RenameColumn(from, to)) =>
@@ -478,6 +490,8 @@ object Cdc {
               s"${from.catalogString} -> ${to.catalogString}")
           d.withColumn(name, col(name).cast(to))
         }
+      case (d, DropColumn(name, _)) =>
+        if (d.columns.contains(name)) d.drop(name) else d
     }
 
   /** Align batches captured under evolving schemas: each batch carries
@@ -511,13 +525,16 @@ object Cdc {
       StructField("rename", StructType(Seq(
         StructField("from", StringType), StructField("to", StringType)))),
       StructField("widen", StructType(Seq(
-        StructField("col", StringType), StructField("to", StringType))))))
+        StructField("col", StringType), StructField("to", StringType)))),
+      StructField("drop", StructType(Seq(
+        StructField("col", StringType), StructField("type", StringType))))))
     log.filter(col(opCol) === "s")
       .select(col(offsetCol).cast(LongType),
         from_json(col(ddlCol), ddlSchema).as("__ddl"))
       .orderBy(col(offsetCol))
       .select(col(offsetCol), col("__ddl.rename.from"), col("__ddl.rename.to"),
-        col("__ddl.widen.col"), col("__ddl.widen.to"))
+        col("__ddl.widen.col"), col("__ddl.widen.to"),
+        col("__ddl.drop.col"), col("__ddl.drop.type"))
       .collect()
       .map { r =>
         // a DDL that cannot be ordered is unreplayable — fail with a
@@ -533,6 +550,11 @@ object Cdc {
             WidenColumn(r.getString(3),
               org.apache.spark.sql.catalyst.parser.CatalystSqlParser
                 .parseDataType(r.getString(4)))
+          else if (r.getString(5) != null)
+            DropColumn(r.getString(5),
+              Option(r.getString(6)).map(
+                org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                  .parseDataType))
           else throw new IllegalArgumentException(
             s"unrecognized schema-change payload at ${offsetCol}=${r}")
         lsn -> change

@@ -670,6 +670,10 @@ object PartitionedUpsert {
     // recorded key tracked FORWARD through this batch's renames
     val trackedKey = changes.foldLeft(prior.keyCol) {
       case (k, Cdc.RenameColumn(from, to)) if from == k => to
+      case (k, Cdc.DropColumn(name, _)) if name == k =>
+        throw new IllegalArgumentException(
+          s"cannot drop '$k' — it is $dir's bucket key (the table's " +
+            s"physical layout); re-key the table first")
       case (k, _) => k
     }
     requireLayout(prior.copy(keyCol = trackedKey), nBuckets, keyCol, dir)

@@ -436,12 +436,24 @@ object CdcStream {
     * are inverted (the old JSON spells the old name) while types stay
     * FINAL — parsing an int-era payload with the widened type is a
     * lossless read, and keeping final types means no per-segment cast
-    * bookkeeping. */
+    * bookkeeping. A later DROP is inverted by RE-ADDING the column
+    * (pre-drop payloads still spell it; parsing without it would not
+    * corrupt the merge — applySchemaChanges drops it again — but the
+    * era contract is "parse what the payload actually carries", and
+    * the recorded type keeps the read typed, not stringly). The drop
+    * event must carry the type: the evolved table no longer remembers
+    * it. */
   private def invertRenames(schema: StructType,
                             changes: Seq[Cdc.SchemaChange]): StructType =
     changes.reverse.foldLeft(schema) {
       case (s, Cdc.RenameColumn(from, to)) =>
         StructType(s.fields.map(f => if (f.name == to) f.copy(name = from) else f))
+      case (s, Cdc.DropColumn(name, dt)) =>
+        val t = dt.getOrElse(throw new IllegalArgumentException(
+          s"auto-DDL drop of '$name' must carry the column type " +
+            s"""(payload {"drop":{"col":"$name","type":"<ddl type>"}}) — """ +
+            s"pre-drop events cannot be era-parsed without it"))
+        StructType(s.fields :+ org.apache.spark.sql.types.StructField(name, t))
       case (s, _) => s
     }
 
@@ -491,6 +503,10 @@ object CdcStream {
           case (_, Cdc.RenameColumn(from, _)) =>
             require(from != keyCol,
               s"auto-DDL sink cannot rename the bucket key column '$keyCol' " +
+                s"— the key is the table's physical layout")
+          case (_, Cdc.DropColumn(name, _)) =>
+            require(name != keyCol,
+              s"auto-DDL sink cannot drop the bucket key column '$keyCol' " +
                 s"— the key is the table's physical layout")
           case _ => ()
         }
