@@ -148,6 +148,57 @@ object MicroBench {
         println(s"WARNING: hashed-key bytes not lower ($bh vs $bs) — " +
           "likely a lagging stage-completed event; rerun to confirm")
     }
+
+    // top-k terms: exact vocabulary shuffle vs the mergeable
+    // frequent-items sketch (approx_top_k). Both partial-aggregate
+    // map-side; what differs is what the exchange carries — every
+    // distinct (lang, token) a partition saw vs ONE bounded sketch per
+    // (lang, partition). Same listener discipline as above.
+    {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      val fdocs = Tables.table(spark, sfDir, "documents")
+      def measured(f: => Long): (Long, Long) = {
+        shuffleBytes.set(0L)
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val rows = f
+          var prev = -1L; var stable = 0; var waited = 0
+          while (stable < 3 && waited < 50) {
+            val cur = shuffleBytes.get()
+            stable = if (cur == prev) stable + 1 else 0
+            prev = cur; Thread.sleep(100); waited += 1
+          }
+          (rows, shuffleBytes.get())
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      def exactWork(): Long = {
+        val tok = fdocs.select($"lang",
+          explode(split($"text", " ")).as("token"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"cnt".desc, $"token".asc)
+        tok.groupBy($"lang", $"token").agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w)).filter($"rk" <= 5).count()
+      }
+      def sketchWork(): Long = ops.llm.FreqTerms
+        .approxTopTerms(fdocs, "lang", "text", k = 5, maxItemsTracked = 1024)
+        .count()
+      measured(exactWork()); measured(sketchWork()) // warmup
+      val (re, be) = { val t0 = System.nanoTime(); val r = measured(exactWork())
+        println(f"EXACT  top-5 terms/lang   : ${(System.nanoTime() - t0) / 1e9}%.2f s  shuffled=${r._2 / 1048576.0}%.1f MiB"); r }
+      val (ra, ba) = { val t0 = System.nanoTime(); val r = measured(sketchWork())
+        println(f"SKETCH approx_top_k 1024  : ${(System.nanoTime() - t0) / 1e9}%.2f s  shuffled=${r._2 / 1048576.0}%.1f MiB"); r }
+      assert(re == ra, s"top-k row counts diverge: $re vs $ra")
+      if (ba < be)
+        println(f"frequent-items sketch shuffles ${100.0 * (be - ba) / be}%.0f%% fewer bytes")
+      else
+        println(s"WARNING: sketch bytes not lower ($ba vs $be) — vocabulary " +
+          "may be under the sketch capacity at this scale; rerun/raise sf")
+    }
     spark.stop()
   }
 }
