@@ -385,6 +385,87 @@ object ScaleSmoke {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         "spark.sql.adaptive.skewJoin.enabled").foreach(spark.conf.unset)
     }
+
+    // ---- graph hub skew: the pagerank iteration join under a Zipf hub --
+    // BASELINE documents "Zipf in-degree hubs = the AQE-skew-join case"
+    // for the graph family; this measures it on the REAL operator shape.
+    // One supplier captures 40% of lineitems -> its src edge-row count
+    // in the (src, dst, w) edge frame is ~500k vs a typical supplier's
+    // ~60, and the per-iteration ew ⋈ ranks join on src carries the hot
+    // partition. Same lowered thresholds as above (prod defaults fire
+    // unchanged at real partition sizes); the triangle wedge join's
+    // immunity is the orientation bound, asserted in ScaleSpec and
+    // measured here on the co-purchase graph.
+    {
+      val li = Tables.table(spark, work, "lineitem")
+        .select(col("l_orderkey"),
+          when(pmod(xxhash64(col("l_orderkey")), lit(10)) < 4, lit(7L))
+            .otherwise(col("l_suppkey")).as("l_suppkey"))
+      val ord = Tables.table(spark, work, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val hubEdges = edges.filter(col("src") === "s7").count()
+      val medEdges = edges.groupBy(col("src")).count()
+        .agg(percentile_approx(col("count"), lit(0.5), lit(1000))).head().getLong(0)
+      println(s"[scale] hub supplier edge rows: $hubEdges vs median $medEdges")
+      val ew = edges.join(
+        edges.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
+        .localCheckpoint()
+      val ranks = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(0.0001).as("r"))
+      def iterJoin(): (Long, Boolean) = {
+        val contrib = ew
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("r") * col("w") / col("ow")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("c"))
+        val n = contrib.count()
+        (n, contrib.queryExecution.executedPlan.toString.contains("skew=true"))
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      try {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        time("pagerank hub join, split OFF") { iterJoin()._1 }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        var split = false
+        time("pagerank hub join, split ON") {
+          val (n, s) = iterJoin(); split = s; n }
+        println(s"[scale] pagerank hub: AQE skew-split applied: $split")
+      } finally {
+        Seq("spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.skewJoin.enabled").foreach(spark.conf.unset)
+      }
+      // triangle-side counterpart: orient the REAL co-purchase edge set
+      // and report the bound that makes wedge-join skew handling moot
+      val liP = Tables.table(spark, work, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e0 = liP.as("a").join(liP.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select(col("u"), col("v"))
+        .localCheckpoint()
+      val nE = e0.count()
+      val rawMax = e0.select(col("u").as("n")).union(e0.select(col("v").as("n")))
+        .groupBy(col("n")).count().agg(max(col("count"))).head().getLong(0)
+      val orientedMax = graft.ops.relational.Graph.orientByDegree(e0)
+        .groupBy(col("s")).count().agg(max(col("count"))).head().getLong(0)
+      println(s"[scale] triangles: E=$nE rawMaxDeg=$rawMax orientedMaxOut=" +
+        s"$orientedMax sqrtE=${math.sqrt(nE.toDouble).toInt} — orientation " +
+        "bounds the wedge fan-out, no skew split needed")
+    }
     spark.stop()
   }
 }

@@ -332,9 +332,13 @@ object BloomIndex {
       .foreach(s => fs.delete(s.getPath, true))
     // belt-and-suspenders for the nested-rename hazard (local FS
     // rename into an existing version dir): sweep .tmp-* one level
-    // INSIDE committed version dirs too, same age guard
+    // INSIDE committed version dirs too, same age guard. Re-check
+    // existence — the retention step above just deleted the oldest
+    // version dirs out of this same pre-deletion listing, and
+    // listStatus on a vanished dir throws rather than returning empty
     entries
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
+        fs.exists(s.getPath))
       .flatMap(s => fs.listStatus(s.getPath).toSeq)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-") &&
         s.getModificationTime < cutoff)

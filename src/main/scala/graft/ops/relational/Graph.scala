@@ -117,6 +117,30 @@ object Graph {
     visited.orderBy($"hop", $"node")
   }
 
+  /** Degree-orient an undirected edge set (columns u, v): each edge
+    * leaves its (degree, id)-smaller endpoint — (s, t, dt) with dt =
+    * t's degree, the tuple-compare total order [[qGraphTriangles]]
+    * uses. The property that makes the wedge self-join Zipf-hub-safe
+    * (and the reason AQE skew handling has nothing to split there): a
+    * vertex of raw degree d has oriented OUT-degree ≤ O(√E) — a hub's
+    * edges all point INTO it, so the hub contributes zero wedges —
+    * measured, not just claimed, in ScaleSpec/ScaleSmoke. */
+  def orientByDegree(e0: DataFrame): DataFrame = {
+    import e0.sparkSession.implicits._
+    val deg = e0.select($"u".as("n")).union(e0.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val before = (dx: Column, x: Column, dy: Column, y: Column) =>
+      dx < dy || (dx === dy && x < y)
+    e0
+      .join(deg.select($"n".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+      .select(
+        when(before($"du", $"u", $"dv", $"v"), $"u").otherwise($"v").as("s"),
+        when(before($"du", $"u", $"dv", $"v"), $"v").otherwise($"u").as("t"),
+        when(before($"du", $"u", $"dv", $"v"), $"dv").otherwise($"du")
+          .as("dt"))
+  }
+
   /** Triangle census of the part co-purchase graph (parts appearing
     * together in ≥ 2 orders): edge / wedge / triangle counts — the
     * standard clustering-structure probe over an entity graph.
@@ -150,19 +174,9 @@ object Graph {
       // edge count all reduce THIS frame — unpersisted, the order-key
       // self-join would re-run three times (the pmi checkpoint rule)
       .localCheckpoint()
-    val deg = e0.select($"u".as("n")).union(e0.select($"v".as("n")))
-      .groupBy($"n").agg(count(lit(1)).as("d"))
     val before = (dx: Column, x: Column, dy: Column, y: Column) =>
       dx < dy || (dx === dy && x < y)
-    val oe = e0
-      .join(deg.select($"n".as("u"), $"d".as("du")), "u")
-      .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
-      .select(
-        when(before($"du", $"u", $"dv", $"v"), $"u").otherwise($"v").as("s"),
-        when(before($"du", $"u", $"dv", $"v"), $"v").otherwise($"u").as("t"),
-        when(before($"du", $"u", $"dv", $"v"), $"dv").otherwise($"du")
-          .as("dt"))
-      .localCheckpoint()
+    val oe = orientByDegree(e0).localCheckpoint()
     val wedges = oe.as("e1").join(oe.as("e2"),
         $"e1.s" === $"e2.s" &&
           before($"e1.dt", $"e1.t", $"e2.dt", $"e2.t"))

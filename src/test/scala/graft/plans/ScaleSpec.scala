@@ -802,6 +802,80 @@ class ScaleSpec extends SparkSpec {
       .filter($"pk" === 3L).head().getDouble(1) === 33.0)
   }
 
+  test("graph hub skew is HANDLED, not claimed: AQE splits the pagerank " +
+       "rank-join's hot src partition; degree orientation gives the " +
+       "triangle hub zero wedges") {
+    import spark.implicits._
+    // ---- pagerank: the per-iteration ew ⋈ ranks join on src is the
+    // Zipf-hub AQE-skew case Graph.qGraphPagerank documents. Plant the
+    // hub (one src owns ~77% of edge rows), pad rows with
+    // non-compressible bytes so the skew exists in BYTES (what AQE
+    // measures), lower the thresholds the way the smoke does (prod
+    // defaults fire unchanged at real partition sizes), and assert the
+    // executed adaptive plan carries the skew=true annotation.
+    val pad = concat((0 until 8).map(i =>
+      sha2(concat(lit(s"p$i"), $"id".cast("string")), 256)): _*)
+    val hub = spark.range(100000)
+      .select(lit("sHUB").as("src"), concat(lit("c"), $"id").as("dst"),
+        lit(1L).as("w"), pad.as("p"))
+    val rest = spark.range(30000)
+      .select(concat(lit("s"), $"id" % 3000).as("src"),
+        concat(lit("c"), $"id").as("dst"), lit(1L).as("w"), pad.as("p"))
+    val edges = hub.unionAll(rest).localCheckpoint()
+    val ew = edges.join(
+      edges.groupBy($"src").agg(sum($"w").as("ow")), "src").localCheckpoint()
+    // checkpointed like qGraphPagerank's nodes frame — an inline
+    // distinct leaves a HashAggregate between the join's Sort and the
+    // shuffle stage, which breaks OptimizeSkewedJoin's
+    // SMJ(Sort(Shuffle), Sort(Shuffle)) pattern match
+    val ranks = edges.select($"src".as("node")).distinct()
+      .select($"node", lit(0.001).as("r")).localCheckpoint()
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128k")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the pad must be CONSUMED downstream or column pruning strips it
+      // from the shuffle and the hot partition compresses to nothing
+      val contrib = ew
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), ($"r" * $"w" / $"ow").as("c"), $"p")
+        .groupBy($"node").agg(sum($"c").as("c"), max($"p").as("m"))
+      // collect() (not count()) so this SAME QueryExecution runs and
+      // its final adaptive plan carries the skew annotations
+      assert(contrib.collect().length === 100000) // dsts c0..c99999 overlap
+      val plan = contrib.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not engage on the planted hub:\n$plan")
+    } finally confs.keys.foreach(spark.conf.unset)
+
+    // ---- triangles: the wedge self-join needs NO skew handling — the
+    // documented reason is the orientation bound, so measure it. A
+    // 5000-spoke star hub (+ a ring so spokes have degree >= 2): the
+    // hub is every edge's higher-degree endpoint, so all its edges
+    // orient INTO it — oriented out-degree 0, zero wedge fan-out.
+    // Naive id-orientation (hub id 0 smaller than every spoke) would
+    // give out-degree 5000 => ~12.5M hub wedges.
+    val star = spark.range(1, 5001).select(lit(0L).as("u"), $"id".as("v"))
+    val ring = spark.range(1, 5000).select($"id".as("u"), ($"id" + 1).as("v"))
+    val oe = graft.ops.relational.Graph.orientByDegree(star.unionAll(ring))
+    val outDeg = oe.groupBy($"s").agg(count(lit(1)).as("od")).localCheckpoint()
+    assert(outDeg.filter($"s" === 0L).isEmpty, "hub must have out-degree 0")
+    val maxOut = outDeg.agg(max($"od")).head().getLong(0)
+    assert(maxOut <= 3L,
+      s"oriented out-degree must stay O(sqrt E) on a 5000-degree hub, got $maxOut")
+    // wedge fan-out sum od*(od-1)/2: bounded vs the naive orientation's
+    val fanOut = outDeg.agg(sum($"od" * ($"od" - 1))).head().getLong(0) / 2
+    val naiveHubFanOut = 5000L * 4999L / 2
+    assert(fanOut < naiveHubFanOut / 100,
+      s"degree-oriented wedge volume $fanOut should be orders of magnitude " +
+        s"under the naive hub's $naiveHubFanOut")
+  }
+
   test("hyperplane LSH finds planted cosine near-duplicates") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
