@@ -390,6 +390,84 @@ object IvfIndex {
     }
   }
 
+  /** Result of [[tuneNprobe]]: the chosen dial plus the evidence —
+    * the full measured recall@nprobe curve (one point per candidate,
+    * bounded by the codebook size) and the expected index fraction a
+    * search at the chosen nprobe scans. */
+  final case class NprobeTuning(nprobe: Int, recall: Double,
+                                scanFraction: Double,
+                                curve: Seq[(Int, Double)])
+
+  /** Pick the SMALLEST nprobe whose measured recall@k on a probe
+    * sample meets `targetRecall` — the auto-tuner for the dial
+    * [[search]] exposes (raising nprobe buys recall linearly in read
+    * cost; nothing tells a user where to stop without measuring).
+    *
+    * Ground truth is this index's own probe-all search (nprobe =
+    * |codebook|), which equals exhaustive scoring — the invariant the
+    * parity specs assert. For a QUANTIZED index this therefore tunes
+    * the PRUNING recall in the index's own score space; quantization
+    * loss is a separate axis owned by the refine stage.
+    *
+    * Cost model (why this is ONE cheap pass, not |codebook| searches):
+    * a stored true neighbour enters a query's candidate set exactly
+    * when nprobe reaches the probe RANK of the neighbour's home cell
+    * in that query's centroid ordering — and once probed it can never
+    * be displaced from the top-k by a non-neighbour (its similarity
+    * is, by definition of the truth set, at least the k-th best).
+    * So the whole recall-vs-nprobe curve is the cumulative histogram
+    * of those probe ranks: ONE probe-all search over the sample + one
+    * join to the stored assignments + a ≤|codebook|-row aggregate
+    * (bounded driver state, the codebook class). Search cost at the
+    * chosen dial ≈ nprobe/|codebook| of the index on a balanced
+    * codebook — reported as `scanFraction` measured from the actual
+    * probed-cell sizes of the sample.
+    *
+    * `sampleQueries` should be a representative bounded sample
+    * ((vec_id, embedding)); recall on held-out queries matches to
+    * sampling error — assert with a margin, the HLL convention. */
+  def tuneNprobe(spark: SparkSession, dir: String, sampleQueries: DataFrame,
+                 k: Int, targetRecall: Double,
+                 excludeSelfId: Boolean = true): NprobeTuning = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val m = requireManifest(spark, dir)
+    val kc = m.centroids.length
+    val truth = searchManifest(spark, dir, m, sampleQueries, k, nprobe = kc,
+        excludeSelfId)
+      .select(col("q_vec_id"), col("c_vec_id"))
+    val homes = readAssignments(spark, dir, m, None)
+      .select(col("vec_id").as("c_vec_id"), col("cid"))
+    val ranks = Knn.ivfProbeRanks(
+        Knn.withNorm(sampleQueries, "embedding")
+          .filter(size(col("v")) === m.dim),
+        m.centroids)
+      .select(col("vec_id").as("q_vec_id"), col("cid"), col("crn"))
+    val hist = truth.join(homes, "c_vec_id")
+      .join(ranks, Seq("q_vec_id", "cid"))
+      .groupBy(col("crn")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = hist.values.sum
+    require(total > 0, "probe sample produced no ground-truth neighbours " +
+      "(empty index, zero-norm sample, or dim mismatch)")
+    val curve = (1 to kc).scanLeft(0L)((acc, np) =>
+        acc + hist.getOrElse(np, 0L))
+      .drop(1).zipWithIndex
+      .map { case (cum, i) => (i + 1, cum.toDouble / total) }
+    val chosen = curve.find(_._2 >= targetRecall)
+      .getOrElse(curve.last) // probe-all is recall 1.0 by construction
+    // measured fraction of stored vectors a search at `chosen` reads:
+    // distinct probed cells over the sample, weighted by cell size
+    val cellSizes = homes.groupBy(col("cid")).agg(count(lit(1)).as("cn"))
+    val probedFrac = ranks.filter(col("crn") <= chosen._1)
+      .select(col("q_vec_id"), col("cid"))
+      .join(cellSizes, "cid")
+      .groupBy(col("q_vec_id")).agg(sum(col("cn")).as("read"))
+      .agg(avg(col("read"))).head().getDouble(0) /
+      math.max(1L, cellSizes.agg(sum(col("cn"))).head().getLong(0)).toDouble
+    NprobeTuning(chosen._1, chosen._2, probedFrac, curve)
+  }
+
   /** Physical footprint of the current version: (data files, bytes) —
     * the observable the sq8 rung exists for (and the fragmentation
     * signal for [[compactIndex]]). */

@@ -244,6 +244,25 @@ object Knn {
     }
   }
 
+  /** Full per-query probe ORDER: (vec_id, cid, crn) with crn = 1 for
+    * the nearest centroid through |codebook| for the farthest — the
+    * same (csim desc, cid asc) total order [[ivfAssign]] truncates.
+    * The observable the nprobe recall tuner integrates over: a stored
+    * neighbour becomes visible to a query exactly when nprobe reaches
+    * the crn of the neighbour's home cell. Input must carry (vec_id,
+    * v, nrm) — i.e. already through [[withNorm]]. */
+  def ivfProbeRanks(df: DataFrame,
+                    centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    df.select(col("vec_id"), col("v"), col("nrm"))
+      .filter(col("nrm") > 0.0)
+      .crossJoin(broadcast(centroidDf(spark, centroids)))
+      .withColumn("csim", dotNative(col("v"), col("cv")) / col("nrm"))
+      .select(col("vec_id"), col("cid"), row_number().over(w).as("crn"))
+  }
+
   /** IVF top-k: corpus vectors live in their single nearest-centroid
     * bucket; each query probes its `nprobe` nearest buckets and takes
     * the exact top-k over everything it saw. ONE shuffle on the bucket

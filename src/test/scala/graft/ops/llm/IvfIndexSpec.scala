@@ -141,6 +141,44 @@ class IvfIndexSpec extends SparkSpec {
     assert(stagings.length === 1, s"no staging may survive: ${stagings.toSeq}")
   }
 
+  test("tuneNprobe picks the minimal dial meeting the recall target, " +
+      "and the choice generalizes to held-out queries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_tn").toString + "/idx"
+    IvfIndex.build(emb, dir, dim = 64, k = 8, iters = 3)
+    val kc = IvfIndex.codebook(spark, dir).length
+    // disjoint probe sample and held-out set, both drawn from the corpus
+    val sample = emb.filter(col("vec_id") % 10 === 0)
+    val heldOut = emb.filter(col("vec_id") % 10 === 5)
+    val t = IvfIndex.tuneNprobe(spark, dir, sample, k = 5, targetRecall = 0.9)
+    assert(t.nprobe >= 1 && t.nprobe <= kc)
+    assert(t.recall >= 0.9, s"reported recall ${t.recall} below target")
+    // minimality: one probe fewer misses the target (unless 1 suffices)
+    if (t.nprobe > 1)
+      assert(t.curve(t.nprobe - 2)._2 < 0.9,
+        s"nprobe ${t.nprobe} not minimal: curve ${t.curve}")
+    // the curve is a cumulative distribution: monotone, ends at 1.0
+    assert(t.curve.map(_._2) === t.curve.map(_._2).sorted)
+    assert(math.abs(t.curve.last._2 - 1.0) < 1e-12,
+      "probe-all recall must be exactly 1 against its own truth")
+    assert(t.scanFraction > 0.0 && t.scanFraction <= 1.0)
+    // the curve's own claim, re-measured the expensive way: recall of a
+    // REAL search at the chosen nprobe vs probe-all, on the sample...
+    def recallOf(queries: org.apache.spark.sql.DataFrame, np: Int): Double = {
+      val got = IvfIndex.search(spark, dir, queries, 5, np)
+        .select(col("q_vec_id"), col("c_vec_id"))
+      val truth = IvfIndex.search(spark, dir, queries, 5, kc)
+        .select(col("q_vec_id"), col("c_vec_id"))
+      got.intersect(truth).count().toDouble / truth.count()
+    }
+    val direct = recallOf(sample, t.nprobe)
+    assert(math.abs(direct - t.recall) < 1e-12,
+      s"one-pass curve ${t.recall} != direct measurement $direct")
+    // ...and on HELD-OUT queries the tuned dial still meets the target
+    // to sampling error (the margin convention of the approx family)
+    assert(recallOf(heldOut, t.nprobe) >= 0.9 - 0.1,
+      "held-out recall fell more than the sampling margin below target")
+  }
+
   test("search reads ONLY the probed cid partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_pr").toString + "/idx"
     IvfIndex.build(emb, dir, dim = 64, k = 8, iters = 3)
