@@ -240,7 +240,40 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** Per-doc token ENTROPY + type-token ratio — the lexical-diversity
+    * quality signals (low entropy = templated/repetitive text; the
+    * information-theoretic sibling of q_llm_repetition's occupancy
+    * counts). Entirely SHUFFLE-FREE: tokens sort WITHIN each doc's
+    * array, run boundaries mark distinct types, run lengths are the
+    * counts — no (doc, token) exchange ever happens (the q_llm_quality
+    * narrow class; at 100 TB per-doc signals must not shuffle the
+    * corpus vocabulary). Cross-engine determinism: both engines fold
+    * c·ln(c) over the SAME sorted count order (Spark `aggregate` /
+    * DuckDB scalar-accumulator `list_reduce`, the dotFold precedent),
+    * so the sums are bit-identical before the round; TTR is the
+    * integer-div 4dp form (PARITY rule 5). */
+  def qLlmEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .select($"doc_id", array_sort(split($"text", " ")).as("st"))
+      .withColumn("n", size($"st").cast("long"))
+      .withColumn("starts", expr(
+        "filter(sequence(1, size(st)), i -> i = 1 OR " +
+          "element_at(st, i) != element_at(st, CAST(i - 1 AS INT)))"))
+      .withColumn("bounds", expr("concat(starts, array(size(st) + 1))"))
+      .withColumn("cnts", expr(
+        "transform(sequence(1, size(starts)), j -> " +
+          "element_at(bounds, CAST(j + 1 AS INT)) - element_at(bounds, j))"))
+      .withColumn("n_types", expr("CAST(size(starts) AS BIGINT)"))
+      .withColumn("s", expr("aggregate(cnts, 0.0D, (acc, c) -> acc + c * ln(c))"))
+      .select($"doc_id", $"n".as("n_tokens"), $"n_types",
+        (expr("(10000 * n_types) DIV n") / 10000.0).as("ttr_4dp"),
+        round(expr("ln(n)") - $"s" / $"n", 4).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_entropy" -> (qLlmEntropy _),
     "q_llm_dedup_exact" -> (qLlmDedupExact _),
     "q_llm_textstats" -> (qLlmTextstats _),
     "q_llm_tf" -> (qLlmTf _),
@@ -260,6 +293,33 @@ object LlmQueries {
     "list_reduce(list_prepend(0.0, list_apply(range(1, len(%s) + 1), i -> %s[i] * %s[i])), (acc, x) -> acc + x)"
 
   val oracle: Map[String, String] = Map(
+    // 1-based twin of the 0-based Spark run-length build; the
+    // scalar-accumulator list_reduce folds the same sorted order, so
+    // the c·ln(c) sum is bit-identical before the round
+    "q_llm_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_sort(string_split(text, ' ')) AS st
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len(st)::BIGINT AS n, st,
+        |    list_filter(range(1, len(st) + 1),
+        |      i -> i = 1 OR st[i] != st[i - 1]) AS starts
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, n, list_append(starts, n + 1) AS bounds,
+        |    len(starts)::BIGINT AS n_types
+        |  FROM r),
+        |c AS (
+        |  SELECT doc_id, n, n_types,
+        |    list_transform(range(1, n_types + 1),
+        |      j -> bounds[j + 1] - bounds[j]) AS cnts
+        |  FROM b)
+        |SELECT doc_id, n AS n_tokens, n_types,
+        |  ((10000 * n_types) // n) / 10000.0 AS ttr_4dp,
+        |  round(ln(n) - list_reduce(list_prepend(0.0,
+        |    list_transform(cnts, c -> c * ln(c))),
+        |    (acc, x) -> acc + x) / n, 4) AS entropy
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_llm_dedup_exact" ->
       """WITH t AS (
         |  SELECT doc_id,

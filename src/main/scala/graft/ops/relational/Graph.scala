@@ -189,10 +189,74 @@ object Graph {
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Common-neighbour candidate pairs over an undirected edge set
+    * (u, v) — the substrate of link prediction: for every unordered
+    * node pair, how many shared neighbours mediate it. Exact pair
+    * enumeration is inherently quadratic in each MEDIATOR's degree
+    * (the output itself is that large — no orientation trick can
+    * remove it the way it removes triangle wedges, because the in-in
+    * pairs at a hub are real results), so the honest scale lever is
+    * the editDistPairsWithStats convention: mediators over
+    * `maxMediatorDegree` do not mediate and are RETURNED in a
+    * sidecar frame with their degrees — capped-and-flagged, never
+    * silently truncated. Returns (pairs with (u, v, cn), overflowed
+    * mediators with (n, d)); degrees/Jaccard are the caller's join
+    * (full degrees, not capped ones — see [[qGraphLinkpred]]). */
+  def commonNeighborPairs(e0: DataFrame, maxMediatorDegree: Int)
+      : (DataFrame, DataFrame) = {
+    import e0.sparkSession.implicits._
+    val adj = e0.select($"u".as("n"), $"v".as("m"))
+      .union(e0.select($"v".as("n"), $"u".as("m")))
+    val deg = adj.groupBy($"n").agg(count(lit(1)).as("d"))
+    val over = deg.filter($"d" > maxMediatorDegree)
+    val bounded = adj.join(over.select($"n"), Seq("n"), "left_anti")
+    val pairs = bounded.as("x").join(bounded.as("y"),
+        $"x.n" === $"y.n" && $"x.m" < $"y.m")
+      .groupBy($"x.m".as("u"), $"y.m".as("v"))
+      .agg(count(lit(1)).as("cn"))
+    (pairs, over)
+  }
+
+  /** Link prediction by common neighbours (Liben-Nowell & Kleinberg
+    * 2003): over the part co-purchase graph, the top-50 NON-edges by
+    * neighbourhood Jaccard — "parts never bought together that the
+    * graph says should be". cn and degrees are exact integers; the
+    * Jaccard is the q_llm_ngram_jaccard integer-arithmetic form
+    * ((10000·cn) DIV (du+dv−cn) / 1e4 — PARITY rule 5) so both
+    * engines round identically, and the (jaccard, cn, u, v) order is
+    * total so the LIMIT is deterministic. The mediator cap is PART of
+    * the operator (and of the oracle — same rule both engines):
+    * capped-and-flagged is the 100 TB semantics, not a test artifact. */
+  def qGraphLinkpred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val e0 = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"u", $"v")
+      .localCheckpoint() // adj, deg, anti-join all reduce THIS frame
+    val (pairs, _) = commonNeighborPairs(e0, maxMediatorDegree = 64)
+    val adj = e0.select($"u".as("n")).union(e0.select($"v".as("n")))
+    val deg = adj.groupBy($"n").agg(count(lit(1)).as("d"))
+    pairs
+      .join(e0, Seq("u", "v"), "left_anti") // predict NON-edges only
+      .join(deg.select($"n".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+      .select($"u", $"v", $"cn", $"du", $"dv",
+        (expr("(10000 * cn) DIV (du + dv - cn)") / 10000.0).as("jaccard_4dp"))
+      .orderBy($"jaccard_4dp".desc, $"cn".desc, $"u", $"v")
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_reach" -> (qGraphReach _),
-    "q_graph_triangles" -> (qGraphTriangles _)
+    "q_graph_triangles" -> (qGraphTriangles _),
+    "q_graph_linkpred" -> (qGraphLinkpred _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -260,6 +324,34 @@ object Graph {
         |  WHERE r.hop < 4)
         |SELECT node, min(hop) AS hop FROM reach
         |GROUP BY node ORDER BY hop, node""".stripMargin,
+    // same capped-mediator rule, full-degree Jaccard, integer-div
+    // rounding, and total (jaccard, cn, u, v) order — the LIMIT is
+    // deterministic on both engines
+    "q_graph_linkpred" ->
+      """WITH e0 AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS n, v AS m FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT n, count(*)::BIGINT AS d FROM adj GROUP BY n),
+        |bounded AS (
+        |  SELECT adj.n, adj.m FROM adj JOIN deg USING (n) WHERE deg.d <= 64),
+        |pairs AS (
+        |  SELECT x.m AS u, y.m AS v, count(*)::BIGINT AS cn
+        |  FROM bounded x JOIN bounded y ON x.n = y.n AND x.m < y.m
+        |  GROUP BY 1, 2),
+        |nonedge AS (
+        |  SELECT p.u, p.v, p.cn FROM pairs p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e0 WHERE e0.u = p.u AND e0.v = p.v))
+        |SELECT ne.u, ne.v, ne.cn, du.d AS du, dv.d AS dv,
+        |  ((10000 * ne.cn) // (du.d + dv.d - ne.cn)) / 10000.0
+        |    AS jaccard_4dp
+        |FROM nonedge ne JOIN deg du ON du.n = ne.u
+        |  JOIN deg dv ON dv.n = ne.v
+        |ORDER BY jaccard_4dp DESC, cn DESC, u, v
+        |LIMIT 50""".stripMargin,
     // same (degree, id) total order and oriented wedge closure — the
     // hash match certifies orientation + closure against a second
     // evaluation of the identical census

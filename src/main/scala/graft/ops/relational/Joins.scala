@@ -192,6 +192,49 @@ object Joins {
       .orderBy($"inc_id")
   }
 
+  /** Spatial RADIUS join (points × points within Euclidean distance r
+    * — the geo workload class: "customers near a warehouse"). The
+    * corpus carries no geo columns, so deterministic synthetic
+    * coordinates on a 1000×1000 integer grid are derived in-query on
+    * BOTH engines from the entity keys (multiplicative hash mod grid —
+    * exact integer arithmetic, no floats anywhere: the distance
+    * predicate compares squared integers).
+    *
+    * The scale-right plan is the q_join_interval argument in 2-D:
+    * GRID-BINNED equi-join, not a distance theta join. Cells have side
+    * = r, so any pair within r lies in the same or an adjacent cell —
+    * the small (supplier) side explodes onto its 3×3 cell
+    * neighbourhood (9 rows each, generated narrow), the join is an
+    * ordinary HASH join on the encoded cell id, and the exact integer
+    * distance filter runs on the bounded candidates. No pair can match
+    * in two cells (the customer side maps to exactly ONE cell), so
+    * exactly-once needs no dedup at all — simpler than the interval
+    * join's greatest-start rule. The oracle evaluates the full
+    * distance theta join — the evaluation that does NOT survive 100 TB
+    * — so the hash match certifies the binned decomposition. */
+  def qJoinSpatial(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = 25L
+    val cust = Tables.table(spark, dir, "customer")
+      .select($"c_custkey", ($"c_custkey" * 37 % 1000).as("cx"),
+        ($"c_custkey" * 91 % 1000).as("cy"))
+      .withColumn("cell",
+        expr(s"(cx DIV $r) * 64 + (cy DIV $r)"))
+    val supp = Tables.table(spark, dir, "supplier")
+      .select($"s_suppkey", ($"s_suppkey" * 53 % 1000).as("sx"),
+        ($"s_suppkey" * 17 % 1000).as("sy"))
+      .withColumn("cell", explode(expr(
+        s"flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), " +
+          s"dy -> ((sx DIV $r) + dx) * 64 + ((sy DIV $r) + dy))))")))
+    cust.join(supp, "cell")
+      .filter(($"cx" - $"sx") * ($"cx" - $"sx") +
+        ($"cy" - $"sy") * ($"cy" - $"sy") <= r * r)
+      .select($"c_custkey", $"s_suppkey",
+        (($"cx" - $"sx") * ($"cx" - $"sx") +
+          ($"cy" - $"sy") * ($"cy" - $"sy")).as("dist2"))
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_sortmerge" -> (qJoinSortmerge _),
@@ -203,10 +246,25 @@ object Joins {
     "q_join_range" -> (qJoinRange _),
     "q_join_asof" -> (qJoinAsof _),
     "q_join_cross" -> (qJoinCross _),
-    "q_join_interval" -> (qJoinInterval _)
+    "q_join_interval" -> (qJoinInterval _),
+    "q_join_spatial" -> (qJoinSpatial _)
   )
 
   val oracle: Map[String, String] = Map(
+    // the distance THETA evaluation — certifies the grid-binned
+    // equi-join decomposition (same exact integer arithmetic)
+    "q_join_spatial" ->
+      """SELECT c_custkey, s_suppkey,
+        |  (c_custkey * 37 % 1000 - s_suppkey * 53 % 1000)
+        |    * (c_custkey * 37 % 1000 - s_suppkey * 53 % 1000)
+        |  + (c_custkey * 91 % 1000 - s_suppkey * 17 % 1000)
+        |    * (c_custkey * 91 % 1000 - s_suppkey * 17 % 1000) AS dist2
+        |FROM customer, supplier
+        |WHERE (c_custkey * 37 % 1000 - s_suppkey * 53 % 1000)
+        |    * (c_custkey * 37 % 1000 - s_suppkey * 53 % 1000)
+        |  + (c_custkey * 91 % 1000 - s_suppkey * 17 % 1000)
+        |    * (c_custkey * 91 % 1000 - s_suppkey * 17 % 1000) <= 625
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
     // the oracle evaluates the THETA form — a genuinely different
     // strategy, so the hash match certifies the binned equi-join
     // counts every overlapping pair exactly once

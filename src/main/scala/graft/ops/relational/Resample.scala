@@ -215,16 +215,63 @@ object Resample {
       .orderBy($"event_type")
   }
 
+  /** Hour-of-day SEASONAL profile per event type — the diurnal-cycle
+    * decomposition the acf diagnostic (lag-24 peak) motivates: per
+    * (type, hour-of-day), activity index (share of events vs flat
+    * 1/24) and value index (mean cents vs the type's overall mean).
+    * EXACT arithmetic throughout: the activity index is pure integer
+    * division ((10000·24·n_h) DIV n_tot — PARITY rule 5), the value
+    * index is ONE double division of two exact BIGINT cross-products
+    * ((sum_h·n_tot)/(n_h·sum_tot) — the q_llm_gopher cross-multiply
+    * rule; both products stay far under 2^63 at any per-key series the
+    * calendar can produce). One (type, hod) rollup shuffle; the
+    * per-type totals ride a window over the 24-row aggregated frame. */
+  def qTsSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hodAgg = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", hour($"ts").cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(round($"value" * 100).cast("long")).as("sum_h"))
+    val w = Window.partitionBy($"event_type")
+    hodAgg
+      .withColumn("n_tot", sum($"n_h").over(w))
+      .withColumn("sum_tot", sum($"sum_h").over(w))
+      .select($"event_type", $"hod", $"n_h",
+        (expr("(10000 * 24 * n_h) DIV n_tot") / 10000.0)
+          .as("activity_idx_4dp"),
+        round(($"sum_h" * $"n_tot").cast("double") /
+          ($"n_h" * $"sum_tot").cast("double"), 4).as("value_idx"))
+      .orderBy($"event_type", $"hod")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_resample" -> (qResample _),
     "q_ts_decay" -> (qTsDecay _),
     "q_ts_anomaly" -> (qTsAnomaly _),
     "q_ts_cusum" -> (qTsCusum _),
     "q_ts_acf" -> (qTsAcf _),
-    "q_ts_holt" -> (qTsHolt _)
+    "q_ts_holt" -> (qTsHolt _),
+    "q_ts_seasonal" -> (qTsSeasonal _)
   )
 
   val oracle: Map[String, String] = Map(
+    // integer-div activity index; value index = one double division of
+    // exact BIGINT cross-products (sum casts ::BIGINT — HUGEINT rule)
+    "q_ts_seasonal" ->
+      """WITH h AS (
+        |  SELECT event_type, hour(ts)::BIGINT AS hod,
+        |    count(*)::BIGINT AS n_h,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS sum_h
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, sum(n_h) OVER (PARTITION BY event_type)::BIGINT AS n_tot,
+        |    sum(sum_h) OVER (PARTITION BY event_type)::BIGINT AS sum_tot
+        |  FROM h)
+        |SELECT event_type, hod, n_h,
+        |  ((10000 * 24 * n_h) // n_tot) / 10000.0 AS activity_idx_4dp,
+        |  round((sum_h * n_tot)::DOUBLE / (n_h * sum_tot)::DOUBLE, 4)
+        |    AS value_idx
+        |FROM t ORDER BY event_type, hod""".stripMargin,
     // flag from the ROUNDED z on both sides; warmup + zero-variance
     // windows excluded on both sides
     "q_ts_anomaly" ->

@@ -1,0 +1,38 @@
+package graft.ops.relational
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Graph substrate units beyond the oracled keys: the link-prediction
+  * pair builder's mediator cap-and-flag contract. */
+class GraphSpec extends SparkSpec {
+
+  test("commonNeighborPairs: exact counts; a hub over the mediator cap " +
+      "stops mediating and is flagged, never silently dropped") {
+    import spark.implicits._
+    // square 1-2-3-4-1 plus hub 0 adjacent to all four:
+    // degrees d(0)=4, d(1..4)=3
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("u", "v")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cap not engaged: (1,3) mediated by 2, 4 AND the hub
+    val (pu, ou) = Graph.commonNeighborPairs(e0, maxMediatorDegree = 100)
+    assert(ou.isEmpty)
+    val mu = toMap(pu)
+    assert(mu((1L, 3L)) === 3L && mu((2L, 4L)) === 3L)
+    // cap 3: ONLY the hub is excluded, and it is returned in the flag
+    // frame with its true degree; square pairs lose exactly the hub's
+    // mediation, pairs the hub is PART of are unaffected (the cap
+    // bounds mediators, not endpoints)
+    val (pc, oc) = Graph.commonNeighborPairs(e0, maxMediatorDegree = 3)
+    val over = oc.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(over.toSeq === Seq((0L, 4L)))
+    val mc = toMap(pc)
+    assert(mc((1L, 3L)) === 2L && mc((2L, 4L)) === 2L)
+    assert(mc((0L, 2L)) === 2L, "hub-endpoint pairs keep their mediators")
+    // no pair invents mediation: capped counts never exceed uncapped
+    mc.foreach { case (k, v) => assert(v <= mu(k), s"pair $k grew under cap") }
+  }
+}

@@ -209,6 +209,18 @@ class ScaleSpec extends SparkSpec {
         ijPlan.contains("ShuffledHashJoin") ||
         ijPlan.contains("BroadcastHashJoin"),
       s"expected a hash/merge equi join on the cell key:\n$ijPlan")
+    // spatial radius: same argument in 2-D — the grid-binned join must
+    // be an equi join on the cell id, never a distance nested loop
+    val sj = graft.ops.relational.Joins.qJoinSpatial(spark, sfSmoke)
+    sj.collect()
+    val sjPlan = sj.queryExecution.executedPlan.toString
+    assert(!sjPlan.contains("BroadcastNestedLoopJoin") &&
+        !sjPlan.contains("CartesianProduct"),
+      "spatial join must bin to an equi join, not a nested loop")
+    assert(sjPlan.contains("SortMergeJoin") ||
+        sjPlan.contains("ShuffledHashJoin") ||
+        sjPlan.contains("BroadcastHashJoin"),
+      s"expected a hash/merge equi join on the cell id:\n$sjPlan")
     // quota + acf: every window partitioned (nothing serializes a
     // stratum into one task); quota's first phase keys (lang, bucket)
     Seq(
