@@ -313,10 +313,11 @@ object CdcStream {
                         valueCols: Seq[String], fkCol: String,
                         groupCols: Seq[String], sumCols: Seq[String],
                         nBuckets: Int = 16, joinBuckets: Int = 16,
-                        aggBuckets: Int = 16): StreamingQuery =
+                        aggBuckets: Int = 16,
+                        dagDir: Option[String] = None): StreamingQuery =
     maintainedDagSinkWithFailpoint(changes, factDir, dimDir, joinDir, aggDir,
       checkpointDir, keyCol, lsnCol, opCol, valueCols, fkCol, groupCols,
-      sumCols, nBuckets, joinBuckets, aggBuckets, crashAfterHop = 0)
+      sumCols, nBuckets, joinBuckets, aggBuckets, crashAfterHop = 0, dagDir)
 
   /** Failpoint twin of [[maintainedDagSink]] (test seam, same body):
     * `crashAfterHop` = 1 throws after the replica merge, 2 after the
@@ -329,8 +330,9 @@ object CdcStream {
       valueCols: Seq[String], fkCol: String,
       groupCols: Seq[String], sumCols: Seq[String],
       nBuckets: Int, joinBuckets: Int, aggBuckets: Int,
-      crashAfterHop: Int): StreamingQuery = {
-    import graft.ops.cdc.{AggMaintain, JoinMaintain, PartitionedUpsert}
+      crashAfterHop: Int,
+      dagDir: Option[String] = None): StreamingQuery = {
+    import graft.ops.cdc.{AggMaintain, DagCommit, JoinMaintain, PartitionedUpsert}
     require(valueCols.contains(fkCol),
       s"fk column '$fkCol' must be one of the fact value columns")
     val spark = changes.sparkSession
@@ -360,6 +362,29 @@ object CdcStream {
             groupCols, sumCols, aggBuckets): Unit
         } {
           AggMaintain.maintainAggregate(spark, joinDir, aggDir): Unit
+        }
+        // optional atomic multi-target visibility: re-pin the whole
+        // (fact, join, agg) tuple behind ONE pointer swap after all
+        // hops land — DagCommit readers never see this trigger's
+        // intermediate states, and a crash before the swap leaves them
+        // on the previous round's tuple whole. A replayed trigger's
+        // hops are metadata no-ops, so the re-advance pins identical
+        // versions; skip the publish then (no pointer version burned).
+        dagDir.foreach { d =>
+          DagCommit.currentDag(spark, d) match {
+            case None =>
+              DagCommit.init(spark, d, Map(
+                "fact" -> factDir, "join" -> joinDir, "agg" -> aggDir)): Unit
+            case Some(cur) =>
+              val unchanged = cur.pins.forall { case (_, p) =>
+                PartitionedUpsert.manifestOrFail(spark, p.dir)
+                  .version == p.version
+              }
+              if (!unchanged) {
+                DagCommit.advance(spark, d)
+                DagCommit.vacuumDag(spark, d)
+              }
+          }
         }
       }
       .start()

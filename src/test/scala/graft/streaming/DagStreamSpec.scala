@@ -42,6 +42,99 @@ class DagStreamSpec extends SparkSpec {
   private def maintained(aggDir: String) =
     aggRows(AggMaintain.readAggregate(spark, aggDir))
 
+  test("DAG pointer rides the trigger: readers see whole tuples only; a " +
+      "crash between hops leaves them on the previous round's tuple, " +
+      "which is internally CONSISTENT while the live tables are mixed") {
+    import spark.implicits._
+    import graft.ops.cdc.DagCommit
+    val cvKey = "spark.sql.streaming.stateStore.commitValidation.enabled"
+    val cvPrior = spark.conf.getOption(cvKey)
+    spark.conf.set(cvKey, "false")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_dagpt").toString
+      val srcDir = s"$base/in"; new java.io.File(srcDir).mkdirs()
+      val (fDir, dDir, jDir, aDir, ckpt, dag) =
+        (s"$base/fact", s"$base/dim", s"$base/join", s"$base/agg",
+          s"$base/ckpt", s"$base/dag")
+      PartitionedUpsert.init(
+        Seq((10L, "ten"), (20L, "twenty")).toDF("dk", "dname"), dDir, "dk", 2)
+      def start(crashAfterHop: Int = 0) =
+        CdcStream.maintainedDagSinkWithFailpoint(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .json(srcDir),
+          fDir, dDir, jDir, aDir, ckpt, "pk", "lsn", "op",
+          Seq("cents", "fk"), "fk", Seq("dname"), Seq("cents"),
+          nBuckets = 4, joinBuckets = 4, aggBuckets = 2, crashAfterHop,
+          dagDir = Some(dag))
+      def pinnedAgg() = aggRows(AggMaintain.exposed(
+        DagCommit.readTarget(spark, dag, "agg"), Seq("dname"), Seq("cents")))
+      // a consistency probe that uses ONLY the pointer: aggregate of a
+      // re-join of the PINNED fact against the dim must equal the
+      // PINNED aggregate — the tuple is mutually consistent no matter
+      // what the live tables are doing
+      def pinnedDirect() = aggRows(AggMaintain.exposed(
+        AggMaintain.fullAggregate(
+          JoinMaintain.fullJoin(
+            DagCommit.readTarget(spark, dag, "fact"),
+            PartitionedUpsert.read(spark, dDir),
+            "pk", "fk", "dk", Seq("cents", "fk"), Seq("dname")),
+          Seq("dname"), Seq("cents")),
+        Seq("dname"), Seq("cents")))
+
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/f1.json"),
+        Seq(line(1, 10, "c", 100, 10), line(2, 11, "c", 200, 20))
+          .mkString("\n"))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      val dag1 = DagCommit.currentDag(spark, dag).get
+      assert(pinnedAgg() === direct(fDir, dDir))
+      assert(pinnedAgg() === pinnedDirect())
+
+      // crash AFTER the join hop: fact and join move, agg does not,
+      // and the POINTER does not — a pointer reader keeps the whole
+      // previous tuple, and that tuple stays internally consistent
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/f2.json"),
+        Seq(line(3, 20, "c", 300, 10)).mkString("\n"))
+      val before = pinnedAgg()
+      val q2 = start(crashAfterHop = 2)
+      try {
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+          q2.awaitTermination(10000L): Unit
+          throw q2.exception.getOrElse(fail("failpoint did not fire"))
+        }
+      } finally q2.stop()
+      val cur = DagCommit.currentDag(spark, dag).get
+      assert(cur.version === dag1.version, "pointer must not move mid-round")
+      assert(PartitionedUpsert.manifestOrFail(spark, fDir).version >
+        cur.pins("fact").version, "the live fact must actually be ahead")
+      assert(pinnedAgg() === before)
+      assert(pinnedAgg() === pinnedDirect(),
+        "the pinned tuple must stay consistent while live tables are mixed")
+      assert(pinnedAgg() !== direct(fDir, dDir),
+        "the live tables must actually be mixed for this test to bite")
+
+      // restart heals the hops and swaps the pointer once, atomically
+      val q3 = start()
+      try q3.processAllAvailable() finally q3.stop()
+      val healed = DagCommit.currentDag(spark, dag).get
+      assert(healed.version > dag1.version)
+      assert(pinnedAgg() === direct(fDir, dDir))
+      assert(pinnedAgg() === pinnedDirect())
+      healed.pins.foreach { case (n, p) =>
+        assert(PartitionedUpsert.manifestOrFail(spark, p.dir).version ==
+          p.version, s"healed pointer must pin '$n' at its current version")
+      }
+    } finally {
+      cvPrior match {
+        case Some(v) => spark.conf.set(cvKey, v)
+        case None    => spark.conf.unset(cvKey)
+      }
+    }
+  }
+
   test("replica -> join -> aggregate stay in lockstep across triggers, " +
       "an out-of-band dim change, and a crash at EACH hop boundary") {
     import spark.implicits._
