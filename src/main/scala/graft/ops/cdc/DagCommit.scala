@@ -151,6 +151,40 @@ object DagCommit {
     PartitionedUpsert.readVersion(spark, p.dir, p.version)
   }
 
+  /** Vacuum every member table WITHOUT breaking any retained pin —
+    * the retention contract this module's scaladoc states, made
+    * operational instead of left to the operator: for each member,
+    * `keepManifests` is widened to cover the OLDEST table version any
+    * retained DAG pointer pins (current.version − oldestPin + 1), so
+    * a [[read]] through any retained pointer stays resolvable after
+    * the sweep. A raw `PartitionedUpsert.vacuum(keep = 1)` on a member
+    * is exactly the operator error that strands a pointer —
+    * DagCommitSpec proves both directions. */
+  def vacuumMembers(spark: SparkSession, dagDir: String,
+                    keepVersions: Int = 2,
+                    minStagingAgeMs: Long = 3600000L): Unit = {
+    val fs = fsOf(spark, dagDir)
+    val mdir = new Path(s"$dagDir/_dag")
+    if (!fs.exists(mdir)) return
+    val retained = fs.listStatus(mdir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".dag"))
+      .map(n => n.stripPrefix("v").stripSuffix(".dag").toLong)
+      .sorted.takeRight(keepVersions)
+    val pinned = retained.flatMap { v =>
+      AtomicPublish.readText(fs, pinPath(dagDir, v))
+        .split('\n').filter(_.nonEmpty).map { l =>
+          val Array(_, d, tv) = l.split('\t'); d -> tv.toLong
+        }
+    }.groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).min }
+    pinned.foreach { case (dir, oldestPin) =>
+      val cur = PartitionedUpsert.manifestOrFail(spark, dir).version
+      PartitionedUpsert.vacuum(spark, dir,
+        keepManifests = math.max(keepVersions.toLong,
+          cur - oldestPin + 1).toInt,
+        minStagingAgeMs = minStagingAgeMs)
+    }
+  }
+
   /** Bound the pointer history: keep the newest `keepVersions` DAG
     * manifests (current + enough predecessors for in-flight readers),
     * delete older ones. Mirrors the table vacuum's manifest guard. */

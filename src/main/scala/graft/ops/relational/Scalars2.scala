@@ -108,7 +108,31 @@ object Scalars2 {
       .orderBy($"event_id")
   }
 
+  /** Regex family: extract / replace-all / match / extract-all-count.
+    * Cross-engine hazard and its containment: Spark runs java.util
+    * .regex, DuckDB runs RE2 — the engines disagree on advanced syntax
+    * (lookaround, possessives, some class shorthands: the Ws.scala
+    * whitespace finding), so every pattern here stays inside the
+    * POSIX-safe intersection (explicit ASCII classes, literals,
+    * alternation, plus and star) where the two are identical.
+    * DuckDB's regexp_replace needs the explicit 'g' flag to match
+    * Spark's replace-ALL default — probed, encoded in the oracle. */
+  def qFnRegex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "part")
+      .select(
+        $"p_partkey",
+        regexp_extract($"p_name", "[a-z]+", 0).as("first_word"),
+        regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+        $"p_name".rlike("^[a-z]+ ").as("starts_word"),
+        size(expr("regexp_extract_all(p_name, '[a-z]+', 0)"))
+          .cast("long").as("n_words"),
+        regexp_extract($"p_brand", "[0-9]+", 0).as("brand_num"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_regex" -> (qFnRegex _),
     "q_fn_bitwise" -> (qFnBitwise _),
     "q_fn_try" -> (qFnTry _),
     "q_fn_string2" -> (qFnString2 _),
@@ -117,6 +141,17 @@ object Scalars2 {
   )
 
   val oracle: Map[String, String] = Map(
+    // POSIX-safe pattern intersection; explicit 'g' flag = Spark's
+    // replace-all default
+    "q_fn_regex" ->
+      """SELECT p_partkey,
+        |  coalesce(regexp_extract(p_name, '[a-z]+', 0), '') AS first_word,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+        |  len(regexp_extract_all(p_name, '[a-z]+', 0))::BIGINT AS n_words,
+        |  coalesce(regexp_extract(p_brand, '[0-9]+', 0), '') AS brand_num
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
     "q_fn_bitwise" ->
       """SELECT event_id,
         |  event_id & user_id AS b_and,

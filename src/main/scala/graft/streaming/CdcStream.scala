@@ -161,6 +161,41 @@ object CdcStream {
       .start()
   }
 
+  /** Statistics sibling of [[maintainedAggregateSink]]: one continuous
+    * query merges change events into the bucket-partitioned target AND
+    * keeps a [[graft.ops.cdc.StatsMaintain]] profile fresh — the
+    * auto-ANALYZE a CBO consumer reads without ever scanning the
+    * table. Exactly-once composes the same way as the bloom sink's:
+    * the profile's cursor records the source version it reflects, so a
+    * crash between merge and stats leaves a stale-but-honest profile
+    * that the next trigger's maintain catches up (its window spans
+    * both versions), and a replayed batch is a metadata no-op on both.
+    * First trigger initializes the profile from the freshly-seeded
+    * table. `statCols` defaults to every value column plus the key. */
+  def statsMaintainedSink(changes: DataFrame, targetDir: String,
+                          statsDir: String, checkpointDir: String,
+                          keyCol: String, lsnCol: String, opCol: String,
+                          valueCols: Seq[String],
+                          statCols: Seq[String] = Nil,
+                          nBuckets: Int = 16): StreamingQuery = {
+    import graft.ops.cdc.StatsMaintain
+    val spark = changes.sparkSession
+    val cols = if (statCols.nonEmpty) statCols else keyCol +: valueCols
+    changes.dropDuplicates(lsnCol)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(spark, batch, batchId, targetDir, checkpointDir,
+          keyCol, lsnCol, opCol, valueCols, nBuckets)
+        if (StatsMaintain.currentStats(spark, statsDir).isEmpty)
+          StatsMaintain.init(spark, targetDir, statsDir, cols): Unit
+        else
+          StatsMaintain.maintain(spark, targetDir, statsDir): Unit
+      }
+      .start()
+  }
+
   /** Point-lookup acceleration sibling of [[maintainedAggregateSink]]:
     * one continuous query merges change events into the
     * bucket-partitioned target AND keeps a

@@ -143,4 +143,37 @@ class DagCommitSpec extends SparkSpec {
     assert(cur.version == 5L)
     assert(DagCommit.read(spark, dagDir)._2.keySet == Set("agg", "join"))
   }
+
+  test("vacuumMembers widens each member's retention to cover retained " +
+      "pins; a raw member vacuum is exactly the stranding error") {
+    val (srcDir, dimDir, aggDir, joinDir, dagDir) = fixture()
+    DagCommit.init(spark, dagDir, Map("agg" -> aggDir, "join" -> joinDir)): Unit
+    // three coordinated rounds: the agg table moves one version per
+    // round while the pointer retains only the last two tuples
+    (0 to 2).foreach { i =>
+      val v = mergeSource(srcDir, 100L + i * 10)
+      AggMaintain.maintainAggregate(spark, srcDir, aggDir, Some(v)): Unit
+      JoinMaintain.maintainJoin(spark, srcDir, dimDir, joinDir,
+        toFact = Some(v)): Unit
+      DagCommit.advance(spark, dagDir): Unit
+      DagCommit.vacuumDag(spark, dagDir, keepVersions = 2)
+    }
+    // the retained OLDER pointer pins the agg one version behind
+    // current (one maintain per round, one advance per round)
+    val aggCur = PartitionedUpsert.manifestOrFail(spark, aggDir).version
+    val olderPin = aggCur - 1
+    // the pin-aware sweep keeps the older pin resolvable
+    DagCommit.vacuumMembers(spark, dagDir, keepVersions = 2,
+      minStagingAgeMs = 0L)
+    assert(DagCommit.readTarget(spark, dagDir, "agg").count() >= 0)
+    assert(PartitionedUpsert.readVersion(spark, aggDir, olderPin).count() >= 0,
+      "the previous retained pointer's pin must survive the sweep")
+    // contrast: a raw keep-1 vacuum on the member strands that pin —
+    // the operator error the helper exists to prevent
+    PartitionedUpsert.vacuum(spark, aggDir, keepManifests = 1,
+      minStagingAgeMs = 0L)
+    intercept[IllegalArgumentException] {
+      PartitionedUpsert.readVersion(spark, aggDir, olderPin).count()
+    }
+  }
 }
