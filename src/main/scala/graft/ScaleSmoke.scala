@@ -286,6 +286,42 @@ object ScaleSmoke {
     time("gopher+c4 filters (500k)") {
       ops.llm.QualityFilters.qLlmGopher(spark, work).count() +
         ops.llm.QualityFilters.qLlmC4(spark, work).count() }
+
+    // ---- round-9 operators on the 10x corpus --------------------------
+    time("graph_linkpred (6M li)") {
+      ops.relational.Graph.qGraphLinkpred(spark, work).count() }
+    time("join_spatial (1.5M x 100k)") {
+      ops.relational.Joins.qJoinSpatial(spark, work).count() }
+    time("semdedup (20k emb)") {
+      ops.llm.SemDedup.qLlmSemdedup(spark, work).count() }
+    time("boilerplate_strip (50k docs)") {
+      ops.llm.Boilerplate.qLlmBoilerplateStrip(spark, work).count() }
+    time("llm_entropy narrow (50k docs)") {
+      ops.llm.LlmQueries.qLlmEntropy(spark, work).count() }
+    val stT = s"$work/derived/stats_t"; val stS = s"$work/derived/stats_s"
+    if (!new java.io.File(stT).exists) {
+      time("stats table init (1M rows)") {
+        ops.cdc.PartitionedUpsert.init(
+          Tables.table(spark, work, "events")
+            .select(col("event_id").as("pk"), col("user_id"),
+              col("event_type"), round(col("value") * 100).cast("long")
+                .as("cents"))
+            .dropDuplicates("pk"),
+          stT, "pk", nBuckets = 32)
+        ops.cdc.PartitionedUpsert.read(spark, stT).count() }
+      time("stats_maintain init (1M)") {
+        ops.cdc.StatsMaintain.init(spark, stT, stS,
+          Seq("pk", "user_id", "event_type", "cents")).rows }
+    }
+    time("stats_maintain 1-key window") {
+      // the O(changed-buckets) claim: one upserted key vs a 1M-row
+      // table — the profile advances from the pruned CDF window
+      ops.cdc.PartitionedUpsert.merge(spark, stT,
+        spark.range(1).select(lit(999999999L).as("lsn"),
+          lit(424242L).as("pk"), lit("c").as("op"), lit(7L).as("user_id"),
+          lit("probe").as("event_type"), lit(1L).as("cents")),
+        "pk", "lsn", "op", Seq("user_id", "event_type", "cents"), 32)
+      ops.cdc.StatsMaintain.maintain(spark, stT, stS).rows }
     val blT = s"$work/derived/bloom_t"; val blI = s"$work/derived/bloom_i"
     if (!new java.io.File(blT).exists) {
       time("bloom_index table init (1M)") {

@@ -42,6 +42,39 @@ object Cdc {
         col("__env.source.lsn").as("lsn"), col("__env.ts_ms").as("ts_ms"))
       .drop("__env", jsonCol)
 
+  /** Decode the MAXWELL wire format (Zendesk's MySQL CDC daemon — the
+    * other widely-deployed JSON change envelope) into the SAME
+    * canonical columns [[decode]] produces: one change model, two wire
+    * formats, so every downstream operator (apply, compact, SCD2,
+    * maintenance) is format-agnostic by construction. Mapping:
+    * `type` insert/update/delete/bootstrap-insert → op c/u/d/r (an
+    * unknown type passes through for the DLQ classifier to reject),
+    * `data` → after, `old` → before — NOTE Maxwell's `old` carries
+    * ONLY the changed columns (absent = unchanged, the TOAST-style
+    * sparse semantics applySparse owns), `xid` → tx_id (Maxwell has no
+    * LSN; xid + commit flag is its ordering), `ts` seconds → ts_ms. */
+  def decodeMaxwell(df: DataFrame, jsonCol: String,
+                    payload: StructType): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("database", StringType), StructField("table", StringType),
+      StructField("type", StringType), StructField("ts", LongType),
+      StructField("xid", LongType), StructField("data", payload),
+      StructField("old", payload)))
+    df.withColumn("__env", from_json(col(jsonCol), schema))
+      .select(col("*"),
+        when(col("__env.type") === "insert", "c")
+          .when(col("__env.type") === "update", "u")
+          .when(col("__env.type") === "delete", "d")
+          .when(col("__env.type") === "bootstrap-insert", "r")
+          .otherwise(col("__env.type")).as("op"),
+        col("__env.old").as("before"),
+        col("__env.data").as("after"),
+        col("__env.table").as("src_table"),
+        col("__env.xid").as("tx_id"),
+        (col("__env.ts") * 1000).as("ts_ms"))
+      .drop("__env", jsonCol)
+  }
+
   /** Dead-letter decode: split raw JSON change records into (good,
     * quarantined). `decode` silently turns corrupt JSON into null
     * structs (from_json semantics) — a poisoned event vanishes into

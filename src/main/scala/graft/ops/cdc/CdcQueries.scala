@@ -58,6 +58,36 @@ object CdcQueries {
       .orderBy($"event_id")
   }
 
+  /** Maxwell-format decode through the canonical model: the envelope
+    * is built in-query (identical string template both engines) in
+    * Maxwell's wire shape — type names, data/old payloads, xid, ts
+    * seconds — and [[Cdc.decodeMaxwell]] normalizes it to the same
+    * columns the Debezium path produces. `old` is present only on
+    * updates and carries only the changed column (Maxwell's sparse
+    * semantics); the oracle re-derives every mapping in SQL. */
+  def qCdcDecodeMaxwell(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changeLog(spark, dir)
+    val mtype = when($"op" === "c", "insert")
+      .when($"op" === "u", "update").otherwise("delete")
+    val env = concat(
+      lit("{\"database\":\"shop\",\"table\":\"events\",\"type\":\""), mtype,
+      lit("\",\"ts\":"), unix_timestamp($"ts"),
+      lit(",\"xid\":"), $"lsn",
+      lit(",\"data\":{\"pk\":"), $"pk", lit(",\"v\":"), $"after_value",
+      lit("}"),
+      when($"op" === "u",
+        concat(lit(",\"old\":{\"v\":"), $"after_value" + 1.0, lit("}")))
+        .otherwise(lit("")),
+      lit("}"))
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("v", DoubleType)))
+    Cdc.decodeMaxwell(log.select($"lsn".as("event_id"), env.as("j")), "j", payload)
+      .select($"event_id", $"op", $"after.pk".as("pk"), $"after.v".as("v"),
+        $"before.v".as("old_v"), $"src_table", $"tx_id", $"ts_ms")
+      .orderBy($"event_id")
+  }
+
   /** Dead-letter decode, oracled end-to-end: a deterministic fraction
     * of the in-query envelope fixture is corrupted (lsn%13 → truncated
     * JSON, else lsn%17 → op outside the c/u/d/r/s/t set, else lsn%19 →
@@ -147,6 +177,32 @@ object CdcQueries {
       .select($"c_custkey".as("pk"), $"c_acctbal".as("val"))
     val log = changeLog(spark, dir).withColumnRenamed("after_value", "val")
     Cdc.apply(snap, log, Seq("pk"), "lsn", "op", Seq("val"))
+      .orderBy($"pk")
+  }
+
+  /** Transaction-boundary-preserving apply, oracled end-to-end: tx
+    * ids derived in-query (lsn DIV 7; every 5th event NULL-tx =
+    * non-transactional, applies directly), commit markers (op='t')
+    * synthesized for 2/3 of transactions — the withheld third must be
+    * INVISIBLE in the applied state, whole (never half a transaction;
+    * the Debezium boundary guarantee [[Cdc.applyTransactional]]
+    * makes). The oracle re-derives visibility as a plain IN-subquery
+    * against the committed set — a different evaluation of the same
+    * boundary rule. */
+  def qCdcApplyTxn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snap = Tables.table(spark, dir, "customer")
+      .select($"c_custkey".as("pk"), $"c_acctbal".as("val"))
+    val ev = changeLog(spark, dir).withColumnRenamed("after_value", "val")
+      .withColumn("tx", when($"lsn" % 5 === 0, lit(null).cast("long"))
+        .otherwise(expr("lsn DIV 7")))
+      .select($"lsn", $"pk", $"op", $"val", $"tx")
+    val markers = ev.filter($"tx".isNotNull && $"tx" % 3 =!= 0)
+      .select($"tx").distinct()
+      .select(($"tx" + lit(1000000000L)).as("lsn"), lit(-1L).as("pk"),
+        lit("t").as("op"), lit(null).cast("double").as("val"), $"tx")
+    Cdc.applyTransactional(snap, ev.unionByName(markers),
+        Seq("pk"), "lsn", "op", Seq("val"), "tx")
       .orderBy($"pk")
   }
 
@@ -414,11 +470,13 @@ object CdcQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_decode" -> (qCdcDecode _),
+    "q_cdc_decode_maxwell" -> (qCdcDecodeMaxwell _),
     "q_cdc_badrecords" -> (qCdcBadrecords _),
     "q_cdc_snapshot" -> (qCdcSnapshot _),
     "q_cdc_snapshot_chunked" -> (qCdcSnapshotChunked _),
     "q_cdc_compact" -> (qCdcCompact _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_cdc_apply_txn" -> (qCdcApplyTxn _),
     "q_cdc_apply_sparse" -> (qCdcApplySparse _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_incr_agg" -> (qCdcIncrAgg _),
@@ -432,6 +490,31 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_decode_maxwell" ->
+      s"""WITH $logCte,
+        |env AS (
+        |  SELECT lsn AS event_id, op AS op0,
+        |    '{"database":"shop","table":"events","type":"' ||
+        |    CASE op WHEN 'c' THEN 'insert' WHEN 'u' THEN 'update'
+        |      ELSE 'delete' END ||
+        |    '","ts":' || epoch(ts)::BIGINT || ',"xid":' || lsn ||
+        |    ',"data":{"pk":' || pk || ',"v":' || after_value || '}' ||
+        |    CASE WHEN op = 'u'
+        |      THEN ',"old":{"v":' || (after_value + 1.0) || '}' ELSE '' END ||
+        |    '}' AS j
+        |  FROM log)
+        |SELECT event_id,
+        |  CASE json_extract_string(j, '$$.type')
+        |    WHEN 'insert' THEN 'c' WHEN 'update' THEN 'u'
+        |    WHEN 'delete' THEN 'd' WHEN 'bootstrap-insert' THEN 'r'
+        |    ELSE json_extract_string(j, '$$.type') END AS op,
+        |  json_extract(j, '$$.data.pk')::BIGINT AS pk,
+        |  json_extract(j, '$$.data.v')::DOUBLE AS v,
+        |  json_extract(j, '$$.old.v')::DOUBLE AS old_v,
+        |  json_extract_string(j, '$$.table') AS src_table,
+        |  json_extract(j, '$$.xid')::BIGINT AS tx_id,
+        |  json_extract(j, '$$.ts')::BIGINT * 1000 AS ts_ms
+        |FROM env ORDER BY event_id""".stripMargin,
     "q_cdc_decode" ->
       s"""WITH $logCte,
         |env AS (
@@ -517,6 +600,27 @@ object CdcQueries {
       s"""WITH $logCte
         |SELECT pk, lsn, op, after_value FROM log
         |QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1
+        |ORDER BY pk""".stripMargin,
+    "q_cdc_apply_txn" ->
+      s"""WITH $logCte,
+        |ev AS (
+        |  SELECT lsn, pk, op, after_value AS val,
+        |    CASE WHEN lsn % 5 = 0 THEN NULL ELSE lsn // 7 END AS tx
+        |  FROM log),
+        |committed AS (
+        |  SELECT DISTINCT tx FROM ev WHERE tx IS NOT NULL AND tx % 3 != 0),
+        |visible AS (
+        |  SELECT * FROM ev
+        |  WHERE tx IS NULL OR tx IN (SELECT tx FROM committed)),
+        |latest AS (
+        |  SELECT * FROM visible
+        |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1),
+        |snap AS (SELECT c_custkey AS pk, c_acctbal AS val FROM customer)
+        |SELECT coalesce(s.pk, l.pk) AS pk,
+        |  CASE WHEN l.pk IS NOT NULL THEN l.val ELSE s.val END AS val,
+        |  CASE WHEN l.pk IS NOT NULL THEN 'log' ELSE 'snapshot' END AS src
+        |FROM snap s FULL OUTER JOIN latest l ON s.pk = l.pk
+        |WHERE l.pk IS NULL OR l.op != 'd'
         |ORDER BY pk""".stripMargin,
     "q_cdc_apply" ->
       s"""WITH $logCte,

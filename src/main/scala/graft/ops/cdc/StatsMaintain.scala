@@ -49,7 +49,8 @@ object StatsMaintain {
 
   final case class ColStats(nulls: Long, min: Option[Long], max: Option[Long],
                             minmaxExact: Boolean, ndv: Option[Array[Byte]],
-                            staleDeletes: Long)
+                            staleDeletes: Long,
+                            quant: Option[Array[Byte]] = None)
 
   final case class TableStats(version: Long, cursor: Long, rows: Long,
                               cols: Map[String, ColStats]) {
@@ -59,6 +60,17 @@ object StatsMaintain {
         spark.range(1).select(hll_sketch_estimate(lit(bytes)).as("e"))
           .head().getLong(0).toDouble
       }
+
+    /** Quantile estimates for `c` at `ranks` (KLL ~1.65% rank error at
+      * the default k; reflects inserts only once staleDeletes > 0 —
+      * the same refresh signal as NDV). */
+    def quantileEstimate(c: String, ranks: Seq[Double]): Option[Seq[Double]] =
+      cols(c).quant.map(graft.functions.KllQuantiles.quantiles(_, ranks))
+
+    /** Estimated selectivity of `c <= value` — the predicate price a
+      * CBO derives from the quantile profile. */
+    def rankEstimate(c: String, value: Double): Option[Double] =
+      cols(c).quant.map(graft.functions.KllQuantiles.rankOf(_, value))
   }
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
@@ -75,7 +87,8 @@ object StatsMaintain {
         c.max.map(_.toString).getOrElse("-"),
         if (c.minmaxExact) "1" else "0",
         c.ndv.map(Base64.getEncoder.encodeToString).getOrElse("-"),
-        c.staleDeletes).mkString("\t")
+        c.staleDeletes,
+        c.quant.map(Base64.getEncoder.encodeToString).getOrElse("-")).mkString("\t")
     }
     (head +: cols).mkString("\n")
   }
@@ -91,7 +104,9 @@ object StatsMaintain {
         if (p(4) == "-") None else Some(p(4).toLong),
         p(5) == "1",
         if (p(6) == "-") None else Some(Base64.getDecoder.decode(p(6))),
-        p(7).toLong)
+        p(7).toLong,
+        if (p.length < 9 || p(8) == "-") None
+        else Some(Base64.getDecoder.decode(p(8))))
     }.toMap
     TableStats(v, kv("cursor").toLong, kv("rows").toLong, cols)
   }
@@ -145,7 +160,11 @@ object StatsMaintain {
           if (mm(c)) Option(r.getAs[java.lang.Long](s"__max_$c")).map(_.longValue) else None,
           minmaxExact = true,
           if (nd(c)) Option(r.getAs[Array[Byte]](s"__ndv_$c")) else None,
-          staleDeletes = 0L)
+          staleDeletes = 0L,
+          // quantile profile (KLL) for the integral columns — one extra
+          // narrow pass each at init/refresh; maintenance pays only the
+          // window
+          if (mm(c)) graft.functions.KllQuantiles.sketchOf(df, col(c)) else None)
       }.toMap)
   }
 
@@ -236,6 +255,17 @@ object StatsMaintain {
         case (a, b) => b.orElse(a)
       }
     }
+    // insert-window quantile sketches: same union-only, stale-on-delete
+    // contract as the NDV sketch (KLL cannot subtract either)
+    def quantUnioned(c: String): Option[Array[Byte]] = {
+      val w = graft.functions.KllQuantiles.sketchOf(
+        ch.filter(col("change_type") =!= "delete").select(side("after", c).as(c)),
+        col(c))
+      (cur.cols(c).quant, w) match {
+        case (Some(a), Some(b)) => Some(graft.functions.KllQuantiles.merge(a, b))
+        case (a, b) => b.orElse(a)
+      }
+    }
     val t = TableStats(cur.version + 1, m.version,
       cur.rows + r.getAs[Long]("__drows"),
       cols.map { c =>
@@ -251,7 +281,8 @@ object StatsMaintain {
             .flatten.reduceOption(_ max _) else None,
           p.minmaxExact && !boundRemoved,
           if (nd(c)) unioned(c) else None,
-          p.staleDeletes + (if (nd(c)) r.getAs[Long](s"__stale_$c") else 0L))
+          p.staleDeletes + (if (nd(c)) r.getAs[Long](s"__stale_$c") else 0L),
+          if (mm(c)) quantUnioned(c) else None)
       }.toMap)
     AtomicPublish.publishNoOverwrite(fsOf(spark, statsDir),
       statsPath(statsDir, t.version), body(t))

@@ -131,4 +131,64 @@ object CorpusPipeline {
         Sampling.assignSplit(col(idCol), cfg.trainPct, cfg.valPct))
       .drop("sample_bucket")
   }
+
+  /** Write the prepared corpus as token-budgeted SHARDS — the actual
+    * deliverable of a training-data pipeline (a trainer consumes
+    * numbered shards of roughly equal token count, not one giant
+    * table). Shard assignment reuses [[LlmQueries2.packTokens]]'s
+    * distributed prefix sum (per-stratum running token position DIV
+    * budget — no serial window ever sees the docs), so a doc lands in
+    * the shard its starting position falls in: every shard's total is
+    * within one document of the budget, deterministically, at any
+    * parallelism. One FILE per shard: repartitionByRange on the shard
+    * key keeps equal keys in one task (so each `stratum=.../shard=...`
+    * dir receives exactly one part file), and the dirs are the
+    * Hive-partitioned layout every reader lists.
+    *
+    * Returns the per-shard manifest (stratum, shard, docs, tokens) the
+    * same data was written under; committed LAST as
+    * `_manifest/done.tsv` via the atomic no-overwrite publish, so a
+    * reader that sees the manifest sees finished data (the
+    * PartitionedUpsert commit-ordering rule). */
+  def writeShards(docs: DataFrame, outDir: String, idCol: String,
+                  textCol: String, stratumCol: String,
+                  tokensPerShard: Int = 1 << 20): DataFrame = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val n = size(split(col(textCol), " ")).cast("long")
+    val toks = docs.select(col("*"), n.as("__n"),
+      expr(s"$idCol DIV 1024").as("__bkt"))
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), $"__bkt").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = toks.withColumn("__brun", sum($"__n").over(inBucket))
+    val offsets = cum.groupBy(col(stratumCol), $"__bkt")
+      .agg(max($"__brun").as("__btot"))
+      .withColumn("__off", coalesce(sum($"__btot").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(stratumCol)).orderBy($"__bkt")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)), lit(0L)))
+      .select(col(stratumCol), $"__bkt", $"__off")
+    val sharded = cum.join(broadcast(offsets), Seq(stratumCol, "__bkt"))
+      .withColumn("shard",
+        expr(s"(__off + __brun - __n) DIV $tokensPerShard"))
+    sharded
+      .withColumnRenamed(stratumCol, "stratum")
+      .drop("__bkt", "__brun", "__off")
+      .repartitionByRange(col("stratum"), col("shard"))
+      .write.mode("overwrite").partitionBy("stratum", "shard")
+      .parquet(s"$outDir/data")
+    val manifest = sharded.groupBy(col(stratumCol).as("stratum"), $"shard")
+      .agg(count(lit(1)).as("docs"), sum($"__n").as("tokens"))
+      .orderBy($"stratum", $"shard")
+    val rows = manifest.collect() // one row per shard — bounded
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.cdc.AtomicPublish.publishNoOverwrite(fs,
+      new org.apache.hadoop.fs.Path(s"$outDir/_manifest/done.tsv"),
+      rows.map(r => s"${r.get(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}")
+        .mkString("\n"))
+    manifest
+  }
 }

@@ -56,6 +56,27 @@ class StatsMaintainSpec extends SparkSpec {
     // zero new stats versions
     val t3 = StatsMaintain.maintain(spark, tDir, sDir)
     assert(t3.version === t2.version && t3.cursor === t2.cursor)
+
+    // quantile profile (KLL): estimates inside the published rank-error
+    // band against the exact percentiles, BOTH at init and after the
+    // insert-window union (amount = pk*3 over 0..499 then pk over
+    // 500..599 — exact quantiles computable in closed form via sort)
+    val exactQ = PartitionedUpsert.read(spark, tDir)
+      .stat.approxQuantile("amount", Array(0.25, 0.5, 0.75), 0.0)
+    val est = t2.quantileEstimate("amount", Seq(0.25, 0.5, 0.75)).get
+    est.zip(exactQ).foreach { case (e, x) =>
+      // 1.65% rank error on 600 values ~ +-10 ranks ~ +-30 in value
+      // (step 3); allow 2x the bound for the two-sided estimate
+      assert(math.abs(e - x) <= 60.0, s"quantile est $e vs exact $x")
+    }
+    // the rank estimate prices a <= predicate: amount <= 750 covers
+    // half of the first block (251 rows) + 26 of the second window
+    val sel = t2.rankEstimate("amount", 750.0).get
+    val trueSel = PartitionedUpsert.read(spark, tDir)
+      .filter($"amount" <= 750).count().toDouble / t2.rows
+    assert(math.abs(sel - trueSel) < 0.04,
+      s"selectivity est $sel vs true $trueSel")
+    assert(t2.cols("tag").quant.isEmpty, "no quantile sketch for strings")
   }
 
   test("deleting a boundary row keeps a COVERING bound but drops the " +
