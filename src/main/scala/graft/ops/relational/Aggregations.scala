@@ -196,8 +196,40 @@ object Aggregations {
       .orderBy($"l_returnflag")
   }
 
+  /** Deterministic MODE (most frequent value) per group — the missing
+    * member of the exact-aggregate family (median/percentile live in
+    * q_agg_stats). Engine-native `mode()` leaves ties unspecified, so
+    * both sides compute it explicitly: value-level counts first, then
+    * an argmax with the (count desc, value asc) tie-break encoded as
+    * `max(struct(cnt, -value))` — an ordinary two-phase aggregate, no
+    * window, no rank serialization.
+    *
+    * Scale shape: groupBy (flag, qty) partial-combines map-side, so
+    * the shuffle carries one row per distinct (group, value) — the
+    * value domain, not the table; the second aggregate runs over that
+    * already-tiny frame. Share is the integer-div 4dp form (PARITY
+    * rule 5). */
+  def qAggMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy($"l_returnflag")
+      .agg(
+        max(struct($"cnt", (-$"l_quantity").as("nq"))).as("b"),
+        sum($"cnt").as("n_rows"),
+        count(lit(1)).as("n_values"))
+      .select($"l_returnflag",
+        (-$"b.nq").as("mode_qty"),
+        $"b.cnt".as("mode_cnt"),
+        $"n_rows", $"n_values",
+        (expr("(10000 * b.cnt) DIV n_rows") / 10000.0).as("mode_share_4dp"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_basic" -> (qAggBasic _),
+    "q_agg_mode" -> (qAggMode _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
@@ -211,6 +243,24 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // same explicit argmax + tie-break as the Spark side (engine-native
+    // mode() has unspecified ties); sum(cnt) cast ::BIGINT (HUGEINT rule)
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag,
+        |    max({'cnt': cnt, 'nq': -l_quantity}) AS b,
+        |    sum(cnt)::BIGINT AS n_rows,
+        |    count(*) AS n_values
+        |  FROM c GROUP BY 1)
+        |SELECT l_returnflag,
+        |  -(b.nq) AS mode_qty,
+        |  b.cnt AS mode_cnt,
+        |  n_rows, n_values,
+        |  ((10000 * b.cnt) // n_rows) / 10000.0 AS mode_share_4dp
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -235,8 +235,35 @@ object Joins {
       .orderBy($"c_custkey", $"s_suppkey")
   }
 
+  /** Explicit salted skew join, certified against the plain join: a
+    * pathological hot key is PLANTED (every third lineitem collapses
+    * onto key 0 — at sf0.1 that's ~200k rows on one key, the "one key
+    * ≫ a partition" class AQE's split cannot always save, e.g. inside
+    * streaming foreachBatch where AQE is off), the join runs through
+    * [[graft.plans.SaltedJoin.saltedEquiJoin]] (hot key spread over 8
+    * reducers, dim replicated 8×), and the oracle evaluates the PLAIN
+    * join — the hash match proves salting is pure routing, invisible
+    * in the result. The salt never leaves the join (dropped before the
+    * aggregate), so the group-by re-merges the spread rows. */
+  def qJoinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.table(spark, dir, "lineitem")
+      .select(
+        when($"l_orderkey" % 3 === 0, 0L)
+          .otherwise(pmod($"l_suppkey", lit(100L))).as("k"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+    val dim = Tables.table(spark, dir, "supplier")
+      .groupBy(pmod($"s_suppkey", lit(100L)).as("k"))
+      .agg(min($"s_name").as("dim_name"))
+    graft.plans.SaltedJoin.saltedEquiJoin(fact, dim, "k", 8)
+      .groupBy($"k", $"dim_name")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+      .orderBy($"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_skew_salted" -> (qJoinSkewSalted _),
     "q_join_sortmerge" -> (qJoinSortmerge _),
     "q_join_shufflehash" -> (qJoinShufflehash _),
     "q_join_theta" -> (qJoinTheta _),
@@ -251,6 +278,20 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // the PLAIN join — certifies the salted routing is result-invisible
+    "q_join_skew_salted" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+        |              ELSE l_suppkey % 100 END AS k,
+        |    round(l_extendedprice * 100)::BIGINT AS cents
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT s_suppkey % 100 AS k, min(s_name) AS dim_name
+        |  FROM supplier GROUP BY 1)
+        |SELECT k, dim_name, count(*) AS n_rows,
+        |  sum(cents)::BIGINT AS sum_cents
+        |FROM fact JOIN dim USING (k)
+        |GROUP BY k, dim_name ORDER BY k""".stripMargin,
     // the distance THETA evaluation — certifies the grid-binned
     // equi-join decomposition (same exact integer arithmetic)
     "q_join_spatial" ->

@@ -244,8 +244,61 @@ object Resample {
       .orderBy($"event_type", $"hod")
   }
 
+  /** Linear-interpolation gap fill — the other standard resample
+    * repair (q_resample forward-fills): missing hourly points are
+    * reconstructed on the line between their nearest observed
+    * neighbours. Gaps are planted deterministically on both engines
+    * (hour-index % 7 ∈ {2,3} withheld — runs of up to two consecutive
+    * missing hours), so edge rows with no left/right neighbour also
+    * occur and stay null.
+    *
+    * Exactness: cents are BIGINT; the interpolant is
+    * prev + (Δv·steps)/gap — one exact integer product and ONE double
+    * division (correctly rounded identically on both engines, the
+    * q_ts_seasonal value_idx rule). Shape: hourly rollup shuffle, then
+    * all four neighbour lookups (prev/next value and hour) are stacked
+    * windows over the SAME (type, hour) order — one exchange, the
+    * q_ts_anomaly pattern; the grid explode is generated narrow. */
+  def qTsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.table(spark, dir, "events")
+      .groupBy($"event_type",
+        (unix_timestamp(date_trunc("hour", $"ts")) / 3600L)
+          .cast("long").as("h"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val vis = hourly.withColumn("v",
+      when(pmod($"h", lit(7L)).isin(2L, 3L), lit(null).cast("long"))
+        .otherwise($"cents"))
+    val grid = hourly.groupBy($"event_type")
+      .agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select($"event_type", explode(sequence($"lo", $"hi")).as("h"))
+    val joined = grid.join(vis.select($"event_type", $"h", $"v"),
+      Seq("event_type", "h"), "left")
+    val wPrev = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val hKnown = when($"v".isNotNull, $"h")
+    joined
+      .withColumn("pv", last($"v", ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(hKnown, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(hKnown, ignoreNulls = true).over(wNext))
+      .select($"event_type", $"h",
+        when($"v".isNotNull, "observed")
+          .when($"pv".isNotNull && $"nv".isNotNull, "interpolated")
+          .otherwise("edge").as("status"),
+        when($"v".isNotNull, $"v".cast("double"))
+          .when($"pv".isNotNull && $"nv".isNotNull,
+            $"pv" + (($"nv" - $"pv") * ($"h" - $"ph")).cast("double") /
+              ($"nh" - $"ph").cast("double"))
+          .as("cents"))
+      .orderBy($"event_type", $"h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_resample" -> (qResample _),
+    "q_ts_interpolate" -> (qTsInterpolate _),
     "q_ts_decay" -> (qTsDecay _),
     "q_ts_anomaly" -> (qTsAnomaly _),
     "q_ts_cusum" -> (qTsCusum _),
@@ -255,6 +308,47 @@ object Resample {
   )
 
   val oracle: Map[String, String] = Map(
+    // same planted h%7∈{2,3} gaps; interpolant = exact BIGINT product
+    // + ONE double division (the value_idx rule); IGNORE NULLS windows
+    "q_ts_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch(date_trunc('hour', ts))::BIGINT // 3600 AS h,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |vis AS (
+        |  SELECT event_type, h,
+        |    CASE WHEN h % 7 IN (2, 3) THEN NULL ELSE cents END AS v
+        |  FROM hourly),
+        |grid AS (
+        |  SELECT event_type, unnest(range(lo, hi + 1)) AS h
+        |  FROM (SELECT event_type, min(h) AS lo, max(h) AS hi
+        |        FROM hourly GROUP BY event_type)),
+        |j AS (
+        |  SELECT g.event_type, g.h, vis.v
+        |  FROM grid g LEFT JOIN vis USING (event_type, h)),
+        |w AS (
+        |  SELECT event_type, h, v,
+        |    last_value(v IGNORE NULLS) OVER pw AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER pw AS ph,
+        |    first_value(v IGNORE NULLS) OVER nw AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER nw AS nh
+        |  FROM j
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         nw AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, h,
+        |  CASE WHEN v IS NOT NULL THEN 'observed'
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+        |       ELSE 'edge' END AS status,
+        |  CASE WHEN v IS NOT NULL THEN v::DOUBLE
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |         THEN pv + ((nv - pv) * (h - ph))::DOUBLE / (nh - ph)::DOUBLE
+        |       END AS cents
+        |FROM w ORDER BY event_type, h""".stripMargin,
     // integer-div activity index; value index = one double division of
     // exact BIGINT cross-products (sum casts ::BIGINT — HUGEINT rule)
     "q_ts_seasonal" ->

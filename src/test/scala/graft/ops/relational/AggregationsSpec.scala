@@ -57,6 +57,27 @@ class AggregationsSpec extends SparkSpec {
     assert(z.isNaN)
   }
 
+  test("q_agg_mode: mode is the true max-count value with min-value ties") {
+    import org.apache.spark.sql.functions._
+    val rows = Aggregations.qAggMode(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val counts = li.filter(col("l_returnflag") === flag)
+        .groupBy(col("l_quantity")).count()
+        .collect().map(x => (x.getDouble(0), x.getLong(1)))
+      val maxCnt = counts.map(_._2).max
+      val expectMode = counts.filter(_._2 == maxCnt).map(_._1).min
+      assert(r.getAs[Double]("mode_qty") === expectMode)
+      assert(r.getAs[Long]("mode_cnt") === maxCnt)
+      assert(r.getAs[Long]("n_rows") === counts.map(_._2).sum)
+      assert(r.getAs[Long]("n_values") === counts.length.toLong)
+      val share = r.getAs[Double]("mode_share_4dp")
+      assert(share > 0 && share <= 1.0)
+    }
+  }
+
   test("grouping sets: subtotal levels are internally consistent") {
     val rows = Aggregations.qAggGroupingSets(spark, sfSmoke).collect()
     def g(r: org.apache.spark.sql.Row, c: String): Int = r.getAs[Byte](c).toInt

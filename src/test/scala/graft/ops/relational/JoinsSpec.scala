@@ -96,4 +96,28 @@ class JoinsSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("q_join_skew_salted: equals the unsalted join; hot key present") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val salted = Joins.qJoinSkewSalted(spark, sfSmoke)
+    assert(!salted.columns.contains("__salt"))
+    val fact = graft.Tables.table(spark, sfSmoke, "lineitem")
+      .select(
+        when($"l_orderkey" % 3 === 0, 0L)
+          .otherwise(pmod($"l_suppkey", lit(100L))).as("k"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+    val dim = graft.Tables.table(spark, sfSmoke, "supplier")
+      .groupBy(pmod($"s_suppkey", lit(100L)).as("k"))
+      .agg(min($"s_name").as("dim_name"))
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy($"k", $"dim_name")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+      .orderBy($"k")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the planted hot key dominates: ~1/3 of the fact on key 0
+    val hot = salted.filter($"k" === 0).head().getAs[Long]("n_rows")
+    val total = salted.agg(sum($"n_rows")).head().getLong(0)
+    assert(hot * 2 > total / 2, s"hot=$hot total=$total — skew fixture lost")
+  }
 }
