@@ -1,0 +1,166 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level composition diagnostics: the reports a tokenizer /
+  * data-mixture owner reads before committing a training run.
+  *
+  * Both keys avoid the global-window trap (a single ORDER BY over a
+  * corpus-sized frame = one task): vocab coverage pre-filters with
+  * per-sub-bucket ranks (q_llm_quota's two-phase shape) before any
+  * global rank, and the curriculum derives its phase boundaries from
+  * an exact percentile AGGREGATE over a bounded integer score domain
+  * (a count-map per partition, merged — never a sort).
+  */
+object CorpusStats {
+
+  /** Vocabulary coverage curve: what fraction of all token
+    * occurrences the top-K vocabulary covers, for K ∈ {10, 100, 1000}
+    * — the first sizing input of any tokenizer/vocab decision (Zipf
+    * mass concentration, the q_llm_zipf diagnostic integrated).
+    *
+    * Two-phase top-K: 64 hash sub-buckets rank their own vocabulary
+    * slice in parallel and emit local top-1000; the global rank sees
+    * ≤ 64·1000 candidate rows. Identical to the one-window form by
+    * construction (the global top-K is a subset of every sub-bucket's
+    * top-K) — certified by the oracle's QUALIFY evaluation. Coverage
+    * is the integer-div 4dp form (PARITY rule 5); counts stay BIGINT
+    * end to end. */
+  def qLlmVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kMax = 1000
+    val counts = Tables.table(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum($"cnt").as("total"))
+    val sub = Window.partitionBy(pmod(xxhash64($"token"), lit(64)))
+      .orderBy($"cnt".desc, $"token".asc)
+    val global = Window.orderBy($"cnt".desc, $"token".asc)
+    val ranked = counts
+      .withColumn("srk", row_number().over(sub))
+      .filter($"srk" <= kMax)
+      .withColumn("rk", row_number().over(global))
+      .filter($"rk" <= kMax)
+    ranked
+      .select($"rk", $"cnt",
+        explode(array(lit(10), lit(100), lit(1000))).as("top_k"))
+      .filter($"rk" <= $"top_k")
+      .groupBy($"top_k")
+      .agg(sum($"cnt").as("covered"), count(lit(1)).as("n_terms"))
+      .crossJoin(broadcast(total))
+      .select($"top_k".cast("long").as("top_k"), $"n_terms", $"covered",
+        $"total",
+        (expr("(10000 * covered) DIV total") / 10000.0).as("coverage_4dp"))
+      .orderBy($"top_k")
+  }
+
+  /** Curriculum phase assignment: docs split into three difficulty
+    * tertiles by stopword density (stop-heavy ≈ natural fluent text
+    * first, stop-light ≈ dense/technical text last — the standard
+    * easy→hard curriculum heuristic over a quality scalar).
+    *
+    * Scale-honest tertiles: NOT a global ntile window (one task).
+    * The score is the integer-div 4dp stop ratio — a BOUNDED integer
+    * domain (0..10000) — so exact `percentile` boundaries aggregate
+    * as per-partition count-maps over ≤ 10001 keys and merge; phase
+    * assignment is then a broadcast compare. Per-phase stats use
+    * exact integer sums with single double divisions (value_idx
+    * rule). Boundary docs tie into the LOWER phase on both engines
+    * (<=, identical percentile interpolation — the q_agg_stats
+    * quantile_cont pairing). */
+  def qLlmCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a")
+    val scored = Tables.table(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_words", size($"toks").cast("long"))
+      .withColumn("n_stop",
+        size(filter($"toks", t => t.isin(stop: _*))).cast("long"))
+      .select($"doc_id", $"lang", $"n_words", $"n_stop",
+        expr("(10000 * n_stop) DIV n_words").as("score"))
+    val bounds = scored.agg(
+      percentile($"score", lit(2.0 / 3)).as("b_hi"),
+      percentile($"score", lit(1.0 / 3)).as("b_lo"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("phase",
+        when($"score" > $"b_hi", lit(1L))
+          .when($"score" > $"b_lo", lit(2L))
+          .otherwise(lit(3L)))
+      .groupBy($"phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("sum_words"),
+        sum($"n_stop").as("sum_stop"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"),
+        min($"score").as("min_score"), max($"score").as("max_score"))
+      .select($"phase", $"n_docs", $"sum_words", $"n_en",
+        $"min_score", $"max_score",
+        round($"sum_words".cast("double") / $"n_docs".cast("double"), 4)
+          .as("avg_words"),
+        (expr("(10000 * sum_stop) DIV sum_words") / 10000.0)
+          .as("stop_density_4dp"))
+      .orderBy($"phase")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_vocab_coverage" -> (qLlmVocabCoverage _),
+    "q_llm_curriculum" -> (qLlmCurriculum _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the ONE-window evaluation — certifies the two-phase pre-filter
+    "q_llm_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT token, count(*) AS cnt FROM c GROUP BY token),
+        |ranked AS (
+        |  SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk
+        |  FROM counts QUALIFY rk <= 1000),
+        |total AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
+        |ks AS (SELECT unnest([10, 100, 1000]) AS top_k)
+        |SELECT top_k::BIGINT AS top_k,
+        |  count(*) AS n_terms,
+        |  sum(cnt)::BIGINT AS covered,
+        |  (SELECT total FROM total) AS total,
+        |  ((10000 * sum(cnt)::BIGINT) // (SELECT total FROM total)) / 10000.0
+        |    AS coverage_4dp
+        |FROM ranked, ks
+        |WHERE rk <= top_k
+        |GROUP BY top_k ORDER BY top_k""".stripMargin,
+    // same integer score, same percentile boundaries (quantile_cont
+    // interpolation matches Spark's percentile — q_agg_stats pairing)
+    "q_llm_curriculum" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a')))::BIGINT AS n_stop
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT *, (10000 * n_stop) // n_words AS score FROM scored),
+        |b AS (
+        |  SELECT quantile_cont(score, 2.0/3) AS b_hi,
+        |    quantile_cont(score, 1.0/3) AS b_lo
+        |  FROM s2),
+        |p AS (
+        |  SELECT s2.*,
+        |    CASE WHEN score > (SELECT b_hi FROM b) THEN 1
+        |         WHEN score > (SELECT b_lo FROM b) THEN 2
+        |         ELSE 3 END::BIGINT AS phase
+        |  FROM s2)
+        |SELECT phase, count(*) AS n_docs,
+        |  sum(n_words)::BIGINT AS sum_words,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  round(sum(n_words)::DOUBLE / count(*)::DOUBLE, 4) AS avg_words,
+        |  ((10000 * sum(n_stop)::BIGINT) // sum(n_words)::BIGINT) / 10000.0
+        |    AS stop_density_4dp
+        |FROM p GROUP BY phase ORDER BY phase""".stripMargin
+  )
+}

@@ -1,7 +1,10 @@
 package graft.ops.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Deterministic sampling and dataset splitting — the data-mixing
   * machinery of a training pipeline. Everything keys off a PORTABLE
@@ -55,4 +58,80 @@ object Sampling {
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Deterministic weight-proportional sampling — PRIORITY sampling
+    * (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    * q = w/u with u a uniform in (0,1], and the k highest-priority
+    * rows per stratum are the sample (long docs proportionally more
+    * likely, every decision reproducible). u comes from the row id's
+    * md5 prefix (PARITY rule 19) — never `rand()`, so the same doc
+    * keeps its fate across runs/engines/scales, exactly like
+    * [[hashBucket]]; 12 hex digits (48 bits) so u=0 is impossible in
+    * practice and the +1 guard makes it impossible in fact.
+    *
+    * Cross-engine exactness: priority = w/(h+1) is ONE double
+    * division of two exact integers — correctly rounded identically
+    * on both engines (the q_ts_seasonal value_idx rule); ties break
+    * by doc id. Scale shape: narrow projection + per-stratum top-k
+    * window — the stratum count bounds parallelism, and a global
+    * sample composes via the two-phase sub-bucket trick (q_llm_quota)
+    * when a stratum is the whole corpus. */
+  def priorityColumn(id: Column, weight: Column,
+                     salt: String = "wsamp"): Column =
+    weight.cast("double") /
+      (conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 12),
+        16, 10).cast("long") + 1L).cast("double")
+
+  /** Oracled priority sample: top-10 docs per language by token-count
+    * weight, selected TWO-PHASE (64 sub-buckets rank in parallel, the
+    * global rank sees ≤ 64·k candidates — the q_llm_quota shape, so a
+    * corpus-sized stratum never serializes on one task). Emits the
+    * priority so the ORDERING itself is certified, not just the
+    * membership. */
+  def qLlmSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val docs = Tables.table(spark, dir, "documents")
+      .select($"lang", $"doc_id",
+        size(split($"text", " ")).cast("long").as("w_tokens"))
+      .withColumn("priority", priorityColumn($"doc_id", $"w_tokens"))
+    val sub = Window.partitionBy($"lang", pmod(xxhash64($"doc_id"), lit(64)))
+      .orderBy($"priority".desc, $"doc_id".asc)
+    val global = Window.partitionBy($"lang")
+      .orderBy($"priority".desc, $"doc_id".asc)
+    docs.withColumn("srk", row_number().over(sub))
+      .filter($"srk" <= k)
+      .withColumn("rk", row_number().over(global))
+      .filter($"rk" <= k)
+      .select($"lang", $"rk", $"doc_id", $"w_tokens",
+        round($"priority" * 1e9, 4).as("priority_scaled"))
+      .orderBy($"lang", $"rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_sample_weighted" -> (qLlmSampleWeighted _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    // same md5-prefix uniform, same single exact division, QUALIFY top-k
+    "q_llm_sample_weighted" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS w_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, doc_id, w_tokens,
+        |    w_tokens::DOUBLE /
+        |      (('0x' || substring(md5('wsamp:' || doc_id), 1, 12))::BIGINT
+        |        + 1)::DOUBLE AS priority
+        |  FROM d)
+        |SELECT lang,
+        |  row_number() OVER (PARTITION BY lang
+        |                     ORDER BY priority DESC, doc_id ASC) AS rk,
+        |  doc_id, w_tokens,
+        |  round(priority * 1e9, 4) AS priority_scaled
+        |FROM p
+        |QUALIFY rk <= 10
+        |ORDER BY lang, rk""".stripMargin
+  )
 }

@@ -1,6 +1,7 @@
 package graft.ops.relational
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -252,14 +253,74 @@ object Graph {
       .limit(50)
   }
 
+  /** Degree distribution of the part co-purchase graph (the same ≥2
+    * sparsified edge set as triangles/linkpred): (degree, n_nodes)
+    * histogram plus the cumulative node share — the first structural
+    * read of any graph (Zipf tail ⇒ the hub/skew machinery the other
+    * graph keys document actually applies).
+    *
+    * Shape: edge self-join (shared with the family), one endpoint
+    * rollup to per-node degrees, one rollup to the histogram — every
+    * aggregate partial-combines, and the cumulative window runs over
+    * the DEGREE-DOMAIN-sized histogram frame (bounded by max degree,
+    * not nodes). All integers; share in integer-div 4dp. */
+  def qGraphDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val e0 = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"u", $"v")
+    val deg = e0.select($"u".as("n")).union(e0.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy($"d".as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val w = Window.orderBy($"degree")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_nodes", sum($"n_nodes").over(w))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_total"))))
+      .select($"degree", $"n_nodes", $"cum_nodes",
+        (expr("(10000 * cum_nodes) DIV n_total") / 10000.0)
+          .as("cum_share_4dp"))
+      .orderBy($"degree")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_reach" -> (qGraphReach _),
     "q_graph_triangles" -> (qGraphTriangles _),
-    "q_graph_linkpred" -> (qGraphLinkpred _)
+    "q_graph_linkpred" -> (qGraphLinkpred _),
+    "q_graph_degree_hist" -> (qGraphDegreeHist _)
   )
 
   val oracle: Map[String, String] = Map(
+    // same sparsified edges; cumulative share over the histogram frame
+    "q_graph_degree_hist" ->
+      """WITH e0 AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY n),
+        |hist AS (
+        |  SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM deg)
+        |SELECT degree, n_nodes,
+        |  sum(n_nodes) OVER (ORDER BY degree
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_nodes,
+        |  ((10000 * sum(n_nodes) OVER (ORDER BY degree
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT)
+        |    // (SELECT n_total FROM tot)) / 10000.0 AS cum_share_4dp
+        |FROM hist ORDER BY degree""".stripMargin,
     // the 3 iterations unrolled; per-iteration round(8) keeps both
     // engines' ranks identical going into the next step
     "q_graph_pagerank" ->

@@ -86,6 +86,71 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("priority sample: weight-proportional in aggregate, deterministic, " +
+      "two-phase equals the one-window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val out = Sampling.qLlmSampleWeighted(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    // exactly k per lang (or all docs if a lang has fewer), rk dense
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val rks = rs.map(_.getAs[Int]("rk")).sorted
+      assert(rks.sameElements(1 to rks.length))
+      assert(rks.length <= 10)
+    }
+    // determinism: a second run picks the identical sample
+    val again = Sampling.qLlmSampleWeighted(spark, sfSmoke).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+    // two-phase pre-filter is invisible: equals the plain one-window form
+    val docs = graft.Tables.table(spark, sfSmoke, "documents")
+      .select($"lang", $"doc_id",
+        size(split($"text", " ")).cast("long").as("w_tokens"))
+      .withColumn("priority", Sampling.priorityColumn($"doc_id", $"w_tokens"))
+    val oneWindow = docs.withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"priority".desc, $"doc_id".asc)))
+      .filter($"rk" <= 10)
+      .select($"lang", $"rk", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val twoPhase = out.map(r =>
+      (r.getAs[String]("lang"), r.getAs[Int]("rk"), r.getAs[Long]("doc_id"))).toSet
+    assert(twoPhase === oneWindow)
+    // weight-proportionality (statistical): the sampled docs' mean
+    // weight exceeds the corpus mean — long docs are favoured
+    val sampledMean = out.map(_.getAs[Long]("w_tokens")).sum.toDouble / out.length
+    val corpusMean = docs.agg(avg($"w_tokens")).head().getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"sampled mean $sampledMean <= corpus mean $corpusMean")
+  }
+
+  test("vocab coverage: monotone in K, bounded by 1, exact top-K masses") {
+    val rows = CorpusStats.qLlmVocabCoverage(spark, sfSmoke).collect()
+    assert(rows.map(_.getAs[Long]("top_k")).toSeq == Seq(10L, 100L, 1000L))
+    val cov = rows.map(_.getAs[Double]("coverage_4dp"))
+    assert(cov.sameElements(cov.sorted), "coverage must grow with K")
+    assert(cov.forall(c => c > 0 && c <= 1.0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered") <= r.getAs[Long]("total"))
+      assert(r.getAs[Long]("n_terms") <= r.getAs[Long]("top_k"))
+    }
+  }
+
+  test("curriculum: three phases cover the corpus; stop density orders " +
+      "phases easy-to-hard") {
+    val rows = CorpusStats.qLlmCurriculum(spark, sfSmoke).collect()
+    assert(rows.map(_.getAs[Long]("phase")).toSeq == Seq(1L, 2L, 3L))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === spark.read.parquet(s"$sfSmoke/documents.parquet").count())
+    // phase 1 = stop-heaviest (easy natural text), density non-increasing
+    val dens = rows.map(_.getAs[Double]("stop_density_4dp"))
+    assert(dens.sameElements(dens.sorted.reverse),
+      s"stop density not decreasing: ${dens.mkString(",")}")
+    // tertiles are roughly balanced (boundary ties may shift a few docs)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n > total / 6, s"phase ${r.getAs[Long]("phase")} has only $n docs")
+    }
+  }
+
   test("split assignment partitions every row into exactly one of train/val/test") {
     import spark.implicits._
     val docs = graft.Tables.table(spark, sfSmoke, "documents")

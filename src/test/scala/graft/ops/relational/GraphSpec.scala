@@ -35,4 +35,21 @@ class GraphSpec extends SparkSpec {
     // no pair invents mediation: capped counts never exceed uncapped
     mc.foreach { case (k, v) => assert(v <= mu(k), s"pair $k grew under cap") }
   }
+
+  test("degree histogram: masses sum to node count, cumulative share " +
+      "reaches exactly 1") {
+    val rows = Graph.qGraphDegreeHist(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val degs = rows.map(_.getAs[Long]("degree"))
+    assert(degs.sameElements(degs.sorted))
+    val nodeSum = rows.map(_.getAs[Long]("n_nodes")).sum
+    assert(rows.last.getAs[Long]("cum_nodes") === nodeSum)
+    assert(rows.last.getAs[Double]("cum_share_4dp") === 1.0)
+    // cumulative is the running sum of the masses
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("n_nodes")
+      assert(r.getAs[Long]("cum_nodes") === cum)
+    }
+  }
 }
