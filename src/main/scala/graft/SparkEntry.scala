@@ -40,6 +40,7 @@ object SparkEntry {
       (graft.ops.llm.Winnow.queries, graft.ops.llm.Winnow.oracle),
       (graft.ops.llm.Sampling.queries, graft.ops.llm.Sampling.oracle),
       (graft.ops.llm.CorpusStats.queries, graft.ops.llm.CorpusStats.oracle),
+      (graft.ops.llm.UrlCanon.queries, graft.ops.llm.UrlCanon.oracle),
       (graft.ops.llm.Boilerplate.queries, graft.ops.llm.Boilerplate.oracle),
       (graft.ops.llm.SemDedup.queries, graft.ops.llm.SemDedup.oracle),
       (graft.ops.llm.Multimodal.queries, graft.ops.llm.Multimodal.oracle)

@@ -105,12 +105,69 @@ object CorpusStats {
       .orderBy($"phase")
   }
 
+  /** Per-document keyword extraction: the top-3 terms of every doc by
+    * TF-IDF (the classic unsupervised tagger — what search indexing,
+    * topic routing, and near-dup triage read per doc). Same idf form
+    * as q_llm_tfidf; ranking uses the ROUNDED score (6 dp, the
+    * q_ts_anomaly flag rule) + token tie so a boundary-straddling raw
+    * double can never flip the cut cross-engine.
+    *
+    * Shape: one (doc, token) tf shuffle; df and N are broadcast
+    * frames; the rank window partitions by doc_id — maximal
+    * parallelism, no stratum serialization (every partition is one
+    * doc's term list). */
+  def qLlmKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+    val tokens = docs.select($"doc_id",
+      explode(split($"text", " ")).as("token"))
+    val tf = tokens.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df_ = tokens.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df_docs"))
+    val n = docs.select(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tfidf".desc, $"token".asc)
+    tf.join(broadcast(df_), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round($"tf" * log(($"n_total" + 1.0) / ($"df_docs" + 1.0)), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"token", $"tf", $"tfidf")
+      .orderBy($"doc_id", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_vocab_coverage" -> (qLlmVocabCoverage _),
-    "q_llm_curriculum" -> (qLlmCurriculum _)
+    "q_llm_curriculum" -> (qLlmCurriculum _),
+    "q_llm_keywords" -> (qLlmKeywords _)
   )
 
   val oracle: Map[String, String] = Map(
+    // same idf arithmetic as q_llm_tfidf; rank on the ROUNDED score
+    "q_llm_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM tok GROUP BY doc_id, token),
+        |df AS (
+        |  SELECT token, count(*) AS df_docs
+        |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    round(tf.tf * ln((n.n_total + 1.0) / (df.df_docs + 1.0)), 6)
+        |      AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY tfidf DESC, token ASC) AS rk,
+        |  token, tf, tfidf
+        |FROM scored
+        |QUALIFY rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     // the ONE-window evaluation — certifies the two-phase pre-filter
     "q_llm_vocab_coverage" ->
       """WITH c AS (

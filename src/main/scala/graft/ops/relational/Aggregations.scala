@@ -227,9 +227,37 @@ object Aggregations {
       .orderBy($"l_returnflag")
   }
 
+  /** Ordered string aggregation (LISTAGG / STRING_AGG — the report
+    * column every SQL user writes): per customer segment, the
+    * DISTINCT order-priority labels joined in order. WITHIN GROUP
+    * ordering + DISTINCT make the string fully deterministic (the
+    * q_agg_collect array_sort rule, in string form).
+    *
+    * Engine quirk, probed: Spark 4.1.2's distinct-aggregate rewrite
+    * crashes (AttributeReference→SortOrder cast) when
+    * `listagg(DISTINCT …) WITHIN GROUP` shares the aggregate with a
+    * SECOND distinct aggregate, so n_priorities derives from the
+    * joined string instead of a countDistinct. */
+  def qAggListagg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "orders")
+      .join(Tables.table(spark, dir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        expr("listagg(DISTINCT o_orderpriority, '|') " +
+          "WITHIN GROUP (ORDER BY o_orderpriority)").as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .select($"c_mktsegment", $"priorities",
+        size(split($"priorities", "\\|")).cast("long").as("n_priorities"),
+        $"n_orders")
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_basic" -> (qAggBasic _),
     "q_agg_mode" -> (qAggMode _),
+    "q_agg_listagg" -> (qAggListagg _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
@@ -243,6 +271,16 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // DISTINCT + explicit ORDER BY make the joined string deterministic
+    "q_agg_listagg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+        |    AS priorities,
+        |  len(string_split(string_agg(DISTINCT o_orderpriority,
+        |    '|' ORDER BY o_orderpriority), '|'))::BIGINT AS n_priorities,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // same explicit argmax + tie-break as the Spark side (engine-native
     // mode() has unspecified ties); sum(cnt) cast ::BIGINT (HUGEINT rule)
     "q_agg_mode" ->

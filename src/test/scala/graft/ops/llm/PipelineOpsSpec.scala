@@ -151,6 +151,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("keywords: dense top-3 per doc, scores non-increasing, terms real") {
+    val rows = CorpusStats.qLlmKeywords(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).sameElements(1 to sorted.length))
+      assert(sorted.length <= 3)
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      sorted.foreach(r => assert(r.getAs[Long]("tf") >= 1))
+    }
+  }
+
+  test("url canonicalization: every variant class normalizes; dedup is " +
+      "exactly by canonical form") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "https://WWW.Shop.Example.COM:443/a/?utm_source=x&id=1"),
+      (2L, "https://shop.example.com/a/?id=1"),          // already canonical
+      (3L, "HTTP://Shop.Example.com/b?ref=mail"),        // ref-only query
+      (4L, "https://other.example.com/a/?id=1")          // different host
+    ).toDF("doc_id", "url")
+    val out = UrlCanon.withCanonical(fx, "url").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("canonical")).toMap
+    assert(out(1L) === "https://shop.example.com/a/?id=1")
+    assert(out(2L) === "https://shop.example.com/a/?id=1") // 1 and 2 collapse
+    assert(out(3L) === "http://shop.example.com/b")        // dangling ? stripped
+    assert(out(4L) === "https://other.example.com/a/?id=1")
+    val report = UrlCanon.qLlmUrlCanon(spark, sfSmoke).collect()
+    assert(report.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sfSmoke/documents.parquet").count()
+    assert(report.map(_.getAs[Long]("n_variants")).sum === nDocs)
+    report.foreach { r =>
+      val c = r.getAs[String]("canonical")
+      assert(!c.contains("utm_") && !c.contains("ref=") &&
+        !c.contains(":443") && !c.contains("WWW") && !c.contains("www."), c)
+      assert(r.getAs[Long]("n_raw_forms") <= r.getAs[Long]("n_variants"))
+    }
+  }
+
   test("split assignment partitions every row into exactly one of train/val/test") {
     import spark.implicits._
     val docs = graft.Tables.table(spark, sfSmoke, "documents")

@@ -78,6 +78,18 @@ class AggregationsSpec extends SparkSpec {
     }
   }
 
+  test("q_agg_listagg: joined string is sorted, distinct, and counted") {
+    val rows = Aggregations.qAggListagg(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getAs[String]("priorities").split("\\|").toSeq
+      assert(parts === parts.sorted, s"not ordered: $parts")
+      assert(parts.distinct === parts, s"duplicates: $parts")
+      assert(r.getAs[Long]("n_priorities") === parts.length.toLong)
+      assert(r.getAs[Long]("n_orders") >= parts.length.toLong)
+    }
+  }
+
   test("grouping sets: subtotal levels are internally consistent") {
     val rows = Aggregations.qAggGroupingSets(spark, sfSmoke).collect()
     def g(r: org.apache.spark.sql.Row, c: String): Int = r.getAs[Byte](c).toInt
