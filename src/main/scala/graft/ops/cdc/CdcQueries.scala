@@ -468,8 +468,42 @@ object CdcQueries {
       .orderBy($"tbl")
   }
 
+  /** Multi-master merge with deterministic conflict resolution — the
+    * CDC reality a single-ordered-log apply (q_cdc_apply) cannot
+    * express: two sites write the same keys concurrently and the
+    * merged state must pick ONE winner per key by a total rule.
+    * Rule: last-writer-wins on commit time, site priority breaks
+    * clock ties (site b's clock is deliberately coarsened to the
+    * minute so ties actually occur and the priority rung is
+    * exercised), lsn breaks same-site ties — encoded as ONE argmax
+    * `max(struct(ts, prio, lsn, …))`, the q_agg_mode shape: an
+    * ordinary two-phase aggregate, no window, partial-combines
+    * map-side so the shuffle carries one candidate per (partition,
+    * key). `n_sites = 2` marks true cross-site conflicts. */
+  def qCdcMergeMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changeLog(spark, dir)
+    val a = log.filter($"lsn" % 2 === 0).select($"pk", $"ts",
+      lit(1L).as("prio"), $"lsn", lit("a").as("site"), $"op", $"after_value")
+    val b = log.filter($"lsn" % 2 === 1).select($"pk",
+      date_trunc("minute", $"ts").as("ts"),
+      lit(2L).as("prio"), $"lsn", lit("b").as("site"), $"op", $"after_value")
+    a.unionByName(b)
+      .groupBy($"pk")
+      .agg(
+        max(struct($"ts", $"prio", $"lsn", $"site", $"op",
+          $"after_value".as("v"))).as("w"),
+        count(lit(1)).as("n_writes"),
+        countDistinct($"site").as("n_sites"))
+      .select($"pk", $"w.ts".as("w_ts"), $"w.site".as("w_site"),
+        $"w.lsn".as("w_lsn"), $"w.op".as("op"), $"w.v".as("after_value"),
+        $"n_writes", ($"n_sites" === 2).as("conflict"))
+      .orderBy($"pk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_decode" -> (qCdcDecode _),
+    "q_cdc_merge_multi" -> (qCdcMergeMulti _),
     "q_cdc_decode_maxwell" -> (qCdcDecodeMaxwell _),
     "q_cdc_badrecords" -> (qCdcBadrecords _),
     "q_cdc_snapshot" -> (qCdcSnapshot _),
@@ -490,6 +524,28 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same LWW+priority+lsn total rule via DuckDB struct max;
+    // field order in the struct IS the compare order
+    "q_cdc_merge_multi" ->
+      s"""WITH $logCte,
+        |sites AS (
+        |  SELECT pk, ts, 1 AS prio, lsn, 'a' AS site, op, after_value
+        |  FROM log WHERE lsn % 2 = 0
+        |  UNION ALL
+        |  SELECT pk, date_trunc('minute', ts) AS ts, 2 AS prio, lsn,
+        |    'b' AS site, op, after_value
+        |  FROM log WHERE lsn % 2 = 1),
+        |m AS (
+        |  SELECT pk,
+        |    max({'ts': ts, 'prio': prio, 'lsn': lsn, 'site': site,
+        |         'op': op, 'v': after_value}) AS w,
+        |    count(*) AS n_writes,
+        |    count(DISTINCT site) AS n_sites
+        |  FROM sites GROUP BY pk)
+        |SELECT pk, w.ts AS w_ts, w.site AS w_site, w.lsn AS w_lsn,
+        |  w.op AS op, w.v AS after_value, n_writes,
+        |  (n_sites = 2) AS conflict
+        |FROM m ORDER BY pk""".stripMargin,
     "q_cdc_decode_maxwell" ->
       s"""WITH $logCte,
         |env AS (

