@@ -1,6 +1,7 @@
 package graft.ops.cdc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -501,9 +502,41 @@ object CdcQueries {
       .orderBy($"pk")
   }
 
+  /** Change-log integrity check: lsn continuity + commit-time
+    * monotonicity — the monitoring query every CDC consumer runs
+    * before trusting a feed (a gap means lost events, a time
+    * regression means a replayed/reordered chunk). Gaps are PLANTED
+    * (lsn % 97 == 13 withheld) so the detector provably fires; the
+    * time-regression arm fires on the organic log wherever commit ts
+    * order disagrees with lsn order.
+    *
+    * Shape: ONE lag window over the lsn order (the q_window_laglead
+    * sort); the output is anomaly-sized, never log-sized. At 100 TB
+    * the window partitions by a shard/table key — here the whole log
+    * is one partition by construction of the fixture, and the
+    * detector composes per-shard unchanged. */
+  def qCdcGapDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changeLog(spark, dir)
+      .filter(!($"lsn" % 97 === 13))
+      .select($"lsn", $"ts")
+    val w = Window.orderBy($"lsn")
+    log
+      .withColumn("prev_lsn", lag($"lsn", 1).over(w))
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("gap", $"lsn" - $"prev_lsn" - 1)
+      .withColumn("ts_regression", $"ts" < $"prev_ts")
+      .filter($"gap" > 0 || $"ts_regression")
+      .select($"lsn", $"prev_lsn",
+        when($"gap" > 0, $"gap").otherwise(0L).as("missing"),
+        $"ts_regression")
+      .orderBy($"lsn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_decode" -> (qCdcDecode _),
     "q_cdc_merge_multi" -> (qCdcMergeMulti _),
+    "q_cdc_gap_detect" -> (qCdcGapDetect _),
     "q_cdc_decode_maxwell" -> (qCdcDecodeMaxwell _),
     "q_cdc_badrecords" -> (qCdcBadrecords _),
     "q_cdc_snapshot" -> (qCdcSnapshot _),
@@ -524,6 +557,23 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same planted lsn%97==13 gaps; lag window over the lsn order
+    "q_cdc_gap_detect" ->
+      s"""WITH $logCte,
+        |vis AS (
+        |  SELECT lsn, ts FROM log WHERE lsn % 97 != 13),
+        |w AS (
+        |  SELECT lsn, ts,
+        |    lag(lsn) OVER (ORDER BY lsn) AS prev_lsn,
+        |    lag(ts) OVER (ORDER BY lsn) AS prev_ts
+        |  FROM vis)
+        |SELECT lsn, prev_lsn,
+        |  CASE WHEN lsn - prev_lsn - 1 > 0
+        |       THEN lsn - prev_lsn - 1 ELSE 0 END AS missing,
+        |  (ts < prev_ts) AS ts_regression
+        |FROM w
+        |WHERE lsn - prev_lsn - 1 > 0 OR ts < prev_ts
+        |ORDER BY lsn""".stripMargin,
     // same LWW+priority+lsn total rule via DuckDB struct max;
     // field order in the struct IS the compare order
     "q_cdc_merge_multi" ->

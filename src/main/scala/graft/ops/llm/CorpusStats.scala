@@ -137,13 +137,62 @@ object CorpusStats {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** Mixture scheduling: given target language weights (percent) and
+    * a total token budget, how many EPOCHS of each language's data the
+    * run consumes (epochs = budgeted tokens / available tokens — >1
+    * means repetition, the up-sampling an under-represented language
+    * pays; the published mixture tables' last column). q_llm_mix
+    * reports the ACTUAL composition; this plans the sampled one.
+    *
+    * Arithmetic: budgeted tokens = (budget·weight) DIV 100 — exact
+    * integers; epochs = ONE double division of two exact BIGINTs
+    * (value_idx rule), 4 dp. Shape: one (lang) rollup + a broadcast
+    * literal target table — scale-free. */
+  def qLlmMixSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 1000000L // total training tokens to schedule
+    val targets = Seq(("en", 40L), ("zh", 20L), ("de", 15L),
+      ("fr", 15L), ("es", 10L))
+    val avail = Tables.table(spark, dir, "documents")
+      .select($"lang", size(split($"text", " ")).cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("avail_tokens"),
+        count(lit(1)).as("docs"))
+    val t = targets.toDF("lang", "weight_pct")
+    avail.join(broadcast(t), Seq("lang"))
+      .withColumn("budget_tokens",
+        expr(s"($budget * weight_pct) DIV 100"))
+      .select($"lang", $"weight_pct", $"docs", $"avail_tokens",
+        $"budget_tokens",
+        round($"budget_tokens".cast("double") /
+          $"avail_tokens".cast("double"), 4).as("epochs"),
+        ($"budget_tokens" > $"avail_tokens").as("upsampled"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_vocab_coverage" -> (qLlmVocabCoverage _),
     "q_llm_curriculum" -> (qLlmCurriculum _),
-    "q_llm_keywords" -> (qLlmKeywords _)
+    "q_llm_keywords" -> (qLlmKeywords _),
+    "q_llm_mix_schedule" -> (qLlmMixSchedule _)
   )
 
   val oracle: Map[String, String] = Map(
+    // same literal targets; epochs = one division of exact BIGINTs
+    "q_llm_mix_schedule" ->
+      """WITH avail AS (
+        |  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT
+        |    AS avail_tokens, count(*) AS docs
+        |  FROM documents GROUP BY lang),
+        |t(lang, weight_pct) AS (
+        |  VALUES ('en', 40), ('zh', 20), ('de', 15), ('fr', 15), ('es', 10))
+        |SELECT a.lang, t.weight_pct::BIGINT AS weight_pct, a.docs,
+        |  a.avail_tokens,
+        |  (1000000 * t.weight_pct) // 100 AS budget_tokens,
+        |  round(((1000000 * t.weight_pct) // 100)::DOUBLE
+        |    / a.avail_tokens::DOUBLE, 4) AS epochs,
+        |  ((1000000 * t.weight_pct) // 100 > a.avail_tokens) AS upsampled
+        |FROM avail a JOIN t USING (lang)
+        |ORDER BY lang""".stripMargin,
     // same idf arithmetic as q_llm_tfidf; rank on the ROUNDED score
     "q_llm_keywords" ->
       """WITH tok AS (

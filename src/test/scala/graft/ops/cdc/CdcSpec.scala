@@ -305,6 +305,37 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("gap detect: exactly the planted lsn gaps fire, each 1 wide; " +
+      "regressions only where commit time disagrees with lsn order") {
+    val rows = CdcQueries.qCdcGapDetect(spark, sfSmoke).collect()
+    assert(rows.nonEmpty, "planted gaps not detected")
+    val maxLsn = CdcQueries.changeLog(spark, sfSmoke)
+      .agg(max(col("lsn"))).head().getLong(0)
+    val expectedGaps = (0L to maxLsn).filter(_ % 97 == 13)
+    val gapRows = rows.filter(_.getAs[Long]("missing") > 0)
+    // every gap row straddles exactly one withheld lsn
+    gapRows.foreach { r =>
+      assert(r.getAs[Long]("missing") === 1L,
+        s"gap wider than the planted hole: $r")
+      val missing = r.getAs[Long]("prev_lsn") + 1
+      assert(missing % 97 === 13L, s"false gap at $missing")
+    }
+    assert(gapRows.length === expectedGaps.count(l => l > 0 && l < maxLsn),
+      "gap count != planted interior holes")
+  }
+
+  test("mix schedule: budget splits exactly by weight, epochs consistent") {
+    val rows = graft.ops.llm.CorpusStats.qLlmMixSchedule(spark, sfSmoke).collect()
+    assert(rows.map(_.getAs[Long]("weight_pct")).sum === 100L)
+    assert(rows.map(_.getAs[Long]("budget_tokens")).sum === 1000000L)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("epochs")
+      val up = r.getAs[Boolean]("upsampled")
+      assert(up === (e > 1.0), s"upsampled flag disagrees with epochs: $r")
+      assert(e > 0)
+    }
+  }
+
   test("assortativity: star is perfectly disassortative, bounded in [-1,1] " +
       "on the corpus graph") {
     import spark.implicits._
