@@ -298,6 +298,26 @@ object ScaleSmoke {
       ops.llm.Boilerplate.qLlmBoilerplateStrip(spark, work).count() }
     time("llm_entropy narrow (50k docs)") {
       ops.llm.LlmQueries.qLlmEntropy(spark, work).count() }
+
+    // ---- round-9 session-2 operators on the 10x corpus ----------------
+    time("join_skew_salted (6M, hot key)") {
+      ops.relational.Joins.qJoinSkewSalted(spark, work).count() }
+    time("vocab_coverage 2-phase (500k)") {
+      ops.llm.CorpusStats.qLlmVocabCoverage(spark, work).count() }
+    time("sample_weighted 2-phase (500k)") {
+      ops.llm.Sampling.qLlmSampleWeighted(spark, work).count() }
+    time("keywords per-doc topk (500k)") {
+      ops.llm.CorpusStats.qLlmKeywords(spark, work).count() }
+    time("url_canon narrow (500k)") {
+      ops.llm.UrlCanon.qLlmUrlCanon(spark, work).count() }
+    time("cdc_merge_multi (1M events)") {
+      ops.cdc.CdcQueries.qCdcMergeMulti(spark, work).count() }
+    time("graph degree+assort (6M li)") {
+      ops.relational.Graph.qGraphDegreeHist(spark, work).count() +
+        ops.relational.Graph.qGraphAssortativity(spark, work).count() }
+    time("ts interpolate+detrend (1M)") {
+      ops.relational.Resample.qTsInterpolate(spark, work).count() +
+        ops.relational.Resample.qTsDetrend(spark, work).count() }
     val stT = s"$work/derived/stats_t"; val stS = s"$work/derived/stats_s"
     if (!new java.io.File(stT).exists) {
       time("stats table init (1M rows)") {

@@ -275,8 +275,11 @@ object Graph {
       .agg(count(lit(1)).as("w"))
       .filter($"w" >= 2)
       .select($"u", $"v")
+      .localCheckpoint() // both endpoint unions reduce THIS frame —
+                         // unpersisted, the order-key self-join runs twice
     val deg = e0.select($"u".as("n")).union(e0.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // histogram + total rollup both reduce deg
     val hist = deg.groupBy($"d".as("degree"))
       .agg(count(lit(1)).as("n_nodes"))
     val w = Window.orderBy($"degree")
@@ -318,6 +321,7 @@ object Graph {
       .localCheckpoint() // degree rollup + both joins reduce THIS frame
     val deg = e0.select($"u".as("n")).union(e0.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // two directed-side joins + n_nodes reduce deg
     val directed = e0.select($"u".as("s"), $"v".as("t"))
       .union(e0.select($"v".as("s"), $"u".as("t")))
     val sums = directed

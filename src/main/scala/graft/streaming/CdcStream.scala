@@ -124,6 +124,33 @@ object CdcStream {
       .start()
   }
 
+  /** Multi-master LWW sink: N sites' change streams (already unioned
+    * by the caller) converge into one [[graft.ops.cdc.LwwMerge]]
+    * register table. Per trigger the batch is resolved against the
+    * STORED per-key order (ts, prio, lsn) — so out-of-order delivery
+    * across sites can never clobber a newer stored write, the
+    * guarantee within-batch LWW alone cannot give. Exactly-once:
+    * redelivered events dedup on (site, lsn) — lsn alone is NOT
+    * unique across masters — and a replayed micro-batch is a
+    * txn-recognized metadata no-op. Deletes arrive as
+    * `deleted = true` rows and persist as tombstones (LwwMerge doc). */
+  def lwwMergeSink(changes: DataFrame, targetDir: String,
+                   checkpointDir: String, keyCol: String,
+                   valueCols: Seq[String], nBuckets: Int = 16)
+      : StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.dropDuplicates("site", "lsn")
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.cdc.LwwMerge.resolveAndMerge(spark, targetDir, batch,
+          keyCol, valueCols, nBuckets,
+          txn = Some((checkpointDir, batchId))): Unit
+      }
+      .start()
+  }
+
   /** The CDC-automation capstone sink: one continuous query keeps BOTH
     * the replica and a derived aggregate table current — change events
     * merge into the bucket-partitioned target, then
