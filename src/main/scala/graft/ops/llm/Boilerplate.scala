@@ -107,6 +107,80 @@ object Boilerplate {
       .drop("__t", "__ss", "__cov", "__kept")
   }
 
+  /** Benchmark DECONTAMINATION at span level — the eval-integrity
+    * twin of [[stripRepeatedSpans]]: a training token is removed iff
+    * it is covered by an n-gram that occurs ANYWHERE in the benchmark
+    * set (the published decontamination recipes drop or excise
+    * n-gram-overlapping spans so eval answers never leak into
+    * training text; q_llm_contamination only *reports* the overlap).
+    * Same linear shape: the benchmark gram set is (bench-sized)
+    * vocabulary keyed, the join-back is per (doc, gram), the excision
+    * a per-doc array filter — no train×bench pairs ever materialize.
+    */
+  def stripContaminatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                             bench: DataFrame, benchTextCol: String,
+                             n: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(n >= 2, "n-gram size must be >= 2")
+    val toks = docs.select(col(idCol).as("__id"), split(col(textCol), " ").as("__t"))
+    val grams = toks.filter(size($"__t") >= n)
+      .select($"__id", explode(transform(sequence(lit(0), size($"__t") - n),
+        i => struct(i.as("i"), concat_ws(" ",
+          (0 until n).map(k => $"__t".getItem(i + k)): _*).as("g")))).as("og"))
+      .select($"__id", $"og.i".as("i"), $"og.g".as("g"))
+    val bt = bench.select(split(col(benchTextCol), " ").as("__t"))
+    val benchGrams = bt.filter(size($"__t") >= n)
+      .select(explode(transform(sequence(lit(0), size($"__t") - n),
+        i => concat_ws(" ",
+          (0 until n).map(k => $"__t".getItem(i + k)): _*))).as("g"))
+      .distinct()
+    val covered = grams.join(benchGrams, Seq("g"), "left_semi")
+      .groupBy($"__id").agg(collect_list($"i").as("__ss"))
+      .withColumnRenamed("__id", idCol)
+    docs.join(covered, Seq(idCol), "left")
+      .withColumn("__t", split(col(textCol), " "))
+      .withColumn("__ss", coalesce($"__ss", array().cast("array<int>")))
+      .withColumn("__cov",
+        array_distinct(flatten(transform($"__ss", s => sequence(s, s + n - 1)))))
+      .withColumn("__kept", filter($"__t", (_, j) => !array_contains($"__cov", j)))
+      .withColumn("n_tokens", size($"__t").cast("long"))
+      .withColumn("n_removed", (size($"__t") - size($"__kept")).cast("long"))
+      .withColumn("stripped", concat_ws(" ", $"__kept"))
+      .drop("__t", "__ss", "__cov", "__kept")
+  }
+
+  /** Oracled decontamination: the benchmark is a deterministic
+    * hash-slice of the corpus (md5 bucket < 5 of 100 — the
+    * q_llm_sample rule) plus one planted eval doc whose 12-token
+    * answer span is embedded mid-text in ten planted training docs
+    * (unique prefix/suffix around it — the strip fixture shape).
+    * Exactly the embedded span excises from the planted trainers;
+    * organic train docs sharing an 8-gram with the benchmark slice
+    * excise too (real leakage, agreed cross-engine). */
+  def qLlmDecontamStrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs0 = Tables.table(spark, dir, "documents").select($"doc_id", $"text")
+    val mx = docs0.agg(max($"doc_id").as("mx"))
+    val bucket = Sampling.hashBucket($"doc_id", "decontam", 100)
+    val benchOrganic = docs0.filter(bucket < 5)
+    val answer = (0 until 12).map(k => s"ans$k").mkString(" ")
+    val benchPlanted = Seq((-1L, s"evalq $answer evala")).toDF("doc_id", "text")
+    val train = docs0.filter(bucket >= 5)
+    val trainPlanted = docs0.filter($"doc_id" < 10).crossJoin(broadcast(mx))
+      .select(($"doc_id" + $"mx" + 1).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("px"), $"doc_id"), concat(lit("py"), $"doc_id"),
+          lit(answer),
+          concat(lit("sx"), $"doc_id"), concat(lit("sy"), $"doc_id")).as("text"))
+    stripContaminatedSpans(
+      train.unionByName(trainPlanted), "doc_id", "text",
+      benchOrganic.unionByName(benchPlanted), "text")
+      .select($"doc_id", $"n_tokens", $"n_removed",
+        length($"stripped").cast("long").as("cleaned_chars"),
+        md5($"stripped").as("cleaned_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Oracled strip over documents ∪ ten planted template docs (unique
     * 2-token prefix/suffix around a 12-token shared template, ids above
     * max(doc_id) — the scale-safe planted pattern): the template's
@@ -135,7 +209,8 @@ object Boilerplate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_boilerplate" -> (qLlmBoilerplate _),
-    "q_llm_boilerplate_strip" -> (qLlmBoilerplateStrip _)
+    "q_llm_boilerplate_strip" -> (qLlmBoilerplateStrip _),
+    "q_llm_decontam_strip" -> (qLlmDecontamStrip _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -162,6 +237,54 @@ object Boilerplate {
         |FROM per_doc d LEFT JOIN shared s ON d.g = s.g
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // same md5-bucket benchmark slice + planted eval/train docs; the
+    // shared set is the BENCH gram set (decontamination), everything
+    // else the boilerplate_strip 1-based twin
+    "q_llm_decontam_strip" ->
+      """WITH bucket AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substring(md5('decontam:' || doc_id), 1, 7))::BIGINT % 100
+        |      AS b
+        |  FROM documents),
+        |bench AS (
+        |  SELECT doc_id, text FROM bucket WHERE b < 5
+        |  UNION ALL
+        |  SELECT -1 AS doc_id,
+        |    'evalq ans0 ans1 ans2 ans3 ans4 ans5 ans6 ans7 ans8 ans9 ans10 ans11 evala'
+        |      AS text),
+        |train AS (
+        |  SELECT doc_id, text FROM bucket WHERE b >= 5
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |    'px' || doc_id || ' py' || doc_id ||
+        |    ' ans0 ans1 ans2 ans3 ans4 ans5 ans6 ans7 ans8 ans9 ans10 ans11 ' ||
+        |    'sx' || doc_id || ' sy' || doc_id AS text
+        |  FROM documents WHERE doc_id < 10),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM train),
+        |grams AS (
+        |  SELECT doc_id, i, list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS r(i)
+        |  WHERE len(t) >= 8),
+        |btoks AS (SELECT string_split(text, ' ') AS t FROM bench),
+        |bgrams AS (
+        |  SELECT DISTINCT list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+        |  FROM btoks, unnest(range(1, len(t) - 6)) AS r(i)
+        |  WHERE len(t) >= 8),
+        |cov AS (
+        |  SELECT doc_id, list_distinct(flatten(list(range(i, i + 8)))) AS covered
+        |  FROM grams JOIN bgrams USING (g) GROUP BY doc_id),
+        |kept AS (
+        |  SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+        |    list_transform(list_filter(range(1, len(t.t) + 1),
+        |      j -> NOT list_contains(coalesce(c.covered, []::BIGINT[]), j)),
+        |      j -> t.t[j]) AS kt
+        |  FROM toks t LEFT JOIN cov c USING (doc_id))
+        |SELECT doc_id, n_tokens,
+        |  (n_tokens - len(kt))::BIGINT AS n_removed,
+        |  length(coalesce(list_aggregate(kt, 'string_agg', ' '), ''))::BIGINT
+        |    AS cleaned_chars,
+        |  md5(coalesce(list_aggregate(kt, 'string_agg', ' '), '')) AS cleaned_md5
+        |FROM kept ORDER BY doc_id""".stripMargin,
     // 1-based twin of the Spark 0-based strip: range() is
     // end-exclusive, so start i covers t[i..i+7] via range(i, i+8);
     // string_agg over an empty kept list is NULL → coalesce '' (md5('')

@@ -331,10 +331,52 @@ object Resample {
       .orderBy($"event_type", $"hod")
   }
 
+  /** Rolling-origin forecast BACKTEST over the daily series: the
+    * one-step errors of the two standard baselines every forecaster
+    * must beat — naive (x̂_t = x_{t−1}) and drift
+    * (x̂_t = x_{t−1} + (x_{t−1} − x_{t−2})) — reported as per-type
+    * MAE and RMSE. This is the evaluation rung of the ts family
+    * (q_ts_holt fits; nothing yet measured whether fitting beats
+    * copying yesterday).
+    *
+    * Exactness: errors are differences of BIGINT cents (exact);
+    * |e| and e² sum as BIGINTs; MAE/RMSE are ONE double division
+    * each (+ an IEEE-correctly-rounded sqrt of an exact ratio —
+    * bit-identical both engines, the assortativity argument). Shape:
+    * one daily rollup shuffle + two lag columns on the per-type sort
+    * + a per-type rollup of the aggregated frame. */
+  def qTsBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    daily
+      .withColumn("p1", lag($"cents", 1).over(w))
+      .withColumn("p2", lag($"cents", 2).over(w))
+      .filter($"p2".isNotNull) // both baselines defined
+      .withColumn("e_naive", $"cents" - $"p1")
+      .withColumn("e_drift", $"cents" - ($"p1" + ($"p1" - $"p2")))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_evals"),
+        sum(abs($"e_naive")).as("sae_n"),
+        sum(abs($"e_drift")).as("sae_d"),
+        sum($"e_naive" * $"e_naive").as("sse_n"))
+      .select($"event_type", $"n_evals",
+        round($"sae_n".cast("double") / $"n_evals".cast("double"), 4)
+          .as("mae_naive"),
+        round($"sae_d".cast("double") / $"n_evals".cast("double"), 4)
+          .as("mae_drift"),
+        round(sqrt($"sse_n".cast("double") / $"n_evals".cast("double")), 4)
+          .as("rmse_naive"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_resample" -> (qResample _),
     "q_ts_interpolate" -> (qTsInterpolate _),
     "q_ts_detrend" -> (qTsDetrend _),
+    "q_ts_backtest" -> (qTsBacktest _),
     "q_ts_decay" -> (qTsDecay _),
     "q_ts_anomaly" -> (qTsAnomaly _),
     "q_ts_cusum" -> (qTsCusum _),
@@ -344,6 +386,32 @@ object Resample {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact BIGINT error sums; one division each + a correctly-rounded
+    // sqrt of an exact ratio (bit-identical cross-engine)
+    "q_ts_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, cents,
+        |    lag(cents, 1) OVER tw AS p1,
+        |    lag(cents, 2) OVER tw AS p2
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY d)),
+        |e AS (
+        |  SELECT event_type,
+        |    cents - p1 AS e_naive,
+        |    cents - (p1 + (p1 - p2)) AS e_drift
+        |  FROM lagged WHERE p2 IS NOT NULL)
+        |SELECT event_type, count(*) AS n_evals,
+        |  round(sum(abs(e_naive))::BIGINT::DOUBLE / count(*)::DOUBLE, 4)
+        |    AS mae_naive,
+        |  round(sum(abs(e_drift))::BIGINT::DOUBLE / count(*)::DOUBLE, 4)
+        |    AS mae_drift,
+        |  round(sqrt(sum(e_naive * e_naive)::BIGINT::DOUBLE
+        |    / count(*)::DOUBLE), 4) AS rmse_naive
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // det_scaled = 25·cents − wsum keeps detrending in exact BIGINTs;
     // full (25-point) windows only; sums cast ::BIGINT (HUGEINT rule)
     "q_ts_detrend" ->

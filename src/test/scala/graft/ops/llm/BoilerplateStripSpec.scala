@@ -68,4 +68,27 @@ class BoilerplateStripSpec extends SparkSpec {
     assert(off.count() == 3 &&
       off.filter($"redacted".contains("tm0")).count() == 3)
   }
+
+  test("stripContaminatedSpans: only benchmark-covered spans excise; " +
+      "clean training text is untouched; within-train repetition is NOT " +
+      "contamination") {
+    import spark.implicits._
+    val answer = (0 until 10).map(i => s"a$i").mkString(" ")
+    val bench = Seq((100L, s"q1 $answer q2")).toDF("bid", "btext")
+    val train = Seq(
+      // embeds the benchmark answer mid-text -> span excised
+      (1L, s"u1 u2 $answer u3 u4"),
+      // clean doc, repeated WITHIN train but absent from bench -> kept
+      (2L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (3L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate
+      .stripContaminatedSpans(train, "doc_id", "text", bench, "btext")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("stripped"), r.getAs[Long]("n_removed"))).toMap
+    assert(out(1L)._1 === "u1 u2 u3 u4", s"got: ${out(1L)._1}")
+    assert(out(1L)._2 === 10L)
+    assert(out(2L) === (("w0 w1 w2 w3 w4 w5 w6 w7 w8 w9", 0L)))
+    assert(out(3L)._2 === 0L)
+  }
 }

@@ -51,6 +51,31 @@ class ResampleSpec extends SparkSpec {
     }
   }
 
+  test("q_ts_backtest: RMSE >= MAE (Cauchy-Schwarz), errors match a " +
+      "brute-force recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Resample.qTsBacktest(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_evals") >= 1)
+      assert(r.getAs[Double]("rmse_naive") >=
+        r.getAs[Double]("mae_naive") - 1e-9)
+      assert(r.getAs[Double]("mae_drift") >= 0)
+    }
+    // brute force one type end to end
+    val t = rows.head.getAs[String]("event_type")
+    val series = graft.Tables.table(spark, sfSmoke, "events")
+      .filter(col("event_type") === t)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      .orderBy("d").collect().map(_.getAs[Long]("c"))
+    val errs = series.sliding(3).map(w => math.abs(w(2) - w(1))).toSeq
+    // tolerance covers the HALF_UP vs HALF_EVEN 4dp boundary
+    val mae = errs.sum.toDouble / errs.length
+    assert(math.abs(rows.head.getAs[Double]("mae_naive") - mae) < 1.1e-4,
+      s"mae mismatch: ${rows.head.getAs[Double]("mae_naive")} vs $mae")
+  }
+
   test("q_ts_interpolate: all four neighbour windows share ONE exchange") {
     val plan = Resample.qTsInterpolate(spark, sfSmoke)
       .queryExecution.executedPlan.toString
