@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   *  2.5. (opt-in) span-level repeated-text removal ([[Boilerplate.
   *     stripRepeatedSpans]] — corpus-repeated n-gram spans excised
   *     from the text, fully-template docs dropped)
+  *  2.6. (opt-in) benchmark decontamination ([[Boilerplate.
+  *     stripContaminatedSpans]] — spans covered by any benchmark
+  *     n-gram excised; pure-leakage docs dropped)
   *  3. exact dedup (native-normalize sha256, keep min id per hash —
   *     one shuffle; ALWAYS before near-dup so identical-text clusters
   *     never reach LSH banding, the mega-bucket lesson in BASELINE.md)
@@ -57,7 +60,14 @@ object CorpusPipeline {
       // them; this one can)
       semDedupCentroids: Option[Array[Array[Double]]] = None,
       semDedupThreshold: Double = 0.95,
-      embCol: String = "embedding")
+      embCol: String = "embedding",
+      // benchmark decontamination (stage 2.6): excise spans covered by
+      // any benchmark n-gram ([[Boilerplate.stripContaminatedSpans]])
+      // — opt-in via the benchmark frame; runs AFTER the repeated-span
+      // strip on the same cleaned text, before dedup
+      decontamBench: Option[DataFrame] = None,
+      decontamBenchTextCol: String = "text",
+      decontamNGram: Int = 8)
 
   /** Returns the prepared corpus: surviving rows of `docs` with
     * `redacted` (scrubbed text), `cluster` (near-dup cluster id — its
@@ -98,8 +108,22 @@ object CorpusPipeline {
         .drop("stripped", "n_tokens", "n_removed")
         .filter(length(col("redacted")) > 0)
 
+    // 2.6 (opt-in): benchmark decontamination — spans covered by any
+    // benchmark n-gram excise from the training text (eval answers
+    // must never survive into the corpus); a doc stripped to nothing
+    // was pure leakage and drops
+    val decontaminated = cfg.decontamBench match {
+      case None => cleaned
+      case Some(bench) =>
+        Boilerplate.stripContaminatedSpans(cleaned, idCol, "redacted",
+            bench, cfg.decontamBenchTextCol, cfg.decontamNGram)
+          .withColumn("redacted", col("stripped"))
+          .drop("stripped", "n_tokens", "n_removed")
+          .filter(length(col("redacted")) > 0)
+    }
+
     // 3: exact dedup on normalized content (min id wins — stable)
-    val hashed = cleaned.withColumn("__h", sha2(
+    val hashed = decontaminated.withColumn("__h", sha2(
       graft.functions.NormalizeText.normalize_native(col("redacted")), 256))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col(idCol).asc)

@@ -69,6 +69,34 @@ class BoilerplateStripSpec extends SparkSpec {
       off.filter($"redacted".contains("tm0")).count() == 3)
   }
 
+  test("pipeline stage 2.6: benchmark spans excised from the corpus, " +
+      "pure-leakage doc dropped, stage off by default") {
+    import spark.implicits._
+    val answer = (0 until 10).map(i => s"z$i").mkString(" ")
+    val filler = (0 until 20).map(i => s"f$i")
+    val docs = Seq(
+      (1L, (filler.take(10) ++ answer.split(" ") ++ filler.drop(10)).mkString(" "), "en"),
+      // distinct filler: after doc 1's strip the two must NOT become
+      // near-duplicates (stage 4 would then keep only the min id)
+      (2L, (0 until 20).map(i => s"g$i").mkString(" ") + " the a extra pad", "en"),
+      (3L, answer, "en") // NOTHING but the answer -> pure leakage
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((9L, s"prompt $answer done")).toDF("bid", "btext")
+    val cfg = CorpusPipeline.Config(minWords = 5,
+      decontamBench = Some(bench), decontamBenchTextCol = "btext")
+    val out = CorpusPipeline.prepare(docs, "doc_id", "text", "lang", cfg)
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("redacted")).toMap
+    assert(!byId.contains(3L), "pure-leakage doc must drop")
+    assert(byId.contains(1L) && !byId(1L).contains("z0"),
+      s"answer span survived: ${byId.get(1L)}")
+    assert(byId(2L).contains("g0"), "clean doc must pass untouched")
+    // stage off: the answer rides through
+    val off = CorpusPipeline.prepare(docs, "doc_id", "text", "lang",
+      CorpusPipeline.Config(minWords = 5))
+    assert(off.filter($"redacted".contains("z0")).count() >= 1)
+  }
+
   test("stripContaminatedSpans: only benchmark-covered spans excise; " +
       "clean training text is untouched; within-train repetition is NOT " +
       "contamination") {
