@@ -261,8 +261,28 @@ object Joins {
       .orderBy($"k")
   }
 
+  /** Forward as-of: for each purchase, the NEXT view at-or-after it
+    * per user (the lookahead attribution twin of q_join_asof); same
+    * single-shuffle union+window plan, mirrored frame. */
+  def qJoinAsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    AsofJoin.asofForward(
+        purchases, views,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightCols = Seq("event_id", "value"), tieBreak = "event_id")
+      .select($"purchase_id", $"asof_event_id".as("view_id"),
+        $"asof_value".as("view_value"))
+      .orderBy($"purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_asof_fwd" -> (qJoinAsofFwd _),
     "q_join_skew_salted" -> (qJoinSkewSalted _),
     "q_join_sortmerge" -> (qJoinSortmerge _),
     "q_join_shufflehash" -> (qJoinShufflehash _),
@@ -384,6 +404,26 @@ object Joins {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
+    // the theta + argmin evaluation (explicit min-tieBreak — native
+    // ASOF leaves equal-timestamp ties unspecified) certifies the
+    // mirrored union+window plan
+    "q_join_asof_fwd" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.purchase_id, v.event_id AS view_id,
+        |    v.value AS view_value,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |                       ORDER BY v.ts ASC, v.event_id ASC) AS rk
+        |  FROM p JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts)
+        |SELECT p.purchase_id, m.view_id, m.view_value
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rk = 1) m
+        |  USING (purchase_id)
         |ORDER BY purchase_id""".stripMargin,
     "q_join_cross" ->
       """SELECT r_regionkey, n_nationkey, r_name, n_name

@@ -90,6 +90,68 @@ object AsofJoin {
         carried.map(c => col(s"__asof.$c").as(s"${rightPrefix}$c"))): _*)
   }
 
+  /** FORWARD as-of join: for each left row, the single right row with
+    * the SMALLEST `rightTime >= leftTime` within the key group
+    * (inclusive, left-outer) — "the next reading at-or-after this
+    * event", the lookahead twin of [[asofBackward]] (label joins,
+    * next-quote attribution). Same ONE-shuffle union+window shape,
+    * mirrored: the frame runs (currentRow, unboundedFollowing), right
+    * rows sort AFTER left rows at equal timestamps (so a same-instant
+    * right qualifies under >=), and among equal-timestamp right rows
+    * the SMALLEST `tieBreak` wins (`first` sees it first — the mirror
+    * of backward's max-wins). */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      tieBreak: String,
+      rightPrefix: String = "asof_"): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    val carried = (rightCols :+ rightTime).distinct
+    val leftCols = left.columns.toSeq
+
+    val taggedLeft = carried.foldLeft(left.withColumn("__side", lit(0))) {
+      (df, c) => df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
+    }.withColumn("__t", col(leftTime))
+      .withColumn("__tie", lit(null).cast(right.schema(tieBreak).dataType))
+
+    val taggedRight = {
+      val base = right.select((keys.map(col) ++ carried.map(c => col(c).as(s"__r_$c"))): _*)
+        .withColumn("__side", lit(1))
+        .withColumn("__t", col(s"__r_$rightTime"))
+        .withColumn("__tie", col(s"__r_$tieBreak"))
+      leftCols.foldLeft(base) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    }
+
+    val unioned = taggedLeft.unionByName(taggedRight.select(taggedLeft.columns.map(col): _*))
+
+    // left rows (side=0) sort before right rows at equal time →
+    // inclusive >=; among right ties the smaller tieBreak is seen
+    // first by `first` and wins.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val packed = unioned.withColumn("__r_struct",
+      when(col("__side") === 1,
+        struct(carried.map(c => col(s"__r_$c").as(c)): _*)))
+    val withAsof = packed.withColumn("__asof",
+      first(col("__r_struct"), ignoreNulls = true).over(w))
+
+    withAsof
+      .filter($"__side" === 0)
+      .select((leftCols.map(col) ++
+        carried.map(c => col(s"__asof.$c").as(s"${rightPrefix}$c"))): _*)
+  }
+
   /** Reference implementation via theta-join + keep-latest window.
     * O(matches) blow-up — for tests and small sides only; exists to
     * cross-check asofBackward semantics. */

@@ -57,6 +57,47 @@ class JoinsSpec extends SparkSpec {
     assert(out(4L) === (None, None))             // unmatched key
   }
 
+  test("asofForward: literal semantics — inclusive, forward, min-tie, outer") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),  // exact tie with r10/r11
+      (2L, "u1", ts("2024-01-01 11:00:00")),  // after all right → null
+      (3L, "u2", ts("2024-01-01 10:00:00")),  // normal forward pick
+      (4L, "u3", ts("2024-01-01 12:00:00"))   // key with no right rows
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      (10L, "u1", ts("2024-01-01 10:00:00"), 1.0), // tie, smaller id → wins
+      (11L, "u1", ts("2024-01-01 10:00:00"), 2.0), // tie, larger id
+      (12L, "u2", ts("2024-01-01 09:00:00"), 3.0), // before left → ignored
+      (13L, "u2", ts("2024-01-01 10:30:00"), 4.0), // earliest >= 10:00 → wins
+      (14L, "u2", ts("2024-01-01 11:30:00"), 5.0)
+    ).toDF("rid", "k", "t", "v")
+    val out = AsofJoin.asofForward(left, right, Seq("k"), "t", "t",
+        Seq("rid", "v"), tieBreak = "rid")
+      .select($"lid", $"asof_rid", $"asof_v").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(1L) === (Some(10L), Some(1.0)))   // inclusive + min-tieBreak
+    assert(out(2L) === (None, None))             // nothing at-or-after
+    assert(out(3L) === (Some(13L), Some(4.0)))   // forward earliest
+    assert(out(4L) === (None, None))             // unmatched key
+  }
+
+  test("asofForward plan: single shuffle, no nested loop; count preserved") {
+    import spark.implicits._
+    val ev = graft.Tables.table(spark, sfSmoke, "events")
+    val l = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"), $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val out = AsofJoin.asofForward(l, r, Seq("user_id"), "ts", "ts",
+      Seq("event_id"), "event_id")
+    assert(out.count() === l.count())
+    val p = plan(out)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("asofBackward: NULL right values never tear rows apart") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
