@@ -278,6 +278,73 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** GIF logical-screen metadata from the binary payload — LE uint16
+    * dims like WAV (byte-swapped hex reads), version split 87a/89a,
+    * plus the packed flags byte: global-color-table presence and its
+    * 2^(n+1) entry count via an exact shift (no float pow). Truncated
+    * payloads (< 13 header bytes) yield format=unknown — the wavMeta
+    * honesty rule. */
+  def gifMeta(payload: Column): Column = {
+    val h = upper(hex(payload))
+    def le16(start: Int): Column = conv(
+      concat(substring(h, start + 2, 2), substring(h, start, 2)),
+      16, 10).cast(IntegerType)
+    val is87 = substring(h, 1, 12) === "474946383761"
+    val is89 = substring(h, 1, 12) === "474946383961"
+    val isGif = (is87 || is89) && length(h) >= 26
+    val packed = conv(substring(h, 21, 2), 16, 10).cast(IntegerType)
+    val gctFlag = (packed.cast(IntegerType) / 128).cast(IntegerType) % 2
+    struct(
+      when(isGif && is87, "gif87a").when(isGif && is89, "gif89a")
+        .otherwise("unknown").as("format"),
+      when(isGif, le16(13)).as("width"),
+      when(isGif, le16(17)).as("height"),
+      when(isGif, gctFlag === 1).as("has_gct"),
+      when(isGif && gctFlag === 1,
+        // 2^(size+1) entries via an exact lookup (the Scala shiftleft
+        // API takes only a literal bit count)
+        element_at(array((1 to 8).map(i => lit(1 << i)): _*),
+          pmod(packed, lit(8)) + 1)).as("gct_entries"))
+  }
+
+  /** Oracled GIF-header extraction (`q_mm_gif`): 87a/89a variants
+    * with and without a global color table, plus opaque payloads,
+    * built in-query from hex templates (LE dims byte-swapped into
+    * place) and parsed back FROM the binary by [[gifMeta]] — the
+    * q_mm_meta proof pattern on the little-endian image branch. */
+  def qMmGif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = graft.Tables.table(spark, dir, "documents")
+      .select($"doc_id")
+      .withColumn("family", $"doc_id" % 23)
+      .withColumn("w", (lit(20) + ($"family" % 6) * 10).cast(IntegerType))
+      .withColumn("h", (lit(15) + ($"family" % 5) * 10).cast(IntegerType))
+    def le16(c: Column): Column = {
+      val be = lpad(hex(c), 4, "0")
+      concat(substring(be, 3, 2), substring(be, 1, 2))
+    }
+    // packed byte: GCT flag set for family%4==0 with size bits
+    // family%8; clear otherwise (color resolution bits 0 — canonical)
+    val packed = when($"family" % 4 === 0,
+        lpad(hex(lit(128) + pmod($"family", lit(8))), 2, "0"))
+      .otherwise(lit("00"))
+    val phex = when($"family" % 3 === 0, concat(
+        lit("474946383961"), le16($"w"), le16($"h"), packed, lit("0000"),
+        upper(md5(concat(lit("g89"), $"family")))))
+      .when($"family" % 3 === 1, concat(
+        lit("474946383761"), le16($"w"), le16($"h"), packed, lit("0000"),
+        upper(md5(concat(lit("g87"), $"family")))))
+      .otherwise(upper(md5(concat(lit("gifraw"), $"family"))))
+    d.withColumn("payload", unhex(phex))
+      .withColumn("meta", gifMeta($"payload"))
+      .select($"doc_id", $"meta.format".as("format"),
+        $"meta.width".as("width"), $"meta.height".as("height"),
+        $"meta.has_gct".as("has_gct"),
+        $"meta.gct_entries".as("gct_entries"),
+        length($"payload").cast(IntegerType).as("n_bytes"))
+      .orderBy($"doc_id")
+  }
+
   /** MP4 (ISO-BMFF) header metadata from the binary payload — the
     * video sibling of [[headerMeta]]/[[wavMeta]], completing the
     * image/audio/video modality triple. BIG-endian box fields (like
@@ -358,9 +425,63 @@ object Multimodal {
     "q_mm_video" -> (qMmVideo _),
     "q_mm_dedup" -> (qMmDedup _),
     "q_mm_meta" -> (qMmMeta _),
+    "q_mm_gif" -> (qMmGif _),
     "q_mm_audio" -> (qMmAudio _))
 
   val oracle: Map[String, String] = Map(
+    // same hex templates; LE dims re-read by byte swap FROM the
+    // roundtripped binary; gct entries via an exact shift
+    "q_mm_gif" ->
+      """WITH d AS (SELECT doc_id, doc_id % 23 AS family FROM documents),
+        |dims AS (
+        |  SELECT doc_id, family,
+        |    (20 + (family % 6) * 10)::INT AS w,
+        |    (15 + (family % 5) * 10)::INT AS h,
+        |    CASE WHEN family % 4 = 0
+        |         THEN lpad(hex(128 + family % 8), 2, '0')
+        |         ELSE '00' END AS packed
+        |  FROM d),
+        |px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN family % 3 = 0 THEN
+        |      '474946383961' ||
+        |      substr(lpad(hex(w), 4, '0'), 3, 2) || substr(lpad(hex(w), 4, '0'), 1, 2) ||
+        |      substr(lpad(hex(h), 4, '0'), 3, 2) || substr(lpad(hex(h), 4, '0'), 1, 2) ||
+        |      packed || '0000' || upper(md5('g89' || family))
+        |    WHEN family % 3 = 1 THEN
+        |      '474946383761' ||
+        |      substr(lpad(hex(w), 4, '0'), 3, 2) || substr(lpad(hex(w), 4, '0'), 1, 2) ||
+        |      substr(lpad(hex(h), 4, '0'), 3, 2) || substr(lpad(hex(h), 4, '0'), 1, 2) ||
+        |      packed || '0000' || upper(md5('g87' || family))
+        |    ELSE upper(md5('gifraw' || family)) END AS phex
+        |  FROM dims),
+        |parsed AS (
+        |  SELECT doc_id, upper(hex(unhex(phex))) AS hx,
+        |    octet_length(unhex(phex))::INT AS n_bytes
+        |  FROM px),
+        |f AS (
+        |  SELECT doc_id, hx, n_bytes,
+        |    (substr(hx, 1, 12) = '474946383761') AS is87,
+        |    (substr(hx, 1, 12) = '474946383961') AS is89,
+        |    ('0x' || substr(hx, 21, 2))::INT AS packed
+        |  FROM parsed),
+        |g AS (
+        |  SELECT *, ((is87 OR is89) AND length(hx) >= 26) AS isgif,
+        |    (packed // 128) % 2 AS gct
+        |  FROM f)
+        |SELECT doc_id,
+        |  CASE WHEN isgif AND is87 THEN 'gif87a'
+        |       WHEN isgif AND is89 THEN 'gif89a'
+        |       ELSE 'unknown' END AS format,
+        |  CASE WHEN isgif THEN
+        |    ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INT END AS width,
+        |  CASE WHEN isgif THEN
+        |    ('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))::INT END AS height,
+        |  CASE WHEN isgif THEN (gct = 1) END AS has_gct,
+        |  CASE WHEN isgif AND gct = 1
+        |       THEN (2 << (packed % 8))::INT END AS gct_entries,
+        |  n_bytes
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_mm_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 37 AS family,

@@ -242,4 +242,26 @@ class LlmSpec extends SparkSpec {
     val nVideo = media.filter($"meta.mime" === "video/mp4").count()
     assert(frames.count() === nVideo * 4)
   }
+
+  test("gifMeta: LE dims, version split, GCT flag/size; truncated and " +
+      "foreign payloads stay unknown") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 300x200 89a with a 256-entry GCT (packed 0x87), 16x16 87a
+    // without, a truncated magic-only stub, and a PNG payload
+    val rows = Seq(
+      (1L, "4749463839612C01C80087" + "0000" + "AA" * 8),
+      (2L, "4749463837611000100000" + "0000" + "BB" * 8),
+      (3L, "474946383961"),
+      (4L, "89504E470D0A1A0A" + "00" * 10)
+    ).toDF("id", "phex")
+      .withColumn("m", Multimodal.gifMeta(unhex($"phex")))
+      .select($"id", $"m.format", $"m.width", $"m.height",
+        $"m.has_gct", $"m.gct_entries")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(rows(1L) === Seq("gif89a", 300, 200, true, 256))
+    assert(rows(2L) === Seq("gif87a", 16, 16, false, null))
+    assert(rows(3L) === Seq("unknown", null, null, null, null))
+    assert(rows(4L) === Seq("unknown", null, null, null, null))
+  }
 }
