@@ -124,5 +124,21 @@ class LwwStreamSpec extends SparkSpec {
     val after = graft.ops.cdc.PartitionedUpsert.currentManifest(spark, tDir).get.version
     assert(after === before, "already-committed txn burned a version")
     assert(state(tDir)(7L)._4 === "newer")
+    // kill-and-resume: a fresh query on the SAME checkpoint continues —
+    // the next trigger still resolves against stored state (a late
+    // older site-a write keeps losing after the restart)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$srcDir/f3.json"),
+      Seq(line(7, t + 2000, 1, 21, "a", "older-again"),
+        line(8, t + 1000, 1, 22, "a", "fresh-key")).mkString("\n"))
+    val q2 = CdcStream.lwwMergeSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(srcDir)
+        .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms"),
+      tDir, ckpt, "pk", Seq("v"), nBuckets = 4)
+    try q2.processAllAvailable() finally q2.stop()
+    val s2 = state(tDir)
+    assert(s2(7L)._4 === "newer", "restart lost the stored-ord guarantee")
+    assert(s2(8L)._4 === "fresh-key", "post-restart new key missing")
   }
 }
