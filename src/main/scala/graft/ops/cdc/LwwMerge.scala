@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   * Deletes are TOMBSTONES, not physical removals: a deleted row keeps
   * its (ts, prio, lsn) so an older concurrent write cannot resurrect
   * the key — the standard LWW-set rule. [[read]] filters them;
-  * reclaiming tombstones safely needs a cross-site stability horizon
-  * (all sites' clocks past the tombstone's ts), the usual CRDT GC
-  * bound — out of scope here and stated rather than hidden.
+  * [[reapTombstones]] reclaims them under an EXPLICIT cross-site
+  * stability horizon (the usual CRDT GC bound — the caller asserts
+  * every site has delivered all writes below it; the spec constructs
+  * the resurrection hazard a premature reap opens).
   *
   * Single writer per target (the repo-wide sink contract): concurrent
   * foreign merges fail loudly on the manifest CAS, never corrupt.
@@ -84,6 +85,34 @@ object LwwMerge {
   /** Live rows (tombstones filtered). */
   def read(spark: SparkSession, dir: String): DataFrame =
     PartitionedUpsert.read(spark, dir).filter(!col("deleted"))
+
+  /** Reclaim tombstones older than `stableBefore` — the CRDT GC pass,
+    * with its safety precondition EXPLICIT instead of implied: the
+    * caller asserts that every site has delivered all writes with
+    * ts < stableBefore (a cross-site stability horizon — in practice
+    * min over sites of their acked low-watermark). Under that
+    * assertion no write older than a reaped tombstone can ever arrive,
+    * so removal is safe; without it, a late pre-horizon write would
+    * RESURRECT the key (the spec constructs exactly this hazard).
+    * Physical removal reuses the merge machinery: reaped keys become
+    * op='d' rows at their stored lsn (the stored row is the latest,
+    * so compact keeps it and the delete applies). Returns the number
+    * of tombstones reaped. */
+  def reapTombstones(spark: SparkSession, dir: String,
+                     stableBefore: java.sql.Timestamp,
+                     nBuckets: Int): Long = {
+    val dead = PartitionedUpsert.read(spark, dir)
+      .filter(col("deleted") && col("ts") < lit(stableBefore))
+      .withColumn("__op", lit("d"))
+    val n = dead.count()
+    if (n > 0) {
+      val m = PartitionedUpsert.currentManifest(spark, dir).get
+      PartitionedUpsert.merge(spark, dir, dead, m.keyCol, "lsn", "__op",
+        ordCols ++ m.schema.fieldNames.filterNot(
+          c => c == m.keyCol || ordCols.contains(c)).toSeq, nBuckets): Unit
+    }
+    n
+  }
 
   /** Every stored register including tombstones (audit/GC view). */
   def readAll(spark: SparkSession, dir: String): DataFrame =

@@ -33,6 +33,30 @@ object Windows {
       .orderBy($"c_custkey")
   }
 
+  /** cume_dist — the distribution-function window completing the
+    * ranking family (q_window_ranking has row_number/rank/dense_rank/
+    * ntile/percent_rank): per segment, each customer's balance
+    * percentile as P(X <= x), plus the IQR-membership flag an outlier
+    * report derives from it. cume_dist = n_le / n_part is ONE double
+    * division of two exact window counts — bit-identical cross-engine
+    * (the value_idx rule); the flag compares the ROUNDED value so a
+    * boundary cannot flip it. */
+  def qWindowCume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // order by the VALUE alone (no unique tiebreak): ties must share
+    // their cume_dist — with a tiebreak it degenerates to rn/n; rows
+    // with equal (segment, balance) emit identical values, so the
+    // output is still total-order deterministic
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".asc)
+    Tables.table(spark, dir, "customer")
+      .select(
+        $"c_custkey", $"c_mktsegment", $"c_acctbal",
+        round(cume_dist().over(w), 6).as("cd"))
+      .withColumn("in_iqr", $"cd" >= 0.25 && $"cd" <= 0.75)
+      .orderBy($"c_custkey")
+  }
+
   /** lag / lead: previous and next event per user. */
   def qWindowLaglead(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -113,6 +137,7 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_firstlast" -> (qWindowFirstlast _),
     "q_window_ranking" -> (qWindowRanking _),
+    "q_window_cume" -> (qWindowCume _),
     "q_window_laglead" -> (qWindowLaglead _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_range_frame" -> (qWindowRangeFrame _),
@@ -120,6 +145,19 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    // ties share their cume_dist (no unique tiebreak in the window
+    // order — see the Spark side); flag from the ROUNDED value
+    "q_window_cume" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  round(cume_dist() OVER (PARTITION BY c_mktsegment
+        |                          ORDER BY c_acctbal ASC), 6) AS cd,
+        |  (round(cume_dist() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_acctbal ASC), 6) >= 0.25
+        |   AND round(cume_dist() OVER (PARTITION BY c_mktsegment
+        |                               ORDER BY c_acctbal ASC), 6) <= 0.75)
+        |    AS in_iqr
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "q_window_firstlast" ->
       """SELECT o_orderkey, o_custkey,
         |  first_value(o_totalprice) OVER w AS first_price,

@@ -86,6 +86,36 @@ class LwwStreamSpec extends SparkSpec {
     assert(all(1L)._3 === true && all(1L)._4 === "gone")
   }
 
+  test("reapTombstones: only pre-horizon tombstones go; the documented " +
+      "resurrection hazard is real after a premature reap") {
+    val dir = java.nio.file.Files.createTempDirectory("lww_gc").toString
+    val t = 1700000000000L
+    LwwMerge.resolveAndMerge(spark, dir, mk(Seq(
+      row(1, t + 1000, 1, 10, "a", deleted = true, "old-dead"),
+      row(2, t + 900000, 1, 11, "a", deleted = true, "new-dead"),
+      row(3, t + 2000, 1, 12, "a", deleted = false, "alive"))),
+      "pk", Seq("v"), nBuckets = 4)
+    val n = LwwMerge.reapTombstones(spark, dir,
+      new Timestamp(t + 500000), nBuckets = 4)
+    assert(n === 1L, s"expected exactly the pre-horizon tombstone, got $n")
+    val all = state(dir)
+    assert(!all.contains(1L), "pre-horizon tombstone must be gone")
+    assert(all(2L)._3 === true, "post-horizon tombstone must survive")
+    assert(all(3L)._4 === "alive")
+    // idempotent: nothing left under the same horizon
+    assert(LwwMerge.reapTombstones(spark, dir,
+      new Timestamp(t + 500000), nBuckets = 4) === 0L)
+    // the hazard the horizon precondition exists to prevent: a
+    // pre-horizon write arriving AFTER the reap resurrects the key
+    // (the tombstone that would have beaten it is gone) — so the
+    // horizon MUST be a true cross-site stability bound
+    LwwMerge.resolveAndMerge(spark, dir, mk(Seq(
+      row(1, t + 500, 2, 90, "b", deleted = false, "zombie"))),
+      "pk", Seq("v"), nBuckets = 4)
+    assert(state(dir)(1L)._4 === "zombie",
+      "hazard fixture lost — the doc's warning no longer demonstrates")
+  }
+
   test("txn replay is a metadata no-op; streaming sink resolves " +
       "out-of-order across triggers") {
     val base = java.nio.file.Files.createTempDirectory("lww_s").toString
