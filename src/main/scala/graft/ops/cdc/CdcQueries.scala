@@ -370,6 +370,60 @@ object CdcQueries {
       .orderBy($"seg")
   }
 
+  /** Incremental MIN/MAX maintenance, oracled end-to-end (the
+    * non-invertible sibling of q_cdc_incr_agg — extremes don't compose
+    * from deltas, so this key certifies the [[MinMaxMaintain]] reserve
+    * algebra instead): same midpoint split and seg/cents rewrite as
+    * q_cdc_incr_agg; the Spark side seeds top-K/bottom-K reserves from
+    * state₁ (K=2), composes the state₁→state₂ image diff through
+    * deltaMinMax, rescans exactly the flagged groups from state₂, and
+    * exposes min/max — while DuckDB computes min/max over state₂
+    * DIRECTLY. The organic churn exercises the in-reserve fast path
+    * only (probed: its windows always re-feed the reserves), so a
+    * planted ZZ_PLANT group loses its top-3 values against K=2 —
+    * deterministic reserve EXHAUSTION, forcing the scoped-rescan path
+    * through the oracle too (the planted-twin convention). The hash
+    * match proves watermark filtering, multiplicity tracking,
+    * truncation, exhaustion detection, and the scoped rescan all
+    * compose to the exact extreme. */
+  def qCdcIncrMinmax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val snap = Tables.table(spark, dir, "customer").select(
+      $"c_custkey".as("pk"), $"c_mktsegment".as("seg"),
+      round($"c_acctbal" * 100).cast(LongType).as("cents"))
+    val log = changeLog(spark, dir).select(
+      $"lsn", $"pk", $"op",
+      element_at(array(segs.map(lit): _*),
+        ($"lsn" % 5 + 1).cast(IntegerType)).as("seg"),
+      when($"lsn" % 7 === 0, lit(null).cast(LongType))
+        .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
+    val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
+    // planted exhaustion group: six values seeded, the top three gone
+    // in the window — a K=2 reserve MUST empty and flag
+    val planted1 = spark.range(1, 7)
+      .select((-$"id").as("pk"), lit("ZZ_PLANT").as("seg"),
+        ($"id" + lit(1000000L)).as("cents"))
+    val planted2 = planted1.filter($"cents" <= 1000003L)
+    val state1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
+      Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
+      .unionByName(planted1)
+    val state2 = Cdc.apply(snap, log,
+      Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
+      .unionByName(planted2)
+    val seed = MinMaxMaintain.fullMinMaxState(state1, Seq("seg"),
+      Seq("cents"), k = 2)
+    val stepped = MinMaxMaintain.deltaMinMax(seed,
+      AggMaintain.diffImages(state1, state2, Seq("pk"), Seq("seg", "cents")),
+      Seq("seg"), Seq("cents"), k = 2)
+    val clean = MinMaxMaintain.rescanMerge(stepped, state2, Seq("seg"),
+      Seq("cents"), k = 2)
+    MinMaxMaintain.exposedMinMax(clean, Seq("seg"), Seq("cents"))
+      .select($"seg", $"cnt", $"min_cents", $"max_cents")
+      .orderBy($"seg")
+  }
+
   /** Incremental JOIN maintenance, oracled end-to-end (the enrichment
     * sibling of q_cdc_incr_agg): fact (customer balances, fk derived
     * per event) and dim (nation, keys rewritten by their own log)
@@ -547,6 +601,7 @@ object CdcQueries {
     "q_cdc_apply_sparse" -> (qCdcApplySparse _),
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_incr_agg" -> (qCdcIncrAgg _),
+    "q_cdc_incr_minmax" -> (qCdcIncrMinmax _),
     "q_cdc_incr_join" -> (qCdcIncrJoin _),
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_scd2_incr" -> (qCdcScd2Incr _),
@@ -843,6 +898,38 @@ object CdcQueries {
         |SELECT seg, count(*)::BIGINT AS cnt, sum(cents)::BIGINT AS sum_cents,
         |  round((sum(cents)::BIGINT)::DOUBLE / count(cents), 4) AS avg_cents
         |FROM state2 GROUP BY seg ORDER BY seg""".stripMargin,
+    // the oracle takes min/max over the final state DIRECTLY — the
+    // Spark side composes seeded K=2 reserves with the image-diff
+    // window and a scoped rescan of exhausted groups, so the hash
+    // match proves the non-invertible extreme maintenance algebra
+    "q_cdc_incr_minmax" ->
+      s"""WITH $logCte,
+        |seglog AS (
+        |  SELECT lsn, pk, op,
+        |    ['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY']
+        |      [(lsn % 5 + 1)::INTEGER] AS seg,
+        |    CASE WHEN lsn % 7 = 0 THEN NULL
+        |         ELSE round(after_value * 100)::BIGINT END AS cents
+        |  FROM log),
+        |snap AS (SELECT c_custkey AS pk, c_mktsegment AS seg,
+        |  round(c_acctbal * 100)::BIGINT AS cents FROM customer),
+        |latest AS (
+        |  SELECT * FROM seglog
+        |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1),
+        |state2 AS (
+        |  SELECT coalesce(s.pk, l.pk) AS pk,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.seg ELSE s.seg END AS seg,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.cents ELSE s.cents END AS cents
+        |  FROM snap s FULL OUTER JOIN latest l ON s.pk = l.pk
+        |  WHERE l.pk IS NULL OR l.op != 'd'),
+        |state2p AS (
+        |  SELECT pk, seg, cents FROM state2
+        |  UNION ALL
+        |  SELECT -i, 'ZZ_PLANT', (i + 1000000)::BIGINT
+        |  FROM range(1, 4) t(i))
+        |SELECT seg, count(*)::BIGINT AS cnt,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM state2p GROUP BY seg ORDER BY seg""".stripMargin,
     // the oracle LEFT-joins the two final states DIRECTLY — the Spark
     // side composes fullJoin(F₁, D₁) with both change windows through
     // the delta-join algebra, so a hash match proves the maintenance
