@@ -406,22 +406,85 @@ object CdcQueries {
       .select((-$"id").as("pk"), lit("ZZ_PLANT").as("seg"),
         ($"id" + lit(1000000L)).as("cents"))
     val planted2 = planted1.filter($"cents" <= 1000003L)
+    // materialized: the reserve fold consumes each state several times
+    // (counts delta, per-side contributions, watermark join, rescan) —
+    // unchecked, every pass re-runs the Cdc.apply compaction window
+    // (measured 23.8 s -> ~1 s at sf0.1); the graph-family
+    // localCheckpoint discipline, Bench GCs blocks between keys
     val state1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
-      .unionByName(planted1)
+      .unionByName(planted1).localCheckpoint()
     val state2 = Cdc.apply(snap, log,
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
-      .unionByName(planted2)
+      .unionByName(planted2).localCheckpoint()
+    val diff = AggMaintain.diffImages(state1, state2,
+      Seq("pk"), Seq("seg", "cents")).localCheckpoint()
     val seed = MinMaxMaintain.fullMinMaxState(state1, Seq("seg"),
-      Seq("cents"), k = 2)
-    val stepped = MinMaxMaintain.deltaMinMax(seed,
-      AggMaintain.diffImages(state1, state2, Seq("pk"), Seq("seg", "cents")),
-      Seq("seg"), Seq("cents"), k = 2)
+      Seq("cents"), k = 2).localCheckpoint()
+    // stepped is consumed twice by rescanMerge (flagged + clean
+    // branches) and is group-count-sized — checkpoint, don't recompute
+    val stepped = MinMaxMaintain.deltaMinMax(seed, diff,
+      Seq("seg"), Seq("cents"), k = 2).localCheckpoint()
     val clean = MinMaxMaintain.rescanMerge(stepped, state2, Seq("seg"),
       Seq("cents"), k = 2)
     MinMaxMaintain.exposedMinMax(clean, Seq("seg"), Seq("cents"))
       .select($"seg", $"cnt", $"min_cents", $"max_cents")
       .orderBy($"seg")
+  }
+
+  /** Incremental TOP-N maintenance, oracled end-to-end: the maintained
+    * reserve holds the top-K DISTINCT values with exact multiplicities,
+    * so the grouped top-n (n ≤ K) is readable straight off the state —
+    * the dashboard "top 3 balances per segment" list, delta-maintained
+    * through the same non-invertible algebra q_cdc_incr_minmax
+    * certifies (a deleted row may have been IN the top-n). Same
+    * seg/cents rewrite and midpoint split; K=4, n=3; the planted
+    * ZZ_PLANT group loses its top FIVE values against K=4 —
+    * deterministic exhaustion, so the scoped-rescan path feeds the
+    * exposed ranking too. DuckDB ranks the final state directly
+    * (row_number over distinct values, descending); the hash match
+    * proves ranking, multiplicity, truncation, and rescan compose. */
+  def qCdcIncrTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val snap = Tables.table(spark, dir, "customer").select(
+      $"c_custkey".as("pk"), $"c_mktsegment".as("seg"),
+      round($"c_acctbal" * 100).cast(LongType).as("cents"))
+    val log = changeLog(spark, dir).select(
+      $"lsn", $"pk", $"op",
+      element_at(array(segs.map(lit): _*),
+        ($"lsn" % 5 + 1).cast(IntegerType)).as("seg"),
+      when($"lsn" % 7 === 0, lit(null).cast(LongType))
+        .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
+    val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
+    // planted exhaustion group: eight values seeded, the top five gone
+    // in the window — a K=4 reserve MUST empty and flag
+    val planted1 = spark.range(1, 9)
+      .select((-$"id").as("pk"), lit("ZZ_PLANT").as("seg"),
+        ($"id" + lit(1000000L)).as("cents"))
+    val planted2 = planted1.filter($"cents" <= 1000003L)
+    // same materialization rationale as q_cdc_incr_minmax (each state
+    // feeds multiple reserve-fold passes)
+    val state1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
+      Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
+      .unionByName(planted1).localCheckpoint()
+    val state2 = Cdc.apply(snap, log,
+      Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
+      .unionByName(planted2).localCheckpoint()
+    val diff = AggMaintain.diffImages(state1, state2,
+      Seq("pk"), Seq("seg", "cents")).localCheckpoint()
+    val seed = MinMaxMaintain.fullMinMaxState(state1, Seq("seg"),
+      Seq("cents"), k = 4).localCheckpoint()
+    // stepped is consumed twice by rescanMerge (flagged + clean
+    // branches) and is group-count-sized — checkpoint, don't recompute
+    val stepped = MinMaxMaintain.deltaMinMax(seed, diff,
+      Seq("seg"), Seq("cents"), k = 4).localCheckpoint()
+    val clean = MinMaxMaintain.rescanMerge(stepped, state2, Seq("seg"),
+      Seq("cents"), k = 4)
+    MinMaxMaintain.exposedTopK(clean, Seq("seg"), "cents", n = 3)
+      .select($"seg", $"rnk", $"v".as("cents"), $"m".as("n_rows"))
+      .orderBy($"seg", $"rnk")
   }
 
   /** Incremental JOIN maintenance, oracled end-to-end (the enrichment
@@ -602,6 +665,7 @@ object CdcQueries {
     "q_cdc_state_asof" -> (qCdcStateAsof _),
     "q_cdc_incr_agg" -> (qCdcIncrAgg _),
     "q_cdc_incr_minmax" -> (qCdcIncrMinmax _),
+    "q_cdc_incr_topk" -> (qCdcIncrTopk _),
     "q_cdc_incr_join" -> (qCdcIncrJoin _),
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_scd2_incr" -> (qCdcScd2Incr _),
@@ -930,6 +994,46 @@ object CdcQueries {
         |SELECT seg, count(*)::BIGINT AS cnt,
         |  min(cents) AS min_cents, max(cents) AS max_cents
         |FROM state2p GROUP BY seg ORDER BY seg""".stripMargin,
+    // the oracle ranks the FINAL state's distinct values directly —
+    // the Spark side reads the top-n off the delta-maintained reserve
+    // (K=4 here; the planted group exhausts it to force the rescan
+    // path through the exposed ranking too)
+    "q_cdc_incr_topk" ->
+      s"""WITH $logCte,
+        |seglog AS (
+        |  SELECT lsn, pk, op,
+        |    ['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY']
+        |      [(lsn % 5 + 1)::INTEGER] AS seg,
+        |    CASE WHEN lsn % 7 = 0 THEN NULL
+        |         ELSE round(after_value * 100)::BIGINT END AS cents
+        |  FROM log),
+        |snap AS (SELECT c_custkey AS pk, c_mktsegment AS seg,
+        |  round(c_acctbal * 100)::BIGINT AS cents FROM customer),
+        |latest AS (
+        |  SELECT * FROM seglog
+        |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1),
+        |state2 AS (
+        |  SELECT coalesce(s.pk, l.pk) AS pk,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.seg ELSE s.seg END AS seg,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.cents ELSE s.cents END AS cents
+        |  FROM snap s FULL OUTER JOIN latest l ON s.pk = l.pk
+        |  WHERE l.pk IS NULL OR l.op != 'd'),
+        |state2p AS (
+        |  SELECT pk, seg, cents FROM state2
+        |  UNION ALL
+        |  SELECT -i, 'ZZ_PLANT', (i + 1000000)::BIGINT
+        |  FROM range(1, 4) t(i)),
+        |vals AS (
+        |  SELECT seg, cents, count(*)::BIGINT AS n_rows
+        |  FROM state2p WHERE cents IS NOT NULL GROUP BY seg, cents),
+        |ranked AS (
+        |  SELECT seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY cents DESC)::BIGINT
+        |      AS rnk,
+        |    cents, n_rows
+        |  FROM vals)
+        |SELECT seg, rnk, cents, n_rows FROM ranked
+        |WHERE rnk <= 3 ORDER BY seg, rnk""".stripMargin,
     // the oracle LEFT-joins the two final states DIRECTLY — the Spark
     // side composes fullJoin(F₁, D₁) with both change windows through
     // the delta-join algebra, so a hash match proves the maintenance

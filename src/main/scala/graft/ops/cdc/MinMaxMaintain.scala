@@ -264,6 +264,30 @@ object MinMaxMaintain {
         .as(s"max_$c")))): _*)
   }
 
+  /** Maintained grouped TOP-N view over the high reserve: per group,
+    * the n largest distinct values of `c` with their EXACT
+    * multiplicities, ranked 1..n — the dashboard top-N list, delta-
+    * maintained. Exact by the reserve invariant (the reserve holds
+    * exactly the distinct values strictly above the watermark, fully
+    * multiplied), provided n ≤ the K the state was maintained with —
+    * that bound is the CALLER's contract (K is not recorded in the
+    * state; the invariant is K-independent). Groups with fewer than n
+    * distinct values emit fewer rows, like a direct ranked window.
+    * Requires a clean state (no pending `needs_rescan`), same as
+    * [[exposedMinMax]]. */
+  def exposedTopK(state: DataFrame, groupCols: Seq[String], c: String,
+                  n: Int): DataFrame = {
+    require(n >= 1, s"top-n size must be >= 1, got $n")
+    require(!state.columns.contains("needs_rescan"),
+      "state carries unresolved needs_rescan flags — rescanMerge first")
+    state.select(groupCols.map(col) :+
+        posexplode(slice(col(s"hi_$c"), 1, n)): _*)
+      .withColumnRenamed("pos", "__i")
+      .select(groupCols.map(col) ++ Seq(
+        (col("__i") + 1).cast(LongType).as("rnk"),
+        col("col.v").as("v"), col("col.m").as("m")): _*)
+  }
+
   // -------------------------------------------------------------------
   // Table-backed maintenance: mmDir is a PartitionedUpsert target keyed
   // by gkey = struct(groupCols), maintained from sourceDir's CDF with

@@ -194,6 +194,45 @@ object StatsMaintain {
     t
   }
 
+  /** Estimated in-memory size of the table, from the MAINTAINED row
+    * count and the schema's per-row width (Catalyst defaultSize — the
+    * same estimator Spark's own statistics fall back to). Exact rows ×
+    * estimated width: honest about which side is which. */
+  def estimatedSizeBytes(spark: SparkSession, tableDir: String,
+                         statsDir: String): Option[Long] = {
+    val m = PartitionedUpsert.manifestOrFail(spark, tableDir)
+    currentStats(spark, statsDir).map { st =>
+      val width = m.schema.fields.map(_.dataType.defaultSize.toLong).sum
+      st.rows * width
+    }
+  }
+
+  /** CBO-informed read: the maintained profile drives the broadcast
+    * decision — the rung that closes the auto-ANALYZE loop. If the
+    * estimated size ([[estimatedSizeBytes]]) clears the threshold, the
+    * returned frame carries a broadcast hint, so a join against it
+    * plans BroadcastHashJoin from STATS ALONE — no file-size sniffing,
+    * no AQE runtime rescue (foreachBatch maintenance steps run with
+    * AQE's streaming restrictions; this is exactly where a stats-fed
+    * decision matters). `threshold` defaults to the session's
+    * autoBroadcastJoinThreshold; -1 (the disabled sentinel) means only
+    * an explicit threshold can trigger the hint. A profile lagging one
+    * maintenance window under-counts by that window's inserts — the
+    * caller choosing a threshold should leave the usual headroom (the
+    * same slack any CBO leaves between estimate and executor memory). */
+  def readWithStats(spark: SparkSession, tableDir: String, statsDir: String,
+                    threshold: Option[Long] = None): DataFrame = {
+    val df = PartitionedUpsert.read(spark, tableDir)
+    // the conf accepts a bare byte count OR a size suffix; the disabled
+    // sentinel "-1" is a bare count JavaUtils refuses to parse
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val thr = threshold.getOrElse(
+      scala.util.Try(raw.trim.toLong).getOrElse(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)))
+    val est = estimatedSizeBytes(spark, tableDir, statsDir)
+    if (thr > 0 && est.exists(_ <= thr)) df.hint("broadcast") else df
+  }
+
   /** Advance the profile over the CDF window (cursor, current]. An
     * already-current profile returns unchanged with ZERO data reads
     * (the txn-cursor no-op); the window read is manifest-diff

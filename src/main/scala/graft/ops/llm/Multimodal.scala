@@ -421,7 +421,112 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** 56-bit dHash (difference hash) over a raw grayscale payload —
+    * the PERCEPTUAL rung of the multimodal dedup ladder: exact
+    * content-hash dedup (q_mm_dedup) catches bit-identical copies
+    * only, which at 100 TB of re-encoded/watermarked crawl images is
+    * almost nothing; dHash fingerprints the LUMINANCE GRADIENT
+    * (bit(r,c) = pixel(r,c) < pixel(r,c+1) over a 9×7 thumbnail), so
+    * small perturbations flip few bits and near-dups land within a
+    * small hamming distance — the published perceptual-hash family
+    * (pHash/dHash), gradient flavor.
+    *
+    * Payload container: `IMGG` magic + w + h + w×h grayscale bytes —
+    * the deterministic uncompressed thumbnail a real pipeline would
+    * produce with its decoder kernel (the decodeStub boundary: codecs
+    * are a kernel's job; the hash over decoded pixels is exactly this
+    * expression). Fixed 9×7 geometry = 56 comparison bits, deliberately
+    * NOT 64: bit 63 would shift into the sign across engines. Pure
+    * Catalyst (hex/substring/conv fold — codegen, no UDF); non-IMGG or
+    * truncated payloads yield NULL (the wavMeta honesty rule). */
+  def dHash(payload: Column): Column = {
+    val hx = upper(hex(payload))
+    val ok = substring(hx, 1, 8) === "494D4747" &&
+      substring(hx, 9, 4) === "0907" && length(hx) >= lit(138)
+    def px(k: Int): Column =
+      conv(substring(hx, 13 + 2 * k, 2), 16, 10).cast(IntegerType)
+    val fp = (0 until 56).map { b =>
+      val r = b / 8; val c = b % 8
+      when(px(r * 9 + c) < px(r * 9 + c + 1), shiftleft(lit(1L), b))
+        .otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    when(ok, fp)
+  }
+
+  /** Perceptual near-dup pairs by banded hamming buckets — NEVER
+    * all-pairs: the 56-bit fingerprint splits into 4 × 14-bit bands;
+    * by pigeonhole a pair within hamming distance 3 agrees on ≥1 whole
+    * band, so the band-bucket self-join (one shuffle on (band, bh))
+    * generates every true candidate and the exact bit_count(xor)
+    * verify prunes the rest — the SimHash banding machinery
+    * (NearDup.simHashNearDups) applied to the image modality. Skewed
+    * buckets (flat/black thumbnails collapsing to fp=0) are the same
+    * mega-bucket hazard as text boilerplate: run exact dedup first,
+    * and cap survivors via AQE skew handling. Rows with NULL fp
+    * (non-image payloads) never enter the join. */
+  def dHashNearDups(media: DataFrame, idCol: String,
+                    maxDistance: Int = 3): DataFrame = {
+    // materialized: one long per image. Both join sides consume the
+    // fingerprint frame, and Catalyst would otherwise inline the
+    // 56-comparison fold (with its hex transcript subtrees) into EACH
+    // side of the self-join — the graph-family localCheckpoint
+    // discipline (lineage truncated; Bench GCs blocks between keys,
+    // long-lived callers unpersist via the returned plan's lifecycle)
+    val fp = media.select(col(idCol).as("doc_id"),
+      dHash(col("payload")).as("fp")).filter(col("fp").isNotNull)
+      .localCheckpoint()
+    val banded = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("fp"), i * 14).bitwiseAND(0x3FFFL).as("bh"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("fp"), col("bb.band").as("band"),
+        col("bb.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"),
+      col("doc_id").as("doc_a"), col("fp").as("fa"))
+    val b = banded.select(col("band"), col("bh"),
+      col("doc_id").as("doc_b"), col("fp").as("fb"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("distance"))
+      .distinct()
+      .filter(col("distance") <= maxDistance)
+  }
+
+  /** Oracled perceptual near-dup (`q_mm_neardup`): deterministic 9×7
+    * grayscale thumbnails built in-query per doc (md5-chain pixels in
+    * the IMGG container), with PLANTED PERTURBED TWINS — every doc_id
+    * ≡ 1 (mod 20) reuses its predecessor's pixels with three
+    * start-of-row pixels overwritten, flipping at most 3 of the 56
+    * dHash bits (each row-start pixel feeds exactly one comparison) —
+    * so the twins land within the hamming-3 margin by construction
+    * while organic pairs sit near the 28-bit expectation. The oracle
+    * rebuilds identical thumbnails, folds the same 56 comparisons
+    * (bit_or of shifts — BIGINT-exact), bands, joins, and verifies —
+    * proving fingerprint arithmetic, banding, and the candidate
+    * pipeline cross-engine. */
+  def qMmNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = graft.Tables.table(spark, dir, "documents").select($"doc_id")
+      .withColumn("is_twin", $"doc_id" % 20 === 1)
+      .withColumn("base_id", when($"is_twin", $"doc_id" - 1)
+        .otherwise($"doc_id"))
+    val pix = substring(concat((0 until 4).map(i =>
+      md5(concat(lit(s"img$i:"), $"base_id"))): _*), 1, 126)
+    // twin: pixels 0/9/18 (row starts; hex chars 1-2/19-20/37-38) → 00
+    val pixTwin = concat(lit("00"), substring(pix, 3, 16),
+      lit("00"), substring(pix, 21, 16),
+      lit("00"), substring(pix, 39, 88))
+    val media = d.withColumn("payload",
+      unhex(concat(lit("494D47470907"),
+        upper(when($"is_twin", pixTwin).otherwise(pix)))))
+    dHashNearDups(media, "doc_id", maxDistance = 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_neardup" -> (qMmNeardup _),
     "q_mm_video" -> (qMmVideo _),
     "q_mm_dedup" -> (qMmDedup _),
     "q_mm_meta" -> (qMmMeta _),
@@ -429,6 +534,48 @@ object Multimodal {
     "q_mm_audio" -> (qMmAudio _))
 
   val oracle: Map[String, String] = Map(
+    // identical thumbnails, the same 56-comparison fold (bit_or of
+    // shifts — BIGINT-exact, no HUGEINT sum), the same 4×14-bit
+    // banding and hamming verify — the full candidate pipeline
+    // cross-engine
+    "q_mm_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 20 = 1) AS is_twin,
+        |    CASE WHEN doc_id % 20 = 1 THEN doc_id - 1 ELSE doc_id END AS base_id
+        |  FROM documents),
+        |pxs AS (
+        |  SELECT doc_id, is_twin,
+        |    substr(md5('img0:' || base_id) || md5('img1:' || base_id) ||
+        |           md5('img2:' || base_id) || md5('img3:' || base_id),
+        |           1, 126) AS pix
+        |  FROM d),
+        |payloads AS (
+        |  SELECT doc_id,
+        |    '494D47470907' || upper(CASE WHEN is_twin THEN
+        |      '00' || substr(pix, 3, 16) || '00' || substr(pix, 21, 16) ||
+        |      '00' || substr(pix, 39, 88)
+        |    ELSE pix END) AS phex
+        |  FROM pxs),
+        |parsed AS (SELECT doc_id, upper(hex(unhex(phex))) AS hx FROM payloads),
+        |fps AS (
+        |  SELECT doc_id, bit_or(CASE WHEN
+        |      ('0x' || substr(hx, 13 + 2*((b//8)*9 + b%8), 2))::BIGINT <
+        |      ('0x' || substr(hx, 13 + 2*((b//8)*9 + b%8 + 1), 2))::BIGINT
+        |    THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS fp
+        |  FROM parsed, range(0, 56) t(b)
+        |  WHERE substr(hx, 1, 8) = '494D4747' AND substr(hx, 9, 4) = '0907'
+        |    AND length(hx) >= 138
+        |  GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, fp, i AS band, (fp >> (14*i)) & 16383 AS bh
+        |  FROM fps, range(0, 4) t(i)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    bit_count(xor(x.fp, y.fp))::INT AS distance
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, distance FROM cand WHERE distance <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // same hex templates; LE dims re-read by byte swap FROM the
     // roundtripped binary; gct entries via an exact shift
     "q_mm_gif" ->

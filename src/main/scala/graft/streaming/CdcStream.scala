@@ -133,10 +133,26 @@ object CdcStream {
     * redelivered events dedup on (site, lsn) — lsn alone is NOT
     * unique across masters — and a replayed micro-batch is a
     * txn-recognized metadata no-op. Deletes arrive as
-    * `deleted = true` rows and persist as tombstones (LwwMerge doc). */
+    * `deleted = true` rows and persist as tombstones (LwwMerge doc).
+    *
+    * Tombstone GC rides the sink's own cadence: every `reapEvery`
+    * triggers (0 = never) the sink asks `stabilityHorizon` for the
+    * current cross-site stability bound and reaps tombstones below it
+    * ([[graft.ops.cdc.LwwMerge.reapTombstones]]). The horizon is a
+    * CALLBACK, not a constant, because the bound MOVES — in practice
+    * min over sites of their acked low-watermark, re-read each time;
+    * returning None skips the sweep (sites unknown / bound not yet
+    * established — the safe default). The reap is deliberately OUTSIDE
+    * the txn guard: it is idempotent (reaping an already-reaped range
+    * removes nothing) and its safety comes from the horizon assertion,
+    * not from exactly-once — a crash between merge and reap just
+    * leaves tombstones for the next eligible trigger. */
   def lwwMergeSink(changes: DataFrame, targetDir: String,
                    checkpointDir: String, keyCol: String,
-                   valueCols: Seq[String], nBuckets: Int = 16)
+                   valueCols: Seq[String], nBuckets: Int = 16,
+                   reapEvery: Int = 0,
+                   stabilityHorizon: () => Option[java.sql.Timestamp] =
+                     () => None)
       : StreamingQuery = {
     val spark = changes.sparkSession
     changes.dropDuplicates("site", "lsn")
@@ -147,6 +163,11 @@ object CdcStream {
         graft.ops.cdc.LwwMerge.resolveAndMerge(spark, targetDir, batch,
           keyCol, valueCols, nBuckets,
           txn = Some((checkpointDir, batchId))): Unit
+        if (reapEvery > 0 && batchId % reapEvery == (reapEvery - 1))
+          stabilityHorizon().foreach { h =>
+            graft.ops.cdc.LwwMerge.reapTombstones(spark, targetDir, h,
+              nBuckets): Unit
+          }
       }
       .start()
   }
@@ -493,6 +514,153 @@ object CdcStream {
         Scd2Maintain.applyBatch(spark, historyDir, openDir, batch, keyCol,
           lsnCol, tsCol, valueCols, nBuckets,
           txn = Some((checkpointDir, batchId))): Unit
+      }
+      .start()
+  }
+
+  /** Streaming POINT-IN-TIME enrichment: join each event to the dim
+    * version in force at the EVENT's time — the ask every CDC user has
+    * once an SCD2 history exists ("price as of the order, not as of
+    * now"). The dimension is a [[graft.ops.cdc.Scd2Maintain]] pair
+    * (history + open table) maintained by whoever owns it (e.g.
+    * [[scd2HistorySink]] on the dim's change stream); this sink owns
+    * only the event stream and the enriched output.
+    *
+    * Per micro-batch, a two-tier lookup keeps the common case O(batch):
+    *  - events at-or-after their key's OPEN version's valid_from (the
+    *    overwhelming case for a near-real-time stream: the current
+    *    version is in force) enrich from a bucket-pruned
+    *    `readForKeys` point lookup on the open table — O(batch) reads;
+    *  - LATE events (ts before the current version took force) fall
+    *    back to the history table, semi-joined to exactly their keys.
+    *    The history is bucketed by (key, lsn) so this residual read
+    *    cannot bucket-prune by key — it is O(history scan) per trigger,
+    *    runs ONLY when late events exist, and is counted on
+    *    `lateCounter` so an operator sees when lateness is frequent
+    *    enough to warrant a key-routed history layout;
+    *  - events whose key has no version at all keep NULL dim columns
+    *    (no version was in force), as do events before their key's
+    *    first version.
+    *
+    * Output: one row per event, appended to a manifest-committed upsert
+    * target keyed by the event id — so exactly-once is the usual
+    * composition (txn=(checkpoint, batchId) makes a replayed batch a
+    * metadata no-op, and the rows a pre-crash partial run computed are
+    * recomputed identically on replay). Determinism under replay rides
+    * the dim's in-order contract (Scd2Maintain scaladoc): a dim version
+    * committed between crash and replay has valid_from at-or-after
+    * every applied one, so an event it newly covers is an event whose
+    * TRUE as-of answer is that version — the replayed result is the
+    * correct one and nothing older was ever committed.
+    * Enriched dim columns are prefixed `dim_`, plus `dim_lsn` /
+    * `dim_valid_from` provenance (null for uncovered events). */
+  def asofEnrichSink(events: DataFrame, historyDir: String, openDir: String,
+                     enrichedDir: String, checkpointDir: String,
+                     keyCol: String, eventIdCol: String, tsCol: String,
+                     eventValueCols: Seq[String], dimValueCols: Seq[String],
+                     nBuckets: Int = 16,
+                     lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : StreamingQuery =
+    asofEnrichSinkWithFailpoint(events, historyDir, openDir, enrichedDir,
+      checkpointDir, keyCol, eventIdCol, tsCol, eventValueCols, dimValueCols,
+      nBuckets, lateCounter, crashAfterMerge = false)
+
+  /** Failpoint twin (test seam, same body): crash after the enriched
+    * merge but before the trigger completes — the replayed batch must
+    * be recognized as applied (metadata no-op). */
+  private[streaming] def asofEnrichSinkWithFailpoint(
+      events: DataFrame, historyDir: String, openDir: String,
+      enrichedDir: String, checkpointDir: String, keyCol: String,
+      eventIdCol: String, tsCol: String, eventValueCols: Seq[String],
+      dimValueCols: Seq[String], nBuckets: Int,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator],
+      crashAfterMerge: Boolean): StreamingQuery = {
+    import graft.ops.cdc.{PartitionedUpsert, Scd2Maintain}
+    val spark = events.sparkSession
+    // fail at START if the dimension pair is missing — not per batch
+    Seq(historyDir, openDir).foreach { d =>
+      PartitionedUpsert.currentManifest(spark, d).getOrElse(
+        throw new IllegalStateException(
+          s"$d is not an initialized upsert target — the SCD2 dimension " +
+            "pair must exist before events can be enriched against it"))
+    }
+    val evCols = Seq(eventIdCol, keyCol, tsCol) ++ eventValueCols
+    val dimOut = dimValueCols.map(c => s"dim_$c") ++
+      Seq("dim_lsn", "dim_valid_from")
+    events.dropDuplicates(eventIdCol)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // pinned: feeds the open lookup, the late split, and the merge
+        val b = batch.select(evCols.map(col): _*).persist()
+        try {
+          if (!b.isEmpty) {
+            val keys = b.select(col(keyCol)).distinct()
+            // open versions of exactly the batch's keys — bucket-pruned
+            val open = PartitionedUpsert.readForKeys(spark, openDir, keys, keyCol)
+              .join(keys, Seq(keyCol), "left_semi")
+              .select(col(keyCol) +: col("lsn").as("__open_lsn") +:
+                col(tsCol).as("__open_from") +:
+                dimValueCols.map(c => col(c).as(s"__open_$c")): _*)
+            val joined = b.join(open, Seq(keyCol), "left").persist()
+            try {
+              val isLate = col("__open_from").isNotNull &&
+                col(tsCol) < col("__open_from")
+              val nLate = joined.filter(isLate).count() // gates the history read
+              lateCounter.foreach(_.add(nLate))
+              // fast path: open version in force, or no version at all
+              // (a key with NO open row enriches to null dims — already
+              // null via the left join)
+              val fast = joined.filter(!isLate)
+                .select(evCols.map(col) ++
+                  dimValueCols.map(c => col(s"__open_$c").as(s"dim_$c")) ++
+                  Seq(col("__open_lsn").as("dim_lsn"),
+                    col("__open_from").as("dim_valid_from")): _*)
+              val enriched = if (nLate == 0) fast else {
+                // late residual: version in force from the history —
+                // O(history scan), keys-restricted, flagged above
+                val lateKeys = joined.filter(isLate).select(col(keyCol)).distinct()
+                val hist = Scd2Maintain.readHistory(spark, historyDir)
+                  .join(lateKeys, Seq(keyCol), "left_semi")
+                  .select(col(keyCol), col("lsn").as("__h_lsn"),
+                    col("valid_from").as("__h_from"),
+                    struct(dimValueCols.map(col): _*).as("__h_vals"))
+                val lateEv = joined.filter(isLate).select(evCols.map(col): _*)
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col(eventIdCol))
+                  .orderBy(col("__h_from").desc, col("__h_lsn").desc)
+                val lateEnriched = lateEv
+                  .join(hist, lateEv(keyCol) === hist(keyCol) &&
+                    col(tsCol) >= col("__h_from"), "left")
+                  .drop(hist(keyCol))
+                  .withColumn("__rn", row_number().over(w))
+                  .filter(col("__rn") === 1)
+                  .select(evCols.map(col) ++
+                    dimValueCols.map(c =>
+                      col(s"__h_vals.$c").as(s"dim_$c")) ++ Seq(
+                      col("__h_lsn").as("dim_lsn"),
+                      col("__h_from").as("dim_valid_from")): _*)
+                fast.unionByName(lateEnriched)
+              }
+              if (PartitionedUpsert.currentManifest(spark, enrichedDir).isEmpty) {
+                val empty = enriched.limit(0)
+                try PartitionedUpsert.init(empty, enrichedDir, eventIdCol, nBuckets)
+                catch { // racing initializer: the table exists either way
+                  case _: IllegalStateException |
+                       _: java.util.ConcurrentModificationException => ()
+                }
+              }
+              PartitionedUpsert.merge(spark, enrichedDir,
+                enriched.withColumn("__op", lit("u")),
+                eventIdCol, eventIdCol, "__op",
+                (evCols.filterNot(_ == eventIdCol) ++ dimOut), nBuckets,
+                txn = Some((checkpointDir, batchId))): Unit
+              if (crashAfterMerge)
+                throw new RuntimeException("failpoint: crash after merge")
+            } finally { joined.unpersist(); () }
+          }
+        } finally { b.unpersist(); () }
       }
       .start()
   }

@@ -198,6 +198,48 @@ class MinMaxMaintainSpec extends SparkSpec {
     assert(PartitionedUpsert.currentManifest(spark, mmDir).get.version === v)
   }
 
+  test("exposedTopK: maintained top-n equals the direct ranked window " +
+      "through deletes inside the reserve and a rescan; short groups " +
+      "emit fewer rows; n >= 1 and clean-state guards hold") {
+    import spark.implicits._
+    val s1 = df(Seq(
+      (1L, "a", Some(10L)), (2L, "a", Some(10L)), (3L, "a", Some(8L)),
+      (4L, "a", Some(7L)), (5L, "a", Some(5L)),
+      (6L, "b", Some(3L)),
+      (7L, "c", Some(9L)), (8L, "c", Some(6L)), (9L, "c", Some(4L)),
+      (10L, "c", Some(2L))))
+    // a: one of the duplicate 10s AND the 8 deleted (in-reserve ops);
+    // c: top three deleted against K=3 -> exhaustion + rescan
+    val s2 = df(Seq(
+      (1L, "a", Some(10L)), (4L, "a", Some(7L)), (5L, "a", Some(5L)),
+      (6L, "b", Some(3L)),
+      (10L, "c", Some(2L))))
+    val st = maintained(s1, s2, k = 3)
+    val got = MinMaxMaintain.exposedTopK(st, G, "v", n = 2)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("v"), r.getAs[Long]("m"))).sortBy(t => (t._1, t._2)).toSeq
+    val want = s2.filter($"v".isNotNull)
+      .groupBy($"grp", $"v").agg(count(lit(1)).as("m"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"grp")
+          .orderBy($"v".desc)).cast("long"))
+      .filter($"rnk" <= 2)
+      .select($"grp", $"rnk", $"v", $"m")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got === want)
+    assert(got.count(_._1 == "b") === 1, "a 1-value group emits one row")
+    intercept[IllegalArgumentException] {
+      MinMaxMaintain.exposedTopK(st, G, "v", n = 0)
+    }
+    val dirty = MinMaxMaintain.deltaMinMax(
+      MinMaxMaintain.fullMinMaxState(s1, G, C, 3),
+      AggMaintain.diffImages(s1, s2, Seq("pk"), Seq("grp", "v")), G, C, 3)
+    intercept[IllegalArgumentException] {
+      MinMaxMaintain.exposedTopK(dirty, G, "v", n = 2)
+    }
+  }
+
   test("exposedMinMax refuses a state with unresolved rescan flags") {
     val s1 = df(Seq((1L, "g", Some(1L))))
     val stepped = MinMaxMaintain.deltaMinMax(

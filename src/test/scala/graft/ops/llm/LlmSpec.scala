@@ -264,4 +264,41 @@ class LlmSpec extends SparkSpec {
     assert(rows(3L) === Seq("unknown", null, null, null, null))
     assert(rows(4L) === Seq("unknown", null, null, null, null))
   }
+
+  test("dHash perceptual near-dup: few-pixel perturbations land within " +
+      "hamming 3, scrambles and foreign payloads never pair; " +
+      "bucket-join plan, no all-pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    def pixels(): String = Array.fill(63)(f"${rnd.nextInt(256)}%02X").mkString
+    val bases = (0L until 30L).map(i => (i, pixels())).toMap
+    // twins of 0..4: three row-start pixels overwritten (≤3 bit flips);
+    // scramble of 5: fresh pixels entirely; 99: a non-IMGG payload
+    def overwrite(p: String): String =
+      "00" + p.substring(2, 18) + "00" + p.substring(20, 36) +
+        "00" + p.substring(38)
+    val rows =
+      bases.toSeq.map { case (i, p) => (i, "494D47470907" + p) } ++
+        (0L until 5L).map(i => (100L + i, "494D47470907" + overwrite(bases(i)))) ++
+        Seq((105L, "494D47470907" + pixels()),
+          (99L, "FFD8FF" + "00" * 66))
+    val media = rows.toDF("doc_id", "phex")
+      .withColumn("payload", unhex($"phex"))
+    val dups = Multimodal.dHashNearDups(media, "doc_id", maxDistance = 3)
+    val found = dups.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    (0L until 5L).foreach(i => assert(
+      found.exists(p => p._1 == i && p._2 == 100L + i && p._3 <= 3),
+      s"planted twin ($i, ${100 + i}) not detected: ${found.toSeq}"))
+    assert(!found.exists(p => p._1 == 105L || p._2 == 105L),
+      "a scrambled image must not pair")
+    assert(!found.exists(p => p._1 == 99L || p._2 == 99L),
+      "a non-IMGG payload must not enter the join")
+    // the candidate generator is a bucket equi-join, never all-pairs
+    val plan = dups.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dHash near-dup must bucket-join:\n$plan")
+  }
 }

@@ -993,6 +993,50 @@ class ScaleSpec extends SparkSpec {
         s"under the naive hub's $naiveHubFanOut")
   }
 
+  test("maintained stats drive the broadcast decision: BroadcastHashJoin " +
+      "from stats alone — AQE off, size-based broadcast disabled") {
+    import spark.implicits._
+    import graft.ops.cdc.StatsMaintain
+    val base = java.nio.file.Files.createTempDirectory("graft_cbo").toString
+    val (dimDir, statsDir) = (s"$base/dim", s"$base/stats")
+    PartitionedUpsert.init(
+      (0L until 100L).map(k => (k, s"name_$k")).toDF("k", "name"),
+      dimDir, "k", nBuckets = 4)
+    StatsMaintain.init(spark, dimDir, statsDir, Seq("k"))
+    val fact = (0 until 1000).map(i => (i % 100L, i.toLong)).toDF("k", "payload")
+    val (aqe, thr) = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    // the foreachBatch posture: no AQE runtime rescue, and Spark's own
+    // size-based broadcast OFF — only an explicit hint can broadcast,
+    // so a BHJ here is attributable to the maintained profile alone
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planOf(dim: org.apache.spark.sql.DataFrame) =
+        fact.join(dim, "k").queryExecution.executedPlan.toString
+      // control: without the stats-fed hint the join cannot broadcast
+      assert(!planOf(PartitionedUpsert.read(spark, dimDir))
+        .contains("BroadcastHashJoin"),
+        "control join must not broadcast with the size rule disabled")
+      // 100 rows x ~28B width clears a 1 MiB dial -> hint -> BHJ
+      assert(planOf(StatsMaintain.readWithStats(spark, dimDir, statsDir,
+        threshold = Some(1L << 20))).contains("BroadcastHashJoin"),
+        "maintained rowCount must produce the broadcast hint")
+      // an estimate OVER the dial withholds the hint — the decision is
+      // really coming from rows x width vs threshold
+      assert(!planOf(StatsMaintain.readWithStats(spark, dimDir, statsDir,
+        threshold = Some(10L))).contains("BroadcastHashJoin"),
+        "a too-small threshold must withhold the hint")
+      // session default path: threshold sentinel -1 -> never hint
+      assert(!planOf(StatsMaintain.readWithStats(spark, dimDir, statsDir))
+        .contains("BroadcastHashJoin"),
+        "the disabled sentinel must mean no stats-fed hint either")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
+  }
+
   test("hyperplane LSH finds planted cosine near-duplicates") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -116,6 +116,70 @@ class LwwStreamSpec extends SparkSpec {
       "hazard fixture lost — the doc's warning no longer demonstrates")
   }
 
+  test("in-sink reaper cadence: tombstones below a moving stability " +
+      "horizon are swept on the trigger cadence, and convergence " +
+      "survives permuted post-horizon deliveries") {
+    val t = 1700000000000L
+    val schema = StructType(Seq(
+      StructField("pk", LongType), StructField("ts_ms", LongType),
+      StructField("prio", LongType), StructField("lsn", LongType),
+      StructField("site", StringType), StructField("deleted", BooleanType),
+      StructField("v", StringType)))
+    def line(pk: Long, ts: Long, prio: Long, lsn: Long, site: String,
+             deleted: Boolean, v: String) =
+      s"""{"pk":$pk,"ts_ms":$ts,"prio":$prio,"lsn":$lsn,"site":"$site","deleted":$deleted,"v":"$v"}"""
+    // pre-horizon wave: a tombstone (pk=1) + a live write (pk=2);
+    // post-horizon wave: pk=1 reborn by a NEWER write + a post-horizon
+    // tombstone (pk=3) that must SURVIVE the sweep — delivered in two
+    // different orders across two runs
+    val preWave = Seq(
+      line(1, t + 1000, 1, 10, "a", deleted = true, "dead"),
+      line(2, t + 2000, 1, 11, "a", deleted = false, "alive"))
+    val postWave = Seq(
+      line(1, t + 600000, 2, 200, "b", deleted = false, "reborn"),
+      line(3, t + 900000, 1, 12, "a", deleted = true, "late-dead"))
+    val finals = Seq(postWave, postWave.reverse).map { order =>
+      val base = java.nio.file.Files.createTempDirectory("lww_reap").toString
+      val srcDir = s"$base/in"; new java.io.File(srcDir).mkdirs()
+      val (tDir, ckpt) = (s"$base/target", s"$base/ckpt")
+      // the horizon MOVES: None until every site has acked the
+      // pre-horizon writes, then a true stability bound
+      @volatile var horizon: Option[Timestamp] = None
+      def start() = CdcStream.lwwMergeSink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .json(srcDir)
+          .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms"),
+        tDir, ckpt, "pk", Seq("v"), nBuckets = 4,
+        reapEvery = 1, stabilityHorizon = () => horizon)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/f1.json"), preWave.mkString("\n"))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // pre-horizon delivery complete everywhere -> the bound is real
+      horizon = Some(new Timestamp(t + 500000))
+      order.zipWithIndex.foreach { case (l, i) =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$srcDir/g$i.json"), l)
+      }
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val all = state(tDir)
+      // no deleted pre-horizon row may remain stored: swept by the
+      // cadence (or superseded by the reborn write first — either way
+      // gone)
+      assert(LwwMerge.readAll(spark, tDir)
+        .filter(col("deleted") &&
+          col("ts") < lit(new Timestamp(t + 500000))).count() === 0L,
+        "pre-horizon tombstone survived the in-sink sweep")
+      assert(all(3L)._3 === true, "post-horizon tombstone must survive the sweep")
+      all
+    }
+    assert(finals.distinct.size === 1,
+      s"permuted post-horizon deliveries diverged: $finals")
+    assert(finals.head(1L)._4 === "reborn")
+    assert(finals.head(2L)._4 === "alive")
+  }
+
   test("txn replay is a metadata no-op; streaming sink resolves " +
       "out-of-order across triggers") {
     val base = java.nio.file.Files.createTempDirectory("lww_s").toString
