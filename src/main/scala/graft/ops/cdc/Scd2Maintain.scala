@@ -1,6 +1,6 @@
 package graft.ops.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -146,4 +146,149 @@ object Scd2Maintain {
   /** The maintained history, in Cdc.scd2's column shape. */
   def readHistory(spark: SparkSession, historyDir: String): DataFrame =
     PartitionedUpsert.read(spark, historyDir).drop("hkey")
+
+  // -------------------------------------------------------------------
+  // Key-routed version CHAIN table: one row per key carrying the FULL
+  // version chain as an array ascending by (valid_from, lsn). The
+  // history table is bucketed by (key, lsn) — right for append volume,
+  // wrong for point-in-time lookups by key (no bucket pruning). The
+  // chain layout inverts the trade: `readForKeys` prunes to exactly the
+  // touched keys' buckets, and the version-in-force at ts is a PER-ROW
+  // array scan (filter + element_at(-1)) — no explode, no window, no
+  // join beyond the key equi-join. This is the layout the
+  // asofEnrichSink late path wants: with it, LATE events are O(batch)
+  // too, instead of an O(history) residual scan.
+  //
+  // The dial: chain length. A key rewritten hourly for a year carries
+  // ~9k versions in one row — fine; a key rewritten per second is a
+  // pathological hot key whose chain must be truncated
+  // ([[truncateChains]], horizon-bounded, same contract shape as the
+  // LWW tombstone reap) or left to the history table. Both layouts are
+  // maintained from the same batches under the same txn, so they never
+  // disagree.
+  // -------------------------------------------------------------------
+
+  private def versionStruct(lsnCol: String, tsCol: String,
+                            valueCols: Seq[String]): Column =
+    struct(col(lsnCol) +: col(tsCol) +: valueCols.map(col): _*)
+
+  /** Initialize the chain table (no rows written — schema from the
+    * template batch). Idempotent per target, like [[init]]. */
+  def initChain(template: DataFrame, chainDir: String, keyCol: String,
+                lsnCol: String, tsCol: String, valueCols: Seq[String],
+                nBuckets: Int): Unit = {
+    val spark = template.sparkSession
+    val empty = template
+      .select(col(keyCol),
+        array(versionStruct(lsnCol, tsCol, valueCols)).as("versions"))
+      .limit(0)
+    if (PartitionedUpsert.currentManifest(spark, chainDir).isEmpty)
+      PartitionedUpsert.init(empty, chainDir, keyCol, nBuckets)
+  }
+
+  /** Append one micro-batch's versions to the touched keys' chains.
+    * Same in-order contract as [[applyBatch]] (batch lsns above every
+    * applied lsn per key), so the append is a concat of two sorted
+    * runs — the stored chain and the batch's own sorted versions.
+    * O(batch): prior chains come from a bucket-pruned point read. */
+  def applyBatchChain(spark: SparkSession, chainDir: String,
+                      batch: DataFrame, keyCol: String, lsnCol: String,
+                      tsCol: String, valueCols: Seq[String], nBuckets: Int,
+                      txn: Option[(String, Long)] = None): Long = {
+    val cols = Seq(keyCol, lsnCol, tsCol) ++ valueCols
+    val b = batch.select(cols.map(col): _*).persist()
+    try {
+      if (b.isEmpty) return 0L
+      val wm = b.agg(max(col(lsnCol)
+        .cast(org.apache.spark.sql.types.LongType))).head().getLong(0)
+      val keys = b.select(col(keyCol)).distinct()
+      val prior = PartitionedUpsert.readForKeys(spark, chainDir, keys, keyCol)
+        .join(keys, Seq(keyCol), "left_semi")
+        .select(col(keyCol), col("versions").as("__prior"))
+      val batchChains = b
+        .groupBy(col(keyCol))
+        .agg(array_sort(collect_list(
+          versionStruct(lsnCol, tsCol, valueCols))).as("__new"))
+      val merged = batchChains.join(prior, Seq(keyCol), "left")
+        .select(col(keyCol),
+          lit(wm).as("__mlsn"), lit("u").as("__mop"),
+          concat(coalesce(col("__prior"),
+            array().cast(prior.schema("__prior").dataType)),
+            col("__new")).as("versions"))
+      PartitionedUpsert.merge(spark, chainDir, merged, keyCol, "__mlsn",
+        "__mop", Seq("versions"), nBuckets, txn).length.toLong
+    } finally { b.unpersist(); () }
+  }
+
+  /** Version-in-force lookup: enrich `events` with the chain version
+    * whose valid_from is the greatest at-or-before the event's ts —
+    * NULL dim columns when no version covers it (pre-first-version or
+    * unknown key). One key equi-join against a bucket-pruned chain
+    * read, then a per-row array scan: no explode, no window. Output =
+    * events' columns + `dim_<c>` per value column + dim_lsn /
+    * dim_valid_from provenance (the asofEnrichSink shape). */
+  def chainAsOf(spark: SparkSession, chainDir: String, events: DataFrame,
+                keyCol: String, tsCol: String,
+                valueCols: Seq[String]): DataFrame = {
+    val keys = events.select(col(keyCol)).distinct()
+    val chains = PartitionedUpsert.readForKeys(spark, chainDir, keys, keyCol)
+      .join(keys, Seq(keyCol), "left_semi")
+    // lambda references the event's ts — fine: it is an attribute, not
+    // a re-evaluated expression tree (the charShingles rule)
+    val joined = events.join(chains, Seq(keyCol), "left")
+    val covered = filter(col("versions"),
+      v => v.getField(tsCol) <= col(tsCol))
+    val inForce = element_at(covered, -1)
+    joined
+      .withColumn("__v", when(size(covered) > 0, inForce))
+      .select(events.columns.map(col) ++
+        valueCols.map(c => col(s"__v.$c").as(s"dim_$c")) ++ Seq(
+        col(s"__v.${colNameLsn(chains)}").as("dim_lsn"),
+        col(s"__v.$tsCol").as("dim_valid_from")): _*)
+  }
+
+  /** The chain's lsn field name — first field of the version struct
+    * (fixed by [[versionStruct]]'s construction order). */
+  private def colNameLsn(chains: DataFrame): String =
+    chains.schema("versions").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.head
+
+  /** Truncate chains below a horizon: versions strictly superseded
+    * before `horizon` are dropped, KEEPING the version in force AT the
+    * horizon (it still answers lookups for ts ≥ horizon). After a
+    * truncation, lookups for ts < horizon are out of contract —
+    * exactly the LWW stability-horizon shape, stated rather than
+    * implied. Returns the number of keys whose chains shrank. */
+  def truncateChains(spark: SparkSession, chainDir: String,
+                     tsCol: String, horizon: Long,
+                     nBuckets: Int): Long = {
+    val all = PartitionedUpsert.read(spark, chainDir)
+    val covered = filter(col("versions"),
+      v => v.getField(tsCol) <= lit(horizon))
+    // keep from the version in force at the horizon onward; a chain
+    // wholly above the horizon keeps everything (cnt 0 → slice from 1)
+    val trimmed = all
+      .withColumn("__cnt", size(covered))
+      .withColumn("__keep",
+        expr(s"slice(versions, greatest(__cnt, 1), size(versions))"))
+      .filter(col("__cnt") > 1) // only chains that actually shrink
+    val n = trimmed.count()
+    if (n > 0) {
+      val m = PartitionedUpsert.currentManifest(spark, chainDir).get
+      // merge lsn: incoming rows always supersede stored bucket state
+      // (Cdc.apply semantics), but the manifest's per-bucket lsn
+      // watermark must stay MONOTONE for changesSinceLsn consumers —
+      // global-max + 1 guarantees that and stays at-or-below the next
+      // real batch (its lsns are strictly above all applied)
+      val wm = all.agg(max(expr("versions[size(versions)-1]." +
+        colNameLsn(all)))).head().getLong(0) + 1L
+      PartitionedUpsert.merge(spark, chainDir,
+        trimmed.select(col(m.keyCol), lit(wm).as("__mlsn"),
+          lit("u").as("__mop"), col("__keep").as("versions")),
+        m.keyCol, "__mlsn", "__mop", Seq("versions"), nBuckets): Unit
+    }
+    n
+  }
 }

@@ -483,10 +483,19 @@ object CdcStream {
     * and open-table merges heals on replay (Scd2MaintainSpec proves
     * the seam directly). Same redelivered-lsn dedup rationale as
     * [[partitionedUpsertSink]]. */
+  /** @param chainDir when set, the sink ALSO maintains the key-routed
+    *        version-chain table ([[graft.ops.cdc.Scd2Maintain]] chain
+    *        layout) from the same batches under the same txn — the
+    *        layout that makes point-in-time lookups (asofEnrichSink's
+    *        late path) O(batch). A crash between the history merges
+    *        and the chain append heals on replay: the history merges
+    *        are txn-recognized no-ops and the chain append completes
+    *        the batch. */
   def scd2HistorySink(changes: DataFrame, historyDir: String, openDir: String,
                       checkpointDir: String, keyCol: String, lsnCol: String,
                       tsCol: String, valueCols: Seq[String],
-                      nBuckets: Int = 16): StreamingQuery = {
+                      nBuckets: Int = 16,
+                      chainDir: Option[String] = None): StreamingQuery = {
     import graft.ops.cdc.Scd2Maintain
     val spark = changes.sparkSession
     changes.dropDuplicates(lsnCol)
@@ -494,19 +503,24 @@ object CdcStream {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // BOTH targets checked: a crash between the two inits would
+        // ALL targets checked: a crash between the inits would
         // otherwise wedge the stream forever (history exists → guard
         // skips → every applyBatch throws on the missing open table);
-        // Scd2Maintain.init is idempotent per target, so healing the
-        // half-initialized state is just calling it again
+        // Scd2Maintain.init/initChain are idempotent per target, so
+        // healing the half-initialized state is just calling them again
         if (graft.ops.cdc.PartitionedUpsert
             .currentManifest(spark, historyDir).isEmpty ||
           graft.ops.cdc.PartitionedUpsert
-            .currentManifest(spark, openDir).isEmpty) {
+            .currentManifest(spark, openDir).isEmpty ||
+          chainDir.exists(graft.ops.cdc.PartitionedUpsert
+            .currentManifest(spark, _).isEmpty)) {
           // losing an init race is fine — the targets exist either way
-          try Scd2Maintain.init(batch, historyDir, openDir, keyCol, lsnCol,
-            tsCol, valueCols, nBuckets)
-          catch {
+          try {
+            Scd2Maintain.init(batch, historyDir, openDir, keyCol, lsnCol,
+              tsCol, valueCols, nBuckets)
+            chainDir.foreach(Scd2Maintain.initChain(batch, _, keyCol,
+              lsnCol, tsCol, valueCols, nBuckets))
+          } catch {
             case _: IllegalStateException |
                  _: java.util.ConcurrentModificationException => ()
           }
@@ -514,6 +528,11 @@ object CdcStream {
         Scd2Maintain.applyBatch(spark, historyDir, openDir, batch, keyCol,
           lsnCol, tsCol, valueCols, nBuckets,
           txn = Some((checkpointDir, batchId))): Unit
+        chainDir.foreach { d =>
+          Scd2Maintain.applyBatchChain(spark, d, batch, keyCol, lsnCol,
+            tsCol, valueCols, nBuckets,
+            txn = Some((checkpointDir, batchId))): Unit
+        }
       }
       .start()
   }
@@ -554,16 +573,23 @@ object CdcStream {
     * correct one and nothing older was ever committed.
     * Enriched dim columns are prefixed `dim_`, plus `dim_lsn` /
     * `dim_valid_from` provenance (null for uncovered events). */
+  /** @param chainDir when the dim owner also maintains the key-routed
+    *        version-chain table (scd2HistorySink's chainDir), pass it
+    *        here and the LATE path becomes a bucket-pruned chain
+    *        lookup — O(batch) like the fast path, no history scan at
+    *        all. `lateCounter` still counts (now it measures lateness,
+    *        not a cost cliff). */
   def asofEnrichSink(events: DataFrame, historyDir: String, openDir: String,
                      enrichedDir: String, checkpointDir: String,
                      keyCol: String, eventIdCol: String, tsCol: String,
                      eventValueCols: Seq[String], dimValueCols: Seq[String],
                      nBuckets: Int = 16,
-                     lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+                     lateCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+                     chainDir: Option[String] = None)
       : StreamingQuery =
     asofEnrichSinkWithFailpoint(events, historyDir, openDir, enrichedDir,
       checkpointDir, keyCol, eventIdCol, tsCol, eventValueCols, dimValueCols,
-      nBuckets, lateCounter, crashAfterMerge = false)
+      nBuckets, lateCounter, crashAfterMerge = false, chainDir = chainDir)
 
   /** Failpoint twin (test seam, same body): crash after the enriched
     * merge but before the trigger completes — the replayed batch must
@@ -574,7 +600,8 @@ object CdcStream {
       eventIdCol: String, tsCol: String, eventValueCols: Seq[String],
       dimValueCols: Seq[String], nBuckets: Int,
       lateCounter: Option[org.apache.spark.util.LongAccumulator],
-      crashAfterMerge: Boolean): StreamingQuery = {
+      crashAfterMerge: Boolean,
+      chainDir: Option[String] = None): StreamingQuery = {
     import graft.ops.cdc.{PartitionedUpsert, Scd2Maintain}
     val spark = events.sparkSession
     // fail at START if the dimension pair is missing — not per batch
@@ -617,7 +644,14 @@ object CdcStream {
                   dimValueCols.map(c => col(s"__open_$c").as(s"dim_$c")) ++
                   Seq(col("__open_lsn").as("dim_lsn"),
                     col("__open_from").as("dim_valid_from")): _*)
-              val enriched = if (nLate == 0) fast else {
+              val enriched = if (nLate == 0) fast else chainDir match {
+                case Some(cd) =>
+                  // key-routed chain: the late path is a bucket-pruned
+                  // point lookup too — O(batch), no history scan
+                  val lateEv = joined.filter(isLate).select(evCols.map(col): _*)
+                  fast.unionByName(Scd2Maintain.chainAsOf(
+                    spark, cd, lateEv, keyCol, tsCol, dimValueCols))
+                case None =>
                 // late residual: version in force from the history —
                 // O(history scan), keys-restricted, flagged above
                 val lateKeys = joined.filter(isLate).select(col(keyCol)).distinct()

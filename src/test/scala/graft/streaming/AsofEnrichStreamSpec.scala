@@ -121,4 +121,44 @@ class AsofEnrichStreamSpec extends SparkSpec {
     assert(enrichedRows(eDir) === reference(wave1 ++ wave2, hDir),
       "restart + dim advance must neither duplicate nor stale-enrich")
   }
+
+  test("chain mode: with the key-routed version-chain table the late " +
+      "path is a point lookup and the enrichment equals the history " +
+      "reference bit-for-bit") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_asofc").toString
+    val srcDir = s"$base/in"; new java.io.File(srcDir).mkdirs()
+    val (hDir, oDir, cDir, eDir, ckpt) = (s"$base/hist", s"$base/open",
+      s"$base/chain", s"$base/enriched", s"$base/ckpt")
+    def dimBatch(rows: Seq[(Long, Long, Long, Double)]): Unit = {
+      val df = rows.toDF("pk", "lsn", "ts", "price")
+      Scd2Maintain.applyBatch(spark, hDir, oDir, df, "pk", "lsn", "ts",
+        Seq("price"), nBuckets = 4)
+      Scd2Maintain.applyBatchChain(spark, cDir, df, "pk", "lsn", "ts",
+        Seq("price"), nBuckets = 4): Unit
+    }
+    val tpl = Seq((1L, 1L, 100L, 10.0)).toDF("pk", "lsn", "ts", "price")
+    Scd2Maintain.init(tpl, hDir, oDir, "pk", "lsn", "ts", Seq("price"),
+      nBuckets = 4)
+    Scd2Maintain.initChain(tpl, cDir, "pk", "lsn", "ts", Seq("price"),
+      nBuckets = 4)
+    dimBatch(Seq((1L, 1L, 100L, 10.0), (2L, 2L, 120L, 20.0)))
+    dimBatch(Seq((1L, 3L, 200L, 11.0)))
+    val late = spark.sparkContext.longAccumulator("late_chain")
+    val wave = Seq((100L, 1L, 250L, 5L), (101L, 1L, 150L, 6L),
+      (102L, 1L, 50L, 7L), (103L, 9L, 500L, 8L))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$srcDir/f1.json"),
+      wave.map(evLine).mkString("\n"))
+    val q = CdcStream.asofEnrichSink(
+      spark.readStream.schema(evSchema).option("maxFilesPerTrigger", 1)
+        .json(srcDir),
+      hDir, oDir, eDir, ckpt, keyCol = "pk", eventIdCol = "event_id",
+      tsCol = "ts", eventValueCols = Seq("qty"),
+      dimValueCols = Seq("price"), nBuckets = 4,
+      lateCounter = Some(late), chainDir = Some(cDir))
+    try q.processAllAvailable() finally q.stop()
+    assert(enrichedRows(eDir) === reference(wave, hDir))
+    assert(late.value >= 1L, "the ts=150 event must take the (chain) late path")
+  }
 }
