@@ -354,10 +354,14 @@ object CdcQueries {
       when($"lsn" % 7 === 0, lit(null).cast(LongType))
         .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
     val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
+    // materialized: each state feeds the seed aggregate AND the image
+    // diff (the q_cdc_incr_minmax rationale)
     val state1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
+      .localCheckpoint()
     val state2 = Cdc.apply(snap, log,
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
+      .localCheckpoint()
     val agg1 = AggMaintain.fullAggregate(state1, Seq("seg"), Seq("cents"))
     val deltas = AggMaintain.deltaAggregate(
       AggMaintain.diffImages(state1, state2, Seq("pk"), Seq("seg", "cents")),
@@ -522,10 +526,14 @@ object CdcQueries {
       Seq("pk"), "lsn", "op", Seq("cents", "fk")).drop("src")
     def applyD(log: DataFrame) = Cdc.apply(dimSnap, log,
       Seq("dk"), "lsn", "op", Seq("dname")).drop("src")
-    val fact1 = applyF(factLog.filter($"lsn" <= cutF))
-    val fact2 = applyF(factLog)
-    val dim1 = applyD(dimLog.filter($"lsn" <= cutD))
-    val dim2 = applyD(dimLog)
+    // materialized: each state feeds the seed join AND an image diff
+    // (fact2/dim2 also the delta apply) — unchecked, every consumer
+    // re-runs the Cdc.apply compaction window (the q_cdc_incr_minmax
+    // rationale; Bench GCs checkpoint blocks between keys)
+    val fact1 = applyF(factLog.filter($"lsn" <= cutF)).localCheckpoint()
+    val fact2 = applyF(factLog).localCheckpoint()
+    val dim1 = applyD(dimLog.filter($"lsn" <= cutD)).localCheckpoint()
+    val dim2 = applyD(dimLog).localCheckpoint()
     val j1 = JoinMaintain.fullJoin(fact1, dim1, "pk", "fk", "dk",
       Seq("cents", "fk"), Seq("dname"))
     val factDiff = AggMaintain.diffImages(fact1, fact2,
