@@ -491,6 +491,56 @@ object CdcQueries {
       .orderBy($"seg", $"rnk")
   }
 
+  /** Incremental COUNT DISTINCT maintenance, oracled end-to-end — the
+    * third non-invertible aggregate, closed by RE-KEYING instead of a
+    * reserve: distinct-count deltas don't compose (a deleted value may
+    * or may not have been the last copy), but the per-(group, value)
+    * MULTIPLICITY table is plain invertible counting — so maintain
+    * THAT with the existing AggMaintain algebra and read the distinct
+    * count as the group's surviving-row count. O(window) per step,
+    * state sized by live distinct values (the honest cost; the reserve
+    * trick cannot bound this one because every value is potentially
+    * the last copy). Null values excluded on both engines (COUNT
+    * DISTINCT semantics); the planted ZZ_PLANT group loses ONE copy of
+    * a duplicated value — the count must NOT drop until the last copy
+    * goes, exactly the case naive delta counting gets wrong. */
+  def qCdcIncrDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val snap = Tables.table(spark, dir, "customer").select(
+      $"c_custkey".as("pk"), $"c_mktsegment".as("seg"),
+      round($"c_acctbal" * 100).cast(LongType).as("cents"))
+    val log = changeLog(spark, dir).select(
+      $"lsn", $"pk", $"op",
+      element_at(array(segs.map(lit): _*),
+        ($"lsn" % 5 + 1).cast(IntegerType)).as("seg"),
+      when($"lsn" % 7 === 0, lit(null).cast(LongType))
+        .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
+    val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
+    // duplicate-value plant: one copy of 111 goes; 2 distinct remain
+    val planted1 = Seq((-1L, 111L), (-2L, 111L), (-3L, 222L), (-4L, 222L))
+      .toDF("pk", "cents").select($"pk", lit("ZZ_PLANT").as("seg"), $"cents")
+    val planted2 = planted1.filter($"pk" =!= -2L)
+    // null-cents rows dropped BEFORE the diff: a value going null is a
+    // delete of its multiplicity entry, a null going valued an insert
+    val s1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
+      Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
+      .unionByName(planted1).filter($"cents".isNotNull).localCheckpoint()
+    val s2 = Cdc.apply(snap, log,
+      Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
+      .unionByName(planted2).filter($"cents".isNotNull).localCheckpoint()
+    val m1 = AggMaintain.fullAggregate(s1, Seq("seg", "cents"), Seq.empty)
+    val deltas = AggMaintain.deltaAggregate(
+      AggMaintain.diffImages(s1, s2, Seq("pk"), Seq("seg", "cents")),
+      Seq("seg", "cents"), Seq.empty)
+    val maintained = AggMaintain.deltaApply(m1, deltas,
+      Seq("seg", "cents"), Seq.empty)
+    maintained.groupBy($"seg")
+      .agg(count(lit(1)).as("n_distinct"), sum($"cnt").as("n_rows"))
+      .orderBy($"seg")
+  }
+
   /** Incremental JOIN maintenance, oracled end-to-end (the enrichment
     * sibling of q_cdc_incr_agg): fact (customer balances, fk derived
     * per event) and dim (nation, keys rewritten by their own log)
@@ -674,6 +724,7 @@ object CdcQueries {
     "q_cdc_incr_agg" -> (qCdcIncrAgg _),
     "q_cdc_incr_minmax" -> (qCdcIncrMinmax _),
     "q_cdc_incr_topk" -> (qCdcIncrTopk _),
+    "q_cdc_incr_distinct" -> (qCdcIncrDistinct _),
     "q_cdc_incr_join" -> (qCdcIncrJoin _),
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_scd2_incr" -> (qCdcScd2Incr _),
@@ -1042,6 +1093,40 @@ object CdcQueries {
         |  FROM vals)
         |SELECT seg, rnk, cents, n_rows FROM ranked
         |WHERE rnk <= 3 ORDER BY seg, rnk""".stripMargin,
+    // the oracle counts DISTINCT over the final state directly — the
+    // Spark side maintains the re-keyed (group, value) multiplicity
+    // table through the delta algebra and reads the distinct count off
+    // its surviving rows (the duplicate-value plant proves the
+    // last-copy discipline)
+    "q_cdc_incr_distinct" ->
+      s"""WITH $logCte,
+        |seglog AS (
+        |  SELECT lsn, pk, op,
+        |    ['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY']
+        |      [(lsn % 5 + 1)::INTEGER] AS seg,
+        |    CASE WHEN lsn % 7 = 0 THEN NULL
+        |         ELSE round(after_value * 100)::BIGINT END AS cents
+        |  FROM log),
+        |snap AS (SELECT c_custkey AS pk, c_mktsegment AS seg,
+        |  round(c_acctbal * 100)::BIGINT AS cents FROM customer),
+        |latest AS (
+        |  SELECT * FROM seglog
+        |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1),
+        |state2 AS (
+        |  SELECT coalesce(s.pk, l.pk) AS pk,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.seg ELSE s.seg END AS seg,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.cents ELSE s.cents END AS cents
+        |  FROM snap s FULL OUTER JOIN latest l ON s.pk = l.pk
+        |  WHERE l.pk IS NULL OR l.op != 'd'),
+        |state2p AS (
+        |  SELECT pk, seg, cents FROM state2
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (-1, 'ZZ_PLANT', 111), (-3, 'ZZ_PLANT', 222),
+        |    (-4, 'ZZ_PLANT', 222)) v(pk, seg, cents))
+        |SELECT seg, count(DISTINCT cents)::BIGINT AS n_distinct,
+        |  count(cents)::BIGINT AS n_rows
+        |FROM state2p WHERE cents IS NOT NULL
+        |GROUP BY seg ORDER BY seg""".stripMargin,
     // the oracle LEFT-joins the two final states DIRECTLY — the Spark
     // side composes fullJoin(F₁, D₁) with both change windows through
     // the delta-join algebra, so a hash match proves the maintenance
