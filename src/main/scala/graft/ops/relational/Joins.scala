@@ -280,7 +280,31 @@ object Joins {
       .orderBy($"purchase_id")
   }
 
+  /** NEAREST as-of (`q_join_asof_nearest`): each purchase attributed
+    * to the temporally CLOSEST view by the same user, either direction
+    * — the third as-of flavor (backward = q_join_asof, forward =
+    * q_join_asof_fwd). Distance ties resolve backward; same-instant
+    * rows count as backward (distance 0). Distances compare in exact
+    * integer microseconds on BOTH engines (unix_micros / epoch_us) —
+    * never a float timestamp cast. */
+  def qJoinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    AsofJoin.asofNearest(
+        purchases, views,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightCols = Seq("event_id", "value"), tieBreak = "event_id")
+      .select($"purchase_id", $"asof_event_id".as("view_id"),
+        $"asof_value".as("view_value"))
+      .orderBy($"purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_nearest" -> (qJoinAsofNearest _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_asof_fwd" -> (qJoinAsofFwd _),
     "q_join_skew_salted" -> (qJoinSkewSalted _),
@@ -408,6 +432,29 @@ object Joins {
     // the theta + argmin evaluation (explicit min-tieBreak — native
     // ASOF leaves equal-timestamp ties unspecified) certifies the
     // mirrored union+window plan
+    // nearest = min |Δt| in exact integer micros; distance ties go
+    // BACKWARD ((v.ts > p.ts) ASC), and within a side the tieBreak
+    // mirrors the directional joins (backward max id, forward min id)
+    "q_join_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.purchase_id, v.event_id AS view_id,
+        |    v.value AS view_value,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC,
+        |               (v.ts > p.ts) ASC,
+        |               CASE WHEN v.ts <= p.ts THEN -v.event_id
+        |                    ELSE v.event_id END ASC) AS rk
+        |  FROM p JOIN v ON p.user_id = v.user_id)
+        |SELECT p.purchase_id, m.view_id, m.view_value
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rk = 1) m
+        |  USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin,
     "q_join_asof_fwd" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, ts

@@ -152,6 +152,52 @@ object AsofJoin {
         carried.map(c => col(s"__asof.$c").as(s"${rightPrefix}$c"))): _*)
   }
 
+  /** NEAREST as-of join: for each left row, the right row minimizing
+    * |rightTime − leftTime| within the key group (left-outer) — the
+    * third member of the as-of family (backward = latest at-or-before,
+    * forward = earliest at-or-after, nearest = whichever is closer).
+    * Ties in distance (including the same-instant case, where both
+    * directions see the row) resolve BACKWARD — the convention that
+    * degrades gracefully to plain backward as-of when the right side
+    * stops early. Composition: one backward pass then one forward pass
+    * (each the ONE-shuffle union+window shape, same key partitioning,
+    * so the second pass reuses the exchange), then a per-row pick.
+    * Distances are computed in exact integer space — microseconds for
+    * timestamps, the raw value for integral time columns — never
+    * floats (a timestamp→double cast loses sub-second bits and can
+    * flip a near-tie, which an oracle on another engine would catch). */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      tieBreak: String,
+      rightPrefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    def asMicros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        // NTZ reinterprets through LTZ in the session zone — this repo
+        // pins UTC (GraftSession/SparkSpec), so the instant is exact
+        case TimestampType | TimestampNTZType =>
+          unix_micros(c.cast(TimestampType))
+        case _ => c.cast(LongType)
+      }
+    val carried = (rightCols :+ rightTime).distinct
+    val b = asofBackward(left, right, keys, leftTime, rightTime,
+      rightCols, tieBreak, "__b_")
+    val bf = asofForward(b, right, keys, leftTime, rightTime,
+      rightCols, tieBreak, "__f_")
+    val lt = asMicros(col(leftTime), left.schema(leftTime).dataType)
+    val bT = asMicros(col(s"__b_$rightTime"), right.schema(rightTime).dataType)
+    val fT = asMicros(col(s"__f_$rightTime"), right.schema(rightTime).dataType)
+    val useB = fT.isNull || (bT.isNotNull && (lt - bT) <= (fT - lt))
+    bf.select(left.columns.map(col) ++ carried.map(c =>
+      when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c"))
+        .as(s"$rightPrefix$c")): _*)
+  }
+
   /** Reference implementation via theta-join + keep-latest window.
     * O(matches) blow-up — for tests and small sides only; exists to
     * cross-check asofBackward semantics. */
