@@ -318,6 +318,34 @@ object ScaleSmoke {
     time("ts interpolate+detrend (1M)") {
       ops.relational.Resample.qTsInterpolate(spark, work).count() +
         ops.relational.Resample.qTsDetrend(spark, work).count() }
+
+    // ---- round-10 operators on the 10x corpus -------------------------
+    time("mm_neardup dHash (500k imgs)") {
+      ops.llm.Multimodal.qMmNeardup(spark, work).count() }
+    time("incr_minmax reserve (150k)") {
+      ops.cdc.CdcQueries.qCdcIncrMinmax(spark, work).count() }
+    time("incr_distinct re-key (150k)") {
+      ops.cdc.CdcQueries.qCdcIncrDistinct(spark, work).count() }
+    time("asof_nearest (events 1M)") {
+      ops.relational.Joins.qJoinAsofNearest(spark, work).count() }
+    // chain table: build once from an SCD2-shaped slice of events, then
+    // measure the O(batch) point lookup the layout exists for
+    val chainDir = s"$work/derived/chain_t"
+    val chainSrc = Tables.table(spark, work, "events")
+      .select($"user_id".as("pk"), $"event_id".as("lsn"),
+        unix_micros($"ts".cast("timestamp")).as("ts"), $"value".as("price"))
+    if (!new java.io.File(chainDir).exists) {
+      time("scd2_chain build (1M events)") {
+        ops.cdc.Scd2Maintain.initChain(chainSrc, chainDir, "pk", "lsn",
+          "ts", Seq("price"), nBuckets = 32)
+        ops.cdc.Scd2Maintain.applyBatchChain(spark, chainDir, chainSrc,
+          "pk", "lsn", "ts", Seq("price"), nBuckets = 32) }
+    }
+    time("chain asof lookup (1k events)") {
+      val probe = chainSrc.limit(1000)
+        .select($"pk", $"lsn".as("event_id"), ($"ts" + 1L).as("ts"))
+      ops.cdc.Scd2Maintain.chainAsOf(spark, chainDir, probe,
+        "pk", "ts", Seq("price")).count() }
     val stT = s"$work/derived/stats_t"; val stS = s"$work/derived/stats_s"
     if (!new java.io.File(stT).exists) {
       time("stats table init (1M rows)") {

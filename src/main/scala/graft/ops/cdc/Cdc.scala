@@ -323,6 +323,37 @@ object Cdc {
       .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
   }
 
+  /** Compensating (UNDO) events for a window of full-envelope changes —
+    * the rewind/rollback every CDC product ships: replaying the
+    * inverted window ON TOP of the current state restores the
+    * pre-window state exactly. The inversion rule is image-based, not
+    * op-based (robust to op-code hygiene): restore the BEFORE image —
+    * a null before means the key did not exist at the window start, so
+    * the compensation is a delete; otherwise an upsert of the before
+    * image. Envelope columns swap (before'=after, after'=before) so the
+    * inverted window is itself a valid audit trail.
+    *
+    * lsns remap to `2·lsnCeiling − lsn` (caller passes the window's
+    * known lsn ceiling, keeping this a pure transform): strictly above
+    * the window, unique, and DESCENDING in original order — per key the
+    * LAST inverted event (the one compaction keeps) is the inversion of
+    * the key's FIRST in-window change, whose before image IS the
+    * window-start state. That alignment is what makes one compacted
+    * apply of the inverted window an exact rewind. Requires before
+    * images (the Debezium envelope carries them; an after-only feed
+    * cannot be inverted — there is nothing to restore). */
+  def invertWindow(window: DataFrame, lsnCol: String,
+                   lsnCeiling: Long): DataFrame =
+    window
+      .withColumn(lsnCol, lit(2L) * lsnCeiling - col(lsnCol))
+      .withColumn("__op_inv",
+        when(col("before").isNull, "d").otherwise("u"))
+      .withColumn("__b", col("before"))
+      .withColumn("before", col("after"))
+      .withColumn("after", col("__b"))
+      .withColumn("op", col("__op_inv"))
+      .drop("__b", "__op_inv")
+
   /** Injective row fingerprint: each column is encoded as `∅` when
     * NULL or `<length>:<value>` otherwise, then concatenated. Unlike a
     * plain delimiter join, this cannot collide across NULL-vs-empty or

@@ -541,6 +541,53 @@ object CdcQueries {
       .orderBy($"seg")
   }
 
+  /** Change-log INVERSION / point-in-time rollback, oracled
+    * end-to-end: apply the full log, then apply the window's
+    * COMPENSATING events ([[Cdc.invertWindow]]) — the result must be
+    * byte-identical to the state at the window start, which DuckDB
+    * computes directly. The rewind every CDC product ships, proven as
+    * algebra: restore-the-before-image per key, lsn remap descending
+    * so one compacted apply lands each key on its window-start image.
+    * Before images are synthesized the Debezium way (lag of the full
+    * after image per key, seeded with the snapshot as lsn-0 creates so
+    * a key's first real event carries its true pre-state). */
+  def qCdcRollback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val snap = Tables.table(spark, dir, "customer").select(
+      $"c_custkey".as("pk"), $"c_mktsegment".as("seg"),
+      round($"c_acctbal" * 100).cast(LongType).as("cents"))
+    val log = changeLog(spark, dir).select(
+      $"lsn", $"pk", $"op",
+      element_at(array(segs.map(lit): _*),
+        ($"lsn" % 5 + 1).cast(IntegerType)).as("seg"),
+      when($"lsn" % 7 === 0, lit(null).cast(LongType))
+        .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
+    val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
+    val maxLsn = log.agg(max($"lsn")).head().getLong(0)
+    val imgT = "struct<seg:string,cents:bigint>"
+    // full envelopes: snapshot seeded as lsn-0 creates, before = lag of
+    // the after image per key (each event's after IS the state)
+    val seeded = snap
+      .select(lit(0L).as("lsn"), $"pk", lit("c").as("op"),
+        struct($"seg", $"cents").as("after"))
+      .unionByName(log.select($"lsn", $"pk", $"op",
+        when($"op" === "d", lit(null).cast(imgT))
+          .otherwise(struct($"seg", $"cents")).as("after")))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pk").orderBy($"lsn")
+    val env = seeded.withColumn("before", lag($"after", 1).over(wk))
+    val invFlat = Cdc.invertWindow(env.filter($"lsn" > cut), "lsn", maxLsn)
+      .select($"lsn", $"pk", $"op",
+        $"after.seg".as("seg"), $"after.cents".as("cents"))
+    val state2 = Cdc.apply(snap, log,
+      Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
+    Cdc.apply(state2, invFlat, Seq("pk"), "lsn", "op", Seq("seg", "cents"))
+      .drop("src")
+      .orderBy($"pk")
+  }
+
   /** Incremental JOIN maintenance, oracled end-to-end (the enrichment
     * sibling of q_cdc_incr_agg): fact (customer balances, fk derived
     * per event) and dim (nation, keys rewritten by their own log)
@@ -725,6 +772,7 @@ object CdcQueries {
     "q_cdc_incr_minmax" -> (qCdcIncrMinmax _),
     "q_cdc_incr_topk" -> (qCdcIncrTopk _),
     "q_cdc_incr_distinct" -> (qCdcIncrDistinct _),
+    "q_cdc_rollback" -> (qCdcRollback _),
     "q_cdc_incr_join" -> (qCdcIncrJoin _),
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_scd2_incr" -> (qCdcScd2Incr _),
@@ -1127,6 +1175,31 @@ object CdcQueries {
         |  count(cents)::BIGINT AS n_rows
         |FROM state2p WHERE cents IS NOT NULL
         |GROUP BY seg ORDER BY seg""".stripMargin,
+    // the oracle computes the WINDOW-START state directly — the Spark
+    // side rolls the final state BACK through the compensating events,
+    // so the hash match proves the inversion algebra (before-image
+    // restore, delete-on-absent, descending lsn remap + compaction)
+    "q_cdc_rollback" ->
+      s"""WITH $logCte,
+        |seglog AS (
+        |  SELECT lsn, pk, op,
+        |    ['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY']
+        |      [(lsn % 5 + 1)::INTEGER] AS seg,
+        |    CASE WHEN lsn % 7 = 0 THEN NULL
+        |         ELSE round(after_value * 100)::BIGINT END AS cents
+        |  FROM log),
+        |snap AS (SELECT c_custkey AS pk, c_mktsegment AS seg,
+        |  round(c_acctbal * 100)::BIGINT AS cents FROM customer),
+        |cut AS (SELECT max(lsn) // 2 AS c FROM seglog),
+        |latest AS (
+        |  SELECT * FROM seglog WHERE lsn <= (SELECT c FROM cut)
+        |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1)
+        |SELECT coalesce(s.pk, l.pk) AS pk,
+        |  CASE WHEN l.pk IS NOT NULL THEN l.seg ELSE s.seg END AS seg,
+        |  CASE WHEN l.pk IS NOT NULL THEN l.cents ELSE s.cents END AS cents
+        |FROM snap s FULL OUTER JOIN latest l ON s.pk = l.pk
+        |WHERE l.pk IS NULL OR l.op != 'd'
+        |ORDER BY pk""".stripMargin,
     // the oracle LEFT-joins the two final states DIRECTLY — the Spark
     // side composes fullJoin(F₁, D₁) with both change windows through
     // the delta-join algebra, so a hash match proves the maintenance
