@@ -495,7 +495,20 @@ object CdcStream {
                       checkpointDir: String, keyCol: String, lsnCol: String,
                       tsCol: String, valueCols: Seq[String],
                       nBuckets: Int = 16,
-                      chainDir: Option[String] = None): StreamingQuery = {
+                      chainDir: Option[String] = None): StreamingQuery =
+    scd2HistorySinkWithFailpoint(changes, historyDir, openDir, checkpointDir,
+      keyCol, lsnCol, tsCol, valueCols, nBuckets, chainDir,
+      crashBeforeChain = false)
+
+  /** Failpoint twin (test seam, same body): crash between the history
+    * pair's merges and the chain append — the seam chainDir adds. The
+    * replayed batch must no-op the history merges and complete the
+    * chain. */
+  private[streaming] def scd2HistorySinkWithFailpoint(
+      changes: DataFrame, historyDir: String, openDir: String,
+      checkpointDir: String, keyCol: String, lsnCol: String,
+      tsCol: String, valueCols: Seq[String], nBuckets: Int,
+      chainDir: Option[String], crashBeforeChain: Boolean): StreamingQuery = {
     import graft.ops.cdc.Scd2Maintain
     val spark = changes.sparkSession
     changes.dropDuplicates(lsnCol)
@@ -528,6 +541,8 @@ object CdcStream {
         Scd2Maintain.applyBatch(spark, historyDir, openDir, batch, keyCol,
           lsnCol, tsCol, valueCols, nBuckets,
           txn = Some((checkpointDir, batchId))): Unit
+        if (crashBeforeChain)
+          throw new RuntimeException("failpoint: crash before chain append")
         chainDir.foreach { d =>
           Scd2Maintain.applyBatchChain(spark, d, batch, keyCol, lsnCol,
             tsCol, valueCols, nBuckets,
