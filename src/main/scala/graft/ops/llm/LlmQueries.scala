@@ -64,6 +64,32 @@ object LlmQueries {
   }
 
   /** TF-IDF: tf(doc, term) × ln((N+1)/(df+1)). */
+  /** Feature hashing (`q_llm_hashed_features`) — the hashing-trick
+    * vectorizer (Weinberger et al. 2009): tokens hash straight into a
+    * fixed B-dim count vector, no vocabulary pass, no vocab broadcast —
+    * the featurizer that works at 100 TB because it is ONE narrow map
+    * + one (doc, bucket) aggregation regardless of vocabulary size.
+    * Bucket = md5-prefix mod B (engine-portable, the q_llm_minhash
+    * convention); exact integer counts; B=16 keeps the oracle's
+    * zero-fill grid small while proving the arithmetic. */
+  def qLlmHashedFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val B = 16
+    val tok = Tables.table(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val counts = tok
+      .withColumn("b", pmod(
+        conv(substring(md5($"token"), 1, 7), 16, 10).cast("long"), lit(B)))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+    counts.groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"b", $"c"))).as("m"))
+      .select($"doc_id",
+        transform(sequence(lit(0), lit(B - 1)),
+          i => coalesce(element_at($"m", i.cast("long")), lit(0L)))
+          .as("features"))
+      .orderBy($"doc_id")
+  }
+
   def qLlmTfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.table(spark, dir, "documents")
@@ -277,6 +303,7 @@ object LlmQueries {
     "q_llm_dedup_exact" -> (qLlmDedupExact _),
     "q_llm_textstats" -> (qLlmTextstats _),
     "q_llm_tf" -> (qLlmTf _),
+    "q_llm_hashed_features" -> (qLlmHashedFeatures _),
     "q_llm_tfidf" -> (qLlmTfidf _),
     "q_llm_knn_cosine" -> (qLlmKnnCosine _),
     "q_llm_knn_bucketed" -> (qLlmKnnBucketed _),
@@ -293,6 +320,27 @@ object LlmQueries {
     "list_reduce(list_prepend(0.0, list_apply(range(1, len(%s) + 1), i -> %s[i] * %s[i])), (acc, x) -> acc + x)"
 
   val oracle: Map[String, String] = Map(
+    // same md5-prefix buckets; the zero-fill grid spans only docs that
+    // produced tokens (both engines drop token-less docs identically)
+    "q_llm_hashed_features" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |bk AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(token), 1, 7))::BIGINT % 16 AS b
+        |  FROM tok),
+        |c AS (
+        |  SELECT doc_id, b, count(*)::BIGINT AS c
+        |  FROM bk GROUP BY doc_id, b),
+        |grid AS (
+        |  SELECT d.doc_id, r.b
+        |  FROM (SELECT DISTINCT doc_id FROM tok) d, range(0, 16) r(b)),
+        |f AS (
+        |  SELECT g.doc_id, g.b, coalesce(c.c, 0)::BIGINT AS c
+        |  FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.b = c.b)
+        |SELECT doc_id, list(c ORDER BY b) AS features
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 1-based twin of the 0-based Spark run-length build; the
     // scalar-accumulator list_reduce folds the same sorted order, so
     // the c·ln(c) sum is bit-identical before the round
