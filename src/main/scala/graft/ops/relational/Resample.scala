@@ -81,6 +81,34 @@ object Resample {
     * one (type, hour) shuffle for the rollup, then the three stacked
     * trailing windows share ONE Exchange + sort (same partition/order);
     * state per row is bounded by the 24-row frame. */
+  /** Robust outlier detection (`q_ts_outlier_mad`) — the MAD flavor
+    * complementing q_ts_anomaly's rolling z-score: median absolute
+    * deviation is insensitive to the outliers it hunts (a single wild
+    * hour inflates a stddev enough to hide itself — the classic
+    * breakdown argument; MAD's breakdown point is 50%). Exactness:
+    * the hourly series is integer cents, so both medians land on
+    * k or k+0.5 EXACTLY (binary-representable), deviations are exact,
+    * and 4.5·mad is exact (9·mad/2) — the flag comparison cannot
+    * straddle float noise cross-engine. */
+  def qTsOutlierMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val med = hourly.groupBy($"event_type")
+      .agg(percentile($"cents", lit(0.5)).as("m"))
+    val d = hourly.join(broadcast(med), "event_type")
+      .withColumn("dev", abs($"cents" - $"m"))
+    val mads = d.groupBy($"event_type")
+      .agg(percentile($"dev", lit(0.5)).as("mad"))
+    d.join(broadcast(mads), "event_type")
+      .filter($"mad" > 0)
+      .select($"event_type", $"h", $"cents",
+        round($"dev" / $"mad", 4).as("rz"),
+        ($"dev" > lit(4.5) * $"mad").as("outlier"))
+      .orderBy($"event_type", $"h")
+  }
+
   def qTsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hourly = Tables.table(spark, dir, "events")
@@ -379,6 +407,7 @@ object Resample {
     "q_ts_backtest" -> (qTsBacktest _),
     "q_ts_decay" -> (qTsDecay _),
     "q_ts_anomaly" -> (qTsAnomaly _),
+    "q_ts_outlier_mad" -> (qTsOutlierMad _),
     "q_ts_cusum" -> (qTsCusum _),
     "q_ts_acf" -> (qTsAcf _),
     "q_ts_holt" -> (qTsHolt _),
@@ -495,6 +524,28 @@ object Resample {
         |FROM t ORDER BY event_type, hod""".stripMargin,
     // flag from the ROUNDED z on both sides; warmup + zero-variance
     // windows excluded on both sides
+    // both medians land on exact k/k+0.5 over the integer-cents
+    // series, so deviations and the 4.5·mad boundary are float-exact
+    "q_ts_outlier_mad" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, quantile_cont(cents, 0.5) AS m
+        |  FROM hourly GROUP BY 1),
+        |d AS (
+        |  SELECT h.event_type, h.h, h.cents, abs(h.cents - m.m) AS dev
+        |  FROM hourly h JOIN med m USING (event_type)),
+        |mads AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, d.h, d.cents,
+        |  round(d.dev / m.mad, 4) AS rz,
+        |  d.dev > 4.5 * m.mad AS outlier
+        |FROM d JOIN mads m USING (event_type)
+        |WHERE m.mad > 0
+        |ORDER BY event_type, h""".stripMargin,
     "q_ts_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,
