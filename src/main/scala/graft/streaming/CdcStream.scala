@@ -244,6 +244,44 @@ object CdcStream {
       .start()
   }
 
+  /** Distribution sibling of [[statsMaintainedSink]]: one continuous
+    * query merges change events into the bucket-partitioned target AND
+    * keeps the [[graft.ops.cdc.QuantileMaintain]] per-group quantile
+    * profile fresh — percentile dashboards read a bucket-pruned table,
+    * never the source. Exactly-once composes the maintained-aggregate
+    * way: the profile is itself a txn-guarded upsert target whose
+    * cursor records the source version it reflects, so a crash between
+    * merge and maintenance leaves a stale-but-honest profile the next
+    * trigger's window catches up, and a replayed batch is a metadata
+    * no-op on both. First trigger seeds the profile from the
+    * freshly-merged table. */
+  def quantileMaintainedSink(changes: DataFrame, targetDir: String,
+                             qDir: String, checkpointDir: String,
+                             keyCol: String, lsnCol: String, opCol: String,
+                             valueCols: Seq[String], groupCols: Seq[String],
+                             quantCol: String, k: Int = 200,
+                             nBuckets: Int = 16,
+                             qBuckets: Int = 16): StreamingQuery = {
+    import graft.ops.cdc.{PartitionedUpsert, QuantileMaintain}
+    val spark = changes.sparkSession
+    changes.dropDuplicates(lsnCol)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(spark, batch, batchId, targetDir, checkpointDir,
+          keyCol, lsnCol, opCol, valueCols, nBuckets)
+        seedOrMaintain(spark, qDir) {
+          QuantileMaintain.init(spark, targetDir, qDir, groupCols,
+            quantCol, k, qBuckets): Unit
+        } {
+          QuantileMaintain.maintain(spark, targetDir, qDir,
+            quantCol, k): Unit
+        }
+      }
+      .start()
+  }
+
   /** Point-lookup acceleration sibling of [[maintainedAggregateSink]]:
     * one continuous query merges change events into the
     * bucket-partitioned target AND keeps a
