@@ -146,6 +146,38 @@ object Aggregations {
   /** Exact statistical aggregates. stddev/var/corr/covar merge partial
     * moments across partitions — order-dependent in low-order bits, so
     * rounded to 4dp (SURVEY §5.4). */
+  /** Higher central moments (`q_agg_moments`): per-group skewness and
+    * excess kurtosis computed from EXACT integer power sums (Σx..Σx⁴
+    * over the small-domain quantity column) — the one-pass, order-free,
+    * map-side-combinable moment algebra (power sums are plain sums, so
+    * partials merge associatively; the float enters only in the final
+    * per-group scalar step, where both engines evaluate the identical
+    * expression over identical exact inputs). Built-in skewness/
+    * kurtosis are NOT cross-engine comparable (population vs
+    * sample-corrected conventions differ); the power-sum form pins the
+    * convention explicitly (population moments, excess kurtosis). */
+  def qAggMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = $"l_quantity".cast("long")
+    val agg = Tables.table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+        sum(q * q).as("s2"), sum(q * q * q).as("s3"),
+        sum(q * q * q * q).as("s4"))
+    val (n, s1, s2, s3, s4) = ($"n".cast("double"), $"s1".cast("double"),
+      $"s2".cast("double"), $"s3".cast("double"), $"s4".cast("double"))
+    val m1 = s1 / n
+    val m2 = s2 / n - m1 * m1
+    val m3 = s3 / n - lit(3.0) * m1 * (s2 / n) + lit(2.0) * m1 * m1 * m1
+    val m4 = s4 / n - lit(4.0) * m1 * (s3 / n) +
+      lit(6.0) * m1 * m1 * (s2 / n) - lit(3.0) * m1 * m1 * m1 * m1
+    agg.select($"l_returnflag", $"n",
+        round(m1, 4).as("mean_qty"),
+        round(m3 / pow(m2, 1.5), 4).as("skew_qty"),
+        round(m4 / (m2 * m2) - 3.0, 4).as("kurt_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   def qAggStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.table(spark, dir, "lineitem")
@@ -266,6 +298,7 @@ object Aggregations {
     "q_agg_conditional" -> (qAggConditional _),
     "q_agg_collect" -> (qAggCollect _),
     "q_agg_stats" -> (qAggStats _),
+    "q_agg_moments" -> (qAggMoments _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _),
     "q_udaf_weighted_avg" -> (qUdafWeightedAvg _)
   )
@@ -368,6 +401,36 @@ object Aggregations {
         |  count(*) AS n
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // identical power sums (exact integers both engines — sum casts
+    // back from HUGEINT), identical final float expression shape
+    "q_agg_moments" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*)::BIGINT AS n,
+        |    sum(l_quantity::BIGINT)::BIGINT AS s1,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS s2,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT *
+        |        l_quantity::BIGINT)::BIGINT AS s3,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT *
+        |        l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, n,
+        |    s1::DOUBLE / n::DOUBLE AS m1,
+        |    s2::DOUBLE / n::DOUBLE AS r2,
+        |    s3::DOUBLE / n::DOUBLE AS r3,
+        |    s4::DOUBLE / n::DOUBLE AS r4
+        |  FROM a),
+        |c AS (
+        |  SELECT l_returnflag, n, m1,
+        |    r2 - m1 * m1 AS m2,
+        |    r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+        |    r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+        |      - 3.0 * m1 * m1 * m1 * m1 AS m4
+        |  FROM m)
+        |SELECT l_returnflag, n, round(m1, 4) AS mean_qty,
+        |  round(m3 / pow(m2, 1.5), 4) AS skew_qty,
+        |  round(m4 / (m2 * m2) - 3.0, 4) AS kurt_qty
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "q_agg_stats" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
