@@ -118,5 +118,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_char_shingles"),
       new ExpressionInfo(classOf[CharShingles].getName, "graft_char_shingles"),
       (exprs: Seq[Expression]) => CharShingles.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      (exprs: Seq[Expression]) => KllSketchAgg.fromExprs(exprs)))
   }
 }

@@ -134,7 +134,30 @@ object Windows {
       .orderBy($"o_orderkey")
   }
 
+  /** Sliding exact median (`q_window_median`): the trailing-24h
+    * median of the integer-cents hourly series — the robust rolling
+    * baseline dashboards pair with the rolling mean (q_window_running)
+    * and the z-score anomaly flag. Exactness: over integers every
+    * window median lands on k or k+0.5 (binary-representable), so the
+    * values are float-exact cross-engine — percentile-as-window is the
+    * one aggregate family where "approx is cheaper" does not hold at
+    * this frame size (24 rows re-sorted per row is the honest cost;
+    * at wider frames the KLL sketch path takes over). */
+  def qWindowMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(-23, 0)
+    hourly
+      .withColumn("med24", percentile($"cents", lit(0.5)).over(w))
+      .select($"event_type", $"h", $"cents", round($"med24", 4).as("med24"))
+      .orderBy($"event_type", $"h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_median" -> (qWindowMedian _),
     "q_window_firstlast" -> (qWindowFirstlast _),
     "q_window_ranking" -> (qWindowRanking _),
     "q_window_cume" -> (qWindowCume _),
@@ -145,6 +168,17 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    // integer-cents windows: every median is k or k+0.5 exactly
+    "q_window_median" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, h, cents,
+        |  round(quantile_cont(cents, 0.5) OVER (
+        |    PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 4) AS med24
+        |FROM hourly ORDER BY event_type, h""".stripMargin,
     // ties share their cume_dist (no unique tiebreak in the window
     // order — see the Spark side); flag from the ROUNDED value
     "q_window_cume" ->
