@@ -464,22 +464,20 @@ object Multimodal {
     * mega-bucket hazard as text boilerplate: run exact dedup first,
     * and cap survivors via AQE skew handling. Rows with NULL fp
     * (non-image payloads) never enter the join. */
-  def dHashNearDups(media: DataFrame, idCol: String,
-                    maxDistance: Int = 3): DataFrame = {
-    // materialized: one long per image. Both join sides consume the
-    // fingerprint frame, and Catalyst would otherwise inline the
-    // 56-comparison fold (with its hex transcript subtrees) into EACH
-    // side of the self-join — the graph-family localCheckpoint
-    // discipline (lineage truncated; Bench GCs blocks between keys,
-    // long-lived callers unpersist via the returned plan's lifecycle)
-    val fp = media.select(col(idCol).as("doc_id"),
-      dHash(col("payload")).as("fp")).filter(col("fp").isNotNull)
-      .localCheckpoint()
+  /** Banded-hamming candidate pairs over a (doc_id, fp) frame — the
+    * shared bucket-join core of the perceptual near-dup family
+    * ([[dHashNearDups]] for images, [[wavEnvelopeNearDups]] for
+    * audio). `bands` = (shift, width) slices covering the fingerprint;
+    * by pigeonhole a pair within hamming distance (bands−1) agrees on
+    * ≥1 whole band — one shuffle on (band, bh), NEVER all-pairs. */
+  private[llm] def bandedHammingPairs(fp: DataFrame,
+      bands: Seq[(Int, Int)], maxDistance: Int): DataFrame = {
     val banded = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map(i =>
+      explode(array(bands.zipWithIndex.map { case ((shift, width), i) =>
         struct(lit(i).as("band"),
-          shiftright(col("fp"), i * 14).bitwiseAND(0x3FFFL).as("bh"))): _*))
-        .as("bb"))
+          shiftright(col("fp"), shift)
+            .bitwiseAND((1L << width) - 1L).as("bh"))
+      }: _*)).as("bb"))
       .select(col("doc_id"), col("fp"), col("bb.band").as("band"),
         col("bb.bh").as("bh"))
     val a = banded.select(col("band"), col("bh"),
@@ -492,6 +490,21 @@ object Multimodal {
         bit_count(col("fa").bitwiseXOR(col("fb"))).as("distance"))
       .distinct()
       .filter(col("distance") <= maxDistance)
+  }
+
+  def dHashNearDups(media: DataFrame, idCol: String,
+                    maxDistance: Int = 3): DataFrame = {
+    // materialized: one long per image. Both join sides consume the
+    // fingerprint frame, and Catalyst would otherwise inline the
+    // 56-comparison fold (with its hex transcript subtrees) into EACH
+    // side of the self-join — the graph-family localCheckpoint
+    // discipline (lineage truncated; Bench GCs blocks between keys,
+    // long-lived callers unpersist via the returned plan's lifecycle)
+    val fp = media.select(col(idCol).as("doc_id"),
+      dHash(col("payload")).as("fp")).filter(col("fp").isNotNull)
+      .localCheckpoint()
+    bandedHammingPairs(fp,
+      Seq((0, 14), (14, 14), (28, 14), (42, 14)), maxDistance)
   }
 
   /** Oracled perceptual near-dup (`q_mm_neardup`): deterministic 9×7
@@ -525,7 +538,79 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** 31-bit energy-envelope gradient hash over 8-bit mono PCM — the
+    * AUDIO rung of the perceptual dedup ladder (acoustic-fingerprint
+    * family: the published systems hash a spectral envelope; the
+    * expression-level boundary here is the TIME-domain energy envelope
+    * — 32 frames of 2 samples, per-frame energy = Σ|s−128|, bit(i) =
+    * e(i) < e(i+1) — with the spectral transform being a decode
+    * kernel's job, exactly the decodeStub boundary). Re-encoded or
+    * slightly-edited audio preserves the loudness CONTOUR, so near
+    * copies land within a small hamming distance while exact hashing
+    * catches nothing. Requires the canonical 44-byte WAV header
+    * ([[wavMeta]]'s layout) with ≥64 PCM bytes; anything else is NULL. */
+  def wavEnvelopeHash(payload: Column): Column = {
+    val hx = upper(hex(payload))
+    val ok = substring(hx, 1, 8) === "52494646" &&
+      substring(hx, 17, 8) === "57415645" &&
+      substring(hx, 73, 8) === "64617461" && length(hx) >= lit(88 + 128)
+    def px(k: Int): Column =
+      conv(substring(hx, 89 + 2 * k, 2), 16, 10).cast(IntegerType)
+    def energy(f: Int): Column =
+      abs(px(2 * f) - 128) + abs(px(2 * f + 1) - 128)
+    val fp = (0 until 31).map { b =>
+      when(energy(b) < energy(b + 1), shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    when(ok, fp)
+  }
+
+  /** Audio perceptual near-dup pairs: [[wavEnvelopeHash]] banded into
+    * 3 slices (10+10+11 bits) — pigeonhole covers hamming ≤ 2 — and
+    * verified exactly. Same bucket-join core as the image rung. */
+  def wavEnvelopeNearDups(media: DataFrame, idCol: String,
+                          maxDistance: Int = 2): DataFrame = {
+    val fp = media.select(col(idCol).as("doc_id"),
+      wavEnvelopeHash(col("payload")).as("fp")).filter(col("fp").isNotNull)
+      .localCheckpoint()
+    bandedHammingPairs(fp, Seq((0, 10), (10, 10), (20, 11)), maxDistance)
+  }
+
+  /** Oracled audio perceptual near-dup (`q_mm_audio_neardup`):
+    * deterministic 64-sample 8-bit mono WAVs built in-query (the
+    * q_mm_audio container template, PCM bytes from md5 chains), with
+    * PLANTED PERTURBED TWINS — every doc_id ≡ 1 (mod 20) reuses its
+    * predecessor's PCM with the two EDGE frames' samples overwritten
+    * (frames 0 and 31 each feed exactly one envelope comparison, so at
+    * most 2 of the 31 bits flip — inside the hamming-2 margin by
+    * construction) while organic pairs sit near the 15-bit
+    * expectation. The oracle rebuilds identical WAVs, folds the same
+    * 31 envelope comparisons (bit_or of shifts), bands, joins, and
+    * verifies. */
+  def qMmAudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = graft.Tables.table(spark, dir, "documents").select($"doc_id")
+      .withColumn("is_twin", $"doc_id" % 20 === 1)
+      .withColumn("base_id", when($"is_twin", $"doc_id" - 1)
+        .otherwise($"doc_id"))
+    // 64 PCM bytes = 128 hex chars from four md5 chains
+    val pcm = concat((0 until 4).map(i =>
+      md5(concat(lit(s"pcm$i:"), $"base_id"))): _*)
+    // twin: samples 0-1 (frame 0) and 62-63 (frame 31) pinned to
+    // extremes — each edge frame feeds exactly one comparison bit
+    val pcmTwin = concat(lit("FF00"), substring(pcm, 5, 120), lit("00FF"))
+    val header = concat(
+      lit("52494646"), lit("00000000"), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+      lit("401F0000"), lit("401F0000"), lit("0100"), lit("0800"),
+      lit("64617461"), lit("40000000"))
+    val media = d.withColumn("payload",
+      unhex(concat(header, upper(when($"is_twin", pcmTwin).otherwise(pcm)))))
+    wavEnvelopeNearDups(media, "doc_id", maxDistance = 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_audio_neardup" -> (qMmAudioNeardup _),
     "q_mm_neardup" -> (qMmNeardup _),
     "q_mm_video" -> (qMmVideo _),
     "q_mm_dedup" -> (qMmDedup _),
@@ -534,6 +619,51 @@ object Multimodal {
     "q_mm_audio" -> (qMmAudio _))
 
   val oracle: Map[String, String] = Map(
+    // identical WAVs, the same 31 envelope comparisons (|s−128| energy
+    // over 2-sample frames), the same 10/10/11 banding and verify
+    "q_mm_audio_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 20 = 1) AS is_twin,
+        |    CASE WHEN doc_id % 20 = 1 THEN doc_id - 1 ELSE doc_id END AS base_id
+        |  FROM documents),
+        |px0 AS (
+        |  SELECT doc_id, is_twin,
+        |    md5('pcm0:' || base_id) || md5('pcm1:' || base_id) ||
+        |    md5('pcm2:' || base_id) || md5('pcm3:' || base_id) AS pcm
+        |  FROM d),
+        |pay AS (
+        |  SELECT doc_id,
+        |    '524946460000000057415645666D74201000000001000100' ||
+        |    '401F0000401F00000100080064617461' || '40000000' ||
+        |    upper(CASE WHEN is_twin
+        |      THEN 'FF00' || substr(pcm, 5, 120) || '00FF'
+        |      ELSE pcm END) AS phex
+        |  FROM px0),
+        |parsed AS (SELECT doc_id, upper(hex(unhex(phex))) AS hx FROM pay),
+        |fps AS (
+        |  SELECT doc_id, bit_or(CASE WHEN
+        |      (abs(('0x' || substr(hx, 89 + 4*b, 2))::BIGINT - 128) +
+        |       abs(('0x' || substr(hx, 91 + 4*b, 2))::BIGINT - 128)) <
+        |      (abs(('0x' || substr(hx, 93 + 4*b, 2))::BIGINT - 128) +
+        |       abs(('0x' || substr(hx, 95 + 4*b, 2))::BIGINT - 128))
+        |    THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS fp
+        |  FROM parsed, range(0, 31) t(b)
+        |  WHERE substr(hx, 1, 8) = '52494646'
+        |    AND substr(hx, 17, 8) = '57415645'
+        |    AND substr(hx, 73, 8) = '64617461' AND length(hx) >= 216
+        |  GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, fp, i AS band,
+        |    (fp >> (CASE i WHEN 0 THEN 0 WHEN 1 THEN 10 ELSE 20 END)) &
+        |    (CASE i WHEN 2 THEN 2047 ELSE 1023 END) AS bh
+        |  FROM fps, range(0, 3) t(i)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    bit_count(xor(x.fp, y.fp))::INT AS distance
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, distance FROM cand WHERE distance <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // identical thumbnails, the same 56-comparison fold (bit_or of
     // shifts — BIGINT-exact, no HUGEINT sum), the same 4×14-bit
     // banding and hamming verify — the full candidate pipeline
