@@ -240,6 +240,62 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("r10 plan shapes: nearest as-of and the perceptual near-dups " +
+      "never nested-loop; rollback and hashed-features windows/aggs " +
+      "stay partitioned and bounded") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    def assertNoLoops(tag: String, df: org.apache.spark.sql.DataFrame): SparkPlan = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val s = plan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin") &&
+        !s.contains("CartesianProduct"), s"$tag must not nested-loop:\n$s")
+      plan
+    }
+    // nearest as-of: two union+window passes, every window partitioned
+    // by the join key — never a theta join
+    val near = graft.ops.relational.Joins.qJoinAsofNearest(spark, sfSmoke)
+    val nearPlan = assertNoLoops("asof_nearest", near)
+    val nearWins = walk(nearPlan).collect { case w: WindowExec => w }
+    assert(nearWins.nonEmpty)
+    nearWins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"asof_nearest: unpartitioned window:\n$w"))
+    // perceptual near-dups (image + audio): banded bucket equi-joins
+    assertNoLoops("mm_neardup",
+      graft.ops.llm.Multimodal.qMmNeardup(spark, sfSmoke))
+    assertNoLoops("mm_audio_neardup",
+      graft.ops.llm.Multimodal.qMmAudioNeardup(spark, sfSmoke))
+    // rollback: the envelope lag windows partition per key
+    val rb = graft.ops.cdc.CdcQueries.qCdcRollback(spark, sfSmoke)
+    val rbWins = walk(assertNoLoops("rollback", rb))
+      .collect { case w: WindowExec => w }
+    assert(rbWins.nonEmpty)
+    rbWins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"rollback: unpartitioned window:\n$w"))
+    // hashed features: vocabulary-free means NO join anywhere and a
+    // bounded shuffle count (the (doc,bucket) agg + the doc pivot +
+    // the presentation sort)
+    val hf = graft.ops.llm.LlmQueries.qLlmHashedFeatures(spark, sfSmoke)
+    hf.collect()
+    val hfPlan = walk(hf.queryExecution.executedPlan)
+    assert(!hfPlan.exists(_.nodeName.toLowerCase.contains("join")),
+      "hashed features must not join (no vocabulary side)")
+    val hfShuffles = hfPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(hfShuffles.size <= 3,
+      s"hashed features: expected <= 3 exchanges, got ${hfShuffles.size}")
+  }
+
   test("r9 plan shapes: salted join is an equi join on (k, salt); " +
       "sample_weighted/vocab_coverage sub-rank windows are partitioned; " +
       "keywords windows per doc; url_canon never shuffles doc rows " +
