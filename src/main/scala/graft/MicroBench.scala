@@ -199,6 +199,57 @@ object MicroBench {
         println(s"WARNING: sketch bytes not lower ($ba vs $be) — vocabulary " +
           "may be under the sketch capacity at this scale; rerun/raise sf")
     }
+
+    // per-group distributions: exact percentiles shuffle every VALUE a
+    // partition saw (percentile's partial is the value list); the
+    // grouped KLL aggregate shuffles one bounded sketch per (group,
+    // partition) — the same exchange-payload argument as frequent
+    // items, for the quantile family.
+    {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      def measured(f: => Long): (Long, Long) = {
+        shuffleBytes.set(0L)
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val rows = f
+          var prev = -1L; var stable = 0; var waited = 0
+          while (stable < 3 && waited < 50) {
+            val cur = shuffleBytes.get()
+            stable = if (cur == prev) stable + 1 else 0
+            prev = cur; Thread.sleep(100); waited += 1
+          }
+          (rows, shuffleBytes.get())
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      functions.KllSketchAgg.register(spark)
+      val li = Tables.table(spark, sfDir, "lineitem")
+        .select($"l_suppkey".as("g"), $"l_extendedprice".as("v"))
+      // the aggregated column must be CONSUMED or column pruning
+      // deletes the aggregate and both sides shuffle only keys
+      // (observed: identical byte counts under a bare .count())
+      def exactWork(): Long = li.groupBy($"g")
+        .agg(percentile($"v", lit(0.5)).as("p50"))
+        .filter($"p50".isNotNull).count()
+      def sketchWork(): Long = li.groupBy($"g")
+        .agg(functions.KllSketchAgg.kll_agg($"v").as("sk"))
+        .filter($"sk".isNotNull).count()
+      measured(exactWork()); measured(sketchWork()) // warmup
+      val (re, be) = { val t0 = System.nanoTime(); val r = measured(exactWork())
+        println(f"EXACT  p50 per suppkey    : ${(System.nanoTime() - t0) / 1e9}%.2f s  shuffled=${r._2 / 1048576.0}%.1f MiB"); r }
+      val (ra, ba) = { val t0 = System.nanoTime(); val r = measured(sketchWork())
+        println(f"SKETCH kll_agg per suppkey: ${(System.nanoTime() - t0) / 1e9}%.2f s  shuffled=${r._2 / 1048576.0}%.1f MiB"); r }
+      assert(re == ra, s"group counts diverge: $re vs $ra")
+      if (ba < be)
+        println(f"grouped KLL shuffles ${100.0 * (be - ba) / be}%.0f%% fewer bytes")
+      else
+        println(s"WARNING: KLL bytes not lower ($ba vs $be) — groups may be " +
+          "too small for the sketch to undercut raw values at this scale")
+    }
     spark.stop()
   }
 }
