@@ -323,6 +323,36 @@ object Cdc {
       .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
   }
 
+  /** Repair plan from a [[diff]]-class divergence: the compensating
+    * change batch that makes `actual` equal `expected` when merged —
+    * detect → repair, closed as one loop (the auditing tool's natural
+    * second half: a 100 TB replica with a handful of divergent keys
+    * wants a FIX sized by the diff, not a re-snapshot). Missing and
+    * mismatched keys become upserts carrying the expected image; extra
+    * keys become deletes. The plan is sized by the divergence (the
+    * diff's own exceptions-only argument) and flows through the
+    * ordinary merge path, so repairs are atomic, manifest-committed,
+    * and idempotent (repairing twice is a no-op by convergence).
+    * `lsnBase` must exceed every applied lsn so the repair wins LWW
+    * against any stale pipeline stragglers (the truncateChains
+    * watermark rationale). */
+  def repairPlan(expected: DataFrame, actual: DataFrame, keys: Seq[String],
+                 valueCols: Seq[String], lsnBase: Long): DataFrame = {
+    val cmp = valueCols
+    val e = expected.select(keys.map(col) ++
+      cmp.map(c => col(c).as(s"__e_$c")) :+
+      rowFingerprint(cmp).as("__e_fp"): _*)
+    val a = actual.select(keys.map(col) :+
+      rowFingerprint(cmp).as("__a_fp"): _*)
+    e.join(a, keys, "full_outer")
+      .filter(col("__a_fp").isNull || col("__e_fp").isNull ||
+        col("__e_fp") =!= col("__a_fp"))
+      .select(keys.map(col) ++ Seq(
+        lit(lsnBase).as("lsn"),
+        when(col("__e_fp").isNull, "d").otherwise("u").as("op")) ++
+        cmp.map(c => col(s"__e_$c").as(c)): _*)
+  }
+
   /** Compensating (UNDO) events for a window of full-envelope changes —
     * the rewind/rollback every CDC product ships: replaying the
     * inverted window ON TOP of the current state restores the

@@ -113,6 +113,33 @@ class CdcSpec extends SparkSpec {
       4L -> "extra_in_replica"))
   }
 
+  test("repairPlan closes the detect→repair loop: merging the plan " +
+      "makes the replica equal the source, sized by the divergence, " +
+      "idempotent, and LWW-safe against stragglers") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    val expected = (1L to 50L).map(pk => (pk, s"v$pk", pk * 10))
+      .toDF("pk", "name", "cents")
+    // corrupted replica: 3 rows missing, 2 extra, 4 value-corrupted
+    val corrupted = (1L to 50L).filterNot(Set(5L, 9L, 13L))
+      .map(pk => (pk, s"v$pk", if (pk % 11 == 0) -1L else pk * 10)) ++
+      Seq((100L, "ghost", 0L), (101L, "ghost2", 0L))
+    PartitionedUpsert.init(corrupted.toDF("pk", "name", "cents"),
+      s"$base/replica", "pk", nBuckets = 4)
+    val actual = PartitionedUpsert.read(spark, s"$base/replica")
+    val plan = Cdc.repairPlan(expected, actual, Seq("pk"),
+      Seq("name", "cents"), lsnBase = 1000L)
+    assert(plan.count() === 3 + 2 + 4, "plan sized by the divergence")
+    PartitionedUpsert.merge(spark, s"$base/replica", plan,
+      "pk", "lsn", "op", Seq("name", "cents"), nBuckets = 4)
+    val repaired = PartitionedUpsert.read(spark, s"$base/replica")
+    assert(Cdc.diff(expected, repaired, Seq("pk"),
+      Seq("name", "cents")).isEmpty, "repair must converge to expected")
+    // idempotent: the re-derived plan is empty
+    assert(Cdc.repairPlan(expected, repaired, Seq("pk"),
+      Seq("name", "cents"), lsnBase = 2000L).isEmpty)
+  }
+
   test("envelope decode round-trips a generated Debezium-style JSONL file") {
     import spark.implicits._
     val payload = StructType(Seq(
