@@ -122,5 +122,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kll_agg"),
       new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
       (exprs: Seq[Expression]) => KllSketchAgg.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_agg"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "graft_freq_agg"),
+      (exprs: Seq[Expression]) => FreqSketchAgg.fromExprs(exprs)))
   }
 }
