@@ -45,5 +45,7 @@ object GraftSession {
     functions.VectorExpressions.register(spark)
     functions.NormalizeText.register(spark)
     functions.CharShingles.register(spark)
+    functions.KllSketchAgg.register(spark)
+    functions.FreqSketchAgg.register(spark)
   }
 }
