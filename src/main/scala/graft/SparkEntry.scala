@@ -21,6 +21,7 @@ object SparkEntry {
       (SetOps.queries, SetOps.oracle),
       (Joins.queries, Joins.oracle),
       (Subqueries.queries, Subqueries.oracle),
+      (Composed.queries, Composed.oracle),
       (Resample.queries, Resample.oracle),
       (Graph.queries, Graph.oracle),
       (Scalars.queries, Scalars.oracle),

@@ -676,6 +676,37 @@ object CdcQueries {
       .orderBy($"pk")
   }
 
+  /** Divergence REPAIR plan on the q_cdc_diff fixture: the change
+    * events that, applied to the drifted replica, restore it to the
+    * expected state — detect→repair closed ([[Cdc.repairPlan]]): a
+    * missing row repairs as an upsert of the expected image, an extra
+    * row as a delete, a value drift as an upsert. The plan is
+    * divergence-sized (never table-sized) and replayable through the
+    * same apply path as any CDC window. The oracle re-derives the
+    * plan with a direct value compare (IS DISTINCT FROM) — the hash
+    * match certifies the fingerprint-based detection against the
+    * plain-value ground truth. */
+  def qCdcRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val balS = (c: org.apache.spark.sql.Column) =>
+      c.cast(DecimalType(12, 2)).cast(StringType)
+    val expected = Tables.table(spark, dir, "customer").select(
+      $"c_custkey".as("pk"), $"c_name".as("name"),
+      $"c_mktsegment".as("seg"), balS($"c_acctbal").as("bal_s"))
+    val ghost = spark.createDataFrame(Seq((999999L, "ghost", "NONE", "0.00")))
+      .toDF("pk", "name", "seg", "bal_s")
+    val replica = Tables.table(spark, dir, "customer")
+      .filter($"c_custkey" % 97 =!= 0)
+      .select(
+        $"c_custkey".as("pk"), $"c_name".as("name"), $"c_mktsegment".as("seg"),
+        balS($"c_acctbal" +
+          when($"c_custkey" % 31 === 0, 100.0).otherwise(0.0)).as("bal_s"))
+      .unionByName(ghost)
+    Cdc.repairPlan(expected, replica, Seq("pk"),
+        Seq("name", "seg", "bal_s"), lsnBase = 1000000L)
+      .orderBy($"pk")
+  }
+
   /** Order-insensitive per-table fingerprints (customer + orders). */
   def qCdcChecksum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -779,6 +810,7 @@ object CdcQueries {
     "q_cdc_scd2_lookup" -> (qCdcScd2Lookup _),
     "q_cdc_audit" -> (qCdcAudit _),
     "q_cdc_diff" -> (qCdcDiff _),
+    "q_cdc_repair" -> (qCdcRepair _),
     "q_cdc_checksum" -> (qCdcChecksum _)
   )
 
@@ -1311,6 +1343,26 @@ object CdcQueries {
         |       ELSE 'equal' END AS status
         |FROM j
         |WHERE NOT (rpk IS NOT NULL AND epk IS NOT NULL AND e_fp = a_fp)
+        |ORDER BY pk""".stripMargin,
+    // direct value compare (IS DISTINCT FROM) — certifies the
+    // fingerprint-based detection against plain-value ground truth
+    "q_cdc_repair" ->
+      """WITH exp AS (
+        |  SELECT c_custkey AS pk, c_name AS name, c_mktsegment AS seg,
+        |    c_acctbal::DECIMAL(12,2)::VARCHAR AS bal_s
+        |  FROM customer),
+        |rep AS (
+        |  SELECT c_custkey AS pk, c_name AS name, c_mktsegment AS seg,
+        |    (c_acctbal + CASE WHEN c_custkey % 31 = 0 THEN 100.0 ELSE 0.0 END)
+        |      ::DECIMAL(12,2)::VARCHAR AS bal_s
+        |  FROM customer WHERE c_custkey % 97 != 0
+        |  UNION ALL SELECT 999999, 'ghost', 'NONE', '0.00')
+        |SELECT coalesce(e.pk, r.pk) AS pk, 1000000::BIGINT AS lsn,
+        |  CASE WHEN e.pk IS NULL THEN 'd' ELSE 'u' END AS op,
+        |  e.name, e.seg, e.bal_s
+        |FROM exp e FULL OUTER JOIN rep r ON e.pk = r.pk
+        |WHERE e.pk IS NULL OR r.pk IS NULL
+        |   OR (e.name, e.seg, e.bal_s) IS DISTINCT FROM (r.name, r.seg, r.bal_s)
         |ORDER BY pk""".stripMargin,
     "q_cdc_checksum" ->
       """SELECT 'customer' AS tbl,

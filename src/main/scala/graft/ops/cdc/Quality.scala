@@ -101,6 +101,61 @@ object Quality {
       .orderBy($"user_id")
   }
 
+  /** Weekly cohort retention — the third member of the product-
+    * analytics trio (sessionize = within-visit, funnel = ordered
+    * conversion, retention = do users COME BACK): users grouped by
+    * first-active week, count of distinct users active in each
+    * subsequent week. The matrix every growth dashboard draws.
+    *
+    * Scale shape: the raw stream reduces to DISTINCT (user, week)
+    * first (one shuffle, weeks-per-user-sized output ≪ events), the
+    * cohort is a per-user min over THAT frame, and the cohort join is
+    * user-keyed (co-partitioned with the distinct's output — AQE
+    * reuses the exchange). week_n is exact integer arithmetic on
+    * epoch seconds (both engines truncate weeks to Monday; the
+    * difference is an exact multiple of 604800 — no datediff('week')
+    * boundary-counting ambiguity). */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val uw = Tables.table(spark, dir, "events")
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    uw.join(cohort, "user_id")
+      .withColumn("week_n",
+        ((unix_timestamp($"wk") - unix_timestamp($"cohort")) / 604800)
+          .cast("long"))
+      .groupBy($"cohort", $"week_n")
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy($"cohort", $"week_n")
+  }
+
+  /** Last-touch attribution — for each purchase, the most recent click
+    * by the same user within a 3-day lookback, null if none (the
+    * marketing-analytics sibling of the funnel). Implemented ON the
+    * [[graft.plans.AsofJoin.asofBackward]] operator (one shuffle,
+    * union+window — never a per-user range self-join) with the
+    * lookback applied as a post-filter that nulls out-of-window
+    * matches: as-of-with-tolerance is exactly this composition.
+    * The oracle runs the naive left-range-join + row_number form —
+    * the hash match certifies the as-of machinery against it. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+    val inWindow = $"asof_c_ts" >= $"p_ts" - expr("INTERVAL 3 DAYS")
+    graft.plans.AsofJoin.asofBackward(
+        p, c, keys = Seq("user_id"), leftTime = "p_ts", rightTime = "c_ts",
+        rightCols = Seq("click_id"), tieBreak = "click_id")
+      .select($"purchase_id", $"user_id", $"p_ts",
+        when(inWindow, $"asof_click_id").as("click_id"),
+        when(inWindow, $"asof_c_ts").as("c_ts"))
+      .orderBy($"purchase_id")
+  }
+
   /** Histogram: fixed-width value binning over order totals. */
   def qHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -119,6 +174,8 @@ object Quality {
     "q_dq_constraints" -> (qDqConstraints _),
     "q_sessionize" -> (qSessionize _),
     "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
+    "q_attribution" -> (qAttribution _),
     "q_histogram" -> (qHistogram _)
   )
 
@@ -179,6 +236,37 @@ object Quality {
         |     + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS depth
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+    // weeks truncate to Monday on both engines; week_n is an exact
+    // integer multiple of 604800 epoch seconds — no datediff('week')
+    "q_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+        |SELECT cohort,
+        |  ((epoch(wk)::BIGINT - epoch(cohort)::BIGINT) / 604800)::BIGINT AS week_n,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY cohort, week_n
+        |ORDER BY cohort, week_n""".stripMargin,
+    // the naive left-range-join + row_number form — the hash match
+    // certifies asofBackward + lookback post-filter against it
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.c_ts,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.c_ts DESC, c.click_id DESC) AS rk
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts)
+        |SELECT purchase_id, user_id, p_ts,
+        |  CASE WHEN c_ts >= p_ts - INTERVAL 3 DAYS THEN click_id END AS click_id,
+        |  CASE WHEN c_ts >= p_ts - INTERVAL 3 DAYS THEN c_ts END AS c_ts
+        |FROM j WHERE rk = 1
+        |ORDER BY purchase_id""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |  count(*) AS n,

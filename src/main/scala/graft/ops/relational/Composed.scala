@@ -1,0 +1,236 @@
+package graft.ops.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2-L composed analytics queries — TPC-H-shaped multi-operator plans
+  * adapted to the trimmed driver schema (FIXTURES.md §2). Every other
+  * §2 category isolates ONE operator per key; a real user's queries
+  * compose four or five (scan → selective filter → multi-way join →
+  * aggregate → top-k), and the composition is where plan quality is
+  * won or lost at 100 TB: join ORDER, broadcast choices, and whether
+  * the selective dimension filter prunes the fact scan. These keys
+  * certify the composed plans end-to-end against DuckDB.
+  *
+  * Scale shape, stated once for the family: region/nation/supplier are
+  * classic bounded dimensions (25 nations / 5 regions forever, TPC-H
+  * suppliers ~SF·10k) — broadcast them explicitly; customer/orders are
+  * fact-sized at 100 TB, so customer⋈orders⋈lineitem run as shuffle
+  * joins on their keys and we do NOT hint them (AQE converts to
+  * broadcast when a filtered side happens to fit — the right call is
+  * runtime-stats-dependent, not static). Money sums follow the
+  * q_agg_basic rule (round(·,2) absorbs double-sum order); every
+  * top-k orders by the ROUNDED measure + key tie (q_llm_bm25 rule) so
+  * a boundary-straddling raw double can never flip the cut.
+  */
+object Composed {
+
+  private def ts(d: String) = lit(d).cast("timestamp")
+
+  /** TPC-H Q3 shape: unshipped-order revenue for one market segment.
+    * Dimension filter (BUILDING, 1/5 of customers) reaches the
+    * customer scan; the orders/lineitem date filters reach their
+    * scans (PushedFilters — asserted in ScaleSpec). */
+  def qComposedTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.table(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.table(spark, dir, "orders")
+      .filter($"o_orderdate" < ts("1998-03-15"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.table(spark, dir, "lineitem")
+      .filter($"l_shipdate" > ts("1998-03-15"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    cust.join(ord, $"c_custkey" === $"o_custkey")
+      .join(li, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("revenue"))
+      .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: local-supplier revenue per nation for one region
+    * and year — the 6-way join with the c_nationkey = s_nationkey
+    * "local" condition that makes join ORDER matter. region→nation
+    * prunes to the region's nations before any fact is touched;
+    * supplier and the nation list broadcast. */
+  def qComposedLocalVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Tables.table(spark, dir, "nation")
+      .join(Tables.table(spark, dir, "region")
+        .filter($"r_name" === "ASIA").select($"r_regionkey"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val supp = Tables.table(spark, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey")
+    val cust = Tables.table(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+    val ord = Tables.table(spark, dir, "orders")
+      .filter($"o_orderdate" >= ts("1996-01-01") &&
+        $"o_orderdate" < ts("1997-01-01"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"n_name".asc)
+  }
+
+  /** TPC-H Q4 shape: order counts per priority where ANY line shipped
+    * after the order date — the decorrelated-EXISTS plan (left semi
+    * join, never a per-row subquery). Exact integer counts: zero
+    * float drift by construction. */
+  def qComposedPriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.table(spark, dir, "orders")
+      .filter($"o_orderdate" >= ts("1997-01-01") &&
+        $"o_orderdate" < ts("1997-04-01"))
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_shipdate")
+    ord.join(li, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q10 shape: top-20 customers by returned-item revenue for
+    * one quarter, with their nation. The returnflag filter reaches
+    * the lineitem scan; nation broadcasts; the top-k cut orders by
+    * the rounded revenue + custkey tie. */
+  def qComposedReturned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.table(spark, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val ord = Tables.table(spark, dir, "orders")
+      .filter($"o_orderdate" >= ts("1997-01-01") &&
+        $"o_orderdate" < ts("1997-04-01"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.table(spark, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val nat = Tables.table(spark, dir, "nation")
+      .select($"n_nationkey", $"n_name")
+    cust.join(ord, $"c_custkey" === $"o_custkey")
+      .join(li, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("revenue"))
+      .select($"c_custkey", $"c_name", $"revenue", $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape: promo revenue share for one month — the
+    * conditional-aggregate-over-join scalar. Both sums round(·,2)
+    * BEFORE the single division (engine-stable: one double division
+    * of two already-canonical operands — the value_idx rule), share
+    * rounds 4dp. */
+  def qComposedPromoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.table(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-06-01") &&
+        $"l_shipdate" < ts("1997-07-01"))
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+    val part = Tables.table(spark, dir, "part")
+      .select($"p_partkey", $"p_type")
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .agg(
+        round(sum(when($"p_type" === "PROMO", rev).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        round(sum(rev), 2).as("total_revenue"))
+      .select($"promo_revenue", $"total_revenue",
+        round(lit(100.0) * $"promo_revenue" / $"total_revenue", 4)
+          .as("promo_share_pct"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_composed_top_orders" -> (qComposedTopOrders _),
+    "q_composed_local_volume" -> (qComposedLocalVolume _),
+    "q_composed_priority_exists" -> (qComposedPriorityExists _),
+    "q_composed_returned" -> (qComposedReturned _),
+    "q_composed_promo_share" -> (qComposedPromoShare _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_composed_top_orders" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q_composed_local_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_composed_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_composed_returned" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q_composed_promo_share" ->
+      """WITH agg AS (
+        |  SELECT
+        |    round(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |      AS promo_revenue,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01')
+        |SELECT promo_revenue, total_revenue,
+        |  round(100.0 * promo_revenue / total_revenue, 4) AS promo_share_pct
+        |FROM agg""".stripMargin
+  )
+}

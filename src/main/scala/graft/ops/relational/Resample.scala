@@ -400,8 +400,51 @@ object Resample {
       .orderBy($"event_type")
   }
 
+  /** Rolling 7-day Pearson correlation between the daily view-cents
+    * and purchase-cents series — the co-movement diagnostic (does
+    * engagement track conversion this week?). Exact-integer form of
+    * the Pearson inside each window (the q_graph_assortativity
+    * algebra on the q_ts_cusum cents): with n=7 fixed, num =
+    * n·Σxy − Σx·Σy and the two variances are exact BIGINTs from
+    * windowed sums of products; r = num / (sqrt(v1)·sqrt(v2)) is one
+    * double division of exact operands (sqrt correctly rounded —
+    * bit-identical cross-engine), 4 dp; zero-variance windows null on
+    * both engines (q_ts_anomaly convention). Shape: ONE (day) rollup
+    * shuffle reduces the stream to a calendar-sized two-column frame;
+    * the unpartitioned window runs over THAT (the q_llm_mix
+    * post-aggregation rule), never the raw events. Partial windows
+    * (first 6 days) are excluded so n is constant. */
+  def qTsRollcorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = round($"value" * 100).cast("long")
+    val daily = Tables.table(spark, dir, "events")
+      .groupBy(date_trunc("day", $"ts").as("d"))
+      .agg(
+        sum(when($"event_type" === "view", cents).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", cents).otherwise(0L)).as("y"))
+    val o = Window.orderBy($"d")
+    val o7 = o.rowsBetween(-6, Window.currentRow)
+    val v1 = lit(7) * $"sxx" - $"sx" * $"sx"
+    val v2 = lit(7) * $"syy" - $"sy" * $"sy"
+    val num = lit(7) * $"sxy" - $"sx" * $"sy"
+    daily
+      .withColumn("rn", row_number().over(o))
+      .withColumn("sx", sum($"x").over(o7))
+      .withColumn("sy", sum($"y").over(o7))
+      .withColumn("sxy", sum($"x" * $"y").over(o7))
+      .withColumn("sxx", sum($"x" * $"x").over(o7))
+      .withColumn("syy", sum($"y" * $"y").over(o7))
+      .filter($"rn" >= 7)
+      .select($"d", $"x", $"y",
+        round(when(v1 === 0 || v2 === 0, lit(null))
+          .otherwise(num / (sqrt(v1.cast("double")) * sqrt(v2.cast("double")))),
+          4).as("r7"))
+      .orderBy($"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_resample" -> (qResample _),
+    "q_ts_rollcorr" -> (qTsRollcorr _),
     "q_ts_interpolate" -> (qTsInterpolate _),
     "q_ts_detrend" -> (qTsDetrend _),
     "q_ts_backtest" -> (qTsBacktest _),
@@ -415,6 +458,32 @@ object Resample {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact BIGINT windowed sums; one double division of exact
+    // operands (sqrt correctly rounded — bit-identical cross-engine)
+    "q_ts_rollcorr" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts)::TIMESTAMP AS d,
+        |    sum(CASE WHEN event_type = 'view'
+        |        THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+        |  FROM events GROUP BY d),
+        |w AS (
+        |  SELECT d, x, y,
+        |    row_number() OVER o AS rn,
+        |    sum(x) OVER o7 AS sx, sum(y) OVER o7 AS sy,
+        |    sum(x*y) OVER o7 AS sxy,
+        |    sum(x*x) OVER o7 AS sxx, sum(y*y) OVER o7 AS syy
+        |  FROM daily
+        |  WINDOW o AS (ORDER BY d),
+        |    o7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT d, x, y,
+        |  round(CASE WHEN 7*sxx - sx*sx = 0 OR 7*syy - sy*sy = 0 THEN NULL
+        |    ELSE (7*sxy - sx*sy) /
+        |      (sqrt((7*sxx - sx*sx)::DOUBLE) * sqrt((7*syy - sy*sy)::DOUBLE))
+        |    END, 4) AS r7
+        |FROM w WHERE rn >= 7
+        |ORDER BY d""".stripMargin,
     // exact BIGINT error sums; one division each + a correctly-rounded
     // sqrt of an exact ratio (bit-identical cross-engine)
     "q_ts_backtest" ->
