@@ -240,6 +240,63 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("r11 plan shapes: composed analytics broadcast their bounded dims " +
+      "and never nested-loop; EXISTS decorrelates to a semi join; " +
+      "attribution windows stay partitioned; rollcorr is join-free") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    def planOf(tag: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin") &&
+        !s.contains("CartesianProduct"), s"$tag must not nested-loop:\n$s")
+      s
+    }
+    import graft.ops.relational.Composed
+    // Q5/Q10/Q14 shapes: the declared-bounded dims (supplier+nation /
+    // nation / part) join as BroadcastHashJoin
+    Seq(
+      "local_volume" -> Composed.qComposedLocalVolume(spark, sfSmoke),
+      "returned" -> Composed.qComposedReturned(spark, sfSmoke),
+      "promo_share" -> Composed.qComposedPromoShare(spark, sfSmoke)
+    ).foreach { case (tag, df) =>
+      val s = planOf(tag, df)
+      assert(s.contains("BroadcastHashJoin"),
+        s"$tag: bounded dim should broadcast:\n$s")
+    }
+    planOf("top_orders", Composed.qComposedTopOrders(spark, sfSmoke))
+    // Q4 shape: EXISTS is a left SEMI join, never a per-row subquery
+    val ex = planOf("priority_exists",
+      Composed.qComposedPriorityExists(spark, sfSmoke))
+    assert(ex.contains("LeftSemi"), s"EXISTS should be a semi join:\n$ex")
+    // attribution rides asofBackward: its windows partition by the key
+    val attr = graft.ops.cdc.Quality.qAttribution(spark, sfSmoke)
+    attr.collect()
+    val attrWins = walk(attr.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(attrWins.nonEmpty)
+    attrWins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"attribution: unpartitioned window:\n$w"))
+    // rollcorr: the only window runs over the post-aggregation daily
+    // frame — no join anywhere in the plan
+    val rc = graft.ops.relational.Resample.qTsRollcorr(spark, sfSmoke)
+    rc.collect()
+    assert(!walk(rc.queryExecution.executedPlan)
+      .exists(_.nodeName.toLowerCase.contains("join")),
+      "rollcorr must not join")
+    // retention: user-keyed join only — never a loop join
+    planOf("retention", graft.ops.cdc.Quality.qRetention(spark, sfSmoke))
+  }
+
   test("r10 plan shapes: nearest as-of and the perceptual near-dups " +
       "never nested-loop; rollback and hashed-features windows/aggs " +
       "stay partitioned and bounded") {
