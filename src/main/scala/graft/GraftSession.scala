@@ -47,5 +47,6 @@ object GraftSession {
     functions.CharShingles.register(spark)
     functions.KllSketchAgg.register(spark)
     functions.FreqSketchAgg.register(spark)
+    functions.JaroWinkler.register(spark)
   }
 }

@@ -126,5 +126,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_freq_agg"),
       new ExpressionInfo(classOf[FreqSketchAgg].getName, "graft_freq_agg"),
       (exprs: Seq[Expression]) => FreqSketchAgg.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler.fromExprs(exprs)))
   }
 }

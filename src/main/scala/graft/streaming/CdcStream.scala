@@ -282,6 +282,42 @@ object CdcStream {
       .start()
   }
 
+  /** Heavy-hitter sibling of [[quantileMaintainedSink]]: one
+    * continuous query merges change events into the target AND keeps
+    * the [[graft.ops.cdc.FreqMaintain]] per-group frequent-items
+    * profile fresh — "top items per group" dashboards read a
+    * bucket-pruned table of mergeable sketch blobs, never the source.
+    * Identical exactly-once composition (the profile is a txn-guarded
+    * upsert target; crash between merge and maintenance = stale-but-
+    * honest, caught up next trigger; replayed batch = metadata no-op
+    * on both). */
+  def freqMaintainedSink(changes: DataFrame, targetDir: String,
+                         fDir: String, checkpointDir: String,
+                         keyCol: String, lsnCol: String, opCol: String,
+                         valueCols: Seq[String], groupCols: Seq[String],
+                         itemCol: String, maxMapSize: Int = 256,
+                         nBuckets: Int = 16,
+                         fBuckets: Int = 16): StreamingQuery = {
+    import graft.ops.cdc.FreqMaintain
+    val spark = changes.sparkSession
+    changes.dropDuplicates(lsnCol)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(spark, batch, batchId, targetDir, checkpointDir,
+          keyCol, lsnCol, opCol, valueCols, nBuckets)
+        seedOrMaintain(spark, fDir) {
+          FreqMaintain.init(spark, targetDir, fDir, groupCols,
+            itemCol, maxMapSize, fBuckets): Unit
+        } {
+          FreqMaintain.maintain(spark, targetDir, fDir,
+            itemCol, maxMapSize): Unit
+        }
+      }
+      .start()
+  }
+
   /** Point-lookup acceleration sibling of [[maintainedAggregateSink]]:
     * one continuous query merges change events into the
     * bucket-partitioned target AND keeps a
