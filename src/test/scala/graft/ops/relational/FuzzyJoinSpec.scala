@@ -1,0 +1,58 @@
+package graft.ops.relational
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Blocked Jaro-Winkler join: planted typos match their originals,
+  * oversized blocks overflow observably instead of pairing (and the
+  * surviving blocks' pairs are bit-identical to the uncapped run),
+  * and the candidate generator is an equi join — never a loop join. */
+class FuzzyJoinSpec extends SparkSpec {
+
+  test("planted typos match; cap-and-flag excludes the hot block; " +
+      "surviving pairs equal the uncapped run; plan is an equi join") {
+    import spark.implicits._
+    val refs = (Seq("alpha rotor", "alpha stator", "beta casing",
+      "gamma valve", "delta pump") ++
+      // a boilerplate-prefix family: 60 names sharing block 'bpx'
+      (1 to 60).map(i => f"bpx item $i%03d")).toDF("name")
+    // probes: adjacent transposition past the block for the 5 organic
+    // names + one boilerplate probe
+    val probes = Seq("alpah rotor", "alpah stator", "beat casing",
+      "gamam valve", "detla pump", "bpx itme 001").toDF("probe")
+
+    val (pairs, overflow) = FuzzyJoin.blockedJaroWithStats(
+      probes, refs, "probe", "name", blockLen = 3, threshold = 0.85,
+      maxBlockSize = 50)
+    val got = pairs.select($"probe", $"name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // corruptions PAST the block match ('alpah' keeps block 'alp',
+    // 'gamam' keeps 'gam'); corruptions INSIDE the prefix ('beat'
+    // block 'bea' vs 'bet', 'detla' block 'det' vs 'del') are the
+    // scaladoc's stated limitation — prefix blocking cannot recall
+    // them, a second pass on a different key would
+    assert(got.contains(("alpah rotor", "alpha rotor")))
+    assert(got.contains(("alpah stator", "alpha stator")))
+    assert(got.contains(("gamam valve", "gamma valve")))
+    assert(!got.exists(_._1 == "detla pump"),
+      "inside-prefix corruption must miss under prefix blocking")
+    assert(!got.exists(_._1 == "beat casing"))
+    // the hot block overflowed: flagged with its size, no bpx pairs
+    val of = overflow.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(of === Map("bpx" -> 60L))
+    assert(!got.exists(_._1.startsWith("bpx")),
+      "capped block must not pair")
+    // surviving blocks: bit-identical to the uncapped run
+    val (uncapped, _) = FuzzyJoin.blockedJaroWithStats(
+      probes, refs, "probe", "name", blockLen = 3, threshold = 0.85,
+      maxBlockSize = 1000000)
+    assert(pairs.select($"probe", $"name", $"jw")
+      .exceptAll(uncapped.filter(!$"name".startsWith("bpx"))
+        .select($"probe", $"name", $"jw")).isEmpty)
+    // candidate generation is an equi join on the block key
+    val s = pairs.queryExecution.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"), s)
+  }
+}
