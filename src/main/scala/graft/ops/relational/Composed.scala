@@ -157,7 +157,96 @@ object Composed {
           .as("promo_share_pct"))
   }
 
+  /** TPC-H Q18 shape: large-volume orders — customers whose single
+    * order exceeds 300 units, via an IN-subquery over an aggregate
+    * (rewritten by Catalyst to a semi join against the grouped
+    * frame). Quantities are integral doubles (probed), so the
+    * HAVING threshold compares exact sums — no float boundary. */
+  def qComposedBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val big = li.groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("q")).filter($"q" > 300.0)
+      .select($"l_orderkey".as("bk"))
+    val ord = Tables.table(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val cust = Tables.table(spark, dir, "customer")
+      .select($"c_custkey", $"c_name")
+    ord.join(big, $"o_orderkey" === $"bk", "left_semi")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(li, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice")
+      .agg(round(sum($"l_quantity"), 2).as("total_qty"))
+      // o_totalprice is a RAW parquet double (bit-identical on both
+      // engines) — ordering by it + the key tie is engine-stable
+      // without the rounded-measure rule aggregates need
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q7 shape: trade volume between two nations by year and
+    * direction (supplier nation → customer nation) — the two-sided
+    * dimension filter with the OR-of-directions predicate. Both
+    * nation lookups broadcast; the year comes off the ship date. */
+  def qComposedNationTrade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.table(spark, dir, "nation")
+      .select($"n_nationkey", $"n_name")
+    val supp = Tables.table(spark, dir, "supplier")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables.table(spark, dir, "customer")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val ord = Tables.table(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("l_year"))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** TPC-H Q19 shape: discounted revenue under an OR-of-ANDs
+    * predicate over part attributes and line quantities — the
+    * disjunctive-pushdown stress case (each disjunct pairs a brand
+    * with a size band and a quantity band; Catalyst extracts the
+    * common join key and pushes the residual). */
+  def qComposedDisjunct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.table(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+    val part = Tables.table(spark, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_size")
+    val cond =
+      ($"p_brand" === "Brand#1" && $"p_size".between(1, 10) &&
+        $"l_quantity".between(1.0, 15.0)) ||
+      ($"p_brand" === "Brand#2" && $"p_size".between(11, 25) &&
+        $"l_quantity".between(10.0, 25.0)) ||
+      ($"p_brand" === "Brand#3" && $"p_size".between(26, 50) &&
+        $"l_quantity".between(20.0, 40.0))
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .filter(cond)
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_composed_big_orders" -> (qComposedBigOrders _),
+    "q_composed_nation_trade" -> (qComposedNationTrade _),
+    "q_composed_disjunct" -> (qComposedDisjunct _),
     "q_composed_top_orders" -> (qComposedTopOrders _),
     "q_composed_local_volume" -> (qComposedLocalVolume _),
     "q_composed_priority_exists" -> (qComposedPriorityExists _),
@@ -166,6 +255,44 @@ object Composed {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_composed_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_composed_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_composed_disjunct" ->
+      """SELECT
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 1.0 AND 15.0)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+        |        AND l_quantity BETWEEN 10.0 AND 25.0)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+        |        AND l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin,
     "q_composed_top_orders" ->
       """SELECT l_orderkey,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

@@ -274,10 +274,16 @@ class ScaleSpec extends SparkSpec {
         s"$tag: bounded dim should broadcast:\n$s")
     }
     planOf("top_orders", Composed.qComposedTopOrders(spark, sfSmoke))
+    planOf("nation_trade", Composed.qComposedNationTrade(spark, sfSmoke))
+    planOf("disjunct", Composed.qComposedDisjunct(spark, sfSmoke))
     // Q4 shape: EXISTS is a left SEMI join, never a per-row subquery
     val ex = planOf("priority_exists",
       Composed.qComposedPriorityExists(spark, sfSmoke))
     assert(ex.contains("LeftSemi"), s"EXISTS should be a semi join:\n$ex")
+    // Q18 shape: the IN-over-aggregate rewrites to a semi join too
+    val big = planOf("big_orders",
+      Composed.qComposedBigOrders(spark, sfSmoke))
+    assert(big.contains("LeftSemi"), s"IN should be a semi join:\n$big")
     // attribution rides asofBackward: its windows partition by the key
     val attr = graft.ops.cdc.Quality.qAttribution(spark, sfSmoke)
     attr.collect()
