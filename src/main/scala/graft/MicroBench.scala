@@ -250,6 +250,32 @@ object MicroBench {
         println(s"WARNING: KLL bytes not lower ($ba vs $be) — groups may be " +
           "too small for the sketch to undercut raw values at this scale")
     }
+
+    // Jaro-Winkler: the native codegen kernel vs the same algorithm
+    // as a Scala UDF — measures the Row-boxing + codegen-boundary tax
+    // alone (identical arithmetic, byte-identical results asserted),
+    // on the fuzzy-join candidate workload (every customer name
+    // against 200 probe names).
+    {
+      functions.JaroWinkler.register(spark)
+      val jwUdf = udf { (a: String, b: String) =>
+        if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(functions.JaroWinkler.similarity(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+      }
+      val names = Tables.table(spark, sfDir, "customer").select($"c_name")
+      val probes = names.limit(200).select($"c_name".as("p"))
+      def work(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+          => org.apache.spark.sql.Column): Double =
+        names.crossJoin(broadcast(probes))
+          .select(sum(f($"c_name", $"p")).as("s")).head().getDouble(0)
+      work(functions.JaroWinkler.jaro_winkler); work(jwUdf(_, _)) // warmup
+      val n = time("NATIVE graft_jaro_winkler")(
+        work(functions.JaroWinkler.jaro_winkler))
+      val u = time("UDF    same kernel boxed ")(work(jwUdf(_, _)))
+      assert(n == u, s"results diverge: $n vs $u")
+    }
     spark.stop()
   }
 }

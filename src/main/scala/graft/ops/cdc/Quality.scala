@@ -156,6 +156,36 @@ object Quality {
       .orderBy($"purchase_id")
   }
 
+  /** Event pathing: the per-user transition matrix (event_type →
+    * next event_type) with counts and per-source shares — the Markov
+    * first-order view funnels/retention summarize away ("after a
+    * view, what happens next?"). Completes the product-analytics
+    * quartet.
+    *
+    * Scale shape: ONE per-user window pass (the q_sessionize sort)
+    * builds the transition pairs narrowly; the count shuffle carries
+    * (from, to) vocabulary pairs, never events; the share is an
+    * exact-integer division over the POST-AGGREGATION frame (≤
+    * |types|² rows — the q_llm_mix rule). Share = integer-div 4dp
+    * (PARITY rule 5: cnt·10000 DIV total / 10000.0 — exact on both
+    * engines, no double sum ever exists). */
+  def qPathing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.table(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"event_type".as("from_type"))
+      .withColumn("to_type", lead($"from_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+    val counts = pairs.groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("cnt"))
+    val wsrc = Window.partitionBy($"from_type")
+    counts
+      .withColumn("src_total", sum($"cnt").over(wsrc))
+      .select($"from_type", $"to_type", $"cnt",
+        (expr("(10000 * cnt) DIV src_total") / 10000.0).as("share"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   /** Histogram: fixed-width value binning over order totals. */
   def qHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -176,6 +206,7 @@ object Quality {
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_attribution" -> (qAttribution _),
+    "q_pathing" -> (qPathing _),
     "q_histogram" -> (qHistogram _)
   )
 
@@ -267,6 +298,23 @@ object Quality {
         |  CASE WHEN c_ts >= p_ts - INTERVAL 3 DAYS THEN c_ts END AS c_ts
         |FROM j WHERE rk = 1
         |ORDER BY purchase_id""".stripMargin,
+    // transition pairs off ONE per-user ordered window; share is the
+    // exact integer-div 4dp (PARITY rule 5) — no double sums exist
+    "q_pathing" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT from_type, to_type, count(*) AS cnt
+        |  FROM pairs WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, cnt,
+        |  ((10000 * cnt) // sum(cnt) OVER (PARTITION BY from_type))
+        |    / 10000.0 AS share
+        |FROM counts
+        |ORDER BY from_type, to_type""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |  count(*) AS n,
