@@ -48,5 +48,6 @@ object GraftSession {
     functions.KllSketchAgg.register(spark)
     functions.FreqSketchAgg.register(spark)
     functions.JaroWinkler.register(spark)
+    functions.ThetaSketchAgg.register(spark)
   }
 }

@@ -130,5 +130,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinkler.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_agg"),
+      (exprs: Seq[Expression]) => ThetaSketchAgg.fromExprs(exprs)))
   }
 }
