@@ -550,6 +550,27 @@ object ScaleSmoke {
         s"$orientedMax sqrtE=${math.sqrt(nE.toDouble).toInt} — orientation " +
         "bounds the wedge fan-out, no skew split needed")
     }
+    // round-11 operators at 10x: the composed multi-join plans over
+    // 6M lineitem / 1.5M orders, the product-analytics trio additions
+    // over 1M events, the blocked fuzzy join, and the theta audience
+    time("composed top_orders (Q3)") {
+      ops.relational.Composed.qComposedTopOrders(spark, work).count() }
+    time("composed local_volume (Q5)") {
+      ops.relational.Composed.qComposedLocalVolume(spark, work).count() }
+    time("composed big_orders (Q18)") {
+      ops.relational.Composed.qComposedBigOrders(spark, work).count() }
+    time("retention (1M events)") {
+      ops.cdc.Quality.qRetention(spark, work).count() }
+    time("attribution (1M events)") {
+      ops.cdc.Quality.qAttribution(spark, work).count() }
+    time("pathing (1M events)") {
+      ops.cdc.Quality.qPathing(spark, work).count() }
+    time("fuzzy join (blocked)") {
+      ops.relational.FuzzyJoin.qJoinFuzzy(spark, work).count() }
+    time("theta audience (1.5M ord)") {
+      ops.relational.SetOps.qSetThetaAudience(spark, work).count() }
+    time("rollcorr (1M events)") {
+      ops.relational.Resample.qTsRollcorr(spark, work).count() }
     spark.stop()
   }
 }
