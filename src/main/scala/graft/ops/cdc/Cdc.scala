@@ -654,4 +654,33 @@ object Cdc {
         lsn -> change
       }.toSeq
   }
+
+  /** Transactional-outbox event router (the Debezium outbox pattern):
+    * applications write domain events into an `outbox` table in the
+    * SAME transaction as the state change; the CDC pipeline captures
+    * that table and ROUTES each event to a per-aggregate-type topic,
+    * keyed by aggregate id, in commit order. This is the last mile of
+    * the pattern: dedup at-least-once redelivery by message id (the
+    * tool-side idempotence Debezium leaves to consumers), derive the
+    * destination from the aggregate type, and stamp a PER-AGGREGATE
+    * sequence so a consumer can detect its own gaps.
+    *
+    * Scale shape: the dedup is a (msgId) first-wins compaction (one
+    * shuffle, the compact() shape); the sequence window partitions by
+    * (type, aggregate id) — maximal parallelism, no topic-sized
+    * serialization (a topic is corpus-sized; an aggregate is not).
+    * Routing itself is a narrow projection. */
+  def routeOutbox(outbox: DataFrame, msgIdCol: String, typeCol: String,
+                  aggIdCol: String, orderCol: String,
+                  topicPrefix: String = "outbox.event."): DataFrame = {
+    val first = Window.partitionBy(col(msgIdCol))
+      .orderBy(col(orderCol).asc)
+    val seqW = Window.partitionBy(col(typeCol), col(aggIdCol))
+      .orderBy(col(orderCol).asc)
+    outbox
+      .withColumn("__rn", row_number().over(first))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("topic", concat(lit(topicPrefix), col(typeCol)))
+      .withColumn("agg_seq", row_number().over(seqW))
+  }
 }

@@ -707,6 +707,34 @@ object CdcQueries {
       .orderBy($"pk")
   }
 
+  /** Transactional-outbox routing ([[Cdc.routeOutbox]] — the Debezium
+    * outbox event-router pattern): an outbox frame derived in-query
+    * from the change log (aggregate type keyed off pk%3, payload a
+    * JSON template), with at-least-once REDELIVERY planted (every
+    * lsn%37=0 message appears twice) — the router must dedup by
+    * message id, route to the per-type topic, and stamp a
+    * per-aggregate sequence. The oracle replays dedup + routing +
+    * sequencing in SQL; the hash match certifies winner selection,
+    * topic derivation, and the gap-free per-aggregate ordering. */
+  def qCdcOutbox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val outbox0 = changeLog(spark, dir).select(
+      $"lsn".as("msg_id"),
+      when($"pk" % 3 === 0, "order")
+        .when($"pk" % 3 === 1, "customer")
+        .otherwise("shipment").as("agg_type"),
+      $"pk".as("agg_id"), $"op", $"lsn",
+      // DECIMAL(12,2) canonicalizes the double's string form (the
+      // bal_s rule) — raw double→string formatting differs per engine
+      concat(lit("{\"op\":\""), $"op", lit("\",\"v\":"),
+        $"after_value".cast(DecimalType(12, 2)).cast(StringType),
+        lit("}")).as("payload"))
+    val outbox = outbox0.unionByName(outbox0.filter($"lsn" % 37 === 0))
+    Cdc.routeOutbox(outbox, "msg_id", "agg_type", "agg_id", "lsn")
+      .select($"topic", $"agg_id", $"agg_seq", $"op", $"payload")
+      .orderBy($"topic", $"agg_id", $"agg_seq")
+  }
+
   /** Order-insensitive per-table fingerprints (customer + orders). */
   def qCdcChecksum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -811,6 +839,7 @@ object CdcQueries {
     "q_cdc_audit" -> (qCdcAudit _),
     "q_cdc_diff" -> (qCdcDiff _),
     "q_cdc_repair" -> (qCdcRepair _),
+    "q_cdc_outbox" -> (qCdcOutbox _),
     "q_cdc_checksum" -> (qCdcChecksum _)
   )
 
@@ -1344,6 +1373,38 @@ object CdcQueries {
         |FROM j
         |WHERE NOT (rpk IS NOT NULL AND epk IS NOT NULL AND e_fp = a_fp)
         |ORDER BY pk""".stripMargin,
+    // dedup winner + topic + per-aggregate sequencing replayed in SQL
+    "q_cdc_outbox" ->
+      """WITH log AS (
+        |  SELECT event_id AS lsn, user_id AS pk,
+        |    CASE event_type WHEN 'signup' THEN 'c'
+        |                    WHEN 'error'  THEN 'd'
+        |                    ELSE 'u' END AS op,
+        |    value AS after_value
+        |  FROM events),
+        |outbox0 AS (
+        |  SELECT lsn AS msg_id,
+        |    CASE WHEN pk % 3 = 0 THEN 'order'
+        |         WHEN pk % 3 = 1 THEN 'customer'
+        |         ELSE 'shipment' END AS agg_type,
+        |    pk AS agg_id, op, lsn,
+        |    concat('{"op":"', op, '","v":',
+        |      after_value::DECIMAL(12,2)::VARCHAR, '}') AS payload
+        |  FROM log),
+        |outbox AS (
+        |  SELECT * FROM outbox0
+        |  UNION ALL SELECT * FROM outbox0 WHERE lsn % 37 = 0),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY msg_id
+        |      ORDER BY lsn ASC) AS rn FROM outbox)
+        |  WHERE rn = 1)
+        |SELECT concat('outbox.event.', agg_type) AS topic, agg_id,
+        |  row_number() OVER (PARTITION BY agg_type, agg_id
+        |    ORDER BY lsn ASC) AS agg_seq,
+        |  op, payload
+        |FROM deduped
+        |ORDER BY topic, agg_id, agg_seq""".stripMargin,
     // direct value compare (IS DISTINCT FROM) — certifies the
     // fingerprint-based detection against plain-value ground truth
     "q_cdc_repair" ->
