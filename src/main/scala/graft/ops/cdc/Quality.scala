@@ -156,6 +156,44 @@ object Quality {
       .orderBy($"purchase_id")
   }
 
+  /** Cohort lifetime value: cumulative purchase cents per first-
+    * active-week cohort, by weeks-since — the revenue companion of
+    * [[qRetention]] (retention counts who comes back; LTV counts what
+    * they spend). Per-user-average LTV is the growth metric the
+    * cohort chart plots.
+    *
+    * Scale shape: one (cohort, week) rollup shuffle after the
+    * user-keyed cohort join (the qRetention shape carrying cents);
+    * the cumulative window and the per-user division run over the
+    * calendar-sized aggregate (q_llm_mix rule). Cents are exact
+    * BIGINTs; ltv_per_user is ONE double division of two exact
+    * BIGINTs, 4 dp (value_idx rule). */
+  def qLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+      .select($"user_id", date_trunc("week", $"ts").as("wk"),
+        when($"event_type" === "purchase",
+          round($"value" * 100).cast("long")).otherwise(0L).as("cents"))
+    val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    val weekly = ev.join(cohort, "user_id")
+      .withColumn("week_n",
+        ((unix_timestamp($"wk") - unix_timestamp($"cohort")) / 604800)
+          .cast("long"))
+      .groupBy($"cohort", $"week_n")
+      .agg(sum($"cents").as("week_cents"),
+        countDistinct($"user_id").as("active_users"))
+    val cohortSize = cohort.groupBy($"cohort")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cum = Window.partitionBy($"cohort").orderBy($"week_n")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly.join(cohortSize, "cohort")
+      .withColumn("cum_cents", sum($"week_cents").over(cum))
+      .select($"cohort", $"week_n", $"cohort_users", $"active_users",
+        $"week_cents", $"cum_cents",
+        round($"cum_cents" / $"cohort_users", 4).as("ltv_per_user"))
+      .orderBy($"cohort", $"week_n")
+  }
+
   /** Event pathing: the per-user transition matrix (event_type →
     * next event_type) with counts and per-source shares — the Markov
     * first-order view funnels/retention summarize away ("after a
@@ -207,6 +245,7 @@ object Quality {
     "q_retention" -> (qRetention _),
     "q_attribution" -> (qAttribution _),
     "q_pathing" -> (qPathing _),
+    "q_ltv" -> (qLtv _),
     "q_histogram" -> (qHistogram _)
   )
 
@@ -298,6 +337,31 @@ object Quality {
         |  CASE WHEN c_ts >= p_ts - INTERVAL 3 DAYS THEN c_ts END AS c_ts
         |FROM j WHERE rk = 1
         |ORDER BY purchase_id""".stripMargin,
+    // cents exact BIGINT; one double division of exact operands 4dp
+    "q_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('week', ts)::TIMESTAMP AS wk,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN round(value * 100)::BIGINT ELSE 0 END AS cents
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+        |weekly AS (
+        |  SELECT cohort,
+        |    ((epoch(wk)::BIGINT - epoch(cohort)::BIGINT) / 604800)::BIGINT
+        |      AS week_n,
+        |    sum(cents)::BIGINT AS week_cents,
+        |    count(DISTINCT ev.user_id) AS active_users
+        |  FROM ev JOIN c USING (user_id)
+        |  GROUP BY cohort, week_n),
+        |sz AS (SELECT cohort, count(*) AS cohort_users FROM c GROUP BY cohort)
+        |SELECT w.cohort, w.week_n, sz.cohort_users, w.active_users,
+        |  w.week_cents,
+        |  (sum(w.week_cents) OVER (PARTITION BY w.cohort ORDER BY w.week_n
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS cum_cents,
+        |  round(cum_cents / cohort_users, 4) AS ltv_per_user
+        |FROM weekly w JOIN sz USING (cohort)
+        |ORDER BY w.cohort, w.week_n""".stripMargin,
     // transition pairs off ONE per-user ordered window; share is the
     // exact integer-div 4dp (PARITY rule 5) — no double sums exist
     "q_pathing" ->

@@ -111,12 +111,57 @@ object Ranking {
       .orderBy($"lang", $"rk")
   }
 
+  /** ROUGE-1 overlap on DISTINCT unigrams between adjacent document
+    * pairs — the eval-metric rung of the text stack (summarization /
+    * paraphrase scoring reads exactly this number; the distinct-set
+    * form keeps every ratio exact). Candidate = doc, reference =
+    * doc+1: precision = |∩|/|cand|, recall = |∩|/|ref|, F1 =
+    * 2|∩|/(|cand|+|ref|) — each ONE exact-integer division, 4 dp
+    * (PARITY rule 5; no float sums exist anywhere). Shape: narrow
+    * per-doc distinct-token build (the q_llm_ngram_jaccard adjacent-
+    * pair join, token flavor), shuffle carries (doc, token-set)
+    * pairs once. */
+  def qLlmRouge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.table(spark, dir, "documents")
+      .select($"doc_id", array_distinct(split($"text", " ")).as("t"))
+    val a = toks.select($"doc_id".as("cand_id"), $"t".as("tc"))
+    val b = toks.select(($"doc_id" - 1).as("cand_id"),
+      $"doc_id".as("ref_id"), $"t".as("tr"))
+    a.join(b, "cand_id")
+      .withColumn("i_len", size(array_intersect($"tc", $"tr")).cast("long"))
+      .withColumn("c_len", size($"tc").cast("long"))
+      .withColumn("r_len", size($"tr").cast("long"))
+      .select($"cand_id", $"ref_id", $"i_len", $"c_len", $"r_len",
+        (expr("(10000 * i_len) DIV c_len") / 10000.0).as("p_4dp"),
+        (expr("(10000 * i_len) DIV r_len") / 10000.0).as("r_4dp"),
+        (expr("(20000 * i_len) DIV (c_len + r_len)") / 10000.0).as("f1_4dp"))
+      .orderBy($"cand_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_rouge" -> (qLlmRouge _),
     "q_llm_bm25" -> (qLlmBm25 _),
     "q_llm_pmi" -> (qLlmPmi _)
   )
 
   val oracle: Map[String, String] = Map(
+    // every ratio one exact-integer division (PARITY rule 5)
+    "q_llm_rouge" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS cand_id, b.doc_id AS ref_id,
+        |    len(list_intersect(a.t, b.t))::BIGINT AS i_len,
+        |    len(a.t)::BIGINT AS c_len, len(b.t)::BIGINT AS r_len
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1)
+        |SELECT cand_id, ref_id, i_len, c_len, r_len,
+        |  ((10000 * i_len) // c_len) / 10000.0 AS p_4dp,
+        |  ((10000 * i_len) // r_len) / 10000.0 AS r_4dp,
+        |  ((20000 * i_len) // (c_len + r_len)) / 10000.0 AS f1_4dp
+        |FROM pairs
+        |ORDER BY cand_id""".stripMargin,
     // identical literal operand order in idf and the saturation
     // denominator; the per-doc sum (≤4 addends) rounds to 4 dp and
     // the cut window orders by the ROUNDED score with doc_id ties
