@@ -81,7 +81,23 @@ object Subqueries {
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin)
 
+  /** LATERAL correlated subquery in FROM — the "top-n per outer row"
+    * SQL idiom (Spark 3.2+ LATERAL support; Catalyst decorrelates to
+    * a ranked join, never a per-row re-execution). Top-2 customers by
+    * balance per nation; ordering ties broken by name so the LIMIT
+    * cut is deterministic on both engines; acctbal is a RAW parquet
+    * double (bit-identical cross-engine — PARITY rule 28). */
+  def qLateral(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateral" -> (qLateral _),
     "q_subquery_scalar" -> (qSubqueryScalar _),
     "q_subquery_in" -> (qSubqueryIn _),
     "q_subquery_exists" -> (qSubqueryExists _),
@@ -91,6 +107,13 @@ object Subqueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lateral" ->
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
     "q_subquery_scalar" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders
