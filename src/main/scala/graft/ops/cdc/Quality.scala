@@ -156,6 +156,32 @@ object Quality {
       .orderBy($"purchase_id")
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands engagement metric (the "N-day streak" badge).
+    * Island key = epoch-day index minus the per-user row number over
+    * distinct active days: consecutive days share it, any gap breaks
+    * it — pure exact-integer arithmetic, zero drift.
+    *
+    * Scale shape: the stream reduces to DISTINCT (user, day) FIRST
+    * (the qRetention rule); the island window partitions per user
+    * (maximal parallelism); streak lengths and the per-user max are
+    * two more aggregations of the already-user-day-sized frame. */
+  def qStreak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.table(spark, dir, "events")
+      .select($"user_id", date_trunc("day", $"ts").as("d"))
+      .distinct()
+      .withColumn("di", (unix_timestamp($"d") / 86400).cast("long"))
+    val w = Window.partitionBy($"user_id").orderBy($"di")
+    days
+      .withColumn("grp", $"di" - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(sum($"len").as("active_days"), max($"len").as("longest_streak"))
+      .orderBy($"user_id")
+  }
+
   /** Cohort lifetime value: cumulative purchase cents per first-
     * active-week cohort, by weeks-since — the revenue companion of
     * [[qRetention]] (retention counts who comes back; LTV counts what
@@ -246,6 +272,7 @@ object Quality {
     "q_attribution" -> (qAttribution _),
     "q_pathing" -> (qPathing _),
     "q_ltv" -> (qLtv _),
+    "q_streak" -> (qStreak _),
     "q_histogram" -> (qHistogram _)
   )
 
@@ -337,6 +364,23 @@ object Quality {
         |  CASE WHEN c_ts >= p_ts - INTERVAL 3 DAYS THEN c_ts END AS c_ts
         |FROM j WHERE rk = 1
         |ORDER BY purchase_id""".stripMargin,
+    // island key = epoch-day index − per-user row number: exact ints
+    "q_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS d
+        |  FROM events),
+        |idx AS (
+        |  SELECT user_id,
+        |    (epoch(d)::BIGINT / 86400)::BIGINT
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, grp, count(*) AS len
+        |  FROM idx GROUP BY user_id, grp)
+        |SELECT user_id, sum(len)::BIGINT AS active_days,
+        |  max(len)::BIGINT AS longest_streak
+        |FROM streaks GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // cents exact BIGINT; one double division of exact operands 4dp
     "q_ltv" ->
       """WITH ev AS (

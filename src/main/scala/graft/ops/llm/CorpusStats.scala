@@ -169,7 +169,48 @@ object CorpusStats {
       .orderBy($"lang")
   }
 
+  /** Cross-source duplication matrix: for every ordered source pair
+    * (A, B), how many of A's docs have content (exact sha-class hash)
+    * that also appears in B — the corpus-governance readout that
+    * decides which crawl to dedup AGAINST which (the published
+    * web-corpus reports' overlap tables). Per-doc counts and distinct
+    * shared hashes, exact integers.
+    *
+    * Scale shape: docs reduce to (source, hash) pairs; B's side is
+    * DISTINCT (source, hash) BEFORE the join (≪ docs), the join keys
+    * on the hash (the q_llm_dedup_exact compaction key — bucketable
+    * at 100 TB), and the matrix aggregation is ≤ |sources|² rows. */
+  def qLlmCrossdup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.table(spark, dir, "documents")
+    // the corpus has NO organic cross-source exact duplicates (probed
+    // 0 rows at both SFs) — plant mirror docs so the key is
+    // non-vacuous (round-3 rule): every doc_id % 25 == 3 is re-hosted
+    // VERBATIM under the next source (ids from max+1 via broadcast
+    // scalar — the q_llm_gopher scale-safe pattern, never an
+    // unpartitioned window)
+    val mx = docs.agg(max($"doc_id").as("__max"))
+    val mirrors = docs
+      .filter($"doc_id" % 25 === 3)
+      .crossJoin(broadcast(mx))
+      .select(($"__max" + $"doc_id" + 1).as("doc_id"),
+        concat(lit("src"),
+          ((regexp_extract($"source", "([0-9]+)", 1).cast("int") + 1) % 20)
+            .cast("string")).as("source"),
+        $"text")
+    val d = docs.select($"doc_id", $"source", $"text")
+      .unionByName(mirrors)
+      .select($"doc_id", $"source", md5($"text").as("h"))
+    val hs = d.select($"source".as("src_b"), $"h".as("hb")).distinct()
+    d.join(hs, $"h" === $"hb" && $"source" =!= $"src_b")
+      .groupBy($"source".as("src_a"), $"src_b")
+      .agg(count(lit(1)).as("dup_docs"),
+        countDistinct($"h").as("dup_hashes"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_crossdup" -> (qLlmCrossdup _),
     "q_llm_vocab_coverage" -> (qLlmVocabCoverage _),
     "q_llm_curriculum" -> (qLlmCurriculum _),
     "q_llm_keywords" -> (qLlmKeywords _),
@@ -177,6 +218,28 @@ object CorpusStats {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact integer counts; distinct (source, hash) before the join
+    "q_llm_crossdup" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |mirrors AS (
+        |  SELECT mx.m + doc_id + 1 AS doc_id,
+        |    concat('src',
+        |      ((regexp_extract(source, '([0-9]+)', 1)::INT + 1) % 20)::VARCHAR)
+        |      AS source,
+        |    text
+        |  FROM documents, mx WHERE doc_id % 25 = 3),
+        |alldocs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id, source, text FROM mirrors),
+        |d AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM alldocs),
+        |hs AS (SELECT DISTINCT source AS src_b, h FROM d)
+        |SELECT d.source AS src_a, hs.src_b,
+        |  count(*) AS dup_docs,
+        |  count(DISTINCT d.h) AS dup_hashes
+        |FROM d JOIN hs ON d.h = hs.h AND d.source <> hs.src_b
+        |GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // same literal targets; epochs = one division of exact BIGINTs
     "q_llm_mix_schedule" ->
       """WITH avail AS (
