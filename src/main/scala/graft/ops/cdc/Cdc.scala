@@ -655,6 +655,28 @@ object Cdc {
       }.toSeq
   }
 
+  /** Dead-letter REPLAY — the second half of the DLQ story
+    * ([[decodeWithDlq]] quarantines; this un-quarantines): apply a
+    * caller-supplied repair expression to the raw quarantined text,
+    * re-classify, and split into recovered typed rows (through the
+    * SAME envelope decode as the main path — no second parser to
+    * drift) and the still-dead remainder with its (possibly new)
+    * failure class. The repair rule is an expression, not a UDF —
+    * truncation/encoding fixes are string surgery, and keeping it in
+    * Catalyst keeps the replay a narrow map. Rows a repair does NOT
+    * change still re-classify (a transient schema-registry outage is
+    * the classic case where replaying UNCHANGED rows succeeds). */
+  def replayDlq(dlq: DataFrame, rawCol: String, payload: StructType,
+                repair: Column => Column,
+                allowedOps: Seq[String] = Seq("c", "u", "d", "r", "s", "t"))
+      : (DataFrame, DataFrame) = {
+    val repaired = dlq.withColumn("__repaired", repair(col(rawCol)))
+    val (good, bad) = decodeWithDlq(
+      repaired.select(col("__repaired").as(rawCol)), rawCol, payload,
+      allowedOps)
+    (good, bad.withColumnRenamed("raw", "repaired_raw"))
+  }
+
   /** Transactional-outbox event router (the Debezium outbox pattern):
     * applications write domain events into an `outbox` table in the
     * SAME transaction as the state change; the CDC pipeline captures

@@ -120,6 +120,85 @@ object CdcQueries {
     Cdc.dlqAudit(raw, "j").orderBy($"failure_class")
   }
 
+  /** DLQ replay ([[Cdc.replayDlq]]) on the q_cdc_badrecords fixture:
+    * the malformed class (truncated JSON — the producer-crash
+    * signature) is FIXABLE by re-appending the brace; badop/nolsn are
+    * semantic and stay dead. The key emits the RECOVERED rows decoded
+    * through the same envelope path as the main pipeline: exactly the
+    * lsn%13 plants (minus those also hit by a semantic corruption)
+    * come back, typed and ordered. The oracle rebuilds fixture +
+    * repair + decode in SQL. */
+  def qCdcDlqReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changeLog(spark, dir)
+      .withColumn("kind",
+        when($"lsn" % 13 === 0, "malformed")
+          .when($"lsn" % 17 === 0, "badop")
+          .when($"lsn" % 19 === 0, "nolsn")
+          .otherwise("ok"))
+    val j0 = concat(
+      lit("{\"op\":\""),
+      when($"kind" === "badop", lit("x")).otherwise($"op"),
+      lit("\",\"after\":{\"pk\":"), $"pk",
+      lit(",\"v\":"), $"after_value",
+      lit("},\"source\":{\"table\":\"events\",\"lsn\":"),
+      when($"kind" === "nolsn", lit("null")).otherwise($"lsn".cast(StringType)),
+      lit("},\"ts_ms\":"), unix_timestamp($"ts") * 1000,
+      lit("}"))
+    val raw = log.select(
+      when($"kind" === "malformed", j0.substr(lit(1), length(j0) - 1))
+        .otherwise(j0).as("j"))
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("v", DoubleType)))
+    val (_, dlq) = Cdc.decodeWithDlq(raw, "j", payload)
+    // repair rule: a truncated envelope (no trailing brace) gets it
+    // re-appended; anything else replays unchanged
+    val fix = (c: org.apache.spark.sql.Column) =>
+      when(substring(c, -1, 1) =!= "}", concat(c, lit("}"))).otherwise(c)
+    val (recovered, _) = Cdc.replayDlq(dlq, "raw", payload, fix)
+    recovered
+      .select($"lsn", $"op", $"after.pk".as("pk"), $"after.v".as("v"))
+      .orderBy($"lsn")
+  }
+
+  /** Additive schema evolution across the decode+apply path, oracled
+    * end-to-end (promotes the scalatest-only schema-drift row to a
+    * cross-engine key): a column `w` is ADDED to the wire payload
+    * mid-stream (present only for lsn past the half-way DDL cut —
+    * broadcast-scalar, scale-safe), the decoder reads the WHOLE log
+    * with the evolved schema (from_json null-fills the pre-DDL rows —
+    * the unionByName(allowMissingColumns) semantics at the wire
+    * level), and the apply yields a state where `w` is non-null
+    * exactly for keys last touched after the DDL. The oracle derives
+    * that closed form directly — no JSON machinery on its side. */
+  def qCdcEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = changeLog(spark, dir)
+    val mx = log.agg(max($"lsn").as("__mx"))
+    val tagged = log.crossJoin(broadcast(mx))
+    val hasW = expr("lsn > __mx DIV 2")
+    val env = concat(
+      lit("{\"op\":\""), $"op",
+      lit("\",\"after\":{\"pk\":"), $"pk",
+      lit(",\"v\":"), $"after_value".cast(DecimalType(12, 2)).cast(StringType),
+      when(hasW, concat(lit(",\"w\":"),
+        ($"pk" * 10 + $"lsn" % 7).cast(StringType))).otherwise(lit("")),
+      lit("},\"source\":{\"table\":\"events\",\"lsn\":"), $"lsn",
+      lit("},\"ts_ms\":0}"))
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("v", DoubleType),
+      StructField("w", LongType)))
+    val decoded = Cdc.decode(
+        tagged.select($"lsn".as("event_id"), env.as("j")), "j", payload)
+      .select($"lsn", $"op", $"after.pk".as("pk"),
+        $"after.v".as("v"), $"after.w".as("w"))
+    val snap = Tables.table(spark, dir, "customer")
+      .select($"c_custkey".as("pk"), $"c_acctbal".as("v"),
+        lit(null).cast(LongType).as("w"))
+    Cdc.apply(snap, decoded, Seq("pk"), "lsn", "op", Seq("v", "w"))
+      .orderBy($"pk")
+  }
+
   /** Initial snapshot (op='r') unioned with incrementals, lsn-ordered. */
   def qCdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -840,6 +919,8 @@ object CdcQueries {
     "q_cdc_diff" -> (qCdcDiff _),
     "q_cdc_repair" -> (qCdcRepair _),
     "q_cdc_outbox" -> (qCdcOutbox _),
+    "q_cdc_dlq_replay" -> (qCdcDlqReplay _),
+    "q_cdc_evolve" -> (qCdcEvolve _),
     "q_cdc_checksum" -> (qCdcChecksum _)
   )
 
@@ -1373,6 +1454,46 @@ object CdcQueries {
         |FROM j
         |WHERE NOT (rpk IS NOT NULL AND epk IS NOT NULL AND e_fp = a_fp)
         |ORDER BY pk""".stripMargin,
+    // closed form: w non-null exactly for keys last touched past the
+    // DDL cut; v parse-back equals the DECIMAL value on both engines
+    "q_cdc_evolve" ->
+      """WITH log AS (
+        |  SELECT event_id AS lsn, user_id AS pk,
+        |    CASE event_type WHEN 'signup' THEN 'c'
+        |                    WHEN 'error'  THEN 'd'
+        |                    ELSE 'u' END AS op,
+        |    value AS after_value
+        |  FROM events),
+        |mx AS (SELECT max(lsn) AS mx FROM log),
+        |last AS (
+        |  SELECT pk, lsn, op, after_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY pk
+        |      ORDER BY lsn DESC) AS rn FROM log) WHERE rn = 1),
+        |snap AS (SELECT c_custkey AS pk, c_acctbal AS v FROM customer)
+        |SELECT coalesce(s.pk, l.pk) AS pk,
+        |  CASE WHEN l.pk IS NOT NULL
+        |       THEN l.after_value::DECIMAL(12,2)::DOUBLE
+        |       ELSE s.v END AS v,
+        |  CASE WHEN l.pk IS NOT NULL AND l.lsn > (SELECT mx // 2 FROM mx)
+        |       THEN l.pk * 10 + l.lsn % 7 END AS w,
+        |  CASE WHEN l.pk IS NOT NULL THEN 'log' ELSE 'snapshot' END AS src
+        |FROM snap s FULL OUTER JOIN last l ON s.pk = l.pk
+        |WHERE l.pk IS NULL OR l.op <> 'd'
+        |ORDER BY pk""".stripMargin,
+    // closed form: the repair (re-append the brace) recovers exactly
+    // the malformed class with its ORIGINAL op/pk/value — the oracle
+    // derives the recoverable set independently of any JSON machinery
+    "q_cdc_dlq_replay" ->
+      """WITH log AS (
+        |  SELECT event_id AS lsn, user_id AS pk,
+        |    CASE event_type WHEN 'signup' THEN 'c'
+        |                    WHEN 'error'  THEN 'd'
+        |                    ELSE 'u' END AS op,
+        |    value AS after_value
+        |  FROM events)
+        |SELECT lsn, op, pk, after_value AS v
+        |FROM log WHERE lsn % 13 = 0
+        |ORDER BY lsn""".stripMargin,
     // dedup winner + topic + per-aggregate sequencing replayed in SQL
     "q_cdc_outbox" ->
       """WITH log AS (
