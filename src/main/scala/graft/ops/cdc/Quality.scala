@@ -156,6 +156,36 @@ object Quality {
       .orderBy($"purchase_id")
   }
 
+  /** DAU / WAU / MAU active-user series with the DAU/MAU stickiness
+    * ratio — the top-line engagement dashboard. Windowed COUNT
+    * DISTINCT is not expressible as a frame aggregate (distinct
+    * doesn't decompose over sliding frames), so the trailing windows
+    * compute as a day-grid range join over the DISTINCT (user, day)
+    * reduction: exact by construction on both engines, and the join
+    * fans out by at most the window length (×30) over a frame that is
+    * already ≪ events — the honest exact shape at 100 TB (the
+    * approximate rung would be per-day HLL blobs unioned over the
+    * window — ThetaMaintain/NdvMaintain territory — traded in when
+    * user-day no longer fits).
+    * Stickiness = exact integer-div 4dp (PARITY rule 5). */
+  def qActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.table(spark, dir, "events")
+      .select($"user_id", date_trunc("day", $"ts").as("d"))
+      .distinct()
+    val grid = ud.select($"d").distinct().select($"d".as("g"))
+    val dau = ud.groupBy($"d".as("g"))
+      .agg(countDistinct($"user_id").as("dau"))
+    def trailing(daysBack: Int, name: String) =
+      ud.join(grid,
+          $"d" <= $"g" && $"d" >= $"g" - expr(s"INTERVAL $daysBack DAYS"))
+        .groupBy($"g").agg(countDistinct($"user_id").as(name))
+    dau.join(trailing(6, "wau"), "g").join(trailing(29, "mau"), "g")
+      .select($"g".as("d"), $"dau", $"wau", $"mau",
+        (expr("(10000 * dau) DIV mau") / 10000.0).as("stickiness"))
+      .orderBy($"d")
+  }
+
   /** Longest consecutive-day activity streak per user — the classic
     * gaps-and-islands engagement metric (the "N-day streak" badge).
     * Island key = epoch-day index minus the per-user row number over
@@ -273,6 +303,7 @@ object Quality {
     "q_pathing" -> (qPathing _),
     "q_ltv" -> (qLtv _),
     "q_streak" -> (qStreak _),
+    "q_active_users" -> (qActiveUsers _),
     "q_histogram" -> (qHistogram _)
   )
 
@@ -364,6 +395,28 @@ object Quality {
         |  CASE WHEN c_ts >= p_ts - INTERVAL 3 DAYS THEN c_ts END AS c_ts
         |FROM j WHERE rk = 1
         |ORDER BY purchase_id""".stripMargin,
+    // exact windowed distinct via the day-grid range join; stickiness
+    // integer-div 4dp
+    "q_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS d
+        |  FROM events),
+        |grid AS (SELECT DISTINCT d AS g FROM ud),
+        |dau AS (
+        |  SELECT d AS g, count(DISTINCT user_id) AS dau
+        |  FROM ud GROUP BY d),
+        |wau AS (
+        |  SELECT g, count(DISTINCT user_id) AS wau
+        |  FROM ud JOIN grid ON d <= g AND d >= g - INTERVAL 6 DAYS
+        |  GROUP BY g),
+        |mau AS (
+        |  SELECT g, count(DISTINCT user_id) AS mau
+        |  FROM ud JOIN grid ON d <= g AND d >= g - INTERVAL 29 DAYS
+        |  GROUP BY g)
+        |SELECT dau.g AS d, dau.dau, wau.wau, mau.mau,
+        |  ((10000 * dau.dau) // mau.mau) / 10000.0 AS stickiness
+        |FROM dau JOIN wau USING (g) JOIN mau USING (g)
+        |ORDER BY d""".stripMargin,
     // island key = epoch-day index − per-user row number: exact ints
     "q_streak" ->
       """WITH days AS (
