@@ -571,6 +571,20 @@ object ScaleSmoke {
       ops.relational.SetOps.qSetThetaAudience(spark, work).count() }
     time("rollcorr (1M events)") {
       ops.relational.Resample.qTsRollcorr(spark, work).count() }
+    time("active_users (1M events)") {
+      ops.cdc.Quality.qActiveUsers(spark, work).count() }
+    time("streak (1M events)") {
+      ops.cdc.Quality.qStreak(spark, work).count() }
+    time("dlq replay (1M events)") {
+      ops.cdc.CdcQueries.qCdcDlqReplay(spark, work).count() }
+    time("schema evolve (1M events)") {
+      ops.cdc.CdcQueries.qCdcEvolve(spark, work).count() }
+    time("outbox route (1M events)") {
+      ops.cdc.CdcQueries.qCdcOutbox(spark, work).count() }
+    time("crossdup matrix (500k docs)") {
+      ops.llm.CorpusStats.qLlmCrossdup(spark, work).count() }
+    time("cust_dist (Q13, 1.5M ord)") {
+      ops.relational.Composed.qComposedCustDist(spark, work).count() }
     spark.stop()
   }
 }

@@ -243,7 +243,28 @@ object Composed {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q13 shape: customer order-count distribution — the
+    * OUTER-join-with-residual-condition aggregation (zero-order
+    * customers must appear in the 0 bucket, so the priority filter
+    * lives in the JOIN condition, not a WHERE that would turn the
+    * outer join inner). Exact integer counts end to end. */
+  def qComposedCustDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.table(spark, dir, "customer").select($"c_custkey")
+    val ord = Tables.table(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+    cust.join(ord,
+        $"c_custkey" === $"o_custkey" && $"o_orderpriority" =!= "5-LOW",
+        "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_composed_cust_dist" -> (qComposedCustDist _),
     "q_composed_big_orders" -> (qComposedBigOrders _),
     "q_composed_nation_trade" -> (qComposedNationTrade _),
     "q_composed_disjunct" -> (qComposedDisjunct _),
@@ -255,6 +276,16 @@ object Composed {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_composed_cust_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_composed_big_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  round(sum(l_quantity), 2) AS total_qty
