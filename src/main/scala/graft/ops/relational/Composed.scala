@@ -263,8 +263,37 @@ object Composed {
       .orderBy($"custdist".desc, $"c_count".desc)
   }
 
+  /** TPC-H Q22 shape: idle high-balance customers — above-average
+    * balance (scalar subquery over a filtered average) AND no orders
+    * (NOT EXISTS → left anti join), aggregated per segment. Combines
+    * the two subquery rewrites in one plan. The threshold compare
+    * uses the RAW avg both engines compute from identical doubles
+    * (the q_subquery_scalar precedent — sum-order variance ~1e-10 is
+    * far from any balance boundary at 2-dp data). "Idle" = no order
+    * in 1997-Q1 (the corpus gives every customer SOME order, so the
+    * unwindowed Q22 form is vacuous here — probed 0 rows). */
+  def qComposedIdleRich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.table(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    val thr = cust.filter($"c_acctbal" > 0.0)
+      .agg(avg($"c_acctbal").as("__thr"))
+    val ord = Tables.table(spark, dir, "orders")
+      .filter($"o_orderdate" >= ts("1997-01-01") &&
+        $"o_orderdate" < ts("1997-04-01"))
+      .select($"o_custkey")
+    cust.crossJoin(broadcast(thr))
+      .filter($"c_acctbal" > $"__thr")
+      .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum($"c_acctbal"), 2).as("totacctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_composed_cust_dist" -> (qComposedCustDist _),
+    "q_composed_idle_rich" -> (qComposedIdleRich _),
     "q_composed_big_orders" -> (qComposedBigOrders _),
     "q_composed_nation_trade" -> (qComposedNationTrade _),
     "q_composed_disjunct" -> (qComposedDisjunct _),
@@ -276,6 +305,18 @@ object Composed {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_composed_idle_rich" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |                    AND o_orderdate < TIMESTAMP '1997-04-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q_composed_cust_dist" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (
