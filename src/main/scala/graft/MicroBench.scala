@@ -274,7 +274,13 @@ object MicroBench {
       val n = time("NATIVE graft_jaro_winkler")(
         work(functions.JaroWinkler.jaro_winkler))
       val u = time("UDF    same kernel boxed ")(work(jwUdf(_, _)))
-      assert(n == u, s"results diverge: $n vs $u")
+      // Per-pair kernels are bit-identical; the SUM is a double fold
+      // whose partial-aggregation order differs between the two
+      // physical plans, so compare at a relative tolerance rather
+      // than bitwise (r11 ADVICE — the exact assert could flake on
+      // partition-order differences).
+      assert(math.abs(n - u) <= 1e-9 * math.max(math.abs(n), math.abs(u)),
+        s"results diverge: $n vs $u")
     }
     spark.stop()
   }

@@ -24,10 +24,17 @@ import org.apache.spark.sql.functions._
   * readable by vanilla Spark SQL, no custom reader required. */
 object NdvMaintain {
 
+  /** Single precision knob threaded through BOTH the aggregation hook
+    * and the blob-merge Union — the two sides must agree or unions
+    * silently downsample to the smaller lgK (r11 ADVICE: the previous
+    * code paired `hll_sketch_agg`'s engine default with a hardcoded
+    * Union(12), coupled only by coincidence). */
+  private val LgK = 12
+
   private def mergeHll(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
     import org.apache.datasketches.memory.Memory
-    val u = new Union(12)
+    val u = new Union(LgK)
     u.update(HllSketch.heapify(Memory.wrap(a)))
     u.update(HllSketch.heapify(Memory.wrap(b)))
     u.getResult(TgtHllType.HLL_8).toUpdatableByteArray
@@ -35,7 +42,7 @@ object NdvMaintain {
 
   private val hooks = SketchMaintain.Hooks(
     register = _ => (),
-    agg = c => hll_sketch_agg(c),
+    agg = c => hll_sketch_agg(c, lit(LgK)),
     merge = mergeHll)
 
   def init(spark: SparkSession, sourceDir: String, nDir: String,

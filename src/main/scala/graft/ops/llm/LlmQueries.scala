@@ -71,7 +71,10 @@ object LlmQueries {
     * + one (doc, bucket) aggregation regardless of vocabulary size.
     * Bucket = md5-prefix mod B (engine-portable, the q_llm_minhash
     * convention); exact integer counts; B=16 keeps the oracle's
-    * zero-fill grid small while proving the arithmetic. */
+    * zero-fill grid small while proving the arithmetic. The vector is
+    * emitted as a '|'-joined string (the q_agg_collect rule: the
+    * driver's comparator sorts every output column and cannot order an
+    * array column — r11 gate err on this key). */
   def qLlmHashedFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val B = 16
@@ -84,8 +87,9 @@ object LlmQueries {
     counts.groupBy($"doc_id")
       .agg(map_from_entries(collect_list(struct($"b", $"c"))).as("m"))
       .select($"doc_id",
-        transform(sequence(lit(0), lit(B - 1)),
-          i => coalesce(element_at($"m", i.cast("long")), lit(0L)))
+        concat_ws("|",
+          transform(sequence(lit(0), lit(B - 1)),
+            i => coalesce(element_at($"m", i.cast("long")), lit(0L))))
           .as("features"))
       .orderBy($"doc_id")
   }
@@ -339,7 +343,7 @@ object LlmQueries {
         |f AS (
         |  SELECT g.doc_id, g.b, coalesce(c.c, 0)::BIGINT AS c
         |  FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.b = c.b)
-        |SELECT doc_id, list(c ORDER BY b) AS features
+        |SELECT doc_id, string_agg(c::VARCHAR, '|' ORDER BY b) AS features
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 1-based twin of the 0-based Spark run-length build; the
     // scalar-accumulator list_reduce folds the same sorted order, so
