@@ -22,6 +22,7 @@ object SparkEntry {
       (Joins.queries, Joins.oracle),
       (Subqueries.queries, Subqueries.oracle),
       (Composed.queries, Composed.oracle),
+      (Composed2.queries, Composed2.oracle),
       (FuzzyJoin.queries, FuzzyJoin.oracle),
       (Resample.queries, Resample.oracle),
       (Graph.queries, Graph.oracle),

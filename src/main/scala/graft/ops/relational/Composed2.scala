@@ -1,0 +1,537 @@
+package graft.ops.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2-L composed analytics, part 2 — the ELEVEN TPC-H shapes the
+  * round-11 family did not cover (Q2/6/8/9/11/12/15/16/17/20/21),
+  * adapted to the trimmed driver schema (FIXTURES.md §2: no partsupp,
+  * no commit/receipt dates, no ship mode/instruct/container, no
+  * mfgr/comment). With these, every one of the 22 TPC-H query shapes
+  * is certified against DuckDB end-to-end (Q1 ≡ q_agg_basic's
+  * returnflag/linestatus rollup; Q3/4/5/7/10/13/14/18/19/22 in
+  * [[Composed]]; the rest here).
+  *
+  * Schema adaptations, stated once: partsupp-derived quantities
+  * (supply cost, available stock) are re-derived from lineitem — the
+  * supplier×part relation the corpus DOES record — as
+  * `min(l_extendedprice / l_quantity)` (unit cost) and shipped-volume
+  * sums; "late" (Q12/Q21's receipt-vs-commit lag) becomes
+  * ship-vs-order lag (`l_shipdate > o_orderdate + N days`); Q12's
+  * ship mode becomes `l_returnflag`; part-name classes come from the
+  * corpus's adjective–noun names.
+  *
+  * Determinism rules inherited from [[Composed]]: money sums
+  * round(·,2); shares divide ALREADY-ROUNDED sums then round 4dp;
+  * every ORDER BY is a total order (rounded measure or raw parquet
+  * double + key tie); quantity sums are integral doubles (probed
+  * qty ∈ 1..50, integers), so qty thresholds and averages are exact
+  * both engines. Q11 goes one further and sums integer CENTS
+  * (`round(l_extendedprice*100)::BIGINT` — the 2-dp data makes the
+  * product's representation error ~1e-10, five billion times smaller
+  * than the 0.5 rounding margin), so its scalar-subquery threshold
+  * cut compares exact integers — no float boundary exists at all.
+  *
+  * Scale notes: part/supplier/nation/region broadcast (bounded dims);
+  * orders⋈lineitem and customer⋈orders shuffle on their keys un-
+  * hinted (AQE converts when a filtered side fits). Q21's
+  * triple-self-join of the classic formulation is replaced by ONE
+  * per-order aggregate (distinct-supplier and late-supplier counts)
+  * joined back to the late lines — two shuffles on l_orderkey total,
+  * versus three lineitem shuffles plus the EXISTS/NOT-EXISTS pair;
+  * at 100 TB lineitem is the table you cannot afford to re-shuffle.
+  */
+object Composed2 {
+
+  private def ts(d: String) = lit(d).cast("timestamp")
+
+  /** TPC-H Q2 shape: min-cost supplier per part for one region and
+    * one part class — the correlated-MIN subquery. Unit cost is
+    * re-derived per (part, supplier) as min(extprice/qty); the
+    * per-part floor and the equality join back against it compare
+    * bit-identical doubles (same parquet inputs, same single
+    * division, order-independent MIN), so no rounding is needed
+    * before the cut — only at output. */
+  def qComposedMinCost(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.table(spark, dir, "nation")
+      .join(broadcast(Tables.table(spark, dir, "region")
+        .filter($"r_name" === "EUROPE").select($"r_regionkey")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val supp = Tables.table(spark, dir, "supplier")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val parts = Tables.table(spark, dir, "part")
+      .filter($"p_type" === "STANDARD" && $"p_size" === 15)
+      .select($"p_partkey", $"p_name")
+    val cost = Tables.table(spark, dir, "lineitem")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("cost"))
+    val scoped = cost
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+    val floor = scoped.groupBy($"p_partkey".as("fk"))
+      .agg(min($"cost").as("mincost"))
+    scoped.join(floor, $"p_partkey" === $"fk" && $"cost" === $"mincost")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+        round($"cost", 4).as("cost"))
+      .orderBy($"s_acctbal".desc, $"n_name".asc, $"s_name".asc,
+        $"p_partkey".asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q6 shape: the forecast-revenue-change scan — one fact
+    * scan, three pushed range predicates, no join at all. The point
+    * at 100 TB: ALL THREE predicates must reach the parquet reader
+    * (PushedFilters), because the selected slice is ~2% of lineitem
+    * and reading anything else is waste. */
+  def qComposedForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-01-01") &&
+        $"l_shipdate" < ts("1998-01-01") &&
+        $"l_discount".between(0.04, 0.06) && $"l_quantity" < 24.0)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q8 shape: national market share — one nation's slice of a
+    * region's revenue in one part class, per order year. Share =
+    * rounded nation sum / rounded total sum (the promo_share rule:
+    * one double division of two canonical operands). */
+  def qComposedMktshare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.table(spark, dir, "nation")
+    val amerNations = nat
+      .join(broadcast(Tables.table(spark, dir, "region")
+        .filter($"r_name" === "AMERICA").select($"r_regionkey")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val cust = Tables.table(spark, dir, "customer")
+      .join(broadcast(amerNations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val supp = Tables.table(spark, dir, "supplier")
+      .join(broadcast(nat.select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val parts = Tables.table(spark, dir, "part")
+      .filter($"p_type" === "ECONOMY").select($"p_partkey")
+    val ord = Tables.table(spark, dir, "orders")
+      .filter($"o_orderdate" >= ts("1996-01-01") &&
+        $"o_orderdate" < ts("1998-01-01"))
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year"))
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.table(spark, dir, "lineitem")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(
+        round(sum(when($"supp_nation" === "NATION_5", vol)
+          .otherwise(lit(0.0))), 2).as("nation_volume"),
+        round(sum(vol), 2).as("total_volume"))
+      .select($"o_year", $"nation_volume", $"total_volume",
+        round($"nation_volume" / $"total_volume", 4).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q9 shape: product-line profit by supplier nation and
+    * order year, part class selected by a name infix. Profit proxy
+    * (no partsupp): revenue − 10% of retail price × quantity. Summed
+    * as exact integer cents (the Q11 rule) — a plain double sum
+    * rounded at 2dp drifted one cent at sf0.1 (the ~2·10⁷ group sums
+    * put fold-order noise at the half-cent boundary); per-row
+    * `round(amount·100)` rounds the SAME double on both engines, so
+    * the cent grid is identical and the BIGINT sum has no order
+    * sensitivity at any scale. */
+  def qComposedProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.table(spark, dir, "part")
+      .filter($"p_name".endsWith("gear"))
+      .select($"p_partkey", $"p_retailprice")
+    val supp = Tables.table(spark, dir, "supplier")
+      .join(broadcast(Tables.table(spark, dir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    val ord = Tables.table(spark, dir, "orders")
+      .select($"o_orderkey", year($"o_orderdate").as("o_year"))
+    val amount = $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+      $"p_retailprice" * $"l_quantity" * lit(0.1)
+    Tables.table(spark, dir, "lineitem")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"n_name", $"o_year",
+        round(amount * 100.0, 0).cast("long").as("cents"))
+      .groupBy($"n_name", $"o_year")
+      .agg(round(sum($"cents") / 100.0, 2).as("sum_profit"))
+      .orderBy($"n_name".asc, $"o_year".desc)
+  }
+
+  /** TPC-H Q11 shape: important stock — parts whose shipped value
+    * from one nation's suppliers exceeds a threshold derived from
+    * that nation's aggregate (scalar subquery over the same
+    * aggregate). The threshold is 2× the MEAN per-part value — TPC-H's
+    * fixed `0.0001/SF` fraction re-expressed scale-free (a fixed
+    * fraction of TOTAL selects ~0 parts once the part count outgrows
+    * it — probed: 363 rows at sf0.01, 0 at sf0.1). Sums integer cents
+    * end to end, so the cut compares an exact BIGINT against a mean
+    * that both engines derive from the same exact integers. */
+  def qComposedImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val supp = Tables.table(spark, dir, "supplier")
+      .join(broadcast(Tables.table(spark, dir, "nation")
+        .filter($"n_name" === "NATION_3").select($"n_nationkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val cents = Tables.table(spark, dir, "lineitem")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .select($"l_partkey",
+        round($"l_extendedprice" * 100.0, 0).cast("long").as("cents"))
+    val perPart = cents.groupBy($"l_partkey")
+      .agg(sum($"cents").as("value_cents"))
+    val total = perPart.agg(avg($"value_cents").as("mean_cents"))
+    perPart.crossJoin(broadcast(total))
+      .filter($"value_cents" > $"mean_cents" * 2.0)
+      .select($"l_partkey".as("p_partkey"),
+        round($"value_cents" / 100.0, 2).as("value"))
+      .orderBy($"value".desc, $"p_partkey".asc)
+  }
+
+  /** TPC-H Q12 shape: late-shipment priority split — per return-flag
+    * class (the trimmed schema's stand-in for ship mode), how many
+    * LATE lines (shipped >90 days after order) carry urgent vs
+    * non-urgent order priorities. Exact integer counts end to end. */
+  def qComposedPriorityLate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.table(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.table(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-01-01") &&
+        $"l_shipdate" < ts("1998-01-01"))
+      .select($"l_orderkey", $"l_shipdate", $"l_returnflag")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** TPC-H Q15 shape: top supplier — the supplier(s) whose quarterly
+    * revenue equals the maximum (scalar subquery over a grouped sum).
+    * The argmax compares each engine's own grouped sums against its
+    * own max of the SAME set — self-consistent regardless of
+    * last-bit fold-order differences; a flip would need two suppliers
+    * within ~1e-10 relative of each other (the idle_rich margin
+    * argument). Output revenue is rounded. */
+  def qComposedTopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.table(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-01-01") &&
+        $"l_shipdate" < ts("1997-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("r"))
+    val top = rev.agg(max($"r").as("maxr"))
+    rev.crossJoin(broadcast(top))
+      .filter($"r" === $"maxr")
+      .join(broadcast(Tables.table(spark, dir, "supplier")
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", round($"r", 2).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q16 shape: supplier diversity per part class — distinct
+    * suppliers that ever shipped each (brand, type, size) slice,
+    * excluding a NOT-IN supplier set (negative-balance stand-in for
+    * the complaints filter). Distinct pairs come off lineitem — the
+    * corpus's supplier×part relation. Exact integer counts. */
+  def qComposedPartsuppCnt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val badSupp = Tables.table(spark, dir, "supplier")
+      .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    val pairs = Tables.table(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey", "left_anti")
+    val parts = Tables.table(spark, dir, "part")
+      .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "SMALL" &&
+        $"p_size".isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    pairs.join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand".asc, $"p_type".asc,
+        $"p_size".asc)
+  }
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — lines under 20%
+    * of their part's average quantity, for one brand + type, scaled
+    * to a yearly figure. Quantities are integral doubles, so
+    * avg = exact-integer-sum / count is identical both engines and
+    * the 0.2·avg threshold has no float boundary. */
+  def qComposedSmallQty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.table(spark, dir, "part")
+      .filter($"p_brand" === "Brand#3" && $"p_type" === "ECONOMY")
+      .select($"p_partkey")
+    val li = Tables.table(spark, dir, "lineitem")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val avgQ = li.groupBy($"l_partkey".as("ak"))
+      .agg(avg($"l_quantity").as("avg_qty"))
+    li.join(avgQ, $"l_partkey" === $"ak")
+      .filter($"l_quantity" < $"avg_qty" * 0.2)
+      .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q20 shape: suppliers who shipped real volume of one part
+    * class in one year, from one nation — the nested-IN chain
+    * (parts → qualifying shipped volume → suppliers), every step a
+    * semi join. Quantity threshold is exact (integral doubles). */
+  def qComposedExcessSupply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val redParts = Tables.table(spark, dir, "part")
+      .filter($"p_name".startsWith("red")).select($"p_partkey")
+    val shippers = Tables.table(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-01-01") &&
+        $"l_shipdate" < ts("1998-01-01"))
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_quantity").as("qty"))
+      .filter($"qty" > 100.0)
+      .select($"l_suppkey")
+    Tables.table(spark, dir, "supplier")
+      .join(broadcast(Tables.table(spark, dir, "nation")
+        .filter($"n_name" === "NATION_2").select($"n_nationkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(shippers, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name", $"s_acctbal")
+      .orderBy($"s_name")
+  }
+
+  /** TPC-H Q21 shape: suppliers who kept finished orders waiting —
+    * the supplier's line shipped late while EVERY other supplier on
+    * the order shipped on time (and the order HAS other suppliers).
+    * The classic EXISTS + NOT-EXISTS pair over two more lineitem
+    * copies is collapsed into one per-order aggregate — distinct
+    * suppliers and distinct LATE suppliers — joined back to the late
+    * lines: a line qualifies iff nsupp ≥ 2 and its supplier is the
+    * order's ONLY late one (nlate = 1; the line itself is late).
+    * Row-for-row equal to the subquery form, two lineitem shuffles
+    * instead of three. */
+  def qComposedWaiting(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ordF = Tables.table(spark, dir, "orders")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val li = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(ordF, $"l_orderkey" === $"o_orderkey")
+      .withColumn("late",
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+    val perOrder = li.groupBy($"o_orderkey".as("gk"))
+      .agg(countDistinct($"l_suppkey").as("nsupp"),
+        countDistinct(when($"late", $"l_suppkey")).as("nlate"))
+    val natSupp = Tables.table(spark, dir, "supplier")
+      .join(broadcast(Tables.table(spark, dir, "nation")
+        .filter($"n_name" === "NATION_1").select($"n_nationkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name")
+    li.filter($"late")
+      .join(perOrder, $"o_orderkey" === $"gk")
+      .filter($"nsupp" >= 2 && $"nlate" === 1)
+      .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name".asc)
+      .limit(100)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_composed_min_cost" -> (qComposedMinCost _),
+    "q_composed_forecast" -> (qComposedForecast _),
+    "q_composed_mktshare" -> (qComposedMktshare _),
+    "q_composed_profit" -> (qComposedProfit _),
+    "q_composed_important_stock" -> (qComposedImportantStock _),
+    "q_composed_priority_late" -> (qComposedPriorityLate _),
+    "q_composed_top_supplier" -> (qComposedTopSupplier _),
+    "q_composed_partsupp_cnt" -> (qComposedPartsuppCnt _),
+    "q_composed_small_qty" -> (qComposedSmallQty _),
+    "q_composed_excess_supply" -> (qComposedExcessSupply _),
+    "q_composed_waiting" -> (qComposedWaiting _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_composed_min_cost" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |scoped AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+        |    n_name, cost
+        |  FROM cost
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size = 15),
+        |floor_ AS (
+        |  SELECT p_partkey AS fk, min(cost) AS mincost
+        |  FROM scoped GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  round(cost, 4) AS cost
+        |FROM scoped JOIN floor_ ON p_partkey = fk AND cost = mincost
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_composed_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24.0""".stripMargin,
+    "q_composed_mktshare" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |agg AS (
+        |  SELECT o_year,
+        |    round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+        |      ELSE 0.0 END), 2) AS nation_volume,
+        |    round(sum(volume), 2) AS total_volume
+        |  FROM vol GROUP BY o_year)
+        |SELECT o_year, nation_volume, total_volume,
+        |  round(nation_volume / total_volume, 4) AS mkt_share
+        |FROM agg ORDER BY o_year""".stripMargin,
+    "q_composed_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  round(sum(round((l_extendedprice * (1.0 - l_discount)
+        |    - p_retailprice * l_quantity * 0.1) * 100.0)::BIGINT)
+        |    / 100.0, 2) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%gear'
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name ASC, o_year DESC""".stripMargin,
+    "q_composed_important_stock" ->
+      """WITH cents AS (
+        |  SELECT l_partkey,
+        |    round(l_extendedprice * 100.0)::BIGINT AS cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |per_part AS (
+        |  SELECT l_partkey, sum(cents)::BIGINT AS value_cents
+        |  FROM cents GROUP BY 1)
+        |SELECT l_partkey AS p_partkey,
+        |  round(value_cents / 100.0, 2) AS value
+        |FROM per_part
+        |WHERE value_cents > (SELECT avg(value_cents) * 2.0
+        |                     FROM per_part)
+        |ORDER BY value DESC, p_partkey ASC""".stripMargin,
+    "q_composed_priority_late" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_composed_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(r, 2) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_composed_partsupp_cnt" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC"""
+        .stripMargin,
+    "q_composed_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q_composed_excess_supply" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l_suppkey HAVING sum(l_quantity) > 100.0)
+        |ORDER BY s_name""".stripMargin,
+    "q_composed_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |  AND n_name = 'NATION_1'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 100""".stripMargin
+  )
+}

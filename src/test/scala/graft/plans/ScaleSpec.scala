@@ -1156,6 +1156,73 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("r12 plan shapes: the Q2/6/8/9/11/12/15/16/17/20/21 composed " +
+      "family broadcasts bounded dims, pushes Q6's three predicates " +
+      "into the scan, decorrelates the semi-join chains, and confines " +
+      "scalar-threshold cross joins to single-row broadcasts") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    def planOf(tag: String, df: org.apache.spark.sql.DataFrame,
+        allowSingleRowNlj: Boolean = false): String = {
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct"), s"$tag cartesians:\n$s")
+      if (!allowSingleRowNlj)
+        assert(!s.contains("BroadcastNestedLoopJoin"),
+          s"$tag must not nested-loop:\n$s")
+      s
+    }
+    import graft.ops.relational.Composed2
+    // multi-dim joins: every bounded dim a BroadcastHashJoin
+    Seq(
+      "min_cost" -> Composed2.qComposedMinCost(spark, sfSmoke),
+      "mktshare" -> Composed2.qComposedMktshare(spark, sfSmoke),
+      "profit" -> Composed2.qComposedProfit(spark, sfSmoke),
+      "partsupp_cnt" -> Composed2.qComposedPartsuppCnt(spark, sfSmoke),
+      "small_qty" -> Composed2.qComposedSmallQty(spark, sfSmoke),
+      "waiting" -> Composed2.qComposedWaiting(spark, sfSmoke)
+    ).foreach { case (tag, df) =>
+      val s = planOf(tag, df)
+      assert(s.contains("BroadcastHashJoin"),
+        s"$tag: bounded dim should broadcast:\n$s")
+    }
+    // Q6 shape: all three predicates reach the parquet reader
+    val fc = Composed2.qComposedForecast(spark, sfSmoke)
+    fc.collect()
+    val scan = walk(fc.queryExecution.executedPlan)
+      .map(_.toString).filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(scan.contains(c),
+        s"forecast: $c must be pushed to the scan:\n$scan"))
+    // Q20 shape: the nested-IN chain decorrelates to semi joins
+    val ex = planOf("excess_supply",
+      Composed2.qComposedExcessSupply(spark, sfSmoke))
+    assert(ex.contains("LeftSemi"), s"Q20 chain should semi-join:\n$ex")
+    // Q12 late-split: no window, no subquery — one join + one agg
+    planOf("priority_late", Composed2.qComposedPriorityLate(spark, sfSmoke))
+    // scalar-threshold shapes: the single-row aggregate side arrives
+    // broadcast (BroadcastNestedLoopJoin over ONE row is a constant
+    // append, not a blow-up); nothing else may nested-loop
+    Seq(
+      "important_stock" -> Composed2.qComposedImportantStock(spark, sfSmoke),
+      "top_supplier" -> Composed2.qComposedTopSupplier(spark, sfSmoke)
+    ).foreach { case (tag, df) =>
+      val s = planOf(tag, df, allowSingleRowNlj = true)
+      if (s.contains("BroadcastNestedLoopJoin"))
+        assert(s.contains("BroadcastExchange"),
+          s"$tag: the scalar side must broadcast:\n$s")
+    }
+  }
+
   test("hyperplane LSH finds planted cosine near-duplicates") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
