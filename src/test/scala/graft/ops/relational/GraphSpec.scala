@@ -36,6 +36,30 @@ class GraphSpec extends SparkSpec {
     mc.foreach { case (k, v) => assert(v <= mu(k), s"pair $k grew under cap") }
   }
 
+  test("connected components: labels are edge-consistent, canonical " +
+      "(comp = min node id of its members), and sizes add up") {
+    import spark.implicits._
+    val cc = Graph.qGraphCc(spark, sfSmoke).collect()
+      .map(r => (r.getAs[Long]("node"),
+        (r.getAs[Long]("comp"), r.getAs[Long]("comp_size")))).toMap
+    assert(cc.nonEmpty)
+    // every edge's endpoints share a component (the fixed point IS a
+    // valid labeling)
+    val (e0, _) = Graph.coPurchaseGraph(spark, sfSmoke)
+    e0.collect().foreach { r =>
+      val (u, v) = (r.getAs[Long]("u"), r.getAs[Long]("v"))
+      assert(cc(u)._1 === cc(v)._1, s"edge ($u,$v) straddles components")
+    }
+    // canonical label: the component id is the min member, and every
+    // member's recorded size equals the member count
+    cc.groupBy(_._2._1).foreach { case (comp, members) =>
+      assert(members.keys.min === comp, s"comp $comp not the min member")
+      members.values.foreach { case (_, sz) =>
+        assert(sz === members.size.toLong, s"comp $comp size mismatch")
+      }
+    }
+  }
+
   test("degree histogram: masses sum to node count, cumulative share " +
       "reaches exactly 1") {
     val rows = Graph.qGraphDegreeHist(spark, sfSmoke).collect()
