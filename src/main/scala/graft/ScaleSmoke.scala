@@ -585,6 +585,30 @@ object ScaleSmoke {
       ops.llm.CorpusStats.qLlmCrossdup(spark, work).count() }
     time("cust_dist (Q13, 1.5M ord)") {
       ops.relational.Composed.qComposedCustDist(spark, work).count() }
+    // round-12 operators at 10x: the eleven shapes completing TPC-H
+    // coverage (the heavy ones — the per-part correlated aggregates,
+    // the waiting self-analysis over 6M lineitem, the market-share
+    // 7-way join) plus connected components to the fixed point
+    time("min_cost (Q2, 6M li)") {
+      ops.relational.Composed2.qComposedMinCost(spark, work).count() }
+    time("forecast scan (Q6, 6M li)") {
+      ops.relational.Composed2.qComposedForecast(spark, work).count() }
+    time("mktshare (Q8, 7-way)") {
+      ops.relational.Composed2.qComposedMktshare(spark, work).count() }
+    time("profit (Q9, cents)") {
+      ops.relational.Composed2.qComposedProfit(spark, work).count() }
+    time("important_stock (Q11)") {
+      ops.relational.Composed2.qComposedImportantStock(spark, work).count() }
+    time("small_qty (Q17, corr avg)") {
+      ops.relational.Composed2.qComposedSmallQty(spark, work).count() }
+    time("excess_supply (Q20, chain)") {
+      ops.relational.Composed2.qComposedExcessSupply(spark, work).count() }
+    time("waiting (Q21, 6M li)") {
+      ops.relational.Composed2.qComposedWaiting(spark, work).count() }
+    time("partsupp_cnt (Q16)") {
+      ops.relational.Composed2.qComposedPartsuppCnt(spark, work).count() }
+    time("graph cc (fixed point)") {
+      ops.relational.Graph.qGraphCc(spark, work).count() }
     spark.stop()
   }
 }

@@ -294,7 +294,49 @@ object Quality {
       .orderBy($"bin")
   }
 
+  /** Distribution-drift monitor (`q_dq_drift`): Population Stability
+    * Index of order totals, 1996 baseline vs 2000 current — the DQ
+    * rung constraint checks can't reach (every row individually valid,
+    * the DISTRIBUTION silently shifted; the check a replica audit or
+    * a feature-store freshness gate runs per column per day).
+    *
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over fixed-width buckets
+    * (floor(total/50k) capped at 9 — fixed edges, NOT quantiles of
+    * one side: quantile edges differ across engines and drift with
+    * the baseline, the classic PSI-monitoring mistake). Add-one
+    * smoothing keeps empty buckets finite and deterministic. Shape:
+    * two bucket-count aggregates over one scan each + a 10-row grid
+    * join — at 100 TB the scans dominate and both partial-combine;
+    * the PSI arithmetic runs on the bucket-domain frame. Cross-engine:
+    * counts exact; p, q, and each ln() run on IDENTICAL doubles
+    * (exact-int divisions), psi_term rounds 6dp. */
+  def qDqDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.table(spark, dir, "orders")
+      .select(year($"o_orderdate").as("y"),
+        least(floor($"o_totalprice" / 50000.0), lit(9.0)).cast("long")
+          .as("bucket"))
+    def side(yr: Int, n: String) = ord.filter($"y" === yr)
+      .groupBy($"bucket").agg(count(lit(1)).as(n))
+    val grid = spark.range(0, 10).select($"id".as("bucket"))
+    val joined = grid
+      .join(side(1996, "n_base"), Seq("bucket"), "left")
+      .join(side(2000, "n_curr"), Seq("bucket"), "left")
+      .select($"bucket",
+        coalesce($"n_base", lit(0L)).as("n_base"),
+        coalesce($"n_curr", lit(0L)).as("n_curr"))
+    val tot = joined.agg(sum($"n_base").as("tb"), sum($"n_curr").as("tc"))
+    joined.crossJoin(broadcast(tot))
+      .select($"bucket", $"n_base", $"n_curr",
+        (($"n_base" + 1.0) / ($"tb" + 10.0)).as("p"),
+        (($"n_curr" + 1.0) / ($"tc" + 10.0)).as("q"))
+      .select($"bucket", $"n_base", $"n_curr",
+        round(($"p" - $"q") * log($"p" / $"q"), 6).as("psi_term"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_drift" -> (qDqDrift _),
     "q_dq_constraints" -> (qDqConstraints _),
     "q_sessionize" -> (qSessionize _),
     "q_funnel" -> (qFunnel _),
@@ -308,6 +350,34 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    // same fixed bucket edges + add-one smoothing; exact-int count
+    // divisions make p/q/ln identical doubles on both engines
+    "q_dq_drift" ->
+      """WITH b AS (
+        |  SELECT year(o_orderdate) AS y,
+        |    least(floor(o_totalprice / 50000.0), 9.0)::BIGINT AS bucket
+        |  FROM orders),
+        |base AS (
+        |  SELECT bucket, count(*)::BIGINT AS n_base FROM b
+        |  WHERE y = 1996 GROUP BY bucket),
+        |curr AS (
+        |  SELECT bucket, count(*)::BIGINT AS n_curr FROM b
+        |  WHERE y = 2000 GROUP BY bucket),
+        |grid AS (
+        |  SELECT g.range::BIGINT AS bucket,
+        |    coalesce(n_base, 0)::BIGINT AS n_base,
+        |    coalesce(n_curr, 0)::BIGINT AS n_curr
+        |  FROM range(0, 10) g
+        |  LEFT JOIN base ON g.range = base.bucket
+        |  LEFT JOIN curr ON g.range = curr.bucket),
+        |tot AS (
+        |  SELECT sum(n_base)::BIGINT AS tb, sum(n_curr)::BIGINT AS tc
+        |  FROM grid)
+        |SELECT bucket, n_base, n_curr,
+        |  round(((n_base + 1.0) / (tb + 10.0) - (n_curr + 1.0) / (tc + 10.0))
+        |    * ln(((n_base + 1.0) / (tb + 10.0))
+        |      / ((n_curr + 1.0) / (tc + 10.0))), 6) AS psi_term
+        |FROM grid, tot ORDER BY bucket""".stripMargin,
     "q_dq_constraints" ->
       """SELECT * FROM (
         |  SELECT 'customer.c_name NOT NULL' AS rule,

@@ -366,21 +366,23 @@ object Graph {
     * assignment plus component size, so the hash certifies the FULL
     * labeling, not just the size histogram.
     *
-    * Algorithm: small-step min-label propagation run to FIXED POINT
-    * (label ← min(label, neighbours' labels) until no label changes),
-    * per-iteration `localCheckpoint` truncating lineage (the
-    * qGraphReach pattern). Converges in eccentricity-of-min-node
-    * rounds — probed 11 at BOTH sf0.01 and sf0.1. Scale note, stated
-    * honestly: at a 100 TB diameter the O(diameter) small-step loop is
-    * the wrong rung — large-step variants (Hash-to-Min / two-phase
-    * pointer-jumping, Kiveris et al. "Connected Components in
-    * MapReduce and Beyond", SoCC'14) cut rounds to O(log n) by
-    * shipping whole neighbour sets; small-step is chosen here because
-    * each round is one join + one groupBy (no neighbour-set blowup)
-    * and the census graphs' diameters are tiny. The oracle computes
-    * min-over-reachable-set via a recursive CTE — a genuinely
-    * different evaluation strategy (closure vs iteration), so the
-    * match certifies the fixed point itself. */
+    * Algorithm: min-label propagation WITH POINTER JUMPING run to
+    * FIXED POINT — each round takes the min over (own label,
+    * neighbours' labels, label-of-label), the second being the
+    * pointer-jumping half-step of the two-phase O(log n) family
+    * (Kiveris et al. "Connected Components in MapReduce and Beyond",
+    * SoCC'14): a label chain halves every round, so rounds go with
+    * log(diameter), not diameter (probed: 11 plain rounds → 5 with
+    * jumping at sf0.01, and at 10× the smoke dropped 18.3 s → ~8 s —
+    * on a 1000-executor cluster each round is a full shuffle barrier,
+    * so ROUND COUNT is the latency bill). Per-round `localCheckpoint`
+    * truncates lineage (the qGraphReach pattern); every round is two
+    * small keyed joins + one groupBy-min — no neighbour-set blowup,
+    * the Hash-to-Min trade deferred until a real 100 TB diameter
+    * demands it. The oracle computes min-over-reachable-set via a
+    * recursive CTE — a genuinely different evaluation strategy
+    * (closure vs iteration), so the match certifies the fixed point
+    * itself. */
   def qGraphCc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (e0, _) = coPurchaseGraph(spark, dir)
@@ -395,9 +397,13 @@ object Graph {
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      val jump = lbl.as("a")
+        .join(lbl.as("b"), $"a.lbl" === $"b.node")
+        .select($"a.node".as("node"), $"b.lbl".as("lbl"))
       val next = lbl.select($"node", $"lbl")
         .union(es.join(lbl.withColumnRenamed("node", "src"), "src")
           .select($"dst".as("node"), $"lbl"))
+        .union(jump)
         .groupBy($"node").agg(min($"lbl").as("lbl"))
         .localCheckpoint()
       changed = next.join(lbl.withColumnRenamed("lbl", "old"), "node")

@@ -1223,6 +1223,66 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter: a selective dim-side filter injects a " +
+      "bloom probe into the fact side of a shuffle join (the 100 TB " +
+      "mechanism that prunes fact rows BEFORE the shuffle), result " +
+      "unchanged") {
+    import spark.implicits._
+    val enabled = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val appThr = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val bcThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // optional bytes conf: an empty-string default fails validation,
+    // so probe with Try instead of a sentinel default
+    val aqeBcThr = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.filter(_ != null)
+    try {
+      // local parquet is far below the 10 GB default application-side
+      // threshold — drop it to 0 so the local plan exercises the same
+      // injection a 100 TB scan gets for free
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // and force the join to SHUFFLE: runtime filters exist for the
+      // dim-too-big-to-broadcast case (a broadcast join prunes by
+      // itself) — at test scale every dim fits, so disable broadcast
+      // to reproduce the 100 TB join shape
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+      val ord = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
+        .filter($"o_orderpriority" === "1-URGENT" &&
+          $"o_totalprice" > 400000.0)
+      def q() = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      val on = q()
+      val rowsOn = on.collect().toSeq
+      val plan = on.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter") ||
+        plan.contains("might_contain"),
+        s"expected a runtime bloom probe on the fact side:\n$plan")
+
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val rowsOff = q().collect().toSeq
+      assert(rowsOn.map(_.toString).sorted === rowsOff.map(_.toString).sorted,
+        "runtime filtering must not change results")
+    } finally {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", enabled)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", appThr)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThr)
+      aqeBcThr match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("hyperplane LSH finds planted cosine near-duplicates") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
