@@ -38,9 +38,10 @@ object Bench {
       if (args.isEmpty) _ => true else k => args.exists(k.contains)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => keyFilter(kv._1)).map { case (name, fn) =>
+      var lastDf: org.apache.spark.sql.DataFrame = null
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { val df = fn(spark, sfDir); df.count(); lastDf = df }
         catch { case e: Throwable =>
           if (!failed.contains(name)) {
             failed += name
@@ -50,6 +51,26 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val runs = (once(), once(), once())
+      // Plan fingerprint: md5 of the optimized plan with per-session
+      // noise (expression ids #123, plan_id tags, object hashes)
+      // normalized away. A key whose median moves while its
+      // fingerprint matches the prior round's is an ENVIRONMENT
+      // effect, not a plan change — the r12 q_llm_boilerplate mystery
+      // (0.54→0.89 s, file untouched, no spill, warm-isolated back at
+      // 0.55) would have been attributable in one glance. Read off the
+      // last timed run's QueryExecution, so it costs no extra jobs;
+      // iterative keys fingerprint their final-result plan only.
+      val fp =
+        if (lastDf == null) ""
+        else try {
+          val norm = lastDf.queryExecution.optimizedPlan.toString
+            .replaceAll("#\\d+[L]?", "#")
+            .replaceAll("plan_id=\\d+", "plan_id=")
+            .replaceAll("@[0-9a-f]{6,}", "@")
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(norm.getBytes("UTF-8"))
+            .take(6).map("%02x".format(_)).mkString
+        } catch { case _: Throwable => "" }
       // Between keys (outside any timed window): `localCheckpoint`ed
       // frames are reclaimed by ContextCleaner only after their driver
       // references are GC'd, so a long all-keys run otherwise accretes
@@ -59,7 +80,7 @@ object Bench {
       // key keeps the pool at steady state; intentionally-shared frames
       // (Graph.memo) stay referenced and are unaffected.
       System.gc()
-      (name, median3(runs._1, runs._2, runs._3), runs)
+      (name, median3(runs._1, runs._2, runs._3), runs, fp)
     }
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -100,7 +121,7 @@ object Bench {
     // keys failing THIS round contribute near-zero medians — exclude
     // them from ratios so they neither drag the drift median down nor
     // appear as (meaningless) per-key ratios themselves
-    val ratios = results.flatMap { case (k, m, _) =>
+    val ratios = results.flatMap { case (k, m, _, _) =>
       if (failed.contains(k)) None
       else prior.get(k).filter(_ > 0).map(p => (k, m, p, m / p)) }
     val drift =
@@ -111,12 +132,30 @@ object Bench {
     }.sorted
     val regressionsJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+    // Prior plan fingerprints (same bench_results.json): a key whose
+    // median moved but whose fingerprint matches is an environment
+    // effect; one whose fingerprint changed has a PLAN change to
+    // explain. Reported as "plan_changed" alongside "regressions".
+    val priorPlans: Map[String, String] =
+      try {
+        val txt = scala.io.Source.fromFile("bench_results.json").mkString
+        if (!txt.contains(s""""sf":"$sfDir"""") ||
+            !txt.contains(s""""cpus":"$cpus"""")) Map.empty
+        else """"(q_[a-zA-Z0-9_]+)":\{"median":[^}]*"plan":"([0-9a-f]*)"""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+      } catch { case _: Throwable => Map.empty }
+    val planChanged = results.collect {
+      case (k, _, _, f) if f.nonEmpty &&
+        priorPlans.get(k).exists(p => p.nonEmpty && p != f) => k
+    }.sorted
+    val planChangedJson = planChanged.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     // Full-precision artifact (all three runs per key) for offline reads.
-    val fullQs = results.map { case (k, m, (a, b, c)) =>
+    val fullQs = results.map { case (k, m, (a, b, c), f) =>
       val pr = prior.get(k).map(p => f""","prior":$p%.6f""").getOrElse("")
-      f""""$k":{"median":$m%.6f,"runs":[$a%.6f,$b%.6f,$c%.6f]$pr}"""
+      f""""$k":{"median":$m%.6f,"runs":[$a%.6f,$b%.6f,$c%.6f]$pr,"plan":"$f"}"""
     }.mkString("{", ",", "}")
-    val full = f"""{"metric":"total","value":$total%.6f,"unit":"sec","reps":3,"stat":"median","cpus":"$cpus","drift":$drift%.4f,"regressions":$regressionsJson,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.6f,"unit":"sec","reps":3,"stat":"median","cpus":"$cpus","drift":$drift%.4f,"regressions":$regressionsJson,"plan_changed":$planChangedJson,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
     // A filtered run must not clobber the full-surface baseline the
     // regression gate reads.
     if (args.isEmpty) try {
@@ -129,10 +168,10 @@ object Bench {
     // tail always contains a parseable total even when the per-key line's
     // head is truncated (BENCH_r05 "parsed": null — VERDICT r5 #4). Full
     // per-key data lives in bench_results.json either way.
-    val qs = results.map { case (k, m, _) => f""""$k":$m%.3f""" }
+    val qs = results.map { case (k, m, _, _) => f""""$k":$m%.3f""" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"per_key","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":3,"stat":"median","keys":${results.size},"cpus":"$cpus","drift":$drift%.2f,"regressions":$regressionsJson,"failed":$failedJson,"detail":"bench_results.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":3,"stat":"median","keys":${results.size},"cpus":"$cpus","drift":$drift%.2f,"regressions":$regressionsJson,"plan_changed":$planChangedJson,"failed":$failedJson,"detail":"bench_results.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,7 +28,18 @@ object Boilerplate {
   /** Per-doc boilerplate contamination from cross-doc repeated
     * 8-grams: total gram occurrences, occurrences of shared grams,
     * and their ratio. Docs under 8 tokens carry no 8-gram and are
-    * excluded on both engines. */
+    * excluded on both engines.
+    *
+    * Plan-form audit (round-13, after the r12 bench flagged
+    * 0.54→0.89 s with this file untouched): measured warm at sf0.1
+    * with a task-metrics spill listener, the window form runs
+    * 0.50–0.61 s with ZERO memory/disk spill and beats both
+    * alternatives — groupBy+join-back 1.20 s (the gram explode
+    * evaluates twice: column pruning splits the exchange), checkpoint
+    * + semi-join 0.92 s. The r12 number was bench-context noise, not
+    * a plan change or spill; bench_results.json now records a
+    * normalized plan fingerprint per key so this class of mystery is
+    * attributable by elimination. */
   def qLlmBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.table(spark, dir, "documents")
