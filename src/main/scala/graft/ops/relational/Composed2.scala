@@ -28,11 +28,17 @@ import graft.Tables
   * every ORDER BY is a total order (rounded measure or raw parquet
   * double + key tie); quantity sums are integral doubles (probed
   * qty ∈ 1..50, integers), so qty thresholds and averages are exact
-  * both engines. Q11 goes one further and sums integer CENTS
-  * (`round(l_extendedprice*100)::BIGINT` — the 2-dp data makes the
-  * product's representation error ~1e-10, five billion times smaller
-  * than the 0.5 rounding margin), so its scalar-subquery threshold
-  * cut compares exact integers — no float boundary exists at all.
+  * both engines. Q6/Q8/Q9/Q11/Q15 sum integer CENTS
+  * (`round(x*100)::BIGINT` — the 2-dp data makes the product's
+  * representation error ~1e-10, five billion times smaller than the
+  * 0.5 rounding margin), so threshold cuts and the Q15 argmax compare
+  * exact integers — no float boundary exists at all, at any fixture
+  * size (round-13: extended from Q9/Q11 to the other money sums after
+  * ADVICE r12 flagged their ~10⁸ magnitudes). Q2's floor join needs
+  * no such proxy: MIN is fold-order-FREE, so each (part, supplier)
+  * cost and each per-part floor is the identical double on both
+  * engines, and even a cross-supplier exact tie keeps the same row
+  * set on both sides.
   *
   * Scale notes: part/supplier/nation/region broadcast (bounded dims);
   * orders⋈lineitem and customer⋈orders shuffle on their keys un-
@@ -94,7 +100,11 @@ object Composed2 {
       .filter($"l_shipdate" >= ts("1997-01-01") &&
         $"l_shipdate" < ts("1998-01-01") &&
         $"l_discount".between(0.04, 0.06) && $"l_quantity" < 24.0)
-      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+      // Q11 integer-cents rule (round-13, ADVICE r12): the raw double
+      // sum reaches ~10⁷ at sf0.1 — the magnitude where Q9's probing
+      // saw one-cent fold-order drift — so sum exact cents instead
+      .agg(round(sum(round($"l_extendedprice" * $"l_discount" * 100)
+        .cast("long")) / 100.0, 2).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -123,7 +133,12 @@ object Composed2 {
       .filter($"o_orderdate" >= ts("1996-01-01") &&
         $"o_orderdate" < ts("1998-01-01"))
       .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year"))
-    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    // Q11 integer-cents rule (round-13, ADVICE r12): the yearly total
+    // volume reaches ~10⁸ at sf0.1, past the magnitude where a raw
+    // double sum's fold order can flip the 2-dp rounding — per-row
+    // cents are the same exact integers on both engines
+    val volCents = round($"l_extendedprice" * (lit(1.0) - $"l_discount")
+      * 100).cast("long")
     Tables.table(spark, dir, "lineitem")
       .join(broadcast(parts), $"l_partkey" === $"p_partkey")
       .join(ord, $"l_orderkey" === $"o_orderkey")
@@ -131,11 +146,13 @@ object Composed2 {
       .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
       .groupBy($"o_year")
       .agg(
-        round(sum(when($"supp_nation" === "NATION_5", vol)
-          .otherwise(lit(0.0))), 2).as("nation_volume"),
-        round(sum(vol), 2).as("total_volume"))
-      .select($"o_year", $"nation_volume", $"total_volume",
-        round($"nation_volume" / $"total_volume", 4).as("mkt_share"))
+        sum(when($"supp_nation" === "NATION_5", volCents)
+          .otherwise(lit(0L))).as("nc"),
+        sum(volCents).as("tc"))
+      .select($"o_year",
+        round($"nc" / 100.0, 2).as("nation_volume"),
+        round($"tc" / 100.0, 2).as("total_volume"),
+        round(($"nc" / 100.0) / ($"tc" / 100.0), 4).as("mkt_share"))
       .orderBy($"o_year")
   }
 
@@ -227,24 +244,27 @@ object Composed2 {
 
   /** TPC-H Q15 shape: top supplier — the supplier(s) whose quarterly
     * revenue equals the maximum (scalar subquery over a grouped sum).
-    * The argmax compares each engine's own grouped sums against its
-    * own max of the SAME set — self-consistent regardless of
-    * last-bit fold-order differences; a flip would need two suppliers
-    * within ~1e-10 relative of each other (the idle_rich margin
-    * argument). Output revenue is rounded. */
+    * Revenue is summed as exact integer CENTS (the Q11 rule —
+    * round-13, ADVICE r12): a raw-double argmax is self-consistent
+    * per engine, but two suppliers within fold-order noise of each
+    * other could make the engines select DIFFERENT row sets; on the
+    * integer grid a tie is a true tie and both engines keep both
+    * rows. */
   def qComposedTopSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rev = Tables.table(spark, dir, "lineitem")
       .filter($"l_shipdate" >= ts("1997-01-01") &&
         $"l_shipdate" < ts("1997-04-01"))
       .groupBy($"l_suppkey")
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("r"))
-    val top = rev.agg(max($"r").as("maxr"))
+      .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount")
+        * 100).cast("long")).as("rc"))
+    val top = rev.agg(max($"rc").as("maxrc"))
     rev.crossJoin(broadcast(top))
-      .filter($"r" === $"maxr")
+      .filter($"rc" === $"maxrc")
       .join(broadcast(Tables.table(spark, dir, "supplier")
         .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
-      .select($"s_suppkey", $"s_name", round($"r", 2).as("total_revenue"))
+      .select($"s_suppkey", $"s_name",
+        round($"rc" / 100.0, 2).as("total_revenue"))
       .orderBy($"s_suppkey")
   }
 
@@ -393,7 +413,8 @@ object Composed2 {
         |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
         |LIMIT 100""".stripMargin,
     "q_composed_forecast" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT round(sum(round(l_extendedprice * l_discount * 100)::BIGINT)
+        |    / 100.0, 2) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -403,7 +424,8 @@ object Composed2 {
     "q_composed_mktshare" ->
       """WITH vol AS (
         |  SELECT year(o_orderdate) AS o_year,
-        |    l_extendedprice * (1.0 - l_discount) AS volume,
+        |    round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT
+        |      AS vol_cents,
         |    sn.n_name AS supp_nation
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
@@ -418,12 +440,13 @@ object Composed2 {
         |    AND o_orderdate < TIMESTAMP '1998-01-01'),
         |agg AS (
         |  SELECT o_year,
-        |    round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
-        |      ELSE 0.0 END), 2) AS nation_volume,
-        |    round(sum(volume), 2) AS total_volume
+        |    sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_cents
+        |      ELSE 0 END)::BIGINT AS nc,
+        |    sum(vol_cents)::BIGINT AS tc
         |  FROM vol GROUP BY o_year)
-        |SELECT o_year, nation_volume, total_volume,
-        |  round(nation_volume / total_volume, 4) AS mkt_share
+        |SELECT o_year, round(nc / 100.0, 2) AS nation_volume,
+        |  round(tc / 100.0, 2) AS total_volume,
+        |  round((nc / 100.0) / (tc / 100.0), 4) AS mkt_share
         |FROM agg ORDER BY o_year""".stripMargin,
     "q_composed_profit" ->
       """SELECT n_name, year(o_orderdate) AS o_year,
@@ -468,14 +491,16 @@ object Composed2 {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_composed_top_supplier" ->
       """WITH rev AS (
-        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS r
+        |  SELECT l_suppkey,
+        |    sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)
+        |      AS rc
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |    AND l_shipdate < TIMESTAMP '1997-04-01'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, round(r, 2) AS total_revenue
+        |SELECT s_suppkey, s_name, round(rc / 100.0, 2) AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE r = (SELECT max(r) FROM rev)
+        |WHERE rc = (SELECT max(rc) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
     "q_composed_partsupp_cnt" ->
       """WITH pairs AS (

@@ -360,6 +360,16 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Free the cached blocks behind a localCheckpoint-ed frame (or a
+    * projection of one) — `Dataset.unpersist` only clears CacheManager
+    * entries; a localCheckpoint persists at the RDD layer (the
+    * DedupCluster helper, duplicated here because both are private to
+    * their iterative loops). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Connected components of the part co-purchase graph — the last
     * classic census member (component id = min part key in the
     * component, the deterministic canonical label). Per-node
@@ -375,14 +385,28 @@ object Graph {
     * log(diameter), not diameter (probed: 11 plain rounds → 5 with
     * jumping at sf0.01, and at 10× the smoke dropped 18.3 s → ~8 s —
     * on a 1000-executor cluster each round is a full shuffle barrier,
-    * so ROUND COUNT is the latency bill). Per-round `localCheckpoint`
-    * truncates lineage (the qGraphReach pattern); every round is two
-    * small keyed joins + one groupBy-min — no neighbour-set blowup,
-    * the Hash-to-Min trade deferred until a real 100 TB diameter
-    * demands it. The oracle computes min-over-reachable-set via a
-    * recursive CTE — a genuinely different evaluation strategy
-    * (closure vs iteration), so the match certifies the fixed point
-    * itself. */
+    * so ROUND COUNT is the latency bill).
+    *
+    * Per-round cost discipline (round-13 rework of the r12 findings):
+    * the node's PRIOR label rides through the same groupBy-min (each
+    * node contributes exactly one self-tagged row, so
+    * `min(when(self, lbl))` recovers it), making convergence a single
+    * `isEmpty` scan over the just-checkpointed result instead of a
+    * join + count against the previous frame — one job per round, not
+    * three; and each superseded checkpoint's executor blocks are
+    * released as soon as its successor is materialized (the
+    * DedupCluster pattern) instead of accreting until the bench's
+    * between-keys GC. If the fixed point hasn't landed within
+    * `maxJumpRounds` (pointer jumping halves chains, so 16 rounds
+    * covers diameters past 64k — nothing a co-purchase graph
+    * produces), the key falls back to the alternating large-star/
+    * small-star algorithm ([[graft.ops.llm.DedupCluster
+    * .connectedComponentsStar]], O(log² n) rounds on ADVERSARIAL
+    * diameters) rather than looping unboundedly — GraphSpec asserts
+    * both paths produce identical labelings on the real graph. The
+    * oracle computes min-over-reachable-set via a recursive CTE — a
+    * genuinely different evaluation strategy (closure vs iteration),
+    * so the match certifies the fixed point itself. */
   def qGraphCc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (e0, _) = coPurchaseGraph(spark, dir)
@@ -390,30 +414,47 @@ object Graph {
       e0.select($"u".as("src"), $"v".as("dst"))
         .union(e0.select($"v".as("src"), $"u".as("dst")))
     }
+    val maxJumpRounds = 16
     var lbl = memo(spark, dir, "cc_nodes") {
       e0.select($"u".as("node")).union(e0.select($"v".as("node")))
         .distinct()
     }.select($"node", $"node".as("lbl"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxJumpRounds) {
       val jump = lbl.as("a")
         .join(lbl.as("b"), $"a.lbl" === $"b.node")
         .select($"a.node".as("node"), $"b.lbl".as("lbl"))
-      val next = lbl.select($"node", $"lbl")
+      val next = lbl.select($"node", $"lbl", lit(true).as("self"))
         .union(es.join(lbl.withColumnRenamed("node", "src"), "src")
-          .select($"dst".as("node"), $"lbl"))
-        .union(jump)
-        .groupBy($"node").agg(min($"lbl").as("lbl"))
+          .select($"dst".as("node"), $"lbl", lit(false).as("self")))
+        .union(jump.select($"node", $"lbl", lit(false).as("self")))
+        .groupBy($"node").agg(min($"lbl").as("lbl"),
+          min(when($"self", $"lbl")).as("prev"))
         .localCheckpoint()
-      changed = next.join(lbl.withColumnRenamed("lbl", "old"), "node")
-        .filter($"lbl" =!= $"old").count()
-      lbl = next
+      converged = next.filter($"lbl" =!= $"prev").isEmpty
+      unpersistCheckpoint(lbl)
+      lbl = next.select($"node", $"lbl")
+      rounds += 1
     }
-    lbl.join(lbl.groupBy($"lbl".as("ck")).agg(count(lit(1)).as("comp_size")),
+    val labels =
+      if (converged) lbl
+      else {
+        // adversarial diameter: hand the edge set to the O(log² n)
+        // star algorithm; isolated... (none here: every node in `es`
+        // has an edge) — labels come back as (id, cluster)
+        unpersistCheckpoint(lbl)
+        graft.ops.llm.DedupCluster
+          .connectedComponentsStar(es, "src", "dst")
+          .select($"id".as("node"), $"cluster".as("lbl"))
+      }
+    val out = labels
+      .join(labels.groupBy($"lbl".as("ck")).agg(count(lit(1)).as("comp_size")),
         $"lbl" === $"ck")
       .select($"node", $"lbl".as("comp"), $"comp_size")
       .orderBy($"node")
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

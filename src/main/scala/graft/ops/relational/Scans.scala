@@ -44,9 +44,13 @@ object Scans {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
 
-  /** JSON-lines source with explicit schema (CDC envelope transport). */
-  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+  /** JSON-lines source with explicit schema (CDC envelope transport).
+    * Pass `timestampFormat`/`timestampNTZFormat` options with
+    * `.SSSSSS` when sub-millisecond fidelity matters — the Spark JSON
+    * default formats carry only millis. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.schema(schema).options(options).json(path)
 
   /** Partitioned parquet sink — hive-style layout so downstream reads
     * get static + dynamic partition pruning on the partition column. */
@@ -62,9 +66,76 @@ object Scans {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Deterministic scratch dir for a source-format fixture, keyed by
+    * the corpus dir so sf0.01 (verify) and sf0.1 (bench) never collide.
+    * Lives under java.io.tmpdir — the only writable scratch both the
+    * verify and bench harnesses share. */
+  private def fixtureDir(dir: String, fmt: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/$tag/$fmt"
+  }
+
+  /** CSV ingestion certified end-to-end: the corpus `orders` table is
+    * written to CSV (header, quoted/escaped strings, empty-string
+    * nulls, yyyy-MM-dd dates) and read back with an explicit schema;
+    * the RESULT is the read-back frame, while the oracle computes the
+    * same projection straight from parquet — so the cross-engine hash
+    * passes iff the write→parse round-trip preserved every value
+    * (doubles via toString/parse exactness, a crafted comma+quote
+    * string through the quoting path, a nullable bigint through the
+    * empty-string null path). Ordering-proof by design: the oracle
+    * never reads the fixture, so it cannot race the bench's sf0.1
+    * rewrite of it. Scale shape: both the write and the read are
+    * distributed (one narrow pass each, no shuffle before the output
+    * sort); a 100 TB CSV ingest is exactly this plan with more
+    * part-files. */
+  def qScanCsv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = fixtureDir(dir, "csv")
+    val fixture = Tables.table(spark, dir, "orders")
+      .select($"o_orderkey",
+        when($"o_orderkey" % 7 === 0, lit(null)).otherwise($"o_custkey")
+          .cast("long").as("nk"),
+        $"o_orderstatus",
+        concat(lit("a,\"b "), $"o_orderpriority").as("tricky"),
+        $"o_totalprice",
+        $"o_orderdate".cast("date").as("o_date"))
+    fixture.write.mode("overwrite")
+      .option("header", "true").option("dateFormat", "yyyy-MM-dd")
+      .csv(path)
+    readCsv(spark, path, fixture.schema)
+      .orderBy($"o_orderkey")
+  }
+
+  /** JSON-lines ingestion certified end-to-end (the CDC envelope
+    * transport): the corpus `events` table — timestamps, doubles, a
+    * nullable bigint, and a props string full of JSON metacharacters
+    * that must survive the writer's escaping — is written to JSONL and
+    * read back with an explicit schema; the oracle computes the same
+    * projection from parquet. Timestamps are compared date_trunc'd to
+    * seconds per the SURVEY §5.4 oracle convention (the ns→µs floor on
+    * the parquet read differs from DuckDB's cast rounding below the
+    * second); full-µs write→read fidelity is asserted Spark-side in
+    * ScansSpec. */
+  def qScanJsonl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = fixtureDir(dir, "jsonl")
+    val fixture = Tables.table(spark, dir, "events")
+      .select($"event_id",
+        date_trunc("second", $"ts").as("ts_s"),
+        when($"event_id" % 5 === 0, lit(null)).otherwise($"user_id")
+          .cast("long").as("nuser"),
+        $"event_type", $"value", $"props")
+    fixture.write.mode("overwrite").json(path)
+    readJsonl(spark, path, fixture.schema)
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> (qScanParquet _),
-    "q_scan_pruned" -> (qScanPruned _)
+    "q_scan_pruned" -> (qScanPruned _),
+    "q_scan_csv" -> (qScanCsv _),
+    "q_scan_jsonl" -> (qScanJsonl _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -74,6 +145,22 @@ object Scans {
     "q_scan_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_extendedprice > 90000.0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // parquet-direct twin of the CSV round-trip: matches iff Spark's
+    // CSV write→parse preserved every value
+    "q_scan_csv" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS nk,
+        |  o_orderstatus,
+        |  'a,"b ' || o_orderpriority AS tricky,
+        |  o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_scan_jsonl" ->
+      """SELECT event_id,
+        |  date_trunc('second', ts) AS ts_s,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS nuser,
+        |  event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

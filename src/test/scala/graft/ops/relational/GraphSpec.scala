@@ -60,6 +60,22 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("connected components: the jumping path and the large/small-star " +
+      "fallback produce the IDENTICAL labeling on the real graph") {
+    import spark.implicits._
+    val viaKey = Graph.qGraphCc(spark, sfSmoke)
+      .select($"node", $"comp")
+    val (e0, _) = Graph.coPurchaseGraph(spark, sfSmoke)
+    val es = e0.select($"u".as("src"), $"v".as("dst"))
+      .union(e0.select($"v".as("src"), $"u".as("dst")))
+    val viaStar = graft.ops.llm.DedupCluster
+      .connectedComponentsStar(es, "src", "dst")
+      .select($"id".as("node"), $"cluster".as("comp"))
+    assert(viaKey.exceptAll(viaStar).isEmpty &&
+      viaStar.exceptAll(viaKey).isEmpty,
+      "jumping fixed point and star fixed point disagree")
+  }
+
   test("degree histogram: masses sum to node count, cumulative share " +
       "reaches exactly 1") {
     val rows = Graph.qGraphDegreeHist(spark, sfSmoke).collect()

@@ -24,6 +24,45 @@ class RelationalBasicsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q_scan_csv: round-trip equals the parquet-direct projection") {
+    import spark.implicits._
+    val back = Scans.qScanCsv(spark, sfSmoke)
+    val direct = graft.Tables.table(spark, sfSmoke, "orders")
+      .select($"o_orderkey",
+        when($"o_orderkey" % 7 === 0, lit(null)).otherwise($"o_custkey")
+          .cast("long").as("nk"),
+        $"o_orderstatus",
+        concat(lit("a,\"b "), $"o_orderpriority").as("tricky"),
+        $"o_totalprice",
+        $"o_orderdate".cast("date").as("o_date"))
+    assert(back.count() === direct.count())
+    assert(back.exceptAll(direct).isEmpty && direct.exceptAll(back).isEmpty)
+    // the nullable-bigint empty-string path actually exercised
+    assert(back.filter($"nk".isNull).count() > 0)
+  }
+
+  test("q_scan_jsonl: JSON write→read preserves FULL-µs timestamps") {
+    import spark.implicits._
+    // the oracled key truncates ts to seconds per the §5.4 convention;
+    // this asserts the round-trip itself is µs-exact
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_us").toString
+    val src = graft.Tables.table(spark, sfSmoke, "events")
+      .select($"event_id", $"ts", $"value", $"props")
+    // the JSON default timestamp formats carry only millis — µs
+    // fidelity requires an explicit .SSSSSS on BOTH sides
+    val usFmt = Map(
+      "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+      "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    src.write.mode("overwrite").options(usFmt).json(dir)
+    val back = Scans.readJsonl(spark, dir, src.schema, usFmt)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // sub-second precision genuinely present in the fixture
+    // ts is TIMESTAMP_NTZ — unix_micros needs LTZ, cast under UTC
+    assert(src.filter(
+      expr("unix_micros(cast(ts as timestamp)) % 1000000 != 0")).count() > 0)
+  }
+
   test("q_filter_predicates selects a strict non-empty subset") {
     val n = Basics.qFilterPredicates(spark, sfSmoke).count()
     val total = spark.read.parquet(s"$sfSmoke/orders.parquet").count()
