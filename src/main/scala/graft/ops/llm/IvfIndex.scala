@@ -36,6 +36,10 @@ import graft.ops.cdc.AtomicPublish
   *    travel across the boundary works because each manifest pins its
   *    OWN codebook with its file set (searching v1 after a retrain uses
   *    v1's centroids against v1's files — never a mixed read).
+  *  - [[delete]]: O(batch) logical removal — ids land in a tombstone
+  *    sidecar the probed read anti-joins (the FAISS IDSelector
+  *    pattern); physical reclaim at compact (`reclaimDeletes`) or
+  *    retrain, both of which reset the sidecar list.
   *
   * Appends are append-only (an index, not a table): re-appending a
   * vec_id duplicates it. Route replacements through retrain, or dedup
@@ -55,7 +59,8 @@ object IvfIndex {
                                  centroids: Array[Array[Double]],
                                  paths: Map[Int, Seq[String]],
                                  quantized: Boolean = false,
-                                 txns: Map[String, Long] = Map.empty)
+                                 txns: Map[String, Long] = Map.empty,
+                                 tombstones: Seq[String] = Seq.empty)
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -79,7 +84,10 @@ object IvfIndex {
       } ++
       m.paths.toSeq.sortBy(_._1).flatMap { case (cid, rels) =>
         rels.sorted.map(rel => s"p\t$cid\t$rel")
-      }).mkString("\n")
+      } ++
+      // tombstone id-file dirs (the delete sidecar): absent line =
+      // no deletes, older manifests parse identically
+      m.tombstones.sorted.map(rel => s"t\t$rel")).mkString("\n")
 
   private def parse(version: Long, text: String): IndexManifest = {
     val lines = text.split('\n').filter(_.nonEmpty)
@@ -96,8 +104,10 @@ object IvfIndex {
       val Array(_, a, v) = l.split('\t')
       a -> v.toLong
     }.toMap
+    val tombs = lines.filter(_.startsWith("t\t")).map(_.split('\t')(1)).toSeq
     IndexManifest(version, dim, cents, paths,
-      quantized = lines.contains("quant\tsq8"), txns = txns)
+      quantized = lines.contains("quant\tsq8"), txns = txns,
+      tombstones = tombs)
   }
 
   def currentManifest(spark: SparkSession, dir: String): Option[IndexManifest] = {
@@ -262,7 +272,11 @@ object IvfIndex {
   }
 
   /** Stored assignments of one version, cid partition column restored;
-    * `onlyCids` prunes the read to the probed inverted lists. */
+    * `onlyCids` prunes the read to the probed inverted lists.
+    * Tombstoned vec_ids are filtered out here — ONE anti-join against
+    * the manifest's id sidecar (empty sidecar = no join at all), so
+    * every consumer (search, retrain, tuneNprobe, readVectors) sees
+    * the post-delete index without each re-implementing the filter. */
   private def readAssignments(spark: SparkSession, dir: String,
                               m: IndexManifest,
                               onlyCids: Option[Set[Int]] = None): DataFrame = {
@@ -272,24 +286,83 @@ object IvfIndex {
       spark.read.parquet(rels.sorted.map(rel => s"$dir/$rel"): _*)
         .withColumn("cid", lit(cid))
     }
-    if (perCid.isEmpty) {
-      val empty = spark.range(0)
-      if (m.quantized)
-        empty.select(col("id").as("vec_id"),
-          array().cast("array<int>").as("q"), lit(0.0).as("scale"),
-          lit(0.0).as("nrm"), lit(0).as("cid"))
-      else
-        empty.select(col("id").as("vec_id"),
-          array().cast("array<double>").as("v"), lit(0.0).as("nrm"),
-          lit(0).as("cid"))
-    } else perCid.reduce(_.unionByName(_))
+    val raw =
+      if (perCid.isEmpty) {
+        val empty = spark.range(0)
+        if (m.quantized)
+          empty.select(col("id").as("vec_id"),
+            array().cast("array<int>").as("q"), lit(0.0).as("scale"),
+            lit(0.0).as("nrm"), lit(0).as("cid"))
+        else
+          empty.select(col("id").as("vec_id"),
+            array().cast("array<double>").as("v"), lit(0.0).as("nrm"),
+            lit(0).as("cid"))
+      } else perCid.reduce(_.unionByName(_))
+    if (m.tombstones.isEmpty) raw
+    else raw.join(tombstoneIds(spark, dir, m), Seq("vec_id"), "left_anti")
   }
+
+  /** Distinct deleted vec_ids of one version (empty frame if none). */
+  private def tombstoneIds(spark: SparkSession, dir: String,
+                           m: IndexManifest): DataFrame =
+    if (m.tombstones.isEmpty)
+      spark.range(0).select(col("id").as("vec_id"))
+    else spark.read
+      .parquet(m.tombstones.sorted.map(rel => s"$dir/$rel"): _*)
+      .select(col("vec_id")).distinct()
 
   /** Stored vectors of the current version (for retrain / audit);
     * `onlyCids` exposes the same pruned read the search path uses. */
   def readVectors(spark: SparkSession, dir: String,
                   onlyCids: Option[Set[Int]] = None): DataFrame =
     readAssignments(spark, dir, requireManifest(spark, dir), onlyCids)
+
+  /** Delete vectors by id — the FAISS IDSelector pattern adapted to a
+    * manifest-committed index: the ids land in a parquet SIDECAR under
+    * `tomb/`, the new manifest references it, and every read of this
+    * and later versions anti-joins the sidecar ([[readAssignments]]).
+    * O(delete batch): no data file is touched, which is the point —
+    * an index that can only shrink via full retrain cannot serve a
+    * dedup pipeline that REMOVES documents. Physical reclaim happens
+    * at [[compactIndex]] (`reclaimDeletes = true`) or [[retrain]]
+    * (which rebuilds from the tomb-filtered read and resets the
+    * sidecar list). Time travel is preserved: a pre-delete manifest
+    * has no sidecar line and still returns the vector.
+    *
+    * Ids absent from the index tombstone to a no-op (the filter never
+    * matches). An empty batch burns no version. `txn` has the same
+    * replay-idempotence contract as [[append]]. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+             txn: Option[(String, Long)] = None): Unit = {
+    val m = requireManifest(spark, dir)
+    txn.foreach { case (app, ver) =>
+      if (m.txns.get(app).exists(_ >= ver)) return
+    }
+    val fs = fsOf(spark, dir)
+    val pinned = ids.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct().persist()
+    try {
+      if (pinned.count() == 0) return
+      val staging = newStaging(fs, dir)
+      val rel = s"tomb/$staging"
+      // one sidecar file per delete batch: the id list is the bounded
+      // side (a filter input, not data), and the anti-join reads it
+      // whole every search — small-file pressure belongs on compact
+      pinned.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$rel")
+      try AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
+        body(m.copy(version = m.version + 1,
+          tombstones = m.tombstones :+ rel, txns = m.txns ++ txn)))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // same recovery as append: if the publish winner recorded OUR
+          // txn, this is a replay — succeed; the staged sidecar ages
+          // out via vacuum like any crashed write
+          if (!txn.exists { case (app, ver) =>
+            currentManifest(spark, dir).exists(_.txns.get(app).exists(_ >= ver))
+          }) throw e
+      }
+    } finally { pinned.unpersist(); () }
+  }
 
   /** @param excludeSelfId drop hits where the stored vec_id equals the
     *        query's vec_id — correct when queries are drawn FROM the
@@ -489,9 +562,14 @@ object IvfIndex {
     * and publishes a version that reuses every other cid's files.
     * Data is bit-identical; O(fragmented cids), not O(index). Returns
     * the cids compacted (empty = nothing fragmented, no version
-    * burned). */
+    * burned).
+    *
+    * `reclaimDeletes = true` also rewrites every cid holding a
+    * tombstoned row and drops the tombstone sidecars from the new
+    * manifest — the physical half of [[delete]]. */
   def compactIndex(spark: SparkSession, dir: String,
-                   maxFilesPerCid: Int = 4): Seq[Int] = {
+                   maxFilesPerCid: Int = 4,
+                   reclaimDeletes: Boolean = false): Seq[Int] = {
     require(maxFilesPerCid >= 1,
       s"maxFilesPerCid must be >= 1, got $maxFilesPerCid")
     val m = requireManifest(spark, dir)
@@ -500,19 +578,52 @@ object IvfIndex {
       rels.map(rel => fs.listStatus(new Path(s"$dir/$rel"))
         .count(_.getPath.getName.endsWith(".parquet"))).sum > maxFilesPerCid
     }
-    if (fragmented.isEmpty) return Seq.empty
+    // reclaimDeletes additionally rewrites every cid holding a
+    // tombstoned row (found by ONE join of the sidecar against the
+    // stored assignments — pruned nothing, but O(index scan) is the
+    // honest cost of physical reclaim), after which the new manifest
+    // drops the sidecar list entirely: every surviving file is clean
+    val deletedCids: Set[Int] =
+      if (!reclaimDeletes || m.tombstones.isEmpty) Set.empty
+      else {
+        // raw read (no tomb filter): we need the HOMES of deleted rows
+        val wanted = m.paths.toSeq.sortBy(_._1).map { case (cid, rels) =>
+          spark.read.parquet(rels.sorted.map(rel => s"$dir/$rel"): _*)
+            .select(col("vec_id")).withColumn("cid", lit(cid))
+        }
+        if (wanted.isEmpty) Set.empty
+        else wanted.reduce(_.unionByName(_))
+          .join(tombstoneIds(spark, dir, m), Seq("vec_id"), "left_semi")
+          .select(col("cid")).distinct()
+          .collect().map(_.getInt(0)).toSet
+      }
+    val rewrite = fragmented.keySet.toSet ++ deletedCids
+    val dropTombs = reclaimDeletes && m.tombstones.nonEmpty
+    if (rewrite.isEmpty && !dropTombs) return Seq.empty
+    val newTombs = if (reclaimDeletes) Seq.empty[String] else m.tombstones
+    if (rewrite.isEmpty) {
+      // deletes existed but hit no stored row (ids never present):
+      // the sidecar is pure overhead — drop it without rewriting data
+      AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
+        body(m.copy(version = m.version + 1, tombstones = newTombs)))
+      return Seq.empty
+    }
     val staging = newStaging(fs, dir)
-    readAssignments(spark, dir, m, Some(fragmented.keySet.toSet))
-      .repartition(fragmented.size, col("cid"))
+    readAssignments(spark, dir, m, Some(rewrite))
+      .repartition(rewrite.size, col("cid"))
       .write.mode("errorifexists")
       .partitionBy("cid").parquet(s"$dir/data/$staging")
     val written = fs.listStatus(new Path(s"$dir/data/$staging"))
       .map(_.getPath.getName).filter(_.startsWith("cid="))
       .map(n => n.stripPrefix("cid=").toInt -> Seq(s"data/$staging/$n"))
       .toMap
+    // a rewritten cid whose rows were ALL deleted writes no files —
+    // it must leave the manifest, not keep its stale paths
+    val emptied = rewrite -- written.keySet
     AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
-      body(m.copy(version = m.version + 1, paths = m.paths ++ written)))
-    fragmented.keys.toSeq.sorted
+      body(m.copy(version = m.version + 1,
+        paths = (m.paths -- emptied) ++ written, tombstones = newTombs)))
+    rewrite.toSeq.sorted
   }
 
   /** Reclaim staging dirs unreachable from the `keepManifests` newest
@@ -537,14 +648,26 @@ object IvfIndex {
       newest.contains(v) ||
         fs.getFileStatus(manifestPath(dir, v)).getModificationTime >= cutoff
     }
-    val reachable: Set[String] = kept.flatMap { v =>
-      readManifest(fs, dir, v).paths.values.flatten
-        .map(_.split('/')(1)) // "data/<staging>/cid=<i>"
+    val keptManifests = kept.map(readManifest(fs, dir, _))
+    val reachable: Set[String] = keptManifests.flatMap {
+      _.paths.values.flatten.map(_.split('/')(1)) // "data/<staging>/cid=<i>"
     }.toSet
     val dataDir = new Path(s"$dir/data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
         if (!reachable.contains(st.getPath.getName) &&
+            st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    // tombstone sidecars obey the same reachability + age rules
+    val reachableTombs: Set[String] = keptManifests.flatMap {
+      _.tombstones.map(_.split('/')(1)) // "tomb/<staging>"
+    }.toSet
+    val tombDir = new Path(s"$dir/tomb")
+    if (fs.exists(tombDir))
+      fs.listStatus(tombDir).foreach { st =>
+        if (!reachableTombs.contains(st.getPath.getName) &&
             st.getModificationTime < cutoff) {
           fs.delete(st.getPath, true); ()
         }
@@ -583,6 +706,8 @@ object IvfIndex {
     val staging = newStaging(fs, dir)
     val written = writeAssigned(spark, dir, stored, centroids, m.dim, staging,
       m.quantized)
+    // tombstones reset by construction: `stored` came through the
+    // tomb-filtered read, so the rewrite IS the physical reclaim
     AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
       body(IndexManifest(m.version + 1, m.dim, centroids, written,
         m.quantized, m.txns)))

@@ -179,6 +179,76 @@ class IvfIndexSpec extends SparkSpec {
       "held-out recall fell more than the sampling margin below target")
   }
 
+  test("delete tombstones: vector vanishes from search/readVectors, " +
+      "time travel to the pre-delete version still returns it, and a " +
+      "replayed txn burns no version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString + "/idx"
+    IvfIndex.build(emb, dir, dim = 64, k = 8, iters = 3)
+    val n0 = IvfIndex.readVectors(spark, dir).count()
+    val victimId = 7L
+    val queries = emb.filter(col("vec_id") < 15)
+    // victim is a self-neighbour at probe-all before the delete
+    val kc = IvfIndex.codebook(spark, dir).length
+    val before = IvfIndex.search(spark, dir, queries, k = 5, nprobe = kc,
+      excludeSelfId = false)
+    assert(before.filter(col("c_vec_id") === victimId).count() > 0)
+    import spark.implicits._
+    IvfIndex.delete(spark, dir, Seq(victimId).toDF("vec_id"),
+      txn = Some(("deleter", 1L)))
+    val vDel = IvfIndex.currentManifest(spark, dir).get.version
+    // gone from every read of the current version
+    val after = IvfIndex.search(spark, dir, queries, k = 5, nprobe = kc,
+      excludeSelfId = false)
+    assert(after.filter(col("c_vec_id") === victimId).count() === 0)
+    assert(IvfIndex.readVectors(spark, dir).count() === n0 - 1)
+    // time travel: the pre-delete version still serves it
+    val old = IvfIndex.searchVersion(spark, dir, vDel - 1, queries, k = 5,
+      nprobe = kc, excludeSelfId = false)
+    assert(old.filter(col("c_vec_id") === victimId).count() > 0)
+    // replayed delete txn: recognized, no version burned
+    IvfIndex.delete(spark, dir, Seq(victimId).toDF("vec_id"),
+      txn = Some(("deleter", 1L)))
+    assert(IvfIndex.currentManifest(spark, dir).get.version === vDel)
+    // empty batch: no version burned either
+    IvfIndex.delete(spark, dir, emb.filter(lit(false)).select($"vec_id"))
+    assert(IvfIndex.currentManifest(spark, dir).get.version === vDel)
+  }
+
+  test("compactIndex(reclaimDeletes) physically removes tombstoned rows " +
+      "and drops the sidecars; results are unchanged; retrain also resets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rc").toString + "/idx"
+    IvfIndex.build(emb, dir, dim = 64, k = 4, iters = 2)
+    import spark.implicits._
+    val victims = Seq(3L, 11L, 42L)
+    IvfIndex.delete(spark, dir, victims.toDF("vec_id"))
+    assert(IvfIndex.currentManifest(spark, dir).get.tombstones.nonEmpty)
+    val queries = emb.filter(col("vec_id") < 15)
+    val kc = IvfIndex.codebook(spark, dir).length
+    val preCompact = pairs(IvfIndex.search(spark, dir, queries, k = 5,
+      nprobe = kc, excludeSelfId = false))
+    val rewritten = IvfIndex.compactIndex(spark, dir, maxFilesPerCid = 1000,
+      reclaimDeletes = true)
+    assert(rewritten.nonEmpty, "victim-holding cids must be rewritten")
+    val m2 = IvfIndex.currentManifest(spark, dir).get
+    assert(m2.tombstones.isEmpty, "sidecars must be dropped after reclaim")
+    // physically gone: the RAW (un-tomb-filtered) read no longer has them
+    val rawIds = m2.paths.values.flatten.toSeq.sorted
+      .map(rel => spark.read.parquet(s"$dir/$rel").select(col("vec_id")))
+      .reduce(_ unionAll _).collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !rawIds.contains(v)))
+    // search results identical before and after the physical reclaim
+    val postCompact = pairs(IvfIndex.search(spark, dir, queries, k = 5,
+      nprobe = kc, excludeSelfId = false))
+    assert(postCompact === preCompact)
+    // retrain path: delete again, retrain, sidecars reset + stays gone
+    IvfIndex.delete(spark, dir, Seq(5L).toDF("vec_id"))
+    IvfIndex.retrain(spark, dir, k = 4, iters = 2)
+    val m3 = IvfIndex.currentManifest(spark, dir).get
+    assert(m3.tombstones.isEmpty)
+    assert(IvfIndex.readVectors(spark, dir)
+      .filter(col("vec_id") === 5L).count() === 0)
+  }
+
   test("search reads ONLY the probed cid partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_pr").toString + "/idx"
     IvfIndex.build(emb, dir, dim = 64, k = 8, iters = 3)
