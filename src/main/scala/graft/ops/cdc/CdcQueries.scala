@@ -723,6 +723,75 @@ object CdcQueries {
       .orderBy($"pk")
   }
 
+  /** TWO-HOP maintained-DAG algebra, oracled end-to-end — the
+    * composition the streaming capstone runs per trigger (replica →
+    * materialized join → aggregate-over-the-join), previously certified
+    * only by DagStreamSpec's Spark-side recompute. Same fact/dim
+    * fixture and midpoint splits as q_cdc_incr_join; the Spark side
+    * maintains hop 1 with the join delta algebra (fact image diff +
+    * changed dim keys against D₂), then maintains hop 2 by diffing the
+    * MAINTAINED join states and pushing that diff through the
+    * aggregate delta algebra — agg(J₁) ⊕ Δagg(diff(J₁, J₂ᵐ)) — while
+    * the DuckDB oracle aggregates (fact₂ LEFT JOIN dim₂) DIRECTLY,
+    * never seeing either intermediate. The hash match proves the two
+    * delta algebras COMPOSE: every join-maintenance path (dangling
+    * fks, dim inserts resurrecting unmatched rows, dim deletes
+    * orphaning matched ones, fk retargets) flows through group
+    * migration, null-measure tracking, and vanished-group filtering of
+    * the aggregate hop. Cents are exact integers; the NULL dname
+    * group (dangling fks) is a real group on both engines, ordered
+    * NULLS FIRST explicitly. */
+  def qCdcDag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val factLog = changeLog(spark, dir).select(
+      $"lsn", $"pk", $"op",
+      when($"lsn" % 7 === 0, lit(null).cast(LongType))
+        .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"),
+      ($"lsn" % 31).cast(LongType).as("fk"))
+    val dimLog = changeLog(spark, dir).select(
+      $"lsn", ($"lsn" % 31).cast(LongType).as("dk"), $"op",
+      concat(lit("N"), ($"lsn" % 10).cast(StringType)).as("dname"))
+    val factSnap = Tables.table(spark, dir, "customer").select(
+      $"c_custkey".as("pk"),
+      round($"c_acctbal" * 100).cast(LongType).as("cents"),
+      $"c_nationkey".cast(LongType).as("fk"))
+    val dimSnap = Tables.table(spark, dir, "nation").select(
+      $"n_nationkey".cast(LongType).as("dk"), $"n_name".as("dname"))
+    val cutF = factLog.agg(expr("max(lsn) DIV 2").as("c")).head().getLong(0)
+    val cutD = dimLog.agg(expr("max(lsn) DIV 3").as("c")).head().getLong(0)
+    def applyF(log: DataFrame) = Cdc.apply(factSnap, log,
+      Seq("pk"), "lsn", "op", Seq("cents", "fk")).drop("src")
+    def applyD(log: DataFrame) = Cdc.apply(dimSnap, log,
+      Seq("dk"), "lsn", "op", Seq("dname")).drop("src")
+    val fact1 = applyF(factLog.filter($"lsn" <= cutF)).localCheckpoint()
+    val fact2 = applyF(factLog).localCheckpoint()
+    val dim1 = applyD(dimLog.filter($"lsn" <= cutD)).localCheckpoint()
+    val dim2 = applyD(dimLog).localCheckpoint()
+    // hop 1: the maintained join (checkpointed — it feeds the hop-2
+    // seed aggregate AND the hop-2 image diff)
+    val j1 = JoinMaintain.fullJoin(fact1, dim1, "pk", "fk", "dk",
+      Seq("cents", "fk"), Seq("dname")).localCheckpoint()
+    val factDiff = AggMaintain.diffImages(fact1, fact2,
+      Seq("pk"), Seq("cents", "fk"))
+    val dimKeys = AggMaintain.diffImages(dim1, dim2, Seq("dk"), Seq("dname"))
+      .select($"dk")
+    val j2m = JoinMaintain.deltaApply(j1, factDiff, dimKeys, dim2,
+      "pk", "fk", "dk", Seq("cents", "fk"), Seq("dname")).localCheckpoint()
+    // hop 2: the maintained aggregate, fed by the diff of the
+    // MAINTAINED join states — the DAG seam the streaming sink crosses
+    val agg1 = AggMaintain.fullAggregate(j1, Seq("dname"), Seq("cents"))
+    val joinDiff = AggMaintain.diffImages(j1, j2m,
+      Seq("pk"), Seq("dname", "cents"))
+    val deltas = AggMaintain.deltaAggregate(joinDiff,
+      Seq("dname"), Seq("cents"))
+    val maintained = AggMaintain.deltaApply(agg1, deltas,
+      Seq("dname"), Seq("cents"))
+    AggMaintain.exposed(maintained, Seq("dname"), Seq("cents"))
+      .select($"dname", $"cnt", $"sum_cents",
+        round($"avg_cents", 4).as("avg_cents"))
+      .orderBy($"dname".asc_nulls_first)
+  }
+
   /** Pipeline observability: change counts by op per hour. */
   def qCdcAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -912,6 +981,7 @@ object CdcQueries {
     "q_cdc_incr_distinct" -> (qCdcIncrDistinct _),
     "q_cdc_rollback" -> (qCdcRollback _),
     "q_cdc_incr_join" -> (qCdcIncrJoin _),
+    "q_cdc_dag" -> (qCdcDag _),
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_cdc_scd2_incr" -> (qCdcScd2Incr _),
     "q_cdc_scd2_lookup" -> (qCdcScd2Lookup _),
@@ -1382,6 +1452,51 @@ object CdcQueries {
         |SELECT f.pk, f.cents, f.fk, (d.dk IS NOT NULL) AS matched, d.dname
         |FROM fact2 f LEFT JOIN dim2 d ON f.fk = d.dk
         |ORDER BY f.pk""".stripMargin,
+    // the oracle aggregates (fact2 LEFT JOIN dim2) DIRECTLY — the
+    // Spark side threads both final states through TWO composed delta
+    // algebras (join maintenance, then aggregate maintenance over the
+    // maintained join's own diff), so the hash match certifies the
+    // whole two-hop DAG chain
+    "q_cdc_dag" ->
+      s"""WITH $logCte,
+        |flog AS (
+        |  SELECT lsn, pk, op,
+        |    CASE WHEN lsn % 7 = 0 THEN NULL
+        |         ELSE round(after_value * 100)::BIGINT END AS cents,
+        |    (lsn % 31)::BIGINT AS fk
+        |  FROM log),
+        |dlog AS (
+        |  SELECT lsn, (lsn % 31)::BIGINT AS dk, op,
+        |    'N' || (lsn % 10)::VARCHAR AS dname
+        |  FROM log),
+        |fsnap AS (SELECT c_custkey AS pk,
+        |  round(c_acctbal * 100)::BIGINT AS cents,
+        |  c_nationkey::BIGINT AS fk FROM customer),
+        |dsnap AS (SELECT n_nationkey::BIGINT AS dk, n_name AS dname
+        |  FROM nation),
+        |flatest AS (SELECT * FROM flog
+        |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) = 1),
+        |fact2 AS (
+        |  SELECT coalesce(s.pk, l.pk) AS pk,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.cents ELSE s.cents END AS cents,
+        |    CASE WHEN l.pk IS NOT NULL THEN l.fk ELSE s.fk END AS fk
+        |  FROM fsnap s FULL OUTER JOIN flatest l ON s.pk = l.pk
+        |  WHERE l.pk IS NULL OR l.op != 'd'),
+        |dlatest AS (SELECT * FROM dlog
+        |  QUALIFY row_number() OVER (PARTITION BY dk ORDER BY lsn DESC) = 1),
+        |dim2 AS (
+        |  SELECT coalesce(s.dk, l.dk) AS dk,
+        |    CASE WHEN l.dk IS NOT NULL THEN l.dname ELSE s.dname END AS dname
+        |  FROM dsnap s FULL OUTER JOIN dlatest l ON s.dk = l.dk
+        |  WHERE l.dk IS NULL OR l.op != 'd'),
+        |joined AS (
+        |  SELECT f.pk, f.cents, d.dname
+        |  FROM fact2 f LEFT JOIN dim2 d ON f.fk = d.dk)
+        |SELECT dname, count(*)::BIGINT AS cnt,
+        |  sum(cents)::BIGINT AS sum_cents,
+        |  round((sum(cents)::BIGINT)::DOUBLE / count(cents), 4) AS avg_cents
+        |FROM joined GROUP BY dname
+        |ORDER BY dname NULLS FIRST""".stripMargin,
     "q_cdc_scd2" ->
       s"""WITH $logCte
         |SELECT pk, lsn, op, after_value, ts AS valid_from,
