@@ -59,6 +59,42 @@ object CdcQueries {
       .orderBy($"event_id")
   }
 
+  /** AVRO wire-format decode through the canonical model — the third
+    * wire format (after JSON and Maxwell), oracled the only way a
+    * binary format can be: the canonical envelope frame is derived
+    * from the change log (insert → null before, delete → null after,
+    * update → both — every null-union path), ENCODED to Avro binary
+    * and DECODED back on the Spark side ([[graft.sources.AvroCdc]]),
+    * while the DuckDB oracle re-derives the same canonical columns
+    * from the log DIRECTLY, never seeing a byte of Avro. The hash
+    * match proves encode→decode is the identity on every field and
+    * null path against an independently-computed truth. Narrow
+    * row-local map both directions — no shuffle. */
+  def qCdcDecodeAvro(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("v", DoubleType),
+      StructField("lbl", StringType)))
+    val canonical = changeLog(spark, dir).select(
+      $"op",
+      when($"op" =!= "c", struct($"pk", ($"after_value" - 1.0).as("v"),
+        lit("old").as("lbl"))).as("before"),
+      when($"op" =!= "d", struct($"pk", $"after_value".as("v"),
+        concat(lit("e"), $"lsn").as("lbl"))).as("after"),
+      lit("events").as("src_table"),
+      $"lsn",
+      ($"lsn" * 1000L + 1700000000000L).as("ts_ms"))
+    graft.sources.AvroCdc.decode(
+        graft.sources.AvroCdc.encode(canonical, payload), "value", payload)
+      .select($"op",
+        $"before.pk".as("b_pk"), $"before.v".as("b_v"),
+        $"before.lbl".as("b_lbl"),
+        $"after.pk".as("a_pk"), $"after.v".as("a_v"),
+        $"after.lbl".as("a_lbl"),
+        $"src_table", $"lsn", $"ts_ms")
+      .orderBy($"lsn")
+  }
+
   /** Maxwell-format decode through the canonical model: the envelope
     * is built in-query (identical string template both engines) in
     * Maxwell's wire shape — type names, data/old payloads, xid, ts
@@ -967,6 +1003,7 @@ object CdcQueries {
     "q_cdc_merge_multi" -> (qCdcMergeMulti _),
     "q_cdc_gap_detect" -> (qCdcGapDetect _),
     "q_cdc_decode_maxwell" -> (qCdcDecodeMaxwell _),
+    "q_cdc_decode_avro" -> (qCdcDecodeAvro _),
     "q_cdc_badrecords" -> (qCdcBadrecords _),
     "q_cdc_snapshot" -> (qCdcSnapshot _),
     "q_cdc_snapshot_chunked" -> (qCdcSnapshotChunked _),
@@ -1059,6 +1096,21 @@ object CdcQueries {
         |  json_extract(j, '$$.xid')::BIGINT AS tx_id,
         |  json_extract(j, '$$.ts')::BIGINT * 1000 AS ts_ms
         |FROM env ORDER BY event_id""".stripMargin,
+    // the oracle never sees a byte of Avro — it re-derives the
+    // canonical envelope columns from the log directly, so the hash
+    // match proves the Spark-side encode→decode is the identity
+    "q_cdc_decode_avro" ->
+      s"""WITH $logCte
+        |SELECT op,
+        |  CASE WHEN op != 'c' THEN pk END AS b_pk,
+        |  CASE WHEN op != 'c' THEN after_value - 1.0 END AS b_v,
+        |  CASE WHEN op != 'c' THEN 'old' END AS b_lbl,
+        |  CASE WHEN op != 'd' THEN pk END AS a_pk,
+        |  CASE WHEN op != 'd' THEN after_value END AS a_v,
+        |  CASE WHEN op != 'd' THEN 'e' || lsn END AS a_lbl,
+        |  'events' AS src_table, lsn,
+        |  lsn * 1000 + 1700000000000 AS ts_ms
+        |FROM log ORDER BY lsn""".stripMargin,
     "q_cdc_decode" ->
       s"""WITH $logCte,
         |env AS (

@@ -331,6 +331,12 @@ object Quality {
         (($"n_base" + 1.0) / ($"tb" + 10.0)).as("p"),
         (($"n_curr" + 1.0) / ($"tc" + 10.0)).as("q"))
       .select($"bucket", $"n_base", $"n_curr",
+        // JVM Math.log and libm log may differ 1 ulp on identical
+        // inputs (ADVICE r12); a value landing exactly on the 6dp
+        // boundary could then flake. If that ever happens, round the
+        // p/q ratio before the log (both engines would then feed log
+        // the same shorter-mantissa double) — kept as-is until
+        // observed, matching the repo's measured-not-guessed rule.
         round(($"p" - $"q") * log($"p" / $"q"), 6).as("psi_term"))
       .orderBy($"bucket")
   }

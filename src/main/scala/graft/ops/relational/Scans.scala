@@ -131,11 +131,29 @@ object Scans {
       .orderBy($"event_id")
   }
 
+  /** ORC ingestion certified the same way as CSV/JSONL: part rows
+    * (ints, a double, strings, a nullable bigint) round-trip through
+    * `df.write.orc` → `spark.read.orc`, and the oracle computes the
+    * projection parquet-direct — DuckDB needs no ORC reader because
+    * the certification is that the VALUES survive the format. */
+  def qScanOrc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = fixtureDir(dir, "orc")
+    val fixture = Tables.table(spark, dir, "part")
+      .select($"p_partkey",
+        when($"p_partkey" % 11 === 0, lit(null)).otherwise($"p_size")
+          .cast("long").as("nsize"),
+        $"p_name", $"p_brand", $"p_retailprice")
+    fixture.write.mode("overwrite").orc(path)
+    readOrc(spark, path).orderBy($"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> (qScanParquet _),
     "q_scan_pruned" -> (qScanPruned _),
     "q_scan_csv" -> (qScanCsv _),
-    "q_scan_jsonl" -> (qScanJsonl _)
+    "q_scan_jsonl" -> (qScanJsonl _),
+    "q_scan_orc" -> (qScanOrc _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +179,11 @@ object Scans {
         |  date_trunc('second', ts) AS ts_s,
         |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS nuser,
         |  event_type, value, props
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_scan_orc" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_partkey % 11 = 0 THEN NULL ELSE p_size END AS nsize,
+        |  p_name, p_brand, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }
