@@ -42,6 +42,7 @@ object SparkEntry {
       (graft.ops.llm.Quota.queries, graft.ops.llm.Quota.oracle),
       (graft.ops.llm.Winnow.queries, graft.ops.llm.Winnow.oracle),
       (graft.ops.llm.Sampling.queries, graft.ops.llm.Sampling.oracle),
+      (graft.ops.llm.RandomProjection.queries, graft.ops.llm.RandomProjection.oracle),
       (graft.ops.llm.CorpusStats.queries, graft.ops.llm.CorpusStats.oracle),
       (graft.ops.llm.UrlCanon.queries, graft.ops.llm.UrlCanon.oracle),
       (graft.ops.llm.Boilerplate.queries, graft.ops.llm.Boilerplate.oracle),

@@ -43,4 +43,31 @@ object EmbeddingStream {
       }
       .start()
   }
+
+  /** Streaming DELETES against the index: each micro-batch of
+    * (vec_id) rows becomes one [[IvfIndex.delete]] tombstone commit —
+    * the removal half a dedup pipeline needs when documents leave the
+    * corpus. Same exactly-once composition as [[appendSink]]: the
+    * delete carries txn = (checkpoint, batchId) so a replayed
+    * micro-batch is a manifest no-op, and the cross-batch
+    * `dropDuplicates` stops an at-least-once upstream REDELIVERING a
+    * delete in a later batch — which would otherwise wrongly kill a
+    * vector that was re-appended in between (tombstones filter by id,
+    * not by version). Physical reclaim stays an operator-scheduled
+    * batch step (compactIndex(reclaimDeletes)/retrain), like codebook
+    * training. */
+  def deleteSink(ids: DataFrame, indexDir: String,
+                 checkpointDir: String): StreamingQuery = {
+    val spark = ids.sparkSession
+    IvfIndex.codebook(spark, indexDir): Unit
+    ids.dropDuplicates("vec_id")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IvfIndex.delete(spark, indexDir, batch,
+          txn = Some((checkpointDir, batchId)))
+      }
+      .start()
+  }
 }

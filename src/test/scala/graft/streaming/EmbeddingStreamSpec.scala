@@ -82,6 +82,43 @@ class EmbeddingStreamSpec extends SparkSpec {
     assert(hits.exists(_ >= 35), "streamed vectors must be searchable")
   }
 
+  test("deleteSink: streamed ids vanish from search; kill-and-resume " +
+      "applies each delete wave exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("graft_embd").toString
+    val (idxDir, srcDir, ckpt) = (s"$base/idx", s"$base/in", s"$base/ckpt")
+    new java.io.File(srcDir).mkdirs()
+    IvfIndex.build(emb.filter(col("vec_id") < 40), idxDir, dim = 64,
+      k = 4, iters = 2)
+    val idSchema = StructType(Seq(StructField("vec_id", LongType)))
+    def writeIds(name: String, ids: Seq[Long]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/$name"),
+        ids.map(i => s"""{"vec_id":$i}""").mkString("\n")): Unit
+    def start() = EmbeddingStream.deleteSink(
+      spark.readStream.schema(idSchema).option("maxFilesPerTrigger", 1)
+        .json(srcDir),
+      idxDir, ckpt)
+    writeIds("d1.json", Seq(3L, 11L))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(IvfIndex.readVectors(spark, idxDir).count() === 38)
+    // kill-and-resume with a second wave: first wave must not re-apply
+    val vAfterW1 = IvfIndex.history(spark, idxDir).head
+    writeIds("d2.json", Seq(17L))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(IvfIndex.readVectors(spark, idxDir).count() === 37)
+    assert(IvfIndex.history(spark, idxDir).head === vAfterW1 + 1,
+      "resume must apply exactly the new wave, one version")
+    // deleted ids never surface in a probe-all search
+    val kc = IvfIndex.codebook(spark, idxDir).length
+    val hits = IvfIndex.search(spark, idxDir,
+        emb.filter(col("vec_id") < 10), k = 10, nprobe = kc,
+        excludeSelfId = false)
+      .collect().map(_.getLong(2)).toSet
+    assert(!hits.contains(3L) && !hits.contains(11L) && !hits.contains(17L))
+  }
+
   test("appendSink on a missing index fails at start, not per batch") {
     val base = java.nio.file.Files.createTempDirectory("graft_embm").toString
     new java.io.File(s"$base/in").mkdirs()
