@@ -282,6 +282,45 @@ object MicroBench {
       assert(math.abs(n - u) <= 1e-9 * math.max(math.abs(n), math.abs(u)),
         s"results diverge: $n vs $u")
     }
+
+    // Avro vs JSON envelope transport: decode throughput of the SAME
+    // logical change records through the binary codec (mapPartitions,
+    // reused datum reader, leaves codegen) vs from_json (codegen'd
+    // JsonToStructs). Measures what the eval-only trade documented in
+    // sources/AvroCdc actually costs — and what the smaller wire size
+    // buys — on the corpus change log.
+    {
+      import org.apache.spark.sql.types._
+      val payload = StructType(Seq(
+        StructField("pk", LongType), StructField("v", DoubleType),
+        StructField("lbl", StringType)))
+      val canonical = ops.cdc.CdcQueries.changeLog(spark, sfDir).select(
+        $"op",
+        when($"op" =!= "c", struct($"pk", ($"after_value" - 1.0).as("v"),
+          lit("old").as("lbl"))).as("before"),
+        when($"op" =!= "d", struct($"pk", $"after_value".as("v"),
+          concat(lit("e"), $"lsn").as("lbl"))).as("after"),
+        lit("events").as("src_table"), $"lsn",
+        ($"lsn" * 1000L + 1700000000000L).as("ts_ms"))
+      val avroWire = sources.AvroCdc.encode(canonical, payload)
+        .localCheckpoint()
+      val jsonWire = canonical.select(to_json(struct($"op", $"before",
+          $"after", struct($"src_table".as("table"), $"lsn").as("source"),
+          $"ts_ms")).as("j"))
+        .localCheckpoint()
+      val aBytes = avroWire.select(sum(length($"value"))).head().getLong(0)
+      val jBytes = jsonWire.select(sum(length($"j"))).head().getLong(0)
+      def avroWork() = sources.AvroCdc.decode(avroWire, "value", payload)
+        .select(sum($"lsn")).head().getLong(0)
+      def jsonWork() = ops.cdc.Cdc.decode(jsonWire, "j", payload)
+        .select(sum($"lsn")).head().getLong(0)
+      avroWork(); jsonWork() // warmup
+      val a = time("AVRO  binary decode (mapPartitions)")(avroWork())
+      val j = time("JSON  from_json decode (codegen)  ")(jsonWork())
+      assert(a == j, s"decoded checksums diverge: $a vs $j")
+      println(f"wire bytes: avro=$aBytes json=$jBytes " +
+        f"(avro = ${aBytes * 100.0 / jBytes}%.0f%% of json)")
+    }
     spark.stop()
   }
 }

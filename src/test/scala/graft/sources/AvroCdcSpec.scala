@@ -52,6 +52,44 @@ class AvroCdcSpec extends SparkSpec {
     assert(back.filter(col("after").isNull).count() > 0)
   }
 
+  test("every supported payload type round-trips: long/int/double/" +
+      "float/boolean/string/binary and a nested struct, null and " +
+      "non-null per field") {
+    import spark.implicits._
+    val payload = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("d", DoubleType), StructField("f", FloatType),
+      StructField("b", BooleanType), StructField("s", StringType),
+      StructField("bin", BinaryType),
+      StructField("nested", StructType(Seq(
+        StructField("x", LongType), StructField("y", StringType))))))
+    // 64 rows; each field independently null on its own modulus so
+    // every (field, nullness) combination occurs
+    val src = spark.range(64).select(
+      lit("u").as("op"),
+      when($"id" % 2 === 0, struct(
+        when($"id" % 3 === 0, $"id").as("l"),
+        when($"id" % 5 === 0, $"id".cast("int")).as("i"),
+        when($"id" % 7 === 0, $"id" * 1.5).as("d"),
+        when($"id" % 11 === 0, $"id".cast("float")).as("f"),
+        when($"id" % 13 === 0, $"id" % 2 === 1).as("b"),
+        when($"id" % 17 === 0, concat(lit("s"), $"id")).as("s"),
+        when($"id" % 19 === 0, unhex(lpad(hex($"id"), 6, "0"))).as("bin"),
+        when($"id" % 23 === 0,
+          struct($"id".as("x"), lit("n").as("y"))).as("nested")))
+        .as("before"),
+      struct($"id".as("l"), $"id".cast("int").as("i"),
+        ($"id" / 3.0).as("d"), ($"id" * 2).cast("float").as("f"),
+        ($"id" % 2 === 0).as("b"), md5($"id".cast("string")).as("s"),
+        unhex(md5($"id".cast("string"))).as("bin"),
+        struct(($"id" * 7).as("x"), concat(lit("y"), $"id").as("y"))
+          .as("nested")).as("after"),
+      lit("t").as("src_table"), $"id".as("lsn"), ($"id" * 10).as("ts_ms"))
+    val back = AvroCdc.decode(AvroCdc.encode(src, payload), "value", payload)
+    assert(back.count() === 64)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("cross-format parity: Avro decode == JSON decode of the same " +
       "logical records, and Cdc.apply works off the Avro log unchanged") {
     import spark.implicits._
