@@ -114,6 +114,8 @@ class ScaleSpec extends SparkSpec {
       .withColumn("v", graft.ops.llm.Knn.asDouble($"embedding"))
       .withColumn("scale", Quantize.absmaxScale($"v"))
       .withColumn("codes", Quantize.int8Codes($"v", $"scale")), "quantize")
+    assertNoExchange(graft.ops.llm.RandomProjection.project(
+      emb, "embedding", dim = 64, k = 8), "rproj")
   }
 
   test("q_llm_chunk shuffles only for presentation; q_llm_pack's " +
