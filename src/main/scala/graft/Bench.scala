@@ -65,6 +65,11 @@ object Bench {
         else try {
           val norm = lastDf.queryExecution.optimizedPlan.toString
             .replaceAll("#\\d+[L]?", "#")
+            // lambda variables are named from a session-global counter
+            // (x_1, x_41, …), so any HOF key shifts later keys' names
+            // — the round-13 false-positive class (semdedup/winnow/
+            // ts_decay/ts_holt flagged with identical plans)
+            .replaceAll("x_\\d+#", "x_#")
             .replaceAll("plan_id=\\d+", "plan_id=")
             .replaceAll("@[0-9a-f]{6,}", "@")
           java.security.MessageDigest.getInstance("MD5")
