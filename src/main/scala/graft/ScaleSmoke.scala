@@ -609,6 +609,25 @@ object ScaleSmoke {
       ops.relational.Composed2.qComposedPartsuppCnt(spark, work).count() }
     time("graph cc (fixed point)") {
       ops.relational.Graph.qGraphCc(spark, work).count() }
+    time("cdc two-hop dag (1M log)") {
+      ops.cdc.CdcQueries.qCdcDag(spark, work).count() }
+    time("avro encode+decode (1M)") {
+      // the binary envelope transport end-to-end at 10x: encode the
+      // whole change log to Avro and decode it back (narrow both ways)
+      import org.apache.spark.sql.types._
+      val payload = StructType(Seq(
+        StructField("pk", LongType), StructField("v", DoubleType)))
+      val canonical = ops.cdc.CdcQueries.changeLog(spark, work).select(
+        $"op",
+        when($"op" =!= "c",
+          struct($"pk", ($"after_value" - 1.0).as("v"))).as("before"),
+        when($"op" =!= "d",
+          struct($"pk", $"after_value".as("v"))).as("after"),
+        lit("events").as("src_table"), $"lsn",
+        ($"lsn" * 1000L).as("ts_ms"))
+      sources.AvroCdc.decode(
+        sources.AvroCdc.encode(canonical, payload), "value", payload).count()
+    }
     spark.stop()
   }
 }
