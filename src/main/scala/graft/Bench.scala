@@ -70,8 +70,19 @@ object Bench {
             // — the round-13 false-positive class (semdedup/winnow/
             // ts_decay/ts_holt flagged with identical plans)
             .replaceAll("x_\\d+#", "x_#")
+            // JVM lambda class names (MapPartitions closures) carry a
+            // per-session counter AND an address-like hex suffix:
+            // Foo$$Lambda$2749/0x00007fca44d8f068
+            .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
             .replaceAll("plan_id=\\d+", "plan_id=")
             .replaceAll("@[0-9a-f]{6,}", "@")
+            // constraint/predicate sets render their conjuncts in
+            // ExpressionSet iteration order, which depends on exprId
+            // hash values — a session-counter shift can reorder
+            // "a AND b" with no plan change. Sort conjuncts per line.
+            .split("\n")
+            .map(_.split(" AND ").sorted.mkString(" AND "))
+            .mkString("\n")
           java.security.MessageDigest.getInstance("MD5")
             .digest(norm.getBytes("UTF-8"))
             .take(6).map("%02x".format(_)).mkString
