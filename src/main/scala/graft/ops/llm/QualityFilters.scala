@@ -140,12 +140,138 @@ object QualityFilters {
       .orderBy($"doc_id")
   }
 
+  /** CCNet-style LM quality partition (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets"): train a language
+    * model on a REFERENCE slice (CCNet uses Wikipedia; here a
+    * deterministic 20% md5 slice of the corpus — the PARITY-rule-19
+    * stand-in), score every document by cross-entropy under it, and
+    * partition the corpus into head/middle/tail by score percentile —
+    * the published recipe for "keep the fluent third". The model is
+    * the repo's Laplace-smoothed bigram LM (q_llm_bigram_lm), trained
+    * on the slice instead of the whole corpus, so OOV mass is real:
+    * unseen bigrams back off to (0+1)/(c1+V), unseen unigrams to 1/V.
+    *
+    * Scale shape: counts shuffle (w1,w2)/(w1) keys, never text; the
+    * occurrence side joins ONCE on the flat pair key (c1 pre-joined —
+    * the bigram-LM de-skew rule) and only the OOV-pair REMAINDER
+    * (small by construction once the reference is representative)
+    * takes the second, w1-keyed join for the unigram backoff. The
+    * percentile cut is the 100 TB-honest form: thresholds come from a
+    * deterministic 5% hash SAMPLE of scores (bounded, one small
+    * window — the codebook class), never a global rank over the
+    * corpus (the forbidden serial window); every doc then buckets by
+    * comparing its ROUNDED score to the two broadcast thresholds, so
+    * the cut is exact cross-engine and O(1) per row. */
+  def qLlmCcnet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arr = Tables.table(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val isRef = Sampling.hashBucket($"doc_id", "ppl", 100) < 20
+    val big = arr.filter(size($"toks") >= 2)
+      .select($"doc_id", explode(transform(
+        sequence(lit(0), size($"toks") - 2),
+        i => struct($"toks".getItem(i).as("w1"),
+          $"toks".getItem(i + 1).as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val refBig = big.filter(isRef)
+    val c12 = refBig.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = refBig.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val v = arr.filter(isRef).select(explode($"toks").as("w"))
+      .agg(countDistinct($"w").as("v"))
+    val pairs = c12.join(c1, Seq("w1"))
+      .select($"w1", $"w2", $"c12", $"c1".as("c1p"))
+    val seen = big.join(pairs, Seq("w1", "w2"), "left")
+    val matched = seen.filter($"c12".isNotNull)
+      .select($"doc_id", $"c12", $"c1p".as("c1"))
+    val oov = seen.filter($"c12".isNull)
+      .select($"doc_id", $"w1")
+      .join(c1, Seq("w1"), "left")
+      .select($"doc_id", lit(0L).as("c12"),
+        coalesce($"c1", lit(0L)).as("c1"))
+    val scored = matched.unionByName(oov)
+      .crossJoin(broadcast(v))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(($"c12" + 1).cast("double") / ($"c1" + $"v"))), 4)
+          .as("ce"))
+    // thresholds from a deterministic 5% sample: in-sample thirds by
+    // (ce, doc_id) rank — a bounded window, broadcast back as scalars
+    val sample = scored.filter(Sampling.hashBucket($"doc_id", "cut", 100) < 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"ce".asc, $"doc_id".asc)
+    val ranked = sample
+      .select($"ce", row_number().over(w).as("rk"),
+        count(lit(1)).over().as("ns"))
+    val cuts = ranked.agg(
+      max(when($"rk" * 3 <= $"ns", $"ce")).as("t1"),
+      max(when($"rk" * 3 <= $"ns" * 2, $"ce")).as("t2"))
+    scored.crossJoin(broadcast(cuts))
+      .select($"doc_id", $"n_bigrams", $"ce",
+        when($"ce" <= $"t1", "head")
+          .when($"ce" <= $"t2", "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_gopher" -> (qLlmGopher _),
-    "q_llm_c4" -> (qLlmC4 _)
+    "q_llm_c4" -> (qLlmC4 _),
+    "q_llm_ccnet" -> (qLlmCcnet _)
   )
 
   val oracle: Map[String, String] = Map(
+    // reference slice, smoothed bigram scoring with the OOV backoff,
+    // and the sample-derived tercile cuts all re-derived in SQL; ln
+    // parity per q_llm_tfidf, 4dp rounding per q_agg_stats; bucket
+    // compares the ROUNDED score so the cut is exact cross-engine
+    "q_llm_ccnet" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    (('0x' || substring(md5('ppl:' || doc_id), 1, 7))::BIGINT % 100)
+        |      < 20 AS is_ref
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, is_ref, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |c12 AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS c12 FROM big
+        |  WHERE is_ref GROUP BY w1, w2),
+        |c1 AS (
+        |  SELECT w1, count(*)::BIGINT AS c1 FROM big
+        |  WHERE is_ref GROUP BY w1),
+        |v AS (
+        |  SELECT count(DISTINCT w)::BIGINT AS v
+        |  FROM (SELECT unnest(toks) AS w FROM t WHERE is_ref)),
+        |terms AS (
+        |  SELECT b.doc_id,
+        |    coalesce(p.c12, 0) AS c12,
+        |    coalesce(coalesce(p.c1, u.c1), 0) AS c1
+        |  FROM big b
+        |  LEFT JOIN (SELECT c12.w1, w2, c12, c1 FROM c12
+        |             JOIN c1 ON c12.w1 = c1.w1) p
+        |    ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN c1 u ON b.w1 = u.w1),
+        |scored AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    round(avg(-ln((c12 + 1)::DOUBLE / (c1 + v))), 4) AS ce
+        |  FROM terms, v GROUP BY doc_id),
+        |sample AS (
+        |  SELECT ce,
+        |    row_number() OVER (ORDER BY ce ASC, doc_id ASC) AS rk,
+        |    count(*) OVER () AS ns
+        |  FROM scored
+        |  WHERE (('0x' || substring(md5('cut:' || doc_id), 1, 7))::BIGINT
+        |         % 100) < 5),
+        |cuts AS (
+        |  SELECT max(CASE WHEN rk * 3 <= ns THEN ce END) AS t1,
+        |    max(CASE WHEN rk * 3 <= ns * 2 THEN ce END) AS t2
+        |  FROM sample)
+        |SELECT doc_id, n_bigrams, ce,
+        |  CASE WHEN ce <= t1 THEN 'head'
+        |       WHEN ce <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored, cuts ORDER BY doc_id""".stripMargin,
     // every rule compare is cross-multiplied integer arithmetic; the
     // only float is the 2-dp half-up display mean (DIV trick)
     "q_llm_gopher" ->
