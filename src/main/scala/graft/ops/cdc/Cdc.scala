@@ -414,6 +414,67 @@ object Cdc {
       .select(keys.map(col) :+ col("status"): _*)
   }
 
+  /** Deterministic, engine-portable hash bucket of the key columns
+    * (md5-prefix, the PARITY-rule-19 family — never engine-specific
+    * hash functions, so an oracle or a remote replica computes the
+    * SAME bucket for the same key). */
+  def keyBucket(keys: Seq[String], nBuckets: Int): Column = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    pmod(conv(substring(rowFingerprint(keys), 1, 7), 16, 10)
+      .cast(LongType), lit(nBuckets.toLong))
+  }
+
+  /** Per-bucket order-free summary: row count + sum of row-fingerprint
+    * prefixes over keys ++ compareCols (commutative, so partition and
+    * row order never matter). ≤ nBuckets rows — the bounded phase-1
+    * artifact of [[diffBucketed]], cheap enough to ship between sites. */
+  def bucketSummary(df: DataFrame, keys: Seq[String],
+                    compareCols: Seq[String], nBuckets: Int): DataFrame = {
+    val rowFp = conv(substring(rowFingerprint(keys ++ compareCols), 1, 8),
+      16, 10).cast(LongType)
+    df.groupBy(keyBucket(keys, nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(rowFp).as("checksum"))
+  }
+
+  /** TWO-PHASE divergence localization — how you diff 100 TB: a full
+    * [[diff]] shuffles BOTH tables on the key, which at scale is the
+    * most expensive join the cluster runs, almost always to report
+    * "equal". Phase 1 compares ≤ nBuckets (bucket, count, checksum)
+    * summaries (one agg per side, the summaries broadcast-sized);
+    * phase 2 runs the row-level diff ONLY over rows whose bucket
+    * summary mismatched — cost proportional to the DIVERGENT buckets,
+    * not the table. A clean pair costs two scans and no row join at
+    * all. `nBuckets` is the localization dial (more buckets = smaller
+    * phase-2 scope, bigger phase-1 artifact). On [[PartitionedUpsert]]
+    * pairs, align nBuckets with the table bucketing and phase 2
+    * becomes a manifest-pruned read of just the dirty buckets.
+    * Output = [[diff]]'s (keys, status) plus the bucket.
+    *
+    * Crossover honesty: at toy scale the two-phase form costs MORE
+    * than [[diff]] (measured 1.24 s vs 0.80 s at sf0.1 — phase 1 is
+    * two extra full scans), because the thing it avoids — the
+    * table-sized key shuffle — is cheap there. The win is exactly the
+    * regime this exists for: when the shuffle is the dominant cost
+    * and almost all buckets are clean. */
+  def diffBucketed(expected: DataFrame, actual: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String],
+                   nBuckets: Int = 4096): DataFrame = {
+    val e = bucketSummary(expected, keys, compareCols, nBuckets)
+      .select(col("bucket"), col("n_rows").as("__en"),
+        col("checksum").as("__ec"))
+    val a = bucketSummary(actual, keys, compareCols, nBuckets)
+      .select(col("bucket"), col("n_rows").as("__an"),
+        col("checksum").as("__ac"))
+    val bad = e.join(a, Seq("bucket"), "full_outer")
+      .filter(!(col("__en") <=> col("__an")) ||
+        !(col("__ec") <=> col("__ac")))
+      .select(col("bucket"))
+    def prune(df: DataFrame) = df.join(broadcast(bad),
+      keyBucket(keys, nBuckets) === bad("bucket"), "left_semi")
+    diff(prune(expected), prune(actual), keys, compareCols)
+      .withColumn("bucket", keyBucket(keys, nBuckets))
+  }
+
   /** Schema drift (additive): align change batches whose envelopes
     * gained columns over time onto one unioned schema. Columns missing
     * from an earlier batch come back NULL; column ORDER follows first

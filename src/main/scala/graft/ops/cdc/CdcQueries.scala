@@ -891,6 +891,39 @@ object CdcQueries {
       .orderBy($"pk")
   }
 
+  /** TWO-PHASE bucketed divergence localization, oracled end-to-end
+    * ([[Cdc.diffBucketed]]) — the 100 TB form of q_cdc_diff: phase 1
+    * compares ≤4096 per-bucket (count, order-free checksum) summaries,
+    * phase 2 row-diffs ONLY the mismatched buckets. Divergences are
+    * planted SPARSE (drift at pk%307, missing at pk%1013, one ghost)
+    * so localization does real work: most buckets are clean and never
+    * see a row join. The oracle replays BOTH phases in SQL — same md5
+    * fingerprints, same bucket math, same mismatch rule — but its
+    * phase-2 compare is value-based (IS DISTINCT FROM ground truth,
+    * the q_cdc_diff convention), so the hash match certifies that
+    * fingerprint-localization finds exactly the rows a direct value
+    * compare would. */
+  def qCdcDiffBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val balS = (c: org.apache.spark.sql.Column) =>
+      c.cast(DecimalType(12, 2)).cast(StringType)
+    val expected = Tables.table(spark, dir, "customer").select(
+      $"c_custkey".as("pk"), $"c_name".as("name"),
+      $"c_mktsegment".as("seg"), balS($"c_acctbal").as("bal_s"))
+    val ghost = spark.createDataFrame(Seq((999999L, "ghost", "NONE", "0.00")))
+      .toDF("pk", "name", "seg", "bal_s")
+    val replica = Tables.table(spark, dir, "customer")
+      .filter($"c_custkey" % 1013 =!= 7)
+      .select(
+        $"c_custkey".as("pk"), $"c_name".as("name"), $"c_mktsegment".as("seg"),
+        balS($"c_acctbal" +
+          when($"c_custkey" % 307 === 11, 100.0).otherwise(0.0)).as("bal_s"))
+      .unionByName(ghost)
+    Cdc.diffBucketed(expected, replica, Seq("pk"),
+        Seq("name", "seg", "bal_s"), nBuckets = 4096)
+      .orderBy($"pk")
+  }
+
   /** Transactional-outbox routing ([[Cdc.routeOutbox]] — the Debezium
     * outbox event-router pattern): an outbox frame derived in-query
     * from the change log (aggregate type keyed off pk%3, payload a
@@ -1024,6 +1057,7 @@ object CdcQueries {
     "q_cdc_scd2_lookup" -> (qCdcScd2Lookup _),
     "q_cdc_audit" -> (qCdcAudit _),
     "q_cdc_diff" -> (qCdcDiff _),
+    "q_cdc_diff_bucketed" -> (qCdcDiffBucketed _),
     "q_cdc_repair" -> (qCdcRepair _),
     "q_cdc_outbox" -> (qCdcOutbox _),
     "q_cdc_dlq_replay" -> (qCdcDlqReplay _),
@@ -1713,6 +1747,72 @@ object CdcQueries {
         |WHERE e.pk IS NULL OR r.pk IS NULL
         |   OR (e.name, e.seg, e.bal_s) IS DISTINCT FROM (r.name, r.seg, r.bal_s)
         |ORDER BY pk""".stripMargin,
+    // both phases replayed in SQL — same md5 fingerprints, bucket
+    // math, and mismatch rule — but phase 2 compares VALUES (IS
+    // DISTINCT FROM ground truth, the q_cdc_diff convention), so the
+    // match certifies fingerprint-localization against a direct
+    // value compare
+    "q_cdc_diff_bucketed" ->
+      """WITH expected AS (
+        |  SELECT c_custkey AS pk, c_name AS name, c_mktsegment AS seg,
+        |    c_acctbal::DECIMAL(12,2)::VARCHAR AS bal_s
+        |  FROM customer),
+        |replica AS (
+        |  SELECT c_custkey AS pk, c_name AS name, c_mktsegment AS seg,
+        |    (c_acctbal + CASE WHEN c_custkey % 307 = 11
+        |                      THEN 100.0 ELSE 0.0 END)
+        |      ::DECIMAL(12,2)::VARCHAR AS bal_s
+        |  FROM customer WHERE c_custkey % 1013 != 7
+        |  UNION ALL SELECT 999999, 'ghost', 'NONE', '0.00'),
+        |esum AS (
+        |  SELECT ('0x' || substr(md5(length(pk::VARCHAR)::VARCHAR || ':'
+        |      || pk::VARCHAR), 1, 7))::BIGINT % 4096 AS bucket,
+        |    count(*) AS en,
+        |    sum(('0x' || substr(md5(
+        |      length(pk::VARCHAR)::VARCHAR || ':' || pk::VARCHAR ||
+        |      length(name)::VARCHAR || ':' || name ||
+        |      length(seg)::VARCHAR || ':' || seg ||
+        |      length(bal_s)::VARCHAR || ':' || bal_s),
+        |      1, 8))::BIGINT)::BIGINT AS ec
+        |  FROM expected GROUP BY 1),
+        |asum AS (
+        |  SELECT ('0x' || substr(md5(length(pk::VARCHAR)::VARCHAR || ':'
+        |      || pk::VARCHAR), 1, 7))::BIGINT % 4096 AS bucket,
+        |    count(*) AS an,
+        |    sum(('0x' || substr(md5(
+        |      length(pk::VARCHAR)::VARCHAR || ':' || pk::VARCHAR ||
+        |      length(name)::VARCHAR || ':' || name ||
+        |      length(seg)::VARCHAR || ':' || seg ||
+        |      length(bal_s)::VARCHAR || ':' || bal_s),
+        |      1, 8))::BIGINT)::BIGINT AS ac
+        |  FROM replica GROUP BY 1),
+        |bad AS (
+        |  SELECT coalesce(e.bucket, a.bucket) AS bucket
+        |  FROM esum e FULL OUTER JOIN asum a ON e.bucket = a.bucket
+        |  WHERE e.en IS DISTINCT FROM a.an
+        |     OR e.ec IS DISTINCT FROM a.ac),
+        |ep AS (
+        |  SELECT * FROM expected
+        |  WHERE ('0x' || substr(md5(length(pk::VARCHAR)::VARCHAR || ':'
+        |    || pk::VARCHAR), 1, 7))::BIGINT % 4096
+        |    IN (SELECT bucket FROM bad)),
+        |ap AS (
+        |  SELECT * FROM replica
+        |  WHERE ('0x' || substr(md5(length(pk::VARCHAR)::VARCHAR || ':'
+        |    || pk::VARCHAR), 1, 7))::BIGINT % 4096
+        |    IN (SELECT bucket FROM bad)),
+        |d AS (
+        |  SELECT coalesce(e.pk, a.pk) AS pk,
+        |    CASE WHEN a.pk IS NULL THEN 'missing_in_replica'
+        |         WHEN e.pk IS NULL THEN 'extra_in_replica'
+        |         WHEN (e.name, e.seg, e.bal_s) IS DISTINCT FROM
+        |              (a.name, a.seg, a.bal_s) THEN 'mismatch'
+        |         ELSE 'equal' END AS status
+        |  FROM ep e FULL OUTER JOIN ap a ON e.pk = a.pk)
+        |SELECT pk, status,
+        |  ('0x' || substr(md5(length(pk::VARCHAR)::VARCHAR || ':'
+        |    || pk::VARCHAR), 1, 7))::BIGINT % 4096 AS bucket
+        |FROM d WHERE status != 'equal' ORDER BY pk""".stripMargin,
     "q_cdc_checksum" ->
       """SELECT 'customer' AS tbl,
         |  sum(('0x' || substr(md5(length(fp)::VARCHAR || ':' || fp), 1, 8))::BIGINT)::BIGINT AS checksum,
