@@ -103,5 +103,20 @@ class IvfQuantizedSpec extends SparkSpec {
       .mapValues(_.length).toMap
     assert(perQuery.nonEmpty && perQuery.values.forall(_ === 5),
       s"stale refine source must not shrink result sets: $perQuery")
+    // tombstone delete works on the quantized schema (the anti-join is
+    // schema-agnostic, but prove it): deleted id gone at probe-all,
+    // incl. through the refine path; reclaim rewrites the int8 files
+    IvfIndex.delete(spark, dir, emb.filter(col("vec_id") === 8)
+      .select(col("vec_id")))
+    val afterDel = hitSets(IvfIndex.search(spark, dir, queries, 5, 4,
+      excludeSelfId = false, refine = Some((emb, 4))))
+    assert(!afterDel.values.exists(_.contains(8L)),
+      "deleted vector must not surface from a quantized index")
+    IvfIndex.compactIndex(spark, dir, maxFilesPerCid = 1000,
+      reclaimDeletes = true)
+    val m = IvfIndex.currentManifest(spark, dir).get
+    assert(m.quantized && m.tombstones.isEmpty)
+    assert(!hitSets(IvfIndex.search(spark, dir, queries, 5, 4,
+        excludeSelfId = false)).values.exists(_.contains(8L)))
   }
 }
