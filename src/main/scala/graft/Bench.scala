@@ -66,10 +66,11 @@ object Bench {
           val norm = lastDf.queryExecution.optimizedPlan.toString
             .replaceAll("#\\d+[L]?", "#")
             // lambda variables are named from a session-global counter
-            // (x_1, x_41, …), so any HOF key shifts later keys' names
-            // — the round-13 false-positive class (semdedup/winnow/
-            // ts_decay/ts_holt flagged with identical plans)
-            .replaceAll("x_\\d+#", "x_#")
+            // (x_1/y_3/z_7, x_41/y_43, …), so any HOF key shifts later
+            // keys' names — the round-13 false-positive class
+            // (semdedup/winnow/ts_decay/ts_holt, then the zip_with
+            // y-variable round two; all flagged with identical plans)
+            .replaceAll("\\b([a-z])_\\d+#", "$1_#")
             // JVM lambda class names (MapPartitions closures) carry a
             // per-session counter AND an address-like hex suffix:
             // Foo$$Lambda$2749/0x00007fca44d8f068
