@@ -96,6 +96,11 @@ object Bench {
       // driver's 161-key sweep than in isolation). One explicit GC per
       // key keeps the pool at steady state; intentionally-shared frames
       // (Graph.memo) stay referenced and are unaffected.
+      // drop the DataFrame reference BEFORE the gc: lastDf pins the
+      // key's localCheckpoint lineage, and holding it across the gc
+      // would defer block reclaim to the NEXT key's gc — re-creating
+      // (one key late) the storage pressure this gc exists to clear
+      lastDf = null
       System.gc()
       (name, median3(runs._1, runs._2, runs._3), runs, fp)
     }

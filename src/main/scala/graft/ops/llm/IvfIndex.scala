@@ -42,8 +42,11 @@ import graft.ops.cdc.AtomicPublish
   *    retrain, both of which reset the sidecar list.
   *
   * Appends are append-only (an index, not a table): re-appending a
-  * vec_id duplicates it. Route replacements through retrain, or dedup
-  * upstream (HistoricalDedup-style anti-join on vec_id). BATCH REPLAY
+  * LIVE vec_id duplicates it. Route replacements through retrain, or
+  * dedup upstream (HistoricalDedup-style anti-join on vec_id).
+  * Re-appending a TOMBSTONED id RESURRECTS it: the append consolidates
+  * the sidecars minus the incoming ids (O(tombstones), bounded), so
+  * the id-level filter cannot swallow the new vector. BATCH REPLAY
   * is the exception: append's optional (appId, version) transaction
   * records progress in the manifest, so a streaming sink's redelivered
   * micro-batch is skipped, not duplicated (streaming.EmbeddingStream).
@@ -253,9 +256,35 @@ object IvfIndex {
         cid -> (m.paths.getOrElse(cid, Seq.empty) ++
           written.getOrElse(cid, Seq.empty))
       }.toMap
+      // RESURRECTION: a tombstoned id being re-appended must become
+      // visible again — the id-level anti-join would otherwise swallow
+      // the new vector silently (review finding r13). If any incoming
+      // id overlaps the sidecars, consolidate them into ONE new sidecar
+      // minus the batch ids (O(tombstones), a bounded frame); appends
+      // with no overlap (the overwhelming case) pay one anti-join count
+      // on the bounded sidecar only.
+      val newTombs: Seq[String] =
+        if (m.tombstones.isEmpty) m.tombstones
+        else {
+          val tombs = tombstoneIds(spark, dir, m)
+          val overlap = tombs.join(pinned.select(col("vec_id")),
+            Seq("vec_id"), "left_semi")
+          if (overlap.isEmpty) m.tombstones
+          else {
+            val survivors = tombs.join(pinned.select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+            if (survivors.isEmpty) Seq.empty
+            else {
+              val trel = s"tomb/${newStaging(fs, dir)}"
+              survivors.coalesce(1).write.mode("errorifexists")
+                .parquet(s"$dir/$trel")
+              Seq(trel)
+            }
+          }
+        }
       try AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version + 1),
         body(m.copy(version = m.version + 1, paths = merged,
-          txns = m.txns ++ txn)))
+          txns = m.txns ++ txn, tombstones = newTombs)))
       catch {
         case e: java.util.ConcurrentModificationException =>
           // same-txn publish race (zombie vs takeover driver replaying
@@ -327,7 +356,10 @@ object IvfIndex {
     * at [[compactIndex]] (`reclaimDeletes = true`) or [[retrain]]
     * (which rebuilds from the tomb-filtered read and resets the
     * sidecar list). Time travel is preserved: a pre-delete manifest
-    * has no sidecar line and still returns the vector.
+    * has no sidecar line and still returns the vector. A later
+    * [[append]] of a tombstoned id RESURRECTS it (the append
+    * consolidates the sidecars minus its batch), so the id filter
+    * never swallows a newer vector.
     *
     * Ids absent from the index tombstone to a no-op (the filter never
     * matches). An empty batch burns no version. `txn` has the same

@@ -49,19 +49,24 @@ object EmbeddingStream {
     * the removal half a dedup pipeline needs when documents leave the
     * corpus. Same exactly-once composition as [[appendSink]]: the
     * delete carries txn = (checkpoint, batchId) so a replayed
-    * micro-batch is a manifest no-op, and the cross-batch
-    * `dropDuplicates` stops an at-least-once upstream REDELIVERING a
-    * delete in a later batch — which would otherwise wrongly kill a
-    * vector that was re-appended in between (tombstones filter by id,
-    * not by version). Physical reclaim stays an operator-scheduled
-    * batch step (compactIndex(reclaimDeletes)/retrain), like codebook
-    * training. */
+    * micro-batch is a manifest no-op. Deliberately NO cross-batch id
+    * dedup (unlike appendSink): a global dropDuplicates would
+    * permanently suppress a SECOND legitimate removal of an id that
+    * was deleted, re-ingested, and removed again — and its state
+    * grows unboundedly (review finding r13). Re-deleting an id is
+    * idempotent at the index (the anti-join matches or not), and a
+    * STALE redelivered delete cannot kill a re-appended vector either:
+    * [[IvfIndex.append]] consolidates the sidecars minus its batch, so
+    * only a delete event sequenced AFTER the re-append (a real
+    * removal) takes effect — provided the pipeline delivers deletes
+    * and appends for the same id in causal order, the same ordering
+    * contract every non-LWW sink states. Physical reclaim stays an
+    * operator-scheduled batch step, like codebook training. */
   def deleteSink(ids: DataFrame, indexDir: String,
                  checkpointDir: String): StreamingQuery = {
     val spark = ids.sparkSession
     IvfIndex.codebook(spark, indexDir): Unit
-    ids.dropDuplicates("vec_id")
-      .writeStream
+    ids.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
