@@ -15,6 +15,52 @@ object Bench {
   private def median3(a: Double, b: Double, c: Double): Double =
     Seq(a, b, c).sorted.apply(1)
 
+  /** Sort a line's AND-conjuncts at the OUTERMOST conjunction level
+    * only: split at " AND " occurrences whose paren depth equals the
+    * minimum depth over all occurrences in the line — the depth where
+    * the ExpressionSet-ordered conjunction itself renders — leaving
+    * " AND " text inside nested sub-expressions and string literals
+    * untouched (ADVICE r13: a naive split-all reordered text inside
+    * literals, so two genuinely different plans could normalize to
+    * one fingerprint). */
+  private[graft] def sortTopLevelConjuncts(line: String): String = {
+    val sep = " AND "
+    val hits = scala.collection.mutable.ListBuffer[(Int, Int)]() // (pos, depth)
+    var depth = 0
+    var i = 0
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      if (line.startsWith(sep, i)) hits += ((i, depth))
+      i += 1
+    }
+    if (hits.isEmpty) line
+    else {
+      val minDepth = hits.map(_._2).min
+      val cuts = hits.collect { case (p, d) if d == minDepth => p }
+      val starts = 0 +: cuts.map(_ + sep.length)
+      val ends = cuts :+ line.length
+      starts.zip(ends).map { case (s, e) => line.substring(s, e) }
+        .sorted.mkString(sep)
+    }
+  }
+
+  /** Minimal JSON string escape for plan text persisted to
+    * bench_plans.json. */
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -60,8 +106,8 @@ object Bench {
       // 0.55) would have been attributable in one glance. Read off the
       // last timed run's QueryExecution, so it costs no extra jobs;
       // iterative keys fingerprint their final-result plan only.
-      val fp =
-        if (lastDf == null) ""
+      val (fp, planText) =
+        if (lastDf == null) ("", "")
         else try {
           val norm = lastDf.queryExecution.optimizedPlan.toString
             .replaceAll("#\\d+[L]?", "#")
@@ -80,14 +126,15 @@ object Bench {
             // constraint/predicate sets render their conjuncts in
             // ExpressionSet iteration order, which depends on exprId
             // hash values — a session-counter shift can reorder
-            // "a AND b" with no plan change. Sort conjuncts per line.
+            // "a AND b" with no plan change. Sort the outermost-level
+            // conjuncts per line (paren-depth aware, ADVICE r13).
             .split("\n")
-            .map(_.split(" AND ").sorted.mkString(" AND "))
+            .map(sortTopLevelConjuncts)
             .mkString("\n")
-          java.security.MessageDigest.getInstance("MD5")
+          (java.security.MessageDigest.getInstance("MD5")
             .digest(norm.getBytes("UTF-8"))
-            .take(6).map("%02x".format(_)).mkString
-        } catch { case _: Throwable => "" }
+            .take(6).map("%02x".format(_)).mkString, norm)
+        } catch { case _: Throwable => ("", "") }
       // Between keys (outside any timed window): `localCheckpoint`ed
       // frames are reclaimed by ContextCleaner only after their driver
       // references are GC'd, so a long all-keys run otherwise accretes
@@ -102,7 +149,7 @@ object Bench {
       // (one key late) the storage pressure this gc exists to clear
       lastDf = null
       System.gc()
-      (name, median3(runs._1, runs._2, runs._3), runs, fp)
+      (name, median3(runs._1, runs._2, runs._3), runs, fp, planText)
     }
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -143,7 +190,7 @@ object Bench {
     // keys failing THIS round contribute near-zero medians — exclude
     // them from ratios so they neither drag the drift median down nor
     // appear as (meaningless) per-key ratios themselves
-    val ratios = results.flatMap { case (k, m, _, _) =>
+    val ratios = results.flatMap { case (k, m, _, _, _) =>
       if (failed.contains(k)) None
       else prior.get(k).filter(_ > 0).map(p => (k, m, p, m / p)) }
     val drift =
@@ -167,13 +214,50 @@ object Bench {
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
       } catch { case _: Throwable => Map.empty }
     val planChanged = results.collect {
-      case (k, _, _, f) if f.nonEmpty &&
+      case (k, _, _, f, _) if f.nonEmpty &&
         priorPlans.get(k).exists(p => p.nonEmpty && p != f) => k
     }.sorted
     val planChangedJson = planChanged.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+    // Plan-text persistence (VERDICT r13 #6): bench_plans.json holds
+    // the NORMALIZED plan text per key, so when a later run reports
+    // plan_changed the prior text is already on disk and attribution
+    // is a file diff, not a checkout + re-run. On a change, the
+    // prior-vs-current pair is additionally dumped to
+    // bench_plan_diffs.txt before bench_plans.json is overwritten.
+    if (planChanged.nonEmpty) try {
+      val priorTexts: Map[String, String] =
+        try {
+          val txt = scala.io.Source.fromFile("bench_plans.json").mkString
+          """"(q_[a-zA-Z0-9_]+)":"((?:[^"\\]|\\.)*)"""".r
+            .findAllMatchIn(txt).map { m =>
+              m.group(1) -> m.group(2)
+                .replace("\\n", "\n").replace("\\t", "\t")
+                .replace("\\r", "\r").replace("\\\"", "\"")
+                .replace("\\\\", "\\")
+            }.toMap
+        } catch { case _: Throwable => Map.empty }
+      val w = new java.io.PrintWriter("bench_plan_diffs.txt")
+      try planChanged.foreach { k =>
+        val cur = results.find(_._1 == k).map(_._5).getOrElse("")
+        w.println(s"==== $k ==== PRIOR ====")
+        w.println(priorTexts.getOrElse(k, "(no prior plan text recorded)"))
+        w.println(s"==== $k ==== CURRENT ====")
+        w.println(cur)
+        w.println()
+      } finally w.close()
+    } catch { case _: Throwable => () }
+    if (args.isEmpty) try {
+      val w = new java.io.PrintWriter("bench_plans.json")
+      try {
+        val body = results.collect { case (k, _, _, f, t) if f.nonEmpty =>
+          s""""$k":"${jsonEsc(t)}"""" }.mkString("{", ",", "}")
+        w.println(body)
+      } finally w.close()
+    } catch { case _: Throwable => () }
+
     // Full-precision artifact (all three runs per key) for offline reads.
-    val fullQs = results.map { case (k, m, (a, b, c), f) =>
+    val fullQs = results.map { case (k, m, (a, b, c), f, _) =>
       val pr = prior.get(k).map(p => f""","prior":$p%.6f""").getOrElse("")
       f""""$k":{"median":$m%.6f,"runs":[$a%.6f,$b%.6f,$c%.6f]$pr,"plan":"$f"}"""
     }.mkString("{", ",", "}")
@@ -190,7 +274,7 @@ object Bench {
     // tail always contains a parseable total even when the per-key line's
     // head is truncated (BENCH_r05 "parsed": null — VERDICT r5 #4). Full
     // per-key data lives in bench_results.json either way.
-    val qs = results.map { case (k, m, _, _) => f""""$k":$m%.3f""" }
+    val qs = results.map { case (k, m, _, _, _) => f""""$k":$m%.3f""" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"per_key","queries":$qs,"sf":"$sfDir"}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":3,"stat":"median","keys":${results.size},"cpus":"$cpus","drift":$drift%.2f,"regressions":$regressionsJson,"plan_changed":$planChangedJson,"failed":$failedJson,"detail":"bench_results.json","sf":"$sfDir"}""")

@@ -427,7 +427,19 @@ object Cdc {
   /** Per-bucket order-free summary: row count + sum of row-fingerprint
     * prefixes over keys ++ compareCols (commutative, so partition and
     * row order never matter). ≤ nBuckets rows — the bounded phase-1
-    * artifact of [[diffBucketed]], cheap enough to ship between sites. */
+    * artifact of [[diffBucketed]], cheap enough to ship between sites.
+    *
+    * Accuracy + range contract (ADVICE r13): the checksum is a SUM of
+    * 32-bit md5 prefixes, so (a) a divergent bucket goes undetected
+    * with probability ~2⁻³² (the usual fingerprint trade — the count
+    * column independently catches any cardinality drift, so a miss
+    * needs value drift that collides mod 2³²); (b) the Long sum is
+    * exact (no wraparound) below ~2³¹ rows PER BUCKET — 2 billion
+    * rows × nBuckets total, far past 100 TB at any sane nBuckets —
+    * while beyond it Spark's sum(Long) wraps silently but a DuckDB
+    * oracle summing in HUGEINT and casting ::BIGINT errors instead:
+    * size nBuckets so rows/bucket stays under 2³¹ (and phase-2 scope
+    * stays small), which the 4096 default does until ~10¹³ rows. */
   def bucketSummary(df: DataFrame, keys: Seq[String],
                     compareCols: Seq[String], nBuckets: Int): DataFrame = {
     val rowFp = conv(substring(rowFingerprint(keys ++ compareCols), 1, 8),

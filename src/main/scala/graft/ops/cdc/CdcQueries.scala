@@ -839,7 +839,12 @@ object CdcQueries {
 
   /** Snapshot-vs-replica diff on a deterministically perturbed copy:
     * rows dropped (custkey%97=0), balances shifted (custkey%31=0), one
-    * synthetic extra row — all three failure classes appear. */
+    * synthetic extra row — all three failure classes appear. The ghost
+    * pk (9·10¹¹, here and in the repair/bucketed variants) is far out
+    * of the customer key domain at ANY scale factor (keys reach
+    * 150000·sf, so a collision needs sf ≈ 6·10⁶); a colliding ghost
+    * would duplicate a real pk and row-multiply the full_outer diff
+    * (ADVICE r13 — the old 999999 collided from roughly sf7). */
   def qCdcDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val balS = (c: org.apache.spark.sql.Column) =>
@@ -847,7 +852,7 @@ object CdcQueries {
     val expected = Tables.table(spark, dir, "customer").select(
       $"c_custkey".as("pk"), $"c_name".as("name"),
       $"c_mktsegment".as("seg"), balS($"c_acctbal").as("bal_s"))
-    val ghost = spark.createDataFrame(Seq((999999L, "ghost", "NONE", "0.00")))
+    val ghost = spark.createDataFrame(Seq((900000000000L, "ghost", "NONE", "0.00")))
       .toDF("pk", "name", "seg", "bal_s")
     val replica = Tables.table(spark, dir, "customer")
       .filter($"c_custkey" % 97 =!= 0)
@@ -877,7 +882,7 @@ object CdcQueries {
     val expected = Tables.table(spark, dir, "customer").select(
       $"c_custkey".as("pk"), $"c_name".as("name"),
       $"c_mktsegment".as("seg"), balS($"c_acctbal").as("bal_s"))
-    val ghost = spark.createDataFrame(Seq((999999L, "ghost", "NONE", "0.00")))
+    val ghost = spark.createDataFrame(Seq((900000000000L, "ghost", "NONE", "0.00")))
       .toDF("pk", "name", "seg", "bal_s")
     val replica = Tables.table(spark, dir, "customer")
       .filter($"c_custkey" % 97 =!= 0)
@@ -910,7 +915,7 @@ object CdcQueries {
     val expected = Tables.table(spark, dir, "customer").select(
       $"c_custkey".as("pk"), $"c_name".as("name"),
       $"c_mktsegment".as("seg"), balS($"c_acctbal").as("bal_s"))
-    val ghost = spark.createDataFrame(Seq((999999L, "ghost", "NONE", "0.00")))
+    val ghost = spark.createDataFrame(Seq((900000000000L, "ghost", "NONE", "0.00")))
       .toDF("pk", "name", "seg", "bal_s")
     val replica = Tables.table(spark, dir, "customer")
       .filter($"c_custkey" % 1013 =!= 7)
@@ -1634,7 +1639,7 @@ object CdcQueries {
         |    (c_acctbal + CASE WHEN c_custkey % 31 = 0 THEN 100.0 ELSE 0.0 END)
         |      ::DECIMAL(12,2)::VARCHAR AS bal_s
         |  FROM customer WHERE c_custkey % 97 != 0
-        |  UNION ALL SELECT 999999, 'ghost', 'NONE', '0.00'),
+        |  UNION ALL SELECT 900000000000, 'ghost', 'NONE', '0.00'),
         |j AS (
         |  SELECT coalesce(e.pk, r.pk) AS pk,
         |    md5(concat(
@@ -1739,7 +1744,7 @@ object CdcQueries {
         |    (c_acctbal + CASE WHEN c_custkey % 31 = 0 THEN 100.0 ELSE 0.0 END)
         |      ::DECIMAL(12,2)::VARCHAR AS bal_s
         |  FROM customer WHERE c_custkey % 97 != 0
-        |  UNION ALL SELECT 999999, 'ghost', 'NONE', '0.00')
+        |  UNION ALL SELECT 900000000000, 'ghost', 'NONE', '0.00')
         |SELECT coalesce(e.pk, r.pk) AS pk, 1000000::BIGINT AS lsn,
         |  CASE WHEN e.pk IS NULL THEN 'd' ELSE 'u' END AS op,
         |  e.name, e.seg, e.bal_s
@@ -1763,7 +1768,7 @@ object CdcQueries {
         |                      THEN 100.0 ELSE 0.0 END)
         |      ::DECIMAL(12,2)::VARCHAR AS bal_s
         |  FROM customer WHERE c_custkey % 1013 != 7
-        |  UNION ALL SELECT 999999, 'ghost', 'NONE', '0.00'),
+        |  UNION ALL SELECT 900000000000, 'ghost', 'NONE', '0.00'),
         |esum AS (
         |  SELECT ('0x' || substr(md5(length(pk::VARCHAR)::VARCHAR || ':'
         |      || pk::VARCHAR), 1, 7))::BIGINT % 4096 AS bucket,

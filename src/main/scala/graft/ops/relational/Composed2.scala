@@ -28,7 +28,7 @@ import graft.Tables
   * every ORDER BY is a total order (rounded measure or raw parquet
   * double + key tie); quantity sums are integral doubles (probed
   * qty ∈ 1..50, integers), so qty thresholds and averages are exact
-  * both engines. Q6/Q8/Q9/Q11/Q15 sum integer CENTS
+  * both engines. Q6/Q8/Q9/Q11/Q15/Q17 sum integer CENTS
   * (`round(x*100)::BIGINT` — the 2-dp data makes the product's
   * representation error ~1e-10, five billion times smaller than the
   * 0.5 rounding margin), so threshold cuts and the Q15 argmax compare
@@ -308,7 +308,11 @@ object Composed2 {
       .agg(avg($"l_quantity").as("avg_qty"))
     li.join(avgQ, $"l_partkey" === $"ak")
       .filter($"l_quantity" < $"avg_qty" * 0.2)
-      .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"),
+      // integer-cents sum (the Q11 rule): the single global sum is the
+      // exact same BIGINT on both engines at any scale, so the /7.0
+      // division and 2-dp rounding act on one canonical double
+      .agg(round(sum(round($"l_extendedprice" * 100.0, 0).cast("long"))
+        / 700.0, 2).as("avg_yearly"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -516,7 +520,8 @@ object Composed2 {
         |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC"""
         .stripMargin,
     "q_composed_small_qty" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      """SELECT round(sum(round(l_extendedprice * 100.0)::BIGINT)
+        |    / 700.0, 2) AS avg_yearly,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey

@@ -66,13 +66,18 @@ object Scans {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
-  /** Deterministic scratch dir for a source-format fixture, keyed by
-    * the corpus dir so sf0.01 (verify) and sf0.1 (bench) never collide.
-    * Lives under java.io.tmpdir — the only writable scratch both the
-    * verify and bench harnesses share. */
+  /** Scratch dir for a source-format fixture, keyed by the corpus dir
+    * (so sf0.01 verify and sf0.1 bench never collide) AND a per-JVM
+    * nonce (so two concurrent harness processes on the SAME corpus —
+    * a bench overlapping a correctness run — can't interleave one
+    * process's overwrite with the other's lazy read-back; ADVICE r13).
+    * Within one JVM the path is stable, so a key's three bench reps
+    * reuse one fixture. Lives under java.io.tmpdir. */
+  private val fixtureNonce: String =
+    java.lang.ProcessHandle.current().pid().toString
   private def fixtureDir(dir: String, fmt: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/$tag/$fmt"
+    s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/p$fixtureNonce/$tag/$fmt"
   }
 
   /** CSV ingestion certified end-to-end: the corpus `orders` table is
