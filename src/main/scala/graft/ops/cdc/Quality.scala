@@ -163,10 +163,10 @@ object Quality {
     * compute as a day-grid range join over the DISTINCT (user, day)
     * reduction: exact by construction on both engines, and the join
     * fans out by at most the window length (×30) over a frame that is
-    * already ≪ events — the honest exact shape at 100 TB (the
-    * approximate rung would be per-day HLL blobs unioned over the
-    * window — ThetaMaintain/NdvMaintain territory — traded in when
-    * user-day no longer fits).
+    * already ≪ events — the honest exact shape at 100 TB until the
+    * DISTINCT (user, day) frame itself outgrows the cluster; past
+    * that, trade in [[activeUsersApprox]] (same series off per-day
+    * HLL blobs).
     * Stickiness = exact integer-div 4dp (PARITY rule 5). */
   def qActiveUsers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -181,6 +181,48 @@ object Quality {
           $"d" <= $"g" && $"d" >= $"g" - expr(s"INTERVAL $daysBack DAYS"))
         .groupBy($"g").agg(countDistinct($"user_id").as(name))
     dau.join(trailing(6, "wau"), "g").join(trailing(29, "mau"), "g")
+      .select($"g".as("d"), $"dau", $"wau", $"mau",
+        (expr("(10000 * dau) DIV mau") / 10000.0).as("stickiness"))
+      .orderBy($"d")
+  }
+
+  /** Approximate DAU / WAU / MAU — the sketch rung of [[qActiveUsers]]
+    * (VERDICT r13 #4), for the regime where even the DISTINCT
+    * (user, day) reduction is too big to range-join: reduce each day
+    * to ONE mergeable HLL blob (`hll_sketch_agg` — partial sketches
+    * combine map-side, so the shuffle carries ≤ partitions×days
+    * sketches, never user rows), then build every trailing window by
+    * UNIONING ≤30 blobs (`hll_union_agg`) over the same day-grid join
+    * the exact form uses — but on a days×(2^lgK bytes) frame that
+    * broadcasts at ANY event scale. State is O(days·4KB): 100 TB of
+    * events compresses to a few MB of blobs, and a new day appends one
+    * blob without touching history (HLL unions associatively; day
+    * partitions are append-stable, so the no-subtract limitation never
+    * bites — the same algebra [[NdvMaintain]] maintains per-group).
+    *
+    * Accuracy contract: ~2% standard error at lgK=12 once a window's
+    * cardinality passes the sketch's exact (coupon) regime; BELOW that
+    * threshold datasketches HLL is exact, which is what QualitySpec
+    * certifies — at sf0.001 the series equals [[qActiveUsers]] row for
+    * row (the NdvMaintainSpec trick). No DuckDB oracle: past the
+    * coupon regime the estimate is engine-specific by design. */
+  def activeUsersApprox(spark: SparkSession, dir: String,
+                        lgK: Int = 12): DataFrame = {
+    import spark.implicits._
+    val dayBlobs = Tables.table(spark, dir, "events")
+      .select($"user_id", date_trunc("day", $"ts").as("d"))
+      .groupBy($"d")
+      .agg(hll_sketch_agg($"user_id", lit(lgK)).as("sketch"))
+    val grid = dayBlobs.select($"d".as("g"))
+    def trailing(daysBack: Int, name: String) =
+      dayBlobs.join(grid,
+          $"d" <= $"g" && $"d" >= $"g" - expr(s"INTERVAL $daysBack DAYS"))
+        .groupBy($"g")
+        .agg(hll_sketch_estimate(hll_union_agg($"sketch", lit(false)))
+          .as(name))
+    dayBlobs
+      .select($"d".as("g"), hll_sketch_estimate($"sketch").as("dau"))
+      .join(trailing(6, "wau"), "g").join(trailing(29, "mau"), "g")
       .select($"g".as("d"), $"dau", $"wau", $"mau",
         (expr("(10000 * dau) DIV mau") / 10000.0).as("stickiness"))
       .orderBy($"d")

@@ -38,6 +38,28 @@ class QualitySpec extends SparkSpec {
     assert(overlaps.count() === 0)
   }
 
+  test("activeUsersApprox equals the exact DAU/WAU/MAU series below the HLL coupon regime") {
+    // at sf0.001 every trailing window's user cardinality sits inside
+    // datasketches HLL's exact (coupon) range for lgK=12, so the
+    // sketch series must match the exact series ROW FOR ROW — the
+    // NdvMaintainSpec small-cardinality trick. This certifies the blob
+    // plumbing (per-day hll_sketch_agg, grid join, hll_union_agg,
+    // estimate) with zero approximation tolerance in the assert.
+    val exact = Quality.qActiveUsers(spark, sfSmoke).collect()
+    val approx = Quality.activeUsersApprox(spark, sfSmoke).collect()
+    assert(approx.length === exact.length)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(a.getAs[java.sql.Timestamp]("d") === e.getAs[java.sql.Timestamp]("d"))
+      assert(a.getAs[Long]("dau") === e.getAs[Long]("dau"), s"dau @ ${e.get(0)}")
+      assert(a.getAs[Long]("wau") === e.getAs[Long]("wau"), s"wau @ ${e.get(0)}")
+      assert(a.getAs[Long]("mau") === e.getAs[Long]("mau"), s"mau @ ${e.get(0)}")
+      assert(a.getAs[Double]("stickiness") === e.getAs[Double]("stickiness"))
+    }
+    // sanity: the day-blob frame really is bounded by the day count
+    val nDays = Quality.activeUsersApprox(spark, sfSmoke).count()
+    assert(nDays === exact.length.toLong)
+  }
+
   test("sampling: fraction sample with seed is deterministic; sampleBy stratifies") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sfSmoke/orders.parquet")

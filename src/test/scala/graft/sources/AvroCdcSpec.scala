@@ -117,4 +117,75 @@ class AvroCdcSpec extends SparkSpec {
       (if (last.filter($"pk" === 0L).isEmpty) 1 else 0)
     assert(state.count() === expectedLive)
   }
+
+  test(".avro container files: distributed write -> read is an exact " +
+      "round-trip, one self-describing file per non-empty partition") {
+    val dir = java.nio.file.Files.createTempDirectory("avro_files_rt")
+      .toString
+    val src = canonical.repartition(3)
+    AvroCdc.writeFiles(src, payload, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length === 3, files.map(_.getName).mkString(","))
+    // header magic: Avro OCF files start with 'Obj' 0x01
+    val head = java.nio.file.Files.readAllBytes(files.head.toPath).take(4)
+    assert(head === Array[Byte]('O', 'b', 'j', 1))
+    val back = AvroCdc.readFiles(spark, dir, payload)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test(".avro container files: a FOREIGN file (plain avro-core writer," +
+      " permuted field order, extra writer-only field) reads via " +
+      "schema resolution") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("avro_files_foreign")
+      .toString
+    // writer schema: same record names as the canonical envelope (the
+    // registry-compatibility precondition) but fields REVERSED plus an
+    // extra writer-only txid — the reader must resolve by name and
+    // skip the unknown field, not assume positional layout
+    val canonical = new Schema.Parser()
+      .parse(AvroCdc.avroSchemaJson(payload))
+    val env = Schema.createRecord(canonical.getName, null,
+      canonical.getNamespace, false)
+    val reversed = canonical.getFields.asScala.toList.reverse.map(f =>
+      new Schema.Field(f.name, f.schema, null,
+        Schema.Field.NULL_DEFAULT_VALUE))
+    val txid = new Schema.Field("txid",
+      Schema.createUnion(List(Schema.create(Schema.Type.NULL),
+        Schema.create(Schema.Type.LONG)).asJava), null,
+      Schema.Field.NULL_DEFAULT_VALUE)
+    env.setFields((txid :: reversed).asJava)
+    def nonNull(f: Schema.Field) = f.schema.getTypes.get(1)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](env))
+    w.create(env, new java.io.File(dir, "debezium-00001.avro"))
+    (1L to 5L).foreach { i =>
+      val rec = new GenericData.Record(env)
+      rec.put("txid", i * 7L)
+      rec.put("ts_ms", i * 100L)
+      rec.put("op", if (i % 2 == 0) "u" else "c")
+      val s = new GenericData.Record(nonNull(env.getField("source")))
+      s.put("table", "events"); s.put("lsn", i)
+      rec.put("source", s)
+      val a = new GenericData.Record(nonNull(env.getField("after")))
+      a.put("pk", i); a.put("v", i * 1.5); a.put("lbl", s"r$i")
+      rec.put("after", a)
+      w.append(rec)
+    }
+    w.close()
+    val back = AvroCdc.readFiles(spark, dir, payload).orderBy(col("lsn"))
+    val rows = back.collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Any]("before") == null))
+    assert(rows.map(_.getAs[Long]("lsn")).toSeq === (1L to 5L))
+    assert(rows.head.getAs[org.apache.spark.sql.Row]("after")
+      .getAs[Double]("v") === 1.5)
+    assert(rows.head.getAs[String]("op") === "c")
+    assert(rows.head.getAs[Long]("ts_ms") === 100L)
+    assert(rows.head.getAs[String]("src_table") === "events")
+  }
 }
