@@ -60,6 +60,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("connected components: oracle cost guard — sum of comp_size^2 " +
+      "stays inside the recursive-CTE budget at every oracled fixture") {
+    // The DuckDB oracle materializes the reachability closure:
+    // sum-over-components of comp_size^2 (node, m) pairs. That is fine
+    // at the shipped fixtures (~3.5M pairs at sf0.01) but a regenerated
+    // corpus with one dense giant component would blow the oracle up
+    // SILENTLY — hours of CTE, not a wrong answer (ADVICE r13 /
+    // VERDICT r13 #3). This guard fails LOUDLY first: if it trips,
+    // either re-bound the co-purchase graph's edge threshold or switch
+    // the oracle to an iterative min-label loop (FIXTURES.md §4).
+    import spark.implicits._
+    val budget = 50L * 1000 * 1000
+    Seq(sfSmoke, sf("sf0.01")).foreach { d =>
+      val pairs = Graph.qGraphCc(spark, d)
+        .select($"comp", $"comp_size").distinct()
+        .agg(sum($"comp_size" * $"comp_size")).head().getLong(0)
+      assert(pairs < budget,
+        s"$d: closure would materialize $pairs pairs (budget $budget) — " +
+          "the q_graph_cc recursive-CTE oracle is no longer feasible " +
+          "at this fixture; see FIXTURES.md §4")
+    }
+  }
+
   test("connected components: the jumping path and the large/small-star " +
       "fallback produce the IDENTICAL labeling on the real graph") {
     import spark.implicits._
