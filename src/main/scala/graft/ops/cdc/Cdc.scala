@@ -580,6 +580,36 @@ object Cdc {
     mn +: inner :+ mx
   }
 
+  /** [[planChunkBounds]] → the `predicates` array Spark's built-in
+    * JDBC reader takes (`spark.read.jdbc(url, table, predicates,
+    * props)`) — the skew-proof initial-snapshot form (VERDICT r13 #4:
+    * the naive `partitionColumn/lower/upper/numPartitions` overload
+    * strides UNIFORMLY, so one hot key range becomes one giant
+    * straggler partition; equi-depth bounds keep every chunk
+    * row-balanced). Contract: the predicates are pairwise DISJOINT
+    * and TOTAL over the table — chained half-open ranges [b_i, b_i+1)
+    * with the last chunk closed at the exact max, and `IS NULL` folded
+    * into the first chunk (a predicate-partitioned JDBC read returns
+    * ONLY rows some predicate matches; forgetting the null arm
+    * silently drops null-keyed rows). Repeated bounds from skewed
+    * samples yield empty chunks — harmless by design. The fragments
+    * are engine-portable ANSI (`col >= l AND col < h`), and
+    * ChunkedSnapshotSpec proves disjoint+total by evaluating them as
+    * Spark filters against the corpus. */
+  def jdbcChunkPredicates(bounds: Seq[Long], keyCol: String): Seq[String] = {
+    require(bounds.length >= 2,
+      s"jdbcChunkPredicates: need >= 2 bounds (planChunkBounds output), " +
+        s"got ${bounds.length}")
+    val n = bounds.length - 1
+    (0 until n).map { i =>
+      val upper =
+        if (i == n - 1) s"$keyCol <= ${bounds(i + 1)}"
+        else s"$keyCol < ${bounds(i + 1)}"
+      val nullArm = if (i == 0) s" OR $keyCol IS NULL" else ""
+      s"($keyCol >= ${bounds(i)} AND $upper$nullArm)"
+    }
+  }
+
   /** Merge chunked-snapshot reads with the concurrently captured log.
     *
     * @param chunks snapshot rows: `keys ++ valueCols ++ watermarkCol`,

@@ -197,8 +197,17 @@ object AvroCdc {
     * DataFileWriter straight to the target FileSystem — no driver
     * collect, no shuffle; empty partitions write nothing. The Hadoop
     * conf travels as serialized (k,v) pairs so the write resolves the
-    * same FileSystem (HDFS/S3A/local) the session would. */
-  def writeFiles(df: DataFrame, payload: StructType, path: String): Unit = {
+    * same FileSystem (HDFS/S3A/local) the session would.
+    *
+    * `codec`: "null" (default), "deflate", or "snappy" — per-BLOCK
+    * compression recorded in the header (`avro.codec`), so readers
+    * auto-detect; at 100 TB the archive codec is the storage bill,
+    * and both non-null codecs ride jars Spark already ships (JDK
+    * Deflater / snappy-java). */
+  def writeFiles(df: DataFrame, payload: StructType, path: String,
+                 codec: String = "null"): Unit = {
+    require(Seq("null", "deflate", "snappy").contains(codec),
+      s"unsupported avro codec '$codec'")
     val env = envelopeStruct(payload)
     val schemaJson = avroSchemaJson(payload)
     val confEntries = {
@@ -223,6 +232,11 @@ object AvroCdc {
         val file = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
         val w = new org.apache.avro.file.DataFileWriter(
           new GenericDatumWriter[GenericRecord](schema))
+        w.setCodec(codec match {
+          case "deflate" => org.apache.avro.file.CodecFactory.deflateCodec(6)
+          case "snappy" => org.apache.avro.file.CodecFactory.snappyCodec()
+          case _ => org.apache.avro.file.CodecFactory.nullCodec()
+        })
         w.create(schema, fs.create(file, true))
         try it.foreach(r => w.append(toAvro(r.getStruct(0), env, schema)))
         finally w.close()

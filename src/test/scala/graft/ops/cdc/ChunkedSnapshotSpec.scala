@@ -160,4 +160,43 @@ class ChunkedSnapshotSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("must be integral"))
   }
+
+  test("jdbcChunkPredicates: disjoint + total over the real corpus, " +
+      "nulls land in chunk 0, skew-repeated bounds stay consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // customer with a planted null-key row — a JDBC predicate read
+    // returns ONLY rows some predicate matches, so the null arm is
+    // part of the totality contract
+    val base = spark.read.parquet(s"$sfSmoke/customer.parquet")
+      .select($"c_custkey".as("pk"), $"c_acctbal".as("v"))
+    val withNull = base.unionByName(
+      Seq((Option.empty[Long], 0.0)).toDF("pk", "v"))
+    val bounds = Cdc.planChunkBounds(base, "pk", 7)
+    val preds = Cdc.jdbcChunkPredicates(bounds, "pk")
+    assert(preds.length === 7)
+    val counts = preds.map(p => withNull.filter(expr(p)).count())
+    // total: every row (incl. the null) matched exactly once
+    assert(counts.sum === withNull.count(),
+      s"cover mismatch: $preds -> $counts")
+    // disjoint: pairwise intersections empty
+    for (i <- preds.indices; j <- preds.indices if j > i)
+      assert(withNull.filter(expr(preds(i)) && expr(preds(j))).isEmpty,
+        s"chunks $i and $j overlap")
+    // null row is in chunk 0 and only chunk 0
+    assert(withNull.filter($"pk".isNull && expr(preds.head)).count() === 1)
+    // equi-depth: with a uniform key every chunk carries real rows and
+    // no chunk exceeds ~2x the mean (sampled bounds, loose bound)
+    val nonNullCounts = preds.map(p => base.filter(expr(p)).count())
+    val mean = base.count().toDouble / preds.length
+    assert(nonNullCounts.forall(_ > 0))
+    assert(nonNullCounts.forall(_ <= mean * 2),
+      s"straggler chunk: $nonNullCounts")
+    // skew: a constant key degenerates to empty inner chunks but the
+    // cover stays total + disjoint
+    val skew = spark.range(100).select(lit(5L).as("pk"))
+    val sb = Cdc.planChunkBounds(skew, "pk", 4)
+    val sp = Cdc.jdbcChunkPredicates(sb, "pk")
+    assert(sp.map(p => skew.filter(expr(p)).count()).sum === 100L)
+  }
 }

@@ -135,6 +135,23 @@ class AvroCdcSpec extends SparkSpec {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test(".avro container files: deflate and snappy codecs round-trip " +
+      "and are recorded in the header for reader auto-detect") {
+    Seq("deflate", "snappy").foreach { codec =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"avro_files_$codec").toString
+      val src = canonical.coalesce(1)
+      AvroCdc.writeFiles(src, payload, dir, codec)
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      val headBytes = java.nio.file.Files.readAllBytes(f.toPath).take(4096)
+      assert(new String(headBytes, "ISO-8859-1").contains(codec),
+        s"header does not record avro.codec=$codec")
+      val back = AvroCdc.readFiles(spark, dir, payload)
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    }
+  }
+
   test(".avro container files: a FOREIGN file (plain avro-core writer," +
       " permuted field order, extra writer-only field) reads via " +
       "schema resolution") {
