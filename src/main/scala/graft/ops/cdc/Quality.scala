@@ -86,11 +86,18 @@ object Quality {
     import spark.implicits._
     val ev = Tables.table(spark, dir, "events")
       .select($"user_id", $"event_type", $"ts")
+    // each stage materializes ONCE (per-user 1-row aggregates — the
+    // holdable frames): without the checkpoints, s1's view-scan
+    // subtree re-executes inside s2, s3 AND the final join (6 event
+    // scans in one plan, r14 multi-scan audit); with them each
+    // event_type slice is scanned exactly once, pushed-filtered
     val s1 = ev.filter($"event_type" === "view")
       .groupBy($"user_id").agg(min($"ts").as("t1"))
+      .localCheckpoint()
     val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
       .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("INTERVAL 24 HOURS"))
       .groupBy($"user_id").agg(min($"ts").as("t2"))
+      .localCheckpoint()
     val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
       .filter($"ts" > $"t2" && $"ts" <= $"t2" + expr("INTERVAL 24 HOURS"))
       .groupBy($"user_id").agg(min($"ts").as("t3"))
@@ -120,6 +127,10 @@ object Quality {
     val uw = Tables.table(spark, dir, "events")
       .select($"user_id", date_trunc("week", $"ts").as("wk"))
       .distinct()
+      // the user-week reduction materializes ONCE (≪ events): cohort
+      // derivation and the cohort join both read it, otherwise each
+      // re-scans events (r14 multi-scan audit)
+      .localCheckpoint()
     val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cohort"))
     uw.join(cohort, "user_id")
       .withColumn("week_n",
@@ -173,6 +184,11 @@ object Quality {
     val ud = Tables.table(spark, dir, "events")
       .select($"user_id", date_trunc("day", $"ts").as("d"))
       .distinct()
+      // the user-day reduction materializes ONCE: the grid, the DAU
+      // agg and BOTH trailing-window joins read it — without the
+      // checkpoint that is five full event scans in one plan (r14
+      // multi-scan audit)
+      .localCheckpoint()
     val grid = ud.select($"d").distinct().select($"d".as("g"))
     val dau = ud.groupBy($"d".as("g"))
       .agg(countDistinct($"user_id").as("dau"))
@@ -213,6 +229,9 @@ object Quality {
       .select($"user_id", date_trunc("day", $"ts").as("d"))
       .groupBy($"d")
       .agg(hll_sketch_agg($"user_id", lit(lgK)).as("sketch"))
+      // days × 4KB — materialize once; grid, DAU and both trailing
+      // unions read the blobs, never events again
+      .localCheckpoint()
     val grid = dayBlobs.select($"d".as("g"))
     def trailing(daysBack: Int, name: String) =
       dayBlobs.join(grid,
@@ -272,7 +291,11 @@ object Quality {
       .select($"user_id", date_trunc("week", $"ts").as("wk"),
         when($"event_type" === "purchase",
           round($"value" * 100).cast("long")).otherwise(0L).as("cents"))
+    // per-user cohort materializes ONCE (holdable): the weekly join
+    // and cohortSize both read it; events itself is scanned twice by
+    // design (one pass builds cohorts, one attributes revenue)
     val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
+      .localCheckpoint()
     val weekly = ev.join(cohort, "user_id")
       .withColumn("week_n",
         ((unix_timestamp($"wk") - unix_timestamp($"cohort")) / 604800)

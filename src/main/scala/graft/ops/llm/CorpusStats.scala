@@ -189,18 +189,23 @@ object CorpusStats {
     // VERBATIM under the next source (ids from max+1 via broadcast
     // scalar — the q_llm_gopher scale-safe pattern, never an
     // unpartitioned window)
-    val mx = docs.agg(max($"doc_id").as("__max"))
-    val mirrors = docs
+    // hash FIRST, then plant: a verbatim mirror has the verbatim
+    // hash, so the mirrors derive from the 32-char reduction and the
+    // text column is read exactly once (r14 multi-scan audit — the
+    // text-carrying union was scanned twice more through the
+    // distinct-side self-join)
+    val hashed = docs.select($"doc_id", $"source", md5($"text").as("h"))
+      .localCheckpoint()
+    val mx = hashed.agg(max($"doc_id").as("__max"))
+    val mirrors = hashed
       .filter($"doc_id" % 25 === 3)
       .crossJoin(broadcast(mx))
       .select(($"__max" + $"doc_id" + 1).as("doc_id"),
         concat(lit("src"),
           ((regexp_extract($"source", "([0-9]+)", 1).cast("int") + 1) % 20)
             .cast("string")).as("source"),
-        $"text")
-    val d = docs.select($"doc_id", $"source", $"text")
-      .unionByName(mirrors)
-      .select($"doc_id", $"source", md5($"text").as("h"))
+        $"h")
+    val d = hashed.unionByName(mirrors)
     val hs = d.select($"source".as("src_b"), $"h".as("hb")).distinct()
     d.join(hs, $"h" === $"hb" && $"source" =!= $"src_b")
       .groupBy($"source".as("src_a"), $"src_b")

@@ -139,7 +139,11 @@ object LlmQueries {
   def qLlmIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cents = Array.tabulate(4, 64)((i, j) => if (j % 4 == i) 1.0 else 0.1)
-    val emb = Tables.table(spark, dir, "embeddings")
+    // both recall arms (and their query slices) read ONE materialized
+    // corpus scan — in production the corpus side is the prepared
+    // IvfIndex anyway; re-scanning per arm is pure proof overhead
+    // (r14 multi-scan audit)
+    val emb = Tables.table(spark, dir, "embeddings").localCheckpoint()
     val q = emb.filter($"vec_id" < 10)
     Knn.ivfTopK(q, emb, cents, k = 3, nprobe = 1)
       .withColumn("nprobe", lit(1L))

@@ -353,6 +353,13 @@ object LlmQueries2 {
     import spark.implicits._
     val src = Tables.table(spark, dir, "documents")
       .select($"doc_id", substring(lower($"text"), 1, 40).as("title"))
+      // materialize the 40-char reduction ONCE: the planted-twin union
+      // and the blocked self-join reference it through three arms of
+      // lineage, which otherwise re-scan documents (and re-read the
+      // full text column) 18 times in one plan (r14 multi-scan audit);
+      // the checkpoint is ~48 bytes/doc — the frame you can afford to
+      // hold at 100 TB, unlike the corpus you cannot afford to re-read
+      .localCheckpoint()
     // 1-row aggregate broadcasts; planted ids derived, never hard-coded
     val mx = src.agg(max($"doc_id").as("mx"))
     val planted = src.filter($"doc_id" < 10 && length($"title") >= 40)
@@ -411,6 +418,10 @@ object LlmQueries2 {
     import spark.implicits._
     val base = Tables.table(spark, dir, "embeddings")
       .select($"vec_id", $"label", Knn.asDouble($"embedding").as("embedding"))
+      // one embeddings scan (r14 multi-scan audit): max-id, planting
+      // and both arms of the bucketed self-join read the materialized
+      // double-converted frame
+      .localCheckpoint()
     // planted ids sit ABOVE max(vec_id), derived not hard-coded: a fixed
     // +10000 collides with real ids once the table reaches 10k rows
     // (review finding r5) — the 1-row max aggregate broadcasts
@@ -448,8 +459,14 @@ object LlmQueries2 {
         i => struct($"toks".getItem(i).as("w1"),
           $"toks".getItem(i + 1).as("w2")))).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    // ONE bigram pass builds the model: c12 is vocab-sized (the frame
+    // you hold at 100 TB) and c1 is its w1-marginal — Σ_w2 c12 is
+    // identically the per-w1 bigram count, so the unigram totals cost
+    // a re-aggregation of the checkpoint, not a second corpus pass
+    // (r14 multi-scan audit)
     val c12 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-    val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     val v = arr.select(explode($"toks").as("w")).agg(
       countDistinct($"w").as("v"))
     // c1 attaches to the VOCABULARY-sized c12 first: joining the

@@ -174,8 +174,15 @@ object QualityFilters {
           $"toks".getItem(i + 1).as("w2")))).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
     val refBig = big.filter(isRef)
+    // ONE reference pass builds the model (r14 multi-scan audit: the
+    // naive form re-derived the bigram explosion per count — 16 text
+    // scans in one plan). c12 is VOCAB-sized — the frame you hold at
+    // 100 TB — and c1 is its w1-marginal (Σ_w2 c12 ≡ the direct
+    // per-w1 bigram count), so the unigram totals cost a tiny
+    // re-aggregation of the checkpoint, not a corpus pass.
     val c12 = refBig.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-    val c1 = refBig.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     val v = arr.filter(isRef).select(explode($"toks").as("w"))
       .agg(countDistinct($"w").as("v"))
     val pairs = c12.join(c1, Seq("w1"))
@@ -194,6 +201,11 @@ object QualityFilters {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log(($"c12" + 1).cast("double") / ($"c1" + $"v"))), 4)
           .as("ce"))
+      // per-doc scores materialize ONCE (doc_id-sized — holdable):
+      // both the threshold sample and the final bucketing read them,
+      // and without the checkpoint each re-runs the whole scoring
+      // join over the corpus
+      .localCheckpoint()
     // thresholds from a deterministic 5% sample: in-sample thirds by
     // (ce, doc_id) rank — a bounded window, broadcast back as scalars
     val sample = scored.filter(Sampling.hashBucket($"doc_id", "cut", 100) < 5)

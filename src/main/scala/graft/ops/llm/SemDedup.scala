@@ -48,6 +48,12 @@ object SemDedup {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col(idCol), col("v"), col("nrm"),
         (-col("b.ncid")).as("cid"), col("b.csim").as("csim"))
+      // the assignment materializes ONCE: both arms of the
+      // within-cluster self-join and the final report read it — the
+      // same state an IVF index build persists anyway; without the
+      // checkpoint the centroid argmax re-runs over the corpus three
+      // times in one plan (r14 multi-scan audit)
+      .localCheckpoint()
     val a = assigned.select(col("cid"), col(idCol).as("__id_a"),
       col("v").as("va"), col("nrm").as("na"), col("csim").as("ca"))
     val b = assigned.select(col("cid"), col(idCol).as("__id_b"),
@@ -88,6 +94,9 @@ object SemDedup {
     val cents = Array.tabulate(4, 64)((i, j) => if (j % 4 == i) 1.0 else 0.1)
     val base = Tables.table(spark, dir, "embeddings")
       .select($"vec_id", Knn.asDouble($"embedding").as("embedding"))
+      // one embeddings scan: max-id, twin planting and the report all
+      // derive from the materialized double-converted frame
+      .localCheckpoint()
     val mx = base.agg(max($"vec_id").as("mx"))
     val planted = base.filter($"vec_id" < 20).crossJoin(broadcast(mx))
       .select(($"vec_id" + $"mx" + 1).as("vec_id"),

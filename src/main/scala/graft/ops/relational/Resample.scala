@@ -95,6 +95,11 @@ object Resample {
     val hourly = Tables.table(spark, dir, "events")
       .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
       .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      // the hour-grain rollup materializes ONCE (rows = types×hours,
+      // tiny at any event volume): median, deviations, MAD and the
+      // final score all read it — otherwise four event scans in one
+      // plan (r14 multi-scan audit)
+      .localCheckpoint()
     val med = hourly.groupBy($"event_type")
       .agg(percentile($"cents", lit(0.5)).as("m"))
     val d = hourly.join(broadcast(med), "event_type")
