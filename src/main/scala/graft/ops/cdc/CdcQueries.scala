@@ -401,7 +401,12 @@ object CdcQueries {
     import spark.implicits._
     val log = changeLog(spark, dir)
     val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
+    // the maintained half materializes ONCE: its open and closed rows
+    // both feed the result, and without the checkpoint the scd2
+    // chaining window re-runs per reference (r14 multi-scan audit) —
+    // in production this frame IS the persisted history sink
     val hist1 = Cdc.scd2(log.filter($"lsn" <= cut), Seq("pk"), "lsn", "ts")
+      .localCheckpoint()
     val open = hist1.filter($"is_current")
       .select($"pk", $"lsn", $"ts", $"op", $"after_value")
     val batch = log.filter($"lsn" > cut)
