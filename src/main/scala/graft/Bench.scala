@@ -16,25 +16,37 @@ object Bench {
     Seq(a, b, c).sorted.apply(1)
 
   /** Sort a line's AND-conjuncts at the OUTERMOST conjunction level
-    * only: split at " AND " occurrences whose paren depth equals the
-    * minimum depth over all occurrences in the line — the depth where
-    * the ExpressionSet-ordered conjunction itself renders — leaving
-    * " AND " text inside nested sub-expressions and string literals
-    * untouched (ADVICE r13: a naive split-all reordered text inside
-    * literals, so two genuinely different plans could normalize to
-    * one fingerprint). */
+    * only — leaving " AND " text inside nested sub-expressions and
+    * string literals untouched (ADVICE r13: a naive split-all
+    * reordered text inside literals, so two genuinely different plans
+    * could normalize to one fingerprint).
+    *
+    * The operator prefix and closing paren are peeled BEFORE the
+    * split: "Filter ((A) AND (B))" sorts the body "(A) AND (B)", not
+    * raw segments — a raw split attaches "Filter ((" to whichever
+    * conjunct the ExpressionSet happens to render first, so the same
+    * set in two iteration orders would normalize to two different
+    * strings (the false-positive class this sort exists to kill).
+    * Within the body, splits happen only at the minimum paren depth
+    * over all " AND " occurrences (= the conjunction's own level). */
   private[graft] def sortTopLevelConjuncts(line: String): String = {
+    val open = line.indexOf('(')
+    val (prefix, body, suffix) =
+      if (open >= 0 && line.endsWith(")"))
+        (line.substring(0, open + 1),
+          line.substring(open + 1, line.length - 1), ")")
+      else ("", line, "")
     val sep = " AND "
     val hits = scala.collection.mutable.ListBuffer[(Int, Int)]() // (pos, depth)
     var depth = 0
     var i = 0
-    while (i < line.length) {
-      line.charAt(i) match {
+    while (i < body.length) {
+      body.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
       }
-      if (line.startsWith(sep, i)) hits += ((i, depth))
+      if (body.startsWith(sep, i)) hits += ((i, depth))
       i += 1
     }
     if (hits.isEmpty) line
@@ -42,9 +54,9 @@ object Bench {
       val minDepth = hits.map(_._2).min
       val cuts = hits.collect { case (p, d) if d == minDepth => p }
       val starts = 0 +: cuts.map(_ + sep.length)
-      val ends = cuts :+ line.length
-      starts.zip(ends).map { case (s, e) => line.substring(s, e) }
-        .sorted.mkString(sep)
+      val ends = cuts :+ body.length
+      prefix + starts.zip(ends).map { case (s, e) => body.substring(s, e) }
+        .sorted.mkString(sep) + suffix
     }
   }
 

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-fingerprint normalization invariants (Bench
+  * .sortTopLevelConjuncts): the whole point of the conjunct sort is
+  * that two ExpressionSet iteration orders of the SAME conjunct set
+  * normalize to ONE string, while genuinely different plans stay
+  * distinct — both directions are asserted here. */
+class BenchFingerprintSpec extends AnyFunSuite {
+
+  private def norm(s: String) = Bench.sortTopLevelConjuncts(s)
+
+  test("two iteration orders of the same conjunct set normalize " +
+      "identically (operator prefix must not ride on a conjunct)") {
+    val o1 = "Filter ((a# > 1) AND (isnotnull(b#)))"
+    val o2 = "Filter ((isnotnull(b#)) AND (a# > 1))"
+    assert(norm(o1) === norm(o2))
+    val j1 = "+- Join Inner, ((x# = y#) AND (p# = q#))"
+    val j2 = "+- Join Inner, ((p# = q#) AND (x# = y#))"
+    assert(norm(j1) === norm(j2))
+    // three conjuncts, all orders agree
+    val perms = Seq(
+      "Filter ((a#) AND (b#) AND (c#))",
+      "Filter ((c#) AND (a#) AND (b#))",
+      "Filter ((b#) AND (c#) AND (a#))").map(norm).distinct
+    assert(perms.size === 1)
+  }
+
+  test(" AND inside a nested expression or string literal does not " +
+      "reorder (ADVICE r13: distinct plans must not alias)") {
+    // the nested AND sits one paren level deeper than the conjunction
+    val l = "Filter ((contains(s#, foo AND bar)) AND (isnotnull(s#)))"
+    val n = norm(l)
+    assert(n.contains("foo AND bar"), n) // literal survives intact
+    // a DIFFERENT plan whose literal swaps words must stay distinct
+    val other = "Filter ((contains(s#, bar AND foo)) AND (isnotnull(s#)))"
+    assert(norm(other) !== n)
+  }
+
+  test("lines without conjunctions or parens pass through unchanged") {
+    val lines = Seq(
+      "Sort [a# ASC NULLS FIRST], true, 0",
+      "Aggregate [k#], [k#, sum(v#) AS s#]",
+      "+- Scan parquet [a#,b#]")
+    lines.foreach(l => assert(norm(l) === l))
+  }
+
+  test("normalization is deterministic and idempotent on " +
+      "prefix-peelable lines") {
+    val l = "Filter ((z#) AND (a#) AND (m#))"
+    assert(norm(norm(l)) === norm(l))
+  }
+}
