@@ -1018,20 +1018,35 @@ object CdcQueries {
     * time-regression arm fires on the organic log wherever commit ts
     * order disagrees with lsn order.
     *
-    * Shape: ONE lag window over the lsn order (the q_window_laglead
-    * sort); the output is anomaly-sized, never log-sized. At 100 TB
-    * the window partitions by a shard/table key — here the whole log
-    * is one partition by construction of the fixture, and the
-    * detector composes per-shard unchanged. */
+    * Shape (r14 — was a single global lag window, the forbidden
+    * serial sort once one shard's log outgrows a partition): TWO-LEVEL
+    * lag. Rows bucket by `lsn DIV 4096`; the lag window partitions by
+    * bucket (maximal parallelism — each bucket sorts independently),
+    * and each bucket's FIRST row takes its predecessor from a
+    * per-bucket (last lsn, last ts) summary — a bounded frame (≤
+    * maxLsn/4096 rows) whose own lag window is the codebook-class
+    * exception, broadcast back as the boundary patch. Empty buckets
+    * (a gap spanning a whole bucket) fall out naturally: the summary
+    * lag links each non-empty bucket to the previous NON-EMPTY one.
+    * Row-for-row identical to the global-window form (the oracle
+    * still computes one flat lag); output is anomaly-sized. */
   def qCdcGapDetect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val log = changeLog(spark, dir)
       .filter(!($"lsn" % 97 === 13))
-      .select($"lsn", $"ts")
-    val w = Window.orderBy($"lsn")
-    log
-      .withColumn("prev_lsn", lag($"lsn", 1).over(w))
-      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .select($"lsn", $"ts", expr("lsn DIV 4096").as("bkt"))
+    val wIn = Window.partitionBy($"bkt").orderBy($"lsn")
+    val inner = log
+      .withColumn("prev_lsn", lag($"lsn", 1).over(wIn))
+      .withColumn("prev_ts", lag($"ts", 1).over(wIn))
+    val wB = Window.orderBy($"bkt") // bucket-summary frame: bounded
+    val boundary = log.groupBy($"bkt")
+      .agg(max(struct($"lsn", $"ts")).as("last"))
+      .withColumn("p", lag($"last", 1).over(wB))
+      .select($"bkt", $"p.lsn".as("p_lsn"), $"p.ts".as("p_ts"))
+    inner.join(broadcast(boundary), Seq("bkt"), "left")
+      .withColumn("prev_lsn", coalesce($"prev_lsn", $"p_lsn"))
+      .withColumn("prev_ts", coalesce($"prev_ts", $"p_ts"))
       .withColumn("gap", $"lsn" - $"prev_lsn" - 1)
       .withColumn("ts_regression", $"ts" < $"prev_ts")
       .filter($"gap" > 0 || $"ts_regression")
