@@ -363,7 +363,7 @@ object LlmQueries2 {
     // 1-row aggregate broadcasts; planted ids derived, never hard-coded
     val mx = src.agg(max($"doc_id").as("mx"))
     val planted = src.filter($"doc_id" < 10 && length($"title") >= 40)
-      .crossJoin(mx)
+      .crossJoin(broadcast(mx))
       .select(($"doc_id" + $"mx" + 1).as("doc_id"),
         concat(substring($"title", 1, 19), lit("~"),
           substring($"title", 21, 20)).as("title"))
@@ -426,7 +426,7 @@ object LlmQueries2 {
     // +10000 collides with real ids once the table reaches 10k rows
     // (review finding r5) — the 1-row max aggregate broadcasts
     val mx = base.agg(max($"vec_id").as("mx"))
-    val planted = base.filter($"vec_id" < 20).crossJoin(mx)
+    val planted = base.filter($"vec_id" < 20).crossJoin(broadcast(mx))
       .select(($"vec_id" + $"mx" + 1).as("vec_id"), $"label",
         transform($"embedding", x => x + lit(0.05)).as("embedding"))
     Knn.bucketedNearDups(base.unionByName(planted), "label", 0.9)
