@@ -225,13 +225,23 @@ object Quality {
   def activeUsersApprox(spark: SparkSession, dir: String,
                         lgK: Int = 12): DataFrame = {
     import spark.implicits._
-    val dayBlobs = Tables.table(spark, dir, "events")
+    dauSeries(Tables.table(spark, dir, "events")
       .select($"user_id", date_trunc("day", $"ts").as("d"))
       .groupBy($"d")
-      .agg(hll_sketch_agg($"user_id", lit(lgK)).as("sketch"))
-      // days × 4KB — materialize once; grid, DAU and both trailing
-      // unions read the blobs, never events again
-      .localCheckpoint()
+      .agg(hll_sketch_agg($"user_id", lit(lgK)).as("sketch")))
+  }
+
+  /** DAU/WAU/MAU series off an ALREADY-BUILT per-day blob table
+    * (`d` timestamp day, `sketch` HLL blob) — shared by the in-query
+    * rung above and the incrementally maintained blob table
+    * ([[graft.streaming.DauStream]]): the read path is identical
+    * whether the blobs were just aggregated or streamed in over
+    * months. */
+  def dauSeries(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    // days × 4KB — materialize once; grid, DAU and both trailing
+    // unions read the blobs, never the source again
+    val dayBlobs = blobs.localCheckpoint()
     val grid = dayBlobs.select($"d".as("g"))
     def trailing(daysBack: Int, name: String) =
       dayBlobs.join(grid,
