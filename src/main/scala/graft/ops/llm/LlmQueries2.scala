@@ -505,24 +505,35 @@ object LlmQueries2 {
     val planted = docs.filter($"doc_id" < 10).crossJoin(broadcast(mx))
       .select(($"doc_id" + $"mx" + 1).as("doc_id"),
         trim(repeat(lit("buy now "), 40)).as("text"))
+    // ONE text pass (r14 multi-scan audit — separate bigram/trigram
+    // branches each re-scanned the corpus): both gram lengths explode
+    // from one tagged array union, then the (doc, len, gram) counts
+    // and the per-doc rollup follow the same two-shuffle shape as
+    // before — the scan halves, the shuffles do not change
     val arr = docs.unionByName(planted)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
-    val b2 = arr.select($"doc_id", (size($"t") - 1).as("n2"),
-      explode(transform(sequence(lit(0), size($"t") - 2),
-        i => concat_ws(" ", $"t".getItem(i), $"t".getItem(i + 1)))).as("g"))
-    val t3 = arr.select($"doc_id", (size($"t") - 2).as("n3"),
-      explode(transform(sequence(lit(0), size($"t") - 3),
-        i => concat_ws(" ", $"t".getItem(i), $"t".getItem(i + 1),
-          $"t".getItem(i + 2)))).as("g"))
-    val top2 = b2.groupBy($"doc_id", $"g").agg(first($"n2").as("n2"),
+    val grams = arr.select($"doc_id",
+      (size($"t") - 1).as("n2"), (size($"t") - 2).as("n3"),
+      explode(concat(
+        transform(sequence(lit(0), size($"t") - 2),
+          i => struct(lit(2).as("len"), concat_ws(" ",
+            $"t".getItem(i), $"t".getItem(i + 1)).as("g"))),
+        transform(sequence(lit(0), size($"t") - 3),
+          i => struct(lit(3).as("len"), concat_ws(" ",
+            $"t".getItem(i), $"t".getItem(i + 1),
+            $"t".getItem(i + 2)).as("g"))))).as("gg"))
+      .select($"doc_id", $"n2", $"n3",
+        $"gg.len".as("len"), $"gg.g".as("g"))
+    val perDoc = grams.groupBy($"doc_id", $"len", $"g")
+      .agg(first($"n2").as("n2"), first($"n3").as("n3"),
         count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(first($"n2").as("n2"), max($"c").as("top2"))
-    val dup3 = t3.groupBy($"doc_id", $"g").agg(first($"n3").as("n3"),
-        count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(first($"n3").as("n3"),
-        coalesce(sum(when($"c" >= 2, $"c")), lit(0L)).as("dup3"))
-    top2.join(dup3, "doc_id")
+      .groupBy($"doc_id")
+      .agg(first($"n2").as("n2"), first($"n3").as("n3"),
+        max(when($"len" === 2, $"c")).as("top2"),
+        coalesce(sum(when($"len" === 3 && $"c" >= 2, $"c")), lit(0L))
+          .as("dup3"))
+    perDoc
       .select($"doc_id",
         round($"top2".cast("double") / $"n2", 4).as("top2_frac"),
         round($"dup3".cast("double") / $"n3", 4).as("dup3_frac"),
