@@ -60,9 +60,51 @@ object Bench {
     }
   }
 
+  /** Parse bench_plans.json with a linear hand scan, NOT a regex: a
+    * Java regex of the shape ((?:[^"\\]|\\.)*) recurses per
+    * alternation step and throws StackOverflowError on multi-KB plan
+    * strings (observed r14 — every prior-text read silently came back
+    * empty through the catch-all). Inverse of [[jsonEsc]] for the
+    * escapes plan text actually contains. */
+  private[graft] def parsePlanTexts(txt: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < txt.length) {
+      val ks = txt.indexOf("\"q_", i)
+      if (ks < 0) i = txt.length
+      else {
+        val ke = txt.indexOf("\":\"", ks)
+        if (ke < 0) i = txt.length
+        else {
+          val key = txt.substring(ks + 1, ke)
+          val sb = new StringBuilder
+          var j = ke + 3
+          var done = false
+          while (j < txt.length && !done) {
+            txt.charAt(j) match {
+              case '\\' if j + 1 < txt.length =>
+                txt.charAt(j + 1) match {
+                  case 'n' => sb.append('\n')
+                  case 't' => sb.append('\t')
+                  case 'r' => sb.append('\r')
+                  case c => sb.append(c)
+                }
+                j += 2
+              case '"' => done = true; j += 1
+              case c => sb.append(c); j += 1
+            }
+          }
+          out(key) = sb.toString
+          i = j
+        }
+      }
+    }
+    out.toMap
+  }
+
   /** Minimal JSON string escape for plan text persisted to
     * bench_plans.json. */
-  private def jsonEsc(s: String): String =
+  private[graft] def jsonEsc(s: String): String =
     s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -239,16 +281,9 @@ object Bench {
     // bench_plan_diffs.txt before bench_plans.json is overwritten.
     if (planChanged.nonEmpty) try {
       val priorTexts: Map[String, String] =
-        try {
-          val txt = scala.io.Source.fromFile("bench_plans.json").mkString
-          """"(q_[a-zA-Z0-9_]+)":"((?:[^"\\]|\\.)*)"""".r
-            .findAllMatchIn(txt).map { m =>
-              m.group(1) -> m.group(2)
-                .replace("\\n", "\n").replace("\\t", "\t")
-                .replace("\\r", "\r").replace("\\\"", "\"")
-                .replace("\\\\", "\\")
-            }.toMap
-        } catch { case _: Throwable => Map.empty }
+        try parsePlanTexts(
+          scala.io.Source.fromFile("bench_plans.json").mkString)
+        catch { case _: Throwable => Map.empty }
       val w = new java.io.PrintWriter("bench_plan_diffs.txt")
       try planChanged.foreach { k =>
         val cur = results.find(_._1 == k).map(_._5).getOrElse("")

@@ -51,4 +51,21 @@ class BenchFingerprintSpec extends AnyFunSuite {
     val l = "Filter ((z#) AND (a#) AND (m#))"
     assert(norm(norm(l)) === norm(l))
   }
+
+  test("bench_plans.json round-trips through jsonEsc/parsePlanTexts, " +
+      "including multi-KB plan strings (the Java-regex StackOverflow " +
+      "class r14 hit)") {
+    val big = (1 to 2000).map(i =>
+      s"""+- Filter ((a#$i > 1) AND contains(s#, "x\\y"))""")
+      .mkString("\n")
+    val plans = Map(
+      "q_small" -> "Project [a#]\n+- Scan parquet",
+      "q_big" -> big,
+      "q_tabs" -> "line\twith\ttabs\r\nand crlf")
+    val json = plans.map { case (k, t) =>
+      s""""$k":"${Bench.jsonEsc(t)}"""" }.mkString("{", ",", "}")
+    // keys in the real file all start with q_ — the scanner keys on it
+    val back = Bench.parsePlanTexts(json)
+    assert(back === plans)
+  }
 }
