@@ -21,23 +21,42 @@ object Bench {
     * reordered text inside literals, so two genuinely different plans
     * could normalize to one fingerprint).
     *
-    * The operator prefix and closing paren are peeled BEFORE the
+    * The operator prefix and trailing args are peeled BEFORE the
     * split: "Filter ((A) AND (B))" sorts the body "(A) AND (B)", not
     * raw segments — a raw split attaches "Filter ((" to whichever
     * conjunct the ExpressionSet happens to render first, so the same
     * set in two iteration orders would normalize to two different
     * strings (the false-positive class this sort exists to kill).
-    * Within the body, splits happen only at the minimum paren depth
-    * over all " AND " occurrences (= the conjunction's own level). */
+    * The body is the inside of the FIRST paren group (to its MATCHING
+    * close — "Join Inner, ((a) AND (b)), rightHint=(broadcast)" keeps
+    * the hint as suffix instead of splicing it into a conjunct), cuts
+    * happen ONLY at depth 0 of that body (r14 review: the earlier
+    * min-depth fallback cut INSIDE both branches of an OR-of-ANDs,
+    * mapping genuinely different plans to one fingerprint), and the
+    * sort is abandoned unless every segment is paren-balanced (safety
+    * net: an unparseable line passes through verbatim — worst case a
+    * spurious plan_changed diagnostic, never an aliased one). */
   private[graft] def sortTopLevelConjuncts(line: String): String = {
     val open = line.indexOf('(')
-    val (prefix, body, suffix) =
-      if (open >= 0 && line.endsWith(")"))
-        (line.substring(0, open + 1),
-          line.substring(open + 1, line.length - 1), ")")
-      else ("", line, "")
+    if (open < 0) return line
+    // matching close paren of the first group
+    var depth0 = 0
+    var close = -1
+    var k = open
+    while (k < line.length && close < 0) {
+      line.charAt(k) match {
+        case '(' => depth0 += 1
+        case ')' => depth0 -= 1; if (depth0 == 0) close = k
+        case _ =>
+      }
+      k += 1
+    }
+    if (close < 0) return line
+    val prefix = line.substring(0, open + 1)
+    val body = line.substring(open + 1, close)
+    val suffix = line.substring(close)
     val sep = " AND "
-    val hits = scala.collection.mutable.ListBuffer[(Int, Int)]() // (pos, depth)
+    val cuts = scala.collection.mutable.ListBuffer[Int]()
     var depth = 0
     var i = 0
     while (i < body.length) {
@@ -46,17 +65,25 @@ object Bench {
         case ')' => depth -= 1
         case _ =>
       }
-      if (body.startsWith(sep, i)) hits += ((i, depth))
+      if (depth == 0 && body.startsWith(sep, i)) cuts += i
       i += 1
     }
-    if (hits.isEmpty) line
+    if (cuts.isEmpty) line
     else {
-      val minDepth = hits.map(_._2).min
-      val cuts = hits.collect { case (p, d) if d == minDepth => p }
-      val starts = 0 +: cuts.map(_ + sep.length)
-      val ends = cuts :+ body.length
-      prefix + starts.zip(ends).map { case (s, e) => body.substring(s, e) }
-        .sorted.mkString(sep) + suffix
+      val starts = 0 +: cuts.toList.map(_ + sep.length)
+      val ends = cuts.toList :+ body.length
+      val segs = starts.zip(ends).map { case (s, e) => body.substring(s, e) }
+      val balanced = segs.forall { seg =>
+        var d = 0; var ok = true
+        seg.foreach {
+          case '(' => d += 1
+          case ')' => d -= 1; if (d < 0) ok = false
+          case _ =>
+        }
+        ok && d == 0
+      }
+      if (!balanced) line
+      else prefix + segs.sorted.mkString(sep) + suffix
     }
   }
 
@@ -84,12 +111,18 @@ object Bench {
             txt.charAt(j) match {
               case '\\' if j + 1 < txt.length =>
                 txt.charAt(j + 1) match {
-                  case 'n' => sb.append('\n')
-                  case 't' => sb.append('\t')
-                  case 'r' => sb.append('\r')
-                  case c => sb.append(c)
+                  case 'n' => sb.append('\n'); j += 2
+                  case 't' => sb.append('\t'); j += 2
+                  case 'r' => sb.append('\r'); j += 2
+                  case 'u' if j + 5 < txt.length =>
+                    // inverse of jsonEsc's \u00xx control-char escape
+                    // (r14 review: dropping it left literal "u00xx"
+                    // text, a phantom prior-vs-current diff forever)
+                    sb.append(Integer.parseInt(
+                      txt.substring(j + 2, j + 6), 16).toChar)
+                    j += 6
+                  case c => sb.append(c); j += 2
                 }
-                j += 2
               case '"' => done = true; j += 1
               case c => sb.append(c); j += 1
             }

@@ -628,6 +628,54 @@ object ScaleSmoke {
       sources.AvroCdc.decode(
         sources.AvroCdc.encode(canonical, payload), "value", payload).count()
     }
+    // ---- round-14 shapes: the multi-scan-audit fixes and new rungs
+    // at 10x — each materializes its holdable reduction ONCE, so the
+    // probe verifies the checkpoint trade holds as data grows
+    time("active_users exact (1M ev)") {
+      ops.cdc.Quality.qActiveUsers(spark, work).count() }
+    time("active_users HLL rung (1M)") {
+      ops.cdc.Quality.activeUsersApprox(spark, work).count() }
+    time("gap_detect 2-level lag (1M)") {
+      ops.cdc.CdcQueries.qCdcGapDetect(spark, work).count() }
+    time("ccnet ref-LM partition (500k)") {
+      ops.llm.QualityFilters.qLlmCcnet(spark, work).count() }
+    time("editdist blocked (500k)") {
+      ops.llm.LlmQueries2.qLlmEditDist(spark, work).count() }
+    time("avro container files (1M)") {
+      // the .avro OCF round-trip at 10x: distributed write (one file
+      // per partition, deflate) then per-file DataFileReader decode
+      import org.apache.spark.sql.types._
+      val payload = StructType(Seq(
+        StructField("pk", LongType), StructField("v", DoubleType)))
+      val canonical = ops.cdc.CdcQueries.changeLog(spark, work).select(
+        $"op", lit(null).cast(StructType(Seq(
+          StructField("pk", LongType), StructField("v", DoubleType))))
+          .as("before"),
+        struct($"pk", $"after_value".as("v")).as("after"),
+        lit("events").as("src_table"), $"lsn",
+        ($"lsn" * 1000L).as("ts_ms"))
+      val dir = s"$work/avro_files_smoke"
+      sources.AvroCdc.writeFiles(canonical, payload, dir, codec = "deflate")
+      sources.AvroCdc.readFiles(spark, dir, payload).count()
+    }
+    time("dau blob maintain (1M ev)") {
+      // streamed-state shape driven as a batch: init empty blobs, fold
+      // the full event stream as one mergeBatch, read the series
+      val dir = s"$work/dau_blobs_smoke"
+      // init refuses an existing target (by contract) — wipe the dir so
+      // a re-run against a kept corpus times the full fold, not a
+      // replay-skipped no-op
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.toSeq.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      streaming.DauStream.init(spark, dir, nBuckets = 8)
+      streaming.DauStream.mergeBatch(spark, dir,
+        Tables.table(spark, work, "events").select($"user_id", $"ts"),
+        lsn = 1L)
+      streaming.DauStream.series(spark, dir).count()
+    }
     spark.stop()
   }
 }

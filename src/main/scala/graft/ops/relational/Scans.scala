@@ -75,9 +75,33 @@ object Scans {
     * reuse one fixture. Lives under java.io.tmpdir. */
   private val fixtureNonce: String =
     java.lang.ProcessHandle.current().pid().toString
+  private lazy val fixtureRoot: String = {
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/p$fixtureNonce"
+    // per-pid dirs would otherwise accumulate one corpus-sized fixture
+    // set per harness process forever (r14 review) — reap ours on exit
+    // (and any stale sibling whose pid is no longer alive, so a
+    // kill -9'd run's leftovers go too)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(root))
+      Option(new java.io.File(root).getParentFile.listFiles).foreach(
+        _.foreach { sib =>
+          val pid = sib.getName.stripPrefix("p")
+          val dead = pid.forall(_.isDigit) && pid.nonEmpty &&
+            !java.lang.ProcessHandle.of(pid.toLong)
+              .map[Boolean](_.isAlive).orElse(false)
+          if (dead) rm(sib)
+        })
+    }))
+    root
+  }
   private def fixtureDir(dir: String, fmt: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/p$fixtureNonce/$tag/$fmt"
+    s"$fixtureRoot/$tag/$fmt"
   }
 
   /** CSV ingestion certified end-to-end: the corpus `orders` table is

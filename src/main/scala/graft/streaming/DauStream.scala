@@ -43,7 +43,13 @@ object DauStream {
   val LgK = 12
 
   private val blobSchema = StructType(Seq(
-    StructField("d", LongType), // epoch day (UTC)
+    // day number since 1970-01-01 of the SESSION-LOCAL day (datediff —
+    // the integer twin of date_trunc('day', ts), so blob keys agree
+    // with the in-query rung's day buckets in ANY session timezone;
+    // under the harness's UTC session this is the UTC epoch day). The
+    // earlier unix_timestamp(date_trunc(...)) DIV 86400 form shifted
+    // every key by one day in positive-offset timezones (r14 review).
+    StructField("d", LongType),
     StructField("sketch", BinaryType)))
 
   /** Create an empty blob table. */
@@ -62,7 +68,7 @@ object DauStream {
     // batch partial sketches, pinned: the touched-day lookup and the
     // union both consume them (one pass over the batch either way)
     val bb = batch.select(
-        expr("unix_timestamp(date_trunc('day', ts)) DIV 86400").as("d"),
+        expr("cast(datediff(ts, DATE'1970-01-01') as bigint)").as("d"),
         col("user_id"))
       .groupBy(col("d"))
       .agg(hll_sketch_agg(col("user_id"), lit(LgK)).as("s_new"))
@@ -96,10 +102,15 @@ object DauStream {
       .start()
   }
 
-  /** The maintained blob table as (d timestamp-day, sketch). */
+  /** The maintained blob table as (d timestamp-day, sketch) — the
+    * exact inverse of the merge key: day number → local-midnight
+    * timestamp, i.e. the same values date_trunc('day', ts) yields. */
   def read(spark: SparkSession, blobDir: String): DataFrame =
     PartitionedUpsert.read(spark, blobDir)
-      .select(timestamp_seconds(col("d") * 86400L).as("d"), col("sketch"))
+      .select(
+        expr("to_timestamp(date_add(DATE'1970-01-01', cast(d as int)))")
+          .as("d"),
+        col("sketch"))
 
   /** DAU/WAU/MAU series off the maintained blobs — the identical read
     * path the in-query rung uses ([[graft.ops.cdc.Quality.dauSeries]]),

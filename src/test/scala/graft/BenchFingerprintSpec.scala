@@ -52,6 +52,39 @@ class BenchFingerprintSpec extends AnyFunSuite {
     assert(norm(norm(l)) === norm(l))
   }
 
+  test("OR-of-ANDs has no top-level conjunction — the line passes " +
+      "through verbatim (r14 review: the min-depth fallback cut inside " +
+      "both OR branches, aliasing genuinely different plans)") {
+    val p1 = "Filter ((c# AND d#) OR (a# AND b#))"
+    val p2 = "Filter ((c# AND b#) OR (a# AND d#))" // different plan!
+    assert(norm(p1) === p1)
+    assert(norm(p2) === p2)
+    assert(norm(p1) !== norm(p2))
+  }
+
+  test("trailing args after the condition group (join hints) stay " +
+      "outside the sort — same set, two orders, one string; hint intact") {
+    val h1 = "Join Inner, ((x# = y#) AND (p# = q#)), rightHint=(strategy=broadcast)"
+    val h2 = "Join Inner, ((p# = q#) AND (x# = y#)), rightHint=(strategy=broadcast)"
+    assert(norm(h1) === norm(h2))
+    assert(norm(h1).endsWith("rightHint=(strategy=broadcast)"), norm(h1))
+  }
+
+  test("a segment that would split unbalanced abandons the sort " +
+      "instead of splicing text across paren groups") {
+    // depth-0 AND but the right segment closes a paren it never opened
+    val l = "Weird (a#) AND (b#)) tail ("
+    assert(norm(l) === l)
+  }
+
+  test("control characters in plan text survive the jsonEsc/" +
+      "parsePlanTexts round-trip (r14 review: \\u00xx was not inverted)") {
+    val plans = Map("q_ctl" -> "Filter contains(s#, bell)")
+    val json = plans.map { case (k, t) =>
+      s""""$k":"${Bench.jsonEsc(t)}"""" }.mkString("{", ",", "}")
+    assert(Bench.parsePlanTexts(json) === plans)
+  }
+
   test("bench_plans.json round-trips through jsonEsc/parsePlanTexts, " +
       "including multi-KB plan strings (the Java-regex StackOverflow " +
       "class r14 hit)") {

@@ -135,6 +135,25 @@ class AvroCdcSpec extends SparkSpec {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test(".avro container files: rewriting a directory with FEWER " +
+      "partitions removes stale part files (overwrite semantics) and " +
+      "leaves no .tmp orphans") {
+    val dir = java.nio.file.Files.createTempDirectory("avro_files_ow")
+      .toString
+    AvroCdc.writeFiles(canonical.repartition(6), payload, dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".avro")) === 6)
+    val narrow = canonical.repartition(2)
+    AvroCdc.writeFiles(narrow, payload, dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".avro")) === 2, names.mkString(","))
+    assert(!names.exists(_.endsWith(".tmp")), names.mkString(","))
+    // and the read sees ONLY the second write's rows
+    val back = AvroCdc.readFiles(spark, dir, payload)
+    assert(back.count() === narrow.count())
+    assert(back.exceptAll(narrow).isEmpty && narrow.exceptAll(back).isEmpty)
+  }
+
   test(".avro container files: deflate and snappy codecs round-trip " +
       "and are recorded in the header for reader auto-detect") {
     Seq("deflate", "snappy").foreach { codec =>

@@ -93,4 +93,32 @@ class DauStreamSpec extends SparkSpec {
       .dauSeries(DauStream.read(spark, blobDir)).collect()
     assert(viaShared.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
+
+  test("non-UTC session timezone: blob day keys still equal " +
+      "date_trunc('day', ts) (r14 review: the unix_timestamp DIV 86400 " +
+      "key shifted every day by one in positive-offset timezones)") {
+    import spark.implicits._
+    val priorTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_dau_tz")
+        .toString
+      DauStream.init(spark, s"$base/blobs", nBuckets = 4)
+      val batch = (wave1 ++ wave2 ++ wave3).toDF("user_id", "ts")
+      DauStream.mergeBatch(spark, s"$base/blobs", batch, lsn = 1L)
+      val blobDays = DauStream.read(spark, s"$base/blobs")
+        .select($"d").as[Timestamp].collect().toSet
+      val truncDays = batch
+        .select(date_trunc("day", $"ts").as("d"))
+        .distinct().as[Timestamp].collect().toSet
+      assert(blobDays === truncDays)
+      // and the estimates land on the right local days
+      val dau = DauStream.read(spark, s"$base/blobs")
+        .select(dayofmonth($"d").as("dom"),
+          hll_sketch_estimate($"sketch").as("est"))
+        .collect().map(r => r.getAs[Int]("dom") -> r.getAs[Double]("est"))
+        .toMap
+      exactDau.foreach { case (dom, n) => assert(dau(dom) === n.toDouble) }
+    } finally spark.conf.set("spark.sql.session.timeZone", priorTz)
+  }
 }
