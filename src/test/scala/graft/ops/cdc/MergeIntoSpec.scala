@@ -1,0 +1,113 @@
+package graft.ops.cdc
+
+import org.apache.spark.sql.functions._
+import org.scalatest.exceptions.TestFailedException
+
+import graft.SparkSpec
+
+/** Conditional MERGE semantics: clause-order precedence, the four row
+  * classes (update / delete / keep / insert+drop), the
+  * duplicate-source error, and the persisted table path agreeing with
+  * the pure-frame resolve while touching only source-keyed buckets. */
+class MergeIntoSpec extends SparkSpec {
+
+  import MergeInto._
+
+  // target: (k, bal, tag); source: (k, add, n)
+  private def tgt = {
+    import spark.implicits._
+    Seq((1L, 100L, "a"), (2L, -50L, "b"), (3L, 10L, "c"), (4L, 0L, "d"))
+      .toDF("k", "bal", "tag")
+  }
+  private def src = {
+    import spark.implicits._
+    // k=1 matches both delete (n>=5) and update (bal>0): delete is
+    // FIRST in clause order and must win; k=2 matched, fails both
+    // conds -> keep; k=3 matched update; k=9 unmatched, add>=100 ->
+    // insert; k=10 unmatched, add<100 -> drop
+    Seq((1L, 7L, 5L), (2L, 20L, 1L), (3L, 5L, 1L), (9L, 100L, 1L),
+      (10L, 99L, 1L)).toDF("k", "add", "n")
+  }
+  private def clauses = Vector(
+    MatchedDelete(Some(col("s.n") >= 5)),
+    MatchedUpdate(Some(col("t.bal") > 0), Map(
+      "bal" -> (col("t.bal") + col("s.add")), "tag" -> lit("up"))),
+    NotMatchedInsert(Some(col("s.add") >= 100), Map(
+      "k" -> col("s.k"), "bal" -> col("s.add"), "tag" -> lit("new"))))
+
+  test("clause order wins: delete-before-update removes a row both " +
+      "clauses match; keep / insert / drop / passthrough all behave") {
+    val out = resolve(tgt, src, Seq("k"), clauses)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out === Array(
+      (2L, -50L, "b"),   // matched, fails both conds -> keep
+      (3L, 15L, "up"),   // conditional update
+      (4L, 0L, "d"),     // target-only passthrough
+      (9L, 100L, "new")  // conditional insert; k=1 deleted, k=10 dropped
+    ))
+  }
+
+  test("clause order is semantic: swapping delete/update changes the " +
+      "outcome for the doubly-matched row") {
+    val swapped = Vector(clauses(1), clauses(0), clauses(2))
+    val out = resolve(tgt, src, Seq("k"), swapped)
+      .filter(col("k") === 1).collect()
+    assert(out.length === 1 && out.head.getLong(1) === 107L) // updated, not deleted
+  }
+
+  test("an unconditional matched clause shadows everything after it") {
+    val shadowed = Vector(
+      MatchedUpdate(None, Map("tag" -> lit("all"))),
+      MatchedDelete(Some(col("s.n") >= 5)))
+    val out = resolve(tgt, src, Seq("k"), shadowed)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2)))
+    // k=1 would be deleted by clause 2, but clause 1 catches it first
+    assert(out.toSeq.contains((1L, "all")))
+  }
+
+  test("duplicate source rows for one key raise (the Delta multi-row " +
+      "match error), not silently double-apply") {
+    import spark.implicits._
+    val dup = src.union(Seq((3L, 1L, 1L)).toDF("k", "add", "n"))
+    val e = intercept[Exception] {
+      resolve(tgt, dup, Seq("k"), clauses).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("multiple rows")),
+      e.getMessage)
+  }
+
+  test("mergeIntoTable: persisted post-state equals resolve(), only " +
+      "source-keyed buckets touched, txn replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi").toString
+    PartitionedUpsert.init(tgt, dir, "k", nBuckets = 8)
+    val touched = mergeIntoTable(spark, dir, src, "k", clauses, lsn = 1L,
+      txn = Some(("mi-test", 1L)))
+    // bucket bound: at most one bucket per distinct source key
+    assert(touched.nonEmpty && touched.size <= 5)
+    val expected = resolve(tgt, src, Seq("k"), clauses)
+      .orderBy("k").collect().map(_.toString).toSeq
+    def state() = PartitionedUpsert.read(spark, dir)
+      .select(col("k"), col("bal"), col("tag"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(state() === expected)
+    // replayed txn: metadata no-op, state unchanged
+    val replay = mergeIntoTable(spark, dir, src, "k", clauses, lsn = 1L,
+      txn = Some(("mi-test", 1L)))
+    assert(replay.isEmpty)
+    assert(state() === expected)
+  }
+
+  test("the oracled corpus fixture exercises every clause path at " +
+      "sf0.001") {
+    val out = qCdcMergeInto(spark, sfSmoke).cache()
+    try {
+      assert(out.filter(col("seg") === "NEW").count() > 0)
+      assert(out.filter(col("seg") === "UPGRADED").count() > 0)
+      // keeps: matched rows with non-positive balance survive unchanged
+      assert(out.filter(col("bal_cents") <= 0).count() > 0)
+    } finally { out.unpersist(); () }
+  }
+}
