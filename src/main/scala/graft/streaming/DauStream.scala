@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
@@ -67,9 +67,7 @@ object DauStream {
     val m = PartitionedUpsert.manifestOrFail(spark, blobDir)
     // batch partial sketches, pinned: the touched-day lookup and the
     // union both consume them (one pass over the batch either way)
-    val bb = batch.select(
-        expr("cast(datediff(ts, DATE'1970-01-01') as bigint)").as("d"),
-        col("user_id"))
+    val bb = batch.select(dayOf(col("ts")).as("d"), col("user_id"))
       .groupBy(col("d"))
       .agg(hll_sketch_agg(col("user_id"), lit(LgK)).as("s_new"))
       .localCheckpoint()
@@ -86,6 +84,45 @@ object DauStream {
     PartitionedUpsert.merge(spark, blobDir, merged, "d", "__lsn", "__op",
       Seq("sketch"), m.nBuckets, txn): Unit
   }
+
+  /** REBUILD the blobs for a set of days from a (already-purged)
+    * source slice — the operational answer to the union-only algebra:
+    * an HLL cannot subtract a user, so a GDPR-style purge recomputes
+    * the affected days' sketches from the post-purge source and
+    * REPLACES those blobs (op 'u'), deleting a day outright (op 'd')
+    * when no events remain. Cost is O(purged days' events), never
+    * O(history): `days` scopes the rewrite, and the source frame
+    * should already be filtered to those days (it is filtered here
+    * again, so passing the full purged corpus is merely wasteful, not
+    * wrong).
+    *
+    * `source` = post-purge (user_id, ts) events; `days` = the
+    * affected day numbers as ANY frame with a `d` column in blob-key
+    * units (what `datediff(ts, DATE'1970-01-01')` yields — obtain via
+    * [[dayOf]]). */
+  def rebuildDays(spark: SparkSession, blobDir: String, source: DataFrame,
+                  days: DataFrame, lsn: Long,
+                  txn: Option[(String, Long)] = None): Unit = {
+    val m = PartitionedUpsert.manifestOrFail(spark, blobDir)
+    val dayKeys = days.select(col("d").cast("long").as("d")).distinct()
+    val rebuilt = source
+      .select(dayOf(col("ts")).as("d"), col("user_id"))
+      .join(dayKeys, Seq("d"), "left_semi")
+      .groupBy(col("d"))
+      .agg(hll_sketch_agg(col("user_id"), lit(LgK)).as("s_new"))
+    val changes = dayKeys.join(rebuilt, Seq("d"), "left")
+      .select(col("d"),
+        coalesce(col("s_new"), lit(null).cast("binary")).as("sketch"),
+        when(col("s_new").isNull, lit("d")).otherwise(lit("u")).as("__op"),
+        lit(lsn).as("__lsn"))
+    PartitionedUpsert.merge(spark, blobDir, changes, "d", "__lsn", "__op",
+      Seq("sketch"), m.nBuckets, txn): Unit
+  }
+
+  /** The blob-table day key of a timestamp column — the integer twin
+    * of date_trunc('day', ts). */
+  def dayOf(ts: Column): Column =
+    datediff(ts, lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
 
   /** Streaming sink: events (user_id, ts) → maintained day blobs. */
   def blobSink(events: DataFrame, blobDir: String,

@@ -94,6 +94,48 @@ class DauStreamSpec extends SparkSpec {
     assert(viaShared.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("rebuildDays: a GDPR purge recomputes ONLY the affected days' " +
+      "blobs from the post-purge source — counts drop, a day left " +
+      "empty disappears, untouched days keep their exact blobs") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dau_rb")
+      .toString
+    val blobDir = s"$base/blobs"
+    DauStream.init(spark, blobDir, nBuckets = 4)
+    val all = (wave1 ++ wave2 ++ wave3).toDF("user_id", "ts")
+    DauStream.mergeBatch(spark, blobDir, all, lsn = 1L)
+    val day1BlobBefore = DauStream.read(spark, blobDir)
+      .filter(dayofmonth($"d") === 1).select($"sketch").head().getAs[Array[Byte]](0)
+
+    // purge user 5 (active on days 2 and 3; day 3 = {1,5})
+    val purged = all.filter($"user_id" =!= 5L)
+    val affected = all.filter($"user_id" === 5L)
+      .select(DauStream.dayOf($"ts").as("d"))
+    DauStream.rebuildDays(spark, blobDir, purged, affected, lsn = 2L)
+
+    val dau = DauStream.read(spark, blobDir)
+      .select(dayofmonth($"d").as("dom"),
+        hll_sketch_estimate($"sketch").as("est"))
+      .collect().map(r => r.getAs[Int]("dom") -> r.getAs[Double]("est"))
+      .toMap
+    assert(dau(2) === 3.0) // {2,3,4} after purge
+    assert(dau(3) === 1.0) // {1}
+    assert(dau(1) === 3.0) // day 1 untouched
+    // untouched day's blob is byte-identical (no needless rewrite)
+    val day1BlobAfter = DauStream.read(spark, blobDir)
+      .filter(dayofmonth($"d") === 1).select($"sketch").head().getAs[Array[Byte]](0)
+    assert(day1BlobAfter.sameElements(day1BlobBefore))
+
+    // purge the only user of a day -> that day's blob is DELETED
+    val purged2 = purged.filter($"user_id" =!= 1L)
+    DauStream.rebuildDays(spark, blobDir,
+      purged2, spark.range(1).select(DauStream.dayOf(lit(ts(3, 0))).as("d")),
+      lsn = 3L)
+    val days = DauStream.read(spark, blobDir)
+      .select(dayofmonth($"d")).as[Int].collect().toSet
+    assert(days === Set(1, 2))
+  }
+
   test("non-UTC session timezone: blob day keys still equal " +
       "date_trunc('day', ts) (r14 review: the unix_timestamp DIV 86400 " +
       "key shifted every day by one in positive-offset timezones)") {
