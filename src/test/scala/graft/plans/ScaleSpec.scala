@@ -1301,4 +1301,25 @@ class ScaleSpec extends SparkSpec {
     Knn.cosineNearDups(corpus, 16, 0.99)
       .collect().foreach(r => assert(r.getDouble(2) >= 0.99))
   }
+  test("MergeInto.resolve: the dup-guard window's exchange is REUSED " +
+      "by the full-outer join - exactly one shuffle per side, no BNLJ") {
+    import spark.implicits._
+    import graft.ops.cdc.MergeInto
+    val tgt = (0L until 1000L).map(k => (k, k * 10L, "t")).toDF("k", "bal", "tag")
+    val src = (500L until 1500L).map(k => (k, k + 1L)).toDF("k", "add")
+    val out = MergeInto.into(tgt, src, Seq("k"))
+      .whenMatchedUpdate(Map("bal" -> ($"t.bal" + $"s.add")))
+      .whenNotMatchedInsert(Map("k" -> $"s.k", "bal" -> $"s.add",
+        "tag" -> lit("new")))
+      .resolve()
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"merge should shuffle once per side (window exchange reused):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
 }
