@@ -658,6 +658,8 @@ object ScaleSmoke {
       sources.AvroCdc.writeFiles(canonical, payload, dir, codec = "deflate")
       sources.AvroCdc.readFiles(spark, dir, payload).count()
     }
+    time("token_budget cut (500k docs)") {
+      ops.llm.CorpusStats.qLlmTokenBudget(spark, work).count() }
     time("merge_into (1.5M ord x 150k)") {
       ops.cdc.MergeInto.qCdcMergeInto(spark, work).count() }
     time("dau blob maintain (1M ev)") {

@@ -137,6 +137,59 @@ object CorpusStats {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** Token-budget document cut: the op that EXECUTES a mixture
+    * schedule — per stratum (language), take documents in a
+    * deterministic content-hash order until the stratum's token
+    * budget is met (greedy: a doc is in iff the running total BEFORE
+    * it is still under budget — so the set is a prefix of the hash
+    * order, reproducible across runs, engines, and scale factors; a
+    * stratum whose whole corpus fits under budget is taken whole, the
+    * up-sampling case q_llm_mix_schedule flags as epochs > 1).
+    *
+    * Scale shape (the cumulative-sum trap): a per-stratum running sum
+    * ordered by hash is ONE task per stratum if written as a single
+    * window — a language is corpus-sized. Two-phase instead, keyed by
+    * the FIRST BYTE of the order hash so sub-bucket boundaries align
+    * with the global order: (1) each (lang, hash-prefix) slice
+    * computes its local prefix sums in parallel (≤ corpus/256 rows
+    * per task), (2) per-slice totals (≤ 256·strata rows) get their
+    * global offsets in one tiny window, broadcast back, and
+    * cum_before = offset + local_before. Identical to the one-window
+    * form BY CONSTRUCTION (prefix order = (byte, rest) order) — which
+    * is exactly what the oracle's single-window SQL certifies. At
+    * 100 TB the slice totals are also the skip index: a slice whose
+    * offset already exceeds the budget never needs its rows read
+    * (not wired here — the filter after the window is the same rows,
+    * but a two-pass variant would push the slice list into the scan).
+    * cum_before is part of the OUTPUT so the cross-engine hash proves
+    * the whole prefix arithmetic, not just membership. */
+  def qLlmTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 5000L // tokens per language stratum
+    val toks = Tables.table(spark, dir, "documents").select(
+        $"lang", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        md5(concat(lit("budget:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("sub", conv(substring($"h", 1, 2), 16, 10).cast("long"))
+    val local = Window.partitionBy($"lang", $"sub")
+      .orderBy($"h".asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = toks.withColumn("local_before",
+      coalesce(sum($"n_tokens").over(local), lit(0L)))
+    val offsets = toks.groupBy($"lang", $"sub")
+      .agg(sum($"n_tokens").as("sub_total"))
+      .withColumn("offset",
+        coalesce(sum($"sub_total").over(
+          Window.partitionBy($"lang").orderBy($"sub".asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"lang", $"sub", $"offset")
+    withLocal.join(broadcast(offsets), Seq("lang", "sub"))
+      .withColumn("cum_before", $"offset" + $"local_before")
+      .filter($"cum_before" < budget)
+      .select($"lang", $"doc_id", $"n_tokens", $"cum_before")
+      .orderBy($"lang", $"cum_before", $"doc_id")
+  }
+
   /** Mixture scheduling: given target language weights (percent) and
     * a total token budget, how many EPOCHS of each language's data the
     * run consumes (epochs = budgeted tokens / available tokens — >1
@@ -219,10 +272,28 @@ object CorpusStats {
     "q_llm_vocab_coverage" -> (qLlmVocabCoverage _),
     "q_llm_curriculum" -> (qLlmCurriculum _),
     "q_llm_keywords" -> (qLlmKeywords _),
-    "q_llm_mix_schedule" -> (qLlmMixSchedule _)
+    "q_llm_mix_schedule" -> (qLlmMixSchedule _),
+    "q_llm_token_budget" -> (qLlmTokenBudget _)
   )
 
   val oracle: Map[String, String] = Map(
+    // the one-window form the two-phase decomposition must equal
+    "q_llm_token_budget" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id,
+        |         len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |         md5('budget:' || doc_id::VARCHAR) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    (CAST(sum(n_tokens) OVER (PARTITION BY lang
+        |       ORDER BY h ASC, doc_id ASC
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
+        |      AS cum_before
+        |  FROM tok)
+        |SELECT lang, doc_id, n_tokens, cum_before
+        |FROM c WHERE cum_before < 5000
+        |ORDER BY lang, cum_before, doc_id""".stripMargin,
     // exact integer counts; distinct (source, hash) before the join
     "q_llm_crossdup" ->
       """WITH mx AS (SELECT max(doc_id) AS m FROM documents),

@@ -513,4 +513,45 @@ class PipelineOpsSpec extends SparkSpec {
         .withInitialSeed(Seed(20260812L)), prop)
     assert(result.passed, result.status.toString)
   }
+  test("token budget cut: greedy hash-order prefix per stratum — " +
+      "under-budget stratum taken whole, over-budget stratum stops at " +
+      "the first doc whose predecessor total reaches the budget") {
+    import spark.implicits._
+    val out = CorpusStats.qLlmTokenBudget(spark, sfSmoke).cache()
+    try {
+      val docs = graft.Tables.table(spark, sfSmoke, "documents")
+        .select($"lang", $"doc_id",
+          size(split($"text", " ")).cast("long").as("n"))
+      val totals = docs.groupBy($"lang").agg(sum($"n").as("avail"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val taken = out.groupBy($"lang")
+        .agg(count(lit(1)).as("k"), sum($"n_tokens").as("tok"),
+          max($"cum_before").as("max_before"))
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val docCounts = docs.groupBy($"lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      totals.foreach { case (lang, avail) =>
+        val (k, tok, maxBefore) = taken(lang)
+        if (avail < 5000L) {
+          // whole stratum: every doc selected, total = avail
+          assert(k === docCounts(lang) && tok === avail, lang)
+        } else {
+          // greedy prefix: last-in doc started under budget, and the
+          // selected set is budget-tight (dropping it goes under)
+          assert(maxBefore < 5000L, lang)
+          assert(tok >= 5000L, s"$lang prefix should reach the budget")
+        }
+      }
+      // prefix property: cum_before values are exactly the running
+      // sums of the selected docs in output order (0, n1, n1+n2, ...)
+      val en = out.filter($"lang" === "en")
+        .orderBy($"cum_before").select($"n_tokens", $"cum_before")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      en.foldLeft(0L) { case (expect, (n, before)) =>
+        assert(before === expect); expect + n
+      }
+    } finally { out.unpersist(); () }
+  }
+
 }
