@@ -92,12 +92,16 @@ object MergeInto {
         struct(tCols.map(col): _*).as("t"): _*)
     // dup guard: >1 source rows per key would apply an update twice —
     // raise in the executor, first failing partition wins (the window
-    // exchange on the keys is reused by the join below)
+    // exchange on the keys is reused by the join below). NULL-keyed
+    // rows are exempt (r14 review): they can never equi-join a target
+    // row, so they cannot double-apply — ANSI routes them to the NOT
+    // MATCHED clauses, and so does the join below.
+    val keysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val w = Window.partitionBy(keys.map(col): _*)
     val guarded = source
       .withColumn("__dup", count(lit(1)).over(w))
       .filter(
-        when(col("__dup") > 1,
+        when(keysNonNull && col("__dup") > 1,
           raise_error(concat(
             lit("MERGE source has multiple rows for join key ("),
             concat_ws(",", keys.map(k => col(k).cast("string")): _*),
@@ -117,6 +121,20 @@ object MergeInto {
       : (Column, Column) = {
     val tSchema = target.schema
     val tCols = target.columns.toSeq
+    // a typo'd SET/VALUES column would otherwise be silently ignored
+    // while the clause still consumes its rows (r14 review) — fail at
+    // plan time like ANSI MERGE's analysis error
+    clauses.foreach {
+      case MatchedUpdate(_, set) =>
+        val unknown = set.keySet -- tCols
+        require(unknown.isEmpty,
+          s"MERGE update SET references non-target column(s): ${unknown.mkString(",")}")
+      case NotMatchedInsert(_, values) =>
+        val unknown = values.keySet -- tCols
+        require(unknown.isEmpty,
+          s"MERGE insert VALUES references non-target column(s): ${unknown.mkString(",")}")
+      case _ =>
+    }
     def updated(set: Map[String, Column]): Column = struct(tCols.map { c =>
       set.getOrElse(c, col(s"t.$c")).cast(tSchema(c).dataType).as(c)
     }: _*)
@@ -166,8 +184,22 @@ object MergeInto {
                      keyCol: String, clauses: Seq[Clause], lsn: Long,
                      txn: Option[(String, Long)] = None): Seq[Long] = {
     val m = PartitionedUpsert.manifestOrFail(spark, dir)
+    // every insert clause must set the table key — a NULL key row in
+    // a keyed upsert target is never what the caller meant
+    clauses.foreach {
+      case NotMatchedInsert(_, values) =>
+        require(values.contains(keyCol),
+          s"MERGE insert VALUES must set the table key '$keyCol'")
+      case _ =>
+    }
+    // pin the source: it is consumed TWICE (bucket routing below, then
+    // the join) — an unpinned nondeterministic source (sample/limit)
+    // could route buckets for one key set and join another, silently
+    // misclassifying rows as NOT MATCHED (r14 review; the same
+    // double-consumption pin DauStream.mergeBatch makes)
+    val src = source.localCheckpoint()
     val slice = PartitionedUpsert.readForKeys(
-      spark, dir, source.select(keyCol), keyCol)
+      spark, dir, src.select(keyCol), keyCol)
     val tCols = slice.columns.toSeq
     val (matchedImage, insertImage) = images(slice, clauses)
     // right join: target-only rows are irrelevant here (untouched rows
@@ -184,7 +216,7 @@ object MergeInto {
         when(cond.getOrElse(lit(true)), lit("u")).otherwise(els)
       case (_, els) => els
     }
-    val changes = joinSides(slice, source, Seq(keyCol), "right")
+    val changes = joinSides(slice, src, Seq(keyCol), "right")
       .select(
         when(col("t").isNotNull, matchedOp).otherwise(insertOp).as("__op"),
         when(col("t").isNotNull,

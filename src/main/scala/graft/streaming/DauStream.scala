@@ -112,7 +112,7 @@ object DauStream {
       .agg(hll_sketch_agg(col("user_id"), lit(LgK)).as("s_new"))
     val changes = dayKeys.join(rebuilt, Seq("d"), "left")
       .select(col("d"),
-        coalesce(col("s_new"), lit(null).cast("binary")).as("sketch"),
+        col("s_new").as("sketch"),
         when(col("s_new").isNull, lit("d")).otherwise(lit("u")).as("__op"),
         lit(lsn).as("__lsn"))
     PartitionedUpsert.merge(spark, blobDir, changes, "d", "__lsn", "__op",

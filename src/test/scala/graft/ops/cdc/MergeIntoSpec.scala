@@ -79,6 +79,41 @@ class MergeIntoSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("NULL-keyed source rows are exempt from the dup guard and " +
+      "route to the NOT MATCHED clauses (ANSI), not an error") {
+    import spark.implicits._
+    val withNulls = src.union(
+      Seq((Option.empty[Long], 150L, 1L), (Option.empty[Long], 120L, 1L))
+        .toDF("k", "add", "n"))
+    // two null-key rows: no dup error; both hit the insert clause
+    // (add >= 100), contributing rows with null keys to the RESOLVED
+    // frame (a keyed TABLE path would reject via the key requirement)
+    val out = resolve(tgt, withNulls, Seq("k"), clauses)
+    assert(out.filter(col("k").isNull).count() === 2)
+    assert(out.filter(col("k").isNotNull).count() === 4)
+  }
+
+  test("a typo'd SET or VALUES column fails at plan time instead of " +
+      "silently no-oping; an insert clause missing the table key is " +
+      "rejected by the table path") {
+    val bad = Vector(MatchedUpdate(None, Map("balanse" -> lit(1L))))
+    val e = intercept[IllegalArgumentException] {
+      resolve(tgt, src, Seq("k"), bad)
+    }
+    assert(e.getMessage.contains("balanse"))
+    val badIns = Vector(NotMatchedInsert(None, Map("nope" -> lit(1L))))
+    assert(intercept[IllegalArgumentException] {
+      resolve(tgt, src, Seq("k"), badIns)
+    }.getMessage.contains("nope"))
+    // table path: insert VALUES must set the key column
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_k").toString
+    PartitionedUpsert.init(tgt, dir, "k", nBuckets = 4)
+    val noKey = Vector(NotMatchedInsert(None, Map("bal" -> lit(1L))))
+    assert(intercept[IllegalArgumentException] {
+      mergeIntoTable(spark, dir, src, "k", noKey, lsn = 1L)
+    }.getMessage.contains("table key"))
+  }
+
   test("mergeIntoTable: persisted post-state equals resolve(), only " +
       "source-keyed buckets touched, txn replay is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mi").toString

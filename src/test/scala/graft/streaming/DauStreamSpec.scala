@@ -116,11 +116,11 @@ class DauStreamSpec extends SparkSpec {
     val dau = DauStream.read(spark, blobDir)
       .select(dayofmonth($"d").as("dom"),
         hll_sketch_estimate($"sketch").as("est"))
-      .collect().map(r => r.getAs[Int]("dom") -> r.getAs[Double]("est"))
+      .collect().map(r => r.getAs[Int]("dom") -> r.getAs[Long]("est"))
       .toMap
-    assert(dau(2) === 3.0) // {2,3,4} after purge
-    assert(dau(3) === 1.0) // {1}
-    assert(dau(1) === 3.0) // day 1 untouched
+    assert(dau(2) === 3L) // {2,3,4} after purge
+    assert(dau(3) === 1L) // {1}
+    assert(dau(1) === 3L) // day 1 untouched
     // untouched day's blob is byte-identical (no needless rewrite)
     val day1BlobAfter = DauStream.read(spark, blobDir)
       .filter(dayofmonth($"d") === 1).select($"sketch").head().getAs[Array[Byte]](0)
@@ -158,9 +158,9 @@ class DauStreamSpec extends SparkSpec {
       val dau = DauStream.read(spark, s"$base/blobs")
         .select(dayofmonth($"d").as("dom"),
           hll_sketch_estimate($"sketch").as("est"))
-        .collect().map(r => r.getAs[Int]("dom") -> r.getAs[Double]("est"))
+        .collect().map(r => r.getAs[Int]("dom") -> r.getAs[Long]("est"))
         .toMap
-      exactDau.foreach { case (dom, n) => assert(dau(dom) === n.toDouble) }
+      exactDau.foreach { case (dom, n) => assert(dau(dom) === n) }
     } finally spark.conf.set("spark.sql.session.timeZone", priorTz)
   }
 }
