@@ -52,6 +52,12 @@ object MergeInto {
   final case class MatchedDelete(cond: Option[Column]) extends Clause
   final case class NotMatchedInsert(cond: Option[Column],
                                     values: Map[String, Column]) extends Clause
+  /** The third ANSI/Delta row class — target rows with NO source
+    * match ("deactivate everything absent from today's feed").
+    * Conditions and SET expressions may reference only `t`. */
+  final case class NotMatchedBySourceUpdate(cond: Option[Column],
+                                            set: Map[String, Column]) extends Clause
+  final case class NotMatchedBySourceDelete(cond: Option[Column]) extends Clause
 
   /** Entry point: `MergeInto.into(tgt, src, Seq("k")).whenMatched…` */
   def into(target: DataFrame, source: DataFrame,
@@ -73,6 +79,15 @@ object MergeInto {
     def whenNotMatchedInsert(cond: Column,
                              values: Map[String, Column]): MergeBuilder =
       copy(clauses = clauses :+ NotMatchedInsert(Some(cond), values))
+    def whenNotMatchedBySourceUpdate(set: Map[String, Column]): MergeBuilder =
+      copy(clauses = clauses :+ NotMatchedBySourceUpdate(None, set))
+    def whenNotMatchedBySourceUpdate(cond: Column,
+                                     set: Map[String, Column]): MergeBuilder =
+      copy(clauses = clauses :+ NotMatchedBySourceUpdate(Some(cond), set))
+    def whenNotMatchedBySourceDelete(): MergeBuilder =
+      copy(clauses = clauses :+ NotMatchedBySourceDelete(None))
+    def whenNotMatchedBySourceDelete(cond: Column): MergeBuilder =
+      copy(clauses = clauses :+ NotMatchedBySourceDelete(Some(cond)))
     /** The post-merge target state as a frame (same schema as target). */
     def resolve(): DataFrame =
       MergeInto.resolve(target, source, keys, clauses)
@@ -115,24 +130,26 @@ object MergeInto {
   }
 
   /** Fold the clause list right-to-left into one CASE expression per
-    * row class. Returns (matchedImage, insertImage) — a null image
-    * means "no row in the output" (delete / insert-condition miss). */
+    * row class. Returns (matchedImage, insertImage, bySourceImage) —
+    * a null image means "no row in the output" (delete /
+    * insert-condition miss). */
   private def images(target: DataFrame, clauses: Seq[Clause])
-      : (Column, Column) = {
+      : (Column, Column, Column) = {
     val tSchema = target.schema
     val tCols = target.columns.toSeq
     // a typo'd SET/VALUES column would otherwise be silently ignored
     // while the clause still consumes its rows (r14 review) — fail at
     // plan time like ANSI MERGE's analysis error
+    def checkCols(what: String, m: Map[String, Column]): Unit = {
+      val unknown = m.keySet -- tCols
+      require(unknown.isEmpty,
+        s"MERGE $what references non-target column(s): ${unknown.mkString(",")}")
+    }
     clauses.foreach {
-      case MatchedUpdate(_, set) =>
-        val unknown = set.keySet -- tCols
-        require(unknown.isEmpty,
-          s"MERGE update SET references non-target column(s): ${unknown.mkString(",")}")
-      case NotMatchedInsert(_, values) =>
-        val unknown = values.keySet -- tCols
-        require(unknown.isEmpty,
-          s"MERGE insert VALUES references non-target column(s): ${unknown.mkString(",")}")
+      case MatchedUpdate(_, set) => checkCols("update SET", set)
+      case NotMatchedInsert(_, values) => checkCols("insert VALUES", values)
+      case NotMatchedBySourceUpdate(_, set) =>
+        checkCols("by-source update SET", set)
       case _ =>
     }
     def updated(set: Map[String, Column]): Column = struct(tCols.map { c =>
@@ -154,7 +171,19 @@ object MergeInto {
         when(cond.getOrElse(lit(true)), inserted(values)).otherwise(els)
       case (_, els) => els
     }
-    (matchedImage, insertImage)
+    val bySourceImage = clauses.foldRight(col("t")) {
+      case (NotMatchedBySourceUpdate(cond, set), els) =>
+        when(cond.getOrElse(lit(true)), updated(set)).otherwise(els)
+      case (NotMatchedBySourceDelete(cond), els) =>
+        when(cond.getOrElse(lit(true)), noRow).otherwise(els)
+      case (_, els) => els
+    }
+    (matchedImage, insertImage, bySourceImage)
+  }
+
+  private def hasBySource(clauses: Seq[Clause]): Boolean = clauses.exists {
+    case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => true
+    case _ => false
   }
 
   /** The post-merge state of `target` under `clauses` — pure frame
@@ -162,13 +191,13 @@ object MergeInto {
   def resolve(target: DataFrame, source: DataFrame, keys: Seq[String],
               clauses: Seq[Clause]): DataFrame = {
     val tCols = target.columns.toSeq
-    val (matchedImage, insertImage) = images(target, clauses)
+    val (matchedImage, insertImage, bySourceImage) = images(target, clauses)
     joinSides(target, source, keys, "full_outer")
       .select(
         when(col("t").isNotNull && col("s").isNotNull, matchedImage)
           .when(col("s").isNotNull, insertImage)
-          .otherwise(col("t"))
-          .as("__img"))
+          .otherwise(bySourceImage) // target-only: by-source ladder
+          .as("__img"))                     // (default keep = col("t"))
       .filter(col("__img").isNotNull)
       .select(tCols.map(c => col(s"__img.$c").as(c)): _*)
   }
@@ -179,7 +208,14 @@ object MergeInto {
     * (`readForKeys`), rewrites only touched buckets, and is
     * exactly-once under `txn` replay like every maintainer here.
     * Matched rows that satisfy no clause produce NO change row (the
-    * bucket is not even touched if nothing else routes there). */
+    * bucket is not even touched if nothing else routes there).
+    *
+    * WHEN NOT MATCHED BY SOURCE changes the scale contract BY
+    * DEFINITION: every target row must be examined to know it has no
+    * source match, so the read becomes the full table and the cost
+    * O(table) — the same property Delta's whenNotMatchedBySource has.
+    * Rows the by-source ladder leaves untouched still produce no
+    * change row, so the REWRITE remains O(rows actually changed). */
   def mergeIntoTable(spark: SparkSession, dir: String, source: DataFrame,
                      keyCol: String, clauses: Seq[Clause], lsn: Long,
                      txn: Option[(String, Long)] = None): Seq[Long] = {
@@ -198,30 +234,45 @@ object MergeInto {
     // misclassifying rows as NOT MATCHED (r14 review; the same
     // double-consumption pin DauStream.mergeBatch makes)
     val src = source.localCheckpoint()
-    val slice = PartitionedUpsert.readForKeys(
-      spark, dir, src.select(keyCol), keyCol)
+    val bySource = hasBySource(clauses)
+    // without by-source clauses, target-only rows are irrelevant
+    // (untouched rows stay in their buckets) — read only source-keyed
+    // buckets and right-join; with them, the full table joins
+    // full_outer so the by-source ladder sees every unmatched row
+    val slice =
+      if (bySource) PartitionedUpsert.read(spark, dir)
+      else PartitionedUpsert.readForKeys(spark, dir, src.select(keyCol), keyCol)
     val tCols = slice.columns.toSeq
-    val (matchedImage, insertImage) = images(slice, clauses)
-    // right join: target-only rows are irrelevant here (untouched rows
-    // stay in their buckets); matched + source-only classes remain
-    val matchedOp = clauses.foldRight(lit(null).cast("string")) {
-      case (MatchedUpdate(cond, _), els) =>
-        when(cond.getOrElse(lit(true)), lit("u")).otherwise(els)
-      case (MatchedDelete(cond), els) =>
-        when(cond.getOrElse(lit(true)), lit("d")).otherwise(els)
-      case (_, els) => els
+    val (matchedImage, insertImage, bySourceImage) = images(slice, clauses)
+    def opFold(pf: PartialFunction[Clause, (Option[Column], String)]): Column =
+      clauses.foldRight(lit(null).cast("string")) { (cl, els) =>
+        pf.lift(cl) match {
+          case Some((cond, op)) =>
+            when(cond.getOrElse(lit(true)), lit(op)).otherwise(els)
+          case None => els
+        }
+      }
+    val matchedOp = opFold {
+      case MatchedUpdate(cond, _) => (cond, "u")
+      case MatchedDelete(cond) => (cond, "d")
     }
-    val insertOp = clauses.foldRight(lit(null).cast("string")) {
-      case (NotMatchedInsert(cond, _), els) =>
-        when(cond.getOrElse(lit(true)), lit("u")).otherwise(els)
-      case (_, els) => els
+    val insertOp = opFold { case NotMatchedInsert(cond, _) => (cond, "u") }
+    val bySourceOp = opFold {
+      case NotMatchedBySourceUpdate(cond, _) => (cond, "u")
+      case NotMatchedBySourceDelete(cond) => (cond, "d")
     }
-    val changes = joinSides(slice, src, Seq(keyCol), "right")
+    val changes = joinSides(slice, src, Seq(keyCol),
+        if (bySource) "full_outer" else "right")
       .select(
-        when(col("t").isNotNull, matchedOp).otherwise(insertOp).as("__op"),
-        when(col("t").isNotNull,
+        when(col("t").isNotNull && col("s").isNotNull, matchedOp)
+          .when(col("s").isNotNull, insertOp)
+          .otherwise(bySourceOp).as("__op"),
+        when(col("t").isNotNull && col("s").isNotNull,
           when(matchedOp === "d", col("t")).otherwise(matchedImage))
-          .otherwise(insertImage).as("__img"))
+          .when(col("s").isNotNull, insertImage)
+          .otherwise(
+            when(bySourceOp === "d", col("t")).otherwise(bySourceImage))
+          .as("__img"))
       .filter(col("__op").isNotNull)
       .select(col("__op") +: lit(lsn).as("__lsn") +:
         tCols.map(c => col(s"__img.$c").as(c)): _*)

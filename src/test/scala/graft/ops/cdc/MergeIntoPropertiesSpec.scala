@@ -28,7 +28,8 @@ class MergeIntoPropertiesSpec extends SparkSpec {
     * reference interpreter's (matched-cond, apply) pair. */
   private case class DualClause(
       spark: Clause,
-      kind: Int, // 0 = update, 1 = delete, 2 = insert
+      kind: Int, // 0 = update, 1 = delete, 2 = insert,
+                 // 3 = by-source update, 4 = by-source delete
       cond: (Option[T], Option[S]) => Boolean,
       update: (T, S) => T,
       insert: S => T)
@@ -45,9 +46,18 @@ class MergeIntoPropertiesSpec extends SparkSpec {
         (t: Option[T], s: Option[S]) =>
           t.nonEmpty && s.nonEmpty && s.get._2 > t.get._2))
 
+  // by-source conditions may reference only t
+  private val genCondT: Gen[(Column, (Option[T], Option[S]) => Boolean)] =
+    Gen.oneOf(
+      (lit(true), (_: Option[T], _: Option[S]) => true),
+      (col("t.bal") > 0L,
+        (t: Option[T], _: Option[S]) => t.exists(_._2 > 0L)),
+      (col("t.tag") === "a",
+        (t: Option[T], _: Option[S]) => t.exists(_._3 == "a")))
+
   private val genClause: Gen[DualClause] = for {
-    kind <- Gen.chooseNum(0, 2)
-    (cc, cf) <- genCond
+    kind <- Gen.chooseNum(0, 4)
+    (cc, cf) <- if (kind >= 3) genCondT else genCond
   } yield kind match {
     case 0 => DualClause(
       MatchedUpdate(Some(cc), Map(
@@ -56,10 +66,17 @@ class MergeIntoPropertiesSpec extends SparkSpec {
     case 1 => DualClause(
       MatchedDelete(Some(cc)), 1, cf,
       (_, _) => sys.error("n/a"), _ => sys.error("n/a"))
-    case _ => DualClause(
+    case 2 => DualClause(
       NotMatchedInsert(Some(cc), Map(
         "k" -> col("s.k"), "bal" -> col("s.add"), "tag" -> lit("new"))),
       2, cf, (_, _) => sys.error("n/a"), s => (s._1, s._2, "new"))
+    case 3 => DualClause(
+      NotMatchedBySourceUpdate(Some(cc), Map(
+        "bal" -> (col("t.bal") - 1L), "tag" -> lit("stale"))),
+      3, cf, (t, _) => (t._1, t._2 - 1L, "stale"), _ => sys.error("n/a"))
+    case _ => DualClause(
+      NotMatchedBySourceDelete(Some(cc)), 4, cf,
+      (_, _) => sys.error("n/a"), _ => sys.error("n/a"))
   }
 
   private val genTarget: Gen[List[T]] = for {
@@ -87,9 +104,14 @@ class MergeIntoPropertiesSpec extends SparkSpec {
     val tgtKeys = tgt.map(_._1).toSet
     val fromTarget = tgt.flatMap { t =>
       srcByKey.get(t._1) match {
-        case None => Some(t) // unmatched target: passthrough
+        case None => // unmatched target: the by-source ladder
+          clauses.find(c => c.kind >= 3 && c.cond(Some(t), None)) match {
+            case Some(c) if c.kind == 3 => Some(c.update(t, (0L, 0L, 0L)))
+            case Some(_) => None // by-source delete
+            case None => Some(t) // no by-source clause hit: keep
+          }
         case Some(s) =>
-          clauses.find(c => c.kind != 2 && c.cond(Some(t), Some(s))) match {
+          clauses.find(c => c.kind <= 1 && c.cond(Some(t), Some(s))) match {
             case Some(c) if c.kind == 0 => Some(c.update(t, s))
             case Some(_) => None // delete
             case None => Some(t) // no matched clause hit: keep

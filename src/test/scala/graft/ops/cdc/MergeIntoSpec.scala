@@ -135,6 +135,42 @@ class MergeIntoSpec extends SparkSpec {
     assert(state() === expected)
   }
 
+  test("WHEN NOT MATCHED BY SOURCE: unmatched target rows run their " +
+      "own ladder (update/delete/keep) in both resolve and the table " +
+      "path; the table path equals resolve") {
+    import spark.implicits._
+    // target keys 1..4; source hits 1,2 only -> 3,4 are by-source
+    val bsSrc = Seq((1L, 7L, 1L), (2L, 20L, 1L)).toDF("k", "add", "n")
+    val bsClauses = Vector(
+      MatchedUpdate(None, Map("bal" -> (col("t.bal") + col("s.add")))),
+      NotMatchedBySourceDelete(Some(col("t.bal") < 0)),   // none match (3:10, 4:0)
+      NotMatchedBySourceUpdate(Some(col("t.tag") === "c"), // k=3
+        Map("tag" -> lit("stale"))))
+    val out = resolve(tgt, bsSrc, Seq("k"), bsClauses)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out === Array(
+      (1L, 107L, "a"),   // matched update
+      (2L, -30L, "b"),   // matched update
+      (3L, 10L, "stale"), // by-source update
+      (4L, 0L, "d")))     // by-source: no clause hit -> keep
+    // and with a delete that DOES fire: bal < 5 removes k=4 (bal 0)
+    val del = Vector(NotMatchedBySourceDelete(Some(col("t.bal") < 5)))
+    val out2 = resolve(tgt, bsSrc, Seq("k"), del)
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(out2 === Array(1L, 2L, 3L)) // k=4 deleted, 3 kept (bal 10)
+
+    // table path: full reconcile equals resolve
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_bs").toString
+    PartitionedUpsert.init(tgt, dir, "k", nBuckets = 8)
+    mergeIntoTable(spark, dir, bsSrc, "k", bsClauses, lsn = 1L)
+    val state = PartitionedUpsert.read(spark, dir)
+      .select(col("k"), col("bal"), col("tag"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(state === out)
+  }
+
   test("the oracled corpus fixture exercises every clause path at " +
       "sf0.001") {
     val out = qCdcMergeInto(spark, sfSmoke).cache()
