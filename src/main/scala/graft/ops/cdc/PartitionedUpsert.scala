@@ -934,6 +934,27 @@ object PartitionedUpsert {
     bucketsDf(spark, dir, m, only = Some(touched.flatMap(m.buckets.get)))
   }
 
+  /** Register the committed state as a named temp view so plain
+    * `spark.sql` queries (and BI-style SQL users) read the table —
+    * `versionAsOf` pins a historical manifest. The view captures the
+    * manifest AT REGISTRATION (the read above resolves the file set
+    * eagerly), so it is a consistent snapshot: merges committed after
+    * registration are invisible until re-registered — the same
+    * snapshot-isolation contract every reader here has. Why a temp
+    * view and not a DataSourceV2 TableProvider: the manifest read IS
+    * a pruned parquet scan, and Spark's parquet exec is not a public
+    * extension point to delegate to from a custom Table — the view
+    * gives full SQL parity (joins, CTEs, windows over the table) at
+    * zero loss except catalog persistence across sessions. */
+  def registerView(spark: SparkSession, dir: String, name: String,
+                   versionAsOf: Option[Long] = None): Unit = {
+    val df = versionAsOf match {
+      case Some(v) => readVersion(spark, dir, v)
+      case None => read(spark, dir)
+    }
+    df.createOrReplaceTempView(name)
+  }
+
   /** Time travel: read the table AS OF a committed manifest version.
     * Works for any version vacuum has not reclaimed — the manifest
     * pins its exact file set, so the historical snapshot is as

@@ -1322,4 +1322,35 @@ class ScaleSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("registerView: SQL over the upsert table sees a consistent " +
+      "snapshot; versionAsOf pins history; later merges invisible " +
+      "until re-registered") {
+    import spark.implicits._
+    import graft.ops.cdc.PartitionedUpsert
+    val dir = java.nio.file.Files.createTempDirectory("graft_view").toString
+    val snap = (0L until 50L).map(k => (k, k * 2L)).toDF("pk", "v")
+    PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
+    PartitionedUpsert.registerView(spark, dir, "t_view")
+    assert(spark.sql("SELECT count(*) n, sum(v) s FROM t_view")
+      .head().toSeq === Seq(50L, 2450L))
+    // merge after registration: the view still reads the old snapshot
+    val ch = Seq(("u", 1L, 0L, 999L)).toDF("op", "lsn", "pk", "v")
+    PartitionedUpsert.merge(spark, dir, ch, "pk", "lsn", "op", Seq("v"), 4)
+    assert(spark.sql("SELECT sum(v) s FROM t_view").head().getLong(0)
+      === 2450L, "view must be the registration-time snapshot")
+    // re-register -> current state; versionAsOf -> pinned history
+    PartitionedUpsert.registerView(spark, dir, "t_view")
+    assert(spark.sql("SELECT sum(v) s FROM t_view").head().getLong(0)
+      === 2450L + 999L)
+    PartitionedUpsert.registerView(spark, dir, "t_v1", versionAsOf = Some(1L))
+    assert(spark.sql("SELECT sum(v) s FROM t_v1").head().getLong(0)
+      === 2450L)
+    // full SQL parity: a windowed CTE over the view
+    val top = spark.sql(
+      """WITH r AS (SELECT pk, v, row_number() OVER (ORDER BY v DESC) rk
+        |FROM t_view) SELECT pk FROM r WHERE rk = 1""".stripMargin)
+      .head().getLong(0)
+    assert(top === 0L) // pk 0 now holds v=999
+  }
+
 }
