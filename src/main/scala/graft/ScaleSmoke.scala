@@ -662,6 +662,8 @@ object ScaleSmoke {
       ops.llm.CorpusStats.qLlmTokenBudget(spark, work).count() }
     time("merge_into (1.5M ord x 150k)") {
       ops.cdc.MergeInto.qCdcMergeInto(spark, work).count() }
+    time("merge_bysource full-reconcile") {
+      ops.cdc.MergeInto.qCdcMergeBySource(spark, work).count() }
     time("dau blob maintain (1M ev)") {
       // streamed-state shape driven as a batch: init empty blobs, fold
       // the full event stream as one mergeBatch, read the series

@@ -171,6 +171,25 @@ class MergeIntoSpec extends SparkSpec {
     assert(state === out)
   }
 
+  test("composite merge keys: resolve joins on ALL key columns — " +
+      "a row matching on one key part but not the other is NOT matched") {
+    import spark.implicits._
+    val t2 = Seq((1L, "x", 10L), (1L, "y", 20L), (2L, "x", 30L))
+      .toDF("k1", "k2", "bal")
+    val s2 = Seq((1L, "x", 5L), (2L, "y", 7L)).toDF("k1", "k2", "add")
+    val out = resolve(t2, s2, Seq("k1", "k2"), Vector(
+      MatchedUpdate(None, Map("bal" -> (col("t.bal") + col("s.add")))),
+      NotMatchedInsert(None, Map(
+        "k1" -> col("s.k1"), "k2" -> col("s.k2"), "bal" -> col("s.add")))))
+      .orderBy("k1", "k2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out === Array(
+      (1L, "x", 15L), // matched on (1,x)
+      (1L, "y", 20L), // (1,y): k1 matches a source row but k2 differs -> keep
+      (2L, "x", 30L), // same
+      (2L, "y", 7L))) // source-only composite -> insert
+  }
+
   test("the oracled corpus fixture exercises every clause path at " +
       "sf0.001") {
     val out = qCdcMergeInto(spark, sfSmoke).cache()
