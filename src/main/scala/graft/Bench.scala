@@ -114,10 +114,15 @@ object Bench {
                   case 'n' => sb.append('\n'); j += 2
                   case 't' => sb.append('\t'); j += 2
                   case 'r' => sb.append('\r'); j += 2
-                  case 'u' if j + 5 < txt.length =>
+                  case 'u' if j + 5 < txt.length &&
+                      txt.substring(j + 2, j + 6)
+                        .forall(c => Character.digit(c, 16) >= 0) =>
                     // inverse of jsonEsc's \u00xx control-char escape
                     // (r14 review: dropping it left literal "u00xx"
-                    // text, a phantom prior-vs-current diff forever)
+                    // text, a phantom prior-vs-current diff forever;
+                    // the hex guard keeps a corrupt escape from
+                    // throwing into the caller's catch-all, which
+                    // would discard the WHOLE prior map)
                     sb.append(Integer.parseInt(
                       txt.substring(j + 2, j + 6), 16).toChar)
                     j += 6

@@ -630,9 +630,9 @@ object ScaleSmoke {
     }
     // ---- round-14 shapes: the multi-scan-audit fixes and new rungs
     // at 10x — each materializes its holdable reduction ONCE, so the
-    // probe verifies the checkpoint trade holds as data grows
-    time("active_users exact (1M ev)") {
-      ops.cdc.Quality.qActiveUsers(spark, work).count() }
+    // probe verifies the checkpoint trade holds as data grows.
+    // (qActiveUsers exact is already timed above as "active_users
+    // (1M events)" — the rung row here is its HLL counterpart.)
     time("active_users HLL rung (1M)") {
       ops.cdc.Quality.activeUsersApprox(spark, work).count() }
     time("gap_detect 2-level lag (1M)") {
@@ -648,9 +648,7 @@ object ScaleSmoke {
       val payload = StructType(Seq(
         StructField("pk", LongType), StructField("v", DoubleType)))
       val canonical = ops.cdc.CdcQueries.changeLog(spark, work).select(
-        $"op", lit(null).cast(StructType(Seq(
-          StructField("pk", LongType), StructField("v", DoubleType))))
-          .as("before"),
+        $"op", lit(null).cast(payload).as("before"),
         struct($"pk", $"after_value".as("v")).as("after"),
         lit("events").as("src_table"), $"lsn",
         ($"lsn" * 1000L).as("ts_ms"))
@@ -672,7 +670,7 @@ object ScaleSmoke {
       // a re-run against a kept corpus times the full fold, not a
       // replay-skipped no-op
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.toSeq.foreach(rm)
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
         f.delete(); ()
       }
       rm(new java.io.File(dir))

@@ -22,10 +22,14 @@ import graft.Tables
   *     satisfying no clause, passes through unchanged,
   *   - a source row matching no target row feeds the NOT MATCHED
   *     clauses (insert or drop),
-  *   - more than one source row per key is an ERROR, raised in the
-  *     executor (Delta's multiple-source-rows-matched error): letting
-  *     duplicates through would apply one key's update twice,
-  *     nondeterministically.
+  *   - more than one source row MATCHING the same target row is an
+  *     ERROR, raised in the executor (Delta's
+  *     multiple-source-rows-matched error): letting duplicates
+  *     through would apply one key's update twice,
+  *     nondeterministically. Duplicated NOT-MATCHED keys legally
+  *     insert one row each (ANSI) in [[resolve]]; the keyed-table
+  *     path [[mergeIntoTable]] rejects ANY duplicated key — a keyed
+  *     upsert target cannot hold two rows for one key.
   *
   * Conditions and set/insert expressions reference the two sides as
   * nested structs `t` (target) and `s` (source) — e.g.
@@ -94,9 +98,22 @@ object MergeInto {
   }
 
   /** Target nested as `t`, source as `s`, joined full_outer on the
-    * keys, with the duplicate-source guard applied. */
+    * keys, with the duplicate-source guard applied.
+    *
+    * Guard semantics (r14 review, matching ANSI/Delta exactly):
+    * duplicated source keys are an error only when they MATCH a
+    * target row (the update would apply twice, nondeterministically);
+    * duplicated NOT-MATCHED keys legally insert one row each, and
+    * NULL-keyed rows can never match, so both pass. The count window
+    * rides the same key exchange the join needs (no extra shuffle);
+    * the raise itself is evaluated post-join where matched-ness is
+    * known. `strictDups` (the keyed-TABLE path) raises on ANY
+    * duplicated non-null key instead — a keyed upsert target cannot
+    * hold two rows for one key, so even unmatched duplicates are a
+    * contract violation there. */
   private def joinSides(target: DataFrame, source: DataFrame,
-                        keys: Seq[String], joinType: String): DataFrame = {
+                        keys: Seq[String], joinType: String,
+                        strictDups: Boolean = false): DataFrame = {
     val tCols = target.columns.toSeq
     val sCols = source.columns.toSeq
     require(keys.nonEmpty, "MERGE needs at least one join key")
@@ -105,28 +122,33 @@ object MergeInto {
     val tN = target.select(
       keys.map(k => col(k).as(s"__k_$k")) :+
         struct(tCols.map(col): _*).as("t"): _*)
-    // dup guard: >1 source rows per key would apply an update twice —
-    // raise in the executor, first failing partition wins (the window
-    // exchange on the keys is reused by the join below). NULL-keyed
-    // rows are exempt (r14 review): they can never equi-join a target
-    // row, so they cannot double-apply — ANSI routes them to the NOT
-    // MATCHED clauses, and so does the join below.
     val keysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val w = Window.partitionBy(keys.map(col): _*)
-    val guarded = source
-      .withColumn("__dup", count(lit(1)).over(w))
-      .filter(
-        when(keysNonNull && col("__dup") > 1,
-          raise_error(concat(
-            lit("MERGE source has multiple rows for join key ("),
-            concat_ws(",", keys.map(k => col(k).cast("string")): _*),
-            lit(")"))).cast("boolean"))
-          .otherwise(lit(true)))
-      .drop("__dup")
+    val dupMsg = (ks: Seq[Column]) => concat(
+      lit("MERGE source has multiple rows for join key ("),
+      concat_ws(",", ks: _*), lit(")"))
+    val counted = source.withColumn("__dup", count(lit(1)).over(w))
+    val guarded =
+      if (strictDups)
+        counted.filter(
+          when(keysNonNull && col("__dup") > 1,
+            raise_error(dupMsg(keys.map(k => col(k).cast("string"))))
+              .cast("boolean"))
+            .otherwise(lit(true)))
+      else counted
     val sN = guarded.select(
       keys.map(k => col(k).as(s"__k_$k")) :+
+        col("__dup") :+
         struct(sCols.map(col): _*).as("s"): _*)
-    tN.join(sN, keys.map(k => s"__k_$k"), joinType)
+    val joined = tN.join(sN, keys.map(k => s"__k_$k"), joinType)
+    val checked =
+      if (strictDups) joined
+      else joined.filter(
+        when(col("t").isNotNull && col("s").isNotNull && col("__dup") > 1,
+          raise_error(dupMsg(keys.map(k => col(s"__k_$k").cast("string"))))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+    checked.drop("__dup")
   }
 
   /** Fold the clause list right-to-left into one CASE expression per
@@ -221,11 +243,22 @@ object MergeInto {
                      txn: Option[(String, Long)] = None): Seq[Long] = {
     val m = PartitionedUpsert.manifestOrFail(spark, dir)
     // every insert clause must set the table key — a NULL key row in
-    // a keyed upsert target is never what the caller meant
+    // a keyed upsert target is never what the caller meant. And no
+    // UPDATE clause may SET the key (r14 review): the change row
+    // would route to the NEW key's bucket, leaving the old-key row
+    // alive alongside it — a silent divergence from resolve(), which
+    // replaces the row. Key changes on a keyed table are
+    // delete+insert, stated, not a rebucketing side effect.
     clauses.foreach {
       case NotMatchedInsert(_, values) =>
         require(values.contains(keyCol),
           s"MERGE insert VALUES must set the table key '$keyCol'")
+      case MatchedUpdate(_, set) =>
+        require(!set.contains(keyCol),
+          s"MERGE update SET must not change the table key '$keyCol' — use delete+insert")
+      case NotMatchedBySourceUpdate(_, set) =>
+        require(!set.contains(keyCol),
+          s"MERGE by-source update SET must not change the table key '$keyCol'")
       case _ =>
     }
     // pin the source: it is consumed TWICE (bucket routing below, then
@@ -262,7 +295,7 @@ object MergeInto {
       case NotMatchedBySourceDelete(cond) => (cond, "d")
     }
     val changes = joinSides(slice, src, Seq(keyCol),
-        if (bySource) "full_outer" else "right")
+        if (bySource) "full_outer" else "right", strictDups = true)
       .select(
         when(col("t").isNotNull && col("s").isNotNull, matchedOp)
           .when(col("s").isNotNull, insertOp)

@@ -263,8 +263,15 @@ object AvroCdc {
         try {
           it.foreach(r => w.append(toAvro(r.getStruct(0), env, schema)))
           w.close()
-          // first finished attempt wins; a loser deletes its orphan
+          // first finished attempt wins; a loser deletes its orphan.
+          // rename==false is only acceptable when a winner's final
+          // file EXISTS — otherwise it is a filesystem failure and
+          // silently dropping the partition would report a successful
+          // task with missing data (r14 review)
           committed = fs.rename(tmp, file)
+          if (!committed && !fs.exists(file))
+            throw new java.io.IOException(
+              s"rename $tmp -> $file failed with no winning attempt present")
         } finally {
           if (!committed) { try w.close() catch { case _: Throwable => () }
             fs.delete(tmp, false); () }

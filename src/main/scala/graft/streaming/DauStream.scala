@@ -104,7 +104,11 @@ object DauStream {
                   days: DataFrame, lsn: Long,
                   txn: Option[(String, Long)] = None): Unit = {
     val m = PartitionedUpsert.manifestOrFail(spark, blobDir)
+    // pinned: consumed twice (the left_semi source filter AND the
+    // change-op left join) — an unpinned nondeterministic frame could
+    // filter one day set and join another, deleting a live day's blob
     val dayKeys = days.select(col("d").cast("long").as("d")).distinct()
+      .localCheckpoint()
     val rebuilt = source
       .select(dayOf(col("ts")).as("d"), col("user_id"))
       .join(dayKeys, Seq("d"), "left_semi")

@@ -66,8 +66,8 @@ class MergeIntoSpec extends SparkSpec {
     assert(out.toSeq.contains((1L, "all")))
   }
 
-  test("duplicate source rows for one key raise (the Delta multi-row " +
-      "match error), not silently double-apply") {
+  test("duplicate source rows MATCHING one target row raise (the Delta " +
+      "multi-row match error), not silently double-apply") {
     import spark.implicits._
     val dup = src.union(Seq((3L, 1L, 1L)).toDF("k", "add", "n"))
     val e = intercept[Exception] {
@@ -77,6 +77,35 @@ class MergeIntoSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("multiple rows")),
       e.getMessage)
+  }
+
+  test("duplicate NOT-MATCHED source keys insert one row each in " +
+      "resolve (ANSI), but the keyed-table path rejects ANY dup key") {
+    import spark.implicits._
+    // key 42 matches no target row; both rows pass the insert cond
+    val dupUnmatched = src.union(
+      Seq((42L, 150L, 1L), (42L, 160L, 1L)).toDF("k", "add", "n"))
+    val out = resolve(tgt, dupUnmatched, Seq("k"), clauses)
+    assert(out.filter(col("k") === 42L).count() === 2)
+    // the keyed table cannot hold two rows for one key -> strict guard
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_dup").toString
+    PartitionedUpsert.init(tgt, dir, "k", nBuckets = 4)
+    val e = intercept[Exception] {
+      mergeIntoTable(spark, dir, dupUnmatched, "k", clauses, lsn = 1L)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("multiple rows")))
+  }
+
+  test("an update clause that SETs the table key is rejected by the " +
+      "table path (would leave the old-key row alive after rebucketing)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_key").toString
+    PartitionedUpsert.init(tgt, dir, "k", nBuckets = 4)
+    val keyUpd = Vector(MatchedUpdate(None, Map("k" -> lit(99L))))
+    assert(intercept[IllegalArgumentException] {
+      mergeIntoTable(spark, dir, src, "k", keyUpd, lsn = 1L)
+    }.getMessage.contains("must not change the table key"))
   }
 
   test("NULL-keyed source rows are exempt from the dup guard and " +
