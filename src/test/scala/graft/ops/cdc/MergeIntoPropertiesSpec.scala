@@ -95,11 +95,22 @@ class MergeIntoPropertiesSpec extends SparkSpec {
       add <- Gen.chooseNum(-10L, 50L)
       cnt <- Gen.chooseNum(1L, 5L)
     } yield (k, add, cnt)))
-  } yield rows
+    // duplicated UNMATCHED keys (>= 20, outside the target domain)
+    // are legal ANSI: each row feeds the insert ladder individually
+    nDup <- Gen.chooseNum(0, 3)
+    dups <- Gen.listOfN(nDup, for {
+      k <- Gen.chooseNum(20L, 24L)
+      add <- Gen.chooseNum(-10L, 50L)
+      cnt <- Gen.chooseNum(1L, 5L)
+    } yield (k, add, cnt))
+  } yield rows ++ dups
 
-  /** The ANSI reference: first matching clause wins per row class. */
+  /** The ANSI reference: first matching clause wins per row class.
+    * Returns a SORTED multiset — duplicate inserts from duplicated
+    * unmatched source keys must appear once per source row, which a
+    * Set comparison would mask. */
   private def reference(tgt: List[T], src: List[S],
-                        clauses: List[DualClause]): Set[T] = {
+                        clauses: List[DualClause]): List[T] = {
     val srcByKey = src.map(s => s._1 -> s).toMap
     val tgtKeys = tgt.map(_._1).toSet
     val fromTarget = tgt.flatMap { t =>
@@ -121,7 +132,7 @@ class MergeIntoPropertiesSpec extends SparkSpec {
     val fromSource = src.filterNot(s => tgtKeys.contains(s._1)).flatMap { s =>
       clauses.find(c => c.kind == 2 && c.cond(None, Some(s))).map(_.insert(s))
     }
-    (fromTarget ++ fromSource).toSet
+    (fromTarget ++ fromSource).sorted
   }
 
   test("property: resolve() == the ANSI reference interpreter over " +
@@ -135,7 +146,8 @@ class MergeIntoPropertiesSpec extends SparkSpec {
           src.toDF("k", "add", "n"),
           Seq("k"), clauses.map(_.spark).toVector)
           .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          .toList.sorted
         val expect = reference(tgt, src, clauses)
         if (out != expect)
           println(s"MISMATCH\n tgt=$tgt\n src=$src\n " +
