@@ -309,6 +309,20 @@ object MergeInto {
       .filter(col("__op").isNotNull)
       .select(col("__op") +: lit(lsn).as("__lsn") +:
         tCols.map(c => col(s"__img.$c").as(c)): _*)
+      // the syntactic key checks above can't see VALUES (s.k, …) with
+      // a null-keyed source row (legal per ANSI: null keys never
+      // match, so the dup guard exempts them and the row routes to
+      // the insert clause) — that would silently plant a null-key row
+      // in a keyed table. Runtime guard on the change frame (r14
+      // ADVICE): narrow filter, no extra shuffle.
+      .filter(
+        when(col(keyCol).isNull,
+          raise_error(lit(
+            s"MERGE produced a change row with NULL table key '$keyCol' — " +
+            "a keyed upsert table cannot hold null-keyed rows; filter " +
+            "null-keyed source rows or fix the INSERT VALUES expression"))
+            .cast("boolean"))
+          .otherwise(lit(true)))
     PartitionedUpsert.merge(spark, dir, changes, keyCol, "__lsn", "__op",
       tCols.filterNot(_ == keyCol), m.nBuckets, txn)
   }

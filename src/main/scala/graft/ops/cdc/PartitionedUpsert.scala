@@ -940,12 +940,12 @@ object PartitionedUpsert {
     * manifest AT REGISTRATION (the read above resolves the file set
     * eagerly), so it is a consistent snapshot: merges committed after
     * registration are invisible until re-registered — the same
-    * snapshot-isolation contract every reader here has. Why a temp
-    * view and not a DataSourceV2 TableProvider: the manifest read IS
-    * a pruned parquet scan, and Spark's parquet exec is not a public
-    * extension point to delegate to from a custom Table — the view
-    * gives full SQL parity (joins, CTEs, windows over the table) at
-    * zero loss except catalog persistence across sessions. */
+    * snapshot-isolation contract every reader here has. Session-local
+    * by nature (temp views die with the session); the CROSS-session
+    * face is the DataSourceV2 provider [[graft.sources.GraftDataSource]]
+    * (`spark.read.format("graft").load(dir)`, `CREATE TABLE … USING
+    * graft LOCATION …`, `option("versionAsOf", v)`), which delegates
+    * the read to the same pruned parquet scan this view wraps. */
   def registerView(spark: SparkSession, dir: String, name: String,
                    versionAsOf: Option[Long] = None): Unit = {
     val df = versionAsOf match {

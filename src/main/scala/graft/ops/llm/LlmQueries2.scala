@@ -201,7 +201,7 @@ object LlmQueries2 {
   }
 
   /** Per-label embedding centroid — the bootstrap primitive of k-means
-    * / IVF codebook builds (Knn.ivfCodebook iterates exactly this).
+    * / IVF codebook builds (Knn.ivfCentroids iterates exactly this).
     * Shuffle shape: posexplode → ONE (label, pos) aggregation → one
     * (label) gather; element means round at 4dp (cross-row double sums
     * are order-nondeterministic at the last ulp — same tolerance rule

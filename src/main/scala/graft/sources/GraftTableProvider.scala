@@ -1,0 +1,304 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.cdc.PartitionedUpsert
+import graft.ops.cdc.PartitionedUpsert.Manifest
+
+/** DataSourceV2 read path for [[PartitionedUpsert]] tables:
+  * `spark.read.format("graft").load(dir)`, `CREATE TABLE t USING
+  * graft LOCATION '<dir>'`, and `option("versionAsOf", v)` time
+  * travel — the cross-session face [[PartitionedUpsert.registerView]]
+  * cannot provide (temp views die with the session; a catalog table
+  * over this provider persists in the metastore and works from any
+  * Spark SQL client).
+  *
+  * Architecture — three layers, each doing the one thing DSv2 asks:
+  *
+  *  1. [[GraftDataSource]] (TableProvider): resolves the manifest
+  *     (current or `versionAsOf`) ONCE per table load — a load is a
+  *     consistent SNAPSHOT, the same isolation contract every reader
+  *     here has (registerView pins at registration; this pins at
+  *     load/table-resolution).
+  *  2. [[GraftScanBuilder]]: receives Spark's column pruning and
+  *     filter pushdown. Filters do double duty: (a) MANIFEST-level
+  *     bucket pruning on the driver — point predicates on the table
+  *     key route through the same hash/range router writers use
+  *     (evaluated by a millisecond LocalTableScan job so the hash can
+  *     never drift from the engine's), and range predicates intersect
+  *     the per-bucket minKey/maxKey stats recorded at write time —
+  *     zero file listings, zero data reads to skip a bucket; (b) they
+  *     are re-planted inside the delegated scan for parquet
+  *     row-group/page skipping. All filters are ALSO returned as
+  *     residual so Spark re-evaluates them post-scan — double
+  *     evaluation is semantics-safe and keeps exotic predicate
+  *     semantics (NaN, collation) Spark's problem, not ours.
+  *  3. [[GraftScan]] (a public `V1Scan`): the actual reading is
+  *     DELEGATED to Spark's own vectorized parquet source over
+  *     exactly the pruned file set — the same plan
+  *     [[PartitionedUpsert.read]] produces, so scan performance is
+  *     identical to the native path (whole-stage codegen'd columnar
+  *     parquet), and this provider adds zero bespoke I/O code to
+  *     maintain. The V1 bridge costs one InternalRow⇄Row conversion
+  *     at the scan boundary — the honest price of full delegation;
+  *     at 100 TB the pruning (buckets via manifest, row groups via
+  *     pushed filters, columns via pruned schema) dominates that
+  *     linear conversion by orders of magnitude.
+  *
+  * Registered via META-INF/services as format name `graft`.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  // schema comes from the manifest, never from the user
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def dirOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft source needs a path: spark.read.format(\"graft\").load(dir)"))
+
+  private def manifestOf(options: CaseInsensitiveStringMap): Manifest = {
+    val spark = SparkSession.active
+    val dir = dirOf(options)
+    Option(options.get("versionAsOf")) match {
+      case Some(v) => PartitionedUpsert.manifestAt(spark, dir, v.toLong)
+      case None    => PartitionedUpsert.manifestOrFail(spark, dir)
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    manifestOf(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new GraftTable(dirOf(options), manifestOf(options))
+  }
+}
+
+/** One committed manifest version of one upsert table. Immutable —
+  * merges committed after resolution are invisible (snapshot
+  * isolation), re-resolve (re-`load` / re-plan the catalog table) to
+  * see them. */
+final class GraftTable(dir: String, manifest: Manifest)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`$dir`@v${manifest.version}"
+  override def schema(): StructType = manifest.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, manifest)
+}
+
+object GraftScanBuilder {
+
+  /** Manifest-level bucket pruning, pure and unit-testable: which
+    * bucket ids can hold rows satisfying ALL of `filters`
+    * (top-level conjuncts, per DSv2 contract)? Two pruners compose
+    * by intersection:
+    *
+    *  - POINT routing (`key = v` / `key IN (…)`): route each value
+    *    through the table's own hash/range router. `route` is
+    *    injected so this stays pure — production passes the
+    *    LocalTableScan evaluation of [[PartitionedUpsert.bucketOf]] /
+    *    `rangeBucketOf`, guaranteeing bit-identical routing with the
+    *    write path (a re-implemented driver-side xxhash64 would be a
+    *    silent-wrong-pruning hazard).
+    *  - RANGE intersection (`key > / >= / < / <= v`): a bucket whose
+    *    recorded [minKey, maxKey] cannot intersect the conjunct's
+    *    bound is skipped. Stats are Optional — a bucket without them
+    *    (non-integral key, pre-stats manifest) is conservatively
+    *    kept.
+    *
+    * Any filter NOT on the key, non-literal, or null-valued prunes
+    * nothing (correctness never depends on pruning). Returns None
+    * for "no pruning possible" (read all buckets) to keep the
+    * all-kept case allocation-free. */
+  def pruneBuckets(m: Manifest, filters: Seq[Filter],
+                   route: Seq[Any] => Seq[Long]): Option[Seq[Long]] = {
+    val key = m.keyCol
+    def isKey(a: String): Boolean = a.equalsIgnoreCase(key)
+    val all = m.buckets.keys.toSeq.sorted
+
+    var candidate: Option[Set[Long]] = None
+    def intersect(bs: Set[Long]): Unit =
+      candidate = Some(candidate.fold(bs)(_ intersect bs))
+
+    def statsKeep(pred: (Long, Long) => Boolean): Set[Long] =
+      all.filter { b =>
+        m.stats.get(b) match {
+          case Some(s) => (s.minKey, s.maxKey) match {
+            case (Some(lo), Some(hi)) => pred(lo, hi)
+            case _ => true // no recorded range: must keep
+          }
+          case None => true
+        }
+      }.toSet
+
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+
+    filters.foreach {
+      case sources.EqualTo(a, v) if isKey(a) && v != null =>
+        intersect(route(Seq(v)).toSet)
+        asLong(v).foreach(x => intersect(statsKeep((lo, hi) => lo <= x && x <= hi)))
+      case sources.In(a, vs) if isKey(a) && vs != null =>
+        val nonNull = vs.filter(_ != null).toSeq
+        // an IN with a null needs no special casing: null matches
+        // nothing, so the non-null values alone bound the buckets
+        intersect(route(nonNull).toSet)
+      case sources.GreaterThan(a, v) if isKey(a) =>
+        asLong(v).foreach(x => intersect(statsKeep((_, hi) => hi > x)))
+      case sources.GreaterThanOrEqual(a, v) if isKey(a) =>
+        asLong(v).foreach(x => intersect(statsKeep((_, hi) => hi >= x)))
+      case sources.LessThan(a, v) if isKey(a) =>
+        asLong(v).foreach(x => intersect(statsKeep((lo, _) => lo < x)))
+      case sources.LessThanOrEqual(a, v) if isKey(a) =>
+        asLong(v).foreach(x => intersect(statsKeep((lo, _) => lo <= x)))
+      case _ => // non-key / unsupported: no pruning contribution
+    }
+    candidate.map(_.toSeq.sorted)
+  }
+
+  /** sources.Filter → Column, for re-planting pushed filters inside
+    * the delegated parquet scan (row-group / page skipping). Only
+    * called for filters [[translatable]] accepted; the two must stay
+    * in sync, hence the shared single match. */
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    def c(a: String) = col(s"`$a`")
+    f match {
+      case sources.EqualTo(a, v) => Some(c(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(c(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(c(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case sources.In(a, vs) => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(c(a).isNull)
+      case sources.IsNotNull(a) => Some(c(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(c(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(c(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(c(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case sources.Not(x) => toColumn(x).map(!_)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+}
+
+final class GraftScanBuilder(dir: String, manifest: Manifest)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = manifest.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
+    filters // everything is residual: Spark re-evaluates post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Route key values through the table's OWN router expression on a
+    * one-row-per-value local frame — a millisecond LocalTableScan job
+    * at planning time (the readForKeys pattern), never a
+    * re-implementation of xxhash64. Any evaluation hiccup (e.g. a
+    * filter value whose type can't build the local frame) falls back
+    * to "no pruning" — pruning is only ever an optimization. */
+  private def routeViaEngine(values: Seq[Any]): Seq[Long] = {
+    val spark = SparkSession.active
+    val keyField = manifest.schema(manifest.keyCol)
+    val rows = values.map(Row(_)).asJava
+    val local = spark.createDataFrame(rows, StructType(Seq(keyField)))
+    val routed =
+      if (manifest.layout == PartitionedUpsert.LayoutRange)
+        PartitionedUpsert.rangeBucketOf(col(manifest.keyCol), manifest.splits)
+      else PartitionedUpsert.bucketOf(col(manifest.keyCol), manifest.nBuckets)
+    local.select(routed.as("b")).distinct().collect().map(_.getLong(0)).toSeq
+  }
+
+  override def build(): Scan = {
+    val keep = Try(
+      GraftScanBuilder.pruneBuckets(manifest, pushed.toSeq, routeViaEngine)
+    ).toOption.flatten
+    val buckets = keep.getOrElse(manifest.buckets.keys.toSeq.sorted)
+    val paths = buckets.flatMap(manifest.buckets.get).distinct.sorted
+      .map(rel => s"$dir/$rel")
+    new GraftScan(paths, manifest.schema, required, pushed,
+      s"graft $dir v${manifest.version} " +
+        s"buckets=${buckets.size}/${manifest.buckets.size}")
+  }
+}
+
+/** The pruned scan: file set fixed, columns pruned, filters pushed.
+  * `V1Scan` so the actual read delegates to Spark's vectorized
+  * parquet source (see [[GraftDataSource]] scaladoc for the trade). */
+final class GraftScan(paths: Seq[String], dataSchema: StructType,
+                      required: StructType, pushed: Array[Filter],
+                      desc: String) extends V1Scan {
+
+  override def readSchema(): StructType = required
+  override def description(): String = desc
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val relation = new BaseRelation with TableScan {
+      override val sqlContext: SQLContext = context
+      override val schema: StructType = required
+      override def needConversion: Boolean = true
+      override def buildScan(): RDD[Row] = {
+        val spark = context.sparkSession
+        if (paths.isEmpty) {
+          // every bucket pruned away: an empty relation of the pruned
+          // schema (spark.read.parquet() with zero paths would throw)
+          spark.createDataFrame(
+            new java.util.ArrayList[Row](), required).rdd
+        } else {
+          val base = spark.read.schema(dataSchema).parquet(paths: _*)
+          val filtered = pushed.flatMap(GraftScanBuilder.toColumn)
+            .foldLeft(base)((d, f) => d.where(f))
+          val projected =
+            if (required.isEmpty)
+              // COUNT(*)-style scan: no columns survive pruning; keep
+              // row multiplicity with a zero-width projection
+              filtered.select()
+            else
+              filtered.select(required.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+          projected.rdd
+        }
+      }
+    }
+    relation.asInstanceOf[T]
+  }
+}
