@@ -55,4 +55,52 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!s.contains("BroadcastNestedLoopJoin") &&
       !s.contains("CartesianProduct"), s)
   }
+
+  test("two-pass blocking recalls inside-prefix corruptions the single " +
+      "pass misses, without double-counting pairs both passes find") {
+    import spark.implicits._
+    val refs = Seq("alpha rotor", "alpha stator", "beta casing",
+      "gamma valve", "delta pump").toDF("name")
+    val probes = Seq("alpah rotor", "beat casing", "detla pump").toDF("probe")
+    val (pairs, overflow) = FuzzyJoin.blockedJaroTwoPassWithStats(
+      probes, refs, "probe", "name", blockLen = 3, threshold = 0.85,
+      maxBlockSize = 1000)
+    val got = pairs.select($"probe", $"name").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // the r14 verdict's flip: 'beat casing' (beta, swap at 3/4 -> block
+    // 'bea' != 'bet') and 'detla pump' ('det' != 'del') now match via
+    // the untouched suffix block; 'alpah rotor' still matches via pass 1
+    assert(got.toSet === Set(
+      ("alpah rotor", "alpha rotor"),
+      ("beat casing", "beta casing"),
+      ("detla pump", "delta pump")))
+    // no double-count: 'alpah rotor' shares BOTH blocks with its
+    // original ('alp'/'rot'-reversed) — exactly one pair row
+    assert(got.count(_ == ("alpah rotor", "alpha rotor")) === 1)
+    assert(overflow.isEmpty)
+    // plan: two equi joins, never a loop join
+    val s = pairs.queryExecution.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"), s)
+  }
+
+  test("two-pass: a right row in an overflowed PREFIX block still pairs " +
+      "via the suffix pass (the of1 exemption), and per-pass overflow " +
+      "is reported with its pass tag") {
+    import spark.implicits._
+    // 60 rows share prefix 'bpx' (overflow at cap 50) but have unique
+    // suffixes; the probe corrupts nothing — suffix pass must recover
+    // the pair pass 1 dropped to the cap
+    val refs = (1 to 60).map(i => f"bpx item $i%03d").toDF("name")
+    val probes = Seq("bpx item 007").toDF("probe")
+    val (pairs, overflow) = FuzzyJoin.blockedJaroTwoPassWithStats(
+      probes, refs, "probe", "name", blockLen = 3, threshold = 0.99,
+      maxBlockSize = 50)
+    val got = pairs.select($"probe", $"name").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("bpx item 007", "bpx item 007")))
+    val of = overflow.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(of === Set(("bpx", 60L, "prefix")))
+  }
 }
