@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, TimeMode}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.cdc.Cdc
@@ -1024,10 +1024,38 @@ object CdcStream {
       }
   }
 
+  /** The transaction buffer on the transformWithState API — identical
+    * contract to [[transactionalBuffer]] (see its scaladoc), state
+    * machinery migrated per the 4.x direction: ListState append-only
+    * buffer + explicit timers ([[StateProcessors.TxBuffer]] documents
+    * the per-batch-cost argument). Requires the RocksDB state store
+    * provider. The fMGWS [[transactionalBuffer]] stays as the
+    * documented fallback for HDFS-backed state stores. */
+  def transactionalBufferTws(events: Dataset[TxEvent],
+                             abandonedTimeoutMs: Long = 3600000L,
+                             maxBufferedEvents: Int = 1000000,
+                             overflowCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+                             abandonedOverflowCounter: Option[org.apache.spark.util.LongAccumulator] = None
+                            ): Dataset[TxEvent] = {
+    import events.sparkSession.implicits._
+    require(maxBufferedEvents >= 1,
+      s"transactionalBufferTws: maxBufferedEvents must be >= 1, got $maxBufferedEvents")
+    val timeMode =
+      if (abandonedTimeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    events.groupByKey(_.tx)
+      .transformWithState(
+        new StateProcessors.TxBuffer(abandonedTimeoutMs, maxBufferedEvents,
+          overflowCounter, abandonedOverflowCounter),
+        timeMode, OutputMode.Append())
+  }
+
   /** Stateful running current-state view via flatMapGroupsWithState:
     * emits (pk, value, lsn) whenever a key's latest value changes;
-    * tombstones emit a null value and clear state. The stable-API
-    * stateful path (transformWithState being the 4.x successor). */
+    * tombstones emit a null value and clear state. Kept as the
+    * stable-API fallback; the transformWithState twin is
+    * [[StateProcessors.RunningCdcState]] (tested on the RocksDB
+    * provider) and the tx buffer's TWS twin is
+    * [[transactionalBufferTws]]. */
   case class Change(pk: Long, lsn: Long, op: String, value: Double)
   case class KeyState(lsn: Long, value: Double)
   case class StateOut(pk: Long, lsn: Long, value: Option[Double])

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Spark 4.x transformWithState processors (§2-J stateful per-key
   * processing). Requires the RocksDB state store provider
@@ -24,6 +24,100 @@ object StateProcessors {
       val cur = Option(n.get()).getOrElse(0L) + rows.size
       n.update(cur)
       Iterator((key, cur))
+    }
+  }
+
+  /** Streaming transaction buffer on the transformWithState API — the
+    * 4.x-native twin of [[CdcStream.transactionalBuffer]] with
+    * IDENTICAL semantics (release at commit marker, size-cap overflow
+    * flush with observable counter, post-commit redelivery tombstone,
+    * abandoned-overflow corruption counter at timeout — see that
+    * scaladoc for the full contract and why each rule exists). What
+    * changes is the state machinery, and each change is the reason to
+    * migrate:
+    *  - the event buffer is a [[ListState]] — the state store appends
+    *    incoming events instead of deserializing + reserializing the
+    *    WHOLE buffer per batch the way fMGWS's single state blob
+    *    forces (for a near-cap tx that rewrite is the per-batch
+    *    bill);
+    *  - flags (overflowed/committed/armed timer) live in a separate
+    *    tiny [[ValueState]], so the hot redelivery-tombstone path
+    *    never touches the list at all;
+    *  - expiry is an explicit registered TIMER (`handleExpiredTimer`)
+    *    rather than a per-batch `setTimeoutDuration` re-arm.
+    * Timeout ≤ 0 disables expiry (TimeMode.None — deterministic
+    * tests quiesce, same rule as the fMGWS path). */
+  class TxBuffer(abandonedTimeoutMs: Long, maxBufferedEvents: Int,
+                 overflowCounter: Option[org.apache.spark.util.LongAccumulator],
+                 abandonedOverflowCounter: Option[org.apache.spark.util.LongAccumulator])
+      extends StatefulProcessor[String, CdcStream.TxEvent, CdcStream.TxEvent] {
+
+    @transient private var buf: ListState[CdcStream.TxEvent] = _
+    // (overflowed, committed, armedTimerMs) — armedTimerMs -1 = none
+    @transient private var flags: ValueState[(Boolean, Boolean, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[CdcStream.TxEvent]("buf",
+        Encoders.product[CdcStream.TxEvent], TTLConfig.NONE)
+      flags = getHandle.getValueState[(Boolean, Boolean, Long)]("flags",
+        Encoders.product[(Boolean, Boolean, Long)], TTLConfig.NONE)
+    }
+
+    /** One live timer per tx: drop the stale one, arm now+timeout. */
+    private def rearm(tv: TimerValues, prior: Long): Long =
+      if (abandonedTimeoutMs <= 0) -1L
+      else {
+        if (prior >= 0) getHandle.deleteTimer(prior)
+        val at = tv.getCurrentProcessingTimeInMs() + abandonedTimeoutMs
+        getHandle.registerTimer(at)
+        at
+      }
+
+    override def handleInputRows(tx: String,
+                                 rows: Iterator[CdcStream.TxEvent],
+                                 tv: TimerValues): Iterator[CdcStream.TxEvent] = {
+      val (overflowed, committed, armed) =
+        Option(flags.get()).getOrElse((false, false, -1L))
+      val incoming = rows.toList
+      if (committed) {
+        // redelivered after the commit marker: drop, keep tombstone
+        flags.update((false, true, rearm(tv, armed)))
+        Iterator.empty
+      } else {
+        val buffered = if (buf.exists()) buf.get().toList else Nil
+        val all = buffered ++ incoming
+        val (markers, pending) = all.partition(_.op == "t")
+        if (markers.nonEmpty) {
+          buf.clear()
+          flags.update((false, true, rearm(tv, armed)))
+          pending.sortBy(_.lsn).iterator
+        } else if (overflowed) {
+          // cap already tripped: stream through (buffer stays empty)
+          flags.update((true, false, rearm(tv, armed)))
+          pending.sortBy(_.lsn).iterator
+        } else if (pending.length > maxBufferedEvents) {
+          overflowCounter.foreach(_.add(1))
+          buf.clear()
+          flags.update((true, false, rearm(tv, armed)))
+          pending.sortBy(_.lsn).iterator
+        } else {
+          // append-only state write: only the NEW events hit the store
+          if (incoming.nonEmpty) buf.appendList(incoming.toArray)
+          flags.update((false, false, rearm(tv, armed)))
+          Iterator.empty
+        }
+      }
+    }
+
+    override def handleExpiredTimer(tx: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[CdcStream.TxEvent] = {
+      val (overflowed, committed, _) =
+        Option(flags.get()).getOrElse((false, false, -1L))
+      if (overflowed && !committed)
+        abandonedOverflowCounter.foreach(_.add(1))
+      buf.clear()
+      flags.clear()
+      Iterator.empty
     }
   }
 
