@@ -35,52 +35,87 @@ object Bench {
     * mapping genuinely different plans to one fingerprint), and the
     * sort is abandoned unless every segment is paren-balanced (safety
     * net: an unparseable line passes through verbatim — worst case a
-    * spurious plan_changed diagnostic, never an aliased one). */
+    * spurious plan_changed diagnostic, never an aliased one).
+    *
+    * Two r15 restrictions (r14 ADVICE — both narrow the sort further
+    * toward "only where ExpressionSet reordering can actually
+    * occur"):
+    *  - only lines whose OPERATOR (after the tree-drawing prefix) is
+    *    `Filter` or `Join` sort at all — those are the two optimized-
+    *    logical-plan nodes that render ExpressionSet-ordered conjunct
+    *    sets; an `Aggregate`/`Project` line with a depth-0 " AND "
+    *    inside an expression list renders in FIELD order (stable) and
+    *    sorting it could only alias;
+    *  - the depth scan is QUOTE-aware: inside a `'…'` literal
+    *    (`''` = escaped quote), parens and " AND " are inert, so a
+    *    depth-0 literal containing " AND " can no longer be split
+    *    and reordered (two genuinely different literals aliasing to
+    *    one fingerprint). An unbalanced quote poisons the line into
+    *    verbatim passthrough — same safety-net direction as the
+    *    balance check. NOTE: changing normalization re-seeds affected
+    *    fingerprints — the first sweep after this lands reports a
+    *    one-time plan_changed wave whose bench_plan_diffs.txt entries
+    *    are sort-scope-only; re-seeded in-session (BASELINE.md r15). */
   private[graft] def sortTopLevelConjuncts(line: String): String = {
+    // operator gate: tree prefix chars, then Filter/Join only
+    var p = 0
+    while (p < line.length && " :+-|!".indexOf(line.charAt(p)) >= 0) p += 1
+    if (!(line.startsWith("Filter ", p) || line.startsWith("Join ", p)))
+      return line
     val open = line.indexOf('(')
     if (open < 0) return line
-    // matching close paren of the first group
+    // matching close paren of the first group (quote-aware)
     var depth0 = 0
     var close = -1
     var k = open
+    var q0 = false
     while (k < line.length && close < 0) {
-      line.charAt(k) match {
+      val c = line.charAt(k)
+      if (c == '\'') q0 = !q0
+      else if (!q0) c match {
         case '(' => depth0 += 1
         case ')' => depth0 -= 1; if (depth0 == 0) close = k
         case _ =>
       }
       k += 1
     }
-    if (close < 0) return line
+    if (close < 0 || q0) return line
     val prefix = line.substring(0, open + 1)
     val body = line.substring(open + 1, close)
     val suffix = line.substring(close)
     val sep = " AND "
     val cuts = scala.collection.mutable.ListBuffer[Int]()
     var depth = 0
+    var inQ = false
     var i = 0
     while (i < body.length) {
-      body.charAt(i) match {
+      val c = body.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ) c match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
       }
-      if (depth == 0 && body.startsWith(sep, i)) cuts += i
+      if (!inQ && depth == 0 && body.startsWith(sep, i)) cuts += i
       i += 1
     }
+    if (inQ) return line // unbalanced quote: verbatim passthrough
     if (cuts.isEmpty) line
     else {
       val starts = 0 +: cuts.toList.map(_ + sep.length)
       val ends = cuts.toList :+ body.length
       val segs = starts.zip(ends).map { case (s, e) => body.substring(s, e) }
       val balanced = segs.forall { seg =>
-        var d = 0; var ok = true
-        seg.foreach {
-          case '(' => d += 1
-          case ')' => d -= 1; if (d < 0) ok = false
-          case _ =>
+        var d = 0; var ok = true; var q = false
+        seg.foreach { c =>
+          if (c == '\'') q = !q
+          else if (!q) c match {
+            case '(' => d += 1
+            case ')' => d -= 1; if (d < 0) ok = false
+            case _ =>
+          }
         }
-        ok && d == 0
+        ok && d == 0 && !q
       }
       if (!balanced) line
       else prefix + segs.sorted.mkString(sep) + suffix

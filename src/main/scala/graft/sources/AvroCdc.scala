@@ -212,14 +212,28 @@ object AvroCdc {
     * and both non-null codecs ride jars Spark already ships (JDK
     * Deflater / snappy-java).
     *
-    * Overwrite + commit semantics (r14 review): the target directory
-    * is CLEARED on the driver before the job (the `mode("overwrite")`
-    * contract callers assume — without it a rewrite with fewer
-    * partitions silently leaves stale part files that readFiles then
-    * counts), and each task streams to an attempt-unique `.tmp` name
-    * renamed into place on success — a task killed mid-write (or a
-    * speculative duplicate losing the race) leaves only a `.tmp`
-    * orphan, which the reader's `*.avro` glob never matches. */
+    * Overwrite + commit semantics (r14 review + r14 ADVICE): TWO
+    * commit levels, one per failure domain.
+    *  - TASK level: each task streams to an attempt-unique `.tmp`
+    *    name renamed into place on success — a task killed mid-write
+    *    (or a speculative duplicate losing the race) leaves only a
+    *    `.tmp` orphan, which the reader's `*.avro` glob never
+    *    matches.
+    *  - JOB level: the whole job writes into a STAGING sibling
+    *    (`<path>.__staging_<nonce>`), and only after the job
+    *    succeeds does the driver swap it into place (delete old
+    *    target, rename staging). A job that fails mid-write leaves
+    *    the OLD data fully intact plus an inert staging dir —
+    *    never the r14-ADVICE state of "old deleted, new incomplete".
+    *    The swap itself is delete+rename, not atomic on
+    *    non-rename-atomic stores (the honest object-store residue —
+    *    the same reason PartitionedUpsert commits via manifest
+    *    pointer instead of directory swap; callers needing reader
+    *    isolation during rewrite should version the path); the
+    *    exposure window is two metadata ops, not the job duration.
+    * Overwrite is the `mode("overwrite")` contract callers assume —
+    * without it a rewrite with fewer partitions silently leaves
+    * stale part files that readFiles then counts. */
   def writeFiles(df: DataFrame, payload: StructType, path: String,
                  codec: String = "null"): Unit = {
     require(Seq("null", "deflate", "snappy").contains(codec),
@@ -232,12 +246,43 @@ object AvroCdc {
       while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
       buf.toArray
     }
-    val driverDir = new org.apache.hadoop.fs.Path(path)
-    val driverFs = driverDir.getFileSystem(
+    val finalDir = new org.apache.hadoop.fs.Path(path)
+    val driverFs = finalDir.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    if (driverFs.exists(driverDir)) driverFs.delete(driverDir, true)
-    driverFs.mkdirs(driverDir)
+    // job-level staging: tasks write here; the target is untouched
+    // until the job has fully succeeded (scaladoc: failure domains)
+    val stagingStr = s"$path.__staging_${java.util.UUID.randomUUID().toString.take(12)}"
+    val stagingDir = new org.apache.hadoop.fs.Path(stagingStr)
+    driverFs.mkdirs(stagingDir)
     val nested = nestEnvelope(df)
+    try {
+      writeTasks(nested, stagingStr, schemaJson, env, codec, confEntries)
+      // job succeeded: swap staging into place
+      if (driverFs.exists(finalDir) && !driverFs.delete(finalDir, true))
+        throw new java.io.IOException(
+          s"overwrite swap: could not delete existing $finalDir " +
+          s"(complete new data retained at $stagingDir)")
+      if (!driverFs.rename(stagingDir, finalDir))
+        throw new java.io.IOException(
+          s"overwrite swap: rename $stagingDir -> $finalDir failed " +
+          "(complete new data retained at the staging path)")
+    } catch {
+      case e: Throwable =>
+        // failed BEFORE the delete: old data intact — drop the
+        // partial staging so retries start clean. Failed DURING the
+        // swap: keep staging (the message above says where the data
+        // is); a missing final dir distinguishes the two.
+        if (driverFs.exists(finalDir)) driverFs.delete(stagingDir, true)
+        throw e
+    }
+  }
+
+  /** The distributed task body of [[writeFiles]] (split out so the
+    * staging-dir closure stays minimal): per-partition container
+    * write with the attempt-unique `.tmp` + rename task commit. */
+  private def writeTasks(nested: DataFrame, path: String, schemaJson: String,
+                         env: StructType, codec: String,
+                         confEntries: Array[(String, String)]): Unit = {
     nested.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val tc = org.apache.spark.TaskContext.get()

@@ -73,8 +73,36 @@ class BenchFingerprintSpec extends AnyFunSuite {
   test("a segment that would split unbalanced abandons the sort " +
       "instead of splicing text across paren groups") {
     // depth-0 AND but the right segment closes a paren it never opened
-    val l = "Weird (a#) AND (b#)) tail ("
+    val l = "Filter (a#) AND (b#)) tail ("
     assert(norm(l) === l)
+  }
+
+  test("a depth-0 string literal containing ' AND ' is never split " +
+      "(r14 ADVICE: two different literals must not alias)") {
+    // the AND inside the quoted literal sits at paren depth 0 —
+    // without quote-awareness it would cut and reorder
+    val a = "Filter ((s# = 'x AND y') AND (isnotnull(s#)))"
+    val b = "Filter ((s# = 'y AND x') AND (isnotnull(s#)))" // different!
+    assert(norm(a).contains("'x AND y'"), norm(a))
+    assert(norm(a) !== norm(b))
+    // and the REAL conjunction around it still normalizes both orders
+    val a2 = "Filter ((isnotnull(s#)) AND (s# = 'x AND y'))"
+    assert(norm(a) === norm(a2))
+    // unbalanced quote: verbatim passthrough, never a mangled sort
+    val odd = "Filter ((s# = 'abc) AND (b#))"
+    assert(norm(odd) === odd)
+  }
+
+  test("only Filter/Join lines sort — an Aggregate expression list " +
+      "with a depth-0 AND renders in stable field order and must " +
+      "pass through verbatim (r15 operator gate)") {
+    val agg = "Aggregate [k#], [(b#) AND (a#) AS both#, k#]"
+    assert(norm(agg) === agg)
+    val proj = "+- Project [(z#) AND (a#) AS f#]"
+    assert(norm(proj) === proj)
+    // tree-drawing prefixes still reach the gate for real Filter/Join
+    val f = ":  +- Filter ((b#) AND (a#))"
+    assert(norm(f) === ":  +- Filter ((a#) AND (b#))")
   }
 
   test("control characters in plan text survive the jsonEsc/" +

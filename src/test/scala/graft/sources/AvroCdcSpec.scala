@@ -152,6 +152,41 @@ class AvroCdcSpec extends SparkSpec {
     val back = AvroCdc.readFiles(spark, dir, payload)
     assert(back.count() === narrow.count())
     assert(back.exceptAll(narrow).isEmpty && narrow.exceptAll(back).isEmpty)
+    // no staging residue after a successful swap
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(n => n.startsWith(new java.io.File(dir).getName)
+      && n.contains("__staging")), parent.mkString(","))
+  }
+
+  test(".avro container files: a FAILED overwrite job leaves the old " +
+      "data fully intact (r14 ADVICE: job-level staging swap, not " +
+      "delete-then-write)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("avro_files_fa")
+      .toString
+    AvroCdc.writeFiles(canonical.repartition(3), payload, dir)
+    val before = AvroCdc.readFiles(spark, dir, payload)
+      .collect().map(_.toString).sorted
+    // a source whose evaluation THROWS in the executor mid-job: the
+    // after.v payload raises on a subset of rows
+    val poisoned = canonical.withColumn("after",
+      when($"after".isNotNull, struct(
+        $"after.pk".as("pk"),
+        when($"after.pk" % 7 === 0,
+          raise_error(lit("boom")).cast("double"))
+          .otherwise($"after.v").as("v"),
+        $"after.lbl".as("lbl"))))
+    intercept[Exception] {
+      AvroCdc.writeFiles(poisoned.repartition(3), payload, dir)
+    }
+    // old target byte-identical; the partial staging was cleaned up
+    val after = AvroCdc.readFiles(spark, dir, payload)
+      .collect().map(_.toString).sorted
+    assert(after === before, "failed overwrite must not touch old data")
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(n => n.startsWith(new java.io.File(dir).getName)
+      && n.contains("__staging")),
+      s"failed job must clean its staging dir: ${parent.mkString(",")}")
   }
 
   test(".avro container files: deflate and snappy codecs round-trip " +
