@@ -177,15 +177,88 @@ object Scans {
     readOrc(spark, path).orderBy($"p_partkey")
   }
 
+  /** The DataSourceV2 `graft` format under the cross-engine gate: an
+    * upsert table is INITIALIZED from customer (exact cents grid),
+    * one change batch derived from orders MERGES in (updates, deletes
+    * for every 13th key, ghost-key inserts for every 97th — all three
+    * upsert row classes), and the RESULT is read back through
+    * `spark.read.format("graft")` with a pushed filter — so the hash
+    * certifies the provider's manifest-pinned file listing, the V1
+    * delegation bridge, and the upsert merge semantics end-to-end
+    * against DuckDB's replay of init+changes as a FULL OUTER JOIN.
+    * Fixture rebuilt per call (delete + init + merge — the
+    * mode("overwrite") discipline of the other scan fixtures), per-PID
+    * dir so concurrent harnesses never interleave. */
+  def qScanGraftDsv2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.cdc.PartitionedUpsert
+    val path = fixtureDir(dir, "graft_dsv2")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val tgt = Tables.table(spark, dir, "customer").select(
+      $"c_custkey",
+      round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
+      $"c_mktsegment".as("seg"))
+    PartitionedUpsert.init(tgt, path, "c_custkey", nBuckets = 16)
+    val changes = Tables.table(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100.0, 0).cast("long")).as("bal_cents"))
+      .select(
+        when($"o_custkey" % 13 === 0, lit("d")).otherwise(lit("u")).as("__op"),
+        lit(1L).as("__lsn"),
+        when($"o_custkey" % 97 === 0, $"o_custkey" + 100000000L)
+          .otherwise($"o_custkey").as("c_custkey"),
+        $"bal_cents",
+        lit("FED").as("seg"))
+    PartitionedUpsert.merge(spark, path, changes, "c_custkey", "__lsn",
+      "__op", Seq("bal_cents", "seg"), nBuckets = 16)
+    spark.read.format("graft").load(path)
+      .filter($"bal_cents" > 0)
+      .select($"c_custkey", $"bal_cents", $"seg")
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> (qScanParquet _),
     "q_scan_pruned" -> (qScanPruned _),
     "q_scan_csv" -> (qScanCsv _),
     "q_scan_jsonl" -> (qScanJsonl _),
-    "q_scan_orc" -> (qScanOrc _)
+    "q_scan_orc" -> (qScanOrc _),
+    "q_scan_graft_dsv2" -> (qScanGraftDsv2 _)
   )
 
   val oracle: Map[String, String] = Map(
+    // init+merge replayed as one FULL OUTER JOIN: change row wins the
+    // value, op='d' rows vanish (incl. the delete-of-a-ghost no-op:
+    // its chg-only row is excluded by the same predicate), untouched
+    // target rows pass through — then the provider's pushed filter
+    "q_scan_graft_dsv2" ->
+      """WITH src AS (
+        |  SELECT o_custkey AS k,
+        |         CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |           AS bal_cents
+        |  FROM orders GROUP BY 1),
+        |chg AS (
+        |  SELECT CASE WHEN k % 97 = 0 THEN k + 100000000 ELSE k END AS c_custkey,
+        |         CASE WHEN k % 13 = 0 THEN 'd' ELSE 'u' END AS op,
+        |         bal_cents
+        |  FROM src),
+        |tgt AS (
+        |  SELECT c_custkey,
+        |         CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_cents,
+        |         c_mktsegment AS seg
+        |  FROM customer)
+        |SELECT COALESCE(c.c_custkey, t.c_custkey) AS c_custkey,
+        |       CASE WHEN c.c_custkey IS NOT NULL THEN c.bal_cents
+        |            ELSE t.bal_cents END AS bal_cents,
+        |       CASE WHEN c.c_custkey IS NOT NULL THEN 'FED'
+        |            ELSE t.seg END AS seg
+        |FROM tgt t FULL OUTER JOIN chg c ON t.c_custkey = c.c_custkey
+        |WHERE COALESCE(c.op, '') <> 'd'
+        |  AND (CASE WHEN c.c_custkey IS NOT NULL THEN c.bal_cents
+        |            ELSE t.bal_cents END) > 0
+        |ORDER BY c_custkey""".stripMargin,
     "q_scan_parquet" ->
       Tables.names.map(n => s"SELECT '$n' AS tbl, count(*) AS n_rows FROM $n")
         .mkString("", " UNION ALL ", " ORDER BY tbl"),

@@ -1060,6 +1060,17 @@ object CdcStream {
   case class KeyState(lsn: Long, value: Double)
   case class StateOut(pk: Long, lsn: Long, value: Option[Double])
 
+  /** The running current-state view on transformWithState — output
+    * contract IDENTICAL to [[runningState]] (StateOut, None =
+    * tombstone), machinery migrated ([[StateProcessors
+    * .RunningCdcState]]). Requires the RocksDB state store provider. */
+  def runningStateTws(changes: Dataset[Change]): Dataset[StateOut] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.pk)
+      .transformWithState(new StateProcessors.RunningCdcState,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def runningState(changes: Dataset[Change]): Dataset[StateOut] = {
     import changes.sparkSession.implicits._
     changes

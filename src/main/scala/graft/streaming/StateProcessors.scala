@@ -122,11 +122,14 @@ object StateProcessors {
   }
 
   /** Per-key running CDC state: tracks the latest (lsn, value); emits
-    * on change; tombstone clears state and emits value = NaN marker.
-    * Out-of-order rows below the stored lsn are ignored
-    * (last-write-wins, same semantics as the batch Cdc.compact). */
+    * on change; tombstone clears state and emits value = None —
+    * the EXACT [[CdcStream.StateOut]] contract of the fMGWS
+    * [[CdcStream.runningState]] (r15: was a NaN marker, which
+    * conflated a genuine NaN payload with a delete). Out-of-order
+    * rows below the stored lsn are ignored (last-write-wins, same
+    * semantics as the batch Cdc.compact). */
   class RunningCdcState
-      extends StatefulProcessor[Long, CdcStream.Change, (Long, Long, Double)] {
+      extends StatefulProcessor[Long, CdcStream.Change, CdcStream.StateOut] {
 
     @transient private var state: ValueState[(Long, Double)] = _
 
@@ -137,17 +140,17 @@ object StateProcessors {
     override def handleInputRows(
         key: Long,
         rows: Iterator[CdcStream.Change],
-        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+        timerValues: TimerValues): Iterator[CdcStream.StateOut] = {
       val sorted = rows.toSeq.sortBy(_.lsn)
       val priorLsn = Option(state.get()).map(_._1).getOrElse(-1L)
       sorted.lastOption match {
         case Some(c) if c.lsn > priorLsn =>
           if (c.op == "d") {
             state.clear()
-            Iterator((key, c.lsn, Double.NaN))
+            Iterator(CdcStream.StateOut(key, c.lsn, None))
           } else {
             state.update((c.lsn, c.value))
-            Iterator((key, c.lsn, c.value))
+            Iterator(CdcStream.StateOut(key, c.lsn, Some(c.value)))
           }
         case _ => Iterator.empty
       }

@@ -259,18 +259,17 @@ class StreamingSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val in = MemoryStream[CdcStream.Change]
-      val out = in.toDS()
-        .groupByKey(_.pk)
-        .transformWithState(new StateProcessors.RunningCdcState,
-          TimeMode.None(), OutputMode.Update())
-        .toDF("pk", "lsn", "value")
+      // runningStateTws: SAME output contract as the fMGWS
+      // runningState (StateOut; tombstone = null value, r15 — the
+      // earlier NaN marker conflated a genuine NaN payload)
+      val out = CdcStream.runningStateTws(in.toDS()).toDF()
       val rows = runBatches(in, out, OutputMode.Update(), Seq(
         Seq(CdcStream.Change(7L, 1L, "c", 5.0)),
         Seq(CdcStream.Change(7L, 2L, "u", 6.0)),
         Seq(CdcStream.Change(7L, 3L, "d", 0.0))))
       assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ===
         Set((7L, 1L), (7L, 2L), (7L, 3L)))
-      assert(rows.find(_.getLong(1) == 3L).get.getDouble(2).isNaN)
+      assert(rows.find(_.getLong(1) == 3L).get.isNullAt(2))
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
