@@ -531,6 +531,46 @@ object MergeSql {
     MergeInto.mergeIntoTable(spark, dir, b.source, keyCol, b.clauses, lsn, txn)
   }
 
+  /** The full Delta-shaped experience: `MERGE INTO <catalog table>
+    * USING …` where the target is a `USING graft` catalog table —
+    * the table's LOCATION is resolved through the public DESCRIBE
+    * surface and the statement lowers onto the persisted
+    * bucket-pruned path. With this, a user's entire MERGE workflow
+    * (CREATE TABLE … USING graft LOCATION …, then statement-text
+    * merges against the NAME) runs with no path in sight. */
+  def mergeCatalogTable(spark: SparkSession, sqlText: String, lsn: Long,
+                        txn: Option[(String, Long)] = None): Seq[Long] = {
+    val m = parseStatement(sqlText)
+    val name = m.target match {
+      case NamedRel(n, _) => n
+      case SubqueryRel(_) => throw new IllegalArgumentException(
+        "MERGE INTO (subquery) cannot target a persisted table")
+    }
+    statementIntoTable(spark, sqlText, tableLocation(spark, name), lsn, txn)
+  }
+
+  /** Catalog-table location via the public DESCRIBE surface (no
+    * internal catalog classes): a v1-registered table carries a
+    * `Location` row; a DSv2 graft table carries its dir inside the
+    * `Name` row ([[graft.sources.GraftTable]] renders
+    * ``graft.`<dir>`@v<version>`` — our own stable format). Temp
+    * views have neither — the clear error tells the caller to use
+    * [[resolveStatement]] (pure-frame) instead. */
+  private def tableLocation(spark: SparkSession, name: String): String = {
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $name")
+      .filter(col("col_name").isin("Location", "Name")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    desc.get("Location")
+      .orElse(desc.get("Name").collect {
+        case n if n.startsWith("graft.`") && n.lastIndexOf("`@v") > 7 =>
+          n.substring(7, n.lastIndexOf("`@v"))
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$name' has no resolvable location (a temp view?) — a " +
+        "persisted MERGE needs a graft catalog table; use " +
+        "resolveStatement for views"))
+  }
+
   // ---------------------------------------------------------------
   // Oracled fixture — the statement-text twin of q_cdc_merge_into
   // ---------------------------------------------------------------

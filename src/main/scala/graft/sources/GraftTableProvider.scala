@@ -4,13 +4,15 @@ import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, concat_ws, count, lit, raise_error, when}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -86,24 +88,106 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new GraftTable(dirOf(options), manifestOf(options))
+    new GraftTable(dirOf(options), manifestOf(options),
+      writable = options.get("versionAsOf") == null)
   }
 }
 
-/** One committed manifest version of one upsert table. Immutable —
-  * merges committed after resolution are invisible (snapshot
-  * isolation), re-resolve (re-`load` / re-plan the catalog table) to
-  * see them. */
-final class GraftTable(dir: String, manifest: Manifest)
-    extends Table with SupportsRead {
+/** One committed manifest version of one upsert table. READS are
+  * immutable — merges committed after resolution are invisible
+  * (snapshot isolation), re-resolve (re-`load` / re-plan the catalog
+  * table) to see them. WRITES (`INSERT INTO t …`, `df.writeTo` /
+  * `saveAsTable` append) re-resolve the CURRENT manifest at execution
+  * and lower onto the bucket-pruned upsert merge — see
+  * [[GraftWriteBuilder]]; a `versionAsOf` table is read-only
+  * (inserting into a historical snapshot is never what the caller
+  * meant). */
+final class GraftTable(val dir: String, manifest: Manifest,
+                       writable: Boolean = true)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft.`$dir`@v${manifest.version}"
   override def schema(): StructType = manifest.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, manifest)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (!writable)
+      throw new IllegalArgumentException(
+        s"graft table at $dir was loaded with versionAsOf — historical " +
+        "snapshots are read-only; load the current version to write")
+    val got = info.schema().fieldNames.map(_.toLowerCase).toSet
+    val want = manifest.schema.fieldNames.map(_.toLowerCase).toSet
+    if (got != want)
+      throw new IllegalArgumentException(
+        s"INSERT schema ${got.toSeq.sorted.mkString(",")} does not match " +
+        s"table schema ${want.toSeq.sorted.mkString(",")} at $dir")
+    new GraftWriteBuilder(dir)
+  }
+}
+
+/** DSv2 write = APPEND-AS-UPSERT: every inserted row is an op='u'
+  * change (a later statement's row for an existing key wins by lsn —
+  * upsert-table semantics, the only INSERT contract a keyed table
+  * can honor), routed through the same bucket-pruned
+  * [[PartitionedUpsert.merge]] every other writer uses — O(changes),
+  * conflict-checked, crash-safe via the manifest commit.
+  *
+  * Two executor-raised guards keep single-statement semantics exact:
+  * a NULL key row (a keyed table cannot hold one) and a key
+  * DUPLICATED WITHIN the statement (two rows, one key, one lsn — the
+  * winner would be shuffle-nondeterministic; across statements the
+  * later lsn wins deterministically, so only the intra-statement case
+  * is an error — the same line [[MergeInto]]'s strictDups draws).
+  *
+  * The lsn is the target manifest version + 1 — monotone across
+  * commits by construction, no clock involved. `InsertableRelation`
+  * (the public V1 write bridge) receives the pre-resolved, pre-cast
+  * frame from Spark; `overwrite` (INSERT OVERWRITE) is rejected —
+  * "replace the whole keyed table" is [[PartitionedUpsert.init]]'s
+  * job, stated, not an implicit truncate. */
+final class GraftWriteBuilder(dir: String) extends WriteBuilder {
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          if (overwrite)
+            throw new UnsupportedOperationException(
+              "INSERT OVERWRITE into a graft upsert table is not " +
+              "supported — re-init the table for a full replace")
+          val spark = data.sparkSession
+          // CURRENT manifest, not the read-pinned one: an INSERT
+          // targets the table head (concurrent-merge conflicts are
+          // caught by the manifest commit, like every writer)
+          val m = PartitionedUpsert.manifestOrFail(spark, dir)
+          val keyCol = m.keyCol
+          val valueCols = m.schema.fieldNames.filterNot(
+            _.equalsIgnoreCase(keyCol)).toSeq
+          val w = Window.partitionBy(col(keyCol))
+          val guarded = data
+            .withColumn("__dup", count(lit(1)).over(w))
+            .filter(
+              when(col(keyCol).isNull,
+                raise_error(lit(s"INSERT row with NULL table key '$keyCol'"))
+                  .cast("boolean"))
+              .when(col("__dup") > 1,
+                raise_error(concat_ws("", lit("INSERT has multiple rows for key "),
+                  col(keyCol).cast("string"))).cast("boolean"))
+              .otherwise(lit(true)))
+            .drop("__dup")
+          val changes = guarded.select(
+            lit("u").as("__op") +: lit(m.version + 1).as("__lsn") +:
+              (keyCol +: valueCols).map(col): _*)
+          PartitionedUpsert.merge(spark, dir, changes, keyCol, "__lsn",
+            "__op", valueCols, m.nBuckets)
+          ()
+        }
+      }
+  }
 }
 
 object GraftScanBuilder {

@@ -178,6 +178,31 @@ class MergeSqlSpec extends SparkSpec {
     assert(PartitionedUpsert.read(spark, dir).count() === 4)
   }
 
+  test("mergeCatalogTable: MERGE INTO a graft CATALOG TABLE by name — " +
+      "location resolved via DESCRIBE, no path in the statement") {
+    views()
+    val dir = java.nio.file.Files.createTempDirectory("graft_msql_cat").toString
+    PartitionedUpsert.init(tgt, dir, "k", nBuckets = 4)
+    spark.sql("DROP TABLE IF EXISTS msql_cat_t")
+    spark.sql(s"CREATE TABLE msql_cat_t USING graft LOCATION '$dir'")
+    try {
+      MergeSql.mergeCatalogTable(spark,
+        ladder.replace("MERGE INTO ms_tgt AS a", "MERGE INTO msql_cat_t AS a"),
+        lsn = 1L)
+      val state = rows(PartitionedUpsert.read(spark, dir)
+        .select(col("k"), col("bal"), col("tag")))
+      assert(state === rows(builderLadder.resolve()))
+      // and the merged state is visible through plain SQL immediately
+      assert(spark.sql("SELECT tag FROM msql_cat_t WHERE k = 3")
+        .head.getString(0) === "up")
+      // temp-view target: clear redirect to resolveStatement
+      val e = intercept[IllegalArgumentException] {
+        MergeSql.mergeCatalogTable(spark, ladder, lsn = 2L)
+      }
+      assert(e.getMessage.contains("resolveStatement"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS msql_cat_t")
+  }
+
   test("parse errors are early and specific: theta ON, mismatched key " +
       "names, INSERT under MATCHED, unknown alias, VALUES arity") {
     views()

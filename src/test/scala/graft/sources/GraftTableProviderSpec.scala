@@ -121,4 +121,68 @@ class GraftTableProviderSpec extends SparkSpec {
     assert(df.filter(col("k") === -1L).count() === 0)
     assert(df.count() === 100) // zero-column pruned scan under count
   }
+
+  test("INSERT INTO a graft catalog table upserts: new keys insert, " +
+      "existing keys take the later lsn, SQL-only end to end") {
+    val dir = freshTable()
+    spark.sql("DROP TABLE IF EXISTS dsv2_ins_t")
+    spark.sql(s"CREATE TABLE dsv2_ins_t USING graft LOCATION '$dir'")
+    try {
+      spark.sql("INSERT INTO dsv2_ins_t VALUES (1, 111, 'upd'), (777, 7770, 'new')")
+      val got = spark.sql(
+        "SELECT v, tag FROM dsv2_ins_t WHERE k IN (1, 777) ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got === Array((111L, "upd"), (7770L, "new")))
+      assert(spark.sql("SELECT COUNT(*) FROM dsv2_ins_t").head.getLong(0) === 101)
+      // a second INSERT for the same key wins again (lsn monotone)
+      spark.sql("INSERT INTO dsv2_ins_t VALUES (777, 8880, 'newer')")
+      assert(spark.sql("SELECT v FROM dsv2_ins_t WHERE k = 777")
+        .head.getLong(0) === 8880L)
+      // native read agrees — one table, two write faces
+      assert(PartitionedUpsert.read(spark, dir)
+        .filter(col("k") === 777L).head.getLong(1) === 8880L)
+    } finally spark.sql("DROP TABLE IF EXISTS dsv2_ins_t")
+  }
+
+  test("INSERT guards: intra-statement duplicate key and NULL key " +
+      "raise in the executor; INSERT OVERWRITE and writes to a " +
+      "versionAsOf load are rejected") {
+    import spark.implicits._
+    val dir = freshTable()
+    spark.sql("DROP TABLE IF EXISTS dsv2_ins_g")
+    spark.sql(s"CREATE TABLE dsv2_ins_g USING graft LOCATION '$dir'")
+    try {
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      val dup = intercept[Exception] {
+        spark.sql("INSERT INTO dsv2_ins_g VALUES (5, 1, 'a'), (5, 2, 'b')")
+      }
+      assert(msgs(dup).exists(m => m != null && m.contains("multiple rows")))
+      val nul = intercept[Exception] {
+        spark.sql("INSERT INTO dsv2_ins_g VALUES (CAST(NULL AS BIGINT), 1, 'a')")
+      }
+      // non-nullable key: Spark's own runtime null assertion fires
+      // first; the writer's guard is the backstop for NULLABLE-key
+      // tables (both are executor-raised, either message proves the
+      // row never reached the table)
+      assert(msgs(nul).exists(m => m != null &&
+        (m.contains("NULL table key") || m.contains("NOT_NULL"))))
+      // OVERWRITE is refused at Spark's capability gate (no TRUNCATE/
+      // OVERWRITE_BY_FILTER declared) — before our defensive branch
+      val ovw = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE dsv2_ins_g VALUES (5, 1, 'a')")
+      }
+      assert(msgs(ovw).exists(m => m != null &&
+        m.toLowerCase.contains("overwrite")), msgs(ovw).mkString(" ~~ "))
+      // failed statements must not have moved the table
+      assert(spark.sql("SELECT COUNT(*) FROM dsv2_ins_g").head.getLong(0) === 100)
+      // versionAsOf load is read-only
+      val v = PartitionedUpsert.manifestOrFail(spark, dir).version
+      val ro = intercept[Exception] {
+        Seq((999L, 1L, "x")).toDF("k", "v", "tag").write.format("graft")
+          .option("versionAsOf", v.toString).mode("append").save(dir)
+      }
+      assert(msgs(ro).exists(m => m != null && m.contains("read-only")))
+    } finally spark.sql("DROP TABLE IF EXISTS dsv2_ins_g")
+  }
 }
