@@ -31,6 +31,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // functions AND the MERGE-statement parser (r15) at session
+      // build — spark.sql("MERGE INTO <graft table> …") just works
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
   /** Local session with graft functions registered. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors())

@@ -106,6 +106,10 @@ object VectorExpressions {
   * both (the config-file twin of GraftSession.registerFunctions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // statement-text MERGE INTO against graft tables via plain
+    // spark.sql — non-MERGE statements delegate untouched
+    // (graft.plans.GraftSqlParser scaladoc has the 3-stage contract)
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -531,6 +531,29 @@ object MergeSql {
     MergeInto.mergeIntoTable(spark, dir, b.source, keyCol, b.clauses, lsn, txn)
   }
 
+  /** Structural validation only — parses the statement skeleton and
+    * throws the specific parse error a malformed MERGE deserves;
+    * resolves nothing. The parser injection
+    * ([[graft.plans.GraftSqlParser]]) calls this at parse time, when
+    * the catalog cannot be consulted. */
+  def validateStatement(sqlText: String): Unit = { parseStatement(sqlText); () }
+
+  /** [[mergeCatalogTable]] with the lsn derived instead of passed:
+    * target manifest version + 1 — monotone across commits, no clock
+    * (the INSERT INTO rule). This is what `spark.sql("MERGE INTO …")`
+    * runs via the injected parser. */
+  def mergeCatalogTableAuto(spark: SparkSession, sqlText: String): Seq[Long] = {
+    val m = parseStatement(sqlText)
+    val name = m.target match {
+      case NamedRel(n, _) => n
+      case SubqueryRel(_) => throw new IllegalArgumentException(
+        "MERGE INTO (subquery) cannot target a persisted table")
+    }
+    val dir = tableLocation(spark, name)
+    val lsn = PartitionedUpsert.manifestOrFail(spark, dir).version + 1
+    statementIntoTable(spark, sqlText, dir, lsn)
+  }
+
   /** The full Delta-shaped experience: `MERGE INTO <catalog table>
     * USING …` where the target is a `USING graft` catalog table —
     * the table's LOCATION is resolved through the public DESCRIBE

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.ops.cdc.MergeSql
+
+/** Parser injection ([[graft.functions.GraftExtensions]]) that makes
+  * the literal statement `spark.sql("MERGE INTO t USING s ON … WHEN
+  * …")` EXECUTE against graft tables — the last step of the SQL face:
+  * builder API → statement text ([[MergeSql]]) → plain `spark.sql`.
+  *
+  * Spark's own parser accepts MERGE only to reject it later for any
+  * table that doesn't implement DSv2 row-level operations, so
+  * intercepting the statement class costs nothing that worked before.
+  * Interception is three-staged to stay honest about whose error the
+  * user sees:
+  *  1. cheap prefix test (first keyword MERGE, comments skipped) —
+  *     every other statement goes straight to the delegate;
+  *  2. [[MergeSql]] structural parse at PARSE time — malformed MERGE
+  *     falls through to the delegate, and if the delegate rejects it
+  *     too, the graft parser's (far more specific) error is what
+  *     propagates;
+  *  3. target/location resolution at RUN time (the catalog cannot be
+  *     consulted mid-parse), lowering onto the bucket-pruned
+  *     persisted path with an auto-monotone lsn.
+  * The command reports `touched_buckets` — the O(changes) receipt. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private def firstKeywordIsMerge(sqlText: String): Boolean = {
+    var i = 0
+    val n = sqlText.length
+    var go = true
+    while (go && i < n) {
+      if (sqlText(i).isWhitespace) i += 1
+      else if (i + 1 < n && sqlText(i) == '-' && sqlText(i + 1) == '-') {
+        while (i < n && sqlText(i) != '\n') i += 1
+      } else if (i + 1 < n && sqlText(i) == '/' && sqlText(i + 1) == '*') {
+        val e = sqlText.indexOf("*/", i + 2)
+        i = if (e < 0) n else e + 2
+      } else go = false
+    }
+    i + 5 <= n && sqlText.regionMatches(true, i, "MERGE", 0, 5) &&
+      (i + 5 == n || !sqlText(i + 5).isLetterOrDigit)
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    if (firstKeywordIsMerge(sqlText)) {
+      try {
+        MergeSql.validateStatement(sqlText)
+        GraftMergeSqlCommand(sqlText)
+      } catch {
+        case graftErr: IllegalArgumentException =>
+          try delegate.parsePlan(sqlText)
+          catch { case _: Throwable => throw graftErr }
+      }
+    } else delegate.parsePlan(sqlText)
+
+  // everything below is pure delegation
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** The eagerly-run command a parsed MERGE statement becomes: resolve
+  * the target's location (public DESCRIBE surface), lower the clauses
+  * onto [[graft.ops.cdc.MergeInto.mergeIntoTable]] with lsn =
+  * manifest version + 1 (monotone, clockless — the INSERT INTO rule).
+  * Output: one row, the count of buckets the merge touched. */
+final case class GraftMergeSqlCommand(sqlText: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("touched_buckets", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val touched = MergeSql.mergeCatalogTableAuto(session, sqlText)
+    Seq(Row(touched.size.toLong))
+  }
+}

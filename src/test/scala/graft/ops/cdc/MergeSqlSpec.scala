@@ -203,6 +203,45 @@ class MergeSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS msql_cat_t")
   }
 
+  test("spark.sql(\"MERGE INTO …\") executes via the injected parser: " +
+      "statement in, merged table + touched_buckets receipt out") {
+    import spark.implicits._
+    views()
+    val dir = java.nio.file.Files.createTempDirectory("graft_msql_sql").toString
+    PartitionedUpsert.init(tgt, dir, "k", nBuckets = 4)
+    spark.sql("DROP TABLE IF EXISTS msql_sql_t")
+    spark.sql(s"CREATE TABLE msql_sql_t USING graft LOCATION '$dir'")
+    try {
+      val receipt = spark.sql(
+        """-- comments before the keyword are fine
+          |MERGE INTO msql_sql_t AS a USING ms_src AS b ON a.k = b.k
+          |WHEN MATCHED AND b.n >= 5 THEN DELETE
+          |WHEN MATCHED AND a.bal > 0 THEN
+          |  UPDATE SET bal = a.bal + b.add, tag = 'up'
+          |WHEN NOT MATCHED AND b.add >= 100 THEN
+          |  INSERT (k, bal, tag) VALUES (b.k, b.add, 'new')""".stripMargin)
+      assert(receipt.columns.toSeq === Seq("touched_buckets"))
+      assert(receipt.head.getLong(0) >= 1L)
+      val state = rows(PartitionedUpsert.read(spark, dir)
+        .select(col("k"), col("bal"), col("tag")))
+      assert(state === rows(builderLadder.resolve()))
+      // a second identical statement gets a fresh auto-lsn: matched
+      // updates re-apply (bal grows again) — monotone, no clock
+      spark.sql(
+        """MERGE INTO msql_sql_t a USING ms_src b ON a.k = b.k
+          |WHEN MATCHED THEN UPDATE SET bal = a.bal + b.add""".stripMargin)
+      assert(PartitionedUpsert.read(spark, dir)
+        .filter(col("k") === 3L).head.getLong(1) === 20L) // 10+5+5
+      // and non-MERGE SQL still parses through the delegate untouched
+      assert(spark.sql("SELECT 1 AS one").head.getInt(0) === 1)
+      // a malformed MERGE surfaces the graft parser's specific error
+      val bad = intercept[Exception] {
+        spark.sql("MERGE INTO msql_sql_t a USING ms_src b ON a.k > b.k WHEN MATCHED THEN DELETE")
+      }
+      assert(bad.getMessage.contains("equi-key"), bad.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS msql_sql_t")
+  }
+
   test("parse errors are early and specific: theta ON, mismatched key " +
       "names, INSERT under MATCHED, unknown alias, VALUES arity") {
     views()
