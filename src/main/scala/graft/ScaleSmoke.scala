@@ -17,6 +17,7 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -679,6 +680,79 @@ object ScaleSmoke {
         Tables.table(spark, work, "events").select($"user_id", $"ts"),
         lsn = 1L)
       streaming.DauStream.series(spark, dir).count()
+    }
+
+    // ---- r15 additions: SQL face + DSv2 + two-pass fuzzy --------------
+    time("merge_sql statement (1.5M)") {
+      // statement text parse + lowering: must cost what the builder
+      // key costs (same plan by construction) plus microseconds of
+      // parsing
+      ops.cdc.MergeSql.qCdcMergeSql(spark, work).count() }
+    time("join_fuzzy2 two-pass (200k)") {
+      ops.relational.FuzzyJoin.qJoinFuzzy2(spark, work).count() }
+    val dsv2Dir = s"$work/dsv2_smoke"
+    time("dsv2 init+merge+read (1.5M)") {
+      // the oracled key's exact shape at 10x: init from customer,
+      // one orders-derived merge, full filtered read via the provider
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dsv2Dir))
+      val tgt = Tables.table(spark, work, "customer").select(
+        $"c_custkey",
+        round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
+        $"c_mktsegment".as("seg"))
+      ops.cdc.PartitionedUpsert.init(tgt, dsv2Dir, "c_custkey", nBuckets = 32)
+      val changes = Tables.table(spark, work, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100.0, 0).cast("long")).as("bal_cents"))
+        .select(
+          when($"o_custkey" % 13 === 0, lit("d")).otherwise(lit("u")).as("__op"),
+          lit(1L).as("__lsn"), $"o_custkey".as("c_custkey"),
+          $"bal_cents", lit("FED").as("seg"))
+      ops.cdc.PartitionedUpsert.merge(spark, dsv2Dir, changes, "c_custkey",
+        "__lsn", "__op", Seq("bal_cents", "seg"), nBuckets = 32)
+      spark.read.format("graft").load(dsv2Dir)
+        .filter($"bal_cents" > 0).count()
+    }
+    time("dsv2 point lookup (1 key)") {
+      // manifest bucket pruning: a key-equality read plans 1 of 32
+      // buckets — the O(point), not O(table), claim at 10x
+      spark.read.format("graft").load(dsv2Dir)
+        .filter($"c_custkey" === 77L).count() }
+    time("dsv2 INSERT INTO (100k rows)") {
+      // append-as-upsert through the SQL write face: one key shuffle
+      // + touched-bucket rewrite, O(batch)
+      spark.sql("DROP TABLE IF EXISTS smoke_dsv2_t")
+      spark.sql(s"CREATE TABLE smoke_dsv2_t USING graft LOCATION '$dsv2Dir'")
+      Tables.table(spark, work, "customer").limit(100000).select(
+        ($"c_custkey" + 900000000L).as("k"),
+        round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
+        lit("INS").as("seg"))
+        .createOrReplaceTempView("smoke_ins_src")
+      spark.sql("INSERT INTO smoke_dsv2_t SELECT * FROM smoke_ins_src")
+      val n = spark.sql(
+        "SELECT COUNT(*) FROM smoke_dsv2_t WHERE seg = 'INS'").head.getLong(0)
+      spark.sql("DROP TABLE IF EXISTS smoke_dsv2_t")
+      n
+    }
+    time("sql MERGE INTO statement (1.5M)") {
+      // the full injected-parser path against a 1.5M-row table
+      spark.sql("DROP TABLE IF EXISTS smoke_msql_t")
+      spark.sql(s"CREATE TABLE smoke_msql_t USING graft LOCATION '$dsv2Dir'")
+      Tables.table(spark, work, "orders")
+        .filter($"o_orderdate" >= "1995-01-01" && $"o_orderdate" < "1995-02-01")
+        .groupBy($"o_custkey".as("c_custkey"))
+        .agg(sum(round($"o_totalprice" * 100.0, 0).cast("long")).as("add_cents"))
+        .createOrReplaceTempView("smoke_msql_src")
+      val touched = spark.sql(
+        """MERGE INTO smoke_msql_t t USING smoke_msql_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED THEN UPDATE SET bal_cents = t.bal_cents + s.add_cents
+          |""".stripMargin).head.getLong(0)
+      spark.sql("DROP TABLE IF EXISTS smoke_msql_t")
+      touched
     }
     spark.stop()
   }

@@ -82,15 +82,109 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     }
   }
 
+  private def isCdf(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("readChangeFeed", false)
+
+  /** CDF option triple: (from, to, schema-of-to). `startingVersion`
+    * is required (a feed without a start is a full-table diff against
+    * nothing); `endingVersion` defaults to the current manifest. */
+  private def cdfOf(options: CaseInsensitiveStringMap): (Long, Long, Manifest) = {
+    val spark = SparkSession.active
+    val dir = dirOf(options)
+    val from = Option(options.get("startingVersion")).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        "readChangeFeed needs option(\"startingVersion\", v)"))
+    val cur = PartitionedUpsert.manifestOrFail(spark, dir)
+    val to = Option(options.get("endingVersion")).map(_.toLong)
+      .getOrElse(cur.version)
+    (from, to,
+      if (to == cur.version) cur else PartitionedUpsert.manifestAt(spark, dir, to))
+  }
+
+  private def cdfSchema(m: Manifest): StructType = {
+    val key = m.schema(m.keyCol)
+    val values = m.schema.fields.filterNot(_.name.equalsIgnoreCase(m.keyCol))
+    // everything nullable: DELETE records carry null value columns by
+    // contract, and the table's non-null marks would make the V1
+    // bridge's row encoder reject them at runtime
+    StructType((key +:
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType) +:
+      values.toSeq).map(_.copy(nullable = true)))
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    manifestOf(options).schema
+    if (isCdf(options)) cdfSchema(cdfOf(options)._3)
+    else manifestOf(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new GraftTable(dirOf(options), manifestOf(options),
-      writable = options.get("versionAsOf") == null)
+    if (isCdf(options)) {
+      val (from, to, m) = cdfOf(options)
+      new GraftCdfTable(dirOf(options), from, to, cdfSchema(m))
+    } else
+      new GraftTable(dirOf(options), manifestOf(options),
+        writable = options.get("versionAsOf") == null)
   }
+}
+
+/** Change data feed as a DSv2 table (the Delta
+  * `readChangeFeed`/`startingVersion` option surface, cross-session):
+  * rows are the row-level insert/update/delete records
+  * [[PartitionedUpsert.changesBetween]] derives by diffing ONLY the
+  * buckets whose data path changed between the two manifests —
+  * O(changed data), zero reads for untouched buckets (that scaladoc
+  * owns the algorithm; this class only surfaces it as a format).
+  * Read-only by construction; column pruning supported (a narrower
+  * projection prunes the delegated diff's output), filter pushdown
+  * deliberately not — the diff must see full changed-bucket contents
+  * regardless, so filters above lose nothing but a cosmetic
+  * PushedFilters line. */
+final class GraftCdfTable(dir: String, fromVersion: Long, toVersion: Long,
+                          cdfSchema: StructType)
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft_cdf.`$dir`@v$fromVersion..v$toVersion"
+  override def schema(): StructType = cdfSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = cdfSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def description(): String = name()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val req = required
+          val relation = new BaseRelation with TableScan {
+            override val sqlContext: SQLContext = context
+            override val schema: StructType = req
+            override def buildScan(): RDD[Row] = {
+              if (fromVersion == toVersion)
+                // same-version window: an empty feed by definition
+                // (changesBetween itself requires from < to)
+                context.sparkSession.createDataFrame(
+                  new java.util.ArrayList[Row](), req).rdd
+              else {
+                val diff = PartitionedUpsert.changesBetween(
+                  context.sparkSession, dir, fromVersion, toVersion)
+                val projected =
+                  if (req.isEmpty) diff.select()
+                  else diff.select(req.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+                projected.rdd
+              }
+            }
+          }
+          relation.asInstanceOf[T]
+        }
+      }
+    }
 }
 
 /** One committed manifest version of one upsert table. READS are

@@ -122,6 +122,41 @@ class GraftTableProviderSpec extends SparkSpec {
     assert(df.count() === 100) // zero-column pruned scan under count
   }
 
+  test("readChangeFeed: row-level insert/update/delete records between " +
+      "versions through the format API (Delta CDF option surface)") {
+    import spark.implicits._
+    val dir = freshTable()
+    val v1 = PartitionedUpsert.manifestOrFail(spark, dir).version
+    val changes = Seq(
+      ("u", 1L, 1L, 111L, "upd"),      // update k=1
+      ("u", 1L, 999L, 9990L, "new"),   // insert k=999
+      ("d", 1L, 2L, 0L, ""))           // delete k=2
+      .toDF("__op", "__lsn", "k", "v", "tag")
+    PartitionedUpsert.merge(spark, dir, changes, "k", "__lsn", "__op",
+      Seq("v", "tag"), 8)
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v1.toString)
+      .load(dir)
+    assert(feed.schema.fieldNames.toSeq === Seq("k", "change_type", "v", "tag"))
+    val got = feed.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "update"), (2L, "delete"), (999L, "insert")))
+    // pruned projection still runs (column pruning path)
+    assert(feed.select("change_type").collect().length === 3)
+    // endingVersion pins the right edge: same-version feed is empty
+    val empty = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v1.toString)
+      .option("endingVersion", v1.toString).load(dir)
+    assert(empty.count() === 0)
+    // missing startingVersion: specific error
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(dir)
+    }
+    assert(e.getMessage.contains("startingVersion"), e.getMessage)
+  }
+
   test("INSERT INTO a graft catalog table upserts: new keys insert, " +
       "existing keys take the later lsn, SQL-only end to end") {
     val dir = freshTable()
