@@ -688,8 +688,23 @@ object ScaleSmoke {
       // key costs (same plan by construction) plus microseconds of
       // parsing
       ops.cdc.MergeSql.qCdcMergeSql(spark, work).count() }
-    time("join_fuzzy2 two-pass (200k)") {
-      ops.relational.FuzzyJoin.qJoinFuzzy2(spark, work).count() }
+    time("join_fuzzy2 two-pass (50k names)") {
+      // the oracled key's part-name domain stays 64 names under
+      // replication (names replicate unchanged), so scale the REAL
+      // workload synthetically: 50k distinct names in ~97 prefix
+      // blocks of ~500 (2×~25M in-block JW evaluations), probes
+      // corrupted INSIDE the prefix so recall rides the suffix pass
+      val refs = spark.range(50000).select(
+        concat(format_string("%02d", $"id" % 97), lit("-part-"),
+          $"id".cast("string")).as("name"))
+      val probes = refs.select(
+        concat(substring($"name", 1, 1), substring($"name", 3, 1),
+          substring($"name", 2, 1), expr("substr(name, 4)")).as("probe"))
+      val (pairs, _) = ops.relational.FuzzyJoin.blockedJaroTwoPassWithStats(
+        probes, refs, "probe", "name", blockLen = 3, threshold = 0.9,
+        maxBlockSize = 2000)
+      pairs.count()
+    }
     val dsv2Dir = s"$work/dsv2_smoke"
     time("dsv2 init+merge+read (1.5M)") {
       // the oracled key's exact shape at 10x: init from customer,

@@ -125,7 +125,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       new GraftCdfTable(dirOf(options), from, to, cdfSchema(m))
     } else
       new GraftTable(dirOf(options), manifestOf(options),
-        writable = options.get("versionAsOf") == null)
+        writable = options.get("versionAsOf") == null,
+        bloomIndexDir = Option(options.get("bloomIndexDir")))
   }
 }
 
@@ -197,7 +198,8 @@ final class GraftCdfTable(dir: String, fromVersion: Long, toVersion: Long,
   * (inserting into a historical snapshot is never what the caller
   * meant). */
 final class GraftTable(val dir: String, manifest: Manifest,
-                       writable: Boolean = true)
+                       writable: Boolean = true,
+                       bloomIndexDir: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft.`$dir`@v${manifest.version}"
@@ -207,7 +209,7 @@ final class GraftTable(val dir: String, manifest: Manifest,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, manifest)
+    new GraftScanBuilder(dir, manifest, bloomIndexDir)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!writable)
@@ -390,7 +392,8 @@ object GraftScanBuilder {
   }
 }
 
-final class GraftScanBuilder(dir: String, manifest: Manifest)
+final class GraftScanBuilder(dir: String, manifest: Manifest,
+                             bloomIndexDir: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -426,11 +429,45 @@ final class GraftScanBuilder(dir: String, manifest: Manifest)
     local.select(routed.as("b")).distinct().collect().map(_.getLong(0)).toSeq
   }
 
+  /** SECONDARY-column bucket pruning via an existing [[graft.ops.cdc
+    * .BloomIndex]] sidecar (`option("bloomIndexDir", …)`): for each
+    * equality/IN conjunct, ask the index for candidate buckets —
+    * a filter on a column the index doesn't cover contributes
+    * nothing (the index validates its column and we discard the
+    * failure), and the whole step is skipped unless the CURRENT
+    * manifest still matches the scan's PINNED version (a rebucket
+    * committed after load would make index candidates and the pinned
+    * file layout disagree — the silent-row-loss race the version
+    * check closes; staleness WITHIN a version is the index's own
+    * conservative-keep contract). */
+  private def bloomKeep(): Option[Set[Long]] = bloomIndexDir.flatMap { idx =>
+    val spark = SparkSession.active
+    val current = Try(
+      PartitionedUpsert.manifestOrFail(spark, dir).version).toOption
+    if (!current.contains(manifest.version)) None
+    else {
+      val sets = pushed.toSeq.flatMap {
+        case sources.EqualTo(a, v) if v != null =>
+          Try(graft.ops.cdc.BloomIndex.candidateBuckets(
+            spark, dir, idx, a, Seq(v)).toSet).toOption
+        case sources.In(a, vs) if vs != null && vs.nonEmpty && !vs.contains(null) =>
+          Try(graft.ops.cdc.BloomIndex.candidateBuckets(
+            spark, dir, idx, a, vs.toSeq).toSet).toOption
+        case _ => None
+      }
+      sets.reduceOption(_ intersect _)
+    }
+  }
+
   override def build(): Scan = {
     val keep = Try(
       GraftScanBuilder.pruneBuckets(manifest, pushed.toSeq, routeViaEngine)
     ).toOption.flatten
-    val buckets = keep.getOrElse(manifest.buckets.keys.toSeq.sorted)
+    val keyPruned = keep.getOrElse(manifest.buckets.keys.toSeq.sorted)
+    val buckets = bloomKeep() match {
+      case Some(cand) => keyPruned.filter(cand)
+      case None => keyPruned
+    }
     val paths = buckets.flatMap(manifest.buckets.get).distinct.sorted
       .map(rel => s"$dir/$rel")
     new GraftScan(paths, manifest.schema, required, pushed,

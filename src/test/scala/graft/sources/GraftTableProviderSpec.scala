@@ -122,6 +122,37 @@ class GraftTableProviderSpec extends SparkSpec {
     assert(df.count() === 100) // zero-column pruned scan under count
   }
 
+  test("bloomIndexDir option: secondary-column point lookups prune " +
+      "buckets through the sidecar; results equal the unpruned read; " +
+      "a version-drifted index is skipped, never trusted") {
+    import graft.ops.cdc.BloomIndex
+    import spark.implicits._
+    val dir = freshTable(nBuckets = 16)
+    val idx = java.nio.file.Files.createTempDirectory("graft_dsv2_bl").toString
+    BloomIndex.build(spark, dir, idx, "tag")
+    val plain = spark.read.format("graft").load(dir)
+      .filter(col("tag") === "row7").collect().map(_.toString).toSeq
+    val bloomed = spark.read.format("graft")
+      .option("bloomIndexDir", idx).load(dir)
+      .filter(col("tag") === "row7")
+    assert(bloomed.collect().map(_.toString).toSeq === plain)
+    assert(plain.length === 1)
+    // a filter on a column the index does NOT cover: no pruning, same
+    // results (the Try-discard path)
+    val other = spark.read.format("graft")
+      .option("bloomIndexDir", idx).load(dir).filter(col("v") === 70L)
+    assert(other.count() === 1)
+    // version drift: merge AFTER load — the pinned scan must skip the
+    // bloom (current != pinned) and still read correctly
+    val pinned = spark.read.format("graft")
+      .option("bloomIndexDir", idx).load(dir)
+    val ch = Seq(("u", 1L, 500L, 5000L, "row500"))
+      .toDF("__op", "__lsn", "k", "v", "tag")
+    PartitionedUpsert.merge(spark, dir, ch, "k", "__lsn", "__op",
+      Seq("v", "tag"), 16)
+    assert(pinned.filter(col("tag") === "row7").count() === 1)
+  }
+
   test("readChangeFeed: row-level insert/update/delete records between " +
       "versions through the format API (Delta CDF option surface)") {
     import spark.implicits._
