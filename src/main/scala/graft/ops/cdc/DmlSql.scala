@@ -1,0 +1,221 @@
+package graft.ops.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-text `DELETE FROM` / `UPDATE` against persisted
+  * [[PartitionedUpsert]] tables — the two single-table DML statements
+  * every warehouse user runs daily, which Spark itself only accepts
+  * for DSv2 row-level-operation tables. Same design as [[MergeSql]]:
+  * the SKELETON is hand-parsed from the shared offset-preserving
+  * token stream; the WHERE condition and SET value expressions are
+  * sliced out of the original text and handed to Spark's `expr()`
+  * verbatim (single-table statements, so bare column names resolve
+  * against the table read — no alias rewriting needed at all; an
+  * optional table alias is accepted and rewritten to nothing since
+  * `a.col` over the flat read frame would not resolve).
+  *
+  * Grammar:
+  * {{{
+  * DELETE FROM <name> [AS alias] [WHERE <cond>]
+  * UPDATE <name> [AS alias] SET col = expr [, …] [WHERE <cond>]
+  * }}}
+  *
+  * Lowering — both statements are one scan + one bucket-pruned merge:
+  * read the committed state, filter to the WHERE-matching rows,
+  * derive the change frame (op 'd' rows verbatim; op 'u' rows with
+  * SET images computed over the read frame), and hand it to
+  * [[PartitionedUpsert.merge]] with lsn = version + 1. The SCAN is
+  * O(table) by definition (an arbitrary WHERE must examine every
+  * row — the same property Delta's DELETE has), but the REWRITE is
+  * O(buckets holding matched rows): unmatched buckets are never
+  * touched, and a WHERE that matches nothing burns no version (merge
+  * short-circuits on an empty change frame at prepare).
+  *
+  * Guards: `SET <key> = …` is rejected (rebucketing-by-update is the
+  * same silent divergence [[MergeInto.mergeIntoTable]] refuses —
+  * delete+insert is the stated path); an unconditional DELETE is
+  * accepted (it is the truncate idiom) but an unconditional UPDATE
+  * of zero SET columns cannot parse. */
+object DmlSql {
+
+  import MergeSql.{Tok, IDENT, PUNCT, tokenize, fail, tableLocation}
+
+  private final case class RawDml(sql: String, toks: IndexedSeq[Tok],
+                                  table: String, alias: Option[String],
+                                  sets: Seq[(String, (Int, Int))],
+                                  where: Option[(Int, Int)])
+
+  /** Skeleton parse. `isUpdate` selects the grammar. */
+  private def parseDml(sql: String, isUpdate: Boolean): RawDml = {
+    val toks = tokenize(sql)
+    var i = 0
+    def cur: Tok =
+      if (i < toks.length) toks(i)
+      else fail(sql, sql.length, "unexpected end of statement")
+    def isKw(k: String): Boolean =
+      i < toks.length && toks(i).kind == IDENT && toks(i).upper == k
+    def expectKw(k: String): Unit =
+      if (isKw(k)) i += 1
+      else fail(sql, if (i < toks.length) cur.start else sql.length, s"expected $k")
+
+    def parseName(): String = {
+      if (cur.kind != IDENT && cur.kind != MergeSql.STR)
+        fail(sql, cur.start, "expected a table name")
+      val parts = Vector.newBuilder[String]
+      parts += cur.raw; i += 1
+      while (i < toks.length && cur.kind == PUNCT && cur.raw == "." &&
+             i + 1 < toks.length) {
+        i += 1; parts += cur.raw; i += 1
+      }
+      parts.result().mkString(".")
+    }
+
+    /** [from,until) of tokens up to a depth-0/case-0 stop keyword. */
+    def scanExpr(stopKw: Set[String], stopPunct: Set[String]): (Int, Int) = {
+      val from = i
+      var depth = 0; var caseDepth = 0; var done = false
+      while (!done && i < toks.length) {
+        val t = toks(i)
+        if (t.kind == PUNCT && (t.raw == "(" || t.raw == "[")) { depth += 1; i += 1 }
+        else if (t.kind == PUNCT && (t.raw == ")" || t.raw == "]")) { depth -= 1; i += 1 }
+        else if (t.kind == IDENT && t.upper == "CASE") { caseDepth += 1; i += 1 }
+        else if (t.kind == IDENT && t.upper == "END" && caseDepth > 0) { caseDepth -= 1; i += 1 }
+        else if (depth == 0 && caseDepth == 0 && t.kind == IDENT &&
+                 stopKw.contains(t.upper)) done = true
+        else if (depth == 0 && caseDepth == 0 && t.kind == PUNCT &&
+                 stopPunct.contains(t.raw)) done = true
+        else i += 1
+      }
+      if (i == from) fail(sql, cur.start, "empty expression")
+      (from, i)
+    }
+
+    if (isUpdate) expectKw("UPDATE") else { expectKw("DELETE"); expectKw("FROM") }
+    val table = parseName()
+    val alias = {
+      if (isKw("AS")) i += 1
+      if (i < toks.length && cur.kind == IDENT &&
+          !Set("SET", "WHERE").contains(cur.upper)) {
+        val a = cur.raw; i += 1; Some(a)
+      } else None
+    }
+    val sets =
+      if (!isUpdate) Nil
+      else {
+        expectKw("SET")
+        val out = Vector.newBuilder[(String, (Int, Int))]
+        var more = true
+        while (more) {
+          if (cur.kind != IDENT && cur.kind != MergeSql.STR)
+            fail(sql, cur.start, "expected a column name in SET")
+          var colName = cur.raw.stripPrefix("`").stripSuffix("`"); i += 1
+          if (i + 1 < toks.length && cur.kind == PUNCT && cur.raw == "." &&
+              (toks(i + 1).kind == IDENT || toks(i + 1).kind == MergeSql.STR)) {
+            i += 1
+            colName = cur.raw.stripPrefix("`").stripSuffix("`"); i += 1
+          }
+          if (!(cur.kind == PUNCT && cur.raw == "=")) fail(sql, cur.start, "expected '='")
+          i += 1
+          out += ((colName, scanExpr(Set("WHERE"), Set(","))))
+          if (i < toks.length && cur.kind == PUNCT && cur.raw == ",") i += 1
+          else more = false
+        }
+        out.result()
+      }
+    val where =
+      if (isKw("WHERE")) { i += 1; Some(scanExpr(Set.empty, Set.empty)) }
+      else None
+    if (i < toks.length)
+      fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
+    RawDml(sql, toks, table, alias, sets, where)
+  }
+
+  /** Slice a token range back out of the original text, dropping
+    * `alias.` qualifiers (single table ⇒ the qualifier is noise the
+    * flat read frame cannot resolve). */
+  private def exprText(d: RawDml, range: (Int, Int)): String = {
+    val (from, until) = range
+    val aliasU = d.alias.map(_.toUpperCase)
+    val tableU = d.table.toUpperCase
+    val sb = new StringBuilder
+    var pos = d.toks(from).start
+    var i = from
+    while (i < until) {
+      val t = d.toks(i)
+      val isQualifier = t.kind == IDENT &&
+        (aliasU.contains(t.upper) || (aliasU.isEmpty && t.upper == tableU)) &&
+        i + 1 < until && d.toks(i + 1).kind == PUNCT && d.toks(i + 1).raw == "."
+      if (isQualifier) {
+        sb.append(d.sql.substring(pos, t.start))
+        pos = d.toks(i + 1).end // skip "alias" and the "."
+        i += 2
+      } else i += 1
+    }
+    sb.append(d.sql.substring(pos, d.toks(until - 1).end))
+    sb.toString
+  }
+
+  private def run(spark: SparkSession, d: RawDml, isUpdate: Boolean,
+                  dir: String): Seq[Long] = {
+    val m = PartitionedUpsert.manifestOrFail(spark, dir)
+    val keyCol = m.keyCol
+    val valueCols = m.schema.fieldNames.filterNot(
+      _.equalsIgnoreCase(keyCol)).toSeq
+    if (isUpdate) {
+      d.sets.foreach { case (c, _) =>
+        require(!c.equalsIgnoreCase(keyCol),
+          s"UPDATE SET must not change the table key '$keyCol' — " +
+          "use DELETE + INSERT")
+        require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"UPDATE SET references non-table column '$c'")
+      }
+    }
+    val read = PartitionedUpsert.read(spark, dir)
+    val matched = d.where.fold(read)(w => read.filter(expr(exprText(d, w))))
+    val changes =
+      if (isUpdate) {
+        val setMap: Map[String, Column] =
+          d.sets.map { case (c, r) => c.toLowerCase -> expr(exprText(d, r)) }.toMap
+        matched.select(
+          lit("u").as("__op") +: lit(m.version + 1).as("__lsn") +:
+            col(keyCol) +: valueCols.map(c =>
+              setMap.getOrElse(c.toLowerCase, col(c))
+                .cast(m.schema(c).dataType).as(c)): _*)
+      } else
+        matched.select(
+          lit("d").as("__op") +: lit(m.version + 1).as("__lsn") +:
+            col(keyCol) +: valueCols.map(col): _*)
+    PartitionedUpsert.merge(spark, dir, changes, keyCol, "__lsn", "__op",
+      valueCols, m.nBuckets)
+  }
+
+  /** `DELETE FROM <catalog graft table> [WHERE …]` — statement text
+    * in, touched buckets out. */
+  def deleteCatalogTable(spark: SparkSession, sqlText: String): Seq[Long] = {
+    val d = parseDml(sqlText, isUpdate = false)
+    run(spark, d, isUpdate = false, tableLocation(spark, d.table))
+  }
+
+  /** `UPDATE <catalog graft table> SET … [WHERE …]`. */
+  def updateCatalogTable(spark: SparkSession, sqlText: String): Seq[Long] = {
+    val d = parseDml(sqlText, isUpdate = true)
+    run(spark, d, isUpdate = true, tableLocation(spark, d.table))
+  }
+
+  /** Structural validation for the parser hook (parse time — no
+    * catalog access). */
+  def validateDelete(sqlText: String): Unit = { parseDml(sqlText, isUpdate = false); () }
+  def validateUpdate(sqlText: String): Unit = { parseDml(sqlText, isUpdate = true); () }
+
+  /** Direct-path variants against a table DIR (no catalog needed) —
+    * the API twin for callers holding paths. */
+  def deleteFromTable(spark: SparkSession, sqlText: String, dir: String): Seq[Long] = {
+    val d = parseDml(sqlText, isUpdate = false)
+    run(spark, d, isUpdate = false, dir)
+  }
+  def updateTable(spark: SparkSession, sqlText: String, dir: String): Seq[Long] = {
+    val d = parseDml(sqlText, isUpdate = true)
+    run(spark, d, isUpdate = true, dir)
+  }
+}

@@ -63,24 +63,24 @@ object MergeSql {
   // Tokenizer
   // ---------------------------------------------------------------
 
-  private final val IDENT = 0
-  private final val STR   = 1
-  private final val NUM   = 2
-  private final val PUNCT = 3
+  private[cdc] final val IDENT = 0
+  private[cdc] final val STR   = 1
+  private[cdc] final val NUM   = 2
+  private[cdc] final val PUNCT = 3
 
   /** raw = exact source slice; upper = uppercase (idents only, for
     * keyword matching); [start,end) = offsets into the statement. */
-  private final case class Tok(raw: String, upper: String, kind: Int,
+  private[cdc] final case class Tok(raw: String, upper: String, kind: Int,
                                start: Int, end: Int)
 
-  private def fail(sql: String, pos: Int, msg: String): Nothing = {
+  private[cdc] def fail(sql: String, pos: Int, msg: String): Nothing = {
     val ctx = sql.substring(math.max(0, pos - 20),
       math.min(sql.length, pos + 20)).replace('\n', ' ')
     throw new IllegalArgumentException(
       s"MERGE SQL parse error at offset $pos near '…$ctx…': $msg")
   }
 
-  private def tokenize(sql: String): IndexedSeq[Tok] = {
+  private[cdc] def tokenize(sql: String): IndexedSeq[Tok] = {
     val out = Vector.newBuilder[Tok]
     val n = sql.length
     var i = 0
@@ -579,7 +579,7 @@ object MergeSql {
     * ``graft.`<dir>`@v<version>`` — our own stable format). Temp
     * views have neither — the clear error tells the caller to use
     * [[resolveStatement]] (pure-frame) instead. */
-  private def tableLocation(spark: SparkSession, name: String): String = {
+  private[cdc] def tableLocation(spark: SparkSession, name: String): String = {
     val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $name")
       .filter(col("col_name").isin("Location", "Name")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -589,9 +589,9 @@ object MergeSql {
           n.substring(7, n.lastIndexOf("`@v"))
       })
       .getOrElse(throw new IllegalArgumentException(
-        s"'$name' has no resolvable location (a temp view?) — a " +
-        "persisted MERGE needs a graft catalog table; use " +
-        "resolveStatement for views"))
+        s"'$name' has no resolvable location (a temp view?) — " +
+        "persisted DML (MERGE/UPDATE/DELETE) needs a graft catalog " +
+        "table; for view targets use MergeSql.resolveStatement"))
   }
 
   // ---------------------------------------------------------------

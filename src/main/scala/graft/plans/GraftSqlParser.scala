@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{LongType, StructType}
 
-import graft.ops.cdc.MergeSql
+import graft.ops.cdc.{DmlSql, MergeSql}
 
 /** Parser injection ([[graft.functions.GraftExtensions]]) that makes
   * the literal statement `spark.sql("MERGE INTO t USING s ON … WHEN
@@ -32,7 +32,9 @@ import graft.ops.cdc.MergeSql
   * The command reports `touched_buckets` — the O(changes) receipt. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  private def firstKeywordIsMerge(sqlText: String): Boolean = {
+  /** Uppercase first keyword (comments/whitespace skipped), "" if
+    * none — the cheap gate every statement passes through. */
+  private def firstKeyword(sqlText: String): String = {
     var i = 0
     val n = sqlText.length
     var go = true
@@ -45,21 +47,36 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         i = if (e < 0) n else e + 2
       } else go = false
     }
-    i + 5 <= n && sqlText.regionMatches(true, i, "MERGE", 0, 5) &&
-      (i + 5 == n || !sqlText(i + 5).isLetterOrDigit)
+    val start = i
+    while (i < n && (sqlText(i).isLetterOrDigit || sqlText(i) == '_')) i += 1
+    sqlText.substring(start, i).toUpperCase
   }
 
+  /** The shared 3-stage intercept: structural validate at parse time,
+    * build the command; on OUR parse failure, delegate — and if the
+    * delegate rejects too, the graft error (far more specific) wins. */
+  private def intercept(sqlText: String, validate: String => Unit,
+                        command: => LogicalPlan): LogicalPlan =
+    try { validate(sqlText); command }
+    catch {
+      case graftErr: IllegalArgumentException =>
+        try delegate.parsePlan(sqlText)
+        catch { case _: Throwable => throw graftErr }
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    if (firstKeywordIsMerge(sqlText)) {
-      try {
-        MergeSql.validateStatement(sqlText)
-        GraftMergeSqlCommand(sqlText)
-      } catch {
-        case graftErr: IllegalArgumentException =>
-          try delegate.parsePlan(sqlText)
-          catch { case _: Throwable => throw graftErr }
-      }
-    } else delegate.parsePlan(sqlText)
+    firstKeyword(sqlText) match {
+      case "MERGE" =>
+        intercept(sqlText, MergeSql.validateStatement,
+          GraftMergeSqlCommand(sqlText))
+      case "DELETE" =>
+        intercept(sqlText, DmlSql.validateDelete,
+          GraftDmlSqlCommand(sqlText, isUpdate = false))
+      case "UPDATE" =>
+        intercept(sqlText, DmlSql.validateUpdate,
+          GraftDmlSqlCommand(sqlText, isUpdate = true))
+      case _ => delegate.parsePlan(sqlText)
+    }
 
   // everything below is pure delegation
   override def parseExpression(sqlText: String): Expression =
@@ -93,6 +110,23 @@ final case class GraftMergeSqlCommand(sqlText: String)
 
   override def run(session: SparkSession): Seq[Row] = {
     val touched = MergeSql.mergeCatalogTableAuto(session, sqlText)
+    Seq(Row(touched.size.toLong))
+  }
+}
+
+/** `DELETE FROM t [WHERE …]` / `UPDATE t SET … [WHERE …]` against a
+  * graft catalog table — same command shape as MERGE ([[DmlSql]] owns
+  * the grammar and the one-scan + bucket-pruned-merge lowering). */
+final case class GraftDmlSqlCommand(sqlText: String, isUpdate: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("touched_buckets", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val touched =
+      if (isUpdate) DmlSql.updateCatalogTable(session, sqlText)
+      else DmlSql.deleteCatalogTable(session, sqlText)
     Seq(Row(touched.size.toLong))
   }
 }

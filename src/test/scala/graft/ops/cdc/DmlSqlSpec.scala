@@ -1,0 +1,100 @@
+package graft.ops.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SQL DELETE FROM / UPDATE against graft catalog tables — through
+  * both the API and the injected parser (plain spark.sql). One scan +
+  * bucket-pruned merge; empty matches burn no version; SET-key
+  * rejected; non-graft statements fall through untouched. */
+class DmlSqlSpec extends SparkSpec {
+
+  private def freshCatalogTable(name: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml").toString
+    val snap = (1L to 100L).map(k => (k, k * 10L, s"row$k"))
+      .toDF("k", "v", "tag")
+    PartitionedUpsert.init(snap, dir, "k", nBuckets = 8)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graft LOCATION '$dir'")
+    dir
+  }
+
+  test("spark.sql DELETE FROM … WHERE deletes exactly the matched rows " +
+      "and reports touched buckets; empty match burns no version") {
+    val dir = freshCatalogTable("dml_del_t")
+    try {
+      val receipt = spark.sql("DELETE FROM dml_del_t WHERE k % 10 = 0")
+      assert(receipt.columns.toSeq === Seq("touched_buckets"))
+      assert(receipt.head.getLong(0) >= 1L)
+      assert(spark.sql("SELECT COUNT(*) FROM dml_del_t").head.getLong(0) === 90)
+      assert(PartitionedUpsert.read(spark, dir)
+        .filter(col("k") % 10 === 0).count() === 0)
+      // no-match WHERE: zero touched buckets, version unchanged
+      val v = PartitionedUpsert.manifestOrFail(spark, dir).version
+      val none = spark.sql("DELETE FROM dml_del_t WHERE k > 100000")
+      assert(none.head.getLong(0) === 0L)
+      assert(PartitionedUpsert.manifestOrFail(spark, dir).version === v)
+      // unconditional DELETE = truncate idiom
+      spark.sql("DELETE FROM dml_del_t")
+      assert(spark.sql("SELECT COUNT(*) FROM dml_del_t").head.getLong(0) === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS dml_del_t")
+  }
+
+  test("spark.sql UPDATE … SET … WHERE rewrites matched rows in place; " +
+      "alias-qualified refs resolve; unmatched rows untouched") {
+    val dir = freshCatalogTable("dml_upd_t")
+    try {
+      val receipt = spark.sql(
+        "UPDATE dml_upd_t AS x SET v = x.v + 1000, tag = concat(x.tag, '!') " +
+        "WHERE x.k <= 3")
+      assert(receipt.head.getLong(0) >= 1L)
+      val got = spark.sql(
+        "SELECT v, tag FROM dml_upd_t WHERE k <= 4 ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(got === Array((1010L, "row1!"), (1020L, "row2!"),
+        (1030L, "row3!"), (40L, "row4")))
+      // native read agrees
+      assert(PartitionedUpsert.read(spark, dir)
+        .filter(col("k") === 2L).head.getLong(1) === 1020L)
+    } finally spark.sql("DROP TABLE IF EXISTS dml_upd_t")
+  }
+
+  test("guards: SET on the table key is rejected; unknown SET column " +
+      "is rejected; a temp-view target gets the clear DML error; " +
+      "non-DML statements pass through the parser untouched") {
+    freshCatalogTable("dml_g_t")
+    try {
+      def msg(body: => Any): String =
+        intercept[Exception](body).getMessage
+      assert(msg(spark.sql("UPDATE dml_g_t SET k = 5 WHERE k = 1"))
+        .contains("must not change the table key"))
+      assert(msg(spark.sql("UPDATE dml_g_t SET nope = 5"))
+        .contains("non-table column"))
+      spark.range(3).toDF("k").createOrReplaceTempView("dml_view")
+      assert(msg(spark.sql("DELETE FROM dml_view WHERE k = 1"))
+        .contains("graft catalog table"))
+      // ordinary SQL still parses through the delegate
+      assert(spark.sql("SELECT COUNT(*) FROM dml_g_t").head.getLong(0) === 100)
+    } finally spark.sql("DROP TABLE IF EXISTS dml_g_t")
+  }
+
+  test("direct-path API twins (dir instead of catalog name) match the " +
+      "SQL path: deleteFromTable / updateTable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml_api").toString
+    val snap = (1L to 20L).map(k => (k, k * 10L, s"r$k")).toDF("k", "v", "tag")
+    PartitionedUpsert.init(snap, dir, "k", nBuckets = 4)
+    DmlSql.updateTable(spark,
+      "UPDATE anything SET v = v * 2 WHERE k <= 5", dir)
+    DmlSql.deleteFromTable(spark,
+      "DELETE FROM anything WHERE tag = 'r7'", dir)
+    val state = PartitionedUpsert.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(state.length === 19)
+    assert(state.take(5) === Array((1L, 20L), (2L, 40L), (3L, 60L),
+      (4L, 80L), (5L, 100L)))
+    assert(!state.exists(_._1 == 7L))
+  }
+}
