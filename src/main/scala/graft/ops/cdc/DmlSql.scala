@@ -3,6 +3,8 @@ package graft.ops.cdc
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
+
 /** SQL-text `DELETE FROM` / `UPDATE` against persisted
   * [[PartitionedUpsert]] tables — the two single-table DML statements
   * every warehouse user runs daily, which Spark itself only accepts
@@ -207,6 +209,88 @@ object DmlSql {
     * catalog access). */
   def validateDelete(sqlText: String): Unit = { parseDml(sqlText, isUpdate = false); () }
   def validateUpdate(sqlText: String): Unit = { parseDml(sqlText, isUpdate = true); () }
+
+  // ---------------------------------------------------------------
+  // Oracled fixture — the full SQL DML lifecycle under the hash gate
+  // ---------------------------------------------------------------
+
+  /** INSERT INTO / UPDATE / DELETE statement lifecycle certified
+    * cross-engine: an upsert table is initialized from customer
+    * (cents grid) and registered as a graft catalog table, then THREE
+    * literal SQL statements run through the injected parser —
+    *   1. `INSERT INTO … SELECT` ghost rows (every 97th orders
+    *      custkey remapped +1e8, revenue as balance, seg 'NEW'),
+    *   2. `UPDATE … SET bal_cents = bal_cents + 12345 WHERE
+    *      seg = 'BUILDING'`,
+    *   3. `DELETE FROM … WHERE bal_cents < 0` —
+    * and the RESULT is the post-lifecycle table read back through
+    * plain SQL. DuckDB replays the three statements algebraically
+    * (UNION ALL the ghosts, CASE the update, WHERE NOT the delete),
+    * so the hash certifies parser, lowering, write path, and upsert
+    * merge semantics in one key. Fixture rebuilt per call (the scan-
+    * fixture overwrite discipline); the catalog name is per-session,
+    * the path per-PID. */
+  def qCdcDmlSql(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = graft.ops.relational.Scans.fixtureDir(dir, "dml_sql")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val tgt = Tables.table(spark, dir, "customer").select(
+      $"c_custkey",
+      round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
+      $"c_mktsegment".as("seg"))
+    PartitionedUpsert.init(tgt, path, "c_custkey", nBuckets = 16)
+    val tbl = "graft_dml_sql_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$path'")
+    Tables.table(spark, dir, "orders")
+      .filter($"o_custkey" % 97 === 0)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100.0, 0).cast("long")).as("bal_cents"))
+      .select(($"o_custkey" + 100000000L).as("c_custkey"),
+        $"bal_cents", lit("NEW").as("seg"))
+      .createOrReplaceTempView("graft_dml_sql_ins")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM graft_dml_sql_ins")
+    spark.sql(
+      s"UPDATE $tbl SET bal_cents = bal_cents + 12345 WHERE seg = 'BUILDING'")
+    spark.sql(s"DELETE FROM $tbl WHERE bal_cents < 0")
+    spark.sql(
+      s"SELECT c_custkey, bal_cents, seg FROM $tbl ORDER BY c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_dml_sql" -> (qCdcDmlSql _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the three statements replayed algebraically over the same
+    // parquet: UNION ALL the inserted ghosts, CASE the update,
+    // WHERE-out the delete
+    "q_cdc_dml_sql" ->
+      """WITH ghosts AS (
+        |  SELECT o_custkey + 100000000 AS c_custkey,
+        |         CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |           AS bal_cents,
+        |         'NEW' AS seg
+        |  FROM orders WHERE o_custkey % 97 = 0 GROUP BY o_custkey),
+        |base AS (
+        |  SELECT c_custkey,
+        |         CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_cents,
+        |         c_mktsegment AS seg
+        |  FROM customer
+        |  UNION ALL SELECT c_custkey, bal_cents, seg FROM ghosts),
+        |updated AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN seg = 'BUILDING' THEN bal_cents + 12345
+        |              ELSE bal_cents END AS bal_cents,
+        |         seg
+        |  FROM base)
+        |SELECT c_custkey, bal_cents, seg
+        |FROM updated
+        |WHERE bal_cents >= 0
+        |ORDER BY c_custkey""".stripMargin
+  )
 
   /** Direct-path variants against a table DIR (no catalog needed) —
     * the API twin for callers holding paths. */

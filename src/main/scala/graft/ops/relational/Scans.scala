@@ -99,7 +99,7 @@ object Scans {
     }))
     root
   }
-  private def fixtureDir(dir: String, fmt: String): String = {
+  private[graft] def fixtureDir(dir: String, fmt: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     s"$fixtureRoot/$tag/$fmt"
   }
