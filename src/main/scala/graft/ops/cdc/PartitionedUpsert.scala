@@ -1103,6 +1103,42 @@ object PartitionedUpsert {
     * the longest expected prepare duration (same contract as Delta's
     * tombstone retention for uncommitted files). Crashed prepares age
     * past it and are collected on a later run. */
+  /** One row per committed, un-vacuumed version — the DESCRIBE
+    * HISTORY analog (Delta's audit surface) as a queryable FRAME,
+    * superset of the tuple-returning [[history]]: version, commit
+    * time (manifest file mtime, same source as history), layout,
+    * bucket/file/byte footprint, high-water lsn, buckets CHANGED vs
+    * the previous surviving version (manifest map diff — zero reads),
+    * and the writer-txn cursor map. Driver-side and bounded: vacuum
+    * caps the manifest count, and each row is metadata already in
+    * memory. Newest first, like the manifests it reads. */
+  def historyDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val commitMs = history(spark, dir)
+      .map { case (v, ts, _) => v -> ts }.toMap
+    val ms = manifests(spark, dir) // newest first
+    val prevs: Seq[Option[Manifest]] = ms.drop(1).map(Option(_)) :+ None
+    val rows = ms.zip(prevs).map {
+      case (m, prev) =>
+        val changed = prev match {
+          case Some(p) =>
+            m.buckets.count { case (b, path) => !p.buckets.get(b).contains(path) } +
+              p.buckets.count { case (b, _) => !m.buckets.contains(b) }
+          case None => m.buckets.size // oldest surviving: everything "new"
+        }
+        val files = m.stats.values.map(_.files.toLong).sum
+        val bytes = m.stats.values.map(_.bytes).sum
+        val maxLsn = m.stats.values.flatMap(_.maxLsn)
+          .filter(_ != Long.MinValue).maxOption
+        val txns = m.txns.toSeq.sortBy(_._1)
+          .map { case (a, v) => s"$a=$v" }.mkString(",")
+        (m.version, commitMs.getOrElse(m.version, 0L), m.nBuckets,
+          m.layout, m.keyCol, changed, files, bytes, maxLsn, txns)
+    }
+    rows.toDF("version", "commit_time_ms", "n_buckets", "layout",
+      "key_col", "changed_buckets", "files", "bytes", "max_lsn", "txns")
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2,
              minStagingAgeMs: Long = 3600000L): Unit = {
     require(keepManifests >= 1, "must keep at least the current manifest")
