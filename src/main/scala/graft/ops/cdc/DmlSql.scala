@@ -292,6 +292,69 @@ object DmlSql {
         |ORDER BY c_custkey""".stripMargin
   )
 
+  // ---------------------------------------------------------------
+  // Maintenance statements — OPTIMIZE / VACUUM (the Delta idiom)
+  // ---------------------------------------------------------------
+
+  /** `OPTIMIZE <table> [MAXFILES n]` — compact append-fragmented
+    * buckets down to ≤ n files each ([[PartitionedUpsert
+    * .compactFiles]]; only fragmented buckets rewrite, a no-op burns
+    * no version). `VACUUM <table> [KEEP n] [RETAIN m]` — reclaim
+    * unreachable versions/staging, keeping the newest n manifests
+    * and anything younger than m milliseconds (the time-bounded
+    * retention vacuum's scaladoc argues for; RETAIN 0 = trim
+    * everything but the KEEP set — the Delta `RETAIN 0 HOURS`
+    * test idiom). Both parse from the shared token stream and
+    * resolve the table like every DML statement here. */
+  private def parseMaint(sql: String, verb: String)
+      : (String, Option[Int], Option[Long]) = {
+    val toks = tokenize(sql)
+    var i = 0
+    def cur = if (i < toks.length) toks(i)
+              else fail(sql, sql.length, "unexpected end of statement")
+    if (!(cur.kind == IDENT && cur.upper == verb)) fail(sql, 0, s"expected $verb")
+    i += 1
+    if (cur.kind != IDENT && cur.kind != MergeSql.STR)
+      fail(sql, cur.start, "expected a table name")
+    val parts = Vector.newBuilder[String]
+    parts += cur.raw; i += 1
+    while (i < toks.length && cur.kind == PUNCT && cur.raw == "." &&
+           i + 1 < toks.length) { i += 1; parts += cur.raw; i += 1 }
+    def num(): Long = {
+      if (cur.kind != MergeSql.NUM) fail(sql, cur.start, "expected a number")
+      val v = cur.raw.toLong; i += 1; v
+    }
+    var n: Option[Int] = None
+    var retain: Option[Long] = None
+    while (i < toks.length && cur.kind == IDENT &&
+           Set("MAXFILES", "KEEP", "RETAIN").contains(cur.upper)) {
+      val kw = cur.upper; i += 1
+      kw match {
+        case "RETAIN" => retain = Some(num())
+        case _        => n = Some(num().toInt)
+      }
+    }
+    if (i < toks.length)
+      fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
+    (parts.result().mkString("."), n, retain)
+  }
+
+  def optimizeCatalogTable(spark: SparkSession, sqlText: String): Seq[Long] = {
+    val (name, n, _) = parseMaint(sqlText, "OPTIMIZE")
+    PartitionedUpsert.compactFiles(spark, tableLocation(spark, name),
+      maxFilesPerBucket = n.getOrElse(4))
+  }
+
+  def vacuumCatalogTable(spark: SparkSession, sqlText: String): Unit = {
+    val (name, n, retain) = parseMaint(sqlText, "VACUUM")
+    PartitionedUpsert.vacuum(spark, tableLocation(spark, name),
+      keepManifests = n.getOrElse(2),
+      minStagingAgeMs = retain.getOrElse(3600000L))
+  }
+
+  def validateOptimize(sqlText: String): Unit = { parseMaint(sqlText, "OPTIMIZE"); () }
+  def validateVacuum(sqlText: String): Unit = { parseMaint(sqlText, "VACUUM"); () }
+
   /** Direct-path variants against a table DIR (no catalog needed) —
     * the API twin for callers holding paths. */
   def deleteFromTable(spark: SparkSession, sqlText: String, dir: String): Seq[Long] = {

@@ -75,6 +75,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case "UPDATE" =>
         intercept(sqlText, DmlSql.validateUpdate,
           GraftDmlSqlCommand(sqlText, isUpdate = true))
+      case "OPTIMIZE" =>
+        intercept(sqlText, DmlSql.validateOptimize,
+          GraftMaintenanceCommand(sqlText, isVacuum = false))
+      case "VACUUM" =>
+        intercept(sqlText, DmlSql.validateVacuum,
+          GraftMaintenanceCommand(sqlText, isVacuum = true))
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -129,4 +135,19 @@ final case class GraftDmlSqlCommand(sqlText: String, isUpdate: Boolean)
       else DmlSql.deleteCatalogTable(session, sqlText)
     Seq(Row(touched.size.toLong))
   }
+}
+
+/** `OPTIMIZE t [MAXFILES n]` / `VACUUM t [KEEP n]` — the maintenance
+  * statements ([[DmlSql]] owns grammar + lowering onto
+  * compactFiles/vacuum). OPTIMIZE reports compacted buckets; VACUUM
+  * reports 0 (reclamation has no bucket receipt). */
+final case class GraftMaintenanceCommand(sqlText: String, isVacuum: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("touched_buckets", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    if (isVacuum) { DmlSql.vacuumCatalogTable(session, sqlText); Seq(Row(0L)) }
+    else Seq(Row(DmlSql.optimizeCatalogTable(session, sqlText).size.toLong))
 }

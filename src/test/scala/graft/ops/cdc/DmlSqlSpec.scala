@@ -80,6 +80,40 @@ class DmlSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS dml_g_t")
   }
 
+  test("spark.sql OPTIMIZE compacts fragmented buckets (MAXFILES honored, " +
+      "state identical); VACUUM trims manifests (KEEP honored)") {
+    import spark.implicits._
+    val dir = freshCatalogTable("dml_opt_t")
+    try {
+      // fragment: three single-key merges pile files into buckets
+      (1 to 3).foreach { i =>
+        PartitionedUpsert.merge(spark, dir,
+          Seq(("u", i.toLong + 1L, 1L, i * 100L, s"m$i"))
+            .toDF("__op", "__lsn", "k", "v", "tag"),
+          "k", "__lsn", "__op", Seq("v", "tag"), 8)
+      }
+      val before = PartitionedUpsert.read(spark, dir)
+        .orderBy("k").collect().map(_.toString).toSeq
+      val receipt = spark.sql("OPTIMIZE dml_opt_t MAXFILES 1")
+      assert(receipt.columns.toSeq === Seq("touched_buckets"))
+      assert(receipt.head.getLong(0) >= 1L)
+      val m = PartitionedUpsert.manifestOrFail(spark, dir)
+      assert(m.stats.values.forall(_.files <= 1), m.stats.toString)
+      assert(PartitionedUpsert.read(spark, dir)
+        .orderBy("k").collect().map(_.toString).toSeq === before)
+      // VACUUM KEEP 2 RETAIN 0: manifest count trims to 2 (without
+      // RETAIN 0 the age-bounded retention keeps fresh manifests —
+      // the time-travel-safety default)
+      spark.sql("VACUUM dml_opt_t KEEP 5")
+      assert(PartitionedUpsert.manifests(spark, dir).size === 5,
+        "age-bounded default must keep fresh manifests")
+      spark.sql("VACUUM dml_opt_t KEEP 2 RETAIN 0")
+      assert(PartitionedUpsert.manifests(spark, dir).size === 2)
+      // state still reads
+      assert(PartitionedUpsert.read(spark, dir).count() === before.size)
+    } finally spark.sql("DROP TABLE IF EXISTS dml_opt_t")
+  }
+
   test("direct-path API twins (dir instead of catalog name) match the " +
       "SQL path: deleteFromTable / updateTable") {
     import spark.implicits._
