@@ -355,6 +355,36 @@ object DmlSql {
   def validateOptimize(sqlText: String): Unit = { parseMaint(sqlText, "OPTIMIZE"); () }
   def validateVacuum(sqlText: String): Unit = { parseMaint(sqlText, "VACUUM"); () }
 
+  /** `DESCRIBE HISTORY <table>` → [[PartitionedUpsert.historyDf]]
+    * (the audit frame; bounded — vacuum caps manifest count). */
+  private def parseDescribeHistory(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    def cur = if (i < toks.length) toks(i)
+              else fail(sql, sql.length, "unexpected end of statement")
+    def expectKw(k: String): Unit =
+      if (cur.kind == IDENT && cur.upper == k) i += 1
+      else fail(sql, cur.start, s"expected $k")
+    expectKw("DESCRIBE"); expectKw("HISTORY")
+    if (cur.kind != IDENT && cur.kind != MergeSql.STR)
+      fail(sql, cur.start, "expected a table name")
+    val parts = Vector.newBuilder[String]
+    parts += cur.raw; i += 1
+    while (i < toks.length && cur.kind == PUNCT && cur.raw == "." &&
+           i + 1 < toks.length) { i += 1; parts += cur.raw; i += 1 }
+    if (i < toks.length)
+      fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
+    parts.result().mkString(".")
+  }
+
+  def validateDescribeHistory(sqlText: String): Unit = {
+    parseDescribeHistory(sqlText); ()
+  }
+
+  def describeHistoryTable(spark: SparkSession, sqlText: String): DataFrame =
+    PartitionedUpsert.historyDf(spark,
+      tableLocation(spark, parseDescribeHistory(sqlText)))
+
   /** Direct-path variants against a table DIR (no catalog needed) —
     * the API twin for callers holding paths. */
   def deleteFromTable(spark: SparkSession, sqlText: String, dir: String): Seq[Long] = {

@@ -52,6 +52,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     sqlText.substring(start, i).toUpperCase
   }
 
+  /** Only `DESCRIBE HISTORY …` is ours; every other DESCRIBE flavor
+    * (TABLE/EXTENDED/FUNCTION/QUERY/…) belongs to the delegate. */
+  private def isDescribeHistory(sqlText: String): Boolean = {
+    val m = java.util.regex.Pattern
+      .compile("^\\s*DESCRIBE\\s+HISTORY\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(sqlText.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("--[^\n]*", " "))
+    m.find() && m.start() == 0
+  }
+
   /** The shared 3-stage intercept: structural validate at parse time,
     * build the command; on OUR parse failure, delegate — and if the
     * delegate rejects too, the graft error (far more specific) wins. */
@@ -75,6 +84,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case "UPDATE" =>
         intercept(sqlText, DmlSql.validateUpdate,
           GraftDmlSqlCommand(sqlText, isUpdate = true))
+      case "DESCRIBE" if isDescribeHistory(sqlText) =>
+        intercept(sqlText, DmlSql.validateDescribeHistory,
+          GraftHistoryCommand(sqlText))
       case "OPTIMIZE" =>
         intercept(sqlText, DmlSql.validateOptimize,
           GraftMaintenanceCommand(sqlText, isVacuum = false))
@@ -135,6 +147,33 @@ final case class GraftDmlSqlCommand(sqlText: String, isUpdate: Boolean)
       else DmlSql.deleteCatalogTable(session, sqlText)
     Seq(Row(touched.size.toLong))
   }
+}
+
+/** `DESCRIBE HISTORY t` — the per-version audit frame
+  * ([[graft.ops.cdc.PartitionedUpsert.historyDf]]) through plain SQL;
+  * rows are driver-bounded (vacuum caps manifest count). */
+final case class GraftHistoryCommand(sqlText: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("commit_time_ms", LongType, nullable = false)(),
+    AttributeReference("n_buckets", org.apache.spark.sql.types.IntegerType,
+      nullable = false)(),
+    AttributeReference("layout", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("key_col", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("changed_buckets", org.apache.spark.sql.types.IntegerType,
+      nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("max_lsn", LongType, nullable = true)(),
+    AttributeReference("txns", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    DmlSql.describeHistoryTable(session, sqlText).collect().toSeq
 }
 
 /** `OPTIMIZE t [MAXFILES n]` / `VACUUM t [KEEP n]` — the maintenance

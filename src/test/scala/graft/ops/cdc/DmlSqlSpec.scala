@@ -114,6 +114,24 @@ class DmlSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS dml_opt_t")
   }
 
+  test("spark.sql DESCRIBE HISTORY serves the audit frame; ordinary " +
+      "DESCRIBE flavors still delegate to Spark") {
+    freshCatalogTable("dml_hist_t")
+    try {
+      spark.sql("UPDATE dml_hist_t SET v = v + 1 WHERE k = 1")
+      val h = spark.sql("DESCRIBE HISTORY dml_hist_t")
+      assert(h.columns.toSeq === Seq("version", "commit_time_ms",
+        "n_buckets", "layout", "key_col", "changed_buckets", "files",
+        "bytes", "max_lsn", "txns"))
+      val versions = h.select("version").collect().map(_.getLong(0)).toSeq
+      assert(versions === Seq(2L, 1L))
+      // the plain DESCRIBE path is untouched
+      val cols = spark.sql("DESCRIBE TABLE dml_hist_t")
+        .select("col_name").collect().map(_.getString(0)).toSet
+      assert(Set("k", "v", "tag").subsetOf(cols))
+    } finally spark.sql("DROP TABLE IF EXISTS dml_hist_t")
+  }
+
   test("direct-path API twins (dir instead of catalog name) match the " +
       "SQL path: deleteFromTable / updateTable") {
     import spark.implicits._
