@@ -355,6 +355,71 @@ object DmlSql {
   def validateOptimize(sqlText: String): Unit = { parseMaint(sqlText, "OPTIMIZE"); () }
   def validateVacuum(sqlText: String): Unit = { parseMaint(sqlText, "VACUUM"); () }
 
+  /** `ALTER TABLE <t> RENAME COLUMN a TO b` / `ALTER COLUMN a TYPE
+    * <ddl-type>` / `DROP COLUMN a` → [[PartitionedUpsert
+    * .evolveSchema]] (atomic manifest swap; widens rewrite the table —
+    * the honest O(table) cost evolveSchema's scaladoc owns; renames/
+    * drops are metadata-speed). ONLY these three shapes are claimed:
+    * every other ALTER flavor (ADD COLUMNS, SET TBLPROPERTIES, ALTER
+    * VIEW, …) fails structural validation and falls back to Spark's
+    * parser through the standard 3-stage contract. Renaming the key
+    * column is legal — the post-change key name is tracked exactly
+    * the way evolveSchema requires. */
+  private def parseAlter(sql: String): (String, Cdc.SchemaChange) = {
+    val toks = tokenize(sql)
+    var i = 0
+    def cur = if (i < toks.length) toks(i)
+              else fail(sql, sql.length, "unexpected end of statement")
+    def isKw(k: String) = i < toks.length && cur.kind == IDENT && cur.upper == k
+    def expectKw(k: String): Unit =
+      if (isKw(k)) i += 1 else fail(sql, cur.start, s"expected $k")
+    def ident(): String = {
+      if (cur.kind != IDENT && cur.kind != MergeSql.STR)
+        fail(sql, cur.start, "expected an identifier")
+      val v = cur.raw.stripPrefix("`").stripSuffix("`"); i += 1; v
+    }
+    expectKw("ALTER"); expectKw("TABLE")
+    val parts = Vector.newBuilder[String]
+    parts += cur.raw; i += 1
+    while (i < toks.length && cur.kind == PUNCT && cur.raw == "." &&
+           i + 1 < toks.length) { i += 1; parts += cur.raw; i += 1 }
+    val name = parts.result().mkString(".")
+    val change: Cdc.SchemaChange =
+      if (isKw("RENAME")) {
+        i += 1; expectKw("COLUMN")
+        val from = ident(); expectKw("TO"); val to = ident()
+        Cdc.RenameColumn(from, to)
+      } else if (isKw("ALTER")) {
+        i += 1; expectKw("COLUMN")
+        val c = ident(); expectKw("TYPE")
+        if (i >= toks.length) fail(sql, sql.length, "expected a type")
+        val typeText = sql.substring(toks(i).start, toks.last.end)
+        i = toks.length
+        Cdc.WidenColumn(c,
+          org.apache.spark.sql.types.DataType.fromDDL(typeText))
+      } else if (isKw("DROP")) {
+        i += 1; expectKw("COLUMN")
+        Cdc.DropColumn(ident())
+      } else fail(sql, cur.start,
+        "only RENAME COLUMN / ALTER COLUMN … TYPE / DROP COLUMN are graft DDL")
+    if (i < toks.length)
+      fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
+    (name, change)
+  }
+
+  def validateAlter(sqlText: String): Unit = { parseAlter(sqlText); () }
+
+  def alterCatalogTable(spark: SparkSession, sqlText: String): Unit = {
+    val (name, change) = parseAlter(sqlText)
+    val dir = tableLocation(spark, name)
+    val m = PartitionedUpsert.manifestOrFail(spark, dir)
+    val postKey = change match {
+      case Cdc.RenameColumn(from, to) if from.equalsIgnoreCase(m.keyCol) => to
+      case _ => m.keyCol
+    }
+    PartitionedUpsert.evolveSchema(spark, dir, Seq(change), postKey, m.nBuckets)
+  }
+
   /** `DESCRIBE HISTORY <table>` → [[PartitionedUpsert.historyDf]]
     * (the audit frame; bounded — vacuum caps manifest count). */
   private def parseDescribeHistory(sql: String): String = {

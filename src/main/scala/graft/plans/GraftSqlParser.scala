@@ -68,7 +68,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
                         command: => LogicalPlan): LogicalPlan =
     try { validate(sqlText); command }
     catch {
-      case graftErr: IllegalArgumentException =>
+      case scala.util.control.NonFatal(graftErr) =>
         try delegate.parsePlan(sqlText)
         catch { case _: Throwable => throw graftErr }
     }
@@ -87,6 +87,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case "DESCRIBE" if isDescribeHistory(sqlText) =>
         intercept(sqlText, DmlSql.validateDescribeHistory,
           GraftHistoryCommand(sqlText))
+      case "ALTER" =>
+        intercept(sqlText, DmlSql.validateAlter, GraftAlterCommand(sqlText))
       case "OPTIMIZE" =>
         intercept(sqlText, DmlSql.validateOptimize,
           GraftMaintenanceCommand(sqlText, isVacuum = false))
@@ -174,6 +176,19 @@ final case class GraftHistoryCommand(sqlText: String)
 
   override def run(session: SparkSession): Seq[Row] =
     DmlSql.describeHistoryTable(session, sqlText).collect().toSeq
+}
+
+/** `ALTER TABLE t RENAME COLUMN / ALTER COLUMN … TYPE / DROP COLUMN`
+  * against a graft table → atomic schema evolution; every OTHER
+  * ALTER flavor fails [[DmlSql.validateAlter]] and delegates to
+  * Spark's parser (the 3-stage contract). */
+final case class GraftAlterCommand(sqlText: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    DmlSql.alterCatalogTable(session, sqlText)
+    Seq.empty
+  }
 }
 
 /** `OPTIMIZE t [MAXFILES n]` / `VACUUM t [KEEP n]` — the maintenance

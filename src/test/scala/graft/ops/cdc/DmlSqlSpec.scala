@@ -132,6 +132,60 @@ class DmlSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS dml_hist_t")
   }
 
+  test("spark.sql ALTER TABLE: RENAME COLUMN (incl. the key), " +
+      "ALTER COLUMN TYPE widen, DROP COLUMN — atomic schema evolution; " +
+      "lossy widens rejected; other ALTER flavors delegate") {
+    val dir = freshCatalogTable("dml_ddl_t")
+    try {
+      spark.sql("ALTER TABLE dml_ddl_t RENAME COLUMN tag TO label")
+      assert(PartitionedUpsert.read(spark, dir).columns.toSeq
+        === Seq("k", "v", "label"))
+      // key rename: post-change key tracked into the manifest
+      spark.sql("ALTER TABLE dml_ddl_t RENAME COLUMN k TO id")
+      assert(PartitionedUpsert.manifestOrFail(spark, dir).keyCol === "id")
+      // widen v long->... already long; widen label? use a real widen:
+      // v is long — no wider integral; recreate with int col instead:
+      // (drop path) — DROP COLUMN removes label
+      spark.sql("ALTER TABLE dml_ddl_t DROP COLUMN label")
+      assert(PartitionedUpsert.read(spark, dir).columns.toSeq === Seq("id", "v"))
+      // a fresh catalog resolution sees the evolved schema through SQL
+      assert(spark.sql("SELECT id, v FROM dml_ddl_t WHERE id = 3")
+        .head.getLong(1) === 30L)
+      // lossy "widen" rejected loudly
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Seq(Option(x.getMessage).getOrElse("")) ++ msgs(x.getCause))
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE dml_ddl_t ALTER COLUMN v TYPE int")
+      }
+      assert(msgs(e).exists(_.contains("lossless")), msgs(e).mkString("~"))
+      // non-column ALTER falls through to Spark's own handling (here:
+      // catalog property update succeeds — the delegate ran, not us)
+      spark.sql("ALTER TABLE dml_ddl_t SET TBLPROPERTIES ('a'='b')")
+      assert(spark.sql("SELECT COUNT(*) FROM dml_ddl_t").head.getLong(0) === 100)
+    } finally spark.sql("DROP TABLE IF EXISTS dml_ddl_t")
+  }
+
+  test("ALTER COLUMN TYPE: a genuine lossless widen (int -> bigint) " +
+      "rewrites the table once and reads back widened") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddl_w").toString
+    val snap = (1 to 30).map(k => (k.toLong, k, s"r$k")).toDF("k", "n", "tag")
+    PartitionedUpsert.init(snap, dir, "k", nBuckets = 4)
+    spark.sql("DROP TABLE IF EXISTS dml_ddl_w")
+    spark.sql(s"CREATE TABLE dml_ddl_w USING graft LOCATION '$dir'")
+    try {
+      spark.sql("ALTER TABLE dml_ddl_w ALTER COLUMN n TYPE bigint")
+      val f = PartitionedUpsert.read(spark, dir).schema("n")
+      assert(f.dataType === org.apache.spark.sql.types.LongType)
+      assert(spark.sql("SELECT n FROM dml_ddl_w WHERE k = 7").head.getLong(0) === 7L)
+      // idempotent replay: same DDL again is a no-op (no new version)
+      val v = PartitionedUpsert.manifestOrFail(spark, dir).version
+      spark.sql("ALTER TABLE dml_ddl_w ALTER COLUMN n TYPE bigint")
+      assert(PartitionedUpsert.manifestOrFail(spark, dir).version === v)
+    } finally spark.sql("DROP TABLE IF EXISTS dml_ddl_w")
+  }
+
   test("direct-path API twins (dir instead of catalog name) match the " +
       "SQL path: deleteFromTable / updateTable") {
     import spark.implicits._
