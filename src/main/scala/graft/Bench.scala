@@ -251,6 +251,11 @@ object Bench {
             .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
             .replaceAll("plan_id=\\d+", "plan_id=")
             .replaceAll("@[0-9a-f]{6,}", "@")
+            // per-PID fixture roots (Scans.fixtureDir) leak the JVM's
+            // pid into scan paths — a fixture-reading key would flap
+            // its fingerprint on every fresh JVM (observed r15:
+            // q_scan_graft_dsv2)
+            .replaceAll("/graft_fixtures/p\\d+", "/graft_fixtures/p#")
             // constraint/predicate sets render their conjuncts in
             // ExpressionSet iteration order, which depends on exprId
             // hash values — a session-counter shift can reorder

@@ -105,6 +105,15 @@ class BenchFingerprintSpec extends AnyFunSuite {
     assert(norm(f) === ":  +- Filter ((a#) AND (b#))")
   }
 
+  test("per-PID fixture paths normalize (a fresh JVM must not flap a " +
+      "fixture-reading key's fingerprint) — covered via the full " +
+      "normalization path in Bench.main; here the regex itself") {
+    val line = "Relation [k#] parquet, file:/tmp/graft_fixtures/p12345/sf/dml"
+    val norm = line.replaceAll("/graft_fixtures/p\\d+", "/graft_fixtures/p#")
+    assert(norm.contains("/graft_fixtures/p#/sf/dml"))
+    assert(norm === line.replace("p12345", "p#"))
+  }
+
   test("control characters in plan text survive the jsonEsc/" +
       "parsePlanTexts round-trip (r14 review: \\u00xx was not inverted)") {
     val plans = Map("q_ctl" -> "Filter contains(s#, bell)")
