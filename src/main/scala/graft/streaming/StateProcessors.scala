@@ -121,6 +121,87 @@ object StateProcessors {
     }
   }
 
+  /** Input/output rows for the EVENT-TIME sessionizer. `tsMs` = epoch
+    * millis of the event (the caller's watermark column, pre-cast). */
+  final case class SessEvent(user: Long, tsMs: Long, v: Double)
+  final case class SessionOut(user: Long, startMs: Long, endMs: Long,
+                              n: Long, sum: Double, closed_by: String)
+
+  /** Session-gap processor on EVENT-TIME timers — the sessionizer the
+    * built-in `session_window` cannot be: besides the gap timeout it
+    * SPLITS a session at `maxEvents` (the bot-storm/runaway-device
+    * guard — one key emitting forever would otherwise grow one
+    * session row unboundedly in both state and semantics), and each
+    * closed session says WHY it closed (`gap` in-batch, `cap` split,
+    * `timer` watermark expiry) — the audit column windowed aggs
+    * cannot carry.
+    *
+    * Mechanics (the third and last TWS mode this repo exercises,
+    * after processing-time TTL and processing-time timers): rows
+    * fold in event-time order; a gap or cap closure emits
+    * immediately; the OPEN tail registers an event-time timer at
+    * lastTs + gap, so the watermark closes idle sessions exactly the
+    * way session_window's state TTL does — state per key is one
+    * fixed-size tuple, bounded by the watermark like every stateful
+    * op here. Late rows BELOW an already-closed session's end simply
+    * open/extend a new session (the watermark already bounded how
+    * late they can be; a windowed agg would have dropped them the
+    * same way). */
+  class SessionGap(gapMs: Long, maxEvents: Int)
+      extends StatefulProcessor[Long, SessEvent, SessionOut] {
+
+    @transient private var st: ValueState[(Long, Long, Long, Double, Long)] = _
+    // (startMs, lastMs, n, sum, armedTimerMs)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Double, Long)](
+        "sess", Encoders.product[(Long, Long, Long, Double, Long)],
+        TTLConfig.NONE)
+
+    private def rearm(prior: Long, lastMs: Long): Long = {
+      if (prior >= 0) getHandle.deleteTimer(prior)
+      val at = lastMs + gapMs
+      getHandle.registerTimer(at)
+      at
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.tsMs)
+      val out = Seq.newBuilder[SessionOut]
+      var (start, last, n, sum, armed) =
+        Option(st.get()).getOrElse((-1L, -1L, 0L, 0.0, -1L))
+      sorted.foreach { e =>
+        if (start < 0) { start = e.tsMs; last = e.tsMs; n = 1; sum = e.v }
+        else if (e.tsMs - last > gapMs) {
+          out += SessionOut(user, start, last, n, sum, "gap")
+          start = e.tsMs; last = e.tsMs; n = 1; sum = e.v
+        } else if (n + 1 > maxEvents) {
+          out += SessionOut(user, start, last, n, sum, "cap")
+          start = e.tsMs; last = e.tsMs; n = 1; sum = e.v
+        } else { last = math.max(last, e.tsMs); n += 1; sum += e.v }
+      }
+      if (start >= 0) {
+        st.update((start, last, n, sum, rearm(armed, last)))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      Option(st.get()) match {
+        case Some((start, last, n, sum, armed))
+            // only the CURRENT session's timer closes it — a stale
+            // timer from a session that was already gap/cap-closed
+            // (and whose successor re-armed) must not fire twice
+            if info.getExpiryTimeInMs() >= armed =>
+          st.clear()
+          Iterator(SessionOut(user, start, last, n, sum, "timer"))
+        case _ => Iterator.empty
+      }
+    }
+  }
+
   /** Per-key running CDC state: tracks the latest (lsn, value); emits
     * on change; tombstone clears state and emits value = None —
     * the EXACT [[CdcStream.StateOut]] contract of the fMGWS

@@ -49,6 +49,31 @@ object Streams {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col(keyCol), col("n"))
 
+  /** Custom sessionization on transformWithState EVENT-TIME timers —
+    * gap timeout PLUS a max-events split and a closed_by audit column,
+    * the two things `session_window` cannot express
+    * ([[StateProcessors.SessionGap]] owns the semantics). Input needs
+    * `user`/`tsMs`/`v` columns and a watermark on `tsCol` (the caller
+    * keeps the timestamp column; tsMs is its epoch-millis shadow the
+    * processor folds on). Requires the RocksDB provider like every
+    * TWS path. */
+  def sessionizeTws(events: DataFrame, tsCol: String, gapMs: Long,
+                    maxEvents: Int, watermark: String): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col("user"),
+        (col(tsCol).cast("double") * 1000).cast("long").as("tsMs"),
+        col("v"))
+      .as[StateProcessors.SessEvent]
+      .groupByKey(_.user)
+      .transformWithState(
+        new StateProcessors.SessionGap(gapMs, maxEvents),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Streaming dedup with bounded state (Spark 4
     * dropDuplicatesWithinWatermark: duplicates arriving within the
     * watermark delay are dropped; state expires after it). */
