@@ -60,7 +60,22 @@ import graft.ops.cdc.PartitionedUpsert.Manifest
   *     linear conversion by orders of magnitude.
   *
   * Registered via META-INF/services as format name `graft`.
-  */
+  *
+  * STREAMING boundary (stated, not hidden): `readStream.format
+  * ("graft")` is deliberately not implemented. A DSv2
+  * `MicroBatchStream` must produce rows from executor-side
+  * `PartitionReader`s, and the whole point of this provider is that
+  * it ships NO bespoke parquet reader — the V1 bridge that lets batch
+  * scans delegate to Spark's vectorized source has no streaming
+  * counterpart in the public API. The streaming consumption paths
+  * that exist instead are the ones a CDC consumer actually wants:
+  * [[PartitionedUpsert.changesSinceLsn]] driven by a txn cursor (the
+  * cdfApp convention every incremental maintainer here uses),
+  * `readChangeFeed` polling between versions, and the
+  * [[graft.streaming.CdcStream]] sinks for the write side. If the
+  * boundary is ever crossed, the honest cost is an executor-side
+  * parquet reader (the Iceberg road), not a driver-side collect
+  * masquerading as a stream. */
 class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
