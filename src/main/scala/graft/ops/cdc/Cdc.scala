@@ -656,6 +656,15 @@ object Cdc {
   sealed trait SchemaChange
   final case class RenameColumn(from: String, to: String) extends SchemaChange
   final case class WidenColumn(name: String, to: DataType) extends SchemaChange
+  /** Additive column arrival — the single most COMMON schema drift in
+    * CDC reality (every other DDL shape here is rarer), and the one
+    * that must stay cheap: rows captured before the add read the new
+    * column as NULL, which parquet's missing-column contract gives for
+    * free, so the table-side evolution is a metadata-only manifest
+    * swap ([[PartitionedUpsert.evolveSchema]]), never a rewrite. The
+    * column arrives nullable by construction — a NOT NULL add would
+    * need a backfill value, which is an UPDATE, not a DDL. */
+  final case class AddColumn(name: String, dataType: DataType) extends SchemaChange
   /** Column DROP — the CDC reality the rename/widen pair left out.
     * `dataType` records the dropped column's type: batch replay only
     * needs the name (the projection just removes it), but a streaming
@@ -689,6 +698,19 @@ object Cdc {
         }
       case (d, DropColumn(name, _)) =>
         if (d.columns.contains(name)) d.drop(name) else d
+      case (d, AddColumn(name, dt)) =>
+        if (!d.columns.contains(name)) d.withColumn(name, lit(null).cast(dt))
+        else {
+          // replay idempotence: an already-applied add finds the column
+          // at the declared type and no-ops; a SAME-NAMED column at a
+          // DIFFERENT type is a conflict, not a replay — adding it
+          // would silently shadow real data, so fail loudly
+          require(d.schema(name).dataType == dt,
+            s"cannot add column '$name' ${dt.catalogString} — it already " +
+              s"exists as ${d.schema(name).dataType.catalogString} " +
+              s"(a type change is WidenColumn, not AddColumn)")
+          d
+        }
     }
 
   /** Align batches captured under evolving schemas: each batch carries
@@ -705,6 +727,7 @@ object Cdc {
   /** Parse op='s' schema-change events out of a decoded log. The DDL
     * payload is a compact JSON object:
     *   {"rename":{"from":"a","to":"b"}} | {"widen":{"col":"v","to":"bigint"}}
+    *   | {"drop":{"col":"c","type":"int"}} | {"add":{"col":"c","type":"bigint"}}
     * DDL events are rare and tiny (metadata, not data), so the
     * lsn-ordered collect is bounded and correct — schema history IS
     * driver state, exactly as Debezium keeps it in its schema-history
@@ -724,6 +747,8 @@ object Cdc {
       StructField("widen", StructType(Seq(
         StructField("col", StringType), StructField("to", StringType)))),
       StructField("drop", StructType(Seq(
+        StructField("col", StringType), StructField("type", StringType)))),
+      StructField("add", StructType(Seq(
         StructField("col", StringType), StructField("type", StringType))))))
     log.filter(col(opCol) === "s")
       .select(col(offsetCol).cast(LongType),
@@ -731,7 +756,8 @@ object Cdc {
       .orderBy(col(offsetCol))
       .select(col(offsetCol), col("__ddl.rename.from"), col("__ddl.rename.to"),
         col("__ddl.widen.col"), col("__ddl.widen.to"),
-        col("__ddl.drop.col"), col("__ddl.drop.type"))
+        col("__ddl.drop.col"), col("__ddl.drop.type"),
+        col("__ddl.add.col"), col("__ddl.add.type"))
       .collect()
       .map { r =>
         // a DDL that cannot be ordered is unreplayable — fail with a
@@ -752,6 +778,15 @@ object Cdc {
               Option(r.getString(6)).map(
                 org.apache.spark.sql.catalyst.parser.CatalystSqlParser
                   .parseDataType))
+          else if (r.getString(7) != null) {
+            if (r.getString(8) == null) throw new IllegalArgumentException(
+              s"""add-column event for '${r.getString(7)}' must carry the """ +
+                s"""type (payload {"add":{"col":"…","type":"<ddl type>"}}) — """ +
+                "a typeless column cannot be planned")
+            AddColumn(r.getString(7),
+              org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parseDataType(r.getString(8)))
+          }
           else throw new IllegalArgumentException(
             s"unrecognized schema-change payload at ${offsetCol}=${r}")
         lsn -> change

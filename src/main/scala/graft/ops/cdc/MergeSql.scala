@@ -473,6 +473,15 @@ object MergeSql {
     val keys = parseKeys(m, tA, sA)
     val tCols = tgt.columns.toSeq
     val sColsLower = src.columns.map(_.toLowerCase).toSet
+    // SET/INSERT column names resolve against the target schema
+    // CASE-INSENSITIVELY (Spark's default resolution; DmlSql does the
+    // same with equalsIgnoreCase — the two SQL faces must agree):
+    // user-typed 'Bal_Cents' canonicalizes to the target's field name
+    // before MergeInto's exact-Map clause machinery sees it. A name
+    // that is no target column passes through as typed — checkCols
+    // rejects it with the specific non-target-column error.
+    val canonName: Map[String, String] = tCols.map(c => c.toLowerCase -> c).toMap
+    def canon(c: String): String = canonName.getOrElse(c.toLowerCase, c)
     def starMap: Map[String, Column] = {
       val hit = tCols.filter(c => sColsLower.contains(c.toLowerCase))
       require(hit.nonEmpty,
@@ -487,7 +496,7 @@ object MergeSql {
           case SetList(as) =>
             require(as.map(_._1.toLowerCase).distinct.length == as.length,
               "MERGE SQL: duplicate column in SET")
-            as.map { case (c, r) => c -> ex(r) }.toMap
+            as.map { case (c, r) => canon(c) -> ex(r) }.toMap
         }
         if (bySource) MergeInto.NotMatchedBySourceUpdate(cond.map(ex), setMap)
         else MergeInto.MatchedUpdate(cond.map(ex), setMap)
@@ -500,7 +509,7 @@ object MergeSql {
           case InsertList(cols, vals) =>
             require(cols.map(_.toLowerCase).distinct.length == cols.length,
               "MERGE SQL: duplicate column in INSERT (…)")
-            cols.zip(vals).map { case (c, r) => c -> ex(r) }.toMap
+            cols.zip(vals).map { case (c, r) => canon(c) -> ex(r) }.toMap
         }
         MergeInto.NotMatchedInsert(cond.map(ex), values)
     }
@@ -537,6 +546,14 @@ object MergeSql {
     * ([[graft.plans.GraftSqlParser]]) calls this at parse time, when
     * the catalog cannot be consulted. */
   def validateStatement(sqlText: String): Unit = { parseStatement(sqlText); () }
+
+  /** The statement's target NAME, parse-only (None for a subquery
+    * target) — the parser command's non-graft fallback probe. */
+  def targetName(sqlText: String): Option[String] =
+    parseStatement(sqlText).target match {
+      case NamedRel(n, _) => Some(n)
+      case SubqueryRel(_) => None
+    }
 
   /** [[mergeCatalogTable]] with the lsn derived instead of passed:
     * target manifest version + 1 — monotone across commits, no clock

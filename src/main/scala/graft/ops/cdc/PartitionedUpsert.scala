@@ -652,14 +652,26 @@ object PartitionedUpsert {
     }
   }
 
-  /** Apply DDL schema changes (rename / lossless widen) to the
-    * committed table, atomically. Parquet's physical types cannot be
-    * up-cast in place by the vectorized reader, so a widen rewrites
-    * every bucket into a fresh version — O(table), the honest cost of
-    * a type migration anywhere — then publishes via the same atomic
-    * manifest swap: readers see the old schema or the new one, never a
-    * mix, and a crash mid-rewrite leaves the old table intact.
-    * `keyCol` is the key's POST-change name. */
+  /** Apply DDL schema changes to the committed table, atomically.
+    * Cost is per-change-kind, stated plainly:
+    *  - ADD COLUMN is METADATA-SPEED: the new manifest carries the
+    *    widened schema over the SAME data files — parquet's
+    *    missing-column contract reads the column as null from every
+    *    pre-add file, so no byte of data moves (the Delta/Iceberg
+    *    additive-evolution idiom). An all-adds batch publishes one
+    *    manifest and returns.
+    *  - RENAME, WIDEN and DROP all REWRITE the table — O(table), the
+    *    honest cost: the read path resolves parquet columns BY NAME
+    *    (a rename left in place would null out the column), the
+    *    vectorized reader cannot up-cast physical types in place, and
+    *    a metadata-only drop would leave the old bytes in the files
+    *    where a later re-add of the same name at a different type
+    *    would resurrect them (the column-mapping hazard; physical
+    *    removal keeps re-adds clean).
+    * Either way the publish is the same atomic manifest swap: readers
+    * see the old schema or the new one, never a mix, and a crash
+    * mid-rewrite leaves the old table intact. `keyCol` is the key's
+    * POST-change name. */
   def evolveSchema(spark: SparkSession, dir: String,
                    changes: Seq[Cdc.SchemaChange], keyCol: String,
                    nBuckets: Int): Unit = {
@@ -677,6 +689,18 @@ object PartitionedUpsert {
       case (k, _) => k
     }
     requireLayout(prior.copy(keyCol = trackedKey), nBuckets, keyCol, dir)
+    // an all-ADDs batch never needs the data: evolve an empty frame of
+    // the committed schema to get the new schema (plan-only, zero jobs)
+    // and publish it over the unchanged bucket map — metadata-speed
+    if (changes.forall(_.isInstanceOf[Cdc.AddColumn])) {
+      val emptyPrior = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], prior.schema)
+      val newSchema = Cdc.applySchemaChanges(emptyPrior, changes).schema
+      if (newSchema.json == prior.schema.json) return // replayed adds: no-op
+      writeManifest(fs, dir, prior.copy(version = prior.version + 1,
+        schema = newSchema))
+      return
+    }
     val evolved = Cdc.applySchemaChanges(read(spark, dir), changes)
     // replay no-op guard: a re-delivered DDL batch (rename already
     // applied, widen already at the target type) evolves to the
@@ -966,6 +990,35 @@ object PartitionedUpsert {
         s"version $version does not exist (or was vacuumed) at $dir")
     bucketsDf(spark, dir, readManifest(fs, dir, version))
   }
+
+  /** Timestamp → version resolution — the time-travel option users
+    * actually reach for first (Delta's `timestampAsOf`): the LATEST
+    * retained version whose commit time (manifest file mtime — the
+    * same clock [[history]]/[[historyDf]] already surface as
+    * `commit_time_ms`) is ≤ `tsMs`. Floor semantics between commits;
+    * a timestamp before the first retained commit is an error (there
+    * is no table state to serve — and after a vacuum the honest
+    * answer for a reclaimed era is the same error, not silently the
+    * oldest survivor... which floor-over-retained would give; callers
+    * needing strictness across vacuum should pin versions, the same
+    * caveat Delta documents). */
+  def versionAtTimestamp(spark: SparkSession, dir: String, tsMs: Long): Long = {
+    val commits = history(spark, dir) // (version, commitMs, buckets), newest first
+    if (commits.isEmpty)
+      throw new IllegalStateException(
+        s"$dir is not an initialized upsert target")
+    commits.find(_._2 <= tsMs).map(_._1).getOrElse {
+      val oldest = commits.last
+      throw new IllegalArgumentException(
+        s"timestamp $tsMs precedes the first retained commit of $dir " +
+          s"(version ${oldest._1} at ${oldest._2}) — nothing to time-travel to")
+    }
+  }
+
+  /** Time travel by TIMESTAMP: [[readVersion]] at
+    * [[versionAtTimestamp]]'s floor resolution. */
+  def readTimestamp(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
+    readVersion(spark, dir, versionAtTimestamp(spark, dir, tsMs))
 
   /** The committed manifest AS OF a version — the metadata twin of
     * [[readVersion]], for consumers whose pinned read must also take

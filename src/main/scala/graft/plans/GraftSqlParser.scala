@@ -63,10 +63,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   /** The shared 3-stage intercept: structural validate at parse time,
     * build the command; on OUR parse failure, delegate — and if the
-    * delegate rejects too, the graft error (far more specific) wins. */
+    * delegate rejects too, the graft error (far more specific) wins.
+    * A statement that validates ALSO captures the delegate's plan for
+    * it (when the delegate can parse it at all): the command falls
+    * back to that plan at RUN time if the resolved target turns out
+    * not to be a graft table — see [[GraftSqlFallback]]. */
   private def intercept(sqlText: String, validate: String => Unit,
-                        command: => LogicalPlan): LogicalPlan =
-    try { validate(sqlText); command }
+                        command: Option[LogicalPlan] => LogicalPlan)
+      : LogicalPlan =
+    try {
+      validate(sqlText)
+      command(scala.util.Try(delegate.parsePlan(sqlText)).toOption)
+    }
     catch {
       case scala.util.control.NonFatal(graftErr) =>
         try delegate.parsePlan(sqlText)
@@ -77,24 +85,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     firstKeyword(sqlText) match {
       case "MERGE" =>
         intercept(sqlText, MergeSql.validateStatement,
-          GraftMergeSqlCommand(sqlText))
+          GraftMergeSqlCommand(sqlText, _))
       case "DELETE" =>
         intercept(sqlText, DmlSql.validateDelete,
-          GraftDmlSqlCommand(sqlText, isUpdate = false))
+          GraftDmlSqlCommand(sqlText, isUpdate = false, _))
       case "UPDATE" =>
         intercept(sqlText, DmlSql.validateUpdate,
-          GraftDmlSqlCommand(sqlText, isUpdate = true))
+          GraftDmlSqlCommand(sqlText, isUpdate = true, _))
       case "DESCRIBE" if isDescribeHistory(sqlText) =>
+        // no fallback: DESCRIBE HISTORY is not a Spark statement, so
+        // there is no delegate plan a non-graft target could run
         intercept(sqlText, DmlSql.validateDescribeHistory,
-          GraftHistoryCommand(sqlText))
+          _ => GraftHistoryCommand(sqlText))
       case "ALTER" =>
-        intercept(sqlText, DmlSql.validateAlter, GraftAlterCommand(sqlText))
+        intercept(sqlText, DmlSql.validateAlter, GraftAlterCommand(sqlText, _))
       case "OPTIMIZE" =>
         intercept(sqlText, DmlSql.validateOptimize,
-          GraftMaintenanceCommand(sqlText, isVacuum = false))
+          GraftMaintenanceCommand(sqlText, isVacuum = false, _))
       case "VACUUM" =>
         intercept(sqlText, DmlSql.validateVacuum,
-          GraftMaintenanceCommand(sqlText, isVacuum = true))
+          GraftMaintenanceCommand(sqlText, isVacuum = true, _))
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -117,38 +127,70 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
 }
 
+/** Run-time non-graft fallback shared by the intercepted commands: a
+  * statement that PARSES as graft DDL/DML may still target a table
+  * that is not graft at all — a Delta/Iceberg row-level table when
+  * extensions coexist, or a native v2 table Spark's own ALTER
+  * handles. Hijacking those into tableLocation/manifestOrFail
+  * runtime errors would break statements that worked before the
+  * parser was injected, so: if the target resolves to a catalog
+  * LOCATION that holds no graft manifest, execute the DELEGATE's
+  * captured plan instead (its result rows are side-effect receipts
+  * of the foreign engine and are not re-shaped into the graft
+  * output — the command returns no rows on that path). A target
+  * with NO resolvable location (temp view, missing table) stays on
+  * the graft path, whose error is the specific, helpful one. */
+private[plans] object GraftSqlFallback {
+  def run(session: SparkSession, targetName: Option[String],
+          fallback: Option[LogicalPlan])(graftRun: => Seq[Row]): Seq[Row] = {
+    val loc = targetName.flatMap(DmlSql.resolvedLocation(session, _))
+    val nonGraft = loc.exists(d => !DmlSql.hasGraftManifest(session, d))
+    fallback match {
+      case Some(plan) if nonGraft =>
+        session.sessionState.executePlan(plan).executedPlan.executeCollect()
+        Seq.empty
+      case _ => graftRun
+    }
+  }
+}
+
 /** The eagerly-run command a parsed MERGE statement becomes: resolve
   * the target's location (public DESCRIBE surface), lower the clauses
   * onto [[graft.ops.cdc.MergeInto.mergeIntoTable]] with lsn =
   * manifest version + 1 (monotone, clockless — the INSERT INTO rule).
   * Output: one row, the count of buckets the merge touched. */
-final case class GraftMergeSqlCommand(sqlText: String)
+final case class GraftMergeSqlCommand(sqlText: String,
+                                      fallback: Option[LogicalPlan])
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("touched_buckets", LongType, nullable = false)())
 
-  override def run(session: SparkSession): Seq[Row] = {
-    val touched = MergeSql.mergeCatalogTableAuto(session, sqlText)
-    Seq(Row(touched.size.toLong))
-  }
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSqlFallback.run(session, MergeSql.targetName(sqlText), fallback) {
+      val touched = MergeSql.mergeCatalogTableAuto(session, sqlText)
+      Seq(Row(touched.size.toLong))
+    }
 }
 
 /** `DELETE FROM t [WHERE …]` / `UPDATE t SET … [WHERE …]` against a
   * graft catalog table — same command shape as MERGE ([[DmlSql]] owns
   * the grammar and the one-scan + bucket-pruned-merge lowering). */
-final case class GraftDmlSqlCommand(sqlText: String, isUpdate: Boolean)
+final case class GraftDmlSqlCommand(sqlText: String, isUpdate: Boolean,
+                                    fallback: Option[LogicalPlan])
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("touched_buckets", LongType, nullable = false)())
 
-  override def run(session: SparkSession): Seq[Row] = {
-    val touched =
-      if (isUpdate) DmlSql.updateCatalogTable(session, sqlText)
-      else DmlSql.deleteCatalogTable(session, sqlText)
-    Seq(Row(touched.size.toLong))
-  }
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSqlFallback.run(session,
+      Some(DmlSql.dmlTargetName(sqlText, isUpdate)), fallback) {
+      val touched =
+        if (isUpdate) DmlSql.updateCatalogTable(session, sqlText)
+        else DmlSql.deleteCatalogTable(session, sqlText)
+      Seq(Row(touched.size.toLong))
+    }
 }
 
 /** `DESCRIBE HISTORY t` — the per-version audit frame
@@ -182,26 +224,35 @@ final case class GraftHistoryCommand(sqlText: String)
   * against a graft table → atomic schema evolution; every OTHER
   * ALTER flavor fails [[DmlSql.validateAlter]] and delegates to
   * Spark's parser (the 3-stage contract). */
-final case class GraftAlterCommand(sqlText: String)
+final case class GraftAlterCommand(sqlText: String,
+                                   fallback: Option[LogicalPlan])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
-  override def run(session: SparkSession): Seq[Row] = {
-    DmlSql.alterCatalogTable(session, sqlText)
-    Seq.empty
-  }
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSqlFallback.run(session,
+      Some(DmlSql.alterTargetName(sqlText)), fallback) {
+      DmlSql.alterCatalogTable(session, sqlText)
+      Seq.empty
+    }
 }
 
 /** `OPTIMIZE t [MAXFILES n]` / `VACUUM t [KEEP n]` — the maintenance
   * statements ([[DmlSql]] owns grammar + lowering onto
   * compactFiles/vacuum). OPTIMIZE reports compacted buckets; VACUUM
   * reports 0 (reclamation has no bucket receipt). */
-final case class GraftMaintenanceCommand(sqlText: String, isVacuum: Boolean)
+final case class GraftMaintenanceCommand(sqlText: String, isVacuum: Boolean,
+                                         fallback: Option[LogicalPlan])
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("touched_buckets", LongType, nullable = false)())
 
-  override def run(session: SparkSession): Seq[Row] =
-    if (isVacuum) { DmlSql.vacuumCatalogTable(session, sqlText); Seq(Row(0L)) }
-    else Seq(Row(DmlSql.optimizeCatalogTable(session, sqlText).size.toLong))
+  override def run(session: SparkSession): Seq[Row] = {
+    val verb = if (isVacuum) "VACUUM" else "OPTIMIZE"
+    GraftSqlFallback.run(session,
+      Some(DmlSql.maintTargetName(sqlText, verb)), fallback) {
+      if (isVacuum) { DmlSql.vacuumCatalogTable(session, sqlText); Seq(Row(0L)) }
+      else Seq(Row(DmlSql.optimizeCatalogTable(session, sqlText).size.toLong))
+    }
+  }
 }

@@ -255,8 +255,17 @@ object AvroCdc {
     val stagingDir = new org.apache.hadoop.fs.Path(stagingStr)
     driverFs.mkdirs(stagingDir)
     val nested = nestEnvelope(df)
+    // failure phase tracked EXPLICITLY, not inferred from
+    // exists(finalDir): the inference misfired twice — a swap-phase
+    // delete returning false leaves finalDir present, so the catch
+    // would destroy the complete staging the error message just
+    // promised was retained; and a FIRST write (no pre-existing
+    // target) failing mid-job has no finalDir, so its partial staging
+    // leaked instead of being cleaned.
+    var writePhaseDone = false
     try {
       writeTasks(nested, stagingStr, schemaJson, env, codec, confEntries)
+      writePhaseDone = true
       // job succeeded: swap staging into place
       if (driverFs.exists(finalDir) && !driverFs.delete(finalDir, true))
         throw new java.io.IOException(
@@ -268,11 +277,11 @@ object AvroCdc {
           "(complete new data retained at the staging path)")
     } catch {
       case e: Throwable =>
-        // failed BEFORE the delete: old data intact — drop the
-        // partial staging so retries start clean. Failed DURING the
-        // swap: keep staging (the message above says where the data
-        // is); a missing final dir distinguishes the two.
-        if (driverFs.exists(finalDir)) driverFs.delete(stagingDir, true)
+        // write-phase failure: staging is partial garbage — drop it so
+        // retries start clean (old data, if any, is intact). Swap-phase
+        // failure: staging holds the COMPLETE new data the message
+        // points at — never delete it.
+        if (!writePhaseDone) driverFs.delete(stagingDir, true)
         throw e
     }
   }

@@ -88,12 +88,31 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft source needs a path: spark.read.format(\"graft\").load(dir)"))
 
+  /** The manifest resolved by [[inferSchema]], reused by [[getTable]]
+    * so a load resolves ONCE — Spark calls the two back-to-back on
+    * the same provider instance, and an independent re-resolution in
+    * getTable could pin a NEWER version than the one inferSchema saw
+    * if a merge committed between the calls (harmless for data —
+    * Table.schema() re-reads — but it would falsify the "pins ONCE
+    * per load" snapshot claim). Keyed by (dir, versionAsOf) so a
+    * mismatched reuse is impossible; volatile because Spark may probe
+    * providers from planner threads. */
+  @volatile private var resolved: Option[(String, Option[String], Manifest)] =
+    None
+
   private def manifestOf(options: CaseInsensitiveStringMap): Manifest = {
     val spark = SparkSession.active
     val dir = dirOf(options)
-    Option(options.get("versionAsOf")) match {
-      case Some(v) => PartitionedUpsert.manifestAt(spark, dir, v.toLong)
-      case None    => PartitionedUpsert.manifestOrFail(spark, dir)
+    val ver = Option(options.get("versionAsOf"))
+    resolved match {
+      case Some((d, v, m)) if d == dir && v == ver => m
+      case _ =>
+        val m = ver match {
+          case Some(v) => PartitionedUpsert.manifestAt(spark, dir, v.toLong)
+          case None    => PartitionedUpsert.manifestOrFail(spark, dir)
+        }
+        resolved = Some((dir, ver, m))
+        m
     }
   }
 

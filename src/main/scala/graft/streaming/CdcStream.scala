@@ -820,7 +820,10 @@ object CdcStream {
     * era contract is "parse what the payload actually carries", and
     * the recorded type keeps the read typed, not stringly). The drop
     * event must carry the type: the evolved table no longer remembers
-    * it. */
+    * it. A later ADD is inverted by REMOVING the column (pre-add
+    * payloads never spell it); applySchemaChanges re-adds it as null
+    * when the segment normalizes forward — the parquet-read analog of
+    * the metadata-only add. */
   private def invertRenames(schema: StructType,
                             changes: Seq[Cdc.SchemaChange]): StructType =
     changes.reverse.foldLeft(schema) {
@@ -832,6 +835,8 @@ object CdcStream {
             s"""(payload {"drop":{"col":"$name","type":"<ddl type>"}}) — """ +
             s"pre-drop events cannot be era-parsed without it"))
         StructType(s.fields :+ org.apache.spark.sql.types.StructField(name, t))
+      case (s, Cdc.AddColumn(name, _)) =>
+        StructType(s.fields.filterNot(_.name == name))
       case (s, _) => s
     }
 

@@ -186,6 +186,43 @@ class DmlSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS dml_ddl_w")
   }
 
+  test("r15 ADVICE trio: duplicate SET columns rejected; bare-name " +
+      "qualifier resolves for a multi-part table name; VACUUM RETAIN " +
+      "accepts unit keywords") {
+    import spark.implicits._
+    // duplicate SET: silently last-winning 'SET a=1, a=2' is a typo
+    // standard engines reject — ours does too now
+    val dup = intercept[Exception] {
+      DmlSql.validateUpdate("UPDATE t SET v = 1, v = 2 WHERE k = 1")
+    }
+    assert(dup.getMessage.contains("duplicate SET column"))
+    // multi-part name: the bare last segment is the usable qualifier
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml_mp").toString
+    val snap = (1L to 10L).map(k => (k, k * 10L)).toDF("k", "v")
+    PartitionedUpsert.init(snap, dir, "k", nBuckets = 2)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.dml_mp_t")
+    spark.sql(s"CREATE TABLE graft_db.dml_mp_t USING graft LOCATION '$dir'")
+    try {
+      // `dml_mp_t.v` must strip to `v` against the flat read frame
+      spark.sql(
+        "UPDATE graft_db.dml_mp_t SET v = dml_mp_t.v + 1 WHERE dml_mp_t.k = 3")
+      assert(spark.sql("SELECT v FROM graft_db.dml_mp_t WHERE k = 3")
+        .head.getLong(0) === 31L)
+      // VACUUM RETAIN with an explicit unit parses and runs (a 1-hour
+      // window keeps everything this fresh — manifest count unchanged)
+      val n = PartitionedUpsert.manifests(spark, dir).size
+      spark.sql("VACUUM graft_db.dml_mp_t KEEP 1 RETAIN 1 HOURS")
+      assert(PartitionedUpsert.manifests(spark, dir).size === n)
+      // RETAIN 0 MS trims to the KEEP set
+      spark.sql("VACUUM graft_db.dml_mp_t KEEP 1 RETAIN 0 MS")
+      assert(PartitionedUpsert.manifests(spark, dir).size === 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_db.dml_mp_t")
+      spark.sql("DROP DATABASE IF EXISTS graft_db")
+    }
+  }
+
   test("direct-path API twins (dir instead of catalog name) match the " +
       "SQL path: deleteFromTable / updateTable") {
     import spark.implicits._

@@ -63,6 +63,24 @@ class MergeSqlSpec extends SparkSpec {
     assert(out === exp)
   }
 
+  test("SET/INSERT column names resolve case-insensitively against the " +
+      "target schema (Spark's default resolution; r15 ADVICE)") {
+    views()
+    // 'Bal' and 'TAG' must canonicalize to the target's 'bal'/'tag'
+    val stmt =
+      """MERGE INTO ms_tgt AS a USING ms_src AS b ON a.k = b.k
+        |WHEN MATCHED THEN UPDATE SET Bal = a.bal + b.add, TAG = 'up'
+        |WHEN NOT MATCHED AND b.add >= 100 THEN
+        |  INSERT (K, BAL, Tag) VALUES (b.k, b.add, 'new')""".stripMargin
+    val exp = rows(MergeInto.into(tgt, src, Seq("k"))
+      .whenMatchedUpdate(Map("bal" -> (col("t.bal") + col("s.add")),
+        "tag" -> lit("up")))
+      .whenNotMatchedInsert(col("s.add") >= 100,
+        Map("k" -> col("s.k"), "bal" -> col("s.add"), "tag" -> lit("new")))
+      .resolve())
+    assert(rows(MergeSql.resolveStatement(spark, stmt)) === exp)
+  }
+
   test("USING (subquery) AS alias; ON parenthesized; qualified SET target") {
     views()
     val stmt =
