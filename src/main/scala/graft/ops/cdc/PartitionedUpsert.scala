@@ -971,10 +971,14 @@ object PartitionedUpsert {
     * graft LOCATION …`, `option("versionAsOf", v)`), which delegates
     * the read to the same pruned parquet scan this view wraps. */
   def registerView(spark: SparkSession, dir: String, name: String,
-                   versionAsOf: Option[Long] = None): Unit = {
-    val df = versionAsOf match {
-      case Some(v) => readVersion(spark, dir, v)
-      case None => read(spark, dir)
+                   versionAsOf: Option[Long] = None,
+                   timestampAsOf: Option[Long] = None): Unit = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "pass versionAsOf OR timestampAsOf, not both")
+    val df = (versionAsOf, timestampAsOf) match {
+      case (Some(v), _) => readVersion(spark, dir, v)
+      case (_, Some(t)) => readTimestamp(spark, dir, t)
+      case _ => read(spark, dir)
     }
     df.createOrReplaceTempView(name)
   }
