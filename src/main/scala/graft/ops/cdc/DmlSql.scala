@@ -177,18 +177,34 @@ object DmlSql {
                   dir: String): Seq[Long] = {
     val m = PartitionedUpsert.manifestOrFail(spark, dir)
     val keyCol = m.keyCol
+    // composite (struct-surrogate) key: its field names are part of
+    // the key — SET of one is the same rebucketing hazard as SET of
+    // the key, and WHERE may spell them FLAT (`WHERE region = 'eu'
+    // AND id = 7`) the way a composite-PK user naturally writes them
+    val keyFields: Seq[org.apache.spark.sql.types.StructField] =
+      m.schema(keyCol).dataType match {
+        case st: org.apache.spark.sql.types.StructType => st.fields.toSeq
+        case _ => Seq.empty
+      }
     val valueCols = m.schema.fieldNames.filterNot(
       _.equalsIgnoreCase(keyCol)).toSeq
     if (isUpdate) {
       d.sets.foreach { case (c, _) =>
-        require(!c.equalsIgnoreCase(keyCol),
+        require(!c.equalsIgnoreCase(keyCol) &&
+            !keyFields.exists(_.name.equalsIgnoreCase(c)),
           s"UPDATE SET must not change the table key '$keyCol' — " +
           "use DELETE + INSERT")
         require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
           s"UPDATE SET references non-table column '$c'")
       }
     }
-    val read = PartitionedUpsert.read(spark, dir)
+    // flat-name sugar: key-struct fields that collide with NO table
+    // column resolve as top-level names in WHERE/SET expressions (the
+    // helper columns are dropped by the explicit selects below)
+    val read = keyFields
+      .filterNot(f => m.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      .foldLeft(PartitionedUpsert.read(spark, dir))((df, f) =>
+        df.withColumn(f.name, col(s"`$keyCol`.`${f.name}`")))
     val matched = d.where.fold(read)(w => read.filter(expr(exprText(d, w))))
     val changes =
       if (isUpdate) {
@@ -468,6 +484,100 @@ object DmlSql {
 
   def validateOptimize(sqlText: String): Unit = { parseMaint(sqlText, "OPTIMIZE"); () }
   def validateVacuum(sqlText: String): Unit = { parseMaint(sqlText, "VACUUM"); () }
+
+  /** `TRUNCATE TABLE <name>` → [[PartitionedUpsert.truncate]]: ONE
+    * metadata-only commit referencing no buckets — not the
+    * unconditional-DELETE idiom, which scans the table to materialize
+    * a full-table delete frame at truncate time (that scaladoc owns
+    * the CDF-on-demand contract). Spark's own TRUNCATE works only on
+    * v1 session-catalog tables, so intercepting the statement for
+    * graft targets costs nothing that worked before; non-graft
+    * targets fall back to the delegate at run time. */
+  private def parseTruncate(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    def cur = if (i < toks.length) toks(i)
+              else fail(sql, sql.length, "unexpected end of statement")
+    def expectKw(k: String): Unit =
+      if (cur.kind == IDENT && cur.upper == k) i += 1
+      else fail(sql, cur.start, s"expected $k")
+    expectKw("TRUNCATE"); expectKw("TABLE")
+    if (cur.kind != IDENT && cur.kind != MergeSql.STR)
+      fail(sql, cur.start, "expected a table name")
+    val parts = Vector.newBuilder[String]
+    parts += cur.raw; i += 1
+    while (i < toks.length && cur.kind == PUNCT && cur.raw == "." &&
+           i + 1 < toks.length) { i += 1; parts += cur.raw; i += 1 }
+    if (i < toks.length)
+      fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
+    parts.result().mkString(".")
+  }
+
+  def validateTruncate(sqlText: String): Unit = { parseTruncate(sqlText); () }
+  def truncateTargetName(sqlText: String): String = parseTruncate(sqlText)
+
+  def truncateCatalogTable(spark: SparkSession, sqlText: String): Unit =
+    PartitionedUpsert.truncate(spark,
+      tableLocation(spark, parseTruncate(sqlText)))
+
+  /** `RESTORE TABLE <name> TO VERSION AS OF <n>` / `TO TIMESTAMP AS
+    * OF <millis | 'timestamp string'>` → [[PartitionedUpsert
+    * .restoreVersion]] — the Delta RESTORE statement as a
+    * metadata-only manifest republish (that scaladoc owns the
+    * contract). Timestamp strings resolve through the same floor rule
+    * as DSv2 `timestampAsOf`. */
+  private def parseRestore(sql: String): (String, Either[Long, Long]) = {
+    val toks = tokenize(sql)
+    var i = 0
+    def cur = if (i < toks.length) toks(i)
+              else fail(sql, sql.length, "unexpected end of statement")
+    def expectKw(k: String): Unit =
+      if (cur.kind == IDENT && cur.upper == k) i += 1
+      else fail(sql, cur.start, s"expected $k")
+    expectKw("RESTORE"); expectKw("TABLE")
+    if (cur.kind != IDENT && cur.kind != MergeSql.STR)
+      fail(sql, cur.start, "expected a table name")
+    val parts = Vector.newBuilder[String]
+    parts += cur.raw; i += 1
+    while (i < toks.length && cur.kind == PUNCT && cur.raw == "." &&
+           i + 1 < toks.length) { i += 1; parts += cur.raw; i += 1 }
+    expectKw("TO")
+    val byVersion =
+      if (cur.kind == IDENT && cur.upper == "VERSION") true
+      else if (cur.kind == IDENT && cur.upper == "TIMESTAMP") false
+      else fail(sql, cur.start, "expected VERSION or TIMESTAMP")
+    i += 1; expectKw("AS"); expectKw("OF")
+    val value: Long =
+      if (cur.kind == MergeSql.NUM) { val v = cur.raw.toLong; i += 1; v }
+      else if (!byVersion && cur.kind == MergeSql.STR) {
+        val raw = cur.raw.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\""); i += 1
+        scala.util.Try(java.sql.Timestamp.valueOf(raw).getTime)
+          .orElse(scala.util.Try(java.time.Instant.parse(raw).toEpochMilli))
+          .getOrElse(fail(sql, toks(i - 1).start,
+            s"timestamp '$raw' is neither 'yyyy-MM-dd HH:mm:ss[.f]' " +
+              "nor an ISO-8601 instant"))
+      } else fail(sql, cur.start,
+        if (byVersion) "expected a version number"
+        else "expected epoch millis or a timestamp string")
+    if (i < toks.length)
+      fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
+    (parts.result().mkString("."),
+      if (byVersion) Left(value) else Right(value))
+  }
+
+  def validateRestore(sqlText: String): Unit = { parseRestore(sqlText); () }
+  def restoreTargetName(sqlText: String): String = parseRestore(sqlText)._1
+
+  def restoreCatalogTable(spark: SparkSession, sqlText: String): Unit = {
+    val (name, pin) = parseRestore(sqlText)
+    val dir = tableLocation(spark, name)
+    val version = pin match {
+      case Left(v) => v
+      case Right(ts) => PartitionedUpsert.versionAtTimestamp(spark, dir, ts)
+    }
+    PartitionedUpsert.restoreVersion(spark, dir, version)
+  }
 
   /** `ALTER TABLE <t> RENAME COLUMN a TO b` / `ALTER COLUMN a TYPE
     * <ddl-type>` / `DROP COLUMN a` / `ADD COLUMN c <ddl-type>` /

@@ -237,10 +237,55 @@ object MergeInto {
     * source match, so the read becomes the full table and the cost
     * O(table) — the same property Delta's whenNotMatchedBySource has.
     * Rows the by-source ladder leaves untouched still produce no
-    * change row, so the REWRITE remains O(rows actually changed). */
+    * change row, so the REWRITE remains O(rows actually changed).
+    *
+    * `mergeSchema = true` (Delta's mergeSchema-on-merge / `MERGE WITH
+    * SCHEMA EVOLUTION`): source-extra columns are ADDED to the target
+    * (metadata-speed — evolveSchema's all-adds manifest swap) and
+    * source columns whose type is a lossless up-cast of the target's
+    * WIDEN it (the one O(table) rewrite a type migration honestly
+    * costs), both BEFORE the clauses resolve — so SET/VALUES of a new
+    * column passes checkCols and pre-merge rows read it as null.
+    * Replay-idempotent: an already-evolved schema no-ops in
+    * evolveSchema before the merge's own txn fast-path even runs.
+    * New columns keep their SOURCE spelling — SET keys for them must
+    * match it (existing columns stay case-insensitive via the SQL
+    * face's canonicalizer). */
   def mergeIntoTable(spark: SparkSession, dir: String, source: DataFrame,
                      keyCol: String, clauses: Seq[Clause], lsn: Long,
-                     txn: Option[(String, Long)] = None): Seq[Long] = {
+                     txn: Option[(String, Long)] = None,
+                     mergeSchema: Boolean = false): Seq[Long] = {
+    if (mergeSchema) {
+      // evolve only columns the clauses ASSIGN (Delta's rule for
+      // explicit assignments — star merges arrive here already
+      // expanded over the evolved frame, so their new columns are
+      // assignment keys too). The source's un-assigned payload
+      // columns (deltas, counters) must NOT leak into the table.
+      val assigned: Set[String] = clauses.flatMap {
+        case MatchedUpdate(_, set) => set.keys
+        case NotMatchedInsert(_, values) => values.keys
+        case NotMatchedBySourceUpdate(_, set) => set.keys
+        case _ => Nil
+      }.map(_.toLowerCase).toSet
+      val m0 = PartitionedUpsert.manifestOrFail(spark, dir)
+      val tFields = m0.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+      val evolvable = source.schema.fields.toSeq
+        .filter(f => assigned(f.name.toLowerCase))
+      val adds = evolvable
+        .filterNot(f => tFields.contains(f.name.toLowerCase))
+        .map(f => Cdc.AddColumn(f.name, f.dataType))
+      val widens = evolvable.flatMap { f =>
+        tFields.get(f.name.toLowerCase).collect {
+          case tf if tf.dataType != f.dataType &&
+              org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(tf.dataType, f.dataType) =>
+            Cdc.WidenColumn(tf.name, f.dataType)
+        }
+      }
+      if (adds.nonEmpty || widens.nonEmpty)
+        PartitionedUpsert.evolveSchema(spark, dir, adds ++ widens,
+          m0.keyCol, m0.nBuckets)
+    }
     val m = PartitionedUpsert.manifestOrFail(spark, dir)
     // every insert clause must set the table key — a NULL key row in
     // a keyed upsert target is never what the caller meant. And no

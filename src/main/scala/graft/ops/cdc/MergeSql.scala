@@ -19,7 +19,7 @@ import graft.Tables
   *
   * Grammar (case-insensitive keywords):
   * {{{
-  * MERGE INTO <rel> [AS] [alias]
+  * MERGE [WITH SCHEMA EVOLUTION] INTO <rel> [AS] [alias]
   * USING <rel> [AS] [alias]
   * ON <equi-conjunction: a.k = b.k [AND …]>
   * { WHEN MATCHED [AND <cond>] THEN { UPDATE SET <col=expr,…|*> | DELETE }
@@ -163,7 +163,8 @@ object MergeSql {
   private final case class RawMerge(sql: String, toks: IndexedSeq[Tok],
                                     target: Rel, tAlias: Option[String],
                                     source: Rel, sAlias: Option[String],
-                                    on: (Int, Int), clauses: Vector[RawClause])
+                                    on: (Int, Int), clauses: Vector[RawClause],
+                                    withSchemaEvolution: Boolean)
 
   // ---------------------------------------------------------------
   // Statement parser
@@ -247,7 +248,14 @@ object MergeSql {
       } else None
     }
 
-    expectKw("MERGE"); expectKw("INTO")
+    expectKw("MERGE")
+    // Delta's `MERGE WITH SCHEMA EVOLUTION INTO …` — source-extra
+    // columns evolve the target before the clauses resolve
+    val withSchemaEvolution =
+      if (isKw("WITH")) {
+        i += 1; expectKw("SCHEMA"); expectKw("EVOLUTION"); true
+      } else false
+    expectKw("INTO")
     val target = parseRelation(); val tAlias = parseAlias()
     expectKw("USING")
     val source = parseRelation(); val sAlias = parseAlias()
@@ -346,7 +354,8 @@ object MergeSql {
         clauses += RInsert(cond, parseInsert())
       } else fail(sql, cur.start, "expected UPDATE SET, DELETE or INSERT")
     }
-    RawMerge(sql, toks, target, tAlias, source, sAlias, on, clauses.result())
+    RawMerge(sql, toks, target, tAlias, source, sAlias, on,
+      clauses.result(), withSchemaEvolution)
   }
 
   // ---------------------------------------------------------------
@@ -454,8 +463,32 @@ object MergeSql {
     * [[MergeInto.mergeIntoTable]] via [[statementIntoTable]]. */
   def builder(spark: SparkSession, sqlText: String): MergeInto.MergeBuilder = {
     val m = parseStatement(sqlText)
-    val tgt = resolveRel(spark, m.target)
+    val tgt0 = resolveRel(spark, m.target)
     val src = resolveRel(spark, m.source)
+    // WITH SCHEMA EVOLUTION, frame semantics: new columns the clauses
+    // ASSIGN (explicit SET/INSERT names; star = every source column,
+    // Delta's rule) join the target as typed nulls BEFORE the clauses
+    // resolve, so checkCols passes and star-maps cover them — while
+    // un-assigned source payload columns never leak into the target.
+    // (The persisted path additionally evolves the TABLE —
+    // statementIntoTable passes mergeSchema to mergeIntoTable.)
+    val tgt =
+      if (!m.withSchemaEvolution) tgt0
+      else {
+        val assigned: Set[String] = m.clauses.flatMap {
+          case RUpdate(_, SetStar, _) => src.columns.toSeq
+          case RUpdate(_, SetList(as), _) => as.map(_._1)
+          case RInsert(_, InsertStar) => src.columns.toSeq
+          case RInsert(_, InsertList(cols, _)) => cols
+          case _ => Nil
+        }.map(_.toLowerCase.stripPrefix("`").stripSuffix("`")).toSet
+        val have = tgt0.columns.map(_.toLowerCase).toSet
+        src.schema.fields
+          .filter(f => assigned(f.name.toLowerCase) &&
+            !have(f.name.toLowerCase))
+          .foldLeft(tgt0)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+      }
     def aliases(r: Rel, a: Option[String]): Set[String] = a match {
       case Some(x) => Set(x.toUpperCase)
       case None => r match {
@@ -528,16 +561,75 @@ object MergeSql {
     * statement's single ON key must be the table key). */
   def statementIntoTable(spark: SparkSession, sqlText: String, dir: String,
                          lsn: Long, txn: Option[(String, Long)] = None): Seq[Long] = {
+    val wse = parseStatement(sqlText).withSchemaEvolution
     val b = builder(spark, sqlText)
-    require(b.keys.length == 1,
-      s"table MERGE needs exactly one ON key, got ${b.keys.mkString(",")}")
-    val keyCol = {
-      val m = PartitionedUpsert.manifestOrFail(spark, dir)
+    val m = PartitionedUpsert.manifestOrFail(spark, dir)
+    if (b.keys.length == 1) {
       require(m.keyCol.equalsIgnoreCase(b.keys.head),
         s"ON key '${b.keys.head}' is not the table key '${m.keyCol}'")
-      m.keyCol
+      MergeInto.mergeIntoTable(spark, dir, b.source, m.keyCol, b.clauses, lsn,
+        txn, mergeSchema = wse)
+    } else {
+      // COMPOSITE keys through the SQL face (r16): a multi-conjunct ON
+      // (t.region = s.region AND t.id = s.id) routes through the
+      // table's STRUCT-SURROGATE key — the documented composite
+      // pattern (ScaleSpec's native path): the manifest key must be a
+      // struct whose fields are exactly the ON columns; the source
+      // gains the surrogate (field-ordered, field-typed — routing
+      // hashes the VALUE, so the cast is what keeps a long-vs-int
+      // source from bucketing elsewhere), and INSERT's key-field
+      // VALUES fold into one struct assignment. SET of a key field is
+      // the same rebucketing hazard as SET of the key — rejected.
+      import org.apache.spark.sql.types.StructType
+      val keyCol = m.keyCol
+      val kf = m.schema(keyCol).dataType match {
+        case st: StructType => st
+        case other => throw new IllegalArgumentException(
+          s"multi-column ON keys (${b.keys.mkString(",")}) need a " +
+            s"struct-keyed table; '$keyCol' is ${other.catalogString} — " +
+            "pack the composite key into a struct column at init")
+      }
+      require(kf.fieldNames.map(_.toLowerCase).toSet ==
+          b.keys.map(_.toLowerCase).toSet,
+        s"ON columns (${b.keys.mkString(",")}) must be exactly the " +
+          s"fields of the table's composite key '$keyCol' " +
+          s"(${kf.fieldNames.mkString(",")})")
+      val keyFieldsL = kf.fieldNames.map(_.toLowerCase).toSet
+      def srcCol(name: String): Column = {
+        val actual = b.source.columns
+          .find(_.equalsIgnoreCase(name)).getOrElse(name)
+        col(actual)
+      }
+      val srcK = b.source.withColumn(keyCol,
+        struct(kf.fields.toSeq.map(f =>
+          srcCol(f.name).cast(f.dataType).as(f.name)): _*))
+      def noKeyFields(what: String, set: Map[String, Column]): Unit = {
+        val hit = set.keys.filter(c => keyFieldsL.contains(c.toLowerCase))
+        require(hit.isEmpty,
+          s"MERGE $what must not change key field(s) ${hit.mkString(",")} " +
+            s"of composite key '$keyCol' — use delete+insert")
+      }
+      val clauses2 = b.clauses.map {
+        case MergeInto.MatchedUpdate(c, set) =>
+          noKeyFields("update SET", set); MergeInto.MatchedUpdate(c, set)
+        case MergeInto.NotMatchedBySourceUpdate(c, set) =>
+          noKeyFields("by-source update SET", set)
+          MergeInto.NotMatchedBySourceUpdate(c, set)
+        case MergeInto.NotMatchedInsert(c, values) =>
+          val (keyVals, rest) = values.partition { case (n, _) =>
+            keyFieldsL.contains(n.toLowerCase) }
+          require(keyVals.size == kf.fields.length,
+            s"MERGE insert VALUES must set every key column of " +
+              s"'$keyCol' (${kf.fieldNames.mkString(",")})")
+          val keyValsL = keyVals.map { case (n, v) => n.toLowerCase -> v }
+          val packed = struct(kf.fields.toSeq.map(f =>
+            keyValsL(f.name.toLowerCase).cast(f.dataType).as(f.name)): _*)
+          MergeInto.NotMatchedInsert(c, rest + (keyCol -> packed))
+        case other => other
+      }
+      MergeInto.mergeIntoTable(spark, dir, srcK, keyCol, clauses2, lsn,
+        txn, mergeSchema = wse)
     }
-    MergeInto.mergeIntoTable(spark, dir, b.source, keyCol, b.clauses, lsn, txn)
   }
 
   /** Structural validation only — parses the statement skeleton and

@@ -559,6 +559,84 @@ object PartitionedUpsert {
     else spark.read.schema(m.schema).parquet(paths: _*)
   }
 
+  /** REPLACE the table's entire contents atomically — the lowering
+    * INSERT OVERWRITE needs (r15 verdict #5: "re-init" was the stated
+    * full-replace path, but init cannot target a live table and a
+    * truncate+insert pair has a torn middle state). Same write shape
+    * as init (snapshot routed by the COMMITTED layout into a fresh
+    * staging version) but published as prior.version + 1 through the
+    * standard atomic manifest swap: readers see the old contents or
+    * the new ones, never a mix; a crash mid-write leaves the old
+    * table intact; old versions stay time-travelable until vacuum.
+    * Schema, key and layout are the table's own (a replace changes
+    * CONTENTS, not shape — evolveSchema/rebucket own those). Bucket
+    * lsn watermarks reset to None: replaced data has no lsn lineage,
+    * and None keeps changesSinceLsn consumers conservative-correct
+    * (they re-read rather than skip). */
+  def replace(snapshot: DataFrame, dir: String): Unit = {
+    val spark = snapshot.sparkSession
+    val fs = fsOf(spark, dir)
+    val prior = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir is not an initialized upsert target — init creates tables, " +
+          "replace refills them"))
+    requireSchemaMatch(snapshot.schema, prior.schema, dir)
+    val staging = newStagingName(fs, dir)
+    snapshot
+      .withColumn("bucket", routeExpr(prior, col(prior.keyCol)))
+      .write.mode("errorifexists")
+      .partitionBy("bucket").parquet(s"$dir/data/$staging")
+    val written = listBuckets(fs, s"$dir/data/$staging")
+    val st = stagedStats(spark, fs, dir, staging, written, prior.keyCol,
+      prior.schema(prior.keyCol).dataType, _ => None)
+    writeManifest(fs, dir, prior.copy(version = prior.version + 1,
+      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st))
+  }
+
+  /** RESTORE the table to a retained version — Delta's `RESTORE
+    * TABLE` — as ONE metadata-only commit: the new manifest is
+    * version v's manifest (schema, layout, buckets, stats — a restore
+    * brings back data AND shape) republished as current+1, so not a
+    * byte of data moves and the rolled-back versions stay
+    * time-travelable until vacuum. The version-v staging dirs become
+    * reachable from the NEW head, so vacuum keeps them alive even
+    * after the old manifests age out. Writer-app TXN cursors keep
+    * their CURRENT values — a cursor records writer progress, not
+    * table contents, and regressing it would make an exactly-once
+    * streaming writer replay batches it already applied. Restoring to
+    * the current version is a no-op (no version burn). */
+  def restoreVersion(spark: SparkSession, dir: String, version: Long): Unit = {
+    val current = manifestOrFail(spark, dir)
+    if (version == current.version) return
+    val target = manifestAt(spark, dir, version) // errors if vacuumed
+    writeManifest(fsOf(spark, dir), dir,
+      target.copy(version = current.version + 1, txns = current.txns))
+  }
+
+  /** TRUNCATE: empty the table in ONE metadata-only commit — the new
+    * manifest keeps schema/key/layout and simply references NO
+    * buckets. Zero data files are written or deleted (the old
+    * version's files stay reachable through ITS manifest until vacuum
+    * reclaims them, so time travel across the truncate still works),
+    * and — unlike the unconditional-DELETE idiom — no per-row delete
+    * change frame is materialized at truncate time: the O(1) commit
+    * is the whole operation. A consumer that ASKS for the change feed
+    * across the boundary still gets honest row-level deletes
+    * ([[changesBetween]] derives them by diffing the two manifests —
+    * every old bucket reads once, the cost landing on the consumer
+    * who wanted the rows, not on the truncate). Per-bucket lsn
+    * watermarks go with the buckets; the next merge starts buckets
+    * fresh, exactly like init. */
+  def truncate(spark: SparkSession, dir: String): Unit = {
+    val prior = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir is not an initialized upsert target"))
+    if (prior.buckets.isEmpty) return // already empty: no version burn
+    writeManifest(fsOf(spark, dir), dir,
+      prior.copy(version = prior.version + 1,
+        buckets = Map.empty, stats = Map.empty))
+  }
+
   /** Record a writer-app transaction version WITHOUT data changes —
     * the metadata-only commit an incremental consumer needs when its
     * input window nets zero row changes (source compacted/rebucketed:

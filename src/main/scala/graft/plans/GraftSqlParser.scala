@@ -105,6 +105,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case "VACUUM" =>
         intercept(sqlText, DmlSql.validateVacuum,
           GraftMaintenanceCommand(sqlText, isVacuum = true, _))
+      case "TRUNCATE" =>
+        intercept(sqlText, DmlSql.validateTruncate,
+          GraftTruncateCommand(sqlText, _))
+      case "RESTORE" =>
+        intercept(sqlText, DmlSql.validateRestore,
+          GraftRestoreCommand(sqlText, _))
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -232,6 +238,42 @@ final case class GraftAlterCommand(sqlText: String,
     GraftSqlFallback.run(session,
       Some(DmlSql.alterTargetName(sqlText)), fallback) {
       DmlSql.alterCatalogTable(session, sqlText)
+      Seq.empty
+    }
+}
+
+/** `TRUNCATE TABLE t` against a graft table → the ONE metadata-only
+  * empty-manifest commit ([[DmlSql.truncateCatalogTable]] →
+  * PartitionedUpsert.truncate — no data I/O, no per-row delete frame;
+  * that scaladoc owns the contract); non-graft targets fall back to
+  * Spark's own TruncateTableCommand. */
+final case class GraftTruncateCommand(sqlText: String,
+                                      fallback: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSqlFallback.run(session,
+      Some(DmlSql.truncateTargetName(sqlText)), fallback) {
+      DmlSql.truncateCatalogTable(session, sqlText)
+      Seq.empty
+    }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` / `TO TIMESTAMP AS OF …` —
+  * Delta's RESTORE as a metadata-only manifest republish
+  * ([[graft.ops.cdc.PartitionedUpsert.restoreVersion]] owns the
+  * contract: zero data I/O, txn cursors kept current, rolled-back
+  * versions stay time-travelable). Spark has no RESTORE statement,
+  * so there is no delegate fallback to lose; non-graft targets get
+  * the specific graft error. */
+final case class GraftRestoreCommand(sqlText: String,
+                                     fallback: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSqlFallback.run(session,
+      Some(DmlSql.restoreTargetName(sqlText)), fallback) {
+      DmlSql.restoreCatalogTable(session, sqlText)
       Seq.empty
     }
 }

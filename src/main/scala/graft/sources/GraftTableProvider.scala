@@ -279,8 +279,13 @@ final class GraftTable(val dir: String, manifest: Manifest,
   override def name(): String = s"graft.`$dir`@v${manifest.version}"
   override def schema(): StructType = manifest.schema
   override def capabilities(): java.util.Set[TableCapability] =
+    // TRUNCATE = "can replace all contents" in DSv2 capability terms —
+    // it is what routes INSERT OVERWRITE through the V1 bridge with
+    // overwrite=true (lowered onto the atomic PartitionedUpsert
+    // .replace, r16), not a row-level truncate operator
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, manifest, bloomIndexDir)
@@ -318,18 +323,23 @@ final class GraftTable(val dir: String, manifest: Manifest,
   * The lsn is the target manifest version + 1 — monotone across
   * commits by construction, no clock involved. `InsertableRelation`
   * (the public V1 write bridge) receives the pre-resolved, pre-cast
-  * frame from Spark; `overwrite` (INSERT OVERWRITE) is rejected —
-  * "replace the whole keyed table" is [[PartitionedUpsert.init]]'s
-  * job, stated, not an implicit truncate. */
-final class GraftWriteBuilder(dir: String) extends WriteBuilder {
+  * frame from Spark; `overwrite` (INSERT OVERWRITE, r16) lowers onto
+  * [[PartitionedUpsert.replace]] — the ATOMIC whole-table refill
+  * (one manifest swap, no torn truncate+insert middle state, old
+  * versions time-travelable), under the same key guards. */
+final class GraftWriteBuilder(dir: String) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  // set by Spark's V2Writes when INSERT OVERWRITE's delete expression
+  // is the always-true truncate — the capability flag alone is not
+  // enough, the BUILDER must accept the truncate call or analysis
+  // fails with 'does not support overwrite by expression'
+  private var overwriteAll = false
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-          if (overwrite)
-            throw new UnsupportedOperationException(
-              "INSERT OVERWRITE into a graft upsert table is not " +
-              "supported — re-init the table for a full replace")
+        override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+          val overwrite = overwriteAll || overwriteFlag
           val spark = data.sparkSession
           // CURRENT manifest, not the read-pinned one: an INSERT
           // targets the table head (concurrent-merge conflicts are
@@ -350,11 +360,22 @@ final class GraftWriteBuilder(dir: String) extends WriteBuilder {
                   col(keyCol).cast("string"))).cast("boolean"))
               .otherwise(lit(true)))
             .drop("__dup")
-          val changes = guarded.select(
-            lit("u").as("__op") +: lit(m.version + 1).as("__lsn") +:
-              (keyCol +: valueCols).map(col): _*)
-          PartitionedUpsert.merge(spark, dir, changes, keyCol, "__lsn",
-            "__op", valueCols, m.nBuckets)
+          if (overwrite) {
+            // INSERT OVERWRITE = atomic whole-table REPLACE (r16 —
+            // PartitionedUpsert.replace owns the contract: one
+            // manifest swap, old versions time-travelable, crash
+            // leaves the old table intact). Same key guards as the
+            // append path: the replacement snapshot must be key-
+            // unique and null-free like any keyed-table state.
+            PartitionedUpsert.replace(
+              guarded.select(m.schema.fieldNames.map(col).toSeq: _*), dir)
+          } else {
+            val changes = guarded.select(
+              lit("u").as("__op") +: lit(m.version + 1).as("__lsn") +:
+                (keyCol +: valueCols).map(col): _*)
+            PartitionedUpsert.merge(spark, dir, changes, keyCol, "__lsn",
+              "__op", valueCols, m.nBuckets)
+          }
           ()
         }
       }

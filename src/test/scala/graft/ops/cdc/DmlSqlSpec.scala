@@ -186,6 +186,46 @@ class DmlSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS dml_ddl_w")
   }
 
+  test("spark.sql TRUNCATE TABLE: one metadata-only commit (no data " +
+      "I/O, old files stay for time travel), CDF across the boundary " +
+      "derives deletes on demand, merges restart fresh") {
+    import spark.implicits._
+    val dir = freshCatalogTable("dml_trunc_t")
+    try {
+      val before = PartitionedUpsert.manifestOrFail(spark, dir)
+      val filesBefore = before.buckets.values.toSet
+      spark.sql("TRUNCATE TABLE dml_trunc_t")
+      val after = PartitionedUpsert.manifestOrFail(spark, dir)
+      assert(after.version == before.version + 1)
+      assert(after.buckets.isEmpty && after.stats.isEmpty)
+      assert(spark.sql("SELECT COUNT(*) FROM dml_trunc_t").head.getLong(0) == 0)
+      // metadata-only: the old version's data files are untouched and
+      // its manifest still serves time travel
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(filesBefore.forall(rel =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel"))))
+      assert(PartitionedUpsert.readVersion(spark, dir, before.version)
+        .count() == 100)
+      // the change feed ACROSS the truncate derives row-level deletes
+      val cdf = PartitionedUpsert.changesBetween(
+        spark, dir, before.version, after.version)
+      assert(cdf.count() == 100)
+      assert(cdf.select("change_type").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("delete"))
+      // truncating an already-empty table burns no version
+      spark.sql("TRUNCATE TABLE dml_trunc_t")
+      assert(PartitionedUpsert.manifestOrFail(spark, dir).version
+        == after.version)
+      // life continues: merge into the emptied table
+      PartitionedUpsert.merge(spark, dir,
+        Seq(("u", 500L, 7L, 70L, "back")).toDF("__op", "__lsn", "k", "v", "tag"),
+        "k", "__lsn", "__op", Seq("v", "tag"), 8)
+      assert(spark.sql("SELECT v FROM dml_trunc_t WHERE k = 7")
+        .head.getLong(0) == 70L)
+    } finally spark.sql("DROP TABLE IF EXISTS dml_trunc_t")
+  }
+
   test("r15 ADVICE trio: duplicate SET columns rejected; bare-name " +
       "qualifier resolves for a multi-part table name; VACUUM RETAIN " +
       "accepts unit keywords") {
@@ -221,6 +261,35 @@ class DmlSqlSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_db.dml_mp_t")
       spark.sql("DROP DATABASE IF EXISTS graft_db")
     }
+  }
+
+  test("composite key through DELETE/UPDATE: key-struct fields resolve " +
+      "FLAT in WHERE; SET of a key field rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml_ck").toString
+    val snap = (for { r <- Seq("eu", "us"); i <- 1L to 10L } yield (r, i, i * 10L))
+      .toDF("region", "id", "v")
+      .select(struct($"region", $"id").as("ck"), $"v")
+    PartitionedUpsert.init(snap, dir, "ck", nBuckets = 4)
+    spark.sql("DROP TABLE IF EXISTS dml_ck_t")
+    spark.sql(s"CREATE TABLE dml_ck_t USING graft LOCATION '$dir'")
+    try {
+      spark.sql("UPDATE dml_ck_t SET v = v + 1000 WHERE region = 'eu' AND id <= 2")
+      spark.sql("DELETE FROM dml_ck_t WHERE region = 'us' AND id = 5")
+      val state = PartitionedUpsert.read(spark, dir)
+        .select($"ck.region", $"ck.id", $"v").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(state(("eu", 1L)) === 1010L && state(("eu", 2L)) === 1020L)
+      assert(state(("eu", 3L)) === 30L)
+      assert(!state.contains(("us", 5L)) && state.size === 19)
+      // the helper columns never leak into the table schema
+      assert(PartitionedUpsert.read(spark, dir).columns.toSeq === Seq("ck", "v"))
+      val e = intercept[Exception] {
+        spark.sql("UPDATE dml_ck_t SET region = 'xx' WHERE id = 1")
+      }
+      assert(e.getMessage.contains("must not change the table key"))
+    } finally spark.sql("DROP TABLE IF EXISTS dml_ck_t")
   }
 
   test("direct-path API twins (dir instead of catalog name) match the " +

@@ -81,6 +81,133 @@ class MergeSqlSpec extends SparkSpec {
     assert(rows(MergeSql.resolveStatement(spark, stmt)) === exp)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION INTO a graft catalog table: source-" +
+      "extra column added metadata-speed, SET/VALUES of it resolve, " +
+      "pre-merge rows read null, replay no-ops; frame path agrees") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_msevo").toString
+    PartitionedUpsert.init(
+      Seq((1L, 100L), (2L, 200L)).toDF("k", "bal"), dir, "k", 2)
+    spark.sql("DROP TABLE IF EXISTS ms_evo_t")
+    spark.sql(s"CREATE TABLE ms_evo_t USING graft LOCATION '$dir'")
+    Seq((1L, 7L, "x"), (3L, 30L, "y")).toDF("k", "add", "note")
+      .createOrReplaceTempView("ms_evo_src")
+    try {
+      val stmt =
+        """MERGE WITH SCHEMA EVOLUTION INTO ms_evo_t AS t
+          |USING ms_evo_src AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.add, note = s.note
+          |WHEN NOT MATCHED THEN
+          |  INSERT (k, bal, note) VALUES (s.k, s.add, s.note)""".stripMargin
+      val pathsBefore = PartitionedUpsert.bucketPaths(spark, dir)
+      spark.sql(stmt)
+      // note arrived metadata-speed (add published before the merge
+      // rewrote its touched buckets; untouched bucket files survive)
+      val out = PartitionedUpsert.read(spark, dir)
+      assert(out.columns.toSeq == Seq("k", "bal", "note"))
+      val state = out.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toSeq
+      assert(state == Seq((1L, 107L, "x"), (2L, 200L, null), (3L, 30L, "y")),
+        state.toString)
+      // replay: schema already evolved → evolveSchema no-op, the merge
+      // itself applies the (idempotent-content) clauses again
+      spark.sql(stmt)
+      assert(PartitionedUpsert.read(spark, dir).columns.toSeq
+        == Seq("k", "bal", "note"))
+      // frame path (resolveStatement) reaches the same shape
+      PartitionedUpsert.read(spark, dir) // (table already evolved)
+      Seq((10L, 1L), (20L, 2L)).toDF("bal", "k")
+        .createOrReplaceTempView("ms_evo_tgt_v")
+      val frame = MergeSql.resolveStatement(spark,
+        """MERGE WITH SCHEMA EVOLUTION INTO ms_evo_tgt_v AS t
+          |USING ms_evo_src AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET note = s.note""".stripMargin)
+      assert(frame.columns.toSeq == Seq("bal", "k", "note"))
+      assert(frame.filter($"k" === 1L).head.getString(2) == "x")
+      // without the clause, a new-column SET still fails loudly
+      val e = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO ms_evo_t AS t USING ms_evo_src AS s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET nope = s.note""".stripMargin)
+      }
+      assert(e.getMessage.contains("non-target column"))
+      assert(pathsBefore.nonEmpty) // fixture sanity
+    } finally spark.sql("DROP TABLE IF EXISTS ms_evo_t")
+  }
+
+  test("composite key through the SQL face: multi-conjunct ON routes " +
+      "the struct surrogate, INSERT key fields fold into the struct, " +
+      "SET of a key field rejected — equal to the native path") {
+    import spark.implicits._
+    def freshTable(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_msck").toString
+      val snap = (for { r <- Seq("eu", "us"); i <- 0L until 20L } yield (r, i, 1.0))
+        .toDF("region", "id", "val")
+        .select(struct($"region", $"id").as("ck"), $"val")
+      PartitionedUpsert.init(snap, dir, "ck", nBuckets = 4)
+      dir
+    }
+    val src = Seq(("eu", 7L, 77.0), ("us", 7L, -1.0), ("ap", 1L, 9.0))
+      .toDF("region", "id", "v")
+    src.createOrReplaceTempView("ms_ck_src")
+    val stmt = (tbl: String) =>
+      s"""MERGE INTO $tbl AS t USING ms_ck_src AS s
+         |ON t.region = s.region AND t.id = s.id
+         |WHEN MATCHED AND s.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET val = s.v
+         |WHEN NOT MATCHED THEN
+         |  INSERT (region, id, val) VALUES (s.region, s.id, s.v)""".stripMargin
+    // SQL path
+    val dirSql = freshTable()
+    spark.sql("DROP TABLE IF EXISTS ms_ck_t")
+    spark.sql(s"CREATE TABLE ms_ck_t USING graft LOCATION '$dirSql'")
+    try {
+      spark.sql(stmt("ms_ck_t"))
+      // native path: same clauses, struct surrogate hand-built
+      val dirNative = freshTable()
+      val srcK = src.select(struct($"region", $"id").as("ck"), $"v")
+      MergeInto.mergeIntoTable(spark, dirNative, srcK, "ck",
+        Seq(
+          MergeInto.MatchedDelete(Some(col("s.v") < 0)),
+          MergeInto.MatchedUpdate(None, Map("val" -> col("s.v"))),
+          MergeInto.NotMatchedInsert(None,
+            Map("ck" -> col("s.ck"), "val" -> col("s.v")))),
+        lsn = 2L)
+      def state(dir: String) = PartitionedUpsert.read(spark, dir)
+        .select($"ck.region", $"ck.id", $"val").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val got = state(dirSql)
+      assert(got == state(dirNative))
+      assert(got(("eu", 7L)) == 77.0 && !got.contains(("us", 7L))
+        && got(("ap", 1L)) == 9.0)
+      // SET of a key field is the rebucketing hazard — rejected
+      val e = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO ms_ck_t AS t USING ms_ck_src AS s
+            |ON t.region = s.region AND t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET region = 'xx'""".stripMargin)
+      }
+      assert(e.getMessage.contains("key field"))
+      // a multi-conjunct ON against a NON-struct table is a clear error
+      val dirFlat = java.nio.file.Files.createTempDirectory("graft_msfk").toString
+      PartitionedUpsert.init(
+        Seq((1L, 2L, 3.0)).toDF("region", "id", "val")
+          .select($"region".as("k"), $"id", $"val"), dirFlat, "k", 2)
+      spark.sql("DROP TABLE IF EXISTS ms_flat_t")
+      spark.sql(s"CREATE TABLE ms_flat_t USING graft LOCATION '$dirFlat'")
+      val e2 = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO ms_flat_t AS t USING ms_ck_src AS s
+            |ON t.k = s.region AND t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET val = s.v""".stripMargin)
+      }
+      assert(e2.getMessage.contains("same name") ||
+        e2.getMessage.contains("struct-keyed"), e2.getMessage)
+      spark.sql("DROP TABLE IF EXISTS ms_flat_t")
+    } finally spark.sql("DROP TABLE IF EXISTS ms_ck_t")
+  }
+
   test("USING (subquery) AS alias; ON parenthesized; qualified SET target") {
     views()
     val stmt =

@@ -63,6 +63,51 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("not both"))
   }
 
+  test("RESTORE TABLE: metadata-only manifest republish — contents " +
+      "and schema roll back, no data file moves, txn cursors stay " +
+      "current, rolled-back versions remain travelable; SQL face " +
+      "takes VERSION and TIMESTAMP pins") {
+    import spark.implicits._
+    val dir = fixture() // v1/v2/v3 at mtimes 1000/2000/3000
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val v2Rows = rows(PartitionedUpsert.readVersion(spark, dir, 2L))
+    val v3Rows = rows(PartitionedUpsert.read(spark, dir))
+    val v3Paths = PartitionedUpsert.bucketPaths(spark, dir)
+    // record a writer cursor, then restore: the cursor must survive
+    PartitionedUpsert.recordTxn(spark, dir, "writer-app", 42L) // v4
+    PartitionedUpsert.restoreVersion(spark, dir, 2L)           // v5
+    val m = PartitionedUpsert.manifestOrFail(spark, dir)
+    assert(m.version == 5L)
+    assert(rows(PartitionedUpsert.read(spark, dir)) == v2Rows)
+    assert(m.txns.get("writer-app").contains(42L),
+      "txn cursors record writer progress and must not regress on restore")
+    // rolled-back v3 state still travelable; its files untouched
+    assert(rows(PartitionedUpsert.readVersion(spark, dir, 3L)) == v3Rows)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(v3Paths.values.forall(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p))))
+    // no-op restore to the current contents' version burns nothing
+    PartitionedUpsert.restoreVersion(spark, dir, 5L)
+    assert(PartitionedUpsert.manifestOrFail(spark, dir).version == 5L)
+    // SQL face: catalog table + both pin forms
+    spark.sql("DROP TABLE IF EXISTS tt_restore_t")
+    spark.sql(s"CREATE TABLE tt_restore_t USING graft LOCATION '$dir'")
+    try {
+      spark.sql("RESTORE TABLE tt_restore_t TO VERSION AS OF 3")
+      assert(rows(PartitionedUpsert.read(spark, dir)) == v3Rows)
+      spark.sql("RESTORE TABLE tt_restore_t TO TIMESTAMP AS OF 1500")
+      assert(rows(PartitionedUpsert.read(spark, dir))
+        == rows(PartitionedUpsert.readVersion(spark, dir, 1L)))
+      // vacuumed / never-committed version: loud error
+      val e = intercept[Exception] {
+        spark.sql("RESTORE TABLE tt_restore_t TO VERSION AS OF 99")
+      }
+      assert(e.getMessage.contains("does not exist"))
+    } finally spark.sql("DROP TABLE IF EXISTS tt_restore_t")
+  }
+
   test("DSv2 option(\"timestampAsOf\", …): millis and ISO instant both " +
       "resolve to the floor version; equals versionAsOf; writes " +
       "rejected; both-options rejected") {

@@ -233,15 +233,24 @@ class GraftTableProviderSpec extends SparkSpec {
       // row never reached the table)
       assert(msgs(nul).exists(m => m != null &&
         (m.contains("NULL table key") || m.contains("NOT_NULL"))))
-      // OVERWRITE is refused at Spark's capability gate (no TRUNCATE/
-      // OVERWRITE_BY_FILTER declared) — before our defensive branch
-      val ovw = intercept[Exception] {
-        spark.sql("INSERT OVERWRITE dsv2_ins_g VALUES (5, 1, 'a')")
-      }
-      assert(msgs(ovw).exists(m => m != null &&
-        m.toLowerCase.contains("overwrite")), msgs(ovw).mkString(" ~~ "))
       // failed statements must not have moved the table
       assert(spark.sql("SELECT COUNT(*) FROM dsv2_ins_g").head.getLong(0) === 100)
+      // INSERT OVERWRITE (r16) = ATOMIC whole-table replace via
+      // PartitionedUpsert.replace — one manifest swap, old version
+      // still time-travelable, same dup/null key guards as append
+      val vPre = PartitionedUpsert.manifestOrFail(spark, dir).version
+      spark.sql(
+        "INSERT OVERWRITE dsv2_ins_g VALUES (5, 1, 'a'), (6, 2, 'b')")
+      assert(spark.sql("SELECT COUNT(*) FROM dsv2_ins_g").head.getLong(0) === 2)
+      assert(spark.sql("SELECT v FROM dsv2_ins_g WHERE k = 5").head.getLong(0) === 1L)
+      assert(PartitionedUpsert.manifestOrFail(spark, dir).version === vPre + 1)
+      assert(PartitionedUpsert.readVersion(spark, dir, vPre).count() === 100)
+      val ovwDup = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE dsv2_ins_g VALUES (5, 1, 'a'), (5, 2, 'b')")
+      }
+      assert(msgs(ovwDup).exists(m => m != null && m.contains("multiple rows")))
+      // the failed overwrite moved nothing
+      assert(spark.sql("SELECT COUNT(*) FROM dsv2_ins_g").head.getLong(0) === 2)
       // versionAsOf load is read-only
       val v = PartitionedUpsert.manifestOrFail(spark, dir).version
       val ro = intercept[Exception] {
