@@ -268,7 +268,16 @@ object Bench {
             // Foo$$Lambda$2749/0x00007fca44d8f068
             .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
             .replaceAll("plan_id=\\d+", "plan_id=")
-            .replaceAll("@[0-9a-f]{6,}", "@")
+            // object identity hashes are 1-8 hex chars — the {6,}
+            // floor let short ones through (observed: a UDAF anon
+            // class rendering @fcea5 in one JVM, @ in the next)
+            .replaceAll("@[0-9a-f]{1,16}\\b", "@")
+            // session-cached catalog fixture tables carry the per-PID
+            // fixture path's hashCode in their NAME (q_cdc_dml_sql /
+            // q_cdc_ddl_sql convention `graft_<tag>_t_<digits>`) — the
+            // RelationV2 node renders it, flapping the fingerprint per
+            // JVM exactly like the raw fixture paths below
+            .replaceAll("\\b(graft_[a-z0-9_]+_t)_\\d+", "$1_#")
             // per-PID fixture roots (Scans.fixtureDir) leak the JVM's
             // pid into scan paths — a fixture-reading key would flap
             // its fingerprint on every fresh JVM (observed r15:

@@ -35,6 +35,8 @@ object SparkEntry {
       (graft.ops.cdc.MergeInto.queries, graft.ops.cdc.MergeInto.oracle),
       (graft.ops.cdc.MergeSql.queries, graft.ops.cdc.MergeSql.oracle),
       (graft.ops.cdc.DmlSql.queries, graft.ops.cdc.DmlSql.oracle),
+      (graft.ops.cdc.MorQueries.queries, graft.ops.cdc.MorQueries.oracle),
+      (graft.ops.cdc.CloneQueries.queries, graft.ops.cdc.CloneQueries.oracle),
       (graft.ops.cdc.Quality.queries, graft.ops.cdc.Quality.oracle),
       (graft.ops.llm.LlmQueries.queries, graft.ops.llm.LlmQueries.oracle),
       (graft.ops.llm.LlmQueries2.queries, graft.ops.llm.LlmQueries2.oracle),

@@ -1,0 +1,74 @@
+package graft.ops.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Oracled SHALLOW CLONE lifecycle — metadata-only fork +
+  * copy-on-write divergence under the cross-engine hash gate. */
+object CloneQueries {
+
+  /** Fork-and-diverge certified cross-engine: init a source table
+    * from customer (cents grid), [[PartitionedUpsert.clone]] it
+    * (metadata-only — the clone's v1 manifest borrows every source
+    * file through `ext:` references, zero data bytes copied), then
+    * diverge the CLONE only:
+    *   1. `deleteMor` tombstones the negative balances — a LOCAL
+    *      sidecar laid OVER borrowed buckets,
+    *   2. `UPDATE … SET bal_cents += 12345 WHERE seg = 'BUILDING'`
+    *      (direct-path DmlSql) — copy-on-write: exactly the matched
+    *      buckets rewrite into the clone's own data/, reading through
+    *      the borrow + tombstone filter; unmatched buckets keep
+    *      borrowing.
+    * The read-back resolves a three-way mix — borrowed buckets,
+    * borrowed-buckets-plus-local-sidecars, and localized rewrites —
+    * in one frame; DuckDB replays algebraically (WHERE-out the
+    * deletes, CASE the update), so one hash certifies borrow
+    * resolution, the sidecar-over-borrow read, and CoW rewrite
+    * interplay. The SOURCE is never written after init by
+    * construction. */
+  def qCdcClone(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcPath = graft.ops.relational.Scans.fixtureDir(dir, "clone_src")
+    val dstPath = graft.ops.relational.Scans.fixtureDir(dir, "clone_dst")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(srcPath, dstPath).foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val tgt = Tables.table(spark, dir, "customer").select(
+      $"c_custkey",
+      round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
+      $"c_mktsegment".as("seg"))
+    PartitionedUpsert.init(tgt.coalesce(1), srcPath, "c_custkey", nBuckets = 4)
+    PartitionedUpsert.clone(spark, srcPath, dstPath)
+    PartitionedUpsert.deleteMor(spark, dstPath,
+      tgt.filter($"bal_cents" < 0).select($"c_custkey"), "c_custkey")
+    DmlSql.updateTable(spark,
+      "UPDATE t SET bal_cents = bal_cents + 12345 WHERE seg = 'BUILDING'",
+      dstPath)
+    PartitionedUpsert.read(spark, dstPath)
+      .select($"c_custkey", $"bal_cents", $"seg")
+      .orderBy($"c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_clone" -> (qCdcClone _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    // clone divergence replayed algebraically over the same parquet:
+    // WHERE-out the tombstoned negatives, CASE the BUILDING bump
+    "q_cdc_clone" ->
+      """SELECT c_custkey,
+        |       CAST(ROUND(c_acctbal*100,0) AS BIGINT) +
+        |         CASE WHEN c_mktsegment = 'BUILDING' THEN 12345
+        |              ELSE 0 END AS bal_cents,
+        |       c_mktsegment AS seg
+        |FROM customer
+        |WHERE CAST(ROUND(c_acctbal*100,0) AS BIGINT) >= 0
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -428,7 +428,7 @@ object DmlSql {
     * token stream and resolve the table like every DML statement
     * here. */
   private def parseMaint(sql: String, verb: String)
-      : (String, Option[Int], Option[Long]) = {
+      : (String, Option[Int], Option[Long], Seq[String]) = {
     val toks = tokenize(sql)
     var i = 0
     def cur = if (i < toks.length) toks(i)
@@ -447,10 +447,11 @@ object DmlSql {
     }
     var n: Option[Int] = None
     var retain: Option[Long] = None
+    var zorder: Seq[String] = Seq.empty
     val unitMs = Map("HOURS" -> 3600000L, "MINUTES" -> 60000L,
       "SECONDS" -> 1000L, "MS" -> 1L)
     while (i < toks.length && cur.kind == IDENT &&
-           Set("MAXFILES", "KEEP", "RETAIN").contains(cur.upper)) {
+           Set("MAXFILES", "KEEP", "RETAIN", "ZORDER").contains(cur.upper)) {
       val kw = cur.upper; i += 1
       kw match {
         case "RETAIN" =>
@@ -461,22 +462,55 @@ object DmlSql {
               val u = cur.upper; i += 1; unitMs(u)
             } else 1L // unit-less = milliseconds (back-compat, documented)
           retain = Some(v * mult)
+        case "ZORDER" =>
+          // ZORDER BY (c1[, c2]) — the Delta OPTIMIZE clause verbatim
+          if (!(i < toks.length && cur.kind == IDENT && cur.upper == "BY"))
+            fail(sql, if (i < toks.length) cur.start else sql.length,
+              "expected BY after ZORDER")
+          i += 1
+          if (!(i < toks.length && cur.kind == PUNCT && cur.raw == "("))
+            fail(sql, if (i < toks.length) cur.start else sql.length,
+              "expected '(' after ZORDER BY")
+          i += 1
+          val out = Vector.newBuilder[String]
+          var more = true
+          while (more) {
+            if (i >= toks.length ||
+                (cur.kind != IDENT && cur.kind != MergeSql.STR))
+              fail(sql, if (i < toks.length) cur.start else sql.length,
+                "expected a column name in ZORDER BY")
+            out += cur.raw.stripPrefix("`").stripSuffix("`"); i += 1
+            if (i < toks.length && cur.kind == PUNCT && cur.raw == ",") i += 1
+            else more = false
+          }
+          if (!(i < toks.length && cur.kind == PUNCT && cur.raw == ")"))
+            fail(sql, if (i < toks.length) cur.start else sql.length,
+              "expected ')' closing ZORDER BY")
+          i += 1
+          zorder = out.result()
         case _        => n = Some(num().toInt)
       }
     }
     if (i < toks.length)
       fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
-    (parts.result().mkString("."), n, retain)
+    (parts.result().mkString("."), n, retain, zorder)
   }
 
   def optimizeCatalogTable(spark: SparkSession, sqlText: String): Seq[Long] = {
-    val (name, n, _) = parseMaint(sqlText, "OPTIMIZE")
-    PartitionedUpsert.compactFiles(spark, tableLocation(spark, name),
-      maxFilesPerBucket = n.getOrElse(4))
+    val (name, n, _, zorder) = parseMaint(sqlText, "OPTIMIZE")
+    val dir = tableLocation(spark, name)
+    if (zorder.nonEmpty) {
+      require(n.isEmpty,
+        "OPTIMIZE takes MAXFILES or ZORDER BY, not both — a z-order " +
+          "rewrite re-clusters every bucket regardless of fragmentation")
+      PartitionedUpsert.optimizeZorder(spark, dir, zorder)
+    } else
+      PartitionedUpsert.compactFiles(spark, dir,
+        maxFilesPerBucket = n.getOrElse(4))
   }
 
   def vacuumCatalogTable(spark: SparkSession, sqlText: String): Unit = {
-    val (name, n, retain) = parseMaint(sqlText, "VACUUM")
+    val (name, n, retain, _) = parseMaint(sqlText, "VACUUM")
     PartitionedUpsert.vacuum(spark, tableLocation(spark, name),
       keepManifests = n.getOrElse(2),
       minStagingAgeMs = retain.getOrElse(3600000L))
@@ -519,6 +553,133 @@ object DmlSql {
   def truncateCatalogTable(spark: SparkSession, sqlText: String): Unit =
     PartitionedUpsert.truncate(spark,
       tableLocation(spark, parseTruncate(sqlText)))
+
+  /** `REORG TABLE <name> APPLY (PURGE)` → [[PartitionedUpsert
+    * .purgeTombstones]] — Delta's exact purge statement: rewrite the
+    * merge-on-read-tombstoned buckets with their deletes applied and
+    * retire the sidecars (that scaladoc owns the cost contract:
+    * O(tombstoned buckets), read-identical before/after, no-debt =
+    * no version burned). Spark has no REORG statement, so the
+    * intercept costs nothing that worked before. */
+  private def parseReorg(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    def cur = if (i < toks.length) toks(i)
+              else fail(sql, sql.length, "unexpected end of statement")
+    def expectKw(k: String): Unit =
+      if (cur.kind == IDENT && cur.upper == k) i += 1
+      else fail(sql, cur.start, s"expected $k")
+    expectKw("REORG"); expectKw("TABLE")
+    if (cur.kind != IDENT && cur.kind != MergeSql.STR)
+      fail(sql, cur.start, "expected a table name")
+    val parts = Vector.newBuilder[String]
+    parts += cur.raw; i += 1
+    while (i < toks.length && cur.kind == PUNCT && cur.raw == "." &&
+           i + 1 < toks.length) { i += 1; parts += cur.raw; i += 1 }
+    expectKw("APPLY")
+    if (!(cur.kind == PUNCT && cur.raw == "("))
+      fail(sql, cur.start, "expected '(' after APPLY")
+    i += 1
+    expectKw("PURGE")
+    if (!(cur.kind == PUNCT && cur.raw == ")"))
+      fail(sql, cur.start, "expected ')' closing APPLY (PURGE)")
+    i += 1
+    if (i < toks.length)
+      fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
+    parts.result().mkString(".")
+  }
+
+  def validateReorg(sqlText: String): Unit = { parseReorg(sqlText); () }
+  def reorgTargetName(sqlText: String): String = parseReorg(sqlText)
+
+  /** `CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF n |
+    * TIMESTAMP AS OF <millis|'ts'>] [LOCATION '<path>']` →
+    * [[PartitionedUpsert.clone]] (that scaladoc owns the contract:
+    * metadata-only fork, copy-on-write divergence, vacuum isolation)
+    * + a catalog registration of the clone as a graft table. LOCATION
+    * is REQUIRED — graft tables are path-addressed, and inventing a
+    * warehouse-relative path behind the user's back is how clones get
+    * lost. Only statements containing SHALLOW CLONE are intercepted
+    * at all (every ordinary CREATE goes straight to Spark). */
+  private def parseShallowClone(sql: String)
+      : (String, String, Option[Either[Long, Long]], Option[String]) = {
+    val toks = tokenize(sql)
+    var i = 0
+    def cur = if (i < toks.length) toks(i)
+              else fail(sql, sql.length, "unexpected end of statement")
+    def isKw(k: String) = i < toks.length && cur.kind == IDENT && cur.upper == k
+    def expectKw(k: String): Unit =
+      if (isKw(k)) i += 1 else fail(sql, cur.start, s"expected $k")
+    def name(): String = {
+      if (cur.kind != IDENT && cur.kind != MergeSql.STR)
+        fail(sql, cur.start, "expected a table name")
+      val parts = Vector.newBuilder[String]
+      parts += cur.raw; i += 1
+      while (i < toks.length && cur.kind == PUNCT && cur.raw == "." &&
+             i + 1 < toks.length) { i += 1; parts += cur.raw; i += 1 }
+      parts.result().mkString(".")
+    }
+    expectKw("CREATE"); expectKw("TABLE")
+    val dst = name()
+    expectKw("SHALLOW"); expectKw("CLONE")
+    val src = name()
+    var pin: Option[Either[Long, Long]] = None
+    if (isKw("VERSION") || isKw("TIMESTAMP")) {
+      val byVersion = cur.upper == "VERSION"
+      i += 1; expectKw("AS"); expectKw("OF")
+      val value: Long =
+        if (cur.kind == MergeSql.NUM) { val v = cur.raw.toLong; i += 1; v }
+        else if (!byVersion && cur.kind == MergeSql.STR) {
+          val raw = cur.raw.stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\""); i += 1
+          scala.util.Try(java.sql.Timestamp.valueOf(raw).getTime)
+            .orElse(scala.util.Try(java.time.Instant.parse(raw).toEpochMilli))
+            .getOrElse(fail(sql, toks(i - 1).start,
+              s"timestamp '$raw' is neither 'yyyy-MM-dd HH:mm:ss[.f]' " +
+                "nor an ISO-8601 instant"))
+        } else fail(sql, cur.start,
+          if (byVersion) "expected a version number"
+          else "expected epoch millis or a timestamp string")
+      pin = Some(if (byVersion) Left(value) else Right(value))
+    }
+    val loc =
+      if (isKw("LOCATION")) {
+        i += 1
+        if (cur.kind != MergeSql.STR)
+          fail(sql, cur.start, "expected a quoted path after LOCATION")
+        val p = cur.raw.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\""); i += 1
+        Some(p)
+      } else None
+    if (i < toks.length)
+      fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
+    (dst, src, pin, loc)
+  }
+
+  def validateShallowClone(sqlText: String): Unit = {
+    parseShallowClone(sqlText); ()
+  }
+  def shallowCloneSourceName(sqlText: String): String =
+    parseShallowClone(sqlText)._2
+
+  def shallowCloneCatalogTable(spark: SparkSession, sqlText: String): Unit = {
+    val (dst, src, pin, loc) = parseShallowClone(sqlText)
+    val dstLoc = loc.getOrElse(fail(sqlText, 0,
+      "SHALLOW CLONE of a graft table requires LOCATION '<path>' — " +
+        "graft tables are path-addressed"))
+    val srcDir = tableLocation(spark, src)
+    PartitionedUpsert.clone(spark, srcDir, dstLoc,
+      versionAsOf = pin.flatMap(_.left.toOption),
+      timestampAsOf = pin.flatMap(_.toOption))
+    // registration re-enters the injected parser, misses the SHALLOW
+    // CLONE gate, and goes straight to Spark — no recursion
+    spark.sql(s"CREATE TABLE $dst USING graft LOCATION '$dstLoc'")
+    ()
+  }
+
+  def reorgCatalogTable(spark: SparkSession, sqlText: String): Seq[Long] =
+    PartitionedUpsert.purgeTombstones(spark,
+      tableLocation(spark, parseReorg(sqlText)))
 
   /** `RESTORE TABLE <name> TO VERSION AS OF <n>` / `TO TIMESTAMP AS
     * OF <millis | 'timestamp string'>` → [[PartitionedUpsert
@@ -597,7 +758,16 @@ object DmlSql {
     * prevents by owning the statement. Renaming the key column is
     * legal — the post-change key name is tracked exactly the way
     * evolveSchema requires. */
-  private def parseAlter(sql: String): (String, Seq[Cdc.SchemaChange]) = {
+  /** What an intercepted ALTER statement lowers to: schema evolution
+    * shapes, or CHECK-constraint bookkeeping (`ADD CONSTRAINT nm
+    * CHECK (expr)` / `DROP CONSTRAINT nm` — the Delta constraint
+    * statements, metadata commits on [[PartitionedUpsert]]). */
+  sealed trait AlterKind
+  final case class AlterSchema(changes: Seq[Cdc.SchemaChange]) extends AlterKind
+  final case class AlterAddCheck(name: String, check: String) extends AlterKind
+  final case class AlterDropCheck(name: String) extends AlterKind
+
+  private def parseAlter(sql: String): (String, AlterKind) = {
     val toks = tokenize(sql)
     var i = 0
     def cur = if (i < toks.length) toks(i)
@@ -637,22 +807,39 @@ object DmlSql {
     while (i < toks.length && cur.kind == PUNCT && cur.raw == "." &&
            i + 1 < toks.length) { i += 1; parts += cur.raw; i += 1 }
     val name = parts.result().mkString(".")
-    val changes: Seq[Cdc.SchemaChange] =
+    val changes: AlterKind =
       if (isKw("RENAME")) {
         i += 1; expectKw("COLUMN")
         val from = ident(); expectKw("TO"); val to = ident()
-        Seq(Cdc.RenameColumn(from, to))
+        AlterSchema(Seq(Cdc.RenameColumn(from, to)))
       } else if (isKw("ALTER")) {
         i += 1; expectKw("COLUMN")
         val c = ident(); expectKw("TYPE")
         if (i >= toks.length) fail(sql, sql.length, "expected a type")
-        Seq(Cdc.WidenColumn(c, parseType(typeText(Set.empty))))
+        AlterSchema(Seq(Cdc.WidenColumn(c, parseType(typeText(Set.empty)))))
       } else if (isKw("DROP")) {
-        i += 1; expectKw("COLUMN")
-        Seq(Cdc.DropColumn(ident()))
+        i += 1
+        if (isKw("CONSTRAINT")) { i += 1; AlterDropCheck(ident()) }
+        else { expectKw("COLUMN"); AlterSchema(Seq(Cdc.DropColumn(ident()))) }
       } else if (isKw("ADD")) {
         i += 1
-        if (isKw("COLUMNS")) {
+        if (isKw("CONSTRAINT")) {
+          i += 1
+          val nm = ident()
+          expectKw("CHECK")
+          if (!(i < toks.length && cur.kind == PUNCT && cur.raw == "("))
+            fail(sql, if (i < toks.length) cur.start else sql.length,
+              "expected '(' after CHECK")
+          i += 1
+          // depth-aware slice to the matching ')' — the expression
+          // goes VERBATIM to Spark's expr() at enforcement time
+          val ex = typeText(Set.empty)
+          if (!(i < toks.length && cur.kind == PUNCT && cur.raw == ")"))
+            fail(sql, if (i < toks.length) cur.start else sql.length,
+              "expected ')' closing CHECK")
+          i += 1
+          AlterAddCheck(nm, ex)
+        } else if (isKw("COLUMNS")) {
           i += 1
           if (!(cur.kind == PUNCT && cur.raw == "("))
             fail(sql, cur.start, "expected '(' after ADD COLUMNS")
@@ -669,16 +856,17 @@ object DmlSql {
             fail(sql, if (i < toks.length) cur.start else sql.length,
               "expected ')' closing ADD COLUMNS")
           i += 1
-          out.result()
+          AlterSchema(out.result())
         } else {
           expectKw("COLUMN")
           val c = ident()
           if (i >= toks.length) fail(sql, sql.length, "expected a type")
-          Seq(Cdc.AddColumn(c, parseType(typeText(Set.empty))))
+          AlterSchema(Seq(Cdc.AddColumn(c, parseType(typeText(Set.empty)))))
         }
       } else fail(sql, cur.start,
         "only RENAME COLUMN / ALTER COLUMN … TYPE / DROP COLUMN / " +
-          "ADD COLUMN(S) are graft DDL")
+          "ADD COLUMN(S) / ADD CONSTRAINT … CHECK (…) / DROP CONSTRAINT " +
+          "are graft DDL")
     if (i < toks.length)
       fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
     (name, changes)
@@ -687,14 +875,21 @@ object DmlSql {
   def validateAlter(sqlText: String): Unit = { parseAlter(sqlText); () }
 
   def alterCatalogTable(spark: SparkSession, sqlText: String): Unit = {
-    val (name, changes) = parseAlter(sqlText)
+    val (name, kind) = parseAlter(sqlText)
     val dir = tableLocation(spark, name)
-    val m = PartitionedUpsert.manifestOrFail(spark, dir)
-    val postKey = changes.foldLeft(m.keyCol) {
-      case (k, Cdc.RenameColumn(from, to)) if from.equalsIgnoreCase(k) => to
-      case (k, _) => k
+    kind match {
+      case AlterSchema(changes) =>
+        val m = PartitionedUpsert.manifestOrFail(spark, dir)
+        val postKey = changes.foldLeft(m.keyCol) {
+          case (k, Cdc.RenameColumn(from, to)) if from.equalsIgnoreCase(k) => to
+          case (k, _) => k
+        }
+        PartitionedUpsert.evolveSchema(spark, dir, changes, postKey, m.nBuckets)
+      case AlterAddCheck(nm, ex) =>
+        PartitionedUpsert.addCheckConstraint(spark, dir, nm, ex)
+      case AlterDropCheck(nm) =>
+        PartitionedUpsert.dropCheckConstraint(spark, dir, nm)
     }
-    PartitionedUpsert.evolveSchema(spark, dir, changes, postKey, m.nBuckets)
   }
 
   /** `DESCRIBE HISTORY <table>` → [[PartitionedUpsert.historyDf]]

@@ -61,7 +61,16 @@ object PartitionedUpsert {
                             buckets: Map[Long, String],
                             stats: Map[Long, BucketStat] = Map.empty,
                             layout: String = LayoutHash,
-                            splits: Seq[Long] = Seq.empty)
+                            splits: Seq[Long] = Seq.empty,
+                            tombs: Map[Long, Seq[Tomb]] = Map.empty,
+                            checks: Seq[(String, String)] = Seq.empty)
+
+  /** One merge-on-read DELETE sidecar for a bucket: a parquet dir of
+    * DELETED KEYS (key column only) the read path anti-joins away.
+    * `bytes` is recorded at write time so readers can decide to
+    * broadcast the tombstone side without a single FS call — the same
+    * zero-listing contract BucketStat upholds. */
+  final case class Tomb(bytes: Long, rel: String)
 
   /** Bucket layouts. `hash` (default): bucket = xxhash64(key) mod n —
     * uniform under any key distribution, ideal for point workloads,
@@ -131,6 +140,17 @@ object PartitionedUpsert {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Manifest path references are table-RELATIVE (`data/v<N>/bucket=i`)
+    * except SHALLOW-CLONE borrows, which carry an `ext:` prefix and an
+    * absolute path into the SOURCE table ([[clone]]). One resolver so
+    * no reader can interpret the two shapes differently. */
+  private[graft] def resolveRel(dir: String, rel: String): String =
+    if (rel.startsWith(ExtPrefix)) rel.stripPrefix(ExtPrefix) else s"$dir/$rel"
+
+  private[graft] val ExtPrefix = "ext:"
+
+  private def isExt(rel: String): Boolean = rel.startsWith(ExtPrefix)
+
   private def manifestPath(dir: String, version: Long): Path =
     new Path(s"$dir/_manifests/v%020d.manifest".format(version))
 
@@ -184,6 +204,14 @@ object PartitionedUpsert {
         s"stats\t$b\t${s.files}\t${s.bytes}\t${opt(s.minKey)}\t" +
           s"${opt(s.maxKey)}\t${opt(s.maxLsn)}"
       } ++
+      // tombstones in commit order per bucket (order is cosmetic — the
+      // anti-join unions them — but determinism keeps manifests diffable)
+      m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ts) =>
+        ts.map(t => s"tomb\t$b\t${t.bytes}\t${t.rel}")
+      } ++
+      // CHECK constraints in declaration order (expr text is tab-free
+      // by construction — addCheckConstraint rejects tabs loudly)
+      m.checks.map { case (nm, ex) => s"check\t$nm\t$ex" } ++
       m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" })
       .mkString("\n")
   }
@@ -224,8 +252,16 @@ object PartitionedUpsert {
         else p(2).split(',').toSeq.map(_.toLong))
       case None => (LayoutHash, Seq.empty[Long])
     }
+    val tombs = rest.filter(_.startsWith("tomb\t")).map { l =>
+      val p = l.split('\t')
+      (p(1).toLong, Tomb(p(2).toLong, p(3)))
+    }.groupBy(_._1).map { case (b, ts) => b -> ts.map(_._2).toSeq }
+    val checks = rest.filter(_.startsWith("check\t")).toSeq.map { l =>
+      val p = l.split('\t')
+      (p(1), p(2))
+    }
     Manifest(version, schema, nBuckets, keyCol, txns, buckets, stats,
-      layout, splits)
+      layout, splits, tombs, checks)
   }
 
   /** Publish a manifest via [[AtomicPublish.publishNoOverwrite]] —
@@ -432,6 +468,62 @@ object PartitionedUpsert {
         s"table via evolveSchema before applying this batch")
   }
 
+  /** Executor-raised CHECK enforcement (the DSv2 write-guard posture:
+    * no driver-side validation pass — the guard rides the write job
+    * itself): a row failing any recorded constraint aborts the job
+    * with the constraint's name before anything stages, so a
+    * violating batch can never commit. A NULL check result PASSES
+    * (the ANSI CHECK rule). A table without constraints gets its
+    * frame back untouched — zero plan change. */
+  private def enforceChecks(df: DataFrame,
+                            checks: Seq[(String, String)]): DataFrame =
+    checks.foldLeft(df) { case (d, (nm, ex)) =>
+      d.filter(when(coalesce(expr(ex), lit(true)), lit(true))
+        .otherwise(raise_error(lit(
+          s"CHECK constraint '$nm' ($ex) violated"))))
+    }
+
+  /** Record a CHECK constraint in the manifest, enforced from this
+    * commit on by EVERY write path (merge/DML/DSv2 insert lower onto
+    * prepare; replace guards its snapshot). Delta's rule on existing
+    * data applies: the table must already satisfy the constraint —
+    * one O(table) scan here, stated, so the guarantee is total from
+    * version+1 rather than "future writes only". Name must be a bare
+    * identifier; expression text must be line/tab-free (it lives on
+    * one manifest line). */
+  def addCheckConstraint(spark: SparkSession, dir: String,
+                         name: String, check: String): Unit = {
+    val prior = manifestOrFail(spark, dir)
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name '$name' must be a bare identifier")
+    require(!check.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "constraint expression must be single-line, tab-free text")
+    require(!prior.checks.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint '$name' already exists on $dir")
+    val bad = read(spark, dir)
+      .filter(!coalesce(expr(check), lit(true))).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$name' ($check) to $dir — " +
+          s"existing row violates it: ${bad(0)}")
+    writeManifest(fsOf(spark, dir), dir, prior.copy(
+      version = prior.version + 1,
+      checks = prior.checks :+ (name -> check)))
+  }
+
+  /** Remove a recorded CHECK constraint (metadata-only commit).
+    * Unknown names error loudly — silently "dropping" a constraint
+    * that never existed hides a typo'd name from the operator. */
+  def dropCheckConstraint(spark: SparkSession, dir: String,
+                          name: String): Unit = {
+    val prior = manifestOrFail(spark, dir)
+    require(prior.checks.exists(_._1.equalsIgnoreCase(name)),
+      s"no CHECK constraint named '$name' on $dir")
+    writeManifest(fsOf(spark, dir), dir, prior.copy(
+      version = prior.version + 1,
+      checks = prior.checks.filterNot(_._1.equalsIgnoreCase(name))))
+  }
+
   def prepare(spark: SparkSession, dir: String, changes: DataFrame,
               keyCol: String, lsnCol: String, opCol: String,
               valueCols: Seq[String], nBuckets: Int,
@@ -472,8 +564,7 @@ object PartitionedUpsert {
       if (touched.isEmpty)
         return Pending("", prior, Seq.empty)
       val staging = newStagingName(fs, dir)
-      val current = bucketsDf(spark, dir, prior,
-        only = Some(touched.flatMap(prior.buckets.get)))
+      val current = bucketsDf(spark, dir, prior, only = Some(touched))
       // sparse = TOAST-style partial after-images: the batch carries a
       // `<col>_present` flag per value column and Cdc.applySparse does
       // column-level LWW against the current bucket state (the bucket
@@ -486,7 +577,11 @@ object PartitionedUpsert {
           Seq(keyCol), lsnCol, opCol, valueCols)
           .drop("src")
       requireSchemaMatch(merged.schema, prior.schema, dir)
-      val next = merged.withColumn("bucket", routeExpr(prior, col(keyCol)))
+      // CHECK constraints guard the POST-merge state of every touched
+      // bucket (surviving rows already passed when written — the
+      // re-evaluation is a codegen'd predicate riding the rewrite)
+      val next = enforceChecks(merged, prior.checks)
+        .withColumn("bucket", routeExpr(prior, col(keyCol)))
       // fresh staging dir: the plan reads the old files and writes new
       // ones — no read-write conflict, no checkpoint materialization
       next.write.mode("errorifexists")
@@ -527,10 +622,14 @@ object PartitionedUpsert {
           }
         })
       // manifest version = base+1: a concurrent merge from the same
-      // base targets the SAME manifest name and loses the publish race
+      // base targets the SAME manifest name and loses the publish race.
+      // Touched buckets rewrote from the tombstone-FILTERED read, so
+      // their deletes are now physical — the sidecars retire with the
+      // rewrite (an untouched bucket keeps its tombs).
       Pending(staging,
         prior.copy(version = prior.version + 1, txns = prior.txns ++ txns,
-          buckets = buckets, stats = (prior.stats -- touched) ++ st),
+          buckets = buckets, stats = (prior.stats -- touched) ++ st,
+          tombs = prior.tombs -- touched),
         touched)
     } finally { withBucket.unpersist(); () }
   }
@@ -541,22 +640,49 @@ object PartitionedUpsert {
     * FkIndex imports — companions must not reimplement routing. */
   private[cdc] def readBuckets(spark: SparkSession, dir: String,
                                m: Manifest, buckets: Seq[Long]): DataFrame =
-    bucketsDf(spark, dir, m,
-      only = Some(buckets.flatMap(m.buckets.get).sorted))
+    bucketsDf(spark, dir, m, only = Some(buckets))
 
   private[cdc] def routeFor(m: Manifest, k: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = routeExpr(m, k)
 
+  /** Tombstone sidecars above this total footprint hash-join instead
+    * of broadcasting (a delete wave bigger than executor broadcast
+    * budget must not OOM the read path; the threshold mirrors Spark's
+    * own autoBroadcastJoinThreshold order of magnitude). */
+  private val TombBroadcastBytes: Long = 32L << 20
+
   /** Materialize a manifest ('s listed files) as a DataFrame; `only`
-    * restricts to a subset of bucket paths (path-pruned merge read). */
+    * restricts to a subset of BUCKET IDS (path-pruned merge read; ids
+    * absent from the manifest are ignored, so callers can pass routed
+    * ids without membership checks). Buckets carrying merge-on-read
+    * tombstones get their recorded DELETED KEYS anti-joined away here
+    * — the ONE materialization point every reader (merge, CDF diff,
+    * time travel, point lookup) flows through, so no reader can see a
+    * tombstoned row. A deleted key can only live in the bucket it
+    * routes to, so the union of the SELECTED buckets' sidecars is
+    * exact for any bucket subset; the sidecar footprint rides in the
+    * manifest, so the broadcast decision costs zero FS calls. */
   private def bucketsDf(spark: SparkSession, dir: String, m: Manifest,
-                        only: Option[Seq[String]] = None): DataFrame = {
-    val rels = only.getOrElse(m.buckets.values.toSeq.sorted)
-    val paths = rels.map(rel => s"$dir/$rel")
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        m.schema)
-    else spark.read.schema(m.schema).parquet(paths: _*)
+                        only: Option[Seq[Long]] = None): DataFrame = {
+    val ids = only.getOrElse(m.buckets.keys.toSeq)
+      .filter(m.buckets.contains).distinct.sorted
+    val paths = ids.map(b => resolveRel(dir, m.buckets(b)))
+    val base =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          m.schema)
+      else spark.read.schema(m.schema).parquet(paths: _*)
+    val tombs = ids.flatMap(b => m.tombs.getOrElse(b, Seq.empty))
+    if (tombs.isEmpty) base
+    else {
+      val keySchema = StructType(Seq(m.schema(m.keyCol)))
+      val keys = spark.read.schema(keySchema)
+        .parquet(tombs.map(t => resolveRel(dir, t.rel)): _*)
+      val side =
+        if (tombs.map(_.bytes).sum <= TombBroadcastBytes) broadcast(keys)
+        else keys
+      base.join(side, Seq(m.keyCol), "left_anti")
+    }
   }
 
   /** REPLACE the table's entire contents atomically — the lowering
@@ -582,7 +708,7 @@ object PartitionedUpsert {
           "replace refills them"))
     requireSchemaMatch(snapshot.schema, prior.schema, dir)
     val staging = newStagingName(fs, dir)
-    snapshot
+    enforceChecks(snapshot, prior.checks)
       .withColumn("bucket", routeExpr(prior, col(prior.keyCol)))
       .write.mode("errorifexists")
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
@@ -590,7 +716,8 @@ object PartitionedUpsert {
     val st = stagedStats(spark, fs, dir, staging, written, prior.keyCol,
       prior.schema(prior.keyCol).dataType, _ => None)
     writeManifest(fs, dir, prior.copy(version = prior.version + 1,
-      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st))
+      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
+      tombs = Map.empty)) // replaced contents carry no delete debt
   }
 
   /** RESTORE the table to a retained version — Delta's `RESTORE
@@ -634,7 +761,7 @@ object PartitionedUpsert {
     if (prior.buckets.isEmpty) return // already empty: no version burn
     writeManifest(fsOf(spark, dir), dir,
       prior.copy(version = prior.version + 1,
-        buckets = Map.empty, stats = Map.empty))
+        buckets = Map.empty, stats = Map.empty, tombs = Map.empty))
   }
 
   /** Record a writer-app transaction version WITHOUT data changes —
@@ -730,6 +857,224 @@ object PartitionedUpsert {
     }
   }
 
+  /** MERGE-ON-READ DELETE — the deletion-vector rung of this format
+    * (the public Delta DV / Iceberg v2 position-delete idea, re-cut
+    * for a key-bucketed table as KEY tombstones): instead of
+    * rewriting every matched bucket (the copy-on-write `merge` with
+    * delete ops — O(matched buckets) in data), write the DELETED KEYS
+    * themselves as per-bucket parquet sidecars and commit a manifest
+    * that references them — O(delete batch) in data, metadata-speed
+    * relative to the table. Every reader flows through [[bucketsDf]],
+    * which anti-joins the sidecar keys away (broadcast when the
+    * recorded footprint is small), so the deletes are visible
+    * immediately; they become PHYSICAL the next time the bucket
+    * rewrites for any reason (a later merge touching it, compaction,
+    * schema evolution, rebucket, or an explicit [[purgeTombstones]])
+    * — at which point the sidecars retire from the manifest and
+    * vacuum reclaims them.
+    *
+    * The 100 TB trade, stated plainly: a wide delete wave (GDPR
+    * erasure, retention sweep) over a 1000-bucket table costs one
+    * small write instead of a near-full-table rewrite; the price is
+    * one anti-join per read until the debt is purged. Read cost is
+    * bounded by the SIDECAR footprint (recorded per sidecar in the
+    * manifest, so the broadcast decision is zero-FS-call) — tables
+    * accumulating heavy debt should purge on the compaction cadence.
+    *
+    * `keys` carries one column (`keyCol`, the table's own key, same
+    * type — a mismatched type would route to the wrong buckets, the
+    * requireLayout hazard). Null keys are dropped: an anti-join can
+    * never match null = null, and no live row has a null key worth
+    * tombstoning. Keys routing to buckets the table doesn't have are
+    * no-ops by construction. `txn` gives the same replay idempotence
+    * as merge. Returns the tombstoned bucket ids (empty = nothing to
+    * do, no version burned). */
+  def deleteMor(spark: SparkSession, dir: String, keys: DataFrame,
+                keyCol: String, txn: Option[(String, Long)] = None): Seq[Long] = {
+    val fs = fsOf(spark, dir)
+    val prior = manifestOrFail(spark, dir)
+    require(keyCol == prior.keyCol,
+      s"$dir is keyed by '${prior.keyCol}', not '$keyCol' — tombstones " +
+        s"route by the table's own key")
+    require(ignoreNullable(keys.schema(keyCol).dataType) ==
+      ignoreNullable(prior.schema(prior.keyCol).dataType),
+      s"deleteMor keys column '$keyCol: " +
+        s"${keys.schema(keyCol).dataType.catalogString}' does not match " +
+        s"$dir's key type ${prior.schema(prior.keyCol).dataType.catalogString}" +
+        s" — a mismatched type would route to the wrong buckets")
+    if (txn.exists { case (app, ver) => prior.txns.get(app).exists(_ >= ver) })
+      return Seq.empty
+    // distinct: a replayed/duplicated key in the batch would only
+    // bloat the sidecar every reader pays to anti-join
+    val withBucket = keys.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct()
+      .withColumn("bucket", routeExpr(prior, col(keyCol)))
+      .persist()
+    try {
+      val touched = withBucket.select("bucket").distinct()
+        .collect().map(_.getLong(0)).filter(prior.buckets.contains).sorted.toSeq
+      if (touched.isEmpty) return Seq.empty
+      val staging = newStagingName(fs, dir)
+      withBucket.filter(col("bucket").isin(touched: _*))
+        .write.mode("errorifexists").partitionBy("bucket")
+        .parquet(s"$dir/data/$staging")
+      val written = listBuckets(fs, s"$dir/data/$staging")
+      val newTombs: Map[Long, Seq[Tomb]] = written.map { b =>
+        val files = fs.listStatus(new Path(s"$dir/${dataRel(staging, b)}"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        b -> (prior.tombs.getOrElse(b, Seq.empty) :+
+          Tomb(files.map(_.getLen).sum, dataRel(staging, b)))
+      }.toMap
+      // a MOR delete changes bucket CONTENTS without an lsn: the
+      // recorded watermark no longer certifies "nothing after it
+      // changed", so it drops to None (conservative include) — an
+      // lsn-addressed consumer re-reads the bucket instead of
+      // skipping the deletes
+      val lsnCleared = written.flatMap(b =>
+        prior.stats.get(b).map(s => b -> s.copy(maxLsn = None))).toMap
+      try {
+        writeManifest(fs, dir, prior.copy(version = prior.version + 1,
+          txns = prior.txns ++ txn,
+          stats = prior.stats ++ lsnCleared,
+          tombs = prior.tombs ++ newTombs))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // same-txn race: if the winner applied OUR txn, this replay
+          // is done (mergeWith's contract)
+          if (txn.exists { case (app, ver) =>
+            currentManifest(spark, dir).exists(_.txns.get(app).exists(_ >= ver))
+          }) return Seq.empty
+          else throw e
+      }
+      written.sorted
+    } finally { withBucket.unpersist(); () }
+  }
+
+  /** Rewrite every tombstoned bucket with its deletes applied and
+    * retire the sidecars — Delta's `REORG TABLE … APPLY (PURGE)`:
+    * the explicit way to pay down merge-on-read debt when no organic
+    * rewrite (merge/compaction) is coming. O(tombstoned buckets), not
+    * O(table); published through the standard atomic manifest swap;
+    * read results are IDENTICAL before and after by construction (the
+    * rewrite reads through the same anti-join every reader uses).
+    * Returns the bucket ids purged (empty = no debt, no version
+    * burned). */
+  def purgeTombstones(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsOf(spark, dir)
+    val prior = manifestOrFail(spark, dir)
+    val target = prior.tombs.keys.toSeq.filter(prior.buckets.contains).sorted
+    if (target.isEmpty) return Seq.empty
+    val staging = newStagingName(fs, dir)
+    bucketsDf(spark, dir, prior, only = Some(target))
+      .withColumn("bucket", routeExpr(prior, col(prior.keyCol)))
+      .repartition(target.size, col("bucket"))
+      .write.mode("errorifexists").partitionBy("bucket")
+      .parquet(s"$dir/data/$staging")
+    val written = listBuckets(fs, s"$dir/data/$staging")
+    val st = stagedStats(spark, fs, dir, staging, written, prior.keyCol,
+      prior.schema(prior.keyCol).dataType,
+      b => prior.stats.get(b).flatMap(_.maxLsn))
+    // fully-tombstoned buckets stage nothing and leave the map (the
+    // emptied-by-omission rule — nothing to resurrect)
+    writeManifest(fs, dir, prior.copy(version = prior.version + 1,
+      buckets = (prior.buckets -- target) ++
+        written.map(b => b -> dataRel(staging, b)),
+      stats = (prior.stats -- target) ++ st,
+      tombs = prior.tombs -- target))
+    target
+  }
+
+  /** SHALLOW CLONE — fork the table as METADATA ONLY (Delta's
+    * `CREATE TABLE … SHALLOW CLONE src`): the clone's v1 manifest
+    * references the SOURCE's data files through absolute `ext:`
+    * borrows, so forking a 100 TB table costs one manifest write and
+    * zero data bytes. From there the clone is a fully independent
+    * table on every existing code path, with copy-on-write falling
+    * out of the architecture for free: a merge/DML rewrites only the
+    * buckets it touches into the clone's OWN data/ (those borrows
+    * retire), the rest keep reading the source's files; deleteMor
+    * adds LOCAL sidecars over borrowed buckets; the clone's vacuum
+    * can never touch the source (it only deletes under its own
+    * data/, and `ext:` borrows are excluded from its reachability
+    * set by construction). Write-time per-bucket stats carry over
+    * verbatim — they describe the same bytes — so data skipping on
+    * the clone is as sharp as on the source from the first read.
+    *
+    * `versionAsOf` / `timestampAsOf` pin the source version cloned —
+    * fork-from-history, the experiment/repro shape. Writer-txn
+    * cursors do NOT carry (they record a WRITER's progress against a
+    * specific table; inheriting them would make an exactly-once
+    * writer targeting the clone silently skip its first batches).
+    *
+    * The one operational hazard, stated (the same one Delta
+    * documents): the source's OWN vacuum does not know about
+    * borrowers — reclaiming source versions a clone still references
+    * breaks the clone. Retain on the source while clones borrow, or
+    * [[localize]] the clone to sever the dependency. */
+  def clone(spark: SparkSession, srcDir: String, dstDir: String,
+            versionAsOf: Option[Long] = None,
+            timestampAsOf: Option[Long] = None): Unit = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "pass versionAsOf OR timestampAsOf, not both")
+    val src = (versionAsOf, timestampAsOf) match {
+      case (Some(v), _) => manifestAt(spark, srcDir, v)
+      case (_, Some(t)) =>
+        manifestAt(spark, srcDir, versionAtTimestamp(spark, srcDir, t))
+      case _ => manifestOrFail(spark, srcDir)
+    }
+    if (currentManifest(spark, dstDir).nonEmpty)
+      throw new IllegalStateException(
+        s"$dstDir is already an initialized upsert target; clone into a " +
+          s"fresh directory")
+    // borrows are ABSOLUTE (qualified) so the clone reads them from
+    // any working directory; a source that is itself a clone passes
+    // its own borrows through verbatim (clone-of-clone reads the
+    // ORIGINAL files — no chain of indirection to resolve at read)
+    val srcAbs = fsOf(spark, srcDir)
+      .makeQualified(new Path(srcDir)).toString
+    def borrow(rel: String): String =
+      if (isExt(rel)) rel else s"$ExtPrefix${resolveRel(srcAbs, rel)}"
+    writeManifest(fsOf(spark, dstDir), dstDir, src.copy(
+      version = 1L, txns = Map.empty,
+      buckets = src.buckets.map { case (b, rel) => b -> borrow(rel) },
+      tombs = src.tombs.map { case (b, ts) =>
+        b -> ts.map(t => t.copy(rel = borrow(t.rel))) }))
+  }
+
+  /** Sever a shallow clone from its source: rewrite every bucket that
+    * still borrows source files (data or tombstone sidecars) into the
+    * clone's own data/, retiring the borrows — after this the source
+    * can vacuum freely. O(still-borrowed buckets), not O(table):
+    * buckets already rewritten by ordinary writes since the clone are
+    * untouched. Same atomic publish + emptied-by-omission rules as
+    * every rewrite. Returns the localized bucket ids (empty = already
+    * independent, no version burned). */
+  def localize(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsOf(spark, dir)
+    val prior = manifestOrFail(spark, dir)
+    val target = prior.buckets.keys.toSeq.filter { b =>
+      isExt(prior.buckets(b)) ||
+        prior.tombs.getOrElse(b, Seq.empty).exists(t => isExt(t.rel))
+    }.sorted
+    if (target.isEmpty) return Seq.empty
+    val staging = newStagingName(fs, dir)
+    bucketsDf(spark, dir, prior, only = Some(target))
+      .withColumn("bucket", routeExpr(prior, col(prior.keyCol)))
+      .repartition(target.size, col("bucket"))
+      .write.mode("errorifexists").partitionBy("bucket")
+      .parquet(s"$dir/data/$staging")
+    val written = listBuckets(fs, s"$dir/data/$staging")
+    val st = stagedStats(spark, fs, dir, staging, written, prior.keyCol,
+      prior.schema(prior.keyCol).dataType,
+      b => prior.stats.get(b).flatMap(_.maxLsn))
+    writeManifest(fs, dir, prior.copy(version = prior.version + 1,
+      buckets = (prior.buckets -- target) ++
+        written.map(b => b -> dataRel(staging, b)),
+      stats = (prior.stats -- target) ++ st,
+      tombs = prior.tombs -- target))
+    target
+  }
+
   /** Apply DDL schema changes to the committed table, atomically.
     * Cost is per-change-kind, stated plainly:
     *  - ADD COLUMN is METADATA-SPEED: the new manifest carries the
@@ -756,6 +1101,26 @@ object PartitionedUpsert {
     val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
+    // a rename/drop of a column a CHECK constraint references would
+    // leave the recorded expression text dangling — every later write
+    // would die resolving it (Delta blocks exactly this); drop the
+    // constraint first, evolve, re-add against the new name
+    def referenced(c: String): Option[String] = prior.checks.collectFirst {
+      case (nm, ex) if java.util.regex.Pattern
+        .compile("(?i)(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(c) +
+          "($|[^A-Za-z0-9_`])").matcher(ex).find() => nm
+    }
+    changes.foreach {
+      case Cdc.RenameColumn(from, _) => referenced(from).foreach(nm =>
+        throw new IllegalArgumentException(
+          s"cannot rename '$from' — CHECK constraint '$nm' references it; " +
+            s"drop the constraint first"))
+      case Cdc.DropColumn(n, _) => referenced(n).foreach(nm =>
+        throw new IllegalArgumentException(
+          s"cannot drop '$n' — CHECK constraint '$nm' references it; " +
+            s"drop the constraint first"))
+      case _ =>
+    }
     // `keyCol` is the key's POST-change name: validate against the
     // recorded key tracked FORWARD through this batch's renames
     val trackedKey = changes.foldLeft(prior.keyCol) {
@@ -818,7 +1183,11 @@ object PartitionedUpsert {
       evolved.schema(keyCol).dataType, carriedLsn)
     writeManifest(fs, dir, prior.copy(version = prior.version + 1,
       schema = evolved.schema, keyCol = keyCol,
-      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st))
+      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
+      // the rewrite read through the tombstone filter, so deletes are
+      // physical now; stale sidecars would also carry the PRE-rename
+      // key column name and must not survive the evolution
+      tombs = Map.empty))
   }
 
   /** Change the table's bucket COUNT — the operation a growing table
@@ -869,7 +1238,8 @@ object PartitionedUpsert {
     val st = stagedStats(spark, fs, dir, staging, written, keyCol,
       prior.schema(keyCol).dataType, _ => globalLsn)
     writeManifest(fs, dir, next0.copy(version = prior.version + 1,
-      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st))
+      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
+      tombs = Map.empty)) // full rewrite read tombstone-filtered
   }
 
   /** Compact fragmented buckets (the OPTIMIZE of this table format):
@@ -893,27 +1263,101 @@ object PartitionedUpsert {
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
     val fragmented = prior.buckets.filter { case (_, rel) =>
-      fs.listStatus(new Path(s"$dir/$rel"))
+      fs.listStatus(new Path(resolveRel(dir, rel)))
         .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
     }
     if (fragmented.isEmpty) return Seq.empty
     val staging = newStagingName(fs, dir)
-    bucketsDf(spark, dir, prior, only = Some(fragmented.values.toSeq.sorted))
+    bucketsDf(spark, dir, prior, only = Some(fragmented.keys.toSeq.sorted))
       .withColumn("bucket", routeExpr(prior, col(prior.keyCol)))
       .repartition(fragmented.size, col("bucket"))
       .write.mode("errorifexists")
       .partitionBy("bucket").parquet(s"$dir/data/$staging")
     val written = listBuckets(fs, s"$dir/data/$staging")
-    // compaction is bit-identical data: ranges recomputed from the
-    // staged files (equal by construction), lsn watermarks carried
+    // compaction is bit-identical data (modulo tombstones the read
+    // applied — a compacted bucket's deletes are physical afterwards,
+    // so its sidecars retire): ranges recomputed from the staged
+    // files, lsn watermarks carried. `prior.copy` — NOT a positional
+    // rebuild — so layout/splits survive (a positional Manifest here
+    // silently reset a range table to hash layout).
     val st = stagedStats(spark, fs, dir, staging, written, prior.keyCol,
       prior.schema(prior.keyCol).dataType,
       b => prior.stats.get(b).flatMap(_.maxLsn))
-    writeManifest(fs, dir, Manifest(prior.version + 1, prior.schema,
-      prior.nBuckets, prior.keyCol, prior.txns,
-      prior.buckets ++ written.map(b => b -> dataRel(staging, b)),
-      prior.stats ++ st))
+    // emptied-by-omission: a compacted bucket whose every row was
+    // tombstoned stages nothing and must LEAVE the map — keeping its
+    // old path while retiring its sidecars would resurrect the rows
+    writeManifest(fs, dir, prior.copy(version = prior.version + 1,
+      buckets = (prior.buckets -- fragmented.keys) ++
+        written.map(b => b -> dataRel(staging, b)),
+      stats = (prior.stats -- fragmented.keys) ++ st,
+      tombs = prior.tombs -- fragmented.keys))
     fragmented.keys.toSeq.sorted
+  }
+
+  /** Z-ORDER re-cluster (Delta's `OPTIMIZE … ZORDER BY`): rewrite
+    * EVERY bucket with rows sorted by the Morton interleave of the
+    * given columns' quantile-rank codes (1 or 2 numeric columns; one
+    * column degrades to a plain clustered sort). Bucket placement is
+    * untouched — the table's key routing is the hash layout's job —
+    * so this clusters WITHIN buckets: each bucket file's parquet
+    * row groups inherit tight min/max on the z-dimensions, and a
+    * pushed predicate on either column skips row groups instead of
+    * scanning the bucket (the intra-file rung of data skipping; the
+    * manifest's own per-bucket stats stay the inter-file rung on the
+    * KEY). O(table) — the honest cost of re-clustering anywhere —
+    * but one rewrite that every later selective read amortizes, the
+    * published OPTIMIZE ZORDER trade. Split points planned in ONE
+    * distributed agg pass ([[graft.sources.ZOrderLayout]] owns the
+    * approximation-honesty contract: quantile error skews code
+    * boundaries, degrading pruning, never correctness). Tombstones
+    * retire with the rewrite like every other full rewrite. Returns
+    * the rewritten bucket ids (empty table = no-op). */
+  def optimizeZorder(spark: SparkSession, dir: String, cols: Seq[String],
+                     bits: Int = 8): Seq[Long] = {
+    require(cols.nonEmpty && cols.size <= 2,
+      s"ZORDER takes 1 or 2 columns, got ${cols.size}")
+    val fs = fsOf(spark, dir)
+    val prior = manifestOrFail(spark, dir)
+    cols.foreach { c =>
+      require(prior.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"ZORDER column '$c' is not a column of $dir")
+    }
+    if (prior.buckets.isEmpty) return Seq.empty
+    val target = prior.buckets.keys.toSeq.sorted
+    val current = bucketsDf(spark, dir, prior).persist()
+    try {
+      val z: org.apache.spark.sql.Column = cols match {
+        case Seq(a) =>
+          graft.sources.ZOrderLayout.rankCode(col(a).cast(
+            org.apache.spark.sql.types.LongType),
+            graft.sources.ZOrderLayout.planSplits(current, a, bits))
+        case Seq(a, b) =>
+          val sa = graft.sources.ZOrderLayout.planSplits(current, a, bits)
+          val sb = graft.sources.ZOrderLayout.planSplits(current, b, bits)
+          graft.sources.ZOrderLayout.morton(
+            graft.sources.ZOrderLayout.rankCode(
+              col(a).cast(org.apache.spark.sql.types.LongType), sa),
+            graft.sources.ZOrderLayout.rankCode(
+              col(b).cast(org.apache.spark.sql.types.LongType), sb), bits)
+      }
+      val staging = newStagingName(fs, dir)
+      current
+        .withColumn("bucket", routeExpr(prior, col(prior.keyCol)))
+        .withColumn("__z", z)
+        .repartition(target.size, col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("__z"))
+        .drop("__z")
+        .write.mode("errorifexists").partitionBy("bucket")
+        .parquet(s"$dir/data/$staging")
+      val written = listBuckets(fs, s"$dir/data/$staging")
+      val st = stagedStats(spark, fs, dir, staging, written, prior.keyCol,
+        prior.schema(prior.keyCol).dataType,
+        b => prior.stats.get(b).flatMap(_.maxLsn))
+      writeManifest(fs, dir, prior.copy(version = prior.version + 1,
+        buckets = written.map(b => b -> dataRel(staging, b)).toMap,
+        stats = st, tombs = Map.empty))
+      written.sorted
+    } finally { current.unpersist(); () }
   }
 
   /** Physical per-bucket stats of the committed state: (bucket, files,
@@ -936,7 +1380,7 @@ object PartitionedUpsert {
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
     m.buckets.toSeq.sortBy(_._1).map { case (b, rel) =>
       b -> m.stats.getOrElse(b, {
-        val files = fs.listStatus(new Path(s"$dir/$rel"))
+        val files = fs.listStatus(new Path(resolveRel(dir, rel)))
           .filter(_.getPath.getName.endsWith(".parquet"))
         BucketStat(files.length, files.map(_.getLen).sum, None, None, None)
       })
@@ -977,7 +1421,7 @@ object PartitionedUpsert {
       }
     }
     val k = col(m.keyCol).cast(org.apache.spark.sql.types.LongType)
-    bucketsDf(spark, dir, m, only = Some(wanted.values.toSeq.sorted))
+    bucketsDf(spark, dir, m, only = Some(wanted.keys.toSeq.sorted))
       .filter(k >= lo && k <= hi)
   }
 
@@ -1006,7 +1450,7 @@ object PartitionedUpsert {
     val m = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
     val wanted = bucketsChangedSince(spark, dir, sinceLsn)
-    bucketsDf(spark, dir, m, only = Some(wanted.flatMap(m.buckets.get).sorted))
+    bucketsDf(spark, dir, m, only = Some(wanted))
   }
 
   /** Read the committed state: exactly the files the newest manifest
@@ -1033,7 +1477,7 @@ object PartitionedUpsert {
       throw new IllegalStateException(s"$dir is not an initialized upsert target"))
     val touched = keys.select(routeExpr(m, col(keyCol)).as("__b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    bucketsDf(spark, dir, m, only = Some(touched.flatMap(m.buckets.get)))
+    bucketsDf(spark, dir, m, only = Some(touched))
   }
 
   /** Register the committed state as a named temp view so plain
@@ -1174,14 +1618,18 @@ object PartitionedUpsert {
     require(from.schema.json == to.schema.json,
       s"changesBetween: schema changed between v$fromVersion and " +
         s"v$toVersion — diff within one schema era")
+    // a bucket counts as changed when its data PATH moved or its
+    // merge-on-read tombstone set differs — a deleteMor commit moves
+    // no data path, but the CDF must still surface its deletes (each
+    // side's read applies its OWN sidecars, so the full-outer diff
+    // sees the rows vanish)
     val changed = (from.buckets.keySet ++ to.buckets.keySet)
-      .filter(b => from.buckets.get(b) != to.buckets.get(b))
+      .filter(b => from.buckets.get(b) != to.buckets.get(b) ||
+        from.tombs.getOrElse(b, Seq.empty) != to.tombs.getOrElse(b, Seq.empty))
     val key = to.keyCol
     val valueCols = to.schema.fieldNames.filterNot(_ == key).toSeq
-    val old = bucketsDf(spark, dir, from,
-      only = Some(changed.toSeq.flatMap(from.buckets.get).sorted))
-    val neu = bucketsDf(spark, dir, to,
-      only = Some(changed.toSeq.flatMap(to.buckets.get).sorted))
+    val old = bucketsDf(spark, dir, from, only = Some(changed.toSeq))
+    val neu = bucketsDf(spark, dir, to, only = Some(changed.toSeq))
     (old, neu, key, valueCols)
   }
 
@@ -1223,7 +1671,7 @@ object PartitionedUpsert {
     * and operational inspection). */
   def bucketPaths(spark: SparkSession, dir: String): Map[Long, String] =
     currentManifest(spark, dir)
-      .map(_.buckets.map { case (b, rel) => b -> s"$dir/$rel" })
+      .map(_.buckets.map { case (b, rel) => b -> resolveRel(dir, rel) })
       .getOrElse(Map.empty)
 
   /** Reclaim data versions unreachable from the `keepManifests` newest
@@ -1295,7 +1743,15 @@ object PartitionedUpsert {
         fs.getFileStatus(manifestPath(dir, v)).getModificationTime >= cutoff
     }
     val reachable: Set[String] = kept.flatMap { v =>
-      readManifest(fs, dir, v).buckets.values.map(_.split('/')(1)) // "v<N>"
+      val m = readManifest(fs, dir, v)
+      // tombstone sidecars pin their staging dirs exactly like data
+      // dirs — reclaiming a referenced sidecar would resurrect rows.
+      // `ext:` borrows (shallow clones) live under the SOURCE table,
+      // not this one's data/: they are skipped here, and — the rule
+      // that matters — this vacuum only ever deletes under $dir/data,
+      // so a clone's vacuum cannot touch its source by construction.
+      (m.buckets.values.toSeq ++ m.tombs.values.flatten.map(_.rel))
+        .filterNot(isExt).map(_.split('/')(1)) // "v<N>"
     }.toSet
     val dataDir = new Path(s"$dir/data")
     if (fs.exists(dataDir))

@@ -61,6 +61,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     m.find() && m.start() == 0
   }
 
+  /** Only `CREATE TABLE … SHALLOW CLONE …` is ours; CREATE is the
+    * broadest statement class there is, so every ordinary CREATE
+    * bypasses the intercept entirely (a malformed ordinary CREATE
+    * must get SPARK's error, never a graft clone error). */
+  private def isShallowClone(sqlText: String): Boolean =
+    java.util.regex.Pattern
+      .compile("\\bSHALLOW\\s+CLONE\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(sqlText.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("--[^\n]*", " "))
+      .find()
+
   /** The shared 3-stage intercept: structural validate at parse time,
     * build the command; on OUR parse failure, delegate — and if the
     * delegate rejects too, the graft error (far more specific) wins.
@@ -111,6 +121,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case "RESTORE" =>
         intercept(sqlText, DmlSql.validateRestore,
           GraftRestoreCommand(sqlText, _))
+      case "REORG" =>
+        intercept(sqlText, DmlSql.validateReorg,
+          GraftReorgCommand(sqlText, _))
+      case "CREATE" if isShallowClone(sqlText) =>
+        intercept(sqlText, DmlSql.validateShallowClone,
+          GraftShallowCloneCommand(sqlText, _))
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -274,6 +290,44 @@ final case class GraftRestoreCommand(sqlText: String,
     GraftSqlFallback.run(session,
       Some(DmlSql.restoreTargetName(sqlText)), fallback) {
       DmlSql.restoreCatalogTable(session, sqlText)
+      Seq.empty
+    }
+}
+
+/** `REORG TABLE t APPLY (PURGE)` — pay down merge-on-read delete
+  * debt: rewrite tombstoned buckets with deletes applied, retire the
+  * sidecars ([[graft.ops.cdc.PartitionedUpsert.purgeTombstones]] owns
+  * the contract). Reports the purged buckets; Spark has no REORG
+  * statement, so non-graft targets get the specific graft error. */
+final case class GraftReorgCommand(sqlText: String,
+                                   fallback: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("touched_buckets", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSqlFallback.run(session,
+      Some(DmlSql.reorgTargetName(sqlText)), fallback) {
+      Seq(Row(DmlSql.reorgCatalogTable(session, sqlText).size.toLong))
+    }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION/TIMESTAMP AS OF …]
+  * LOCATION '<path>'` — metadata-only table fork
+  * ([[graft.ops.cdc.PartitionedUpsert.clone]] owns the contract) plus
+  * catalog registration of the clone. The SOURCE is the graft-ness
+  * probe for the fallback (a clone of a non-graft table belongs to
+  * whatever engine owns it — Spark has no CLONE, so in practice the
+  * specific graft error surfaces). */
+final case class GraftShallowCloneCommand(sqlText: String,
+                                          fallback: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSqlFallback.run(session,
+      Some(DmlSql.shallowCloneSourceName(sqlText)), fallback) {
+      DmlSql.shallowCloneCatalogTable(session, sqlText)
       Seq.empty
     }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, concat_ws, count, lit, raise_error, when}
+import org.apache.spark.sql.functions.{broadcast, col, concat_ws, count, lit, raise_error, when}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -565,10 +565,21 @@ final class GraftScanBuilder(dir: String, manifest: Manifest,
       case None => keyPruned
     }
     val paths = buckets.flatMap(manifest.buckets.get).distinct.sorted
-      .map(rel => s"$dir/$rel")
+      .map(rel => PartitionedUpsert.resolveRel(dir, rel))
+    // merge-on-read sidecars of the KEPT buckets ride into the scan:
+    // the DSv2 face must apply the same anti-join every core reader
+    // gets from bucketsDf, or a tombstoned row would leak through
+    // `spark.read.format("graft")` only. Only tombstoned tables grow
+    // the description suffix — untouched tables keep a byte-identical
+    // plan fingerprint.
+    val tombs = buckets.flatMap(b => manifest.tombs.getOrElse(b, Seq.empty))
     new GraftScan(paths, manifest.schema, required, pushed,
       s"graft $dir v${manifest.version} " +
-        s"buckets=${buckets.size}/${manifest.buckets.size}")
+        s"buckets=${buckets.size}/${manifest.buckets.size}" +
+        (if (tombs.isEmpty) "" else s" tombs=${tombs.size}"),
+      tombPaths = tombs.map(t => PartitionedUpsert.resolveRel(dir, t.rel)),
+      tombBytes = tombs.map(_.bytes).sum,
+      keyCol = manifest.keyCol)
   }
 }
 
@@ -577,7 +588,10 @@ final class GraftScanBuilder(dir: String, manifest: Manifest,
   * parquet source (see [[GraftDataSource]] scaladoc for the trade). */
 final class GraftScan(paths: Seq[String], dataSchema: StructType,
                       required: StructType, pushed: Array[Filter],
-                      desc: String) extends V1Scan {
+                      desc: String,
+                      tombPaths: Seq[String] = Seq.empty,
+                      tombBytes: Long = 0L,
+                      keyCol: String = "") extends V1Scan {
 
   override def readSchema(): StructType = required
   override def description(): String = desc
@@ -599,13 +613,27 @@ final class GraftScan(paths: Seq[String], dataSchema: StructType,
           val base = spark.read.schema(dataSchema).parquet(paths: _*)
           val filtered = pushed.flatMap(GraftScanBuilder.toColumn)
             .foldLeft(base)((d, f) => d.where(f))
+          // merge-on-read: anti-join the tombstoned keys away BEFORE
+          // the projection (the key column need not survive column
+          // pruning — the full-schema base read still carries it).
+          // Broadcast under the same footprint rule as the core read
+          // path; the bytes rode in from the manifest, zero FS calls.
+          val live =
+            if (tombPaths.isEmpty) filtered
+            else {
+              val keySchema = StructType(Seq(dataSchema(keyCol)))
+              val keys = spark.read.schema(keySchema).parquet(tombPaths: _*)
+              val side =
+                if (tombBytes <= (32L << 20)) broadcast(keys) else keys
+              filtered.join(side, Seq(keyCol), "left_anti")
+            }
           val projected =
             if (required.isEmpty)
               // COUNT(*)-style scan: no columns survive pruning; keep
               // row multiplicity with a zero-width projection
-              filtered.select()
+              live.select()
             else
-              filtered.select(required.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+              live.select(required.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
           projected.rdd
         }
       }

@@ -1,0 +1,82 @@
+package graft.ops.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** `OPTIMIZE t ZORDER BY (…)` — intra-bucket z-order re-cluster:
+  * bucket placement (key routing) untouched, rows within each bucket
+  * file sorted by the Morton code so parquet row-group stats tighten
+  * on the z-dimensions. */
+class ZorderOptimizeSpec extends SparkSpec {
+
+  private def fixture(tag: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_zorder_$tag").toString
+    // v deliberately anti-correlated with insertion order so a
+    // pre-optimize file is NOT already sorted by v
+    PartitionedUpsert.init(
+      (1L to 200L).map(k => (k, (200L - k) * 7L)).toDF("k", "v"),
+      dir, "k", 4)
+    dir
+  }
+
+  private def rows(dir: String): Seq[(Long, Long)] =
+    PartitionedUpsert.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("ZORDER BY (v) via SQL: every bucket rewrites once, contents " +
+      "identical, and each bucket file is sorted by v's rank code") {
+    val dir = fixture("sort")
+    val before = rows(dir)
+    val tbl = s"graft_zorder_t_${math.abs(dir.hashCode)}"
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dir'")
+    try {
+      val receipt = spark.sql(s"OPTIMIZE $tbl ZORDER BY (v)")
+        .head().getLong(0)
+      assert(receipt == 4L, "all buckets re-cluster")
+      assert(rows(dir) == before, "re-clustering moves rows, never changes them")
+      val m = PartitionedUpsert.manifestOrFail(spark, dir)
+      assert(m.version == 2L)
+      // same data → same deterministic split plan; each bucket file's
+      // code sequence must be non-decreasing (sorted within file)
+      val splits = graft.sources.ZOrderLayout.planSplits(
+        PartitionedUpsert.read(spark, dir), "v", 8)
+      PartitionedUpsert.bucketPaths(spark, dir).values.foreach { p =>
+        val codes = spark.read.parquet(p)
+          .select(graft.sources.ZOrderLayout.rankCode(col("v"), splits))
+          .collect().map(_.getLong(0)).toSeq
+        assert(codes == codes.sorted, s"bucket file $p is not z-sorted")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("two-column ZORDER composes with merge-on-read debt: " +
+      "tombstoned rows stay deleted and the sidecars retire with " +
+      "the rewrite; guards reject 3 columns, MAXFILES+ZORDER, and " +
+      "unknown columns") {
+    import spark.implicits._
+    val dir = fixture("mor")
+    PartitionedUpsert.deleteMor(spark, dir, Seq(5L, 50L).toDF("k"), "k")
+    val before = rows(dir)
+    val done = PartitionedUpsert.optimizeZorder(spark, dir, Seq("k", "v"))
+    assert(done.nonEmpty)
+    assert(rows(dir) == before)
+    assert(PartitionedUpsert.manifestOrFail(spark, dir).tombs.isEmpty,
+      "a full rewrite pays the MOR debt")
+    intercept[IllegalArgumentException] {
+      PartitionedUpsert.optimizeZorder(spark, dir, Seq("k", "v", "k"))
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedUpsert.optimizeZorder(spark, dir, Seq("nope"))
+    }
+    val tbl = s"graft_zorder_g_${math.abs(dir.hashCode)}"
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dir'")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"OPTIMIZE $tbl MAXFILES 2 ZORDER BY (v)")
+      }
+      assert(e.getMessage.contains("not both"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+}
