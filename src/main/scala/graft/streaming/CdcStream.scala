@@ -102,9 +102,25 @@ object CdcStream {
     // after commit, before the checkpoint advanced) is recognized
     // from the manifest and skipped as a metadata no-op — true
     // exactly-once, not merely LWW convergence
-    PartitionedUpsert.merge(spark, targetDir, batch, keyCol, lsnCol,
-      opCol, valueCols, nBuckets, txn = Some((checkpointDir, batchId)),
-      sparse = sparse): Unit
+    //
+    // DELETE-ONLY fast path: a window whose every event is op='d'
+    // (retention sweep, erasure feed) commits merge-on-read KEY
+    // TOMBSTONES instead of rewriting its matched buckets —
+    // O(batch) sidecars under the SAME txn guard, deletes visible
+    // immediately and physical at the next organic rewrite
+    // (PartitionedUpsert.deleteMor owns the contract). The probe is
+    // a limit(1) existence check that early-exits on the first
+    // non-delete row, so mixed windows — the common case — pay
+    // near-nothing for it.
+    val deleteOnly = batch.filter(!(col(opCol) <=> "d")).isEmpty
+    if (deleteOnly)
+      PartitionedUpsert.deleteMor(spark, targetDir,
+        batch.select(col(keyCol)), keyCol,
+        txn = Some((checkpointDir, batchId))): Unit
+    else
+      PartitionedUpsert.merge(spark, targetDir, batch, keyCol, lsnCol,
+        opCol, valueCols, nBuckets, txn = Some((checkpointDir, batchId)),
+        sparse = sparse): Unit
   }
 
   def partitionedUpsertSink(changes: DataFrame, targetDir: String,

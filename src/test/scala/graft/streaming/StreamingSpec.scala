@@ -350,6 +350,54 @@ class StreamingSpec extends SparkSpec {
     assert(recovered === Map(1L -> 9.9, 2L -> 2.0, 5L -> 5.0))
   }
 
+  test("upsertSink delete-only fast path: an all-delete micro-batch " +
+      "commits merge-on-read tombstones (no bucket rewrite), a later " +
+      "mixed batch merges normally and deletes hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.ops.cdc.PartitionedUpsert
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("val", DoubleType)))
+    val base = java.nio.file.Files.createTempDirectory("graft_mor_sink").toString
+    val srcDir = s"$base/changes"; new java.io.File(srcDir).mkdirs()
+    def envLine(op: String, pk: Long, v: Double, lsn: Long) =
+      s"""{"op":"$op","before":null,"after":{"pk":$pk,"val":$v},"source":{"table":"t","lsn":$lsn},"ts_ms":${1700000000000L + lsn}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f1.json"),
+      Seq(envLine("c", 1, 1.0, 1), envLine("c", 2, 2.0, 2),
+          envLine("c", 3, 3.0, 3)).mkString("\n"))
+    def changes = CdcStream.source(spark, srcDir, payload)
+      .select($"after.pk".as("pk"), $"after.val".as("val"), $"op", $"lsn")
+    def start() = CdcStream.upsertSink(changes, s"$base/target",
+      s"$base/ckpt", Seq("pk"), Seq("val"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val bucketsBefore = PartitionedUpsert.manifestOrFail(
+      spark, s"$base/target").buckets
+    // retention window: DELETES ONLY → tombstone commit, no rewrite
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f2.json"),
+      Seq(envLine("d", 1, 0.0, 4), envLine("d", 3, 0.0, 5)).mkString("\n"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val m = PartitionedUpsert.manifestOrFail(spark, s"$base/target")
+    assert(m.buckets == bucketsBefore,
+      "an all-delete window must not move a single data path")
+    assert(m.tombs.nonEmpty, "the delete window commits sidecars")
+    assert(m.txns.get(s"$base/ckpt").contains(1L),
+      "the tombstone commit carries the exactly-once txn cursor")
+    assert(PartitionedUpsert.read(spark, s"$base/target")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+      Map(2L -> 2.0))
+    // mixed window: ordinary merge; tombstoned keys stay dead unless
+    // the batch itself re-inserts them
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f3.json"),
+      Seq(envLine("u", 2, 2.5, 6), envLine("c", 4, 4.0, 7)).mkString("\n"))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(PartitionedUpsert.read(spark, s"$base/target")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+      Map(2L -> 2.5, 4L -> 4.0))
+  }
+
   test("partitionedUpsertSink(sparse): TOAST-style partial updates keep " +
       "untouched columns across micro-batches") {
     import spark.implicits._
