@@ -428,7 +428,7 @@ object DmlSql {
     * token stream and resolve the table like every DML statement
     * here. */
   private def parseMaint(sql: String, verb: String)
-      : (String, Option[Int], Option[Long], Seq[String]) = {
+      : (String, Option[Int], Option[Long], Seq[String], Boolean) = {
     val toks = tokenize(sql)
     var i = 0
     def cur = if (i < toks.length) toks(i)
@@ -448,12 +448,21 @@ object DmlSql {
     var n: Option[Int] = None
     var retain: Option[Long] = None
     var zorder: Seq[String] = Seq.empty
+    var dryRun = false
     val unitMs = Map("HOURS" -> 3600000L, "MINUTES" -> 60000L,
       "SECONDS" -> 1000L, "MS" -> 1L)
     while (i < toks.length && cur.kind == IDENT &&
-           Set("MAXFILES", "KEEP", "RETAIN", "ZORDER").contains(cur.upper)) {
+           Set("MAXFILES", "KEEP", "RETAIN", "ZORDER", "DRY")
+             .contains(cur.upper)) {
       val kw = cur.upper; i += 1
       kw match {
+        case "DRY" =>
+          // `DRY RUN` — Delta's vacuum preview clause verbatim
+          if (!(i < toks.length && cur.kind == IDENT && cur.upper == "RUN"))
+            fail(sql, if (i < toks.length) cur.start else sql.length,
+              "expected RUN after DRY")
+          i += 1
+          dryRun = true
         case "RETAIN" =>
           val v = num()
           val mult =
@@ -493,11 +502,11 @@ object DmlSql {
     }
     if (i < toks.length)
       fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
-    (parts.result().mkString("."), n, retain, zorder)
+    (parts.result().mkString("."), n, retain, zorder, dryRun)
   }
 
   def optimizeCatalogTable(spark: SparkSession, sqlText: String): Seq[Long] = {
-    val (name, n, _, zorder) = parseMaint(sqlText, "OPTIMIZE")
+    val (name, n, _, zorder, _) = parseMaint(sqlText, "OPTIMIZE")
     val dir = tableLocation(spark, name)
     if (zorder.nonEmpty) {
       require(n.isEmpty,
@@ -510,8 +519,24 @@ object DmlSql {
   }
 
   def vacuumCatalogTable(spark: SparkSession, sqlText: String): Unit = {
-    val (name, n, retain, _) = parseMaint(sqlText, "VACUUM")
+    val (name, n, retain, _, _) = parseMaint(sqlText, "VACUUM")
     PartitionedUpsert.vacuum(spark, tableLocation(spark, name),
+      keepManifests = n.getOrElse(2),
+      minStagingAgeMs = retain.getOrElse(3600000L))
+  }
+
+  /** Is this VACUUM statement a DRY RUN? (parse-only; the command's
+    * output schema branches on it). */
+  def vacuumIsDryRun(sqlText: String): Boolean =
+    parseMaint(sqlText, "VACUUM")._5
+
+  /** `VACUUM t … DRY RUN` → the paths [[PartitionedUpsert.vacuum]]
+    * WOULD reclaim, deleting nothing (one computation shared with the
+    * real vacuum, so they can never disagree). */
+  def vacuumDryRunCatalogTable(spark: SparkSession,
+                               sqlText: String): Seq[String] = {
+    val (name, n, retain, _, _) = parseMaint(sqlText, "VACUUM")
+    PartitionedUpsert.vacuumPlan(spark, tableLocation(spark, name),
       keepManifests = n.getOrElse(2),
       minStagingAgeMs = retain.getOrElse(3600000L))
   }

@@ -1724,10 +1724,22 @@ object PartitionedUpsert {
 
   def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2,
              minStagingAgeMs: Long = 3600000L): Unit = {
+    val victims = vacuumPlan(spark, dir, keepManifests, minStagingAgeMs)
+    val fs = fsOf(spark, dir)
+    victims.foreach { p => fs.delete(new Path(p), true); () }
+  }
+
+  /** What [[vacuum]] WOULD reclaim, without touching a byte — Delta's
+    * `VACUUM … DRY RUN`: absolute paths of unreachable aged staging
+    * dirs, superseded aged manifests, and crashed-commit temp files.
+    * The plan and the delete share this one computation, so the dry
+    * run can never disagree with the real one. */
+  def vacuumPlan(spark: SparkSession, dir: String, keepManifests: Int = 2,
+                 minStagingAgeMs: Long = 3600000L): Seq[String] = {
     require(keepManifests >= 1, "must keep at least the current manifest")
     val fs = fsOf(spark, dir)
     val mdir = new Path(s"$dir/_manifests")
-    if (!fs.exists(mdir)) return
+    if (!fs.exists(mdir)) return Seq.empty
     val versions = fs.listStatus(mdir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).sorted
@@ -1753,22 +1765,25 @@ object PartitionedUpsert {
       (m.buckets.values.toSeq ++ m.tombs.values.flatten.map(_.rel))
         .filterNot(isExt).map(_.split('/')(1)) // "v<N>"
     }.toSet
+    val victims = Seq.newBuilder[String]
     val dataDir = new Path(s"$dir/data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
         val oldEnough = st.getModificationTime < cutoff
-        if (!reachable.contains(st.getPath.getName) && oldEnough) {
-          fs.delete(st.getPath, true); ()
-        }
+        if (!reachable.contains(st.getPath.getName) && oldEnough)
+          victims += st.getPath.toString
       }
     versions.filterNot(kept.contains).foreach { v =>
-      fs.delete(manifestPath(dir, v), false); ()
+      // qualified like the listing-derived paths above — a mixed
+      // scheme/schemeless plan would make victims uncomparable
+      victims += fs.makeQualified(manifestPath(dir, v)).toString
     }
     // temp manifests from crashed commits (create succeeded, rename
     // never ran) are invisible garbage — reclaim aged ones here too
     fs.listStatus(mdir)
       .filter(st => st.getPath.getName.startsWith(".tmp-") &&
         st.getModificationTime < cutoff)
-      .foreach { st => fs.delete(st.getPath, false); () }
+      .foreach { st => victims += st.getPath.toString }
+    victims.result()
   }
 }

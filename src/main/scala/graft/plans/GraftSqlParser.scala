@@ -340,15 +340,28 @@ final case class GraftMaintenanceCommand(sqlText: String, isVacuum: Boolean,
                                          fallback: Option[LogicalPlan])
     extends LeafRunnableCommand {
 
+  // `VACUUM … DRY RUN` previews the reclaim set as path rows (the
+  // Delta output shape); every other maintenance form keeps the
+  // bucket-count receipt
+  private def isDryRun: Boolean =
+    isVacuum && scala.util.Try(DmlSql.vacuumIsDryRun(sqlText)).getOrElse(false)
+
   override val output: Seq[Attribute] =
-    Seq(AttributeReference("touched_buckets", LongType, nullable = false)())
+    if (isDryRun)
+      Seq(AttributeReference("path",
+        org.apache.spark.sql.types.StringType, nullable = false)())
+    else
+      Seq(AttributeReference("touched_buckets", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val verb = if (isVacuum) "VACUUM" else "OPTIMIZE"
     GraftSqlFallback.run(session,
       Some(DmlSql.maintTargetName(sqlText, verb)), fallback) {
-      if (isVacuum) { DmlSql.vacuumCatalogTable(session, sqlText); Seq(Row(0L)) }
-      else Seq(Row(DmlSql.optimizeCatalogTable(session, sqlText).size.toLong))
+      if (isDryRun)
+        DmlSql.vacuumDryRunCatalogTable(session, sqlText).map(Row(_))
+      else if (isVacuum) {
+        DmlSql.vacuumCatalogTable(session, sqlText); Seq(Row(0L))
+      } else Seq(Row(DmlSql.optimizeCatalogTable(session, sqlText).size.toLong))
     }
   }
 }

@@ -121,4 +121,35 @@ object HistoricalDedup {
       }
       .start()
   }
+
+  /** Right-to-be-forgotten over the corpus (the erasure feed every
+    * training-data pipeline eventually receives): tombstone documents
+    * by their normalized-content identity via the O(batch) merge-on-
+    * read delete — no bucket rewrites; the stored text stops being
+    * readable at THIS commit and the bytes leave disk when the debt
+    * retires ([[PartitionedUpsert.purgeTombstones]] / OPTIMIZE on the
+    * compaction cadence — run it promptly when erasure is legally
+    * clocked). Forgetting RE-OPENS the identity: a later ingest of
+    * identical content is accepted as a fresh canonical copy, because
+    * the sink's anti-join reads the tombstone-filtered corpus — the
+    * content is gone, not remembered-as-deleted (a "remembered"
+    * delete would itself retain the forbidden identity). `docs`
+    * carries the TEXT; hashing uses the one shared [[contentHash]]
+    * expression, so callers never compute identities by hand. */
+  def forget(docs: DataFrame, dir: String, textCol: String,
+             txn: Option[(String, Long)] = None): Seq[Long] = {
+    val spark = docs.sparkSession
+    NormalizeText.register(spark)
+    PartitionedUpsert.deleteMor(spark, dir,
+      docs.filter(col(textCol).isNotNull)
+        .select(contentHash(col(textCol)).as("content_hash")),
+      "content_hash", txn)
+  }
+
+  /** [[forget]] by precomputed content hashes — the shape an erasure
+    * LIST (hashes logged at ingest, originals long gone) arrives in. */
+  def forgetHashes(hashes: DataFrame, dir: String, hashCol: String,
+                   txn: Option[(String, Long)] = None): Seq[Long] =
+    PartitionedUpsert.deleteMor(hashes.sparkSession, dir,
+      hashes.select(col(hashCol).as("content_hash")), "content_hash", txn)
 }

@@ -56,6 +56,47 @@ class HistoricalDedupSpec extends SparkSpec {
     assert(dropped.value === 3) // doc 11 (historical), 12 (in-batch), 20 (cross-batch)
   }
 
+  test("forget (right-to-be-forgotten): erasure tombstones the " +
+      "content identity with no bucket rewrite, stored text stops " +
+      "reading, identical content RE-ingests as a fresh canonical " +
+      "copy, and purge removes the bytes") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    val srcDir = s"$base/in"; new java.io.File(srcDir).mkdirs()
+    HistoricalDedup.initCorpus(
+      Seq((1L, "alpha text one"), (2L, "beta text two"),
+        (3L, "gamma text three")).toDF("doc_id", "text"),
+      s"$base/corpus", "doc_id", "text", nBuckets = 8)
+    val before = PartitionedUpsert.manifestOrFail(spark, s"$base/corpus")
+    // erase doc 1 by TEXT (normalization-insensitive — the shared hash)
+    val touched = HistoricalDedup.forget(
+      Seq("Alpha  TEXT one").toDF("text"), s"$base/corpus", "text")
+    assert(touched.nonEmpty)
+    val after = PartitionedUpsert.manifestOrFail(spark, s"$base/corpus")
+    assert(after.buckets == before.buckets,
+      "erasure must not rewrite a single bucket")
+    assert(corpusState(s"$base/corpus").keySet === Set(2L, 3L))
+    // identical content re-ingested: accepted FRESH under a new id —
+    // forgotten means gone, not remembered-as-deleted
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f1.json"),
+      Seq(docLine(99, "alpha text one")).mkString("\n"))
+    val stream = spark.readStream.schema(docSchema).json(srcDir)
+    val q = HistoricalDedup.ingestSink(stream, s"$base/corpus",
+      s"$base/ckpt", "doc_id", "text", nBuckets = 8)
+    try q.processAllAvailable() finally q.stop()
+    assert(corpusState(s"$base/corpus").keySet === Set(2L, 3L, 99L))
+    // the physical bytes leave disk on the purge cadence; results hold
+    PartitionedUpsert.purgeTombstones(spark, s"$base/corpus")
+    assert(PartitionedUpsert.manifestOrFail(spark, s"$base/corpus")
+      .tombs.isEmpty)
+    assert(corpusState(s"$base/corpus").keySet === Set(2L, 3L, 99L))
+    // erasure-list shape: precomputed hashes
+    val h2 = PartitionedUpsert.read(spark, s"$base/corpus")
+      .filter($"doc_id" === 2L).select($"content_hash")
+    HistoricalDedup.forgetHashes(h2, s"$base/corpus", "content_hash")
+    assert(corpusState(s"$base/corpus").keySet === Set(3L, 99L))
+  }
+
   test("kill-and-resume keeps exactly-once: no duplicate hashes, " +
       "first ids preserved across the restart") {
     val base = java.nio.file.Files.createTempDirectory("graft_hist_kr").toString
