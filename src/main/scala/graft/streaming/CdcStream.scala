@@ -82,14 +82,15 @@ object CdcStream {
     * target — the shared body of [[partitionedUpsertSink]] and
     * [[maintainedAggregateSink]] (one copy so the race-guard exception
     * list and txn plumbing cannot drift between them). */
-  private def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+  private def mergeBatch(spark: SparkSession, batch0: DataFrame, batchId: Long,
                          targetDir: String, checkpointDir: String,
                          keyCol: String, lsnCol: String, opCol: String,
                          valueCols: Seq[String], nBuckets: Int,
-                         sparse: Boolean = false): Unit = {
+                         sparse: Boolean = false,
+                         quarantineDir: Option[String] = None): Unit = {
     import graft.ops.cdc.PartitionedUpsert
     if (PartitionedUpsert.currentManifest(spark, targetDir).isEmpty) {
-      val empty = batch.select((keyCol +: valueCols).map(col): _*).limit(0)
+      val empty = batch0.select((keyCol +: valueCols).map(col): _*).limit(0)
       // a racing query may initialize between the check and here;
       // losing that race is fine — the table exists either way
       try PartitionedUpsert.init(empty, targetDir, keyCol, nBuckets)
@@ -98,6 +99,53 @@ object CdcStream {
              _: java.util.ConcurrentModificationException => ()
       }
     }
+    // CHECK-constraint quarantine (opt-in): without it, one poison
+    // row aborts the merge and the QUERY dies — correct for a batch
+    // job, fatal for a pipeline that must keep draining. With a
+    // quarantineDir, rows violating any of the TABLE's recorded
+    // constraints divert to an append-only parquet dead-letter dir
+    // (row + violated constraint + batch id — the replay shape) and
+    // the clean remainder merges normally. Deletes are exempt (they
+    // REMOVE rows; their value payload is not table state). Honesty:
+    // the quarantine append and the table commit are not one atomic
+    // unit — a crash between them replays the batch, the TABLE stays
+    // exactly-once via its txn, the quarantine is at-least-once
+    // (dedupe on (batch_id, lsn) at replay if it matters).
+    val (batch, pinned) = quarantineDir match {
+      case Some(qd) =>
+        val checks = PartitionedUpsert.manifestOrFail(spark, targetDir).checks
+        if (checks.isEmpty) (batch0, None)
+        else {
+          val firstViolated = checks.foldLeft(lit(null).cast("string")) {
+            case (acc, (nm, ex)) =>
+              coalesce(acc, when(!coalesce(expr(ex), lit(true)), lit(nm)))
+          }
+          // pinned across quarantine write + merge (two consumers of
+          // one evaluation); released in the finally below
+          val tagged = batch0.withColumn("__violation",
+            when(col(opCol) <=> "d", lit(null).cast("string"))
+              .otherwise(firstViolated)).persist()
+          val bad = tagged.filter(col("__violation").isNotNull)
+          if (!bad.isEmpty)
+            bad.withColumn("__batch_id", lit(batchId))
+              .write.mode("append").parquet(qd)
+          (tagged.filter(col("__violation").isNull).drop("__violation"),
+            Some(tagged))
+        }
+      case None => (batch0, None)
+    }
+    try mergeResolved(spark, batch, batchId, targetDir, checkpointDir,
+      keyCol, lsnCol, opCol, valueCols, nBuckets, sparse)
+    finally pinned.foreach { p => p.unpersist(); () }
+  }
+
+  private def mergeResolved(spark: SparkSession, batch: DataFrame,
+                            batchId: Long, targetDir: String,
+                            checkpointDir: String, keyCol: String,
+                            lsnCol: String, opCol: String,
+                            valueCols: Seq[String], nBuckets: Int,
+                            sparse: Boolean): Unit = {
+    import graft.ops.cdc.PartitionedUpsert
     // txn = (checkpoint, batchId): a replayed micro-batch (crash
     // after commit, before the checkpoint advanced) is recognized
     // from the manifest and skipped as a metadata no-op — true
@@ -123,11 +171,21 @@ object CdcStream {
         sparse = sparse): Unit
   }
 
+  /** @param quarantineDir opt-in CHECK-constraint dead-lettering: rows
+    *        violating the target table's recorded constraints divert
+    *        to this append-only parquet dir (row + `__violation`
+    *        constraint name + `__batch_id`) instead of aborting the
+    *        query — see [[mergeBatch]] for the at-least-once honesty
+    *        note. Without it, a poison row fails the batch (and the
+    *        query), which is the right default for jobs where
+    *        silently thinning data is worse than stopping. */
   def partitionedUpsertSink(changes: DataFrame, targetDir: String,
                             checkpointDir: String, keyCol: String,
                             lsnCol: String, opCol: String,
                             valueCols: Seq[String], nBuckets: Int,
-                            sparse: Boolean = false): StreamingQuery = {
+                            sparse: Boolean = false,
+                            quarantineDir: Option[String] = None)
+      : StreamingQuery = {
     val spark = changes.sparkSession
     changes.dropDuplicates(lsnCol)
       .writeStream
@@ -135,7 +193,7 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(spark, batch, batchId, targetDir, checkpointDir,
-          keyCol, lsnCol, opCol, valueCols, nBuckets, sparse)
+          keyCol, lsnCol, opCol, valueCols, nBuckets, sparse, quarantineDir)
       }
       .start()
   }

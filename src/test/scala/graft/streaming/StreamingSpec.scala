@@ -398,6 +398,60 @@ class StreamingSpec extends SparkSpec {
       Map(2L -> 2.5, 4L -> 4.0))
   }
 
+  test("partitionedUpsertSink quarantine: a poison row violating a " +
+      "table CHECK constraint dead-letters with its constraint name " +
+      "instead of killing the query; deletes are exempt; without " +
+      "quarantine the batch aborts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.ops.cdc.PartitionedUpsert
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("val", DoubleType)))
+    val base = java.nio.file.Files.createTempDirectory("graft_quar").toString
+    val srcDir = s"$base/changes"; new java.io.File(srcDir).mkdirs()
+    // pre-created table carrying the constraint (lazy-init tables
+    // start constraint-free)
+    PartitionedUpsert.init(
+      Seq((100L, 5.0)).toDF("pk", "val"), s"$base/target", "pk", 4)
+    PartitionedUpsert.addCheckConstraint(spark, s"$base/target",
+      "val_pos", "val > 0")
+    def envLine(op: String, pk: Long, v: Double, lsn: Long) =
+      s"""{"op":"$op","before":null,"after":{"pk":$pk,"val":$v},"source":{"table":"t","lsn":$lsn},"ts_ms":${1700000000000L + lsn}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f1.json"),
+      Seq(envLine("c", 1, 1.0, 1), envLine("c", 2, -2.0, 2),
+          envLine("d", 100, -9.0, 3)).mkString("\n"))
+    def changes = CdcStream.source(spark, srcDir, payload)
+      .select($"after.pk".as("pk"), $"after.val".as("val"), $"op", $"lsn")
+    val q = CdcStream.partitionedUpsertSink(changes, s"$base/target",
+      s"$base/ckpt", "pk", "lsn", "op", Seq("val"), nBuckets = 4,
+      quarantineDir = Some(s"$base/dlq"))
+    try q.processAllAvailable() finally q.stop()
+    // the query survived; clean rows merged, the delete applied
+    assert(PartitionedUpsert.read(spark, s"$base/target")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+      Map(1L -> 1.0))
+    val dlq = spark.read.parquet(s"$base/dlq")
+    val rows = dlq.select("pk", "__violation", "__batch_id").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 2L && rows(0).getString(1) == "val_pos")
+    // without quarantine: the same poison aborts the batch and the
+    // table keeps its pre-batch state
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f2.json"),
+      Seq(envLine("c", 7, -7.0, 4)).mkString("\n"))
+    val q2 = CdcStream.partitionedUpsertSink(changes, s"$base/target",
+      s"$base/ckpt2", "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination()
+    }
+    q2.stop()
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(died).contains("val_pos"))
+    assert(PartitionedUpsert.read(spark, s"$base/target")
+      .filter($"pk" === 7L).isEmpty)
+  }
+
   test("partitionedUpsertSink(sparse): TOAST-style partial updates keep " +
       "untouched columns across micro-batches") {
     import spark.implicits._
