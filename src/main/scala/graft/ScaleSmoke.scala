@@ -769,6 +769,45 @@ object ScaleSmoke {
       spark.sql("DROP TABLE IF EXISTS smoke_msql_t")
       touched
     }
+    time("MOR delete (~50k keys of 1.5M) + anti-joined read") {
+      // merge-on-read erasure wave: the commit is O(delete batch)
+      // sidecars — ZERO bucket rewrites on a 1.5M-row table — and the
+      // follow-up full read pays one broadcast anti-join, proving the
+      // read-side cost is the sidecar footprint, not a rewrite
+      val doomed = Tables.table(spark, work, "customer")
+        .filter($"c_custkey" % 29 === 0).select($"c_custkey")
+      ops.cdc.PartitionedUpsert.deleteMor(spark, dsv2Dir, doomed, "c_custkey")
+      ops.cdc.PartitionedUpsert.read(spark, dsv2Dir).count()
+    }
+    time("REORG purge of the MOR debt (32 buckets)") {
+      // pay the debt down explicitly: O(tombstoned buckets) rewrite,
+      // sidecars retired, read results identical by construction
+      ops.cdc.PartitionedUpsert.purgeTombstones(spark, dsv2Dir).size.toLong
+    }
+    val cloneDir = s"$work/clone_smoke"
+    time("shallow clone of 1.5M-row table (metadata only)") {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(cloneDir))
+      // the fork itself must be O(manifest) — milliseconds at any
+      // table size; the count reads THROUGH the ext borrows
+      ops.cdc.PartitionedUpsert.clone(spark, dsv2Dir, cloneDir)
+      ops.cdc.PartitionedUpsert.read(spark, cloneDir).count()
+    }
+    time("CoW divergence on the clone (100k-row merge)") {
+      // a merge on the clone rewrites ONLY its touched buckets into
+      // the clone's own data/ — the source never moves a byte
+      val changes = Tables.table(spark, work, "customer").limit(100000)
+        .select(lit("u").as("__op"), lit(9L).as("__lsn"), $"c_custkey",
+          round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
+          lit("CLN").as("seg"))
+      ops.cdc.PartitionedUpsert.merge(spark, cloneDir, changes, "c_custkey",
+        "__lsn", "__op", Seq("bal_cents", "seg"), nBuckets = 32)
+      spark.read.format("graft").load(cloneDir)
+        .filter($"seg" === "CLN").count()
+    }
     spark.stop()
   }
 }

@@ -947,6 +947,36 @@ object DmlSql {
     PartitionedUpsert.historyDf(spark,
       tableLocation(spark, parseDescribeHistory(sqlText)))
 
+  /** `DESCRIBE DETAIL <table>` → [[PartitionedUpsert.detailDf]] (the
+    * one-row current-state summary; same grammar shape as HISTORY). */
+  private def parseDescribeDetail(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    def cur = if (i < toks.length) toks(i)
+              else fail(sql, sql.length, "unexpected end of statement")
+    def expectKw(k: String): Unit =
+      if (cur.kind == IDENT && cur.upper == k) i += 1
+      else fail(sql, cur.start, s"expected $k")
+    expectKw("DESCRIBE"); expectKw("DETAIL")
+    if (cur.kind != IDENT && cur.kind != MergeSql.STR)
+      fail(sql, cur.start, "expected a table name")
+    val parts = Vector.newBuilder[String]
+    parts += cur.raw; i += 1
+    while (i < toks.length && cur.kind == PUNCT && cur.raw == "." &&
+           i + 1 < toks.length) { i += 1; parts += cur.raw; i += 1 }
+    if (i < toks.length)
+      fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
+    parts.result().mkString(".")
+  }
+
+  def validateDescribeDetail(sqlText: String): Unit = {
+    parseDescribeDetail(sqlText); ()
+  }
+
+  def describeDetailTable(spark: SparkSession, sqlText: String): DataFrame =
+    PartitionedUpsert.detailDf(spark,
+      tableLocation(spark, parseDescribeDetail(sqlText)))
+
   /** Direct-path variants against a table DIR (no catalog needed) —
     * the API twin for callers holding paths. */
   def deleteFromTable(spark: SparkSession, sqlText: String, dir: String): Seq[Long] = {

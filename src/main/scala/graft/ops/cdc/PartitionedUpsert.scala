@@ -1722,6 +1722,33 @@ object PartitionedUpsert {
       "key_col", "changed_buckets", "files", "bytes", "max_lsn", "txns")
   }
 
+  /** ONE-row current-state summary — Delta's `DESCRIBE DETAIL`,
+    * extended with what THIS format's operator actually needs to see:
+    * merge-on-read debt (sidecar count/bytes — the purge signal),
+    * shallow-clone borrow count (the source-vacuum hazard signal),
+    * and the recorded CHECK constraints. Driver-side, zero data
+    * reads: everything is in the manifest (stats fall back to a
+    * listing only for pre-stats manifests, same as bucketStats). */
+  def detailDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = manifestOrFail(spark, dir)
+    val commitMs = history(spark, dir)
+      .find(_._1 == m.version).map(_._2).getOrElse(0L)
+    val st = bucketStats(spark, dir)
+    val tombs = m.tombs.values.flatten.toSeq
+    Seq((
+      m.version, commitMs, "graft", m.layout, m.keyCol, m.nBuckets,
+      m.buckets.size, st.map(_._2.files.toLong).sum, st.map(_._2.bytes).sum,
+      tombs.size.toLong, tombs.map(_.bytes).sum,
+      m.buckets.values.count(isExt).toLong,
+      m.checks.map { case (nm, ex) => s"$nm: $ex" }.mkString("; "),
+      m.schema.json
+    )).toDF("version", "commit_time_ms", "format", "layout", "key_col",
+      "n_buckets", "populated_buckets", "files", "bytes",
+      "tombstone_sidecars", "tombstone_bytes", "borrowed_buckets",
+      "check_constraints", "schema_json")
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2,
              minStagingAgeMs: Long = 3600000L): Unit = {
     val victims = vacuumPlan(spark, dir, keepManifests, minStagingAgeMs)

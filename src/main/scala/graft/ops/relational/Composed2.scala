@@ -361,9 +361,18 @@ object Composed2 {
       .join(ordF, $"l_orderkey" === $"o_orderkey")
       .withColumn("late",
         $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
-    val perOrder = li.groupBy($"o_orderkey".as("gk"))
-      .agg(countDistinct($"l_suppkey").as("nsupp"),
-        countDistinct(when($"late", $"l_suppkey")).as("nlate"))
+    // two-level aggregate instead of the twin countDistinct: per
+    // (order, supplier) first — max(late) = "did this supplier ship
+    // ANY line late" — then plain counts per order. Same numbers, but
+    // it avoids RewriteDistinctAggregates' Expand, which (a) doubles
+    // the aggregated rows and (b) enumerates its distinct groups in
+    // ExpressionSet order, a per-session coin flip that flapped the
+    // bench plan fingerprint with zero real change.
+    val perOrder = li.groupBy($"o_orderkey".as("gk"), $"l_suppkey")
+      .agg(max($"late").as("supp_late"))
+      .groupBy($"gk")
+      .agg(count(lit(1)).as("nsupp"),
+        sum(when($"supp_late", 1L).otherwise(0L)).as("nlate"))
     val natSupp = Tables.table(spark, dir, "supplier")
       .join(broadcast(Tables.table(spark, dir, "nation")
         .filter($"n_name" === "NATION_1").select($"n_nationkey")),

@@ -61,6 +61,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     m.find() && m.start() == 0
   }
 
+  /** Only `DESCRIBE DETAIL …` is ours; same rationale as HISTORY. */
+  private def isDescribeDetail(sqlText: String): Boolean = {
+    val m = java.util.regex.Pattern
+      .compile("^\\s*DESCRIBE\\s+DETAIL\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(sqlText.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("--[^\n]*", " "))
+    m.find() && m.start() == 0
+  }
+
   /** Only `CREATE TABLE … SHALLOW CLONE …` is ours; CREATE is the
     * broadest statement class there is, so every ordinary CREATE
     * bypasses the intercept entirely (a malformed ordinary CREATE
@@ -107,6 +115,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         // there is no delegate plan a non-graft target could run
         intercept(sqlText, DmlSql.validateDescribeHistory,
           _ => GraftHistoryCommand(sqlText))
+      case "DESCRIBE" if isDescribeDetail(sqlText) =>
+        intercept(sqlText, DmlSql.validateDescribeDetail,
+          _ => GraftDetailCommand(sqlText))
       case "ALTER" =>
         intercept(sqlText, DmlSql.validateAlter, GraftAlterCommand(sqlText, _))
       case "OPTIMIZE" =>
@@ -240,6 +251,37 @@ final case class GraftHistoryCommand(sqlText: String)
 
   override def run(session: SparkSession): Seq[Row] =
     DmlSql.describeHistoryTable(session, sqlText).collect().toSeq
+}
+
+/** `DESCRIBE DETAIL t` — the one-row current-state summary
+  * ([[graft.ops.cdc.PartitionedUpsert.detailDf]]: footprint, layout,
+  * merge-on-read debt, clone borrows, CHECK constraints) through
+  * plain SQL. */
+final case class GraftDetailCommand(sqlText: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = {
+    val S = org.apache.spark.sql.types.StringType
+    val I = org.apache.spark.sql.types.IntegerType
+    Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("commit_time_ms", LongType, nullable = false)(),
+      AttributeReference("format", S, nullable = false)(),
+      AttributeReference("layout", S, nullable = false)(),
+      AttributeReference("key_col", S, nullable = false)(),
+      AttributeReference("n_buckets", I, nullable = false)(),
+      AttributeReference("populated_buckets", I, nullable = false)(),
+      AttributeReference("files", LongType, nullable = false)(),
+      AttributeReference("bytes", LongType, nullable = false)(),
+      AttributeReference("tombstone_sidecars", LongType, nullable = false)(),
+      AttributeReference("tombstone_bytes", LongType, nullable = false)(),
+      AttributeReference("borrowed_buckets", LongType, nullable = false)(),
+      AttributeReference("check_constraints", S, nullable = false)(),
+      AttributeReference("schema_json", S, nullable = false)())
+  }
+
+  override def run(session: SparkSession): Seq[Row] =
+    DmlSql.describeDetailTable(session, sqlText).collect().toSeq
 }
 
 /** `ALTER TABLE t RENAME COLUMN / ALTER COLUMN … TYPE / DROP COLUMN`
