@@ -49,6 +49,13 @@ class MorDeleteSpec extends SparkSpec {
     // pre-delete version unharmed
     assert(keysOf(PartitionedUpsert.readVersion(spark, dir, before.version)) ==
       (1L to 12L))
+    // plan shape: the sidecar side BROADCASTS under the footprint
+    // threshold (recorded bytes, zero FS calls) — a shuffled anti-join
+    // here would tax every read of a lightly-tombstoned 100 TB table
+    val plan = PartitionedUpsert.read(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast left-anti tombstone join, got:\n$plan")
     // point-lookup and range reads flow through the same filter
     assert(keysOf(PartitionedUpsert.readForKeys(spark, dir, keyFrame(3L, 4L), "k"))
       .intersect(Seq(3L)).isEmpty)
