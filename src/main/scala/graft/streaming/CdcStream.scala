@@ -178,13 +178,28 @@ object CdcStream {
     *        query — see [[mergeBatch]] for the at-least-once honesty
     *        note. Without it, a poison row fails the batch (and the
     *        query), which is the right default for jobs where
-    *        silently thinning data is worse than stopping. */
+    *        silently thinning data is worse than stopping.
+    * @param compactEvery opt-in auto-compaction cadence (the Delta
+    *        auto-optimize posture, 0 = never): every N batches the
+    *        sink runs [[graft.ops.cdc.PartitionedUpsert.compactFiles]]
+    *        on its own trigger thread — a long-running sink otherwise
+    *        fragments hot buckets one small file per trigger until
+    *        reads drown in per-file overhead, and "remember to run
+    *        OPTIMIZE" is the operational failure mode this closes.
+    *        Deliberately OUTSIDE the txn guard: compaction is
+    *        content-preserving and a no-op burns no version, so a
+    *        crash between merge and compact just leaves fragmentation
+    *        for the next eligible trigger (the lwwMergeSink reap
+    *        rationale). `compactMaxFiles` is the per-bucket file
+    *        budget that counts as fragmented. */
   def partitionedUpsertSink(changes: DataFrame, targetDir: String,
                             checkpointDir: String, keyCol: String,
                             lsnCol: String, opCol: String,
                             valueCols: Seq[String], nBuckets: Int,
                             sparse: Boolean = false,
-                            quarantineDir: Option[String] = None)
+                            quarantineDir: Option[String] = None,
+                            compactEvery: Int = 0,
+                            compactMaxFiles: Int = 8)
       : StreamingQuery = {
     val spark = changes.sparkSession
     changes.dropDuplicates(lsnCol)
@@ -194,6 +209,9 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(spark, batch, batchId, targetDir, checkpointDir,
           keyCol, lsnCol, opCol, valueCols, nBuckets, sparse, quarantineDir)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          graft.ops.cdc.PartitionedUpsert.compactFiles(spark, targetDir,
+            compactMaxFiles): Unit
       }
       .start()
   }

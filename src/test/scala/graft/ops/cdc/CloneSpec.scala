@@ -57,6 +57,17 @@ class CloneSpec extends SparkSpec {
       PartitionedUpsert.clone(spark, src, tmp("bp"),
         versionAsOf = Some(1L), timestampAsOf = Some(1L))
     }
+    // timestamp pin: same floor rule as readTimestamp (mtimes pinned
+    // for determinism, the TimeTravelSpec discipline)
+    Seq(1L -> 1000L, 2L -> 2000L).foreach { case (v, ts) =>
+      fs(src).setTimes(new org.apache.hadoop.fs.Path(
+        s"$src/_manifests/v%020d.manifest".format(v)), ts, ts)
+    }
+    val dstTs = tmp("basic_dst_ts")
+    fs(dstTs).delete(new org.apache.hadoop.fs.Path(dstTs), true)
+    PartitionedUpsert.clone(spark, src, dstTs, timestampAsOf = Some(1500L))
+    assert(rows(PartitionedUpsert.read(spark, dstTs)) ==
+      rows(PartitionedUpsert.readVersion(spark, src, 1L)))
   }
 
   test("copy-on-write: a merge on the clone rewrites ONLY its " +

@@ -398,6 +398,52 @@ class StreamingSpec extends SparkSpec {
       Map(2L -> 2.5, 4L -> 4.0))
   }
 
+  test("partitionedUpsertSink auto-compaction: every N batches the " +
+      "sink compacts fragmented buckets; contents identical, file " +
+      "counts bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.ops.cdc.PartitionedUpsert
+    val payload = StructType(Seq(
+      StructField("pk", LongType), StructField("val", DoubleType)))
+    val base = java.nio.file.Files.createTempDirectory("graft_autoc").toString
+    val srcDir = s"$base/changes"; new java.io.File(srcDir).mkdirs()
+    def envLine(op: String, pk: Long, v: Double, lsn: Long) =
+      s"""{"op":"$op","before":null,"after":{"pk":$pk,"val":$v},"source":{"table":"t","lsn":$lsn},"ts_ms":${1700000000000L + lsn}}"""
+    // pre-fragment the table: a many-partition init snapshot writes
+    // each bucket from several tasks (a merge REWRITES its touched
+    // buckets and therefore self-compacts them — the fragmentation a
+    // long-running table carries lives in the buckets writes spread
+    // across tasks, here simulated at init)
+    PartitionedUpsert.init(
+      (1L to 100L).map(k => (k, k.toDouble)).toDF("pk", "val")
+        .repartition(8),
+      s"$base/target", "pk", 4)
+    val fragmented = PartitionedUpsert.stats(spark, s"$base/target")
+    assert(fragmented.exists(_._2 > 1),
+      s"fixture must start fragmented, got $fragmented")
+    // two single-file triggers on fresh keys (order-independent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f0.json"),
+      envLine("c", 201, 1.0, 1))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f1.json"),
+      envLine("c", 202, 2.0, 2))
+    val q = CdcStream.partitionedUpsertSink(
+      CdcStream.source(spark, srcDir, payload)
+        .select($"after.pk".as("pk"), $"after.val".as("val"), $"op", $"lsn"),
+      s"$base/target", s"$base/ckpt", "pk", "lsn", "op", Seq("val"),
+      nBuckets = 4, compactEvery = 1, compactMaxFiles = 1)
+    try q.processAllAvailable() finally q.stop()
+    val state = PartitionedUpsert.read(spark, s"$base/target")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state.size == 102 && state(201L) == 1.0 && state(202L) == 2.0 &&
+      state(50L) == 50.0, s"contents preserved through compaction")
+    // the cadence healed fragmentation the sink didn't cause: every
+    // bucket is at the 1-file budget
+    val stats = PartitionedUpsert.stats(spark, s"$base/target")
+    assert(stats.forall(_._2 <= 1),
+      s"auto-compaction should bound per-bucket files, got $stats")
+  }
+
   test("partitionedUpsertSink quarantine: a poison row violating a " +
       "table CHECK constraint dead-letters with its constraint name " +
       "instead of killing the query; deletes are exempt; without " +
