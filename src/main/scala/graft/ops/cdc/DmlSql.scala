@@ -451,9 +451,16 @@ object DmlSql {
     var dryRun = false
     val unitMs = Map("HOURS" -> 3600000L, "MINUTES" -> 60000L,
       "SECONDS" -> 1000L, "MS" -> 1L)
+    // keywords are PER-VERB: a shared set silently misread cross-verb
+    // statements (`VACUUM t MAXFILES 3` applied as KEEP 3; `OPTIMIZE t
+    // DRY RUN` parsed the flag and then compacted FOR REAL — the exact
+    // opposite of a preview). A wrong-verb keyword now falls out of
+    // the loop into the trailing-token error, loudly.
+    val verbKeywords =
+      if (verb == "OPTIMIZE") Set("MAXFILES", "ZORDER")
+      else Set("KEEP", "RETAIN", "DRY")
     while (i < toks.length && cur.kind == IDENT &&
-           Set("MAXFILES", "KEEP", "RETAIN", "ZORDER", "DRY")
-             .contains(cur.upper)) {
+           verbKeywords.contains(cur.upper)) {
       val kw = cur.upper; i += 1
       kw match {
         case "DRY" =>
@@ -524,6 +531,18 @@ object DmlSql {
       keepManifests = n.getOrElse(2),
       minStagingAgeMs = retain.getOrElse(3600000L))
   }
+
+  /** ONE timestamp-string reading shared by every face (SQL RESTORE /
+    * SHALLOW CLONE, DSv2 `timestampAsOf`): epoch millis,
+    * `yyyy-MM-dd HH:mm:ss[.f]` (JVM zone via Timestamp.valueOf — the
+    * Delta string shape), or an ISO-8601 instant. Three sites once
+    * re-implemented this chain; a drift (e.g. one honoring a
+    * different zone) would resolve the SAME string to DIFFERENT
+    * versions per face. */
+  def tsMillis(raw: String): Option[Long] =
+    scala.util.Try(raw.toLong).toOption
+      .orElse(scala.util.Try(java.sql.Timestamp.valueOf(raw).getTime).toOption)
+      .orElse(scala.util.Try(java.time.Instant.parse(raw).toEpochMilli).toOption)
 
   /** Is this VACUUM statement a DRY RUN? (parse-only; the command's
     * output schema branches on it). */
@@ -657,11 +676,9 @@ object DmlSql {
         else if (!byVersion && cur.kind == MergeSql.STR) {
           val raw = cur.raw.stripPrefix("'").stripSuffix("'")
             .stripPrefix("\"").stripSuffix("\""); i += 1
-          scala.util.Try(java.sql.Timestamp.valueOf(raw).getTime)
-            .orElse(scala.util.Try(java.time.Instant.parse(raw).toEpochMilli))
-            .getOrElse(fail(sql, toks(i - 1).start,
-              s"timestamp '$raw' is neither 'yyyy-MM-dd HH:mm:ss[.f]' " +
-                "nor an ISO-8601 instant"))
+          tsMillis(raw).getOrElse(fail(sql, toks(i - 1).start,
+            s"timestamp '$raw' is neither 'yyyy-MM-dd HH:mm:ss[.f]' " +
+              "nor an ISO-8601 instant"))
         } else fail(sql, cur.start,
           if (byVersion) "expected a version number"
           else "expected epoch millis or a timestamp string")
@@ -738,11 +755,9 @@ object DmlSql {
       else if (!byVersion && cur.kind == MergeSql.STR) {
         val raw = cur.raw.stripPrefix("'").stripSuffix("'")
           .stripPrefix("\"").stripSuffix("\""); i += 1
-        scala.util.Try(java.sql.Timestamp.valueOf(raw).getTime)
-          .orElse(scala.util.Try(java.time.Instant.parse(raw).toEpochMilli))
-          .getOrElse(fail(sql, toks(i - 1).start,
-            s"timestamp '$raw' is neither 'yyyy-MM-dd HH:mm:ss[.f]' " +
-              "nor an ISO-8601 instant"))
+        tsMillis(raw).getOrElse(fail(sql, toks(i - 1).start,
+          s"timestamp '$raw' is neither 'yyyy-MM-dd HH:mm:ss[.f]' " +
+            "nor an ISO-8601 instant"))
       } else fail(sql, cur.start,
         if (byVersion) "expected a version number"
         else "expected epoch millis or a timestamp string")
@@ -863,7 +878,12 @@ object DmlSql {
             fail(sql, if (i < toks.length) cur.start else sql.length,
               "expected ')' closing CHECK")
           i += 1
-          AlterAddCheck(nm, ex)
+          // the verbatim slice carries the statement's own line breaks
+          // (triple-quoted SQL is the normal authoring style) but the
+          // manifest stores one line per constraint — collapse runs of
+          // whitespace; the trade (a string LITERAL inside the check
+          // whose significant whitespace collapses too) is stated
+          AlterAddCheck(nm, ex.replaceAll("\\s+", " ").trim)
         } else if (isKw("COLUMNS")) {
           i += 1
           if (!(cur.kind == PUNCT && cur.raw == "("))
@@ -942,6 +962,10 @@ object DmlSql {
   def validateDescribeHistory(sqlText: String): Unit = {
     parseDescribeHistory(sqlText); ()
   }
+  def historyTargetName(sqlText: String): String =
+    parseDescribeHistory(sqlText)
+  def detailTargetName(sqlText: String): String =
+    parseDescribeDetail(sqlText)
 
   def describeHistoryTable(spark: SparkSession, sqlText: String): DataFrame =
     PartitionedUpsert.historyDf(spark,

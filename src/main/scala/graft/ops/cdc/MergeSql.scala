@@ -461,7 +461,15 @@ object MergeSql {
     * catalog / `spark.sql`). Callers pick the ending: `.resolve()`
     * for the post-merge frame, or hand the pieces to
     * [[MergeInto.mergeIntoTable]] via [[statementIntoTable]]. */
-  def builder(spark: SparkSession, sqlText: String): MergeInto.MergeBuilder = {
+  def builder(spark: SparkSession, sqlText: String): MergeInto.MergeBuilder =
+    builderWithMeta(spark, sqlText)._1
+
+  /** [[builder]] plus the statement's WITH SCHEMA EVOLUTION flag —
+    * ONE parse for callers ([[statementIntoTable]]) that need both; a
+    * separate parseStatement for the flag alone doubled the parser
+    * work and left two parses free to diverge. */
+  def builderWithMeta(spark: SparkSession, sqlText: String)
+      : (MergeInto.MergeBuilder, Boolean) = {
     val m = parseStatement(sqlText)
     val tgt0 = resolveRel(spark, m.target)
     val src = resolveRel(spark, m.source)
@@ -546,7 +554,7 @@ object MergeSql {
         }
         MergeInto.NotMatchedInsert(cond.map(ex), values)
     }
-    MergeInto.MergeBuilder(tgt, src, keys, clauses)
+    (MergeInto.MergeBuilder(tgt, src, keys, clauses), m.withSchemaEvolution)
   }
 
   /** Statement in, post-merge target state out — the SQL twin of
@@ -561,8 +569,7 @@ object MergeSql {
     * statement's single ON key must be the table key). */
   def statementIntoTable(spark: SparkSession, sqlText: String, dir: String,
                          lsn: Long, txn: Option[(String, Long)] = None): Seq[Long] = {
-    val wse = parseStatement(sqlText).withSchemaEvolution
-    val b = builder(spark, sqlText)
+    val (b, wse) = builderWithMeta(spark, sqlText)
     val m = PartitionedUpsert.manifestOrFail(spark, dir)
     if (b.keys.length == 1) {
       require(m.keyCol.equalsIgnoreCase(b.keys.head),

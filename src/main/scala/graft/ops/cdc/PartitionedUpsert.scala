@@ -191,9 +191,25 @@ object PartitionedUpsert {
     * `<bucket>\t<relative path>` lines. Readers that predate a line
     * kind skip it by prefix; manifests that predate stats parse to an
     * empty stats map. */
+  /** Reader capability this build understands. Version 2 = manifests
+    * whose skippable lines are SEMANTICS-BEARING: merge-on-read
+    * tombstones (skipping them resurrects deleted rows), `ext:` clone
+    * borrows, and CHECK constraints (an old WRITER would re-serialize
+    * without them — durable un-delete / constraint drop). The
+    * skip-by-prefix forward-compat contract is only safe for lines a
+    * reader may IGNORE; these it may not, so manifests carrying them
+    * lead with a `!requires` gate line that predates-this-build
+    * readers cannot parse as a schema — they fail LOUDLY instead of
+    * silently wrong (the Delta/Iceberg protocol-version idea, one
+    * line). Feature-free manifests stay byte-compatible both ways. */
+  private[cdc] val SupportedManifestVersion = 2
+
   private def manifestBody(m: Manifest): String = {
     def opt(v: Option[Long]): String = v.map(_.toString).getOrElse("-")
-    (Seq(m.schema.json, m.nBuckets.toString, s"key\t${m.keyCol}") ++
+    val gated = m.tombs.nonEmpty || m.checks.nonEmpty ||
+      m.buckets.values.exists(isExt)
+    ((if (gated) Seq(s"!requires\t$SupportedManifestVersion") else Seq.empty) ++
+      Seq(m.schema.json, m.nBuckets.toString, s"key\t${m.keyCol}") ++
       // hash tables omit the line (manifests predating layouts parse
       // identically); range records its split points inline
       (if (m.layout == LayoutRange)
@@ -217,7 +233,20 @@ object PartitionedUpsert {
   }
 
   private def readManifest(fs: FileSystem, dir: String, version: Long): Manifest = {
-    val lines = readManifestText(fs, dir, version).split('\n').filter(_.nonEmpty)
+    val all = readManifestText(fs, dir, version).split('\n').filter(_.nonEmpty)
+    // protocol gate (see SupportedManifestVersion): a manifest from a
+    // FUTURE build whose features this reader cannot honor must fail
+    // loudly here, never parse-and-ignore
+    val lines =
+      if (!all.head.startsWith("!requires\t")) all
+      else {
+        val need = all.head.split('\t')(1).toInt
+        require(need <= SupportedManifestVersion,
+          s"manifest v$version of $dir requires reader version $need; " +
+            s"this build supports $SupportedManifestVersion — upgrade " +
+            "before reading (refusing to silently drop its features)")
+        all.tail
+      }
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(lines.head).asInstanceOf[StructType]
     val nBuckets = lines(1).toInt
@@ -648,8 +677,9 @@ object PartitionedUpsert {
   /** Tombstone sidecars above this total footprint hash-join instead
     * of broadcasting (a delete wave bigger than executor broadcast
     * budget must not OOM the read path; the threshold mirrors Spark's
-    * own autoBroadcastJoinThreshold order of magnitude). */
-  private val TombBroadcastBytes: Long = 32L << 20
+    * own autoBroadcastJoinThreshold order of magnitude). Shared with
+    * the DSv2 scan so the two read faces can never drift. */
+  private[graft] val TombBroadcastBytes: Long = 32L << 20
 
   /** Materialize a manifest ('s listed files) as a DataFrame; `only`
     * restricts to a subset of BUCKET IDS (path-pruned merge read; ids
@@ -1528,8 +1558,26 @@ object PartitionedUpsert {
     * oldest survivor... which floor-over-retained would give; callers
     * needing strictness across vacuum should pin versions, the same
     * caveat Delta documents). */
+  /** (version, commit-time ms) per retained manifest from ONE
+    * listing, newest first — timestamp resolution needs names +
+    * mtimes only; going through [[history]] here paid a full manifest
+    * READ per retained version (one remote round-trip each on object
+    * stores) just to throw the parsed body away. */
+  private def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val fs = fsOf(spark, dir)
+    val mdir = new Path(s"$dir/_manifests")
+    if (!fs.exists(mdir)) return Seq.empty
+    fs.listStatus(mdir).toSeq
+      .filter(st => st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.endsWith(".manifest"))
+      .map(st => (st.getPath.getName
+        .stripPrefix("v").stripSuffix(".manifest").toLong,
+        st.getModificationTime))
+      .sortBy(-_._1)
+  }
+
   def versionAtTimestamp(spark: SparkSession, dir: String, tsMs: Long): Long = {
-    val commits = history(spark, dir) // (version, commitMs, buckets), newest first
+    val commits = commitTimes(spark, dir) // newest first
     if (commits.isEmpty)
       throw new IllegalStateException(
         s"$dir is not an initialized upsert target")
@@ -1732,7 +1780,7 @@ object PartitionedUpsert {
   def detailDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = manifestOrFail(spark, dir)
-    val commitMs = history(spark, dir)
+    val commitMs = commitTimes(spark, dir)
       .find(_._1 == m.version).map(_._2).getOrElse(0L)
     val st = bucketStats(spark, dir)
     val tombs = m.tombs.values.flatten.toSeq

@@ -110,14 +110,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case "UPDATE" =>
         intercept(sqlText, DmlSql.validateUpdate,
           GraftDmlSqlCommand(sqlText, isUpdate = true, _))
+      // HISTORY/DETAIL are not SPARK statements, but a coexisting
+      // extension's parser (Delta ships both verbs) may accept them —
+      // capture its plan so a non-graft target runs THEIRS instead of
+      // dying in manifestOrFail (the GraftSqlFallback contract)
       case "DESCRIBE" if isDescribeHistory(sqlText) =>
-        // no fallback: DESCRIBE HISTORY is not a Spark statement, so
-        // there is no delegate plan a non-graft target could run
         intercept(sqlText, DmlSql.validateDescribeHistory,
-          _ => GraftHistoryCommand(sqlText))
+          GraftHistoryCommand(sqlText, _))
       case "DESCRIBE" if isDescribeDetail(sqlText) =>
         intercept(sqlText, DmlSql.validateDescribeDetail,
-          _ => GraftDetailCommand(sqlText))
+          GraftDetailCommand(sqlText, _))
       case "ALTER" =>
         intercept(sqlText, DmlSql.validateAlter, GraftAlterCommand(sqlText, _))
       case "OPTIMIZE" =>
@@ -229,7 +231,8 @@ final case class GraftDmlSqlCommand(sqlText: String, isUpdate: Boolean,
 /** `DESCRIBE HISTORY t` — the per-version audit frame
   * ([[graft.ops.cdc.PartitionedUpsert.historyDf]]) through plain SQL;
   * rows are driver-bounded (vacuum caps manifest count). */
-final case class GraftHistoryCommand(sqlText: String)
+final case class GraftHistoryCommand(sqlText: String,
+                                     fallback: Option[LogicalPlan] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -250,14 +253,18 @@ final case class GraftHistoryCommand(sqlText: String)
       nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] =
-    DmlSql.describeHistoryTable(session, sqlText).collect().toSeq
+    GraftSqlFallback.run(session,
+      Some(DmlSql.historyTargetName(sqlText)), fallback) {
+      DmlSql.describeHistoryTable(session, sqlText).collect().toSeq
+    }
 }
 
 /** `DESCRIBE DETAIL t` — the one-row current-state summary
   * ([[graft.ops.cdc.PartitionedUpsert.detailDf]]: footprint, layout,
   * merge-on-read debt, clone borrows, CHECK constraints) through
   * plain SQL. */
-final case class GraftDetailCommand(sqlText: String)
+final case class GraftDetailCommand(sqlText: String,
+                                    fallback: Option[LogicalPlan] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = {
@@ -281,7 +288,10 @@ final case class GraftDetailCommand(sqlText: String)
   }
 
   override def run(session: SparkSession): Seq[Row] =
-    DmlSql.describeDetailTable(session, sqlText).collect().toSeq
+    GraftSqlFallback.run(session,
+      Some(DmlSql.detailTargetName(sqlText)), fallback) {
+      DmlSql.describeDetailTable(session, sqlText).collect().toSeq
+    }
 }
 
 /** `ALTER TABLE t RENAME COLUMN / ALTER COLUMN … TYPE / DROP COLUMN`

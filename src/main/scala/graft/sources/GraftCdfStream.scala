@@ -92,12 +92,7 @@ final class GraftCdfMicroBatchStream(dir: String, startingVersion: Long,
     val projected = PartitionedUpsert.changesBetween(spark, dir, from, to)
       .select(readSchema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
     val schema = projected.schema
-    val confEntries = {
-      val it = hadoopConf.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-      buf.toArray
-    }
+    val confEntries = GraftCdfStream.confEntriesOf(hadoopConf)
     // distributed spool: each task writes its partition's rows as
     // length-prefixed UnsafeRow frames (attempt-unique tmp + rename —
     // the task-commit idiom AvroCdc.writeTasks uses, so a retried
@@ -138,7 +133,8 @@ final class GraftCdfMicroBatchStream(dir: String, startingVersion: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSpoolReaderFactory(readSchema.length)
+    new GraftSpoolReaderFactory(readSchema.length,
+      GraftCdfStream.confEntriesOf(hadoopConf))
 
   /** Reclaim spool windows whose END version the engine has durably
     * committed — bounded spool footprint; the live window survives. */
@@ -159,6 +155,23 @@ final class GraftCdfMicroBatchStream(dir: String, startingVersion: Long,
   override def stop(): Unit = ()
 }
 
+object GraftCdfStream {
+  /** Hadoop conf flattened for executor-side rebuild — SparkConf-
+    * sourced entries (spark.hadoop.* credentials, custom fs impls)
+    * never reach an executor's `new Configuration()`, so both the
+    * spool WRITER tasks and the spool READERS must rebuild from this
+    * shipped snapshot (one definition; a reader on defaults while the
+    * writer shipped conf was the bug class this closes). */
+  private[sources] def confEntriesOf(
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : Array[(String, String)] = {
+    val it = hadoopConf.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toArray
+  }
+}
+
 /** Stream offset = manifest version (the table's own commit clock). */
 final case class GraftVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
@@ -173,7 +186,8 @@ final case class GraftSpoolPartition(path: String) extends InputPartition
   * checkpoint location, so any executor can reach it by contract
   * (checkpoint storage must be shared — the same requirement every
   * Spark stream already has). */
-final class GraftSpoolReaderFactory(numFields: Int)
+final class GraftSpoolReaderFactory(numFields: Int,
+                                    confEntries: Array[(String, String)])
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -181,10 +195,15 @@ final class GraftSpoolReaderFactory(numFields: Int)
     new PartitionReader[InternalRow] {
       private val in = {
         val hp = new org.apache.hadoop.fs.Path(path)
-        // executor-local default conf: the spool path is absolute and
-        // self-describing (file:/ or hdfs://…), so scheme resolution
-        // needs no driver-side conf entries
-        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // rebuild the DRIVER's hadoop conf, exactly like the spool
+        // writer tasks do: an executor-local default Configuration
+        // never sees SparkConf-sourced entries (spark.hadoop.*
+        // credentials, custom fs impls), so a stream checkpointed on
+        // an object store would write its spool fine and then fail
+        // every read of it
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val fs = hp.getFileSystem(conf)
         new java.io.DataInputStream(
           new java.io.BufferedInputStream(fs.open(hp)))
       }

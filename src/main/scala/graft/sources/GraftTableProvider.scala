@@ -107,9 +107,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     * path is identical to `versionAsOf`. Passing both options is an
     * error — two pins can disagree and neither should win silently. */
   private def tsMsOf(raw: String): Long =
-    scala.util.Try(raw.toLong)
-      .orElse(scala.util.Try(java.sql.Timestamp.valueOf(raw).getTime))
-      .orElse(scala.util.Try(java.time.Instant.parse(raw).toEpochMilli))
+    graft.ops.cdc.DmlSql.tsMillis(raw) // ONE chain across every face
       .getOrElse(throw new IllegalArgumentException(
         s"timestampAsOf '$raw' is neither epoch millis, " +
           "'yyyy-MM-dd HH:mm:ss[.f]', nor an ISO-8601 instant"))
@@ -624,7 +622,9 @@ final class GraftScan(paths: Seq[String], dataSchema: StructType,
               val keySchema = StructType(Seq(dataSchema(keyCol)))
               val keys = spark.read.schema(keySchema).parquet(tombPaths: _*)
               val side =
-                if (tombBytes <= (32L << 20)) broadcast(keys) else keys
+                if (tombBytes <= PartitionedUpsert.TombBroadcastBytes)
+                  broadcast(keys)
+                else keys
               filtered.join(side, Seq(keyCol), "left_anti")
             }
           val projected =

@@ -35,6 +35,15 @@ class VacuumDryRunSpec extends SparkSpec {
       plan.foreach(p => assert(!fs.exists(new org.apache.hadoop.fs.Path(p)),
         s"planned victim survived the real vacuum: $p"))
       assert(PartitionedUpsert.read(spark, dir).count() == 8L)
+      // cross-verb keywords are rejected, not silently misread:
+      // OPTIMIZE has no DRY RUN (it would compact FOR REAL), VACUUM
+      // has no MAXFILES (it was applied as KEEP)
+      val e1 = intercept[Exception] { spark.sql(s"OPTIMIZE $tbl DRY RUN") }
+      assert(e1.getMessage.contains("DRY") ||
+        e1.getMessage.contains("unexpected trailing"))
+      val e2 = intercept[Exception] { spark.sql(s"VACUUM $tbl MAXFILES 3") }
+      assert(e2.getMessage.contains("MAXFILES") ||
+        e2.getMessage.contains("unexpected trailing"))
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }
