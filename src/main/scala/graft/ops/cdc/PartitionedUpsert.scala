@@ -1797,6 +1797,53 @@ object PartitionedUpsert {
       "check_constraints", "schema_json")
   }
 
+  /** Manifest-vs-filesystem integrity audit — the FSCK rung: one row
+    * per problem found, empty frame = healthy. Detects, per KEPT
+    * manifest:
+    *  - `missing_data` / `missing_sidecar`: a referenced bucket dir or
+    *    tombstone sidecar that no longer exists on disk — external
+    *    deletion, or (the documented clone hazard) a SOURCE table
+    *    vacuumed while this clone still borrowed from it; the listed
+    *    version is unreadable until restored or the borrow severed;
+    *  - `orphaned_staging`: a data/ dir no kept manifest references —
+    *    crashed prepares; informational (vacuum reclaims them on age).
+    * Driver-side listings only, zero data reads — runnable on a
+    * 100 TB table as casually as DESCRIBE DETAIL. */
+  def auditTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, dir)
+    val ms = manifests(spark, dir)
+    if (ms.isEmpty)
+      throw new IllegalStateException(
+        s"$dir is not an initialized upsert target")
+    val issues = Seq.newBuilder[(String, Long, String)]
+    ms.foreach { m =>
+      m.buckets.toSeq.sortBy(_._1).foreach { case (b, rel) =>
+        val p = new Path(resolveRel(dir, rel))
+        if (!fs.exists(p))
+          issues += (("missing_data", m.version, s"bucket $b -> $p"))
+      }
+      m.tombs.toSeq.sortBy(_._1).foreach { case (b, ts) =>
+        ts.foreach { t =>
+          val p = new Path(resolveRel(dir, t.rel))
+          if (!fs.exists(p))
+            issues += (("missing_sidecar", m.version, s"bucket $b -> $p"))
+        }
+      }
+    }
+    val reachable: Set[String] = ms.flatMap { m =>
+      (m.buckets.values.toSeq ++ m.tombs.values.flatten.map(_.rel))
+        .filterNot(isExt).map(_.split('/')(1))
+    }.toSet
+    val dataDir = new Path(s"$dir/data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach { st =>
+        if (!reachable.contains(st.getPath.getName))
+          issues += (("orphaned_staging", -1L, st.getPath.toString))
+      }
+    issues.result().toDF("kind", "version", "detail")
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2,
              minStagingAgeMs: Long = 3600000L): Unit = {
     val victims = vacuumPlan(spark, dir, keepManifests, minStagingAgeMs)
