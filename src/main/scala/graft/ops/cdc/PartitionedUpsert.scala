@@ -106,9 +106,12 @@ object PartitionedUpsert {
     * `data/<staging>` but no reader can see them until `commit`
     * publishes `manifest` (whose version is base+1 — staging names
     * and manifest versions are independent; the manifest publish is
-    * the serialization point for conflict detection). */
+    * the serialization point for conflict detection). `base` is the
+    * manifest the prepare read — what [[commit]]'s conflict
+    * auto-rebase proves disjointness against. */
   final case class Pending(staging: String, manifest: Manifest,
-                           touched: Seq[Long])
+                           touched: Seq[Long],
+                           base: Option[Manifest] = None)
 
   def bucketOf(keyCol: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(keyCol), lit(nBuckets))
@@ -659,7 +662,7 @@ object PartitionedUpsert {
         prior.copy(version = prior.version + 1, txns = prior.txns ++ txns,
           buckets = buckets, stats = (prior.stats -- touched) ++ st,
           tombs = prior.tombs -- touched),
-        touched)
+        touched, base = Some(prior))
     } finally { withBucket.unpersist(); () }
   }
 
@@ -728,14 +731,20 @@ object PartitionedUpsert {
     * CONTENTS, not shape — evolveSchema/rebucket own those). Bucket
     * lsn watermarks reset to None: replaced data has no lsn lineage,
     * and None keeps changesSinceLsn consumers conservative-correct
-    * (they re-read rather than skip). */
-  def replace(snapshot: DataFrame, dir: String): Unit = {
+    * (they re-read rather than skip). `txn` gives replace the same
+    * (writerAppId, version) replay idempotence as merge — what a
+    * Complete-mode streaming epoch needs: a replayed epoch returns
+    * without writing or burning a version. */
+  def replace(snapshot: DataFrame, dir: String,
+              txn: Option[(String, Long)] = None): Unit = {
     val spark = snapshot.sparkSession
     val fs = fsOf(spark, dir)
     val prior = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"$dir is not an initialized upsert target — init creates tables, " +
           "replace refills them"))
+    if (txn.exists { case (app, ver) => prior.txns.get(app).exists(_ >= ver) })
+      return
     requireSchemaMatch(snapshot.schema, prior.schema, dir)
     val staging = newStagingName(fs, dir)
     enforceChecks(snapshot, prior.checks)
@@ -746,6 +755,7 @@ object PartitionedUpsert {
     val st = stagedStats(spark, fs, dir, staging, written, prior.keyCol,
       prior.schema(prior.keyCol).dataType, _ => None)
     writeManifest(fs, dir, prior.copy(version = prior.version + 1,
+      txns = prior.txns ++ txn,
       buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
       tombs = Map.empty)) // replaced contents carry no delete debt
   }
@@ -824,12 +834,100 @@ object PartitionedUpsert {
       prior.copy(version = prior.version + 1, txns = prior.txns ++ advancing))
   }
 
+  /** The latest SCHEMA-ERA START among retained manifests: the highest
+    * version whose schema differs from its predecessor's (the evolve
+    * commit itself), or the oldest retained version when the whole
+    * retained chain is one era. This is the
+    * `option("startingVersion", "afterEvolve")` resume baseline (r16
+    * verdict #7): after the one-era CDF rule fails a stream on a
+    * mid-stream evolution, restarting from here tails the new era —
+    * see [[graft.sources.GraftCdfMicroBatchStream]]'s era note for
+    * the no-loss drain recipe. One manifest listing + reads of the
+    * retained chain (vacuum-bounded), zero data I/O. */
+  def latestSchemaEraStart(spark: SparkSession, dir: String): Long = {
+    val ms = manifests(spark, dir) // newest first
+    require(ms.nonEmpty, s"$dir is not an initialized upsert target")
+    ms.zip(ms.drop(1)).collectFirst {
+      case (m, prev) if m.schema != prev.schema => m.version
+    }.getOrElse(ms.last.version)
+  }
+
   /** Publish a prepared merge (atomic manifest rename). A no-op
     * prepare (empty batch — `touched` empty, manifest unchanged)
-    * publishes nothing. */
-  def commit(spark: SparkSession, dir: String, pending: Pending): Unit =
-    if (pending.touched.nonEmpty)
-      writeManifest(fsOf(spark, dir), dir, pending.manifest)
+    * publishes nothing.
+    *
+    * CONFLICT AUTO-REBASE (r16 verdict #4 — what every production
+    * lakehouse writer does): when another writer won the publish race,
+    * this commit re-reads the new head and, if the winner's changes
+    * are PROVABLY DISJOINT from ours, republishes as winner+1 WITHOUT
+    * re-preparing — the data files are bucket-addressed and already
+    * on disk, so the rebase is one manifest rewrite. Disjoint means:
+    * the winner changed none of OUR touched buckets' data paths,
+    * tombstone sidecars, or recorded stats, and changed no table
+    * SHAPE (schema, layout/bucket-count/splits, CHECK constraints —
+    * a new constraint must re-validate our rows, so it refuses).
+    * Two concurrent merges on disjoint keys therefore both land;
+    * a genuine overlap still gets the loud conflict error, and a
+    * same-txn race (the winner already carries our cursor) rethrows
+    * so [[mergeWith]]'s replay check resolves it. Retries are bounded
+    * — under sustained contention the caller re-prepares, which is
+    * the correct backpressure. */
+  def commit(spark: SparkSession, dir: String, pending: Pending): Unit = {
+    if (pending.touched.isEmpty) return
+    val fs = fsOf(spark, dir)
+    try writeManifest(fs, dir, pending.manifest)
+    catch {
+      case first: java.util.ConcurrentModificationException =>
+        val base = pending.base.getOrElse(throw first)
+        val ourTouched = pending.touched.toSet
+        val ourTxns = pending.manifest.txns.filter {
+          case (a, v) => !base.txns.get(a).contains(v)
+        }
+        def refuse(why: String): Nothing =
+          throw new java.util.ConcurrentModificationException(
+            s"commit conflict on $dir: a concurrent writer committed " +
+              s"first and auto-rebase is unsafe ($why) — re-prepare " +
+              s"from the new state", first)
+        var attempts = 0
+        while (attempts < MaxRebaseAttempts) {
+          attempts += 1
+          val winner = manifestOrFail(spark, dir)
+          if (ourTxns.exists { case (a, v) =>
+            winner.txns.get(a).exists(_ >= v) }) throw first // replayed txn
+          if (winner.schema != base.schema) refuse("schema changed")
+          if (winner.nBuckets != base.nBuckets || winner.layout != base.layout
+            || winner.splits != base.splits) refuse("bucket layout changed")
+          if (winner.checks != base.checks) refuse("CHECK constraints changed")
+          ourTouched.foreach { b =>
+            if (winner.buckets.get(b) != base.buckets.get(b) ||
+              winner.tombs.getOrElse(b, Seq.empty) !=
+                base.tombs.getOrElse(b, Seq.empty) ||
+              winner.stats.get(b) != base.stats.get(b))
+              refuse(s"the winner also changed bucket $b")
+          }
+          val ourData = pending.manifest.buckets.filter {
+            case (b, _) => ourTouched(b) }
+          val ourStats = pending.manifest.stats.filter {
+            case (b, _) => ourTouched(b) }
+          val rebased = winner.copy(version = winner.version + 1,
+            txns = winner.txns ++ ourTxns,
+            buckets = (winner.buckets -- ourTouched) ++ ourData,
+            stats = (winner.stats -- ourTouched) ++ ourStats,
+            // our rewrite read base's tombstones of the touched buckets
+            // (== winner's, proven above) and physicalized them
+            tombs = winner.tombs -- ourTouched)
+          try { writeManifest(fs, dir, rebased); return }
+          catch { case _: java.util.ConcurrentModificationException => () }
+        }
+        throw first
+    }
+  }
+
+  /** Bounded publish retries under [[commit]]'s auto-rebase — enough
+    * to absorb a burst of disjoint racers, small enough that sustained
+    * contention surfaces as the conflict error (re-prepare is the
+    * correct backpressure, not spin). */
+  private val MaxRebaseAttempts = 5
 
   /** Merge a change batch: prepare + commit. Returns the touched
     * bucket ids (for observability).
@@ -1134,11 +1232,17 @@ object PartitionedUpsert {
     // a rename/drop of a column a CHECK constraint references would
     // leave the recorded expression text dangling — every later write
     // would die resolving it (Delta blocks exactly this); drop the
-    // constraint first, evolve, re-add against the new name
+    // constraint first, evolve, re-add against the new name.
+    // Backticks are STRIPPED before matching (r16 ADVICE): a
+    // constraint authored as `col` > 0 references col exactly like a
+    // bare one, and treating the quote as a word char let the
+    // rename/drop commit and leave the dangling constraint anyway.
+    // Stripping can only widen the match — this guard's safe
+    // direction is a loud false positive, never a silent dangle.
     def referenced(c: String): Option[String] = prior.checks.collectFirst {
       case (nm, ex) if java.util.regex.Pattern
-        .compile("(?i)(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(c) +
-          "($|[^A-Za-z0-9_`])").matcher(ex).find() => nm
+        .compile("(?i)(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(c) +
+          "($|[^A-Za-z0-9_])").matcher(ex.replace("`", "")).find() => nm
     }
     changes.foreach {
       case Cdc.RenameColumn(from, _) => referenced(from).foreach(nm =>
@@ -1344,32 +1448,48 @@ object PartitionedUpsert {
     * the rewritten bucket ids (empty table = no-op). */
   def optimizeZorder(spark: SparkSession, dir: String, cols: Seq[String],
                      bits: Int = 8): Seq[Long] = {
-    require(cols.nonEmpty && cols.size <= 2,
-      s"ZORDER takes 1 or 2 columns, got ${cols.size}")
+    require(cols.nonEmpty, "ZORDER takes at least one column")
+    require(cols.size * bits <= 63,
+      s"ZORDER over ${cols.size} columns at $bits bits each exceeds a " +
+        "long z-value — lower bits (e.g. 4 columns fit at bits=15) or " +
+        "the column count")
     val fs = fsOf(spark, dir)
     val prior = manifestOrFail(spark, dir)
     cols.foreach { c =>
-      require(prior.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-        s"ZORDER column '$c' is not a column of $dir")
+      val field = prior.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"ZORDER column '$c' is not a column of $dir"))
+      // loud type gate (r16 ADVICE): rank codes come from a long cast;
+      // a string/binary column casts to all-NULL codes, so the O(table)
+      // rewrite would "succeed" with zero clustering benefit — fail up
+      // front like the rest of the maintenance grammar validates
+      val ok = field.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.DateType => true
+        case org.apache.spark.sql.types.TimestampType => true
+        case org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"ZORDER column '$c' has type ${field.dataType.catalogString} — " +
+          "z-ordering needs a numeric/date/timestamp/boolean column " +
+          "(rank codes are quantiles of the long-cast value; a " +
+          "non-castable column would cluster on all-NULL codes, an " +
+          "O(table) rewrite with zero benefit)")
     }
     if (prior.buckets.isEmpty) return Seq.empty
     val target = prior.buckets.keys.toSeq.sorted
     val current = bucketsDf(spark, dir, prior).persist()
     try {
-      val z: org.apache.spark.sql.Column = cols match {
-        case Seq(a) =>
-          graft.sources.ZOrderLayout.rankCode(col(a).cast(
-            org.apache.spark.sql.types.LongType),
-            graft.sources.ZOrderLayout.planSplits(current, a, bits))
-        case Seq(a, b) =>
-          val sa = graft.sources.ZOrderLayout.planSplits(current, a, bits)
-          val sb = graft.sources.ZOrderLayout.planSplits(current, b, bits)
-          graft.sources.ZOrderLayout.morton(
-            graft.sources.ZOrderLayout.rankCode(
-              col(a).cast(org.apache.spark.sql.types.LongType), sa),
-            graft.sources.ZOrderLayout.rankCode(
-              col(b).cast(org.apache.spark.sql.types.LongType), sb), bits)
-      }
+      // ONE distributed agg plans every column's splits; the z-value
+      // is the round-robin interleave of the N rank codes (the 2-col
+      // Morton layout is the N=2 case — committed layouts unchanged)
+      val splits = graft.sources.ZOrderLayout.planSplitsN(current, cols, bits)
+      val z: org.apache.spark.sql.Column = graft.sources.ZOrderLayout
+        .interleave(cols.zip(splits).map { case (c, s) =>
+          graft.sources.ZOrderLayout.rankCode(
+            col(c).cast(org.apache.spark.sql.types.LongType), s)
+        }, bits)
       val staging = newStagingName(fs, dir)
       current
         .withColumn("bucket", routeExpr(prior, col(prior.keyCol)))

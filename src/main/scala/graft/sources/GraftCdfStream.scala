@@ -43,19 +43,31 @@ import graft.ops.cdc.PartitionedUpsert
   *    with any checkpointed sink).
   *
   * Contracts, stated: `startingVersion` is the BASELINE state — the
-  * stream emits changes committed AFTER it (Delta's reading). Windows
+  * stream emits changes committed AFTER it (Delta's reading);
+  * `startingVersion=snapshot` baselines at the CURRENT version and
+  * serves that whole snapshot as the first batch's `insert` records
+  * before tailing (r16 verdict #5 — see [[initialOffset]]). Windows
   * collapse (a trigger may cover several versions); per-key the feed
   * is the NET change across the window, same as batch CDF. A SCHEMA
   * CHANGE mid-stream fails the stream loudly (changesBetween's
-  * one-schema-era rule — restart from the post-evolution version),
-  * exactly as Delta streams do. `endingVersion` is a batch option; a
+  * one-schema-era rule), exactly as Delta streams do; the PAVED
+  * restart (r16 verdict #7) is `option("startingVersion",
+  * "afterEvolve")` — baseline = the latest era start
+  * ([[PartitionedUpsert.latestSchemaEraStart]]) under a FRESH
+  * checkpoint. No-loss recipe across the seam: the old era's
+  * undelivered tail is batch-drainable in the OLD schema via
+  * `changesBetween(lastDelivered, eraStart - 1)`; the evolve commit
+  * itself is either metadata-only (ADD COLUMN — zero data change) or
+  * a content-preserving rewrite, so `afterEvolve` resumes with
+  * nothing silently dropped. `endingVersion` is a batch option; a
   * stream tails the head and rejects it. Version windows vacuumed
   * away before the stream reads them fail loudly too — retention must
   * outlive consumer lag, the universal CDC contract. */
 final class GraftCdfMicroBatchStream(dir: String, startingVersion: Long,
                                      readSchema: StructType,
                                      checkpointLocation: String,
-                                     endingVersionExplicit: Boolean)
+                                     endingVersionExplicit: Boolean,
+                                     snapshotStart: Boolean = false)
     extends MicroBatchStream {
 
   private def spark: SparkSession = SparkSession.active
@@ -64,13 +76,29 @@ final class GraftCdfMicroBatchStream(dir: String, startingVersion: Long,
   private def hadoopConf =
     spark.sparkContext.hadoopConfiguration
 
-  override def initialOffset(): Offset = GraftVersionOffset(startingVersion)
+  /** `snapshotStart` (`startingVersion=snapshot`, r16 verdict #5 —
+    * Delta's semantics): the initial offset carries a PENDING-SNAPSHOT
+    * mark, so the first window is `snapshot:v → v'` — the pinned
+    * version-v table served as `insert` records (a versionAsOf read,
+    * bucket-parallel) plus, if commits landed before the first
+    * trigger, the (v, v'] tail diff in the same batch. The mark is
+    * consumed by the first commit: a restart BEFORE it re-plans the
+    * same snapshot window idempotently (same spool name, overwrite),
+    * a restart AFTER it resumes as a plain version offset —
+    * exactly-once across the seam with any checkpointed sink. */
+  override def initialOffset(): Offset =
+    GraftVersionOffset(startingVersion, pendingSnapshot = snapshotStart)
 
   override def latestOffset(): Offset =
     GraftVersionOffset(PartitionedUpsert.manifestOrFail(spark, dir).version)
 
-  override def deserializeOffset(json: String): Offset =
-    GraftVersionOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("snapshot:"))
+      GraftVersionOffset(t.stripPrefix("snapshot:").toLong,
+        pendingSnapshot = true)
+    else GraftVersionOffset(t.toLong)
+  }
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
@@ -79,18 +107,42 @@ final class GraftCdfMicroBatchStream(dir: String, startingVersion: Long,
         "endingVersion is a batch-read option — a graft CDF stream " +
           "tails the table head; bound it with a sink-side filter or " +
           "use the batch readChangeFeed")
-    val from = start.asInstanceOf[GraftVersionOffset].version
+    val s = start.asInstanceOf[GraftVersionOffset]
+    val from = s.version
     val to = end.asInstanceOf[GraftVersionOffset].version
-    if (from >= to) return Array.empty
-    val spool = s"$spoolRoot/v$from-v$to"
+    if (!s.pendingSnapshot && from >= to) return Array.empty
+    val spool =
+      if (s.pendingSnapshot) s"$spoolRoot/s$from-v$to"
+      else s"$spoolRoot/v$from-v$to"
     val spoolPath = new org.apache.hadoop.fs.Path(spool)
     val fs = spoolPath.getFileSystem(hadoopConf)
     // idempotent re-plan (restart recovery re-plans the last
     // uncommitted window): overwrite, never append
     if (fs.exists(spoolPath)) fs.delete(spoolPath, true)
     fs.mkdirs(spoolPath)
-    val projected = PartitionedUpsert.changesBetween(spark, dir, from, to)
-      .select(readSchema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+    // the window's rows: [pinned snapshot-of-`from` as inserts] ++
+    // [the (from, to] tail diff] — each projected to the pruned read
+    // schema; the union is append-shaped (ordered records), per-key
+    // netting stays the per-window CDF contract of the diff part
+    val snapshotPart =
+      if (!s.pendingSnapshot) None
+      else {
+        val m = PartitionedUpsert.manifestAt(spark, dir, from)
+        val values = m.schema.fieldNames
+          .filterNot(_.equalsIgnoreCase(m.keyCol)).toSeq
+        Some(spark.read.format("graft")
+          .option("versionAsOf", from.toString).load(dir)
+          .select(col(m.keyCol) +:
+            org.apache.spark.sql.functions.lit("insert").as("change_type") +:
+            values.map(col): _*))
+      }
+    val diffPart =
+      if (to > from) Some(PartitionedUpsert.changesBetween(spark, dir, from, to))
+      else None
+    val window = (snapshotPart.toSeq ++ diffPart.toSeq)
+      .map(_.select(readSchema.fieldNames.map(n => col(s"`$n`")).toSeq: _*))
+      .reduce(_ unionByName _)
+    val projected = window
     val schema = projected.schema
     val confEntries = GraftCdfStream.confEntriesOf(hadoopConf)
     // distributed spool: each task writes its partition's rows as
@@ -172,9 +224,17 @@ object GraftCdfStream {
   }
 }
 
-/** Stream offset = manifest version (the table's own commit clock). */
-final case class GraftVersionOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
+/** Stream offset = manifest version (the table's own commit clock).
+  * `pendingSnapshot` marks the pre-first-batch offset of a
+  * `startingVersion=snapshot` stream — the initial full-table emit
+  * has not been served yet; consumed by the first window's commit
+  * (it serializes distinctly so a restart recovers the right side of
+  * the seam). */
+final case class GraftVersionOffset(version: Long,
+                                    pendingSnapshot: Boolean = false)
+    extends Offset {
+  override def json(): String =
+    if (pendingSnapshot) s"snapshot:$version" else version.toString
 }
 
 /** One spooled file of one window — read whole by one task. */

@@ -9,10 +9,12 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.streaming.{Sink => StreamSink}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{broadcast, col, concat_ws, count, lit, raise_error, when}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -76,9 +78,36 @@ import graft.ops.cdc.PartitionedUpsert.Manifest
   * cannot express — the CDF shape is the honest one, and the non-
   * streaming alternatives remain [[PartitionedUpsert.changesSinceLsn]]
   * cursors and `readChangeFeed` polling. */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** Streaming WRITE face: `df.writeStream.format("graft").start(dir)`
+    * — [[GraftStreamingSink]]'s scaladoc owns the design (why the V1
+    * sink interface carries the lowering — the DeltaSink precedent —
+    * and the exactly-once epoch-cursor contract). Reached via Spark's
+    * documented fallback: [[GraftTable]] declares no STREAMING_WRITE
+    * capability, so `DataStreamWriter` resolves the DSv2 table (which
+    * validates the target exists) and then falls back to this V1
+    * provider. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): StreamSink = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft sink needs a path: writeStream.format(\"graft\").start(dir)"))
+    require(partitionColumns.isEmpty,
+      "graft tables bucket by their own committed key layout — " +
+        "partitionBy is not supported on the sink")
+    require(!parameters.get("readChangeFeed").exists(_.toBoolean),
+      "readChangeFeed is a READ option — the sink writes the table")
+    // fail at start(), not first trigger: the target must exist (init
+    // creates tables; a sink only merges into them)
+    PartitionedUpsert.manifestOrFail(sqlContext.sparkSession, dir): Unit
+    new GraftStreamingSink(dir, parameters, outputMode)
+  }
 
   // schema comes from the manifest, never from the user
   override def supportsExternalMetadata(): Boolean = false
@@ -143,20 +172,41 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   private def isCdf(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("readChangeFeed", false)
 
-  /** CDF option triple: (from, to, schema-of-to). `startingVersion`
-    * is required (a feed without a start is a full-table diff against
-    * nothing); `endingVersion` defaults to the current manifest. */
-  private def cdfOf(options: CaseInsensitiveStringMap): (Long, Long, Manifest) = {
+  /** CDF options: (from, to, schema-of-to, snapshotStart).
+    * `startingVersion` is required (a feed without a start is a
+    * full-table diff against nothing); `endingVersion` defaults to
+    * the current manifest. Two SYMBOLIC starts (both streaming-only):
+    *  - `"snapshot"` (r16 verdict #5, Delta's semantics): baseline =
+    *    the CURRENT version, and the stream's FIRST batch is that
+    *    whole snapshot as `insert` records, then the tail — the
+    *    initial-state-then-changes composition users otherwise
+    *    hand-assemble from read() + readChangeFeed.
+    *  - `"afterEvolve"` (r16 verdict #7): baseline = the latest
+    *    SCHEMA-ERA START — the paved restart path after the one-era
+    *    rule fails a stream on a mid-stream evolution (see
+    *    [[GraftCdfMicroBatchStream]]'s era scaladoc for the no-loss
+    *    drain recipe). */
+  private def cdfOf(options: CaseInsensitiveStringMap)
+      : (Long, Long, Manifest, Boolean) = {
     val spark = SparkSession.active
     val dir = dirOf(options)
-    val from = Option(options.get("startingVersion")).map(_.toLong).getOrElse(
+    val raw = Option(options.get("startingVersion")).getOrElse(
       throw new IllegalArgumentException(
-        "readChangeFeed needs option(\"startingVersion\", v)"))
+        "readChangeFeed needs option(\"startingVersion\", v) — a " +
+          "version, \"snapshot\", or \"afterEvolve\""))
     val cur = PartitionedUpsert.manifestOrFail(spark, dir)
+    val snapshot = raw.equalsIgnoreCase("snapshot")
+    val from =
+      if (snapshot) cur.version
+      else if (raw.equalsIgnoreCase("afterEvolve"))
+        PartitionedUpsert.latestSchemaEraStart(spark, dir)
+      else raw.toLong
     val to = Option(options.get("endingVersion")).map(_.toLong)
       .getOrElse(cur.version)
     (from, to,
-      if (to == cur.version) cur else PartitionedUpsert.manifestAt(spark, dir, to))
+      if (to == cur.version) cur
+      else PartitionedUpsert.manifestAt(spark, dir, to),
+      snapshot)
   }
 
   private def cdfSchema(m: Manifest): StructType = {
@@ -179,9 +229,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     if (isCdf(options)) {
-      val (from, to, m) = cdfOf(options)
+      val (from, to, m, snapshotStart) = cdfOf(options)
       new GraftCdfTable(dirOf(options), from, to, cdfSchema(m),
-        endingVersionExplicit = options.get("endingVersion") != null)
+        endingVersionExplicit = options.get("endingVersion") != null,
+        snapshotStart = snapshotStart)
     } else
       new GraftTable(dirOf(options), manifestOf(options),
         writable = !isPinned(options), // historical snapshots are read-only
@@ -210,7 +261,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   * stream path. */
 final class GraftCdfTable(dir: String, fromVersion: Long, toVersion: Long,
                           cdfSchema: StructType,
-                          endingVersionExplicit: Boolean = false)
+                          endingVersionExplicit: Boolean = false,
+                          snapshotStart: Boolean = false)
     extends Table with SupportsRead {
 
   override def name(): String =
@@ -231,9 +283,15 @@ final class GraftCdfTable(dir: String, fromVersion: Long, toVersion: Long,
         override def toMicroBatchStream(checkpointLocation: String)
             : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
           new GraftCdfMicroBatchStream(dir, fromVersion, required,
-            checkpointLocation, endingVersionExplicit)
+            checkpointLocation, endingVersionExplicit,
+            snapshotStart = snapshotStart)
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
+          if (snapshotStart)
+            throw new IllegalArgumentException(
+              "startingVersion=snapshot is a STREAMING option (initial " +
+                "snapshot then tail) — a batch reader wanting current " +
+                "state just reads the table")
           val req = required
           val relation = new BaseRelation with TableScan {
             override val sqlContext: SQLContext = context
@@ -346,18 +404,7 @@ final class GraftWriteBuilder(dir: String) extends WriteBuilder
           val keyCol = m.keyCol
           val valueCols = m.schema.fieldNames.filterNot(
             _.equalsIgnoreCase(keyCol)).toSeq
-          val w = Window.partitionBy(col(keyCol))
-          val guarded = data
-            .withColumn("__dup", count(lit(1)).over(w))
-            .filter(
-              when(col(keyCol).isNull,
-                raise_error(lit(s"INSERT row with NULL table key '$keyCol'"))
-                  .cast("boolean"))
-              .when(col("__dup") > 1,
-                raise_error(concat_ws("", lit("INSERT has multiple rows for key "),
-                  col(keyCol).cast("string"))).cast("boolean"))
-              .otherwise(lit(true)))
-            .drop("__dup")
+          val guarded = GraftWrites.guardKeys(data, keyCol, strictDups = true)
           if (overwrite) {
             // INSERT OVERWRITE = atomic whole-table REPLACE (r16 —
             // PartitionedUpsert.replace owns the contract: one
@@ -377,6 +424,41 @@ final class GraftWriteBuilder(dir: String) extends WriteBuilder
           ()
         }
       }
+  }
+}
+
+/** Shared write-path guards — batch INSERT ([[GraftWriteBuilder]]) and
+  * the streaming sink ([[GraftStreamingSink]]) raise the SAME
+  * executor-side errors, so the two faces can never drift. */
+object GraftWrites {
+
+  /** NULL table keys always error (a keyed table cannot hold one);
+    * with `strictDups`, a key appearing on more than one row of the
+    * batch errors too — one statement/epoch gives both rows the same
+    * lsn, so the winner would be shuffle-nondeterministic (the
+    * [[graft.ops.cdc.MergeInto]] strictDups line). Executor-raised via
+    * codegen'd `raise_error` — a streaming pass over the batch, no
+    * driver collect. */
+  def guardKeys(data: DataFrame, keyCol: String,
+                strictDups: Boolean): DataFrame = {
+    val nullGuard =
+      when(col(keyCol).isNull,
+        raise_error(lit(s"INSERT row with NULL table key '$keyCol'"))
+          .cast("boolean"))
+    if (!strictDups)
+      data.filter(nullGuard.otherwise(lit(true)))
+    else {
+      val w = Window.partitionBy(col(keyCol))
+      data
+        .withColumn("__dup", count(lit(1)).over(w))
+        .filter(
+          nullGuard
+            .when(col("__dup") > 1,
+              raise_error(concat_ws("", lit("INSERT has multiple rows for key "),
+                col(keyCol).cast("string"))).cast("boolean"))
+            .otherwise(lit(true)))
+        .drop("__dup")
+    }
   }
 }
 

@@ -33,12 +33,32 @@ import org.apache.spark.sql.functions._
 object ZOrderLayout {
 
   /** Morton-interleave two `bits`-wide non-negative codes (a gets the
-    * odd bit positions, b the even). */
+    * odd bit positions, b the even) — the N=2 case of [[interleave]],
+    * kept as the named classic. */
   def morton(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    interleave(Seq(a, b), bits)
+
+  /** Round-robin bit interleave of N `bits`-wide non-negative codes —
+    * the N-column z-value (r16 verdict #6: Delta accepts arbitrary
+    * ZORDER arity; 3–4-column clustering keys are common). Output bit
+    * position `i*n + (n-1-j)` takes bit `i` of code `j`: within each
+    * round the EARLIER column lands on the MORE significant bit, so
+    * `interleave(Seq(a, b), bits)` reproduces [[morton]] exactly and
+    * the 2-column behavior (and its committed file layouts) is
+    * unchanged. Pure bit arithmetic on codegen'd long ops — no UDF,
+    * no shuffle; `n * bits` must fit a positive long (≤ 63 bits). */
+  def interleave(codes: Seq[Column], bits: Int): Column = {
+    val n = codes.size
+    require(n >= 1, "interleave needs at least one code")
+    require(n * bits <= 63,
+      s"$n columns at $bits bits each = ${n * bits} z-bits — exceeds a " +
+        "long; lower bits or the column count")
+    (0 until bits).flatMap { i =>
+      codes.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j))
+      }
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** Quantile-rank code in [0, 2^bits): count of split points at or
     * below the (long-cast) value — rangeBucketOf's literal fold over
@@ -50,20 +70,28 @@ object ZOrderLayout {
     * buckets for `col` (numeric; long-cast like every range router
     * here). Approximate by design — see the scaladoc honesty note. */
   def planSplits(df: DataFrame, colName: String, bits: Int): Seq[Long] =
-    planSplits2(df, colName, colName, bits)._1
+    planSplitsN(df, Seq(colName), bits).head
 
-  /** Both columns' split points from ONE distributed agg pass. */
-  private def planSplits2(df: DataFrame, colA: String, colB: String,
-                          bits: Int): (Seq[Long], Seq[Long]) = {
+  /** ALL columns' split points from ONE distributed agg pass —
+    * whatever the arity, split planning costs one scan. Bounded
+    * driver state: N × (2^bits − 1) doubles. */
+  def planSplitsN(df: DataFrame, cols: Seq[String],
+                  bits: Int): Seq[Seq[Long]] = {
     val n = (1 << bits) - 1
     val qs = array((1 to n).map(i => lit(i.toDouble / (1 << bits))): _*)
-    val row = df.select(
-      percentile_approx(col(colA).cast("double"), qs, lit(10000)).as("qa"),
-      percentile_approx(col(colB).cast("double"), qs, lit(10000)).as("qb"))
-      .collect()(0)
-    def toSplits(i: Int) =
-      row.getSeq[Double](i).map(math.floor(_).toLong).distinct.sorted
-    (toSplits(0), toSplits(1))
+    val row = df.select(cols.zipWithIndex.map { case (c, i) =>
+      percentile_approx(col(c).cast("double"), qs, lit(10000)).as(s"q$i")
+    }: _*).collect()(0)
+    cols.indices.map { i =>
+      if (row.isNullAt(i)) Seq.empty // all-null column: one flat code
+      else row.getSeq[Double](i).map(math.floor(_).toLong).distinct.sorted
+    }
+  }
+
+  private def planSplits2(df: DataFrame, colA: String, colB: String,
+                          bits: Int): (Seq[Long], Seq[Long]) = {
+    val s = planSplitsN(df, Seq(colA, colB), bits)
+    (s(0), s(1))
   }
 
   /** Write `df` under `dir` clustered on the z-curve of (colA, colB):

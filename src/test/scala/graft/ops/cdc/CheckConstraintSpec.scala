@@ -105,4 +105,32 @@ class CheckConstraintSpec extends SparkSpec {
         "k", "lsn", "op", Seq("v", "extra"), 2)
     }
   }
+
+  test("a BACKTICK-quoted column reference in a constraint blocks " +
+      "rename/drop like a bare one (r16 ADVICE: the quote must not " +
+      "hide the reference and leave a dangling constraint)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_check_bt").toString
+    PartitionedUpsert.init(
+      Seq((1L, 5L)).toDF("k", "v"), dir, "k", 2)
+    PartitionedUpsert.addCheckConstraint(spark, dir, "v_pos_q", "`v` > 0")
+    val e = intercept[IllegalArgumentException] {
+      PartitionedUpsert.evolveSchema(spark, dir,
+        Seq(Cdc.RenameColumn("v", "w")), "k", 2)
+    }
+    assert(e.getMessage.contains("v_pos_q"))
+    val e2 = intercept[IllegalArgumentException] {
+      PartitionedUpsert.evolveSchema(spark, dir,
+        Seq(Cdc.DropColumn("v",
+          Some(org.apache.spark.sql.types.LongType))), "k", 2)
+    }
+    assert(e2.getMessage.contains("v_pos_q"))
+    // after dropping the constraint, the rename commits cleanly
+    PartitionedUpsert.dropCheckConstraint(spark, dir, "v_pos_q")
+    PartitionedUpsert.evolveSchema(spark, dir,
+      Seq(Cdc.RenameColumn("v", "w")), "k", 2)
+    assert(PartitionedUpsert.manifestOrFail(spark, dir)
+      .schema.fieldNames.toSeq == Seq("k", "w"))
+  }
 }

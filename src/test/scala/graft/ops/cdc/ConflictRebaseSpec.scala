@@ -1,0 +1,111 @@
+package graft.ops.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Commit-conflict AUTO-REBASE (r16 verdict #4): two concurrent
+  * merges from the same base both land when their touched buckets are
+  * disjoint — the loser republishes as winner+1 without re-preparing;
+  * a genuine overlap (or a shape change) still errors loudly. */
+class ConflictRebaseSpec extends SparkSpec {
+
+  private def initTable(dir: String): Unit = {
+    import spark.implicits._
+    PartitionedUpsert.init(
+      (1L to 40L).map(k => (k, k * 10L)).toDF("k", "v"), dir, "k", 4)
+  }
+
+  /** The table's own routing for a literal key (4 hash buckets). */
+  private def bucketOf(k: Long): Long = {
+    import spark.implicits._
+    Seq(k).toDF("k")
+      .select(PartitionedUpsert.bucketOf(col("k"), 4)).head().getLong(0)
+  }
+
+  private def changes(lsn: Long, k: Long, v: Long) = {
+    import spark.implicits._
+    Seq((lsn, k, "u", v)).toDF("lsn", "k", "op", "v")
+  }
+
+  private def state(dir: String): Map[Long, Long] =
+    PartitionedUpsert.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("disjoint-bucket racers BOTH land: the loser auto-rebases as " +
+      "winner+1, keeping the winner's data, its own rewrite, and its " +
+      "txn cursor — no re-prepare") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebase").toString
+    initTable(dir)
+    // two keys routing to DIFFERENT buckets
+    val k1 = (1L to 40L).find(k => bucketOf(k) == 0L).get
+    val k2 = (1L to 40L).find(k => bucketOf(k) == 1L).get
+    val p1 = PartitionedUpsert.prepare(spark, dir, changes(100L, k1, 111L),
+      "k", "lsn", "op", Seq("v"), 4)
+    val p2 = PartitionedUpsert.prepare(spark, dir, changes(100L, k2, 222L),
+      "k", "lsn", "op", Seq("v"), 4, txn = Some("racer2" -> 7L))
+    PartitionedUpsert.commit(spark, dir, p1) // wins: v2
+    PartitionedUpsert.commit(spark, dir, p2) // conflicts → rebases: v3
+    val m = PartitionedUpsert.manifestOrFail(spark, dir)
+    assert(m.version == 3L)
+    assert(m.txns.get("racer2").contains(7L),
+      "the rebased commit must carry the loser's txn cursor")
+    val st = state(dir)
+    assert(st(k1) == 111L, "the winner's merge survives the rebase")
+    assert(st(k2) == 222L, "the rebased merge lands")
+    assert(st.size == 40, "no other key was disturbed")
+  }
+
+  test("OVERLAPPING racers: the loser gets the loud conflict error " +
+      "naming the contended bucket, and its changes do NOT land") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebase_ov").toString
+    initTable(dir)
+    val k1 = (1L to 40L).find(k => bucketOf(k) == 2L).get
+    val k2 = (k1 + 1L to 40L).find(k => bucketOf(k) == 2L).get // same bucket
+    val p1 = PartitionedUpsert.prepare(spark, dir, changes(100L, k1, 111L),
+      "k", "lsn", "op", Seq("v"), 4)
+    val p2 = PartitionedUpsert.prepare(spark, dir, changes(100L, k2, 222L),
+      "k", "lsn", "op", Seq("v"), 4)
+    PartitionedUpsert.commit(spark, dir, p1)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      PartitionedUpsert.commit(spark, dir, p2)
+    }
+    assert(e.getMessage.contains("also changed bucket"))
+    val st = state(dir)
+    assert(st(k1) == 111L)
+    assert(st(k2) == k2 * 10L, "the refused merge must not leak")
+    assert(PartitionedUpsert.manifestOrFail(spark, dir).version == 2L)
+  }
+
+  test("a SHAPE change between prepare and commit refuses the rebase: " +
+      "a new CHECK constraint must re-validate the loser's rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebase_ck").toString
+    initTable(dir)
+    val k1 = (1L to 40L).find(k => bucketOf(k) == 0L).get
+    val p = PartitionedUpsert.prepare(spark, dir, changes(100L, k1, -5L),
+      "k", "lsn", "op", Seq("v"), 4)
+    PartitionedUpsert.addCheckConstraint(spark, dir, "v_pos", "v > 0")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      PartitionedUpsert.commit(spark, dir, p)
+    }
+    assert(e.getMessage.contains("CHECK constraints changed"))
+    assert(state(dir)(k1) == k1 * 10L)
+  }
+
+  test("mergeWith still resolves a same-txn race as a replay no-op " +
+      "(the rebase path must not break the exactly-once fast path)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebase_txn").toString
+    initTable(dir)
+    val k1 = (1L to 40L).find(k => bucketOf(k) == 0L).get
+    // racer A commits (app, 5); racer B prepared the SAME txn from the
+    // same base — its commit must rethrow into mergeWith's replay check
+    PartitionedUpsert.merge(spark, dir, changes(100L, k1, 111L),
+      "k", "lsn", "op", Seq("v"), 4, txn = Some("app" -> 5L)): Unit
+    val touched = PartitionedUpsert.merge(spark, dir,
+      changes(100L, k1, 999L), "k", "lsn", "op", Seq("v"), 4,
+      txn = Some("app" -> 5L))
+    assert(touched.isEmpty, "replayed txn is a metadata no-op")
+    assert(state(dir)(k1) == 111L)
+  }
+}

@@ -64,9 +64,13 @@ class ZorderOptimizeSpec extends SparkSpec {
     assert(rows(dir) == before)
     assert(PartitionedUpsert.manifestOrFail(spark, dir).tombs.isEmpty,
       "a full rewrite pays the MOR debt")
-    intercept[IllegalArgumentException] {
-      PartitionedUpsert.optimizeZorder(spark, dir, Seq("k", "v", "k"))
+    // arity is bounded by z-bits, not a fixed column count (r16 #6):
+    // 8 cols × 8 bits = 64 > 63 → loud reject
+    val eBits = intercept[IllegalArgumentException] {
+      PartitionedUpsert.optimizeZorder(spark, dir,
+        Seq.fill(8)("v"), bits = 8)
     }
+    assert(eBits.getMessage.contains("exceeds a long"))
     intercept[IllegalArgumentException] {
       PartitionedUpsert.optimizeZorder(spark, dir, Seq("nope"))
     }
@@ -79,4 +83,56 @@ class ZorderOptimizeSpec extends SparkSpec {
       assert(e.getMessage.contains("not both"))
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("THREE-column ZORDER (r16 #6): per-file z-codes sorted, 2-col " +
+      "Morton layout unchanged (interleave(2) == morton), non-numeric " +
+      "columns rejected loudly (r16 ADVICE)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zorder3").toString
+    // three decorrelated dimensions + a string column for the type gate
+    val rnd = new scala.util.Random(7)
+    PartitionedUpsert.init(
+      (1L to 400L).map(k => (k, rnd.nextInt(1000).toLong,
+        rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong,
+        s"s$k")).toDF("k", "a", "b", "c", "tag"),
+      dir, "k", 4)
+    val before = rows3(dir)
+    val done = PartitionedUpsert.optimizeZorder(spark, dir,
+      Seq("a", "b", "c"), bits = 6)
+    assert(done.size == 4)
+    assert(rows3(dir) == before, "re-clustering never changes contents")
+    // each bucket file sorted by the 3-way interleaved code
+    val cur = PartitionedUpsert.read(spark, dir)
+    val splits = graft.sources.ZOrderLayout.planSplitsN(
+      cur, Seq("a", "b", "c"), 6)
+    val z = graft.sources.ZOrderLayout.interleave(
+      Seq("a", "b", "c").zip(splits).map { case (c, s) =>
+        graft.sources.ZOrderLayout.rankCode(col(c), s) }, 6)
+    PartitionedUpsert.bucketPaths(spark, dir).values.foreach { p =>
+      val codes = spark.read.parquet(p).select(z)
+        .collect().map(_.getLong(0)).toSeq
+      assert(codes == codes.sorted, s"bucket file $p is not z3-sorted")
+    }
+    // the generalized interleave reproduces the committed 2-col layout
+    val eq = spark.range(0, 256).select(
+      (graft.sources.ZOrderLayout.morton(col("id") % 16, col("id") / 16, 4)
+        === graft.sources.ZOrderLayout.interleave(
+          Seq(col("id") % 16, col("id") / 16), 4)).as("same"))
+      .agg(org.apache.spark.sql.functions.min(col("same"))).head().getBoolean(0)
+    assert(eq, "interleave(Seq(a,b)) must equal morton(a,b) bit-for-bit")
+    // type gate: a string column fails loudly BEFORE any rewrite
+    val v = PartitionedUpsert.manifestOrFail(spark, dir).version
+    val eType = intercept[IllegalArgumentException] {
+      PartitionedUpsert.optimizeZorder(spark, dir, Seq("a", "tag"))
+    }
+    assert(eType.getMessage.contains("tag"))
+    assert(PartitionedUpsert.manifestOrFail(spark, dir).version == v,
+      "rejected ZORDER must not burn a version or rewrite anything")
+  }
+
+  private def rows3(dir: String): Seq[(Long, Long, Long, Long, String)] =
+    PartitionedUpsert.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
 }

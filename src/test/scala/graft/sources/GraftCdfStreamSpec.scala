@@ -168,4 +168,103 @@ class GraftCdfStreamSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("k"))
     assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 11L))
   }
+
+  test("startingVersion=snapshot (r16 #5): first batch serves the " +
+      "pinned snapshot as inserts, then the tail — exactly-once " +
+      "across a restart; equals snapshot+diff composed by hand") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cdfsnap").toString
+    val dir = s"$base/tbl"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    initTable(dir)                                    // v1
+    mergeKeys(dir, 100L, Seq((1L, 11L)))              // v2 — baseline pin
+    def start() = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "snapshot")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    q1.processAllAvailable()
+    // the first batch is v2's whole state as insert records
+    val snapExpected = PartitionedUpsert.read(spark, dir).collect()
+      .map(r => (r.getLong(0), "insert", r.getLong(1))).toSeq.sorted
+    assert(sinkRows(out) == snapExpected)
+    // tail while live
+    mergeKeys(dir, 101L, Seq((2L, 22L), (12L, 120L))) // v3
+    q1.processAllAvailable()
+    q1.stop()
+    // kill-and-resume: changes while down, no snapshot re-emit
+    mergeKeys(dir, 102L, Seq((3L, 0L)), op = "d")     // v4
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val expected = (snapExpected ++
+      cdfRows(PartitionedUpsert.changesBetween(spark, dir, 2L, 4L))).sorted
+    assert(sinkRows(out) == expected,
+      "snapshot-then-tail must equal snapshot ++ changesBetween, once")
+    // batch read rejects the streaming-only option
+    val eb = intercept[Exception] {
+      spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "snapshot")
+        .load(dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Seq(Option(x.getMessage).getOrElse("")) ++ msgs(x.getCause))
+    assert(msgs(eb).exists(_.contains("STREAMING option")),
+      msgs(eb).mkString("~"))
+  }
+
+  test("startingVersion=afterEvolve (r16 #7): the paved era restart — " +
+      "resumes from the latest schema-era start under a fresh " +
+      "checkpoint; the old era's tail batch-drains in the old schema, " +
+      "nothing lost or duplicated across the seam") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cdfevo2").toString
+    val dir = s"$base/tbl"
+    initTable(dir)                                    // v1
+    mergeKeys(dir, 100L, Seq((1L, 11L)))              // v2 — delivered
+    val q1 = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out1")
+      .option("checkpointLocation", s"$base/ckpt1")
+      .start()
+    q1.processAllAvailable() // delivered through v2
+    q1.stop()
+    mergeKeys(dir, 101L, Seq((2L, 22L)))              // v3 — old era, undelivered
+    PartitionedUpsert.evolveSchema(spark, dir,
+      Seq(graft.ops.cdc.Cdc.AddColumn("extra",
+        org.apache.spark.sql.types.LongType)), "k", 4) // v4 — era start
+    // v5 — new era change
+    PartitionedUpsert.merge(spark, dir,
+      Seq((102L, 5L, "u", 55L, 7L)).toDF("lsn", "k", "op", "v", "extra"),
+      "k", "lsn", "op", Seq("v", "extra"), 4): Unit
+    assert(PartitionedUpsert.latestSchemaEraStart(spark, dir) == 4L)
+    // no-loss drain of the old era's undelivered tail, old schema
+    val drained = cdfRows(
+      PartitionedUpsert.changesBetween(spark, dir, 2L, 3L))
+    assert(drained == Seq((2L, "update", 22L)))
+    // paved restart: afterEvolve + FRESH checkpoint, new-era schema
+    val q2 = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "afterEvolve")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out2")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    val newEra = spark.read.parquet(s"$base/out2")
+      .select("k", "change_type", "v", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(newEra == Seq((5L, "update", 55L, 7L)),
+      "afterEvolve must deliver exactly the new era's tail, new schema")
+  }
 }
