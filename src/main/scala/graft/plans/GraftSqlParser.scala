@@ -174,7 +174,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   * of the foreign engine and are not re-shaped into the graft
   * output — the command returns no rows on that path). A target
   * with NO resolvable location (temp view, missing table) stays on
-  * the graft path, whose error is the specific, helpful one. */
+  * the graft path, whose error is the specific, helpful one.
+  *
+  * Scope (r16 ADVICE medium): the fallback applies ONLY to
+  * side-effect commands whose rows are receipts (DML, ALTER,
+  * maintenance). ROW-PRODUCING commands (DESCRIBE HISTORY/DETAIL)
+  * never take it — their delegate plan is Spark's describe-column
+  * misparse whose rows would be discarded or wrong-schema'd, so they
+  * keep the old no-fallback behavior and raise the specific graft
+  * error on non-graft targets. */
 private[plans] object GraftSqlFallback {
   def run(session: SparkSession, targetName: Option[String],
           fallback: Option[LogicalPlan])(graftRun: => Seq[Row]): Seq[Row] = {
@@ -252,11 +260,16 @@ final case class GraftHistoryCommand(sqlText: String,
     AttributeReference("txns", org.apache.spark.sql.types.StringType,
       nullable = false)())
 
+  // NO delegate fallback (r16 ADVICE medium): this command PRODUCES
+  // rows, and the delegate's plan for `DESCRIBE HISTORY t` is Spark's
+  // describe-column-t-of-table-HISTORY misparse — running it on a
+  // non-graft target yields a confusing "table HISTORY" error (or,
+  // worse, silently ZERO rows under graft's schema if a table named
+  // `history` exists). The graft path's own "not an initialized
+  // upsert target" error is the helpful outcome; side-effect-receipt
+  // commands (DML/ALTER/maintenance) keep the fallback.
   override def run(session: SparkSession): Seq[Row] =
-    GraftSqlFallback.run(session,
-      Some(DmlSql.historyTargetName(sqlText)), fallback) {
-      DmlSql.describeHistoryTable(session, sqlText).collect().toSeq
-    }
+    DmlSql.describeHistoryTable(session, sqlText).collect().toSeq
 }
 
 /** `DESCRIBE DETAIL t` — the one-row current-state summary
@@ -287,11 +300,10 @@ final case class GraftDetailCommand(sqlText: String,
       AttributeReference("schema_json", S, nullable = false)())
   }
 
+  // No delegate fallback — row-producing command, same rationale as
+  // [[GraftHistoryCommand]] (r16 ADVICE medium).
   override def run(session: SparkSession): Seq[Row] =
-    GraftSqlFallback.run(session,
-      Some(DmlSql.detailTargetName(sqlText)), fallback) {
-      DmlSql.describeDetailTable(session, sqlText).collect().toSeq
-    }
+    DmlSql.describeDetailTable(session, sqlText).collect().toSeq
 }
 
 /** `ALTER TABLE t RENAME COLUMN / ALTER COLUMN … TYPE / DROP COLUMN`

@@ -115,7 +115,7 @@ object CdcStream {
       case Some(qd) =>
         val checks = PartitionedUpsert.manifestOrFail(spark, targetDir).checks
         if (checks.isEmpty) (batch0, None)
-        else {
+        else if (!sparse) {
           val firstViolated = checks.foldLeft(lit(null).cast("string")) {
             case (acc, (nm, ex)) =>
               coalesce(acc, when(!coalesce(expr(ex), lit(true)), lit(nm)))
@@ -131,6 +131,44 @@ object CdcStream {
               .write.mode("append").parquet(qd)
           (tagged.filter(col("__violation").isNull).drop("__violation"),
             Some(tagged))
+        } else {
+          // SPARSE partial after-images (r16 ADVICE): an absent column
+          // is NULL in the RAW event but keeps its STORED value
+          // post-merge, so row-level evaluation waves through events
+          // whose MERGED state violates — and prepare's enforceChecks
+          // then aborts the query, exactly the poison outcome
+          // quarantineDir promises to prevent. Evaluate the constraint
+          // against the merged PER-KEY image instead: pre-apply the
+          // batch to the touched keys' current state (the same
+          // column-level LWW the merge will run — Cdc.applySparse over
+          // a bucket-pruned readForKeys, O(touched buckets)), and
+          // divert EVERY event of a key whose post-merge image
+          // violates — the key keeps its committed state; the
+          // dead-letter carries the key's whole batch slice so a
+          // replay-after-fix applies a coherent image, not half of
+          // one. A key whose final image is a DELETE cannot violate
+          // (no row to check) and passes through whole. The price —
+          // one extra read of the touched buckets — is paid only on
+          // sparse sinks with recorded constraints and a quarantine.
+          val pinned0 = batch0.persist()
+          val current = PartitionedUpsert.readForKeys(spark, targetDir,
+            pinned0.select(col(keyCol)), keyCol)
+          val merged = graft.ops.cdc.Cdc.applySparse(current, pinned0,
+            Seq(keyCol), lsnCol, opCol, valueCols)
+          val firstViolated = checks.foldLeft(lit(null).cast("string")) {
+            case (acc, (nm, ex)) =>
+              coalesce(acc, when(!coalesce(expr(ex), lit(true)), lit(nm)))
+          }
+          val badKeys = merged.withColumn("__violation", firstViolated)
+            .filter(col("__violation").isNotNull)
+            .select(col(keyCol), col("__violation"))
+          val tagged = pinned0.join(badKeys, Seq(keyCol), "left_outer")
+          val bad = tagged.filter(col("__violation").isNotNull)
+          if (!bad.isEmpty)
+            bad.withColumn("__batch_id", lit(batchId))
+              .write.mode("append").parquet(qd)
+          (tagged.filter(col("__violation").isNull).drop("__violation"),
+            Some(pinned0))
         }
       case None => (batch0, None)
     }

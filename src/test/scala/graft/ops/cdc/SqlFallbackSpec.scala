@@ -58,6 +58,31 @@ class SqlFallbackSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS fb_parquet_u")
   }
 
+  test("ROW-PRODUCING DESCRIBE HISTORY/DETAIL on a non-graft table " +
+      "raise the SPECIFIC graft error — never the delegate's " +
+      "describe-column misparse or a silently empty frame (r16 ADVICE " +
+      "medium)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS fb_parquet_h")
+    Seq((1L, 10L)).toDF("k", "v")
+      .write.format("parquet").saveAsTable("fb_parquet_h")
+    try {
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Seq(Option(x.getMessage).getOrElse("")) ++ msgs(x.getCause))
+      val eh = intercept[Exception] {
+        spark.sql("DESCRIBE HISTORY fb_parquet_h").collect()
+      }
+      assert(msgs(eh).exists(_.contains("upsert target")),
+        msgs(eh).mkString("~"))
+      val ed = intercept[Exception] {
+        spark.sql("DESCRIBE DETAIL fb_parquet_h").collect()
+      }
+      assert(msgs(ed).exists(_.contains("upsert target")),
+        msgs(ed).mkString("~"))
+    } finally spark.sql("DROP TABLE IF EXISTS fb_parquet_h")
+  }
+
   test("a temp-view target keeps the graft path's specific error " +
       "(no resolvable location = nothing to fall back to)") {
     import spark.implicits._

@@ -536,6 +536,52 @@ class StreamingSpec extends SparkSpec {
       "explicit null must SET null while absent v survives")
   }
 
+  test("sparse quarantine evaluates the MERGED per-key image (r16 " +
+      "ADVICE): a partial after-image whose absent column passes the " +
+      "raw row check but whose post-merge state violates diverts the " +
+      "key instead of aborting the query") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.ops.cdc.{Cdc, PartitionedUpsert}
+    val base = java.nio.file.Files.createTempDirectory("graft_sparse_quar").toString
+    val srcDir = s"$base/changes"; new java.io.File(srcDir).mkdirs()
+    // table with a TWO-column constraint: the sparse poison shape —
+    // an event touching only `cap` carries v=NULL raw (row check
+    // passes vacuously) while the merged state v=5 > cap=3 violates
+    PartitionedUpsert.init(
+      Seq((1L, 5.0, 10.0), (2L, 2.0, 10.0)).toDF("pk", "v", "cap"),
+      s"$base/tgt", "pk", 4)
+    PartitionedUpsert.addCheckConstraint(spark, s"$base/tgt",
+      "v_cap", "v <= cap")
+    def line(op: String, pk: Long, lsn: Long, after: String) =
+      s"""{"op":"$op","pk":$pk,"lsn":$lsn,"after":$after}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/f1.json"),
+      Seq(line("u", 1, 1, """{"cap":3.0}"""),  // merged 5>3: POISON
+        line("u", 2, 2, """{"v":4.0}""")       // merged 4<=10: clean
+      ).mkString("\n"))
+    val sch = StructType(Seq(StructField("op", StringType),
+      StructField("pk", LongType), StructField("lsn", LongType),
+      StructField("after", StringType)))
+    val raw = spark.readStream.schema(sch).json(srcDir)
+    val (v, vp) = Cdc.sparseField($"after", "v", DoubleType)
+    val (c, cp) = Cdc.sparseField($"after", "cap", DoubleType)
+    val changes = raw.select($"pk", $"lsn", $"op", v.as("v"),
+      vp.as("v_present"), c.as("cap"), cp.as("cap_present"))
+    val q = CdcStream.partitionedUpsertSink(changes, s"$base/tgt",
+      s"$base/ckpt", "pk", "lsn", "op", Seq("v", "cap"), 4, sparse = true,
+      quarantineDir = Some(s"$base/dlq"))
+    try q.processAllAvailable() finally q.stop() // must SURVIVE
+    val state = PartitionedUpsert.read(spark, s"$base/tgt").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(state(1L) === ((5.0, 10.0)),
+      "the violating key keeps its committed state")
+    assert(state(2L) === ((4.0, 10.0)), "the clean sparse update applies")
+    val dlq = spark.read.parquet(s"$base/dlq")
+      .select("pk", "__violation").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dlq === Seq((1L, "v_cap")))
+  }
+
   test("exactly-once parquet sink: checkpointed restart does not duplicate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
