@@ -283,6 +283,15 @@ object Bench {
             // its fingerprint on every fresh JVM (observed r15:
             // q_scan_graft_dsv2)
             .replaceAll("/graft_fixtures/p\\d+", "/graft_fixtures/p#")
+            // graft RelationV2 names pin the manifest VERSION
+            // (`graft.`…``@v7`) — under the r17 pristine-restore
+            // fixture discipline the version grows per rep instead of
+            // resetting to 2, so an un-normalized fingerprint would
+            // flap on every run of a lifecycle key. The version is
+            // bench-noise, never plan shape: normalize on FIXTURE
+            // paths only, so a genuine version pin in a user-query
+            // plan (time travel) still fingerprints distinctly.
+            .replaceAll("(/graft_fixtures/[^`]*`)@v\\d+", "$1@v#")
             // constraint/predicate sets render their conjuncts in
             // ExpressionSet iteration order, which depends on exprId
             // hash values — a session-counter shift can reorder

@@ -285,8 +285,11 @@ object DmlSql {
     * plain SQL. DuckDB replays the three statements algebraically
     * (UNION ALL the ghosts, CASE the update, WHERE NOT the delete),
     * so the hash certifies parser, lowering, write path, and upsert
-    * merge semantics in one key. Fixture rebuilt per call (the scan-
-    * fixture overwrite discipline), but LIFECYCLE-SLIM (the r15
+    * merge semantics in one key. Fixture prepared ONCE per (session,
+    * sf) and rolled back to its pristine v1 per rep by a
+    * metadata-only RESTORE ([[LifecycleFixture]] — the r16 verdict's
+    * shared-fixture discipline: warm reps measure the lifecycle
+    * statements, not a rebuild), and LIFECYCLE-SLIM (the r15
     * verdict's #1 ask — this key was 10% of the whole bench): 4
     * buckets carry the exact same semantics as 16 at a quarter of
     * the per-statement file fan-out, the snapshot is coalesced so
@@ -299,14 +302,14 @@ object DmlSql {
   def qCdcDmlSql(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = graft.ops.relational.Scans.fixtureDir(dir, "dml_sql")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    val tgt = Tables.table(spark, dir, "customer").select(
-      $"c_custkey",
-      round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
-      $"c_mktsegment".as("seg"))
-    PartitionedUpsert.init(tgt.coalesce(1), path, "c_custkey", nBuckets = 4)
+    // shared-pristine-fixture discipline (r16 verdict #3): init once
+    // per (session, sf), roll back to v1 per rep — metadata-only
+    LifecycleFixture.pristine(spark, path, "c_custkey", nBuckets = 4) {
+      Tables.table(spark, dir, "customer").select(
+        $"c_custkey",
+        round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
+        $"c_mktsegment".as("seg")).coalesce(1)
+    }
     val tbl = s"graft_dml_sql_t_${math.abs(path.hashCode).toString}"
     if (!spark.catalog.tableExists(tbl))
       spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$path'")
@@ -345,14 +348,14 @@ object DmlSql {
   def qCdcDdlSql(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = graft.ops.relational.Scans.fixtureDir(dir, "ddl_sql")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    val tgt = Tables.table(spark, dir, "customer").select(
-      $"c_custkey",
-      round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
-      $"c_mktsegment".as("seg"))
-    PartitionedUpsert.init(tgt.coalesce(1), path, "c_custkey", nBuckets = 4)
+    // pristine-restore fixture discipline — see qCdcDmlSql; restore
+    // rolls back SCHEMA too (the ALTER re-runs against v1's shape)
+    LifecycleFixture.pristine(spark, path, "c_custkey", nBuckets = 4) {
+      Tables.table(spark, dir, "customer").select(
+        $"c_custkey",
+        round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
+        $"c_mktsegment".as("seg")).coalesce(1)
+    }
     val tbl = s"graft_ddl_sql_t_${math.abs(path.hashCode).toString}"
     if (!spark.catalog.tableExists(tbl))
       spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$path'")
@@ -479,7 +482,8 @@ object DmlSql {
             } else 1L // unit-less = milliseconds (back-compat, documented)
           retain = Some(v * mult)
         case "ZORDER" =>
-          // ZORDER BY (c1[, c2]) — the Delta OPTIMIZE clause verbatim
+          // ZORDER BY (c1[, c2, …]) — the Delta OPTIMIZE clause
+          // verbatim; arity is validated engine-side (n·bits ≤ 63)
           if (!(i < toks.length && cur.kind == IDENT && cur.upper == "BY"))
             fail(sql, if (i < toks.length) cur.start else sql.length,
               "expected BY after ZORDER")
@@ -967,9 +971,14 @@ object DmlSql {
   def detailTargetName(sqlText: String): String =
     parseDescribeDetail(sqlText)
 
-  def describeHistoryTable(spark: SparkSession, sqlText: String): DataFrame =
-    PartitionedUpsert.historyDf(spark,
-      tableLocation(spark, parseDescribeHistory(sqlText)))
+  def describeHistoryTable(spark: SparkSession, sqlText: String): DataFrame = {
+    val dir = tableLocation(spark, parseDescribeHistory(sqlText))
+    // loud probe (r16 ADVICE medium): a row-producing DESCRIBE on a
+    // location with no manifest must raise the specific graft error,
+    // never serve a silently EMPTY frame under graft's schema
+    PartitionedUpsert.manifestOrFail(spark, dir): Unit
+    PartitionedUpsert.historyDf(spark, dir)
+  }
 
   /** `DESCRIBE DETAIL <table>` → [[PartitionedUpsert.detailDf]] (the
     * one-row current-state summary; same grammar shape as HISTORY). */
@@ -997,9 +1006,12 @@ object DmlSql {
     parseDescribeDetail(sqlText); ()
   }
 
-  def describeDetailTable(spark: SparkSession, sqlText: String): DataFrame =
-    PartitionedUpsert.detailDf(spark,
-      tableLocation(spark, parseDescribeDetail(sqlText)))
+  def describeDetailTable(spark: SparkSession, sqlText: String): DataFrame = {
+    val dir = tableLocation(spark, parseDescribeDetail(sqlText))
+    // same loud probe as describeHistoryTable (r16 ADVICE medium)
+    PartitionedUpsert.manifestOrFail(spark, dir): Unit
+    PartitionedUpsert.detailDf(spark, dir)
+  }
 
   /** Direct-path variants against a table DIR (no catalog needed) —
     * the API twin for callers holding paths. */

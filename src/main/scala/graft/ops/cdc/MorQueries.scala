@@ -23,20 +23,23 @@ object MorQueries {
     * DuckDB replays algebraically (WHERE-out the deletes except the
     * re-inserted slice, CASE the VIP flip), so one hash certifies the
     * sidecar write, the anti-join read, the rewrite interplay, and
-    * resurrection semantics together. Fixture rebuilt per call at the
+    * resurrection semantics together. Fixture prepared once per
+    * (session, sf) and rolled back to pristine v1 per rep
+    * ([[LifecycleFixture]] — metadata-only restore), at the
     * lifecycle-slim shape (4 buckets, single-file init — the
     * q_cdc_dml_sql discipline). */
   def qCdcDeleteMor(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = graft.ops.relational.Scans.fixtureDir(dir, "delete_mor")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
     val tgt = Tables.table(spark, dir, "customer").select(
       $"c_custkey",
       round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
       $"c_mktsegment".as("seg"))
-    PartitionedUpsert.init(tgt.coalesce(1), path, "c_custkey", nBuckets = 4)
+    // pristine-restore fixture discipline (r16 verdict #3 — see
+    // LifecycleFixture): warm reps skip the init write entirely
+    LifecycleFixture.pristine(spark, path, "c_custkey", nBuckets = 4) {
+      tgt.coalesce(1)
+    }
     PartitionedUpsert.deleteMor(spark, path,
       tgt.filter($"bal_cents" < 0).select($"c_custkey"), "c_custkey")
     PartitionedUpsert.merge(spark, path,

@@ -114,6 +114,19 @@ class BenchFingerprintSpec extends AnyFunSuite {
     assert(norm === line.replace("p12345", "p#"))
   }
 
+  test("graft fixture RelationV2 version pins normalize to @v# (the " +
+      "r17 pristine-restore discipline grows the version per rep); a " +
+      "user table's time-travel pin outside the fixture root stays " +
+      "distinct") {
+    val re = "(/graft_fixtures/[^`]*`)@v\\d+"
+    val line =
+      "RelationV2[k#] graft.`/tmp/graft_fixtures/p#/sf/graft_dsv2`@v8"
+    assert(line.replaceAll(re, "$1@v#").endsWith("graft_dsv2`@v#"))
+    val user = "RelationV2[k#] graft.`/data/tables/events`@v8"
+    assert(user.replaceAll(re, "$1@v#") === user,
+      "a genuine versionAsOf pin must keep its distinct fingerprint")
+  }
+
   test("control characters in plan text survive the jsonEsc/" +
       "parsePlanTexts round-trip (r14 review: \\u00xx was not inverted)") {
     val plans = Map("q_ctl" -> "Filter contains(s#, bell)")
