@@ -52,7 +52,9 @@ object SparkEntry {
       (graft.ops.llm.UrlCanon.queries, graft.ops.llm.UrlCanon.oracle),
       (graft.ops.llm.Boilerplate.queries, graft.ops.llm.Boilerplate.oracle),
       (graft.ops.llm.SemDedup.queries, graft.ops.llm.SemDedup.oracle),
-      (graft.ops.llm.Multimodal.queries, graft.ops.llm.Multimodal.oracle)
+      (graft.ops.llm.Multimodal.queries, graft.ops.llm.Multimodal.oracle),
+      (graft.streaming.StreamApplyQuery.queries,
+        graft.streaming.StreamApplyQuery.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
