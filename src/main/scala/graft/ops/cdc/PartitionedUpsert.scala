@@ -883,48 +883,68 @@ object PartitionedUpsert {
         val ourTxns = pending.manifest.txns.filter {
           case (a, v) => !base.txns.get(a).contains(v)
         }
-        def refuse(why: String): Nothing =
-          throw new java.util.ConcurrentModificationException(
-            s"commit conflict on $dir: a concurrent writer committed " +
-              s"first and auto-rebase is unsafe ($why) — re-prepare " +
-              s"from the new state", first)
-        var attempts = 0
-        while (attempts < MaxRebaseAttempts) {
-          attempts += 1
-          val winner = manifestOrFail(spark, dir)
-          if (ourTxns.exists { case (a, v) =>
-            winner.txns.get(a).exists(_ >= v) }) throw first // replayed txn
-          if (winner.schema != base.schema) refuse("schema changed")
-          if (winner.nBuckets != base.nBuckets || winner.layout != base.layout
-            || winner.splits != base.splits) refuse("bucket layout changed")
-          if (winner.checks != base.checks) refuse("CHECK constraints changed")
-          ourTouched.foreach { b =>
-            if (winner.buckets.get(b) != base.buckets.get(b) ||
-              winner.tombs.getOrElse(b, Seq.empty) !=
-                base.tombs.getOrElse(b, Seq.empty) ||
-              winner.stats.get(b) != base.stats.get(b))
-              refuse(s"the winner also changed bucket $b")
-          }
-          val ourData = pending.manifest.buckets.filter {
-            case (b, _) => ourTouched(b) }
-          val ourStats = pending.manifest.stats.filter {
-            case (b, _) => ourTouched(b) }
-          val rebased = winner.copy(version = winner.version + 1,
-            txns = winner.txns ++ ourTxns,
-            buckets = (winner.buckets -- ourTouched) ++ ourData,
-            stats = (winner.stats -- ourTouched) ++ ourStats,
-            // our rewrite read base's tombstones of the touched buckets
-            // (== winner's, proven above) and physicalized them
-            tombs = winner.tombs -- ourTouched)
-          try { writeManifest(fs, dir, rebased); return }
-          catch { case _: java.util.ConcurrentModificationException => () }
+        val ourData = pending.manifest.buckets.filter {
+          case (b, _) => ourTouched(b) }
+        val ourStats = pending.manifest.stats.filter {
+          case (b, _) => ourTouched(b) }
+        publishWithRebase(spark, dir, base, ourTouched, ourTxns, first) {
+          winner =>
+            winner.copy(version = winner.version + 1,
+              txns = winner.txns ++ ourTxns,
+              buckets = (winner.buckets -- ourTouched) ++ ourData,
+              stats = (winner.stats -- ourTouched) ++ ourStats,
+              // our rewrite read base's tombstones of the touched
+              // buckets (== winner's, proven) and physicalized them
+              tombs = winner.tombs -- ourTouched)
         }
-        throw first
     }
   }
 
-  /** Bounded publish retries under [[commit]]'s auto-rebase — enough
-    * to absorb a burst of disjoint racers, small enough that sustained
+  /** The shared disjoint-rebase publish loop behind [[commit]] and
+    * [[deleteMor]]: re-read the winning head, PROVE the winner changed
+    * none of OUR buckets (data path, tombstones, stats) and no table
+    * shape (schema, layout, CHECK constraints), then republish
+    * `stamp(winner)` — our delta re-applied on the new head. Refusals
+    * raise a loud conflict naming the reason; a winner already
+    * carrying one of OUR txn cursors rethrows `first` so the caller's
+    * replay fast-path resolves it; retries are bounded (sustained
+    * contention should surface as backpressure, not spin). */
+  private def publishWithRebase(spark: SparkSession, dir: String,
+                                base: Manifest, ourBuckets: Set[Long],
+                                ourTxns: Map[String, Long],
+                                first: java.util.ConcurrentModificationException)
+                               (stamp: Manifest => Manifest): Unit = {
+    val fs = fsOf(spark, dir)
+    def refuse(why: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict on $dir: a concurrent writer committed " +
+          s"first and auto-rebase is unsafe ($why) — re-prepare " +
+          s"from the new state", first)
+    var attempts = 0
+    while (attempts < MaxRebaseAttempts) {
+      attempts += 1
+      val winner = manifestOrFail(spark, dir)
+      if (ourTxns.exists { case (a, v) =>
+        winner.txns.get(a).exists(_ >= v) }) throw first // replayed txn
+      if (winner.schema != base.schema) refuse("schema changed")
+      if (winner.nBuckets != base.nBuckets || winner.layout != base.layout
+        || winner.splits != base.splits) refuse("bucket layout changed")
+      if (winner.checks != base.checks) refuse("CHECK constraints changed")
+      ourBuckets.foreach { b =>
+        if (winner.buckets.get(b) != base.buckets.get(b) ||
+          winner.tombs.getOrElse(b, Seq.empty) !=
+            base.tombs.getOrElse(b, Seq.empty) ||
+          winner.stats.get(b) != base.stats.get(b))
+          refuse(s"the winner also changed bucket $b")
+      }
+      try { writeManifest(fs, dir, stamp(winner)); return }
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    throw first
+  }
+
+  /** Bounded publish retries under the auto-rebase — enough to absorb
+    * a burst of disjoint racers, small enough that sustained
     * contention surfaces as the conflict error (re-prepare is the
     * correct backpressure, not spin). */
   private val MaxRebaseAttempts = 5
@@ -1072,7 +1092,23 @@ object PartitionedUpsert {
           if (txn.exists { case (app, ver) =>
             currentManifest(spark, dir).exists(_.txns.get(app).exists(_ >= ver))
           }) return Seq.empty
-          else throw e
+          // disjoint-bucket AUTO-REBASE (r17, shared loop with
+          // commit): the GDPR-sweep-racing-ingest case — a tombstone
+          // wave and a merge on OTHER buckets should both land. The
+          // sidecars are already on disk; the rebase re-appends them
+          // (and the lsn-watermark clears) onto the winning head. A
+          // winner that touched one of OUR tombstoned buckets is a
+          // genuine delete-vs-write race — refused loudly, the honest
+          // posture when concurrent orderings disagree on outcome.
+          publishWithRebase(spark, dir, prior, written.toSet, txn.toMap, e) {
+            winner =>
+              val clearedOnWinner = written.flatMap(b =>
+                winner.stats.get(b).map(s => b -> s.copy(maxLsn = None))).toMap
+              winner.copy(version = winner.version + 1,
+                txns = winner.txns ++ txn,
+                stats = winner.stats ++ clearedOnWinner,
+                tombs = winner.tombs ++ newTombs)
+          }
       }
       written.sorted
     } finally { withBucket.unpersist(); () }

@@ -64,6 +64,23 @@ import graft.ops.cdc.PartitionedUpsert
   * with it, intra-epoch duplicates resolve by the lsn like any CDC
   * feed.
   *
+  * FULL PARITY with the foreachBatch sink (r17 — the merge body IS
+  * [[graft.streaming.CdcStream.mergeBatch]], shared so quarantine
+  * semantics, the delete-only tombstone fast path, and txn plumbing
+  * cannot drift between the two faces):
+  *  - `option("sparse", "true")` — TOAST-style partial after-images
+  *    (requires opCol+lsnCol; stream carries `<col>_present` flags);
+  *  - `option("quarantineDir", d)` — CHECK-constraint dead-lettering
+  *    instead of query death (merged-image evaluation under sparse);
+  *  - `option("compactEvery", n)` / `option("compactMaxFiles", m)` —
+  *    auto-compaction cadence on the sink's own trigger thread.
+  * The one thing the format face cannot carry is the foreachBatch
+  * recipe's cross-batch `dropDuplicates(lsnCol)` redelivery
+  * suppression (a sink cannot inject stateful operators upstream) —
+  * an at-least-once source should keep per-key LWW ordering in its
+  * lsn, which makes redelivery convergent; Delta's sink draws the
+  * same line.
+  *
   * Scale: the per-epoch cost is the merge's — O(touched buckets)
   * data, one manifest read + one manifest publish of metadata. An
   * empty epoch burns nothing (merge's `touched.isEmpty` no-op). The
@@ -92,45 +109,69 @@ final class GraftStreamingSink(dir: String, parameters: Map[String, String],
 
     val opCol = parameters.get("opCol")
     val lsnCol = parameters.get("lsnCol")
+    val sparse = parameters.get("sparse").exists(_.toBoolean)
+    val quarantineDir = parameters.get("quarantineDir")
+    val compactEvery = parameters.get("compactEvery").map(_.toInt).getOrElse(0)
+    val compactMaxFiles =
+      parameters.get("compactMaxFiles").map(_.toInt).getOrElse(8)
+    if (sparse) require(opCol.nonEmpty && lsnCol.nonEmpty,
+      "sparse partial after-images are CDC-ordered by contract — pass " +
+        "opCol and lsnCol with sparse=true")
     val keyCol = m.keyCol
-    val metaCols = (opCol.toSeq ++ lsnCol.toSeq).map(_.toLowerCase).toSet
+    val valueCols = m.schema.fieldNames.filterNot(
+      _.equalsIgnoreCase(keyCol)).toSeq
+    // schema gate: stream columns = table columns (+ op/lsn metadata;
+    // + per-value-column `_present` flags under sparse)
+    val metaCols = ((opCol.toSeq ++ lsnCol.toSeq) ++
+      (if (sparse) valueCols.map(_ + "_present") else Seq.empty))
+      .map(_.toLowerCase).toSet
     val got = data.schema.fieldNames.map(_.toLowerCase).toSet -- metaCols
     val want = m.schema.fieldNames.map(_.toLowerCase).toSet
     if (got != want)
       throw new IllegalArgumentException(
         s"stream schema ${got.toSeq.sorted.mkString(",")} does not match " +
           s"table schema ${want.toSeq.sorted.mkString(",")} at $dir" +
-          (if (metaCols.nonEmpty) s" (opCol/lsnCol are metadata)" else ""))
+          (if (metaCols.nonEmpty) s" (opCol/lsnCol/_present are metadata)"
+           else ""))
     opCol.foreach(c => require(!want.contains(c.toLowerCase),
       s"opCol '$c' collides with a table column"))
     lsnCol.foreach(c => require(!want.contains(c.toLowerCase),
       s"lsnCol '$c' collides with a table column"))
 
     val batch = SinkBridge.microBatchAsBatch(data)
-    val valueCols = m.schema.fieldNames.filterNot(
-      _.equalsIgnoreCase(keyCol)).toSeq
 
     if (outputMode == OutputMode.Complete()) {
-      require(opCol.isEmpty && lsnCol.isEmpty,
-        "opCol/lsnCol are CDC-apply options — meaningless in Complete " +
-          "mode, whose every epoch replaces the full table")
+      require(opCol.isEmpty && lsnCol.isEmpty && !sparse,
+        "opCol/lsnCol/sparse are CDC-apply options — meaningless in " +
+          "Complete mode, whose every epoch replaces the full table")
       PartitionedUpsert.replace(
         GraftWrites.guardKeys(batch, keyCol, strictDups = true)
           .select(m.schema.fieldNames.map(col).toSeq: _*),
         dir, txn = Some(appId -> batchId))
     } else {
-      // Append / Update: upsert merge. Without lsnCol the epoch is one
-      // "statement": intra-epoch duplicate keys error (nondeterministic
-      // winner); with lsnCol the CDC ordering resolves them.
+      // Append / Update: upsert merge through the SAME shared batch
+      // body the foreachBatch recipe uses (CdcStream.mergeBatch —
+      // quarantine semantics, delete-only tombstone fast path, and
+      // txn plumbing stay one copy). Without lsnCol the epoch is one
+      // "statement": intra-epoch duplicate keys error
+      // (nondeterministic winner); with lsnCol the CDC ordering
+      // resolves them. Plain mode (no opCol) skips the delete-only
+      // probe — its synthesized op='u' literal could never match.
       val guarded = GraftWrites.guardKeys(batch, keyCol,
         strictDups = lsnCol.isEmpty)
+      val sparseCols =
+        if (sparse) valueCols.map(c => col(s"${c}_present")) else Seq.empty
       val changes = guarded.select(
         opCol.map(col(_).as("__op")).getOrElse(lit("u").as("__op")) +:
           lsnCol.map(col(_).cast("long").as("__lsn"))
             .getOrElse(lit(m.version + 1).as("__lsn")) +:
-          (keyCol +: valueCols).map(col): _*)
-      PartitionedUpsert.merge(spark, dir, changes, keyCol, "__lsn", "__op",
-        valueCols, m.nBuckets, txn = Some(appId -> batchId)): Unit
+          ((keyCol +: valueCols).map(col) ++ sparseCols): _*)
+      graft.streaming.CdcStream.mergeBatch(spark, changes, batchId, dir,
+        appId, keyCol, "__lsn", "__op", valueCols, m.nBuckets,
+        sparse = sparse, quarantineDir = quarantineDir,
+        probeDeleteOnly = opCol.nonEmpty)
+      if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+        PartitionedUpsert.compactFiles(spark, dir, compactMaxFiles): Unit
     }
   }
 }

@@ -79,15 +79,26 @@ object CdcStream {
     *        Cdc.applySparse) — absent columns keep their stored values
     *        instead of nulling out. */
   /** Lazy-init + txn-guarded merge of one micro-batch into an upsert
-    * target — the shared body of [[partitionedUpsertSink]] and
-    * [[maintainedAggregateSink]] (one copy so the race-guard exception
-    * list and txn plumbing cannot drift between them). */
-  private def mergeBatch(spark: SparkSession, batch0: DataFrame, batchId: Long,
-                         targetDir: String, checkpointDir: String,
+    * target — the shared body of [[partitionedUpsertSink]],
+    * [[maintainedAggregateSink]] AND (r17) the native format sink
+    * [[graft.sources.GraftStreamingSink]] (one copy so the race-guard
+    * exception list, quarantine semantics, and txn plumbing cannot
+    * drift between the foreachBatch recipe and the format face).
+    * `txnApp` is the writer-app id the epoch cursor records under —
+    * the checkpoint dir for the foreachBatch sinks, the streaming
+    * query id (or explicit txnAppId) for the format sink.
+    * `probeDeleteOnly=false` skips the all-deletes fast-path probe —
+    * the format sink's plain mode synthesizes op='u' literally, so
+    * the probe's limit(1) job could never match and would only
+    * re-execute the micro-batch pipeline once for nothing. */
+  private[graft] def mergeBatch(spark: SparkSession, batch0: DataFrame,
+                         batchId: Long,
+                         targetDir: String, txnApp: String,
                          keyCol: String, lsnCol: String, opCol: String,
                          valueCols: Seq[String], nBuckets: Int,
                          sparse: Boolean = false,
-                         quarantineDir: Option[String] = None): Unit = {
+                         quarantineDir: Option[String] = None,
+                         probeDeleteOnly: Boolean = true): Unit = {
     import graft.ops.cdc.PartitionedUpsert
     if (PartitionedUpsert.currentManifest(spark, targetDir).isEmpty) {
       val empty = batch0.select((keyCol +: valueCols).map(col): _*).limit(0)
@@ -172,22 +183,23 @@ object CdcStream {
         }
       case None => (batch0, None)
     }
-    try mergeResolved(spark, batch, batchId, targetDir, checkpointDir,
-      keyCol, lsnCol, opCol, valueCols, nBuckets, sparse)
+    try mergeResolved(spark, batch, batchId, targetDir, txnApp,
+      keyCol, lsnCol, opCol, valueCols, nBuckets, sparse, probeDeleteOnly)
     finally pinned.foreach { p => p.unpersist(); () }
   }
 
   private def mergeResolved(spark: SparkSession, batch: DataFrame,
                             batchId: Long, targetDir: String,
-                            checkpointDir: String, keyCol: String,
+                            txnApp: String, keyCol: String,
                             lsnCol: String, opCol: String,
                             valueCols: Seq[String], nBuckets: Int,
-                            sparse: Boolean): Unit = {
+                            sparse: Boolean,
+                            probeDeleteOnly: Boolean = true): Unit = {
     import graft.ops.cdc.PartitionedUpsert
-    // txn = (checkpoint, batchId): a replayed micro-batch (crash
-    // after commit, before the checkpoint advanced) is recognized
-    // from the manifest and skipped as a metadata no-op — true
-    // exactly-once, not merely LWW convergence
+    // txn = (txnApp, batchId): a replayed micro-batch (crash after
+    // commit, before the engine's own commit log advanced) is
+    // recognized from the manifest and skipped as a metadata no-op —
+    // true exactly-once, not merely LWW convergence
     //
     // DELETE-ONLY fast path: a window whose every event is op='d'
     // (retention sweep, erasure feed) commits merge-on-read KEY
@@ -198,14 +210,15 @@ object CdcStream {
     // a limit(1) existence check that early-exits on the first
     // non-delete row, so mixed windows — the common case — pay
     // near-nothing for it.
-    val deleteOnly = batch.filter(!(col(opCol) <=> "d")).isEmpty
+    val deleteOnly =
+      probeDeleteOnly && batch.filter(!(col(opCol) <=> "d")).isEmpty
     if (deleteOnly)
       PartitionedUpsert.deleteMor(spark, targetDir,
         batch.select(col(keyCol)), keyCol,
-        txn = Some((checkpointDir, batchId))): Unit
+        txn = Some((txnApp, batchId))): Unit
     else
       PartitionedUpsert.merge(spark, targetDir, batch, keyCol, lsnCol,
-        opCol, valueCols, nBuckets, txn = Some((checkpointDir, batchId)),
+        opCol, valueCols, nBuckets, txn = Some((txnApp, batchId)),
         sparse = sparse): Unit
   }
 

@@ -92,6 +92,63 @@ class ConflictRebaseSpec extends SparkSpec {
     assert(state(dir)(k1) == k1 * 10L)
   }
 
+  test("a prepared merge rebases over a deleteMor winner on OTHER " +
+      "buckets (GDPR sweep racing ingest): tombstones AND the merge " +
+      "both land; a tombstone on the merge's own bucket refuses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebase_mor").toString
+    initTable(dir)
+    val kDel = (1L to 40L).find(k => bucketOf(k) == 3L).get
+    val kUp = (1L to 40L).find(k => bucketOf(k) == 0L).get
+    val p = PartitionedUpsert.prepare(spark, dir, changes(100L, kUp, 111L),
+      "k", "lsn", "op", Seq("v"), 4)
+    // the sweep wins the race: v2 adds a sidecar on bucket 3
+    PartitionedUpsert.deleteMor(spark, dir, Seq(kDel).toDF("k"), "k"): Unit
+    PartitionedUpsert.commit(spark, dir, p) // rebases: v3
+    val st = state(dir)
+    assert(!st.contains(kDel), "the tombstone survives the rebase")
+    assert(st(kUp) == 111L, "the rebased merge lands")
+    assert(PartitionedUpsert.manifestOrFail(spark, dir).version == 3L)
+    // overlap: a sweep on the merge's own bucket refuses the rebase
+    val kUp2 = (kUp + 1L to 40L).find(k => bucketOf(k) == 0L).get
+    val p2 = PartitionedUpsert.prepare(spark, dir, changes(101L, kUp2, 222L),
+      "k", "lsn", "op", Seq("v"), 4)
+    PartitionedUpsert.deleteMor(spark, dir, Seq(kUp).toDF("k"), "k"): Unit
+    val e = intercept[java.util.ConcurrentModificationException] {
+      PartitionedUpsert.commit(spark, dir, p2)
+    }
+    assert(e.getMessage.contains("also changed bucket"))
+  }
+
+  test("CONCURRENT deleteMor and merge threads on disjoint buckets: " +
+      "whichever loses the publish race rebases — both effects land, " +
+      "every round, no conflict surfaces") {
+    import spark.implicits._
+    (1 to 3).foreach { round =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_rebase_thr$round").toString
+      initTable(dir)
+      val kDel = (1L to 40L).find(k => bucketOf(k) == 3L).get
+      val kUp = (1L to 40L).find(k => bucketOf(k) == 1L).get
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val t1 = new Thread(() =>
+        try PartitionedUpsert.deleteMor(spark, dir,
+          Seq(kDel).toDF("k"), "k"): Unit
+        catch { case t: Throwable => errs.add(t): Unit })
+      val t2 = new Thread(() =>
+        try PartitionedUpsert.merge(spark, dir, changes(100L, kUp, 111L),
+          "k", "lsn", "op", Seq("v"), 4): Unit
+        catch { case t: Throwable => errs.add(t): Unit })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(errs.isEmpty,
+        s"round $round: disjoint racers must both land, got " +
+          errs.toArray.mkString("; "))
+      val st = state(dir)
+      assert(!st.contains(kDel), s"round $round: delete landed")
+      assert(st(kUp) == 111L, s"round $round: merge landed")
+    }
+  }
+
   test("mergeWith still resolves a same-txn race as a replay no-op " +
       "(the rebase path must not break the exactly-once fast path)") {
     import spark.implicits._

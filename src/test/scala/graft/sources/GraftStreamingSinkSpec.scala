@@ -182,6 +182,91 @@ class GraftStreamingSinkSpec extends SparkSpec {
     assert(st2 == Map("a" -> 2L, "b" -> 2L))
   }
 
+  test("foreachBatch-parity options (r17): sparse partial images " +
+      "merge column-level; quarantine dead-letters the MERGED-image " +
+      "violator; compactEvery bounds per-bucket files — all through " +
+      "the shared CdcStream.mergeBatch body") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_par").toString
+    val dir = s"$base/tbl"
+    PartitionedUpsert.init(
+      Seq((1L, 5.0, 10.0), (2L, 2.0, 10.0)).toDF("pk", "v", "cap"),
+      dir, "pk", 4)
+    PartitionedUpsert.addCheckConstraint(spark, dir, "v_cap", "v <= cap")
+    val sink = new GraftStreamingSink(dir, Map(
+      "txnAppId" -> "par", "opCol" -> "op", "lsnCol" -> "lsn",
+      "sparse" -> "true", "quarantineDir" -> s"$base/dlq",
+      "compactEvery" -> "1", "compactMaxFiles" -> "1"),
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // epoch 0: pk1 sets ONLY cap=3 (raw row passes the check — v is
+    // NULL — but merged v=5 > 3 violates → the KEY dead-letters);
+    // pk2 sets ONLY v=4 (merged 4<=10, applies; cap survives)
+    sink.addBatch(0L, Seq(
+      ("u", 1L, 1L, Option.empty[Double], false, Option(3.0), true),
+      ("u", 2L, 2L, Option(4.0), true, Option.empty[Double], false)
+    ).toDF("op", "lsn", "pk", "v", "v_present", "cap", "cap_present"))
+    val st = PartitionedUpsert.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(st(1L) == ((5.0, 10.0)), "violating key keeps committed state")
+    assert(st(2L) == ((4.0, 10.0)), "clean sparse update applies, cap kept")
+    val dlq = spark.read.parquet(s"$base/dlq")
+      .select("pk", "__violation").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dlq == Seq((1L, "v_cap")))
+    // compactEvery=1 ran after the epoch: every bucket within budget
+    PartitionedUpsert.stats(spark, dir).foreach { case (b, files, _) =>
+      assert(files <= 1, s"bucket $b not compacted: $files files")
+    }
+  }
+
+  test("END-TO-END TABLE REPLICATION in one streaming query (the two " +
+      "r17 faces composed): CDF snapshot+tail readStream into the " +
+      "format-sink writeStream — replica converges to the source " +
+      "through updates/inserts/deletes and across a restart") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_repl").toString
+    val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+    initTable(src) // v1: keys 1..8
+    // replica starts EMPTY — the stream's initial snapshot seeds it
+    PartitionedUpsert.init(Seq.empty[(Long, Long)].toDF("k", "v"),
+      dst, "k", 4)
+    def start() = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "snapshot")
+      .load(src)
+      .select(col("k"), col("v"),
+        when(col("change_type") === "delete", "d").otherwise("u").as("op"))
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("opCol", "op")
+      .start(dst)
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(tableState(dst) == tableState(src), "snapshot seeds the replica")
+    // live tail: update + insert + delete
+    PartitionedUpsert.merge(spark, src,
+      Seq((100L, 1L, "u", 111L), (100L, 9L, "u", 90L))
+        .toDF("lsn", "k", "op", "v"),
+      "k", "lsn", "op", Seq("v"), 4): Unit
+    PartitionedUpsert.merge(spark, src,
+      Seq((101L, 2L, "d", 0L)).toDF("lsn", "k", "op", "v"),
+      "k", "lsn", "op", Seq("v"), 4): Unit
+    q1.processAllAvailable()
+    assert(tableState(dst) == tableState(src), "tail keeps the replica live")
+    q1.stop()
+    // changes while the replication is DOWN; restart resumes the seam
+    PartitionedUpsert.merge(spark, src,
+      Seq((102L, 3L, "u", 333L), (102L, 9L, "d", 0L))
+        .toDF("lsn", "k", "op", "v"),
+      "k", "lsn", "op", Seq("v"), 4): Unit
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(tableState(dst) == tableState(src),
+      "restart converges without re-seeding or losing the gap")
+    assert(!tableState(dst).contains(2L) && !tableState(dst).contains(9L))
+  }
+
   test("guard rails: schema mismatch errors per epoch; start() fails on " +
       "an uninitialized target; partitionBy rejected") {
     import spark.implicits._
