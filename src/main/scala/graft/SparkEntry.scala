@@ -54,7 +54,9 @@ object SparkEntry {
       (graft.ops.llm.SemDedup.queries, graft.ops.llm.SemDedup.oracle),
       (graft.ops.llm.Multimodal.queries, graft.ops.llm.Multimodal.oracle),
       (graft.streaming.StreamApplyQuery.queries,
-        graft.streaming.StreamApplyQuery.oracle)
+        graft.streaming.StreamApplyQuery.oracle),
+      (graft.sources.CatalogQueries.queries,
+        graft.sources.CatalogQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -760,6 +760,46 @@ object PartitionedUpsert {
       tombs = Map.empty)) // replaced contents carry no delete debt
   }
 
+  /** [[replace]] that may also change the table's SHAPE (schema, key,
+    * bucket count) — the lowering `REPLACE TABLE … AS SELECT` needs
+    * (r17, [[graft.sources.GraftCatalog]]): RTAS redefines the table,
+    * not just its contents, and Delta's does too. Published as ONE
+    * atomic manifest swap at prior.version+1, so readers see the old
+    * table or the new one (never a mix), a crash leaves the old table
+    * intact, and the pre-replace versions stay TIME-TRAVELABLE across
+    * the shape change (the manifest chain records the old schema with
+    * the old data — exactly how evolveSchema's history reads). Writer
+    * txn cursors carry over (a cursor records writer progress, the
+    * restore rule). Hash layout only — RTAS declares bucketing via
+    * the bucket(n, key) transform, and a range layout would need a
+    * split plan the statement has nowhere to carry. */
+  private[graft] def replaceShape(snapshot: DataFrame, dir: String,
+                                  keyCol: String, nBuckets: Int): Unit = {
+    val spark = snapshot.sparkSession
+    val fs = fsOf(spark, dir)
+    val prior = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir is not an initialized upsert target — init/createTable " +
+          "creates tables, replaceShape refills them"))
+    require(snapshot.schema.fieldNames.exists(_.equalsIgnoreCase(keyCol)),
+      s"key column '$keyCol' is not in the replacement schema " +
+        s"(${snapshot.schema.fieldNames.mkString(", ")})")
+    require(nBuckets > 0, s"buckets must be positive, got $nBuckets")
+    val next = Manifest(prior.version + 1, snapshot.schema, nBuckets,
+      snapshot.schema.fieldNames.find(_.equalsIgnoreCase(keyCol)).get,
+      prior.txns, Map.empty)
+    val staging = newStagingName(fs, dir)
+    snapshot
+      .withColumn("bucket", routeExpr(next, col(next.keyCol)))
+      .write.mode("errorifexists")
+      .partitionBy("bucket").parquet(s"$dir/data/$staging")
+    val written = listBuckets(fs, s"$dir/data/$staging")
+    val st = stagedStats(spark, fs, dir, staging, written, next.keyCol,
+      snapshot.schema(next.keyCol).dataType, _ => None)
+    writeManifest(fs, dir, next.copy(
+      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st))
+  }
+
   /** RESTORE the table to a retained version — Delta's `RESTORE
     * TABLE` — as ONE metadata-only commit: the new manifest is
     * version v's manifest (schema, layout, buckets, stats — a restore

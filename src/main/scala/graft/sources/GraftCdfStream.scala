@@ -35,8 +35,14 @@ import graft.ops.cdc.PartitionedUpsert
   *    layout, so the executor-side [[PartitionReader]] DSv2 requires
   *    is twelve lines of length-prefix framing, not a parquet decoder
   *    — and is partition-parallel, never a driver collect. The spool
-  *    costs one extra write+read of the WINDOW (never the table):
-  *    O(changes) I/O riding on an O(changes) diff.
+  *    costs one extra write+read of the WINDOW: O(changes) I/O riding
+  *    on an O(changes) diff. Honesty for `startingVersion=snapshot`
+  *    (r17): the FIRST window of a snapshot-start stream IS the whole
+  *    table, so its spool is one O(table) write+read — the price of
+  *    serving the bootstrap through the same exactly-once channel as
+  *    the tail; a pipeline that cannot afford it bootstraps with a
+  *    batch read() + a plain versioned CDF stream instead (both
+  *    documented), and every later window is O(changes) again.
   *  - `commit(v)` reclaims spool windows ending at or before v;
   *    `planInputPartitions` re-spools idempotently, so a kill between
   *    planning and commit replays cleanly (exactly-once end-to-end

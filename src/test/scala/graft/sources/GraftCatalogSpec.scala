@@ -1,0 +1,212 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ops.cdc.PartitionedUpsert
+
+/** The graft TableCatalog (r17): SQL manages graft tables by NAME —
+  * CREATE/CTAS/INSERT/time-travel/DML grammar/ALTER/RENAME/DROP/SHOW
+  * — with the table directory's manifest chain as the ONLY metadata
+  * (no metastore, no sync problem). */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", dir)
+    dir
+  }
+
+  test("CREATE NAMESPACE + CREATE TABLE PARTITIONED BY bucket(n, key) " +
+      "+ INSERT + SELECT + SHOW TABLES + DROP TABLE — the full " +
+      "name-addressed lifecycle with zero metastore state") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE gcat.prod")
+    spark.sql("CREATE TABLE gcat.prod.users (id BIGINT, name STRING) " +
+      "USING graft PARTITIONED BY (bucket(4, id))")
+    // the table IS its directory: manifest v1, 4 buckets, keyed by id
+    val m = PartitionedUpsert.manifestOrFail(spark, s"$wh/prod/users")
+    assert(m.nBuckets == 4 && m.keyCol == "id" && m.version == 1L)
+    spark.sql("INSERT INTO gcat.prod.users VALUES (1, 'ada'), (2, 'bob')")
+    spark.sql("INSERT INTO gcat.prod.users VALUES (1, 'ada2')") // upsert
+    val rows = spark.sql("SELECT id, name FROM gcat.prod.users ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "ada2"), (2L, "bob")))
+    val shown = spark.sql("SHOW TABLES IN gcat.prod")
+      .select("tableName").collect().map(_.getString(0)).toSeq
+    assert(shown == Seq("users"))
+    assert(spark.sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).contains("prod"))
+    spark.sql("DROP TABLE gcat.prod.users")
+    assert(spark.sql("SHOW TABLES IN gcat.prod").count() == 0)
+    intercept[Exception] { spark.sql("SELECT * FROM gcat.prod.users") }
+  }
+
+  test("CTAS with TBLPROPERTIES key/buckets; duplicate keys in the " +
+      "query error (keyed-table contract); key/provider guards") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ctas")
+    spark.sql("CREATE TABLE gcat.ctas.sums USING graft " +
+      "TBLPROPERTIES ('key'='k','buckets'='2') " +
+      "AS SELECT id AS k, id * 10 AS v FROM range(5)")
+    val got = spark.sql("SELECT k, v FROM gcat.ctas.sums ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L to 4L).map(k => (k, k * 10)))
+    assert(PartitionedUpsert.manifestOrFail(spark, s"$wh/ctas/sums")
+      .nBuckets == 2)
+    // a keyless CREATE is rejected loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.ctas.nokey (a BIGINT) USING graft")
+    }
+    assert(e.getMessage.contains("needs its key"))
+    // a foreign provider in this catalog is rejected loudly
+    val ep = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.ctas.foreign (a BIGINT) USING parquet " +
+        "TBLPROPERTIES ('key'='a')")
+    }
+    assert(ep.getMessage.contains("graft tables"))
+  }
+
+  test("time travel by NAME: VERSION AS OF / TIMESTAMP AS OF resolve " +
+      "historical pins; historical pins are read-only") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.tt")
+    spark.sql("CREATE TABLE gcat.tt.t (k BIGINT, v BIGINT) USING graft " +
+      "PARTITIONED BY (bucket(2, k))")
+    spark.sql("INSERT INTO gcat.tt.t VALUES (1, 10)") // v2
+    spark.sql("INSERT INTO gcat.tt.t VALUES (1, 11)") // v3
+    assert(spark.sql("SELECT v FROM gcat.tt.t VERSION AS OF 2")
+      .head().getLong(0) == 10L)
+    assert(spark.sql("SELECT v FROM gcat.tt.t").head().getLong(0) == 11L)
+    // TIMESTAMP AS OF now() resolves to the floor (current) version
+    assert(spark.sql(
+      "SELECT v FROM gcat.tt.t TIMESTAMP AS OF current_timestamp()")
+      .head().getLong(0) == 11L)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO (SELECT * FROM gcat.tt.t VERSION AS OF 2) " +
+        "VALUES (9, 9)")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("the injected statement grammar works on catalog names with no " +
+      "new code: UPDATE / DELETE / MERGE / OPTIMIZE / DESCRIBE " +
+      "HISTORY resolve through the same location chain") {
+    import spark.implicits._
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dml")
+    spark.sql("CREATE TABLE gcat.dml.t (k BIGINT, v BIGINT) USING graft " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gcat.dml.t SELECT id AS k, id AS v FROM range(10)")
+    spark.sql("UPDATE gcat.dml.t SET v = v + 100 WHERE k < 3")
+    spark.sql("DELETE FROM gcat.dml.t WHERE k = 9")
+    Seq((3L, 333L), (10L, 1000L)).toDF("k", "v")
+      .createOrReplaceTempView("dml_src")
+    spark.sql("MERGE INTO gcat.dml.t t USING dml_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    val st = spark.sql("SELECT k, v FROM gcat.dml.t ORDER BY k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st(0L) == 100L && st(2L) == 102L) // UPDATE
+    assert(!st.contains(9L))                 // DELETE
+    assert(st(3L) == 333L && st(10L) == 1000L) // MERGE
+    spark.sql("OPTIMIZE gcat.dml.t"): Unit
+    assert(spark.sql("DESCRIBE HISTORY gcat.dml.t").count() >= 4)
+  }
+
+  test("metadata tables (the Iceberg idiom): SELECT over " +
+      "cat.ns.t.history / .detail serves the audit frames as " +
+      "SQL-filterable relations") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.meta")
+    spark.sql("CREATE TABLE gcat.meta.t (k BIGINT, v BIGINT) USING graft " +
+      "PARTITIONED BY (bucket(2, k))")
+    spark.sql("INSERT INTO gcat.meta.t VALUES (1, 10)") // v2
+    spark.sql("INSERT INTO gcat.meta.t VALUES (2, 20)") // v3
+    val hist = spark.sql(
+      "SELECT version FROM gcat.meta.t.history WHERE version >= 2 " +
+        "ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hist == Seq(2L, 3L))
+    val det = spark.sql(
+      "SELECT version, key_col, n_buckets FROM gcat.meta.t.detail").head()
+    assert(det.getLong(0) == 3L && det.getString(1) == "k" &&
+      det.getInt(2) == 2)
+    // an unknown metadata suffix stays a missing table
+    intercept[Exception] { spark.sql("SELECT * FROM gcat.meta.t.nope") }
+  }
+
+  test("ATOMIC CTAS + REPLACE TABLE AS SELECT (StagingTableCatalog): " +
+      "the query writes a hidden staging table; CREATE commits by one " +
+      "rename, REPLACE by one manifest swap — old versions stay " +
+      "time-travelable ACROSS the redefinition; failures leave the " +
+      "final table untouched and reclaim the staging dir") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.rtas")
+    spark.sql("CREATE TABLE gcat.rtas.t USING graft " +
+      "TBLPROPERTIES ('key'='k','buckets'='2') " +
+      "AS SELECT id AS k, id AS v FROM range(4)")
+    assert(spark.sql("SELECT sum(v) FROM gcat.rtas.t").head().getLong(0) == 6L)
+    val v1 = PartitionedUpsert.manifestOrFail(spark, s"$wh/rtas/t").version
+    // RTAS: redefine the table (different schema AND different key)
+    spark.sql("REPLACE TABLE gcat.rtas.t USING graft " +
+      "TBLPROPERTIES ('key'='name','buckets'='2') " +
+      "AS SELECT concat('u', id) AS name, id * 100 AS score FROM range(3)")
+    val after = spark.sql("SELECT name, score FROM gcat.rtas.t ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(after == Seq(("u0", 0L), ("u1", 100L), ("u2", 200L)))
+    val m = PartitionedUpsert.manifestOrFail(spark, s"$wh/rtas/t")
+    assert(m.keyCol == "name", "RTAS redefines the key")
+    assert(m.version == v1 + 1, "REPLACE is ONE manifest swap")
+    // time travel ACROSS the redefinition reads the OLD schema+data
+    assert(spark.sql(s"SELECT sum(v) FROM gcat.rtas.t VERSION AS OF $v1")
+      .head().getLong(0) == 6L)
+    // CREATE OR REPLACE on a missing table creates
+    spark.sql("CREATE OR REPLACE TABLE gcat.rtas.fresh USING graft " +
+      "TBLPROPERTIES ('key'='k') AS SELECT id AS k FROM range(2)")
+    assert(spark.sql("SELECT count(*) FROM gcat.rtas.fresh")
+      .head().getLong(0) == 2L)
+    // a FAILING CTAS (duplicate keys violate the keyed-table contract)
+    // aborts: no table appears, no staging dir leaks
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.rtas.dup USING graft " +
+        "TBLPROPERTIES ('key'='k') " +
+        "AS SELECT CAST(id % 2 AS BIGINT) AS k FROM range(4)")
+    }
+    assert(!spark.sql("SHOW TABLES IN gcat.rtas").collect()
+      .map(_.getString(1)).contains("dup"))
+    val staging = new org.apache.hadoop.fs.Path(s"$wh/.staging")
+    val f = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(staging) || f.listStatus(staging).isEmpty,
+      "aborted CTAS must reclaim its staging dir")
+    // plain REPLACE TABLE on a MISSING table errors (no orCreate)
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gcat.rtas.nope USING graft " +
+        "TBLPROPERTIES ('key'='k') AS SELECT id AS k FROM range(1)")
+    }
+    // .staging never leaks into SHOW NAMESPACES
+    assert(!spark.sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).exists(_.startsWith(".")))
+  }
+
+  test("ALTER TABLE by name: ADD COLUMNS (metadata-only), catalog-path " +
+      "RENAME COLUMN via TableCatalog.alterTable, RENAME TO as one " +
+      "filesystem move (relative manifests pay off)") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
+    spark.sql("CREATE TABLE gcat.ddl.t (k BIGINT, v BIGINT) USING graft " +
+      "PARTITIONED BY (bucket(2, k))")
+    spark.sql("INSERT INTO gcat.ddl.t VALUES (1, 10)")
+    spark.sql("ALTER TABLE gcat.ddl.t ADD COLUMNS (extra BIGINT)")
+    assert(spark.sql("SELECT extra FROM gcat.ddl.t").head().isNullAt(0))
+    spark.sql("ALTER TABLE gcat.ddl.t RENAME COLUMN v TO val")
+    assert(spark.sql("SELECT val FROM gcat.ddl.t").head().getLong(0) == 10L)
+    spark.sql("ALTER TABLE gcat.ddl.t RENAME TO ddl.t2")
+    assert(spark.sql("SELECT val FROM gcat.ddl.t2").head().getLong(0) == 10L)
+    intercept[Exception] { spark.sql("SELECT * FROM gcat.ddl.t") }
+    // non-column ALTERs are refused loudly (no mutable metadata here)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ddl.t2 SET TBLPROPERTIES ('a'='b')")
+    }
+    assert(e.getMessage.contains("no mutable metadata"))
+  }
+}
