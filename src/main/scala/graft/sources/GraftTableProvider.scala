@@ -338,10 +338,12 @@ final class GraftTable(val dir: String, manifest: Manifest,
     // TRUNCATE = "can replace all contents" in DSv2 capability terms —
     // it is what routes INSERT OVERWRITE through the V1 bridge with
     // overwrite=true (lowered onto the atomic PartitionedUpsert
-    // .replace, r16), not a row-level truncate operator
+    // .replace, r16), not a row-level truncate operator;
+    // OVERWRITE_BY_FILTER (r17) admits `writeTo(t).overwrite(cond)` —
+    // the replace-where lowering GraftWriteBuilder.overwrite owns
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, manifest, bloomIndexDir)
@@ -369,6 +371,20 @@ final class GraftTable(val dir: String, manifest: Manifest,
   * [[PartitionedUpsert.merge]] every other writer uses — O(changes),
   * conflict-checked, crash-safe via the manifest commit.
   *
+  * OVERWRITE BY EXPRESSION (r17, `SupportsOverwrite` — the
+  * replaceWhere rung): `df.writeTo(t).overwrite(cond)` replaces
+  * exactly the rows matching `cond` with the batch, as ONE atomic
+  * merge commit — the matched keys enter as op='d' changes and the
+  * batch as op='u' at a later lsn, so "delete the slice, land the
+  * batch" has no torn middle state and a batch row re-inserting a
+  * matched key simply wins. Cost is the merge's: O(matched + batch)
+  * buckets, the matched-keys read is one filtered scan. Every
+  * overwrite conjunct must be expressible as a pushable filter
+  * ([[GraftScanBuilder.toColumn]]) — an untranslatable condition
+  * errors loudly rather than silently deleting the wrong slice.
+  * The always-true condition routes to [[PartitionedUpsert.replace]]
+  * (whole-table refill), same as TRUNCATE-capability overwrites.
+  *
   * Two executor-raised guards keep single-statement semantics exact:
   * a NULL key row (a keyed table cannot hold one) and a key
   * DUPLICATED WITHIN the statement (two rows, one key, one lsn — the
@@ -384,18 +400,33 @@ final class GraftTable(val dir: String, manifest: Manifest,
   * (one manifest swap, no torn truncate+insert middle state, old
   * versions time-travelable), under the same key guards. */
 final class GraftWriteBuilder(dir: String) extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   // set by Spark's V2Writes when INSERT OVERWRITE's delete expression
   // is the always-true truncate — the capability flag alone is not
   // enough, the BUILDER must accept the truncate call or analysis
   // fails with 'does not support overwrite by expression'
   private var overwriteAll = false
+  private var overwriteCond: Option[org.apache.spark.sql.Column] = None
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.contains(sources.AlwaysTrue()))
+      overwriteAll = true
+    else {
+      val cols = filters.map(f => GraftScanBuilder.toColumn(f).getOrElse(
+        throw new IllegalArgumentException(
+          s"overwrite condition '$f' is not expressible against a graft " +
+            "table — use a column/literal predicate, or DELETE + INSERT " +
+            "for arbitrary conditions")))
+      overwriteCond = Some(cols.reduce(_ && _))
+    }
+    this
+  }
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
-          val overwrite = overwriteAll || overwriteFlag
+          val overwrite = overwriteAll ||
+            (overwriteFlag && overwriteCond.isEmpty)
           val spark = data.sparkSession
           // CURRENT manifest, not the read-pinned one: an INSERT
           // targets the table head (concurrent-merge conflicts are
@@ -405,6 +436,21 @@ final class GraftWriteBuilder(dir: String) extends WriteBuilder
           val valueCols = m.schema.fieldNames.filterNot(
             _.equalsIgnoreCase(keyCol)).toSeq
           val guarded = GraftWrites.guardKeys(data, keyCol, strictDups = true)
+          overwriteCond.foreach { cond =>
+            // replace-where: matched keys delete at lsn, the batch
+            // lands at lsn+1 (a batch row for a matched key wins) —
+            // one atomic merge commit, no torn delete-then-insert
+            val lsn = m.version + 1
+            val deletes = PartitionedUpsert.read(spark, dir).filter(cond)
+              .select(lit("d").as("__op") +: lit(lsn).as("__lsn") +:
+                (keyCol +: valueCols).map(col): _*)
+            val inserts = guarded
+              .select(lit("u").as("__op") +: lit(lsn + 1).as("__lsn") +:
+                (keyCol +: valueCols).map(col): _*)
+            PartitionedUpsert.merge(spark, dir, deletes.unionByName(inserts),
+              keyCol, "__lsn", "__op", valueCols, m.nBuckets): Unit
+            return
+          }
           if (overwrite) {
             // INSERT OVERWRITE = atomic whole-table REPLACE (r16 —
             // PartitionedUpsert.replace owns the contract: one

@@ -188,6 +188,30 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getString(0)).exists(_.startsWith(".")))
   }
 
+  test("df.writeTo(t).overwrite(cond) — replace-where (r17): exactly " +
+      "the matching slice is replaced by the batch in ONE atomic " +
+      "merge commit; unmatched rows untouched; a batch row " +
+      "re-inserting a matched key wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ow")
+    spark.sql("CREATE TABLE gcat.ow.t (k BIGINT, v BIGINT, seg STRING) " +
+      "USING graft PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gcat.ow.t VALUES " +
+      "(1, 10, 'A'), (2, 20, 'A'), (3, 30, 'B'), (4, 40, 'B')")
+    val v = PartitionedUpsert.manifestOrFail(spark, s"$wh/ow/t").version
+    // replace the seg='A' slice: k=1 re-inserted with a new value,
+    // k=2 vanishes, k=9 is new
+    Seq((1L, 111L, "A"), (9L, 90L, "A")).toDF("k", "v", "seg")
+      .writeTo("gcat.ow.t").overwrite(col("seg") === "A")
+    val st = spark.sql("SELECT k, v FROM gcat.ow.t ORDER BY k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st == Map(1L -> 111L, 3L -> 30L, 4L -> 40L, 9L -> 90L))
+    assert(PartitionedUpsert.manifestOrFail(spark, s"$wh/ow/t").version
+      == v + 1, "replace-where is ONE commit — no torn middle version")
+  }
+
   test("ALTER TABLE by name: ADD COLUMNS (metadata-only), catalog-path " +
       "RENAME COLUMN via TableCatalog.alterTable, RENAME TO as one " +
       "filesystem move (relative manifests pay off)") {
