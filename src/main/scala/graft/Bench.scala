@@ -292,6 +292,10 @@ object Bench {
             // paths only, so a genuine version pin in a user-query
             // plan (time travel) still fingerprints distinctly.
             .replaceAll("(/graft_fixtures/[^`]*`)@v\\d+", "$1@v#")
+            // the bench catalog's name embeds the per-PID warehouse
+            // path hash (q_cdc_catalog registers one catalog per
+            // (session, sf)) — normalize like the fixture table names
+            .replaceAll("\\bgbench_\\d+\\.", "gbench_#.")
             // constraint/predicate sets render their conjuncts in
             // ExpressionSet iteration order, which depends on exprId
             // hash values — a session-counter shift can reorder

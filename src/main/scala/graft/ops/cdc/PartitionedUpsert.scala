@@ -301,9 +301,20 @@ object PartitionedUpsert {
     * on HDFS) + read-back lost-update detector for stores whose
     * no-overwrite rename is check-then-act. A losing racer gets a
     * clean conflict error and must re-prepare from the new state. */
-  private def writeManifest(fs: FileSystem, dir: String, m: Manifest): Unit =
+  private def writeManifest(fs: FileSystem, dir: String, m: Manifest): Unit = {
+    // 'bucket' is the engine's internal partition column on every
+    // write path (withColumn("bucket", route) + partitionBy) — a user
+    // column of that name would be silently OVERWRITTEN by the
+    // routing expression on the first rewrite. One guard at the one
+    // place every commit flows through, so no face (init, catalog
+    // CREATE/RTAS, evolveSchema rename/add) can smuggle one in.
+    require(!m.schema.fieldNames.exists(_.equalsIgnoreCase("bucket")),
+      s"a graft table cannot have a column named 'bucket' — it is the " +
+        s"engine's internal partition column; rename it before writing " +
+        s"to $dir")
     AtomicPublish.publishNoOverwrite(fs, manifestPath(dir, m.version),
       manifestBody(m))
+  }
 
   /** Initialize the target from a snapshot (commits manifest v1).
     * Stages under a fresh directory like every other writer — an init
@@ -760,44 +771,50 @@ object PartitionedUpsert {
       tombs = Map.empty)) // replaced contents carry no delete debt
   }
 
-  /** [[replace]] that may also change the table's SHAPE (schema, key,
-    * bucket count) — the lowering `REPLACE TABLE … AS SELECT` needs
-    * (r17, [[graft.sources.GraftCatalog]]): RTAS redefines the table,
-    * not just its contents, and Delta's does too. Published as ONE
-    * atomic manifest swap at prior.version+1, so readers see the old
-    * table or the new one (never a mix), a crash leaves the old table
-    * intact, and the pre-replace versions stay TIME-TRAVELABLE across
-    * the shape change (the manifest chain records the old schema with
-    * the old data — exactly how evolveSchema's history reads). Writer
-    * txn cursors carry over (a cursor records writer progress, the
-    * restore rule). Hash layout only — RTAS declares bucketing via
-    * the bucket(n, key) transform, and a range layout would need a
-    * split plan the statement has nowhere to carry. */
-  private[graft] def replaceShape(snapshot: DataFrame, dir: String,
-                                  keyCol: String, nBuckets: Int): Unit = {
-    val spark = snapshot.sparkSession
-    val fs = fsOf(spark, dir)
-    val prior = currentManifest(spark, dir).getOrElse(
-      throw new IllegalStateException(
-        s"$dir is not an initialized upsert target — init/createTable " +
-          "creates tables, replaceShape refills them"))
-    require(snapshot.schema.fieldNames.exists(_.equalsIgnoreCase(keyCol)),
-      s"key column '$keyCol' is not in the replacement schema " +
-        s"(${snapshot.schema.fieldNames.mkString(", ")})")
-    require(nBuckets > 0, s"buckets must be positive, got $nBuckets")
-    val next = Manifest(prior.version + 1, snapshot.schema, nBuckets,
-      snapshot.schema.fieldNames.find(_.equalsIgnoreCase(keyCol)).get,
-      prior.txns, Map.empty)
-    val staging = newStagingName(fs, dir)
-    snapshot
-      .withColumn("bucket", routeExpr(next, col(next.keyCol)))
-      .write.mode("errorifexists")
-      .partitionBy("bucket").parquet(s"$dir/data/$staging")
-    val written = listBuckets(fs, s"$dir/data/$staging")
-    val st = stagedStats(spark, fs, dir, staging, written, next.keyCol,
-      snapshot.schema(next.keyCol).dataType, _ => None)
-    writeManifest(fs, dir, next.copy(
-      buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st))
+  /** ADOPT another table's data files as this table's next version —
+    * the zero-copy commit of an atomic staged RTAS
+    * ([[graft.sources.GraftCatalog]]): the staging table's referenced
+    * staging dirs RENAME under `dstDir/data` (fresh collision-free
+    * names, manifest paths remapped) and ONE manifest publishes the
+    * staged schema/layout/contents as dst.version+1 — so `REPLACE
+    * TABLE … AS SELECT` writes the query's data exactly ONCE (into
+    * the staging table) instead of staging + rewriting, the
+    * difference between O(batch) and O(2·batch) at a 100 TB CTAS.
+    * Same atomicity ledger as every commit here: a crash after some
+    * renames but before the publish leaves dst's readers on the old
+    * manifest with unreferenced dirs for vacuum; a publish conflict
+    * propagates loudly and the statement aborts. Writer txn cursors
+    * keep dst's values (the restore rule); CHECK constraints come
+    * from the STAGED table (a redefined table starts from its new
+    * DDL — none today, Delta's REPLACE semantics). Requires same-
+    * filesystem src/dst (staging lives under the catalog warehouse
+    * with its tables, so this holds by construction). */
+  private[graft] def adoptAs(spark: SparkSession, srcDir: String,
+                             dstDir: String): Unit = {
+    val src = manifestOrFail(spark, srcDir)
+    val dst = manifestOrFail(spark, dstDir)
+    val fs = fsOf(spark, dstDir)
+    val stagings = (src.buckets.values ++
+      src.tombs.values.flatten.map(_.rel))
+      .map(_.split("/")(1)).toSet
+    val mapping = stagings.map { s =>
+      val fresh = newStagingName(fs, dstDir)
+      val from = new Path(s"$srcDir/data/$s")
+      val to = new Path(s"$dstDir/data/$fresh")
+      fs.mkdirs(to.getParent)
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"adopt rename failed: $from -> $to")
+      s -> fresh
+    }.toMap
+    def remap(rel: String): String = {
+      val parts = rel.split("/", 3)
+      s"${parts(0)}/${mapping(parts(1))}/${parts(2)}"
+    }
+    writeManifest(fs, dstDir, src.copy(version = dst.version + 1,
+      txns = dst.txns,
+      buckets = src.buckets.view.mapValues(remap).toMap,
+      tombs = src.tombs.view.mapValues(_.map(t =>
+        t.copy(rel = remap(t.rel)))).toMap))
   }
 
   /** RESTORE the table to a retained version — Delta's `RESTORE

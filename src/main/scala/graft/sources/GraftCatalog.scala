@@ -251,10 +251,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *  - CREATE commits by ONE no-overwrite directory rename into the
     *    final name (losing a create race = TableAlreadyExists, no
     *    torn state);
-    *  - REPLACE commits by [[PartitionedUpsert.replaceShape]] — ONE
-    *    manifest swap on the existing table, so readers see old or
-    *    new (never a mix), pre-replace versions stay time-travelable
-    *    ACROSS the redefinition, and writer txn cursors carry over;
+    *  - REPLACE commits by [[PartitionedUpsert.adoptAs]] — the staged
+    *    data files RENAME under the live table and ONE manifest swap
+    *    makes them current, so readers see old or new (never a mix),
+    *    pre-replace versions stay time-travelable ACROSS the
+    *    redefinition (schema AND key may change), writer txn cursors
+    *    carry over, and the query's data is written exactly ONCE;
     *    the staging dir is reclaimed after.
     * An aborted statement deletes the staging dir; the final table is
     * untouched on any failure path. */
@@ -310,9 +312,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       commitFn = () => {
         val f = fs(new Path(dir))
         if (replaceMode && isTableDir(dir)) {
-          // atomic redefinition: ONE manifest swap on the live table
-          PartitionedUpsert.replaceShape(
-            PartitionedUpsert.read(sp, tmp), dir, keyCol, nBuckets)
+          // atomic redefinition with ZERO data copy: the staged files
+          // RENAME under the live table and ONE manifest swap makes
+          // them current (adoptAs — the query's data was written
+          // exactly once, into the staging table)
+          PartitionedUpsert.adoptAs(sp, tmp, dir)
           f.delete(new Path(tmp), true): Unit
         } else {
           // atomic create: one no-overwrite rename into the final name

@@ -55,4 +55,19 @@ class ManifestGateSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("requires reader version 99"))
   }
+
+  test("a user column named 'bucket' is rejected at commit — it is " +
+      "the engine's internal partition column and a rewrite would " +
+      "silently overwrite it (r17 guard at writeManifest, all faces)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucket_col").toString
+    val e = intercept[IllegalArgumentException] {
+      PartitionedUpsert.init(
+        Seq((1L, 2L)).toDF("k", "bucket"), dir, "k", 2)
+    }
+    assert(e.getMessage.contains("'bucket'"))
+    // nothing committed: the dir holds no manifest
+    assert(PartitionedUpsert.currentManifest(spark, dir).isEmpty)
+  }
 }
