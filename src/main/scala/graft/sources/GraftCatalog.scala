@@ -132,20 +132,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Some(m) => new GraftTable(dir, m)
       case None =>
         // Iceberg-style METADATA TABLES: `cat.ns.t.history` /
-        // `cat.ns.t.detail` resolve here as (namespace=[ns, t],
-        // name=history) — if the namespace path IS a table and the
-        // name is a known frame, serve the audit surface as a
-        // read-only relation (SQL-filterable DESCRIBE HISTORY/DETAIL)
+        // `cat.ns.t.detail` / `cat.ns.t.changes` resolve here as
+        // (namespace=[ns, t], name=history) — if the namespace path
+        // IS a table and the name is a known frame, serve it as a
+        // read-only relation. `changes` is the CHANGE FEED BY NAME
+        // (batch windows AND streaming tail): a reader option cannot
+        // widen a catalog table's analysis-time schema, so the CDF
+        // shape gets its own table whose schema IS the CDF schema and
+        // whose scans resolve startingVersion/endingVersion options
+        // through the same chain as the path face.
         val meta = ident.name.toLowerCase
         val parentDir = (warehouse +: ident.namespace.map(segment))
           .mkString("/")
-        if ((meta == "history" || meta == "detail") &&
+        if ((meta == "history" || meta == "detail" || meta == "changes") &&
             ident.namespace.nonEmpty && isTableDir(parentDir)) {
           val sp = spark
-          val frame = () =>
-            if (meta == "history") PartitionedUpsert.historyDf(sp, parentDir)
-            else PartitionedUpsert.detailDf(sp, parentDir)
-          new GraftMetaTable(s"${ident.toString}", frame)
+          if (meta == "changes")
+            new GraftChangesTable(ident.toString, parentDir, sp)
+          else {
+            val frame = () =>
+              if (meta == "history") PartitionedUpsert.historyDf(sp, parentDir)
+              else PartitionedUpsert.detailDf(sp, parentDir)
+            new GraftMetaTable(s"${ident.toString}", frame)
+          }
         } else throw new NoSuchTableException(ident)
     }
   }
@@ -495,6 +504,41 @@ private[sources] final class GraftMetaTable(identName: String,
           relation.asInstanceOf[T]
         }
       }
+  }
+}
+
+/** The CHANGE FEED BY NAME (`cat.ns.t.changes`, r17): the CDF surface
+  * as a metadata table — `spark.read.option("startingVersion", v)
+  * .table("g.prod.users.changes")` for batch windows,
+  * `spark.readStream.option("startingVersion", "snapshot"|v|
+  * "afterEvolve").table(…)` for the exactly-once tail. The declared
+  * schema IS the CDF schema of the CURRENT manifest (key,
+  * change_type, values — all nullable); per-scan options resolve
+  * through the SAME [[GraftDataSource.cdfParams]] chain as the path
+  * face and delegate to the same [[GraftCdfTable]] machinery, so the
+  * two faces cannot drift. */
+private[sources] final class GraftChangesTable(identName: String,
+                                               dir: String,
+                                               spark: SparkSession)
+    extends Table with SupportsRead {
+
+  override def name(): String = identName
+  override def schema(): StructType = GraftDataSource.cdfSchema(
+    PartitionedUpsert.manifestOrFail(spark, dir))
+  override def capabilities(): util.Set[org.apache.spark.sql.connector
+    .catalog.TableCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
+      org.apache.spark.sql.connector.catalog.TableCapability
+        .MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val (from, to, m, snapshotStart) =
+      GraftDataSource.cdfParams(spark, dir, options)
+    new GraftCdfTable(dir, from, to, GraftDataSource.cdfSchema(m),
+      endingVersionExplicit = options.get("endingVersion") != null,
+      snapshotStart = snapshotStart).newScanBuilder(options)
   }
 }
 

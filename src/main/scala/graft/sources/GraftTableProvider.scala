@@ -172,10 +172,39 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   private def isCdf(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("readChangeFeed", false)
 
-  /** CDF options: (from, to, schema-of-to, snapshotStart).
-    * `startingVersion` is required (a feed without a start is a
-    * full-table diff against nothing); `endingVersion` defaults to
-    * the current manifest. Two SYMBOLIC starts (both streaming-only):
+  private def cdfOf(options: CaseInsensitiveStringMap)
+      : (Long, Long, Manifest, Boolean) =
+    GraftDataSource.cdfParams(SparkSession.active, dirOf(options), options)
+
+  private def cdfSchema(m: Manifest): StructType =
+    GraftDataSource.cdfSchema(m)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (isCdf(options)) cdfSchema(cdfOf(options)._3)
+    else manifestOf(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    if (isCdf(options)) {
+      val (from, to, m, snapshotStart) = cdfOf(options)
+      new GraftCdfTable(dirOf(options), from, to, cdfSchema(m),
+        endingVersionExplicit = options.get("endingVersion") != null,
+        snapshotStart = snapshotStart)
+    } else
+      new GraftTable(dirOf(options), manifestOf(options),
+        writable = !isPinned(options), // historical snapshots are read-only
+        bloomIndexDir = Option(options.get("bloomIndexDir")))
+  }
+}
+
+object GraftDataSource {
+
+  /** CDF options resolved against `dir`: (from, to, schema-of-to,
+    * snapshotStart). `startingVersion` is required (a feed without a
+    * start is a full-table diff against nothing); `endingVersion`
+    * defaults to the current manifest. Two SYMBOLIC starts (both
+    * streaming-only):
     *  - `"snapshot"` (r16 verdict #5, Delta's semantics): baseline =
     *    the CURRENT version, and the stream's FIRST batch is that
     *    whole snapshot as `insert` records, then the tail — the
@@ -185,11 +214,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     *    SCHEMA-ERA START — the paved restart path after the one-era
     *    rule fails a stream on a mid-stream evolution (see
     *    [[GraftCdfMicroBatchStream]]'s era scaladoc for the no-loss
-    *    drain recipe). */
-  private def cdfOf(options: CaseInsensitiveStringMap)
+    *    drain recipe).
+    * Shared by the path face (format("graft") options) and the NAME
+    * face ([[GraftTable.newScanBuilder]] — `readStream.option(…)
+    * .table("cat.ns.t")`), so the two can never drift. */
+  private[sources] def cdfParams(spark: SparkSession, dir: String,
+                                 options: CaseInsensitiveStringMap)
       : (Long, Long, Manifest, Boolean) = {
-    val spark = SparkSession.active
-    val dir = dirOf(options)
     val raw = Option(options.get("startingVersion")).getOrElse(
       throw new IllegalArgumentException(
         "readChangeFeed needs option(\"startingVersion\", v) — a " +
@@ -209,7 +240,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       snapshot)
   }
 
-  private def cdfSchema(m: Manifest): StructType = {
+  private[sources] def cdfSchema(m: Manifest): StructType = {
     val key = m.schema(m.keyCol)
     val values = m.schema.fields.filterNot(_.name.equalsIgnoreCase(m.keyCol))
     // everything nullable: DELETE records carry null value columns by
@@ -219,24 +250,6 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       org.apache.spark.sql.types.StructField("change_type",
         org.apache.spark.sql.types.StringType) +:
       values.toSeq).map(_.copy(nullable = true)))
-  }
-
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (isCdf(options)) cdfSchema(cdfOf(options)._3)
-    else manifestOf(options).schema
-
-  override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table = {
-    val options = new CaseInsensitiveStringMap(properties)
-    if (isCdf(options)) {
-      val (from, to, m, snapshotStart) = cdfOf(options)
-      new GraftCdfTable(dirOf(options), from, to, cdfSchema(m),
-        endingVersionExplicit = options.get("endingVersion") != null,
-        snapshotStart = snapshotStart)
-    } else
-      new GraftTable(dirOf(options), manifestOf(options),
-        writable = !isPinned(options), // historical snapshots are read-only
-        bloomIndexDir = Option(options.get("bloomIndexDir")))
   }
 }
 
@@ -340,11 +353,21 @@ final class GraftTable(val dir: String, manifest: Manifest,
     // overwrite=true (lowered onto the atomic PartitionedUpsert
     // .replace, r16), not a row-level truncate operator;
     // OVERWRITE_BY_FILTER (r17) admits `writeTo(t).overwrite(cond)` —
-    // the replace-where lowering GraftWriteBuilder.overwrite owns
+    // the replace-where lowering GraftWriteBuilder.overwrite owns;
+    // MICRO_BATCH_READ (r17) exists so `readStream.table(name)` fails
+    // with OUR pointer to the paved paths (GraftScan
+    // .toMicroBatchStream) instead of Spark's generic capability error
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ)
 
+  // NOTE on the name face of the change feed: a reader option cannot
+  // WIDEN a catalog table's analysis-time schema (the relation's
+  // output is Table.schema(); scans only prune), so CDF-by-name is
+  // served as the `cat.ns.t.changes` METADATA TABLE
+  // ([[GraftCatalog.loadTable]] → [[GraftChangesTable]]) whose schema
+  // IS the CDF schema — not as a readChangeFeed option here.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, manifest, bloomIndexDir)
 
@@ -721,6 +744,22 @@ final class GraftScan(paths: Seq[String], dataSchema: StructType,
 
   override def readSchema(): StructType = required
   override def description(): String = desc
+
+  /** The MICRO_BATCH_READ capability on [[GraftTable]] exists for the
+    * CDF path — a PLAIN streaming read lands here and keeps the
+    * provider's documented refusal (an upsert table's tail has
+    * updates/deletes the append-only source contract cannot express),
+    * now with the paved alternatives in the message. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      "plain streaming reads of a graft table are not supported — an " +
+        "upsert table's tail carries updates/deletes, which Spark's " +
+        "append-only source contract cannot express. Tail it as its " +
+        "change feed: format(\"graft\") with " +
+        "option(\"readChangeFeed\",\"true\") + option(\"startingVersion\"," +
+        " <v>|\"snapshot\"|\"afterEvolve\"), or by NAME via the " +
+        "`<table>.changes` metadata table with the same options")
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {

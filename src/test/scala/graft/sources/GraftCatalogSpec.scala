@@ -188,6 +188,54 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getString(0)).exists(_.startsWith(".")))
   }
 
+  test("the change feed by NAME (r17): the `t.changes` metadata table " +
+      "serves batch CDF windows and the streaming tail " +
+      "(startingVersion=snapshot); a PLAIN readStream.table keeps the " +
+      "documented refusal with the paved pointer") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.cdf")
+    spark.sql("CREATE TABLE gcat.cdf.t (k BIGINT, v BIGINT) USING graft " +
+      "PARTITIONED BY (bucket(2, k))")
+    spark.sql("INSERT INTO gcat.cdf.t VALUES (1, 10), (2, 20)") // v2
+    spark.sql("UPDATE gcat.cdf.t SET v = 11 WHERE k = 1")       // v3
+    // batch CDF window by name
+    val win = spark.read.option("startingVersion", "2")
+      .table("gcat.cdf.t.changes")
+      .select("k", "change_type", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(win == Seq((1L, "update", 11L)))
+    // streaming tail by name, snapshot-start
+    val base = java.nio.file.Files.createTempDirectory("graft_cdf_name").toString
+    val q = spark.readStream
+      .option("startingVersion", "snapshot").table("gcat.cdf.t.changes")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable()
+    spark.sql("DELETE FROM gcat.cdf.t WHERE k = 2") // v4, while live
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$base/out")
+      .select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rows == Seq((1L, "insert"), (2L, "delete"), (2L, "insert")),
+      s"snapshot (2 inserts) + tail (1 delete), got $rows")
+    // plain streaming read: the documented refusal, with the pointer
+    val e = intercept[Exception] {
+      val qq = spark.readStream.table("gcat.cdf.t")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out2")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Seq(Option(x.getMessage).getOrElse("")) ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("readChangeFeed")), msgs(e).mkString("~"))
+  }
+
   test("df.writeTo(t).overwrite(cond) — replace-where (r17): exactly " +
       "the matching slice is replaced by the batch in ONE atomic " +
       "merge commit; unmatched rows untouched; a batch row " +
