@@ -151,4 +151,25 @@ class BenchFingerprintSpec extends AnyFunSuite {
     val back = Bench.parsePlanTexts(json)
     assert(back === plans)
   }
+
+  test("outlier-rep rule (r18): a mid-sweep load spike is >2x the " +
+      "triple min AND >0.15s over it; ordinary variance is not") {
+    // the observed r17 poisoning triple: [6.28, 4.28, 9.45] — 9.45 is
+    // the spike (>2x 4.28), 6.28 is NOT (within 2x)
+    assert(Bench.isOutlierRep(9.45, 4.28))
+    assert(!Bench.isOutlierRep(6.28, 4.28))
+    // trivia-key jitter: 0.04 -> 0.09 doubles but is under the 0.15s
+    // absolute floor — no re-run burned
+    assert(!Bench.isOutlierRep(0.09, 0.04))
+    // a small key genuinely spiking past the floor IS rejected
+    assert(Bench.isOutlierRep(0.60, 0.20))
+  }
+
+  test("medianOf: middle of odd counts, mean of the middle pair even " +
+      "(the 2-survivor case after replacement-bound exhaustion)") {
+    assert(Bench.medianOf(Seq(6.28, 4.28, 9.45)) === 6.28)
+    assert(Bench.medianOf(Seq(4.28, 6.28)) === (4.28 + 6.28) / 2)
+    assert(Bench.medianOf(Seq(1.0, 2.0, 3.0, 10.0)) === 2.5)
+    assert(Bench.medianOf(Seq(5.0)) === 5.0)
+  }
 }
