@@ -26,6 +26,11 @@ private[graft] object LifecycleFixture {
   def pristine(spark: SparkSession, path: String, keyCol: String,
                nBuckets: Int)(snapshot: => DataFrame): Unit =
     PartitionedUpsert.currentManifest(spark, path) match {
+      // already AT v1 → true no-op (ADVICE r17: a never-written
+      // fixture like clone's source must not grow its manifest chain
+      // by one restore commit per warm rep — the restore is for
+      // tables the measured statements actually mutated)
+      case Some(m) if m.version == 1L => ()
       case Some(_) => PartitionedUpsert.restoreVersion(spark, path, 1L)
       case None =>
         PartitionedUpsert.init(snapshot, path, keyCol, nBuckets)

@@ -1006,6 +1006,35 @@ object PartitionedUpsert {
     * correct backpressure, not spin). */
   private val MaxRebaseAttempts = 5
 
+  /** Publish a MAINTENANCE rewrite (compact / zorder / tombstone
+    * purge) of `target` buckets, riding the same disjoint auto-rebase
+    * as [[commit]] (r17 verdict #4): the rewrite read the base state
+    * of exactly `target` buckets (physicalizing their tombstones) and
+    * staged replacement files, so if a racing writer changed NONE of
+    * them — and no table shape — our delta re-applies on the new head
+    * as one manifest rewrite. Without this, an O(table) ZORDER racing
+    * ONE disjoint-bucket merge lost the entire rewrite to the loud
+    * conflict error (expensive-retry where merge already had the
+    * cheap-rebase). A genuine overlap still refuses; maintenance
+    * carries no txn cursors so the replay check is vacuous. */
+  private def publishMaintenance(spark: SparkSession, dir: String,
+                                 prior: Manifest, target: Seq[Long],
+                                 entries: Map[Long, String],
+                                 st: Map[Long, BucketStat]): Unit = {
+    val fs = fsOf(spark, dir)
+    def next(head: Manifest): Manifest =
+      head.copy(version = head.version + 1,
+        buckets = (head.buckets -- target) ++ entries,
+        stats = (head.stats -- target) ++ st,
+        tombs = head.tombs -- target)
+    try writeManifest(fs, dir, next(prior))
+    catch {
+      case first: java.util.ConcurrentModificationException =>
+        publishWithRebase(spark, dir, prior, target.toSet, Map.empty,
+          first)(next)
+    }
+  }
+
   /** Merge a change batch: prepare + commit. Returns the touched
     * bucket ids (for observability).
     *
@@ -1196,12 +1225,10 @@ object PartitionedUpsert {
       prior.schema(prior.keyCol).dataType,
       b => prior.stats.get(b).flatMap(_.maxLsn))
     // fully-tombstoned buckets stage nothing and leave the map (the
-    // emptied-by-omission rule — nothing to resurrect)
-    writeManifest(fs, dir, prior.copy(version = prior.version + 1,
-      buckets = (prior.buckets -- target) ++
-        written.map(b => b -> dataRel(staging, b)),
-      stats = (prior.stats -- target) ++ st,
-      tombs = prior.tombs -- target))
+    // emptied-by-omission rule — nothing to resurrect); published
+    // through the maintenance auto-rebase (r17 verdict #4)
+    publishMaintenance(spark, dir, prior, target,
+      written.map(b => b -> dataRel(staging, b)).toMap, st)
     target
   }
 
@@ -1512,12 +1539,10 @@ object PartitionedUpsert {
       b => prior.stats.get(b).flatMap(_.maxLsn))
     // emptied-by-omission: a compacted bucket whose every row was
     // tombstoned stages nothing and must LEAVE the map — keeping its
-    // old path while retiring its sidecars would resurrect the rows
-    writeManifest(fs, dir, prior.copy(version = prior.version + 1,
-      buckets = (prior.buckets -- fragmented.keys) ++
-        written.map(b => b -> dataRel(staging, b)),
-      stats = (prior.stats -- fragmented.keys) ++ st,
-      tombs = prior.tombs -- fragmented.keys))
+    // old path while retiring its sidecars would resurrect the rows;
+    // published through the maintenance auto-rebase (r17 verdict #4)
+    publishMaintenance(spark, dir, prior, fragmented.keys.toSeq,
+      written.map(b => b -> dataRel(staging, b)).toMap, st)
     fragmented.keys.toSeq.sorted
   }
 
@@ -1540,14 +1565,23 @@ object PartitionedUpsert {
     * retire with the rewrite like every other full rewrite. Returns
     * the rewritten bucket ids (empty table = no-op). */
   def optimizeZorder(spark: SparkSession, dir: String, cols: Seq[String],
-                     bits: Int = 8): Seq[Long] = {
+                     bits: Int = 8): Seq[Long] =
+    optimizeZorderFrom(spark, dir, manifestOrFail(spark, dir), cols, bits)
+
+  /** [[optimizeZorder]] from an explicitly-pinned base manifest — the
+    * seam that makes the maintenance auto-rebase race DETERMINISTIC
+    * in specs (pin `prior`, land a racing merge, then publish): the
+    * race window in production is exactly "prior read before the
+    * racer committed". */
+  private[cdc] def optimizeZorderFrom(spark: SparkSession, dir: String,
+                                      prior: Manifest, cols: Seq[String],
+                                      bits: Int): Seq[Long] = {
     require(cols.nonEmpty, "ZORDER takes at least one column")
     require(cols.size * bits <= 63,
       s"ZORDER over ${cols.size} columns at $bits bits each exceeds a " +
         "long z-value — lower bits (e.g. 4 columns fit at bits=15) or " +
         "the column count")
     val fs = fsOf(spark, dir)
-    val prior = manifestOrFail(spark, dir)
     cols.foreach { c =>
       val field = prior.schema.fields.find(_.name.equalsIgnoreCase(c))
         .getOrElse(throw new IllegalArgumentException(
@@ -1596,9 +1630,11 @@ object PartitionedUpsert {
       val st = stagedStats(spark, fs, dir, staging, written, prior.keyCol,
         prior.schema(prior.keyCol).dataType,
         b => prior.stats.get(b).flatMap(_.maxLsn))
-      writeManifest(fs, dir, prior.copy(version = prior.version + 1,
-        buckets = written.map(b => b -> dataRel(staging, b)).toMap,
-        stats = st, tombs = Map.empty))
+      // every PRIOR bucket is the rewrite target (z-order is a full
+      // re-cluster) — but a racing merge that created a NEW bucket or
+      // touched none of ours still lands via the maintenance rebase
+      publishMaintenance(spark, dir, prior, target,
+        written.map(b => b -> dataRel(staging, b)).toMap, st)
       written.sorted
     } finally { current.unpersist(); () }
   }

@@ -129,7 +129,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     PartitionedUpsert.currentManifest(spark, dir) match {
-      case Some(m) => new GraftTable(dir, m)
+      // wrapped as a V1-fallback table (r18) so `writeStream
+      // .format("graft").toTable("cat.ns.t")` lowers onto the SAME
+      // path-addressed streaming sink — GraftNamedTable's scaladoc
+      // owns the argument; every batch face delegates unchanged
+      case Some(m) => new org.apache.spark.sql.graft.GraftNamedTable(
+        new GraftTable(dir, m), catalogName, ident.namespace.toSeq,
+        ident.name, dir)
       case None =>
         // Iceberg-style METADATA TABLES: `cat.ns.t.history` /
         // `cat.ns.t.detail` / `cat.ns.t.changes` resolve here as
@@ -328,10 +334,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           PartitionedUpsert.adoptAs(sp, tmp, dir)
           f.delete(new Path(tmp), true): Unit
         } else {
-          // atomic create: one no-overwrite rename into the final name
+          // atomic create: one no-overwrite rename into the final name.
+          // GUARD on ANY pre-existing dir, not just a committed table
+          // (ADVICE r17): HDFS rename(src, existingDir) moves src
+          // INSIDE existingDir — against a leftover non-table
+          // directory (crashed earlier init, user-made empty dir) the
+          // commit would "succeed" with no manifest ever landing at
+          // `dir`. Refuse with a pointer at the leftover instead.
           f.mkdirs(new Path(dir).getParent)
-          if (isTableDir(dir) || !f.rename(new Path(tmp), new Path(dir))) {
+          if (isTableDir(dir)) {
             f.delete(new Path(tmp), true): Unit
+            throw new TableAlreadyExistsException(ident)
+          }
+          if (f.exists(new Path(dir))) {
+            f.delete(new Path(tmp), true): Unit
+            throw new IllegalStateException(
+              s"cannot commit staged CREATE of $ident: $dir already " +
+                "exists but holds no committed manifest (leftover from " +
+                "a crashed create, or a directory made outside the " +
+                "catalog) — remove it and retry")
+          }
+          if (!f.rename(new Path(tmp), new Path(dir))) {
+            f.delete(new Path(tmp), true): Unit
+            throw new TableAlreadyExistsException(ident)
+          }
+          // exists-check→rename races (two concurrent CREATEs, or a
+          // dir appearing between check and rename) can still land the
+          // staging dir INSIDE dir under HDFS semantics — precisely:
+          // dir/<stagingName> exists after a "successful" rename. That
+          // test works whether the racer left a table (isTableDir
+          // true, OUR data misplaced) or a bare dir (no manifest at
+          // dir at all): reclaim the misplaced staging dir, surface
+          // the conflict.
+          val misplaced = new Path(dir, new Path(tmp).getName)
+          if (f.exists(misplaced)) {
+            f.delete(misplaced, true): Unit
             throw new TableAlreadyExistsException(ident)
           }
         }

@@ -125,7 +125,20 @@ final class GraftStreamingSink(dir: String, parameters: Map[String, String],
     val metaCols = ((opCol.toSeq ++ lsnCol.toSeq) ++
       (if (sparse) valueCols.map(_ + "_present") else Seq.empty))
       .map(_.toLowerCase).toSet
-    val got = data.schema.fieldNames.map(_.toLowerCase).toSet -- metaCols
+    val streamCols = data.schema.fieldNames.map(_.toLowerCase).toSet
+    // every DECLARED metadata column must actually be in the stream
+    // (ADVICE r17: a sparse stream missing a `<col>_present` flag or
+    // the named opCol/lsnCol previously passed the subtract-only gate
+    // and died later inside Cdc.applySparse with an unresolved-column
+    // error instead of this message)
+    val missingMeta = metaCols -- streamCols
+    if (missingMeta.nonEmpty)
+      throw new IllegalArgumentException(
+        s"stream is missing declared metadata column(s) " +
+          s"${missingMeta.toSeq.sorted.mkString(", ")} " +
+          "(opCol/lsnCol, plus one <col>_present flag per table value " +
+          s"column under sparse) at $dir")
+    val got = streamCols -- metaCols
     val want = m.schema.fieldNames.map(_.toLowerCase).toSet
     if (got != want)
       throw new IllegalArgumentException(

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.streaming.{Sink => StreamSink}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, col, concat_ws, count, lit, raise_error, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, count, lit, raise_error, when}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
@@ -79,9 +79,55 @@ import graft.ops.cdc.PartitionedUpsert.Manifest
   * streaming alternatives remain [[PartitionedUpsert.changesSinceLsn]]
   * cursors and `readChangeFeed` polling. */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with StreamSinkProvider {
+    with StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  /** Plain streaming READS keep the documented refusal WITH the paved
+    * pointers on every resolution path. The V2 route lands in
+    * [[GraftScan.toMicroBatchStream]]; this V1 face exists because
+    * catalog tables are [[org.apache.spark.sql.graft.GraftNamedTable]]
+    * (r18 — the streaming-WRITE-by-name fallback), and Spark plans
+    * streaming READS of a V1-fallback table through the V1 source
+    * interface — without this the user would get the generic "does
+    * not support streamed reading" instead of the pointer.
+    *
+    * [[sourceSchema]] must NOT refuse: `ResolveDataSource` constructs
+    * the V1 `StreamingRelation` EAGERLY as the fallback arm of every
+    * format-based `readStream.load(dir)` — including CDF reads whose
+    * execution goes V2 — and the relation's constructor evaluates
+    * sourceSchema at analysis time (observed: a throwing sourceSchema
+    * killed every CDF stream). So the schema call answers honestly
+    * from the manifest, and the refusal lives in [[createSource]],
+    * which only runs when the V1 path is actually EXECUTED — i.e.
+    * exactly the plain by-name streaming read being refused. */
+  private def refuseStreamRead(): Nothing =
+    throw new UnsupportedOperationException(
+      "plain streaming reads of a graft table are not supported — an " +
+        "upsert table's tail carries updates/deletes, which Spark's " +
+        "append-only source contract cannot express. Tail it as its " +
+        "change feed: format(\"graft\") with " +
+        "option(\"readChangeFeed\",\"true\") + option(\"startingVersion\"," +
+        " <v>|\"snapshot\"|\"afterEvolve\"), or by NAME via the " +
+        "`<table>.changes` metadata table with the same options")
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = parameters.get("path") match {
+    case Some(dir) =>
+      shortName() -> PartitionedUpsert
+        .manifestOrFail(sqlContext.sparkSession, dir).schema
+    case None => refuseStreamRead()
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = refuseStreamRead()
 
   /** Streaming WRITE face: `df.writeStream.format("graft").start(dir)`
     * — [[GraftStreamingSink]]'s scaladoc owns the design (why the V1
@@ -462,12 +508,28 @@ final class GraftWriteBuilder(dir: String) extends WriteBuilder
           overwriteCond.foreach { cond =>
             // replace-where: matched keys delete at lsn, the batch
             // lands at lsn+1 (a batch row for a matched key wins) —
-            // one atomic merge commit, no torn delete-then-insert
+            // one atomic merge commit, no torn delete-then-insert.
+            // CONSTRAINT CHECK (ADVICE r17, Delta replaceWhere
+            // parity): every batch row must itself satisfy the
+            // overwrite condition — a row falling OUTSIDE the matched
+            // slice would otherwise silently upsert/overwrite an
+            // unrelated key, contradicting "replaces exactly the
+            // matching slice". Executor-raised (codegen'd
+            // raise_error), streaming pass, no driver collect; a NULL
+            // condition value counts as not-satisfying (three-valued
+            // logic would otherwise let NULL rows slip the slice).
             val lsn = m.version + 1
             val deletes = PartitionedUpsert.read(spark, dir).filter(cond)
               .select(lit("d").as("__op") +: lit(lsn).as("__lsn") +:
                 (keyCol +: valueCols).map(col): _*)
             val inserts = guarded
+              .filter(when(!coalesce(cond, lit(false)),
+                raise_error(concat_ws("", lit("replace-where: batch row " +
+                  s"(key = "), col(keyCol).cast("string"),
+                  lit(s") does not satisfy the overwrite condition — " +
+                    "it would modify rows outside the replaced slice; " +
+                    "widen the condition or use MERGE/INSERT")))
+                  .cast("boolean")).otherwise(lit(true)))
               .select(lit("u").as("__op") +: lit(lsn + 1).as("__lsn") +:
                 (keyCol +: valueCols).map(col): _*)
             PartitionedUpsert.merge(spark, dir, deletes.unionByName(inserts),

@@ -165,4 +165,46 @@ class ConflictRebaseSpec extends SparkSpec {
     assert(touched.isEmpty, "replayed txn is a metadata no-op")
     assert(state(dir)(k1) == 111L)
   }
+
+  test("MAINTENANCE auto-rebase (r18): an O(table) ZORDER racing a " +
+      "merge that only created a NEW bucket — both land; racing a " +
+      "merge on a bucket the rewrite touched still errors loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rebase_maint").toString
+    // seed keys that AVOID bucket 3, so the zorder target excludes it
+    val keys = (1L to 200L).filter(k => bucketOf(k) != 3L).take(30)
+    PartitionedUpsert.init(keys.map(k => (k, k * 10L)).toDF("k", "v"),
+      dir, "k", 4)
+    val prior = PartitionedUpsert.manifestOrFail(spark, dir)
+    assert(!prior.buckets.contains(3L), "bucket 3 must start empty")
+    // the racer wins: a merge creating bucket 3 (disjoint from every
+    // bucket the zorder rewrite read)
+    val kNew = (1L to 500L).find(k => bucketOf(k) == 3L).get
+    PartitionedUpsert.merge(spark, dir, changes(100L, kNew, 999L),
+      "k", "lsn", "op", Seq("v"), 4): Unit
+    // the zorder computed from the STALE prior publishes via rebase
+    val rewritten = PartitionedUpsert.optimizeZorderFrom(spark, dir,
+      prior, Seq("v"), 8)
+    assert(rewritten.nonEmpty, "the rewrite must land, not be discarded")
+    val st = state(dir)
+    assert(st(kNew) == 999L, "the winner's new-bucket merge survives")
+    keys.foreach(k => assert(st(k) == k * 10L, s"key $k disturbed"))
+    assert(st.size == keys.size + 1)
+    // OVERLAP: a racer updating a key in a bucket the rewrite DID
+    // touch refuses — merge survives, rewrite leaks nothing
+    val prior2 = PartitionedUpsert.manifestOrFail(spark, dir)
+    val kOld = keys.head
+    PartitionedUpsert.merge(spark, dir, changes(101L, kOld, 111L),
+      "k", "lsn", "op", Seq("v"), 4): Unit
+    val vAfterMerge = PartitionedUpsert.manifestOrFail(spark, dir).version
+    val e = intercept[java.util.ConcurrentModificationException] {
+      PartitionedUpsert.optimizeZorderFrom(spark, dir, prior2,
+        Seq("v"), 8)
+    }
+    assert(e.getMessage.contains("also changed bucket"), e.getMessage)
+    assert(state(dir)(kOld) == 111L)
+    assert(PartitionedUpsert.manifestOrFail(spark, dir).version
+      == vAfterMerge, "the refused rewrite must not burn a version")
+  }
 }

@@ -258,6 +258,65 @@ class GraftCatalogSpec extends SparkSpec {
     assert(st == Map(1L -> 111L, 3L -> 30L, 4L -> 40L, 9L -> 90L))
     assert(PartitionedUpsert.manifestOrFail(spark, s"$wh/ow/t").version
       == v + 1, "replace-where is ONE commit — no torn middle version")
+    // CONSTRAINT CHECK (ADVICE r17, Delta replaceWhere parity): a
+    // batch row that does NOT satisfy the condition would modify rows
+    // outside the replaced slice — executor-raised error, and the
+    // failed statement moves nothing (k=3 keeps its value)
+    val ec = intercept[Exception] {
+      Seq((5L, 50L, "A"), (3L, 333L, "B")).toDF("k", "v", "seg")
+        .writeTo("gcat.ow.t").overwrite(col("seg") === "A")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Seq(Option(x.getMessage).getOrElse("")) ++ msgs(x.getCause))
+    assert(msgs(ec).exists(_.contains("does not satisfy the overwrite")),
+      msgs(ec).mkString("~"))
+    val after = spark.sql("SELECT v FROM gcat.ow.t WHERE k = 3")
+      .head().getLong(0)
+    assert(after == 30L, "failed replace-where must not have landed")
+    // NULL condition values count as not-satisfying (three-valued
+    // logic must not let NULL rows slip outside the slice)
+    val en = intercept[Exception] {
+      Seq((6L, 60L, null.asInstanceOf[String])).toDF("k", "v", "seg")
+        .writeTo("gcat.ow.t").overwrite(col("seg") === "A")
+    }
+    assert(msgs(en).exists(_.contains("does not satisfy the overwrite")),
+      msgs(en).mkString("~"))
+  }
+
+  test("staged CREATE refuses a leftover non-table directory at the " +
+      "target instead of renaming the staging dir INSIDE it " +
+      "(ADVICE r17 — the HDFS rename-into-existing-dir trap)") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lft")
+    // simulate a crashed earlier init: data-ish dir, no manifest
+    val leftover = new java.io.File(s"$wh/lft/t")
+    assert(leftover.mkdirs())
+    assert(new java.io.File(leftover, "data").mkdirs())
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.lft.t USING graft " +
+        "TBLPROPERTIES ('key'='k','buckets'='2') " +
+        "AS SELECT id AS k, id AS v FROM range(3)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Seq(Option(x.getMessage).getOrElse("")) ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("holds no committed manifest")),
+      msgs(e).mkString("~"))
+    // the staging dir did NOT land inside the leftover, and the
+    // leftover itself is untouched (remove-and-retry is the user's
+    // explicit call, not the catalog's)
+    assert(leftover.listFiles().map(_.getName).toSeq == Seq("data"))
+    // after the user removes the leftover, the same CREATE succeeds
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(leftover)
+    spark.sql("CREATE TABLE gcat.lft.t USING graft " +
+      "TBLPROPERTIES ('key'='k','buckets'='2') " +
+      "AS SELECT id AS k, id AS v FROM range(3)")
+    assert(spark.sql("SELECT count(*) FROM gcat.lft.t").head().getLong(0)
+      == 3L)
   }
 
   test("ALTER TABLE by name: ADD COLUMNS (metadata-only), catalog-path " +

@@ -288,5 +288,93 @@ class GraftStreamingSinkSpec extends SparkSpec {
         .start(s"$base/not_a_table")
     }
     assert(e2.getMessage.contains("not an initialized upsert target"))
+    // DECLARED metadata columns must be present (ADVICE r17): a
+    // sparse stream missing a <col>_present flag — or the named
+    // opCol/lsnCol — gets the gate's message, not an
+    // unresolved-column death inside Cdc.applySparse
+    val sparseSink = new GraftStreamingSink(dir,
+      Map("txnAppId" -> "g2", "opCol" -> "op", "lsnCol" -> "lsn",
+        "sparse" -> "true"), OutputMode.Append())
+    val e3 = intercept[IllegalArgumentException] {
+      // has op/lsn but NOT the required v_present flag
+      sparseSink.addBatch(0L,
+        Seq((1L, 2L, "u", 1L)).toDF("k", "v", "op", "lsn"))
+    }
+    assert(e3.getMessage.contains("missing declared metadata column"),
+      e3.getMessage)
+    assert(e3.getMessage.contains("v_present"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      // names an opCol the stream does not carry
+      new GraftStreamingSink(dir, Map("txnAppId" -> "g3",
+        "opCol" -> "op"), OutputMode.Append())
+        .addBatch(0L, Seq((1L, 2L)).toDF("k", "v"))
+    }
+    assert(e4.getMessage.contains("missing declared metadata column"),
+      e4.getMessage)
+  }
+
+  test("streaming write BY CATALOG NAME (r18): writeStream" +
+      ".format(\"graft\").toTable resolves through the V1 fallback " +
+      "onto the SAME path sink — kill-and-resume exactly-once state " +
+      "equals the path-addressed sink's") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sink_name").toString
+    val wh = s"$base/wh"; val in = s"$base/in"
+    spark.conf.set("spark.sql.catalog.gsink",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsink.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gsink.ns")
+    spark.sql("CREATE TABLE gsink.ns.t (k BIGINT, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gsink.ns.t VALUES " +
+      (1L to 8L).map(k => s"($k, ${k * 10})").mkString(", "))
+    val namedDir = s"$wh/ns/t"
+    val refDir = s"$base/ref"
+    initTable(refDir) // identical seed, path-addressed reference
+
+    def startByName() = spark.readStream.schema(jsonSchema)
+      .option("maxFilesPerTrigger", "1").json(in)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpt_name")
+      .toTable("gsink.ns.t")
+    def startByPath() = spark.readStream.schema(jsonSchema)
+      .option("maxFilesPerTrigger", "1").json(in)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpt_path")
+      .start(refDir)
+
+    writeJsonl(s"$in/f1.jsonl", Seq((1L, 111L), (9L, 90L)))
+    val q1 = startByName()
+    q1.processAllAvailable()
+    q1.stop() // kill
+    writeJsonl(s"$in/f2.jsonl", Seq((2L, 222L), (1L, 112L)))
+    val q2 = startByName() // resume from the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+    val vAfter = version(namedDir)
+    // restart with nothing new: replayed/empty epochs burn no version
+    val q3 = startByName()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(version(namedDir) == vAfter,
+      "resume with no new data must not burn a table version")
+    // the path-addressed reference over the same input files
+    val qp = startByPath()
+    qp.processAllAvailable()
+    qp.stop()
+    assert(tableState(namedDir) == tableState(refDir),
+      "by-name and by-path sinks are ONE code path — states must match")
+    assert(tableState(namedDir)(1L) == 112L &&
+      tableState(namedDir)(2L) == 222L && tableState(namedDir)(9L) == 90L)
+    // the provider check is Spark's own: a writer whose format is not
+    // 'graft' is refused at toTable (the V1-fallback contract)
+    val e = intercept[Exception] {
+      spark.readStream.schema(jsonSchema).json(in)
+        .writeStream // no .format("graft") — defaults to parquet
+        .option("checkpointLocation", s"$base/ckpt_bad")
+        .toTable("gsink.ns.t")
+    }
+    assert(Option(e.getMessage).exists(m =>
+      m.toLowerCase.contains("graft")), e.getMessage)
   }
 }
