@@ -50,19 +50,9 @@ object StreamApplyQuery {
         round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
         $"c_mktsegment".as("seg")).coalesce(1)
     }
-    val changes = Tables.table(spark, dir, "orders")
-      .groupBy($"o_custkey")
-      .agg(sum(round($"o_totalprice" * 100.0, 0).cast("long")).as("bal_cents"))
-      .select(
-        when($"o_custkey" % 13 === 0, lit("d")).otherwise(lit("u")).as("__op"),
-        lit(1L).as("__lsn"),
-        when($"o_custkey" % 97 === 0, $"o_custkey" + 100000000L)
-          .otherwise($"o_custkey").as("c_custkey"),
-        $"bal_cents",
-        lit("FED").as("seg"))
     // two epochs, split BY KEY (order-invariant final state); a plain
     // distributed write — no driver materialization of the change set
-    changes.repartition(2, $"c_custkey")
+    changeSet(spark, dir).repartition(2, $"c_custkey")
       .write.mode("overwrite").json(inDir)
     val sch = StructType(Seq(
       StructField("__op", StringType), StructField("__lsn", LongType),
@@ -80,8 +70,86 @@ object StreamApplyQuery {
       .orderBy($"c_custkey")
   }
 
+  /** The streaming CDF READ under the hash gate (r17 verdict #8 — the
+    * read-side twin of [[qCdcStreamApply]]): a LIVE
+    * `startingVersion=snapshot` stream is started on the pristine
+    * table, drains its initial snapshot (every current row as
+    * `insert` records), then ONE deterministic merge (the same
+    * orders-derived change set) lands WHILE THE STREAM RUNS and the
+    * tail drains its row-level insert/update/delete records; the
+    * accumulated parquet output is the key's result. DuckDB replays
+    * the feed algebraically: snapshot = customer as inserts; tail =
+    * the change set classified against the snapshot (matched 'u' →
+    * update, unmatched 'u' → insert, matched 'd' → delete with NULL
+    * values, unmatched 'd' → nothing — a delete of an absent key
+    * changes no state, so the diff emits no record; identical-image
+    * updates cannot occur because seg flips to 'FED', never a real
+    * segment). One hash certifies the snapshot-then-tail composition,
+    * the spooled window diff, the micro-batch offsets, and the V1
+    * bridge together. (key, change_type) is unique across the output
+    * — a key appears at most once in the snapshot and once in the
+    * tail — so the ORDER BY is a total order and the hash is
+    * schedule-invariant. Fixture: pristine restore + fresh checkpoint
+    * and output dir per rep (stream identity must not mistake a
+    * restored table for a replay). */
+  def qCdcStreamCdf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = graft.ops.relational.Scans.fixtureDir(dir, "stream_cdf")
+    val outDir = graft.ops.relational.Scans.fixtureDir(dir, "stream_cdf_out")
+    val ckpt = graft.ops.relational.Scans.fixtureDir(dir, "stream_cdf_ck")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(outDir, ckpt).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    LifecycleFixture.pristine(spark, path, "c_custkey", nBuckets = 4) {
+      Tables.table(spark, dir, "customer").select(
+        $"c_custkey",
+        round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
+        $"c_mktsegment".as("seg")).coalesce(1)
+    }
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "snapshot")
+      .load(path)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable() // snapshot batch drained
+      graft.ops.cdc.PartitionedUpsert.merge(spark, path,
+        changeSet(spark, dir), "c_custkey", "__lsn", "__op",
+        Seq("bal_cents", "seg"), 4): Unit
+      q.processAllAvailable() // tail batch drained
+    } finally q.stop()
+    spark.read.parquet(outDir)
+      .select($"c_custkey", $"change_type", $"bal_cents", $"seg")
+      .orderBy($"c_custkey", $"change_type")
+  }
+
+  /** The shared deterministic change set both stream keys drive: the
+    * q_scan_graft_dsv2 derivation — aggregated order balances, every
+    * 97th custkey remapped to a ghost key (inserts), every 13th a
+    * DELETE, seg 'FED'. */
+  private def changeSet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100.0, 0).cast("long")).as("bal_cents"))
+      .select(
+        when($"o_custkey" % 13 === 0, lit("d")).otherwise(lit("u")).as("__op"),
+        lit(1L).as("__lsn"),
+        when($"o_custkey" % 97 === 0, $"o_custkey" + 100000000L)
+          .otherwise($"o_custkey").as("c_custkey"),
+        $"bal_cents",
+        lit("FED").as("seg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_cdc_stream_apply" -> (qCdcStreamApply _)
+    "q_cdc_stream_apply" -> (qCdcStreamApply _),
+    "q_cdc_stream_cdf" -> (qCdcStreamCdf _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -110,6 +178,42 @@ object StreamApplyQuery {
         |            ELSE t.seg END AS seg
         |FROM tgt t FULL OUTER JOIN chg c ON t.c_custkey = c.c_custkey
         |WHERE COALESCE(c.op, '') <> 'd'
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    // the CDF feed replayed algebraically: snapshot-as-inserts, then
+    // the change set classified against it (see qCdcStreamCdf's
+    // scaladoc for why every branch is deterministic)
+    "q_cdc_stream_cdf" ->
+      """WITH src AS (
+        |  SELECT o_custkey AS k,
+        |         CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |           AS bal_cents
+        |  FROM orders GROUP BY 1),
+        |chg AS (
+        |  SELECT CASE WHEN k % 97 = 0 THEN k + 100000000 ELSE k END AS c_custkey,
+        |         CASE WHEN k % 13 = 0 THEN 'd' ELSE 'u' END AS op,
+        |         bal_cents
+        |  FROM src),
+        |tgt AS (
+        |  SELECT c_custkey,
+        |         CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_cents,
+        |         c_mktsegment AS seg
+        |  FROM customer),
+        |snapshot_rows AS (
+        |  SELECT c_custkey, 'insert' AS change_type, bal_cents, seg
+        |  FROM tgt),
+        |tail_rows AS (
+        |  SELECT c.c_custkey,
+        |         CASE WHEN c.op = 'd' THEN 'delete'
+        |              WHEN t.c_custkey IS NOT NULL THEN 'update'
+        |              ELSE 'insert' END AS change_type,
+        |         CASE WHEN c.op = 'd' THEN CAST(NULL AS BIGINT)
+        |              ELSE c.bal_cents END AS bal_cents,
+        |         CASE WHEN c.op = 'd' THEN CAST(NULL AS VARCHAR)
+        |              ELSE 'FED' END AS seg
+        |  FROM chg c LEFT JOIN tgt t ON c.c_custkey = t.c_custkey
+        |  WHERE NOT (c.op = 'd' AND t.c_custkey IS NULL))
+        |SELECT * FROM snapshot_rows
+        |UNION ALL SELECT * FROM tail_rows
+        |ORDER BY c_custkey, change_type""".stripMargin
   )
 }
