@@ -63,7 +63,11 @@ object PartitionedUpsert {
                             layout: String = LayoutHash,
                             splits: Seq[Long] = Seq.empty,
                             tombs: Map[Long, Seq[Tomb]] = Map.empty,
-                            checks: Seq[(String, String)] = Seq.empty)
+                            checks: Seq[(String, String)] = Seq.empty,
+                            colStats: Map[Long, Map[String, (Long, Long)]] =
+                              Map.empty,
+                            comment: Option[String] = None,
+                            colComments: Map[String, String] = Map.empty)
 
   /** One merge-on-read DELETE sidecar for a bucket: a parquet dir of
     * DELETED KEYS (key column only) the read path anti-joins away.
@@ -101,6 +105,23 @@ object PartitionedUpsert {
   final case class BucketStat(files: Int, bytes: Long,
                               minKey: Option[Long], maxKey: Option[Long],
                               maxLsn: Option[Long])
+
+  /** Is `dt` a type whose long-cast preserves ordering EXACTLY — the
+    * precondition for per-bucket min/max pruning on a column
+    * ([[Manifest.colStats]])? Integral types only: a double's long
+    * cast truncates, so a predicate value of 5.5 could compare wrong
+    * against a truncated max of 5 (true max 5.9) and prune a bucket
+    * that holds matches — the silent-wrong class this gate exists to
+    * exclude. Date/timestamp literals arrive as java.sql types the
+    * pruner's asLong cannot read anyway. */
+  private[graft] def isColStatsType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
 
   /** A prepared-but-uncommitted merge: data files are on disk under
     * `data/<staging>` but no reader can see them until `commit`
@@ -231,6 +252,21 @@ object PartitionedUpsert {
       // CHECK constraints in declaration order (expr text is tab-free
       // by construction — addCheckConstraint rejects tabs loudly)
       m.checks.map { case (nm, ex) => s"check\t$nm\t$ex" } ++
+      // secondary-column pruning stats (r18): ADVISORY lines — a
+      // reader ignoring them reads MORE buckets, never wrong rows, so
+      // no !requires gate (unlike tombs/checks/ext). Sorted for
+      // diffable manifests.
+      m.colStats.toSeq.sortBy(_._1).flatMap { case (b, per) =>
+        per.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          s"colstats\t$b\t$c\t$lo\t$hi" }
+      } ++
+      // COMMENTs (r18): advisory documentation lines (losing one loses
+      // words, never rows). Stored OUTSIDE the data schema on purpose:
+      // schema-embedded comment metadata would read as a schema CHANGE
+      // to the CDF one-era rule and fail live streams over a doc edit.
+      m.comment.map(c => s"comment\t${escLine(c)}").toSeq ++
+      m.colComments.toSeq.sortBy(_._1).map { case (c, t) =>
+        s"colcomment\t$c\t${escLine(t)}" } ++
       m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" })
       .mkString("\n")
   }
@@ -292,8 +328,76 @@ object PartitionedUpsert {
       val p = l.split('\t')
       (p(1), p(2))
     }
+    val colStats = rest.filter(_.startsWith("colstats\t")).map { l =>
+      val p = l.split('\t')
+      (p(1).toLong, p(2), (p(3).toLong, p(4).toLong))
+    }.groupBy(_._1).map { case (b, es) =>
+      b -> es.map(e => e._2 -> e._3).toMap }
+    val comment = rest.find(_.startsWith("comment\t"))
+      .map(l => unescLine(l.substring("comment\t".length)))
+    val colComments = rest.filter(_.startsWith("colcomment\t")).map { l =>
+      val p = l.split('\t')
+      p(1) -> unescLine(if (p.length > 2) p(2) else "")
+    }.toMap
     Manifest(version, schema, nBuckets, keyCol, txns, buckets, stats,
-      layout, splits, tombs, checks)
+      layout, splits, tombs, checks, colStats, comment, colComments)
+  }
+
+  /** Single-line escape for free-text manifest fields (comments): the
+    * manifest is a line/tab format, so the text's own tabs/newlines/
+    * backslashes must not break framing. */
+  private def escLine(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '\t' => "\\t"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case c => c.toString
+  }
+
+  private def unescLine(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\')
+          case 't' => sb.append('\t')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case c => sb.append(c)
+        }
+        i += 2
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Record / clear table and column COMMENTs — ONE metadata-only
+    * commit (Delta's COMMENT ON / ALTER COLUMN … COMMENT surface).
+    * `table = Some(Some(t))` sets, `Some(None)` clears, `None` leaves
+    * untouched; `cols` maps column → Some(set)/None(clear). Unknown
+    * columns error loudly. Comments live beside the schema, not in it
+    * (see the serialization comment: schema-embedded metadata would
+    * trip the CDF one-era rule). */
+  def setComments(spark: SparkSession, dir: String,
+                  table: Option[Option[String]] = None,
+                  cols: Map[String, Option[String]] = Map.empty): Unit = {
+    val prior = manifestOrFail(spark, dir)
+    cols.keys.foreach { c =>
+      require(prior.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"cannot comment unknown column '$c' of $dir")
+    }
+    val canonical = cols.map { case (c, v) =>
+      prior.schema.fieldNames.find(_.equalsIgnoreCase(c)).get -> v }
+    val newComment = table.getOrElse(prior.comment)
+    val newCols = canonical.foldLeft(prior.colComments) {
+      case (m, (c, Some(t))) => m + (c -> t)
+      case (m, (c, None)) => m - c
+    }
+    if (newComment == prior.comment && newCols == prior.colComments) return
+    writeManifest(fsOf(spark, dir), dir, prior.copy(
+      version = prior.version + 1,
+      comment = newComment, colComments = newCols))
   }
 
   /** Publish a manifest via [[AtomicPublish.publishNoOverwrite]] —
@@ -672,7 +776,12 @@ object PartitionedUpsert {
       Pending(staging,
         prior.copy(version = prior.version + 1, txns = prior.txns ++ txns,
           buckets = buckets, stats = (prior.stats -- touched) ++ st,
-          tombs = prior.tombs -- touched),
+          tombs = prior.tombs -- touched,
+          // a merge changes VALUES in the touched buckets, so their
+          // recorded secondary-column ranges no longer bound the data
+          // — drop them (ZORDER is the refresher); untouched buckets'
+          // entries stay valid verbatim
+          colStats = prior.colStats -- touched),
         touched, base = Some(prior))
     } finally { withBucket.unpersist(); () }
   }
@@ -768,7 +877,8 @@ object PartitionedUpsert {
     writeManifest(fs, dir, prior.copy(version = prior.version + 1,
       txns = prior.txns ++ txn,
       buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
-      tombs = Map.empty)) // replaced contents carry no delete debt
+      tombs = Map.empty, // replaced contents carry no delete debt
+      colStats = Map.empty)) // new contents: old ranges bound nothing
   }
 
   /** ADOPT another table's data files as this table's next version —
@@ -858,7 +968,8 @@ object PartitionedUpsert {
     if (prior.buckets.isEmpty) return // already empty: no version burn
     writeManifest(fsOf(spark, dir), dir,
       prior.copy(version = prior.version + 1,
-        buckets = Map.empty, stats = Map.empty, tombs = Map.empty))
+        buckets = Map.empty, stats = Map.empty, tombs = Map.empty,
+        colStats = Map.empty))
   }
 
   /** Record a writer-app transaction version WITHOUT data changes —
@@ -952,7 +1063,8 @@ object PartitionedUpsert {
               stats = (winner.stats -- ourTouched) ++ ourStats,
               // our rewrite read base's tombstones of the touched
               // buckets (== winner's, proven) and physicalized them
-              tombs = winner.tombs -- ourTouched)
+              tombs = winner.tombs -- ourTouched,
+              colStats = winner.colStats -- ourTouched)
         }
     }
   }
@@ -1020,13 +1132,25 @@ object PartitionedUpsert {
   private def publishMaintenance(spark: SparkSession, dir: String,
                                  prior: Manifest, target: Seq[Long],
                                  entries: Map[Long, String],
-                                 st: Map[Long, BucketStat]): Unit = {
+                                 st: Map[Long, BucketStat],
+                                 freshColStats: Map[Long,
+                                   Map[String, (Long, Long)]] = Map.empty)
+      : Unit = {
     val fs = fsOf(spark, dir)
+    // maintenance rewrites never change VALUES (compact/purge remove
+    // tombstoned rows; zorder reorders within buckets), so carried
+    // per-bucket column ranges stay sound over-approximations; zorder
+    // additionally passes fresh, tighter entries for its columns,
+    // which win per (bucket, column)
     def next(head: Manifest): Manifest =
       head.copy(version = head.version + 1,
         buckets = (head.buckets -- target) ++ entries,
         stats = (head.stats -- target) ++ st,
-        tombs = head.tombs -- target)
+        tombs = head.tombs -- target,
+        colStats = (head.colStats.keySet ++ freshColStats.keySet).map { b =>
+          b -> (head.colStats.getOrElse(b, Map.empty) ++
+            freshColStats.getOrElse(b, Map.empty))
+        }.toMap.filter(_._2.nonEmpty))
     try writeManifest(fs, dir, next(prior))
     catch {
       case first: java.util.ConcurrentModificationException =>
@@ -1441,7 +1565,33 @@ object PartitionedUpsert {
       // the rewrite read through the tombstone filter, so deletes are
       // physical now; stale sidecars would also carry the PRE-rename
       // key column name and must not survive the evolution
-      tombs = Map.empty))
+      tombs = Map.empty,
+      // secondary-column ranges track the evolution: a rename re-keys
+      // the entry (values unchanged), a drop removes it, a widen
+      // keeps it only while the target type stays integral (the
+      // long-cast soundness gate), and row placement is untouched —
+      // the rewrite is a per-row schema transform
+      colStats = prior.colStats.view.mapValues { per =>
+        changes.foldLeft(per) {
+          case (m, Cdc.RenameColumn(from, to)) =>
+            m.find(_._1.equalsIgnoreCase(from))
+              .map(e => (m - e._1) + (to -> e._2)).getOrElse(m)
+          case (m, Cdc.DropColumn(n, _)) =>
+            m.filterNot(_._1.equalsIgnoreCase(n))
+          case (m, Cdc.WidenColumn(n, to)) if !isColStatsType(to) =>
+            m.filterNot(_._1.equalsIgnoreCase(n))
+          case (m, _) => m
+        }
+      }.toMap.filter(_._2.nonEmpty),
+      // column COMMENTs follow their column through the evolution
+      colComments = changes.foldLeft(prior.colComments) {
+        case (m, Cdc.RenameColumn(from, to)) =>
+          m.find(_._1.equalsIgnoreCase(from))
+            .map(e => (m - e._1) + (to -> e._2)).getOrElse(m)
+        case (m, Cdc.DropColumn(n, _)) =>
+          m.filterNot(_._1.equalsIgnoreCase(n))
+        case (m, _) => m
+      }))
   }
 
   /** Change the table's bucket COUNT — the operation a growing table
@@ -1493,7 +1643,8 @@ object PartitionedUpsert {
       prior.schema(keyCol).dataType, _ => globalLsn)
     writeManifest(fs, dir, next0.copy(version = prior.version + 1,
       buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
-      tombs = Map.empty)) // full rewrite read tombstone-filtered
+      tombs = Map.empty, // full rewrite read tombstone-filtered
+      colStats = Map.empty)) // rows rehashed: old bucket ranges are void
   }
 
   /** Compact fragmented buckets (the OPTIMIZE of this table format):
@@ -1630,11 +1781,45 @@ object PartitionedUpsert {
       val st = stagedStats(spark, fs, dir, staging, written, prior.keyCol,
         prior.schema(prior.keyCol).dataType,
         b => prior.stats.get(b).flatMap(_.maxLsn))
+      // the ZORDER rewrite is the natural REFRESHER for per-bucket
+      // secondary-column ranges (r17 verdict #5 — the inter-file rung
+      // of data skipping on non-key columns): one small agg over the
+      // freshly-staged files records min/max per (bucket, column) for
+      // the INTEGRAL zorder columns (isColStatsType — a long-cast of
+      // a double truncates, which could prune a matching bucket;
+      // excluded). Driver-bounded: nBuckets rows × ≤4 columns.
+      val statCols = cols.filter(c => isColStatsType(
+        prior.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType))
+      val freshCs: Map[Long, Map[String, (Long, Long)]] =
+        if (statCols.isEmpty || written.isEmpty) Map.empty
+        else {
+          val aggs = statCols.flatMap(c => Seq(
+            min(col(c).cast(org.apache.spark.sql.types.LongType))
+              .as(s"__mn_$c"),
+            max(col(c).cast(org.apache.spark.sql.types.LongType))
+              .as(s"__mx_$c")))
+          // partition-column inference may type bucket= as int — cast
+          spark.read.parquet(s"$dir/data/$staging")
+            .groupBy(col("bucket")
+              .cast(org.apache.spark.sql.types.LongType).as("bucket"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().map { r =>
+              val b = r.getLong(r.fieldIndex("bucket"))
+              b -> statCols.flatMap { c =>
+                val mn = r.fieldIndex(s"__mn_$c")
+                val mx = r.fieldIndex(s"__mx_$c")
+                // an all-NULL column in a bucket records nothing (no
+                // range exists; absence = conservative keep)
+                if (r.isNullAt(mn) || r.isNullAt(mx)) None
+                else Some(c -> (r.getLong(mn), r.getLong(mx)))
+              }.toMap
+            }.toMap.filter(_._2.nonEmpty)
+        }
       // every PRIOR bucket is the rewrite target (z-order is a full
       // re-cluster) — but a racing merge that created a NEW bucket or
       // touched none of ours still lands via the maintenance rebase
       publishMaintenance(spark, dir, prior, target,
-        written.map(b => b -> dataRel(staging, b)).toMap, st)
+        written.map(b => b -> dataRel(staging, b)).toMap, st, freshCs)
       written.sorted
     } finally { current.unpersist(); () }
   }

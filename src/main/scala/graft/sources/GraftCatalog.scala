@@ -56,8 +56,12 @@ import graft.ops.cdc.{Cdc, PartitionedUpsert}
   *    `VERSION AS OF` / `TIMESTAMP AS OF` as read-only pins.
   *  - ALTER TABLE's column changes (add/rename/drop/widen) lower onto
   *    the same atomic [[PartitionedUpsert.evolveSchema]] the path
-  *    face uses; non-column changes (SET TBLPROPERTIES, …) are
-  *    refused loudly — this catalog records no properties.
+  *    face uses; table/column COMMENTs (r18) are metadata-only
+  *    commits beside the schema (`COMMENT ON TABLE`, `ALTER COLUMN …
+  *    COMMENT`, CREATE-time comments — and `SHOW CREATE TABLE`
+  *    renders the honest re-creating DDL from the table's
+  *    partitioning/properties faces); any OTHER property is refused
+  *    loudly — this catalog records no further metadata.
   *  - RENAME TABLE is one filesystem rename — manifests reference
   *    data RELATIVELY, so a moved table is immediately whole.
   *  - DROP TABLE deletes the directory (the manifest chain IS the
@@ -235,10 +239,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def initEmpty(dir: String, schema: StructType, keyCol: String,
-                        nBuckets: Int): Unit = {
+                        nBuckets: Int,
+                        properties: util.Map[String, String]): Unit = {
+    // the DATA schema is stored comment-free (comments live beside it
+    // in the manifest — a doc edit must never read as a schema change
+    // to the CDF one-era rule); any other declared field metadata is
+    // dropped with them, the documented contract of this catalog
+    val clean = StructType(schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType,
+        f.nullable)))
     val empty = spark.createDataFrame(
-      new util.ArrayList[org.apache.spark.sql.Row](), schema)
+      new util.ArrayList[org.apache.spark.sql.Row](), clean)
     PartitionedUpsert.init(empty, dir, keyCol, nBuckets)
+    val tableComment = Option(properties.get(TableCatalog.PROP_COMMENT))
+    val colCs = schema.fields
+      .flatMap(f => f.getComment().map(f.name -> _)).toMap
+    if (tableComment.nonEmpty || colCs.nonEmpty)
+      PartitionedUpsert.setComments(spark, dir,
+        tableComment.map(c => Some(c)),
+        colCs.view.mapValues(c => Some(c): Option[String]).toMap)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table =
@@ -251,7 +270,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
     val (keyCol, nBuckets) = keyAndBuckets(ident, schema, partitions,
       properties)
-    initEmpty(dir, schema, keyCol, nBuckets)
+    initEmpty(dir, schema, keyCol, nBuckets, properties)
     loadTable(ident)
   }
 
@@ -321,7 +340,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val (keyCol, nBuckets) = keyAndBuckets(ident, schema, partitions,
       properties)
     val tmp = s"$warehouse/.staging/${java.util.UUID.randomUUID}"
-    initEmpty(tmp, schema, keyCol, nBuckets)
+    initEmpty(tmp, schema, keyCol, nBuckets, properties)
     val sp = spark
     new StagedGraftTable(ident.toString, tmp, sp,
       commitFn = () => {
@@ -389,7 +408,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"'${fieldNames.mkString(".")}' is not supported")
       fieldNames(0)
     }
-    val schemaChanges: Seq[Cdc.SchemaChange] = changes.map {
+    // COMMENT changes (r18) are metadata-only and commit separately
+    // from schema changes — COMMENT ON TABLE / ALTER TABLE … SET
+    // TBLPROPERTIES('comment'=…) / ALTER COLUMN … COMMENT
+    var tableComment: Option[Option[String]] = None
+    val colComments = scala.collection.mutable.Map[String, Option[String]]()
+    val rest = changes.filter {
+      case s: TableChange.SetProperty
+          if s.property.equalsIgnoreCase(TableCatalog.PROP_COMMENT) =>
+        tableComment = Some(Some(s.value)); false
+      case r: TableChange.RemoveProperty
+          if r.property.equalsIgnoreCase(TableCatalog.PROP_COMMENT) =>
+        tableComment = Some(None); false
+      case c: TableChange.UpdateColumnComment =>
+        colComments(top(c.fieldNames())) = Some(c.newComment()); false
+      case _ => true
+    }
+    val schemaChanges: Seq[Cdc.SchemaChange] = rest.map {
       case a: TableChange.AddColumn => Cdc.AddColumn(top(a.fieldNames()),
         a.dataType())
       case r: TableChange.RenameColumn =>
@@ -398,10 +433,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case u: TableChange.UpdateColumnType =>
         Cdc.WidenColumn(top(u.fieldNames()), u.newDataType())
       case other => throw new UnsupportedOperationException(
-        s"graft catalog tables carry no mutable metadata — ALTER " +
-          s"change ${other.getClass.getSimpleName} is not supported " +
-          "(column add/rename/drop/type-widen are)")
+        s"graft catalog tables carry no mutable metadata beyond " +
+          s"comments — ALTER change ${other.getClass.getSimpleName} is " +
+          "not supported (column add/rename/drop/type-widen and " +
+          "table/column COMMENTs are)")
     }
+    if (tableComment.nonEmpty || colComments.nonEmpty)
+      PartitionedUpsert.setComments(spark, dir, tableComment,
+        colComments.toMap)
+    if (schemaChanges.isEmpty) return loadTable(ident)
     // the key tracked FORWARD through this batch's renames (the
     // evolveSchema contract: keyCol is the POST-change name)
     val newKey = schemaChanges.foldLeft(m.keyCol) {

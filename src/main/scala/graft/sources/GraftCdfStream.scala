@@ -178,9 +178,19 @@ final class GraftCdfMicroBatchStream(dir: String, startingVersion: Long,
             n += 1
           }
         } finally out.close()
-        if (pfs.exists(fin)) pfs.delete(fin, false)
-        if (!pfs.rename(tmp, fin))
-          throw new java.io.IOException(s"spool task commit failed: $tmp -> $fin")
+        // RENAME-FIRST task commit (r18 — the r16 exists→delete→rename
+        // had a benign-but-ugly check-then-act window): attempt
+        // straight at the final name; a racing attempt that committed
+        // first makes this rename fail, and because every attempt
+        // writes IDENTICAL bytes (deterministic projection of the same
+        // window), exists-after-loss IS success — delete our tmp and
+        // accept the winner's file.
+        if (!pfs.rename(tmp, fin)) {
+          pfs.delete(tmp, false): Unit
+          if (!pfs.exists(fin))
+            throw new java.io.IOException(
+              s"spool task commit failed: $tmp -> $fin")
+        }
         Iterator.single(n)
       }
     }.count(): Unit

@@ -392,7 +392,39 @@ final class GraftTable(val dir: String, manifest: Manifest,
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft.`$dir`@v${manifest.version}"
-  override def schema(): StructType = manifest.schema
+
+  /** Schema with column COMMENTs re-attached for the catalog surfaces
+    * (DESCRIBE / SHOW CREATE TABLE read field metadata). The MANIFEST
+    * schema stays comment-free — comments live beside it so a doc
+    * edit never reads as a schema change to the CDF one-era rule —
+    * and comment metadata is inert to reads/writes (schema-match
+    * checks compare names and types). */
+  override def schema(): StructType =
+    if (manifest.colComments.isEmpty) manifest.schema
+    else StructType(manifest.schema.fields.map(f =>
+      manifest.colComments.find(_._1.equalsIgnoreCase(f.name))
+        .map(e => f.withComment(e._2)).getOrElse(f)))
+
+  /** The honest DDL rendering (r18 — what SHOW CREATE TABLE reads):
+    * the key-bucketed layout IS `PARTITIONED BY (bucket(n, key))`,
+    * the same transform [[GraftCatalog.keyAndBuckets]] accepts, so
+    * the emitted statement re-creates an equivalent table. */
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .bucket(manifest.nBuckets, manifest.keyCol))
+
+  override def properties(): java.util.Map[String, String] = {
+    val p = new java.util.HashMap[String, String]()
+    p.put(org.apache.spark.sql.connector.catalog.TableCatalog
+      .PROP_PROVIDER, "graft")
+    manifest.comment.foreach(c => p.put(
+      org.apache.spark.sql.connector.catalog.TableCatalog.PROP_COMMENT, c))
+    // informative only — a range layout's split points are planned
+    // from data (init/rebucket), not declared
+    if (manifest.layout != PartitionedUpsert.LayoutHash)
+      p.put("layout", manifest.layout)
+    p
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     // TRUNCATE = "can replace all contents" in DSv2 capability terms —
     // it is what routes INSERT OVERWRITE through the V1 bridge with
@@ -613,10 +645,15 @@ object GraftScanBuilder {
     *    (non-integral key, pre-stats manifest) is conservatively
     *    kept.
     *
-    * Any filter NOT on the key, non-literal, or null-valued prunes
-    * nothing (correctness never depends on pruning). Returns None
-    * for "no pruning possible" (read all buckets) to keep the
-    * all-kept case allocation-free. */
+    *  - SECONDARY-column range intersection (r18): conjuncts on
+    *    non-key INTEGRAL columns prune via the manifest's recorded
+    *    per-bucket colStats ranges (see the in-body comment for the
+    *    soundness argument and the write/invalidate discipline).
+    *
+    * Any other filter — non-literal, null-valued, or on a column with
+    * no recorded range — prunes nothing (correctness never depends on
+    * pruning). Returns None for "no pruning possible" (read all
+    * buckets) to keep the all-kept case allocation-free. */
   def pruneBuckets(m: Manifest, filters: Seq[Filter],
                    route: Seq[Any] => Seq[Long]): Option[Seq[Long]] = {
     val key = m.keyCol
@@ -636,6 +673,28 @@ object GraftScanBuilder {
           }
           case None => true
         }
+      }.toSet
+
+    // SECONDARY-column range pruning (r18, r17 verdict #5 — the
+    // inter-file rung on non-key columns): a bucket whose recorded
+    // [min, max] for column `a` (Manifest.colStats — written by the
+    // ZORDER refresher, invalidated by any value-changing rewrite of
+    // the bucket) cannot intersect the conjunct's bound is skipped.
+    // Recorded only for INTEGRAL columns (isColStatsType — long-cast
+    // order-exactness); a bucket without an entry is kept. NULL rows
+    // are safe to prune past: a non-null comparison predicate never
+    // matches them anyway (three-valued logic), and min/max ignore
+    // nulls by construction.
+    def colStatsCol(a: String): Boolean =
+      !isKey(a) && m.schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(a) &&
+          graft.ops.cdc.PartitionedUpsert.isColStatsType(f.dataType))
+    def colKeep(a: String, pred: (Long, Long) => Boolean): Set[Long] =
+      all.filter { b =>
+        m.colStats.get(b)
+          .flatMap(_.collectFirst {
+            case (c, (lo, hi)) if c.equalsIgnoreCase(a) => (lo, hi) })
+          .forall { case (lo, hi) => pred(lo, hi) }
       }.toSet
 
     def asLong(v: Any): Option[Long] = v match {
@@ -663,6 +722,23 @@ object GraftScanBuilder {
         asLong(v).foreach(x => intersect(statsKeep((lo, _) => lo < x)))
       case sources.LessThanOrEqual(a, v) if isKey(a) =>
         asLong(v).foreach(x => intersect(statsKeep((lo, _) => lo <= x)))
+      // non-key columns prune via the recorded secondary ranges
+      case sources.EqualTo(a, v) if colStatsCol(a) && v != null =>
+        asLong(v).foreach(x => intersect(colKeep(a,
+          (lo, hi) => lo <= x && x <= hi)))
+      case sources.In(a, vs) if colStatsCol(a) && vs != null =>
+        val xs = vs.filter(_ != null).toSeq.flatMap(asLong)
+        if (xs.nonEmpty && xs.size == vs.count(_ != null))
+          intersect(colKeep(a,
+            (lo, hi) => xs.exists(x => lo <= x && x <= hi)))
+      case sources.GreaterThan(a, v) if colStatsCol(a) =>
+        asLong(v).foreach(x => intersect(colKeep(a, (_, hi) => hi > x)))
+      case sources.GreaterThanOrEqual(a, v) if colStatsCol(a) =>
+        asLong(v).foreach(x => intersect(colKeep(a, (_, hi) => hi >= x)))
+      case sources.LessThan(a, v) if colStatsCol(a) =>
+        asLong(v).foreach(x => intersect(colKeep(a, (lo, _) => lo < x)))
+      case sources.LessThanOrEqual(a, v) if colStatsCol(a) =>
+        asLong(v).foreach(x => intersect(colKeep(a, (lo, _) => lo <= x)))
       case _ => // non-key / unsupported: no pruning contribution
     }
     candidate.map(_.toSeq.sorted)

@@ -57,6 +57,11 @@ final class GraftNamedTable(
 
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    delegate.partitioning()
+  override def properties(): util.Map[String, String] =
+    delegate.properties()
   override def capabilities(): util.Set[TableCapability] =
     delegate.capabilities()
   override def newScanBuilder(options: CaseInsensitiveStringMap)

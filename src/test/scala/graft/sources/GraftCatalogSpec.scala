@@ -284,6 +284,48 @@ class GraftCatalogSpec extends SparkSpec {
       msgs(en).mkString("~"))
   }
 
+  test("SHOW CREATE TABLE + COMMENTs (r18): the emitted DDL " +
+      "re-creates an equivalent table; COMMENT ON TABLE and ALTER " +
+      "COLUMN COMMENT are metadata-only commits that never read as " +
+      "schema changes (CDF one-era rule safe)") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.sct")
+    spark.sql("CREATE TABLE gcat.sct.t (k BIGINT COMMENT 'the key', " +
+      "v BIGINT) USING graft PARTITIONED BY (bucket(4, k)) " +
+      "COMMENT 'demo table'")
+    val m1 = PartitionedUpsert.manifestOrFail(spark, s"$wh/sct/t")
+    assert(m1.comment.contains("demo table"))
+    assert(m1.colComments.get("k").contains("the key"))
+    val ddl = spark.sql("SHOW CREATE TABLE gcat.sct.t")
+      .head().getString(0)
+    assert(ddl.contains("graft"), ddl)
+    assert(ddl.contains("demo table"), ddl)
+    assert(ddl.contains("the key"), ddl)
+    // the DDL re-creates an equivalent table under a new name
+    val ddl2 = ddl.replace("gcat.sct.t", "gcat.sct.t2")
+    assert(ddl2 != ddl, s"could not rename in: $ddl")
+    spark.sql(ddl2)
+    val m2 = PartitionedUpsert.manifestOrFail(spark, s"$wh/sct/t2")
+    assert(m2.keyCol == "k" && m2.nBuckets == 4)
+    assert(m2.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(m2.comment.contains("demo table"))
+    assert(m2.colComments.get("k").contains("the key"))
+    // comment edits: metadata-only, schema bytes untouched
+    spark.sql("COMMENT ON TABLE gcat.sct.t IS 'better words'")
+    spark.sql("ALTER TABLE gcat.sct.t ALTER COLUMN v COMMENT 'cents'")
+    val m3 = PartitionedUpsert.manifestOrFail(spark, s"$wh/sct/t")
+    assert(m3.comment.contains("better words"))
+    assert(m3.colComments.get("v").contains("cents"))
+    assert(m3.schema.json == m1.schema.json,
+      "a doc edit must never read as a schema change")
+    assert(m3.buckets == m1.buckets, "metadata-only: no data moved")
+    // other properties stay refused
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.sct.t SET TBLPROPERTIES ('x'='y')")
+    }
+    assert(e.getMessage.contains("no mutable metadata"))
+  }
+
   test("staged CREATE refuses a leftover non-table directory at the " +
       "target instead of renaming the staging dir INSIDE it " +
       "(ADVICE r17 — the HDFS rename-into-existing-dir trap)") {
