@@ -663,8 +663,22 @@ object Cdc {
     * free, so the table-side evolution is a metadata-only manifest
     * swap ([[PartitionedUpsert.evolveSchema]]), never a rewrite. The
     * column arrives nullable by construction — a NOT NULL add would
-    * need a backfill value, which is an UPDATE, not a DDL. */
-  final case class AddColumn(name: String, dataType: DataType) extends SchemaChange
+    * need a backfill value, which is an UPDATE, not a DDL.
+    *
+    * `default` (r18 — Spark's EXISTING_DEFAULT / Delta's
+    * existingDefault semantics): a SQL literal expression ROWS THAT
+    * PREDATE THE ADD read instead of NULL. Still metadata-only on the
+    * table side — the manifest records (column, literal, the bucket→
+    * path map at add time) and the read path fills the column for
+    * buckets whose files haven't been rewritten since
+    * ([[PartitionedUpsert]]'s defaults scaladoc owns the soundness
+    * argument); rows written AFTER the add carry their own values,
+    * explicit NULL included. On the FRAME path (batch replay below)
+    * the default fills the missing column directly — a pre-add batch
+    * is by definition pre-add data. */
+  final case class AddColumn(name: String, dataType: DataType,
+                             default: Option[String] = None)
+      extends SchemaChange
   /** Column DROP — the CDC reality the rename/widen pair left out.
     * `dataType` records the dropped column's type: batch replay only
     * needs the name (the projection just removes it), but a streaming
@@ -698,8 +712,10 @@ object Cdc {
         }
       case (d, DropColumn(name, _)) =>
         if (d.columns.contains(name)) d.drop(name) else d
-      case (d, AddColumn(name, dt)) =>
-        if (!d.columns.contains(name)) d.withColumn(name, lit(null).cast(dt))
+      case (d, AddColumn(name, dt, dflt)) =>
+        if (!d.columns.contains(name))
+          d.withColumn(name,
+            dflt.map(expr(_).cast(dt)).getOrElse(lit(null).cast(dt)))
         else {
           // replay idempotence: an already-applied add finds the column
           // at the declared type and no-ops; a SAME-NAMED column at a

@@ -67,7 +67,33 @@ object PartitionedUpsert {
                             colStats: Map[Long, Map[String, (Long, Long)]] =
                               Map.empty,
                             comment: Option[String] = None,
-                            colComments: Map[String, String] = Map.empty)
+                            colComments: Map[String, String] = Map.empty,
+                            defaults: Seq[ColDefault] = Seq.empty)
+
+  /** `ADD COLUMN … DEFAULT <lit>` recorded metadata-only (r18 —
+    * Spark's EXISTING_DEFAULT / Delta's existingDefault): rows that
+    * PREDATE the add read `litSql` instead of NULL. `pre` is the
+    * bucket→relative-path map AT ADD TIME — the default applies to
+    * bucket b exactly while the CURRENT manifest still maps b to
+    * `pre(b)` (i.e. the bucket's files were written before the add
+    * and so physically LACK the column; every row deserves the
+    * default). Any rewrite of the bucket — merge, compact, zorder,
+    * purge, evolve, replace — reads through the default-applying path
+    * and therefore MATERIALIZES the value into the new files, and its
+    * new path ≠ `pre(b)` deactivates the entry with zero bookkeeping.
+    * Post-add writers always carry the column (the full-schema write
+    * gate), so an explicit NULL written after the add stays NULL —
+    * exactly the per-file-era semantics Delta implements with
+    * per-file metadata. Defaults are SEMANTICS-BEARING manifest lines
+    * (a reader ignoring them serves NULL where the default belongs),
+    * so manifests carrying active defaults raise the `!requires`
+    * protocol gate. */
+  final case class ColDefault(col: String, litSql: String,
+                              pre: Map[Long, String]) {
+    /** Active for bucket `b` under manifest `m`? */
+    def activeFor(m: Manifest, b: Long): Boolean =
+      pre.get(b).exists(m.buckets.get(b).contains)
+  }
 
   /** One merge-on-read DELETE sidecar for a bucket: a parquet dir of
     * DELETED KEYS (key column only) the read path anti-joins away.
@@ -226,13 +252,21 @@ object PartitionedUpsert {
     * readers cannot parse as a schema — they fail LOUDLY instead of
     * silently wrong (the Delta/Iceberg protocol-version idea, one
     * line). Feature-free manifests stay byte-compatible both ways. */
-  private[cdc] val SupportedManifestVersion = 2
+  private[cdc] val SupportedManifestVersion = 3
 
   private def manifestBody(m: Manifest): String = {
     def opt(v: Option[Long]): String = v.map(_.toString).getOrElse("-")
-    val gated = m.tombs.nonEmpty || m.checks.nonEmpty ||
-      m.buckets.values.exists(isExt)
-    ((if (gated) Seq(s"!requires\t$SupportedManifestVersion") else Seq.empty) ++
+    // the gate line writes the MINIMUM version whose features the
+    // manifest actually carries, so feature-free (and defaults-free)
+    // manifests stay byte-compatible with older readers:
+    //   v2 = tombstones / CHECK constraints / ext borrows
+    //   v3 = column DEFAULTs with live pre-maps (r18)
+    val needs =
+      if (m.defaults.exists(_.pre.nonEmpty)) 3
+      else if (m.tombs.nonEmpty || m.checks.nonEmpty ||
+        m.buckets.values.exists(isExt)) 2
+      else 0
+    ((if (needs > 0) Seq(s"!requires\t$needs") else Seq.empty) ++
       Seq(m.schema.json, m.nBuckets.toString, s"key\t${m.keyCol}") ++
       // hash tables omit the line (manifests predating layouts parse
       // identically); range records its split points inline
@@ -267,6 +301,16 @@ object PartitionedUpsert {
       m.comment.map(c => s"comment\t${escLine(c)}").toSeq ++
       m.colComments.toSeq.sortBy(_._1).map { case (c, t) =>
         s"colcomment\t$c\t${escLine(t)}" } ++
+      // column DEFAULTs (r18): pre-map entries joined with '|', each
+      // `<bucket>:<rel>` split at the FIRST ':' on read (an ext:
+      // borrow's rel itself contains a colon). Dead entries (bucket
+      // since rewritten) are retained — they cost bytes, not
+      // correctness — but a default whose pre-map emptied is dropped.
+      m.defaults.filter(_.pre.nonEmpty).map { d =>
+        val pre = d.pre.toSeq.sortBy(_._1)
+          .map { case (b, rel) => s"$b:$rel" }.mkString("|")
+        s"default\t${d.col}\t${escLine(d.litSql)}\t$pre"
+      } ++
       m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" })
       .mkString("\n")
   }
@@ -339,8 +383,18 @@ object PartitionedUpsert {
       val p = l.split('\t')
       p(1) -> unescLine(if (p.length > 2) p(2) else "")
     }.toMap
+    val defaults = rest.filter(_.startsWith("default\t")).toSeq.map { l =>
+      val p = l.split('\t')
+      val pre = if (p.length < 4 || p(3).isEmpty) Map.empty[Long, String]
+        else p(3).split('|').map { e =>
+          val i = e.indexOf(':')
+          e.substring(0, i).toLong -> e.substring(i + 1)
+        }.toMap
+      ColDefault(p(1), unescLine(p(2)), pre)
+    }
     Manifest(version, schema, nBuckets, keyCol, txns, buckets, stats,
-      layout, splits, tombs, checks, colStats, comment, colComments)
+      layout, splits, tombs, checks, colStats, comment, colComments,
+      defaults)
   }
 
   /** Single-line escape for free-text manifest fields (comments): the
@@ -820,11 +874,30 @@ object PartitionedUpsert {
     val ids = only.getOrElse(m.buckets.keys.toSeq)
       .filter(m.buckets.contains).distinct.sorted
     val paths = ids.map(b => resolveRel(dir, m.buckets(b)))
+    val active = m.defaults.filter(_.pre.nonEmpty)
     val base =
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           m.schema)
-      else spark.read.schema(m.schema).parquet(paths: _*)
+      else if (active.isEmpty) spark.read.schema(m.schema).parquet(paths: _*)
+      else {
+        // column DEFAULTs (r18): buckets group by WHICH defaults apply
+        // (ColDefault.activeFor — the files of an active bucket
+        // physically lack the column, so filling the whole column is
+        // the per-file-era semantics); one read per group, unioned.
+        // Group count is ≤ distinct default-sets actually live — in
+        // practice 2 (pre-add buckets, rewritten buckets).
+        ids.groupBy(b => active.filter(_.activeFor(m, b)))
+          .toSeq.sortBy(_._2.head)
+          .map { case (ds, bs) =>
+            val df = spark.read.schema(m.schema).parquet(
+              bs.map(b => resolveRel(dir, m.buckets(b))): _*)
+            ds.foldLeft(df) { (d, cd) =>
+              d.withColumn(cd.col,
+                expr(cd.litSql).cast(m.schema(cd.col).dataType))
+            }.select(m.schema.fieldNames.map(col).toSeq: _*)
+          }.reduce(_.unionByName(_))
+      }
     val tombs = ids.flatMap(b => m.tombs.getOrElse(b, Seq.empty))
     if (tombs.isEmpty) base
     else {
@@ -878,7 +951,8 @@ object PartitionedUpsert {
       txns = prior.txns ++ txn,
       buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
       tombs = Map.empty, // replaced contents carry no delete debt
-      colStats = Map.empty)) // new contents: old ranges bound nothing
+      colStats = Map.empty, // new contents: old ranges bound nothing
+      defaults = Seq.empty)) // the snapshot carried every column
   }
 
   /** ADOPT another table's data files as this table's next version —
@@ -924,7 +998,13 @@ object PartitionedUpsert {
       txns = dst.txns,
       buckets = src.buckets.view.mapValues(remap).toMap,
       tombs = src.tombs.view.mapValues(_.map(t =>
-        t.copy(rel = remap(t.rel)))).toMap))
+        t.copy(rel = remap(t.rel)))).toMap,
+      // ACTIVE defaults' pre-maps ride the same rename; dead entries
+      // (whose stagings are not in the mapping) drop rather than crash
+      defaults = src.defaults.map(d => d.copy(pre = d.pre.collect {
+        case (b, rel) if src.buckets.get(b).contains(rel) =>
+          b -> remap(rel)
+      })).filter(_.pre.nonEmpty)))
   }
 
   /** RESTORE the table to a retained version — Delta's `RESTORE
@@ -969,7 +1049,7 @@ object PartitionedUpsert {
     writeManifest(fsOf(spark, dir), dir,
       prior.copy(version = prior.version + 1,
         buckets = Map.empty, stats = Map.empty, tombs = Map.empty,
-        colStats = Map.empty))
+        colStats = Map.empty, defaults = Seq.empty))
   }
 
   /** Record a writer-app transaction version WITHOUT data changes —
@@ -1410,7 +1490,15 @@ object PartitionedUpsert {
       version = 1L, txns = Map.empty,
       buckets = src.buckets.map { case (b, rel) => b -> borrow(rel) },
       tombs = src.tombs.map { case (b, ts) =>
-        b -> ts.map(t => t.copy(rel = borrow(t.rel))) }))
+        b -> ts.map(t => t.copy(rel = borrow(t.rel))) },
+      // ACTIVE column defaults follow the borrow — the clone's bucket
+      // rels are the borrowed forms, so the pre-maps must speak the
+      // same form or every default would silently deactivate on the
+      // clone (NULL where the default belongs); dead entries drop
+      defaults = src.defaults.map(d => d.copy(pre = d.pre.collect {
+        case (b, rel) if src.buckets.get(b).contains(rel) =>
+          b -> borrow(rel)
+      })).filter(_.pre.nonEmpty)))
   }
 
   /** Sever a shallow clone from its source: rewrite every bucket that
@@ -1518,8 +1606,31 @@ object PartitionedUpsert {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], prior.schema)
       val newSchema = Cdc.applySchemaChanges(emptyPrior, changes).schema
       if (newSchema.json == prior.schema.json) return // replayed adds: no-op
+      // ADD COLUMN … DEFAULT (r18): still metadata-only — record the
+      // default with the CURRENT bucket→path map (ColDefault's
+      // scaladoc owns the read-side semantics). The literal is
+      // validated NOW, loudly: parse, no column references, no
+      // non-determinism (a rand() default would be a different value
+      // per read), castable to the declared type.
+      val newDefaults = changes.collect {
+        case Cdc.AddColumn(name, dt, Some(litSql)) =>
+          require(!litSql.exists(c => c == '\n' || c == '\r'),
+            s"DEFAULT for '$name' must be single-line")
+          val parsed = spark.sessionState.sqlParser.parseExpression(litSql)
+          require(!parsed.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute]),
+            s"DEFAULT for '$name' must be a literal expression — it " +
+              s"references columns: $litSql")
+          val probe = spark.range(1).select(expr(litSql).cast(dt))
+          require(probe.queryExecution.analyzed.expressions
+            .forall(_.deterministic),
+            s"DEFAULT for '$name' must be deterministic: $litSql")
+          probe.collect() // force evaluation: a bad cast fails HERE
+          ColDefault(name, litSql, pre = prior.buckets)
+      }
       writeManifest(fs, dir, prior.copy(version = prior.version + 1,
-        schema = newSchema))
+        schema = newSchema, defaults = prior.defaults ++ newDefaults))
       return
     }
     val evolved = Cdc.applySchemaChanges(read(spark, dir), changes)
@@ -1591,7 +1702,12 @@ object PartitionedUpsert {
         case (m, Cdc.DropColumn(n, _)) =>
           m.filterNot(_._1.equalsIgnoreCase(n))
         case (m, _) => m
-      }))
+      },
+      // a full rewrite read through the default-applying path, so
+      // every default is MATERIALIZED into the new files (mixed-batch
+      // adds-with-default included — applySchemaChanges fills them);
+      // the recorded entries are all dead and drop here
+      defaults = Seq.empty))
   }
 
   /** Change the table's bucket COUNT — the operation a growing table
@@ -1644,7 +1760,8 @@ object PartitionedUpsert {
     writeManifest(fs, dir, next0.copy(version = prior.version + 1,
       buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
       tombs = Map.empty, // full rewrite read tombstone-filtered
-      colStats = Map.empty)) // rows rehashed: old bucket ranges are void
+      colStats = Map.empty, // rows rehashed: old bucket ranges are void
+      defaults = Seq.empty)) // rewrite materialized every default
   }
 
   /** Compact fragmented buckets (the OPTIMIZE of this table format):

@@ -81,6 +81,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** `ADD COLUMN … DEFAULT <lit>` is accepted (r18): Spark only
+    * parses column defaults for catalogs declaring this capability.
+    * The lowering is [[PartitionedUpsert.ColDefault]]'s metadata-only
+    * existing-default contract. */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector
+    .catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -425,8 +434,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => true
     }
     val schemaChanges: Seq[Cdc.SchemaChange] = rest.map {
-      case a: TableChange.AddColumn => Cdc.AddColumn(top(a.fieldNames()),
-        a.dataType())
+      case a: TableChange.AddColumn =>
+        // DEFAULT rides as the SQL text (validated by evolveSchema's
+        // literal gate); a default built expression-only with no SQL
+        // rendering has nothing to record — refuse rather than guess
+        val dflt = Option(a.defaultValue()).map { dv =>
+          Option(dv.getSql()).getOrElse(
+            throw new UnsupportedOperationException(
+              s"ADD COLUMN default for '${top(a.fieldNames())}' " +
+                "carries no SQL text — use a literal DEFAULT"))
+        }
+        Cdc.AddColumn(top(a.fieldNames()), a.dataType(), dflt)
       case r: TableChange.RenameColumn =>
         Cdc.RenameColumn(top(r.fieldNames()), r.newName())
       case d: TableChange.DeleteColumn => Cdc.DropColumn(top(d.fieldNames()))

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.streaming.{Sink => StreamSink}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, count, lit, raise_error, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, count, expr, lit, raise_error, when}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
@@ -860,13 +860,32 @@ final class GraftScanBuilder(dir: String, manifest: Manifest,
     // the description suffix — untouched tables keep a byte-identical
     // plan fingerprint.
     val tombs = buckets.flatMap(b => manifest.tombs.getOrElse(b, Seq.empty))
+    // column DEFAULTs (r18): group the KEPT buckets by which active
+    // defaults apply; empty when none do, keeping the default-free
+    // single-read plan byte-identical
+    val activeDefaults = manifest.defaults.filter(_.pre.nonEmpty)
+    val defaultGroups: Seq[(Seq[(String, String)], Seq[String])] =
+      if (activeDefaults.isEmpty ||
+          !buckets.exists(b => activeDefaults.exists(_.activeFor(manifest, b))))
+        Seq.empty
+      else buckets.groupBy(b =>
+          activeDefaults.filter(_.activeFor(manifest, b)))
+        .toSeq.sortBy(_._2.head)
+        .map { case (ds, bs) =>
+          (ds.map(d => d.col -> d.litSql),
+            bs.flatMap(manifest.buckets.get).distinct.sorted
+              .map(rel => PartitionedUpsert.resolveRel(dir, rel)))
+        }
     new GraftScan(paths, manifest.schema, required, pushed,
       s"graft $dir v${manifest.version} " +
         s"buckets=${buckets.size}/${manifest.buckets.size}" +
-        (if (tombs.isEmpty) "" else s" tombs=${tombs.size}"),
+        (if (tombs.isEmpty) "" else s" tombs=${tombs.size}") +
+        (if (defaultGroups.isEmpty) ""
+         else s" defaults=${activeDefaults.map(_.col).mkString(",")}"),
       tombPaths = tombs.map(t => PartitionedUpsert.resolveRel(dir, t.rel)),
       tombBytes = tombs.map(_.bytes).sum,
-      keyCol = manifest.keyCol)
+      keyCol = manifest.keyCol,
+      defaultGroups = defaultGroups)
   }
 }
 
@@ -878,7 +897,9 @@ final class GraftScan(paths: Seq[String], dataSchema: StructType,
                       desc: String,
                       tombPaths: Seq[String] = Seq.empty,
                       tombBytes: Long = 0L,
-                      keyCol: String = "") extends V1Scan {
+                      keyCol: String = "",
+                      defaultGroups: Seq[(Seq[(String, String)],
+                        Seq[String])] = Seq.empty) extends V1Scan {
 
   override def readSchema(): StructType = required
   override def description(): String = desc
@@ -913,7 +934,21 @@ final class GraftScan(paths: Seq[String], dataSchema: StructType,
           spark.createDataFrame(
             new java.util.ArrayList[Row](), required).rdd
         } else {
-          val base = spark.read.schema(dataSchema).parquet(paths: _*)
+          // column DEFAULTs (r18): pre-add buckets read in their own
+          // group with the default filled for the whole column (their
+          // files physically lack it) — and the fill happens BEFORE
+          // the re-planted filters, or a predicate on the defaulted
+          // column would evaluate against NULL and silently drop the
+          // rows the default belongs to
+          val base =
+            if (defaultGroups.isEmpty)
+              spark.read.schema(dataSchema).parquet(paths: _*)
+            else defaultGroups.map { case (ds, ps) =>
+              val df = spark.read.schema(dataSchema).parquet(ps: _*)
+              ds.foldLeft(df) { case (d, (c, litSql)) =>
+                d.withColumn(c, expr(litSql).cast(dataSchema(c).dataType))
+              }.select(dataSchema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+            }.reduce(_.unionByName(_))
           val filtered = pushed.flatMap(GraftScanBuilder.toColumn)
             .foldLeft(base)((d, f) => d.where(f))
           // merge-on-read: anti-join the tombstoned keys away BEFORE

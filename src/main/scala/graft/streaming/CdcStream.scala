@@ -978,7 +978,7 @@ object CdcStream {
             s"""(payload {"drop":{"col":"$name","type":"<ddl type>"}}) — """ +
             s"pre-drop events cannot be era-parsed without it"))
         StructType(s.fields :+ org.apache.spark.sql.types.StructField(name, t))
-      case (s, Cdc.AddColumn(name, _)) =>
+      case (s, Cdc.AddColumn(name, _, _)) =>
         StructType(s.fields.filterNot(_.name == name))
       case (s, _) => s
     }

@@ -191,4 +191,81 @@ class DdlAddSpec extends SparkSpec {
     assert(state == Map(1L -> ((11, 111L)), 2L -> ((25, -1L)),
       5L -> ((50, 500L))), s"got $state")
   }
+
+  test("ADD COLUMN ... DEFAULT (r18): metadata-only, pre-add rows read " +
+      "the default, post-add writes keep their own values (explicit " +
+      "NULL included), a rewrite materializes and deactivates, time " +
+      "travel keeps the pre-add era, CDF honest across the seam") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ddl_default").toString
+    PartitionedUpsert.init(
+      Seq((1L, 10), (2L, 20), (3L, 30)).toDF("pk", "val"), dir, "pk", 2)
+    val pathsBefore = PartitionedUpsert.bucketPaths(spark, dir)
+    PartitionedUpsert.evolveSchema(spark, dir,
+      Seq(Cdc.AddColumn("tier", LongType, Some("7"))), "pk", 2) // v2
+    assert(PartitionedUpsert.bucketPaths(spark, dir) == pathsBefore,
+      "ADD ... DEFAULT must stay metadata-only")
+    val m2 = PartitionedUpsert.manifestOrFail(spark, dir)
+    assert(m2.defaults.map(_.col) == Seq("tier"))
+    // pre-add rows read the default — through the core read AND the
+    // DSv2 format face (one semantics, two faces)
+    def tiers(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.select("pk", "tier").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(tiers(PartitionedUpsert.read(spark, dir)) ==
+      Map(1L -> Some(7L), 2L -> Some(7L), 3L -> Some(7L)))
+    assert(tiers(spark.read.format("graft").load(dir)) ==
+      Map(1L -> Some(7L), 2L -> Some(7L), 3L -> Some(7L)))
+    // a FILTER on the defaulted column through the DSv2 face must see
+    // the filled values (re-planted predicates evaluate AFTER the fill)
+    assert(spark.read.format("graft").load(dir)
+      .filter($"tier" === 7L).count() == 3L)
+    // post-add write: explicit values AND an explicit NULL stick
+    PartitionedUpsert.merge(spark, dir,
+      Seq((100L, 1L, "u", 11, Some(9L)),
+        (100L, 4L, "i", 40, None: Option[Long]))
+        .toDF("lsn", "pk", "op", "val", "tier"),
+      "pk", "lsn", "op", Seq("val", "tier"), 2) // v3
+    val after = tiers(PartitionedUpsert.read(spark, dir))
+    assert(after(1L) == Some(9L), "post-add explicit value sticks")
+    assert(after(4L) == None, "post-add explicit NULL stays NULL")
+    // the REWRITTEN buckets materialized the default for rows 2/3 if
+    // they shared a bucket with the merge; either way every pre-add
+    // survivor still reads 7
+    assert(after(2L) == Some(7L) && after(3L) == Some(7L))
+    // time travel: the pre-add era has no column; the add-era version
+    // still serves the default
+    assert(!PartitionedUpsert.readVersion(spark, dir, 1L)
+      .schema.fieldNames.contains("tier"))
+    assert(tiers(PartitionedUpsert.readVersion(spark, dir, 2L)) ==
+      Map(1L -> Some(7L), 2L -> Some(7L), 3L -> Some(7L)))
+    // CDF honesty across the seam: a window SPANNING the add keeps
+    // the one-schema-era refusal (the documented era-restart contract
+    // — consumers drain the old era, restart from the add); the
+    // POST-add window shows honest default-aware images
+    val eraErr = intercept[IllegalArgumentException] {
+      PartitionedUpsert.changesBetween(spark, dir, 1L, 2L)
+    }
+    assert(eraErr.getMessage.contains("schema era"))
+    val mergeWindow = PartitionedUpsert.changesBetween(spark, dir, 2L, 3L)
+      .select("pk", "change_type", "tier").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(mergeWindow == Set((1L, "update", Some(9L)),
+      (4L, "insert", None)), s"got $mergeWindow")
+    // replay no-op: the same ADD again burns nothing
+    PartitionedUpsert.evolveSchema(spark, dir,
+      Seq(Cdc.AddColumn("tier", LongType, Some("7"))), "pk", 2)
+    assert(PartitionedUpsert.manifestOrFail(spark, dir).version == 3L)
+    // literal gate: column refs and non-deterministic defaults refuse
+    intercept[IllegalArgumentException] {
+      PartitionedUpsert.evolveSchema(spark, dir,
+        Seq(Cdc.AddColumn("bad", LongType, Some("val + 1"))), "pk", 2)
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedUpsert.evolveSchema(spark, dir,
+        Seq(Cdc.AddColumn("bad", LongType, Some("rand()"))), "pk", 2)
+    }
+  }
 }

@@ -326,6 +326,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no mutable metadata"))
   }
 
+  test("ALTER TABLE ... ADD COLUMN ... DEFAULT by NAME (r18): " +
+      "metadata-only existing-default — pre-add rows read the " +
+      "default through SQL, post-add inserts keep their own values") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dflt")
+    spark.sql("CREATE TABLE gcat.dflt.t (k BIGINT, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(2, k))")
+    spark.sql("INSERT INTO gcat.dflt.t VALUES (1, 10), (2, 20)")
+    val pathsBefore = PartitionedUpsert
+      .manifestOrFail(spark, s"$wh/dflt/t").buckets
+    spark.sql("ALTER TABLE gcat.dflt.t ADD COLUMN tier BIGINT DEFAULT 7")
+    val m = PartitionedUpsert.manifestOrFail(spark, s"$wh/dflt/t")
+    assert(m.buckets == pathsBefore, "metadata-only: no data moved")
+    assert(m.defaults.map(_.col) == Seq("tier"))
+    val got = spark.sql(
+      "SELECT k, tier FROM gcat.dflt.t ORDER BY k").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(7L), 2L -> Some(7L)))
+    // predicates on the defaulted column see the filled values
+    assert(spark.sql(
+      "SELECT count(*) FROM gcat.dflt.t WHERE tier = 7")
+      .head().getLong(0) == 2L)
+    // post-add insert keeps its own value
+    spark.sql("INSERT INTO gcat.dflt.t VALUES (3, 30, 9)")
+    val t3 = spark.sql("SELECT tier FROM gcat.dflt.t WHERE k = 3")
+      .head().getLong(0)
+    assert(t3 == 9L)
+  }
+
   test("staged CREATE refuses a leftover non-table directory at the " +
       "target instead of renaming the staging dir INSIDE it " +
       "(ADVICE r17 — the HDFS rename-into-existing-dir trap)") {
