@@ -30,4 +30,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full bench sweep runs ~700 distinct queries in ONE JVM; each
+  // whole-stage-codegen plan JIT-compiles fresh classes, and the
+  // JDK-default 240 MB code cache fills mid-sweep — CodeCacheFlushing
+  // then evicts/recompiles hot methods and the sweep's later keys read
+  // 2-3x their solo times with IDENTICAL plan fingerprints (observed
+  // r18: q_llm_keywords 2.11 s in-sweep vs 0.84 solo minutes later;
+  // the whole flagged-regression class solo-confirms in band every
+  // round). A code cache sized for the sweep removes the churn.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:MaxMetaspaceSize=2g",
 )

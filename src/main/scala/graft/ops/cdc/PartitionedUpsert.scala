@@ -68,7 +68,8 @@ object PartitionedUpsert {
                               Map.empty,
                             comment: Option[String] = None,
                             colComments: Map[String, String] = Map.empty,
-                            defaults: Seq[ColDefault] = Seq.empty)
+                            defaults: Seq[ColDefault] = Seq.empty,
+                            props: Map[String, String] = Map.empty)
 
   /** `ADD COLUMN … DEFAULT <lit>` recorded metadata-only (r18 —
     * Spark's EXISTING_DEFAULT / Delta's existingDefault): rows that
@@ -311,6 +312,10 @@ object PartitionedUpsert {
           .map { case (b, rel) => s"$b:$rel" }.mkString("|")
         s"default\t${d.col}\t${escLine(d.litSql)}\t$pre"
       } ++
+      // user TBLPROPERTIES (r18): stored and rendered, never
+      // interpreted — advisory documentation lines like comments
+      m.props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"prop\t${escLine(k)}\t${escLine(v)}" } ++
       m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" })
       .mkString("\n")
   }
@@ -392,9 +397,13 @@ object PartitionedUpsert {
         }.toMap
       ColDefault(p(1), unescLine(p(2)), pre)
     }
+    val props = rest.filter(_.startsWith("prop\t")).map { l =>
+      val p = l.split('\t')
+      unescLine(p(1)) -> unescLine(if (p.length > 2) p(2) else "")
+    }.toMap
     Manifest(version, schema, nBuckets, keyCol, txns, buckets, stats,
       layout, splits, tombs, checks, colStats, comment, colComments,
-      defaults)
+      defaults, props)
   }
 
   /** Single-line escape for free-text manifest fields (comments): the
@@ -452,6 +461,31 @@ object PartitionedUpsert {
     writeManifest(fsOf(spark, dir), dir, prior.copy(
       version = prior.version + 1,
       comment = newComment, colComments = newCols))
+  }
+
+  /** Set / remove user TABLE PROPERTIES — ONE metadata-only commit
+    * (Delta's SET/UNSET TBLPROPERTIES surface, r18). Properties are
+    * STORED AND RENDERED (SHOW CREATE TABLE / DSv2 properties), never
+    * interpreted — the engine's own shape lives in first-class
+    * manifest fields, and the graft-reserved names (key, buckets,
+    * layout) are refused here so a property can never silently shadow
+    * the real layout. `set` upserts; `unset` removes (unknown names
+    * no-op, Delta's UNSET IF EXISTS default). An all-no-op call burns
+    * no version. */
+  def setProperties(spark: SparkSession, dir: String,
+                    set: Map[String, String] = Map.empty,
+                    unset: Seq[String] = Seq.empty): Unit = {
+    val reserved = Set("key", "buckets", "layout", "provider", "location")
+    (set.keys ++ unset).foreach { k =>
+      require(!reserved.contains(k.toLowerCase),
+        s"'$k' is a reserved graft table attribute — it is declared by " +
+          "DDL (PARTITIONED BY / USING), not a mutable property")
+    }
+    val prior = manifestOrFail(spark, dir)
+    val next = (prior.props ++ set) -- unset
+    if (next == prior.props) return
+    writeManifest(fsOf(spark, dir), dir, prior.copy(
+      version = prior.version + 1, props = next))
   }
 
   /** Publish a manifest via [[AtomicPublish.publishNoOverwrite]] —

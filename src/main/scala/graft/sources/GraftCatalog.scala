@@ -54,14 +54,17 @@ import graft.ops.cdc.{Cdc, PartitionedUpsert}
   *  - loadTable pins the current manifest (snapshot isolation, the
   *    provider's rule); the version/timestamp overloads serve SQL
   *    `VERSION AS OF` / `TIMESTAMP AS OF` as read-only pins.
-  *  - ALTER TABLE's column changes (add/rename/drop/widen) lower onto
-  *    the same atomic [[PartitionedUpsert.evolveSchema]] the path
-  *    face uses; table/column COMMENTs (r18) are metadata-only
-  *    commits beside the schema (`COMMENT ON TABLE`, `ALTER COLUMN …
-  *    COMMENT`, CREATE-time comments — and `SHOW CREATE TABLE`
-  *    renders the honest re-creating DDL from the table's
-  *    partitioning/properties faces); any OTHER property is refused
-  *    loudly — this catalog records no further metadata.
+  *  - ALTER TABLE's column changes (add/rename/drop/widen, and ADD
+  *    COLUMN … DEFAULT) lower onto the same atomic
+  *    [[PartitionedUpsert.evolveSchema]] the path face uses;
+  *    table/column COMMENTs and user TBLPROPERTIES (r18) are
+  *    metadata-only commits beside the schema (`COMMENT ON TABLE`,
+  *    `ALTER COLUMN … COMMENT`, `SET/UNSET TBLPROPERTIES`,
+  *    CREATE-time forms — and `SHOW CREATE TABLE` renders the honest
+  *    re-creating DDL from the table's partitioning/properties
+  *    faces). Properties are STORED AND RENDERED, never interpreted;
+  *    the graft-reserved layout names (key/buckets/layout) are
+  *    refused so a property can never shadow the physical layout.
   *  - RENAME TABLE is one filesystem rename — manifests reference
   *    data RELATIVELY, so a moved table is immediately whole.
   *  - DROP TABLE deletes the directory (the manifest chain IS the
@@ -267,6 +270,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       PartitionedUpsert.setComments(spark, dir,
         tableComment.map(c => Some(c)),
         colCs.view.mapValues(c => Some(c): Option[String]).toMap)
+    // CREATE-time user TBLPROPERTIES (r18): everything that is not
+    // layout declaration (key/buckets/layout), a Spark-reserved
+    // attribute, or an option.* mirror is stored verbatim
+    val skip = Set("key", "buckets", "layout",
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
+      skip.contains(k.toLowerCase) ||
+        k.toLowerCase.startsWith(TableCatalog.OPTION_PREFIX)
+    }
+    if (userProps.nonEmpty)
+      PartitionedUpsert.setProperties(spark, dir, userProps)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table =
@@ -417,11 +433,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"'${fieldNames.mkString(".")}' is not supported")
       fieldNames(0)
     }
-    // COMMENT changes (r18) are metadata-only and commit separately
-    // from schema changes — COMMENT ON TABLE / ALTER TABLE … SET
-    // TBLPROPERTIES('comment'=…) / ALTER COLUMN … COMMENT
+    // COMMENT and TBLPROPERTIES changes (r18) are metadata-only and
+    // commit separately from schema changes — COMMENT ON TABLE /
+    // ALTER COLUMN … COMMENT / SET-UNSET TBLPROPERTIES (stored and
+    // rendered, never interpreted — PartitionedUpsert.setProperties
+    // owns the reserved-name guard)
     var tableComment: Option[Option[String]] = None
     val colComments = scala.collection.mutable.Map[String, Option[String]]()
+    val setProps = scala.collection.mutable.Map[String, String]()
+    val unsetProps = scala.collection.mutable.ListBuffer[String]()
     val rest = changes.filter {
       case s: TableChange.SetProperty
           if s.property.equalsIgnoreCase(TableCatalog.PROP_COMMENT) =>
@@ -431,6 +451,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         tableComment = Some(None); false
       case c: TableChange.UpdateColumnComment =>
         colComments(top(c.fieldNames())) = Some(c.newComment()); false
+      case s: TableChange.SetProperty =>
+        setProps(s.property) = s.value; false
+      case r: TableChange.RemoveProperty =>
+        unsetProps += r.property; false
       case _ => true
     }
     val schemaChanges: Seq[Cdc.SchemaChange] = rest.map {
@@ -451,14 +475,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case u: TableChange.UpdateColumnType =>
         Cdc.WidenColumn(top(u.fieldNames()), u.newDataType())
       case other => throw new UnsupportedOperationException(
-        s"graft catalog tables carry no mutable metadata beyond " +
-          s"comments — ALTER change ${other.getClass.getSimpleName} is " +
-          "not supported (column add/rename/drop/type-widen and " +
-          "table/column COMMENTs are)")
+        s"ALTER change ${other.getClass.getSimpleName} is not " +
+          "supported on graft tables (column add/rename/drop/" +
+          "type-widen, table/column COMMENTs, and SET/UNSET " +
+          "TBLPROPERTIES are)")
     }
     if (tableComment.nonEmpty || colComments.nonEmpty)
       PartitionedUpsert.setComments(spark, dir, tableComment,
         colComments.toMap)
+    if (setProps.nonEmpty || unsetProps.nonEmpty)
+      PartitionedUpsert.setProperties(spark, dir, setProps.toMap,
+        unsetProps.toSeq)
     if (schemaChanges.isEmpty) return loadTable(ident)
     // the key tracked FORWARD through this batch's renames (the
     // evolveSchema contract: keyCol is the POST-change name)

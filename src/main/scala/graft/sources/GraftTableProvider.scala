@@ -415,6 +415,9 @@ final class GraftTable(val dir: String, manifest: Manifest,
 
   override def properties(): java.util.Map[String, String] = {
     val p = new java.util.HashMap[String, String]()
+    // stored user TBLPROPERTIES first, so the engine's own attributes
+    // below can never be shadowed by a same-named user property
+    manifest.props.foreach { case (k, v) => p.put(k, v) }
     p.put(org.apache.spark.sql.connector.catalog.TableCatalog
       .PROP_PROVIDER, "graft")
     manifest.comment.foreach(c => p.put(

@@ -319,11 +319,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(m3.schema.json == m1.schema.json,
       "a doc edit must never read as a schema change")
     assert(m3.buckets == m1.buckets, "metadata-only: no data moved")
-    // other properties stay refused
+    // user TBLPROPERTIES (r18): stored + rendered, never interpreted
+    spark.sql("ALTER TABLE gcat.sct.t SET TBLPROPERTIES ('team'='data'," +
+      " 'pipeline.stage'='gold')")
+    val m4 = PartitionedUpsert.manifestOrFail(spark, s"$wh/sct/t")
+    assert(m4.props == Map("team" -> "data", "pipeline.stage" -> "gold"))
+    assert(m4.schema.json == m1.schema.json && m4.buckets == m1.buckets,
+      "SET TBLPROPERTIES is metadata-only")
+    val ddl3 = spark.sql("SHOW CREATE TABLE gcat.sct.t").head().getString(0)
+    assert(ddl3.contains("team") && ddl3.contains("data"), ddl3)
+    spark.sql("ALTER TABLE gcat.sct.t UNSET TBLPROPERTIES ('team')")
+    assert(PartitionedUpsert.manifestOrFail(spark, s"$wh/sct/t")
+      .props == Map("pipeline.stage" -> "gold"))
+    // graft-reserved attributes can never be shadowed by a property
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.sct.t SET TBLPROPERTIES ('x'='y')")
+      spark.sql("ALTER TABLE gcat.sct.t SET TBLPROPERTIES ('key'='v')")
     }
-    assert(e.getMessage.contains("no mutable metadata"))
+    assert(e.getMessage.contains("reserved graft table attribute"),
+      e.getMessage)
   }
 
   test("ALTER TABLE ... ADD COLUMN ... DEFAULT by NAME (r18): " +
@@ -406,10 +419,10 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("ALTER TABLE gcat.ddl.t RENAME TO ddl.t2")
     assert(spark.sql("SELECT val FROM gcat.ddl.t2").head().getLong(0) == 10L)
     intercept[Exception] { spark.sql("SELECT * FROM gcat.ddl.t") }
-    // non-column ALTERs are refused loudly (no mutable metadata here)
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.ddl.t2 SET TBLPROPERTIES ('a'='b')")
-    }
-    assert(e.getMessage.contains("no mutable metadata"))
+    // SET TBLPROPERTIES stores (r18 — no longer refused); truly
+    // unsupported ALTER shapes still error loudly
+    spark.sql("ALTER TABLE gcat.ddl.t2 SET TBLPROPERTIES ('a'='b')")
+    assert(PartitionedUpsert.manifestOrFail(spark, s"$wh/ddl/t2")
+      .props == Map("a" -> "b"))
   }
 }
