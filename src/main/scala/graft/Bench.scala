@@ -145,6 +145,98 @@ object Bench {
     }
   }
 
+  /** Normalize the per-session gid RENUMBERING Spark's
+    * RewriteDistinctAggregates emits (observed r18, q_agg_distinct:
+    * the same query assigned gid 2↔3 to its two single-column distinct
+    * sets in different JVMs — Expand rows and the Aggregate line's
+    * `FILTER (WHERE (gid# = N))` clauses renumber CONSISTENTLY, so the
+    * plan is semantically identical but the text flaps). Two masks:
+    * gid comparison literals become `#`, and an `Expand [[…], …]`
+    * line's ROWS are sorted after masking each row's trailing gid
+    * literal. Aggregate output aliases (nd_parts AS …) stay in the
+    * text, so a GENUINE remapping of distinct-set → output column
+    * still fingerprints distinctly. */
+  private[graft] def normalizeDistinctGids(line: String): String = {
+    val masked = line.replaceAll("\\(gid#? = \\d+\\)", "(gid# = #)")
+    var p = 0
+    while (p < masked.length && " :+-|!".indexOf(masked.charAt(p)) >= 0)
+      p += 1
+    // the rewrite's INTERMEDIATE Aggregate groups by the distinct
+    // attributes in the same session-dependent iteration order that
+    // renumbers the gids — its grouping list (and the Expand OUTPUT
+    // list) flap too. Sorting a grouping list is set-semantics-safe,
+    // but gate it to gid-bearing lines so ordinary Aggregates (whose
+    // text never flaps) keep their fingerprints untouched.
+    def sortAttrList(s: String, from: Int): String = {
+      val open = s.indexOf('[', from)
+      if (open < 0) return s
+      var depth = 0; var close = -1; var k = open
+      while (k < s.length && close < 0) {
+        s.charAt(k) match {
+          case '[' | '(' => depth += 1
+          case ']' | ')' => depth -= 1; if (depth == 0) close = k
+          case _ =>
+        }
+        k += 1
+      }
+      if (close < 0) return s
+      val segs = scala.collection.mutable.ListBuffer[String]()
+      var d = 0; var st = open + 1
+      for (i <- (open + 1) until close) {
+        s.charAt(i) match {
+          case '[' | '(' => d += 1
+          case ']' | ')' => d -= 1
+          case ',' if d == 0 && s.startsWith(", ", i) =>
+            segs += s.substring(st, i); st = i + 2
+          case _ =>
+        }
+      }
+      segs += s.substring(st, close)
+      s.substring(0, open + 1) + segs.toList.sorted.mkString(", ") +
+        s.substring(close)
+    }
+    if (masked.startsWith("Aggregate [", p) && masked.contains("gid#")) {
+      // sort EVERY top-level bracket group (grouping AND output lists
+      // — both render in the flapping iteration order; exprIds are
+      // masked, so intra-line order is the only leak)
+      var out = masked
+      var idx = out.indexOf('[', p)
+      while (idx >= 0) {
+        out = sortAttrList(out, idx)
+        // matching close of the group just sorted
+        var depth = 0; var k = idx; var close = -1
+        while (k < out.length && close < 0) {
+          out.charAt(k) match {
+            case '[' | '(' => depth += 1
+            case ']' | ')' => depth -= 1; if (depth == 0) close = k
+            case _ =>
+          }
+          k += 1
+        }
+        idx = if (close < 0) -1 else out.indexOf('[', close + 1)
+      }
+      return out
+    }
+    if (!masked.startsWith("Expand [[", p)) return masked
+    val start = masked.indexOf("[[", p) + 1 // first row's '['
+    // rows end at "]]" — the Expand OUTPUT list follows after "], ["
+    val end = masked.indexOf("]]", start)
+    if (end < 0) return masked
+    val rows = masked.substring(start, end + 1) // "[a, b, 0], …, [c, d, 3]"
+      .split("\\], \\[")
+      .map(_.stripPrefix("[").stripSuffix("]"))
+      .map(_.replaceAll(", \\d+$", ", #"))
+      .sorted
+    val head = masked.substring(0, start) +
+      rows.mkString("[", "], [", "]")
+    val tail0 = masked.substring(end + 1)
+    // the Expand OUTPUT list follows as ", [attrs…]" — sort it too
+    // when gid-bearing (it lists the same flapping attribute order)
+    val tail =
+      if (masked.contains("gid#")) sortAttrList(tail0, 0) else tail0
+    head + tail
+  }
+
   /** Parse bench_plans.json with a linear hand scan, NOT a regex: a
     * Java regex of the shape ((?:[^"\\]|\\.)*) recurses per
     * alternation step and throws StackOverflowError on multi-KB plan
@@ -344,6 +436,7 @@ object Bench {
             // conjuncts per line (paren-depth aware, ADVICE r13).
             .split("\n")
             .map(sortTopLevelConjuncts)
+            .map(normalizeDistinctGids)
             .mkString("\n")
           (java.security.MessageDigest.getInstance("MD5")
             .digest(norm.getBytes("UTF-8"))

@@ -165,6 +165,45 @@ class BenchFingerprintSpec extends AnyFunSuite {
     assert(Bench.isOutlierRep(0.60, 0.20))
   }
 
+  test("distinct-aggregate gid renumbering normalizes to ONE " +
+      "fingerprint text; genuinely different Expand contents stay " +
+      "distinct (r18 — the q_agg_distinct per-JVM flap)") {
+    val n = Bench.normalizeDistinctGids _
+    // the observed flap: gids 2 and 3 swapped consistently
+    val agg1 = "+- Aggregate [f#], [count(p#) FILTER (WHERE (gid# = 2))" +
+      " AS nd_p#, count(s#) FILTER (WHERE (gid# = 3)) AS nd_s#]"
+    val agg2 = "+- Aggregate [f#], [count(p#) FILTER (WHERE (gid# = 3))" +
+      " AS nd_p#, count(s#) FILTER (WHERE (gid# = 2)) AS nd_s#]"
+    assert(n(agg1) === n(agg2))
+    val ex1 = "   +- Expand [[f#, null, null, 0], [f#, p#, s#, 1], " +
+      "[f#, p#, null, 2], [f#, null, s#, 3]], [f#, p#, s#, gid#]"
+    val ex2 = "   +- Expand [[f#, null, null, 0], [f#, p#, s#, 1], " +
+      "[f#, null, s#, 2], [f#, p#, null, 3]], [f#, p#, s#, gid#]"
+    assert(n(ex1) === n(ex2))
+    // a REAL content difference (an extra projected column in a row)
+    // must stay distinct
+    val ex3 = "   +- Expand [[f#, null, null, 0], [f#, p#, s#, 1], " +
+      "[f#, p#, s#, 2], [f#, null, s#, 3]], [f#, p#, s#, gid#]"
+    assert(n(ex1) !== n(ex3))
+    // the rewrite's INTERMEDIATE aggregate renders its grouping and
+    // output lists in the same flapping order — both normalize, and
+    // only on gid-bearing lines (an ordinary Aggregate is untouched)
+    val mid1 = "   +- Aggregate [f#, s#, p#, gid#], [f#, s#, p#, gid#," +
+      " count(1) AS count(1)#]"
+    val mid2 = "   +- Aggregate [f#, p#, s#, gid#], [f#, p#, s#, gid#," +
+      " count(1) AS count(1)#]"
+    assert(n(mid1) === n(mid2))
+    val plain = "+- Aggregate [b#, a#], [b#, a#, sum(x#) AS s#]"
+    assert(n(plain) === plain)
+    // Expand OUTPUT lists normalize too (gid-bearing only)
+    val exOut1 = "   +- Expand [[f#, s#, null, 1]], [f#, s#, p#, gid#]"
+    val exOut2 = "   +- Expand [[f#, s#, null, 1]], [f#, p#, s#, gid#]"
+    assert(n(exOut1) === n(exOut2))
+    // non-Expand, non-gid lines pass through verbatim
+    val other = "+- Filter ((a# > 1) AND (b# = 2))"
+    assert(n(other) === other)
+  }
+
   test("medianOf: middle of odd counts, mean of the middle pair even " +
       "(the 2-survivor case after replacement-bound exhaustion)") {
     assert(Bench.medianOf(Seq(6.28, 4.28, 9.45)) === 6.28)
