@@ -1243,6 +1243,39 @@ object PartitionedUpsert {
     * conflict error (expensive-retry where merge already had the
     * cheap-rebase). A genuine overlap still refuses; maintenance
     * carries no txn cursors so the replay check is vacuous. */
+  /** Per-bucket [min,max] of `statCols` (long-cast, INTEGRAL columns
+    * only — callers gate via [[isColStatsType]]) aggregated over a
+    * freshly-staged rewrite: ONE small agg over just-written,
+    * page-cached files; driver-bounded at nBuckets rows × ≤ a few
+    * columns. An all-NULL column in a bucket records nothing (no
+    * range exists; absence = conservative keep). */
+  private def stagedColStats(spark: SparkSession, dir: String,
+                             staging: String, statCols: Seq[String],
+                             written: Seq[Long])
+      : Map[Long, Map[String, (Long, Long)]] =
+    if (statCols.isEmpty || written.isEmpty) Map.empty
+    else {
+      val aggs = statCols.flatMap(c => Seq(
+        min(col(c).cast(org.apache.spark.sql.types.LongType))
+          .as(s"__mn_$c"),
+        max(col(c).cast(org.apache.spark.sql.types.LongType))
+          .as(s"__mx_$c")))
+      // partition-column inference may type bucket= as int — cast
+      spark.read.parquet(s"$dir/data/$staging")
+        .groupBy(col("bucket")
+          .cast(org.apache.spark.sql.types.LongType).as("bucket"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val b = r.getLong(r.fieldIndex("bucket"))
+          b -> statCols.flatMap { c =>
+            val mn = r.fieldIndex(s"__mn_$c")
+            val mx = r.fieldIndex(s"__mx_$c")
+            if (r.isNullAt(mn) || r.isNullAt(mx)) None
+            else Some(c -> (r.getLong(mn), r.getLong(mx)))
+          }.toMap
+        }.toMap.filter(_._2.nonEmpty)
+    }
+
   private def publishMaintenance(spark: SparkSession, dir: String,
                                  prior: Manifest, target: Seq[Long],
                                  entries: Map[Long, String],
@@ -1839,12 +1872,24 @@ object PartitionedUpsert {
     val st = stagedStats(spark, fs, dir, staging, written, prior.keyCol,
       prior.schema(prior.keyCol).dataType,
       b => prior.stats.get(b).flatMap(_.maxLsn))
+    // OPTIMIZE also REFRESHES secondary-column pruning stats for the
+    // buckets it rewrites (r18): a merge drops its touched buckets'
+    // colStats entries, and without this only the next O(table)
+    // ZORDER would re-record them — compaction is the rewrite that
+    // already runs on merge-churned buckets, so it keeps the
+    // inter-file skipping rung alive through ordinary maintenance.
+    // The column set is the table's DECLARED one (whatever any bucket
+    // already records) — compaction never invents new stat columns.
+    val statCols = prior.colStats.values.flatMap(_.keys).toSeq.distinct
+      .filter(c => prior.schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(c) && isColStatsType(f.dataType)))
+    val freshCs = stagedColStats(spark, dir, staging, statCols, written)
     // emptied-by-omission: a compacted bucket whose every row was
     // tombstoned stages nothing and must LEAVE the map — keeping its
     // old path while retiring its sidecars would resurrect the rows;
     // published through the maintenance auto-rebase (r17 verdict #4)
     publishMaintenance(spark, dir, prior, fragmented.keys.toSeq,
-      written.map(b => b -> dataRel(staging, b)).toMap, st)
+      written.map(b => b -> dataRel(staging, b)).toMap, st, freshCs)
     fragmented.keys.toSeq.sorted
   }
 
@@ -1941,31 +1986,7 @@ object PartitionedUpsert {
       // excluded). Driver-bounded: nBuckets rows × ≤4 columns.
       val statCols = cols.filter(c => isColStatsType(
         prior.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType))
-      val freshCs: Map[Long, Map[String, (Long, Long)]] =
-        if (statCols.isEmpty || written.isEmpty) Map.empty
-        else {
-          val aggs = statCols.flatMap(c => Seq(
-            min(col(c).cast(org.apache.spark.sql.types.LongType))
-              .as(s"__mn_$c"),
-            max(col(c).cast(org.apache.spark.sql.types.LongType))
-              .as(s"__mx_$c")))
-          // partition-column inference may type bucket= as int — cast
-          spark.read.parquet(s"$dir/data/$staging")
-            .groupBy(col("bucket")
-              .cast(org.apache.spark.sql.types.LongType).as("bucket"))
-            .agg(aggs.head, aggs.tail: _*)
-            .collect().map { r =>
-              val b = r.getLong(r.fieldIndex("bucket"))
-              b -> statCols.flatMap { c =>
-                val mn = r.fieldIndex(s"__mn_$c")
-                val mx = r.fieldIndex(s"__mx_$c")
-                // an all-NULL column in a bucket records nothing (no
-                // range exists; absence = conservative keep)
-                if (r.isNullAt(mn) || r.isNullAt(mx)) None
-                else Some(c -> (r.getLong(mn), r.getLong(mx)))
-              }.toMap
-            }.toMap.filter(_._2.nonEmpty)
-        }
+      val freshCs = stagedColStats(spark, dir, staging, statCols, written)
       // every PRIOR bucket is the rewrite target (z-order is a full
       // re-cluster) — but a racing merge that created a NEW bucket or
       // touched none of ours still lands via the maintenance rebase

@@ -120,5 +120,30 @@ class ColStatsSpec extends SparkSpec {
     val got = spark.read.format("graft").load(dir).filter($"v" <= 5L)
       .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((99L, 5L)))
+    // COMPACTION refreshes the dropped entry (r18): a WIDE merge into
+    // the top bucket (keys above the last range split all route
+    // there) spreads its rewrite across shuffle partitions —
+    // fragmenting the bucket — then OPTIMIZE re-records the declared
+    // column with the merged rows' NEW range, keeping them findable
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      // AQE coalesces this tiny rewrite to one partition = one file;
+      // real merges at scale write a bucket from many tasks — force
+      // that shape so the bucket actually fragments
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      PartitionedUpsert.merge(spark, dir,
+        (200L to 219L).map(k => ("u", 10L + k, k, 4L))
+          .toDF("__op", "__lsn", "k", "v").repartition(4),
+        "k", "__lsn", "__op", Seq("v"), 4): Unit
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val compacted = PartitionedUpsert.compactFiles(spark, dir,
+      maxFilesPerBucket = 1)
+    assert(compacted.contains(touchedBucket), s"got $compacted")
+    val m2 = PartitionedUpsert.manifestOrFail(spark, dir)
+    val entry = m2.colStats.get(touchedBucket).flatMap(_.get("v"))
+    assert(entry.nonEmpty, "OPTIMIZE must re-record the declared column")
+    assert(entry.get._1 <= 4L, s"refreshed range must cover the 4s: $entry")
+    assert(spark.read.format("graft").load(dir).filter($"v" <= 5L)
+      .count() == 21L) // the k=99 row + the 20 merged ones
   }
 }
