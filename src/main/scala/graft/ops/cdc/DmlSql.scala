@@ -644,11 +644,15 @@ object DmlSql {
     * TIMESTAMP AS OF <millis|'ts'>] [LOCATION '<path>']` →
     * [[PartitionedUpsert.clone]] (that scaladoc owns the contract:
     * metadata-only fork, copy-on-write divergence, vacuum isolation)
-    * + a catalog registration of the clone as a graft table. LOCATION
-    * is REQUIRED — graft tables are path-addressed, and inventing a
-    * warehouse-relative path behind the user's back is how clones get
-    * lost. Only statements containing SHALLOW CLONE are intercepted
-    * at all (every ordinary CREATE goes straight to Spark). */
+    * + a catalog registration of the clone as a graft table. The
+    * destination is the explicit LOCATION, or (r18) the graft
+    * CATALOG'S OWN convention when dst is named under one (`CREATE
+    * TABLE g.ns.t2 SHALLOW CLONE g.ns.t` — the clone lives at
+    * `<warehouse>/ns/t2` and resolves by name with zero registration);
+    * a dst under neither keeps the loud LOCATION requirement —
+    * inventing a path behind the user's back is how clones get lost.
+    * Only statements containing SHALLOW CLONE are intercepted at all
+    * (every ordinary CREATE goes straight to Spark). */
   private def parseShallowClone(sql: String)
       : (String, String, Option[Either[Long, Long]], Option[String]) = {
     val toks = tokenize(sql)
@@ -710,17 +714,59 @@ object DmlSql {
 
   def shallowCloneCatalogTable(spark: SparkSession, sqlText: String): Unit = {
     val (dst, src, pin, loc) = parseShallowClone(sqlText)
-    val dstLoc = loc.getOrElse(fail(sqlText, 0,
-      "SHALLOW CLONE of a graft table requires LOCATION '<path>' — " +
-        "graft tables are path-addressed"))
+    // destination resolution, in order (r18): an explicit LOCATION
+    // always wins; otherwise a dst named under a registered GRAFT
+    // catalog resolves to the catalog's OWN layout convention
+    // (<warehouse>/ns/t — not an invented path: it is where every
+    // table of that catalog lives, so the clone is immediately
+    // addressable by its name with no registration step). A dst under
+    // no graft catalog keeps the loud LOCATION requirement.
+    val (dstLoc, catalogAddressed) = loc match {
+      case Some(p) => (p, false)
+      case None => graftCatalogDir(spark, dst).map((_, true)).getOrElse(
+        fail(sqlText, 0,
+          "SHALLOW CLONE needs a destination: name the clone under a " +
+            "graft catalog (CREATE TABLE g.ns.t2 SHALLOW CLONE …) or " +
+            "pass LOCATION '<path>' — inventing a path behind the " +
+            "user's back is how clones get lost"))
+    }
     val srcDir = tableLocation(spark, src)
     PartitionedUpsert.clone(spark, srcDir, dstLoc,
       versionAsOf = pin.flatMap(_.left.toOption),
       timestampAsOf = pin.flatMap(_.toOption))
-    // registration re-enters the injected parser, misses the SHALLOW
-    // CLONE gate, and goes straight to Spark — no recursion
-    spark.sql(s"CREATE TABLE $dst USING graft LOCATION '$dstLoc'")
+    // a catalog-addressed clone IS its directory's manifest chain —
+    // it resolves by name with zero registration; a path-addressed
+    // clone registers in the session catalog so `dst` keeps meaning
+    // something. Registration re-enters the injected parser, misses
+    // the SHALLOW CLONE gate, and goes straight to Spark — no
+    // recursion.
+    if (!catalogAddressed)
+      spark.sql(s"CREATE TABLE $dst USING graft LOCATION '$dstLoc'"): Unit
     ()
+  }
+
+  /** Resolve a multi-part name whose FIRST part is a registered graft
+    * catalog to that catalog's conventional directory —
+    * `<warehouse>/<ns…>/<table>` — or None when the name is not
+    * graft-catalog-addressed. Mirrors [[graft.sources.GraftCatalog]]'s
+    * layout rule (table IS directory) including its path-traversal
+    * segment guard. */
+  private def graftCatalogDir(spark: SparkSession,
+                              name: String): Option[String] = {
+    val parts = name.split('.').toSeq
+      .map(_.stripPrefix("`").stripSuffix("`"))
+    if (parts.size < 2) return None
+    val cat = parts.head
+    val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
+    if (!impl.contains(classOf[graft.sources.GraftCatalog].getName))
+      return None
+    spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse").map { wh =>
+      parts.tail.foreach { s =>
+        require(s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
+          s != "." && s != "..", s"invalid catalog name segment '$s'")
+      }
+      (wh +: parts.tail).mkString("/")
+    }
   }
 
   def reorgCatalogTable(spark: SparkSession, sqlText: String): Seq[Long] =

@@ -369,6 +369,43 @@ class GraftCatalogSpec extends SparkSpec {
     assert(t3 == 9L)
   }
 
+  test("SHALLOW CLONE by NAME (r18): a dst under the graft catalog " +
+      "resolves to the catalog's own layout — no LOCATION, no " +
+      "registration step; version pins work; divergence is " +
+      "copy-on-write") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.cl")
+    spark.sql("CREATE TABLE gcat.cl.t (k BIGINT, v BIGINT) USING graft " +
+      "PARTITIONED BY (bucket(2, k))")
+    spark.sql("INSERT INTO gcat.cl.t VALUES (1, 10), (2, 20)") // v2
+    spark.sql("INSERT INTO gcat.cl.t VALUES (1, 11)")          // v3
+    spark.sql("CREATE TABLE gcat.cl.t2 SHALLOW CLONE gcat.cl.t")
+    val got = spark.sql("SELECT k, v FROM gcat.cl.t2 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 11L), (2L, 20L)))
+    // metadata-only: the clone's manifest borrows, moves no data
+    val mc = PartitionedUpsert.manifestOrFail(spark, s"$wh/cl/t2")
+    assert(mc.buckets.values.forall(_.startsWith("ext:")),
+      s"a fresh shallow clone borrows everything: ${mc.buckets}")
+    // pinned clone sees the pre-update era
+    spark.sql("CREATE TABLE gcat.cl.t2v2 SHALLOW CLONE gcat.cl.t " +
+      "VERSION AS OF 2")
+    assert(spark.sql("SELECT v FROM gcat.cl.t2v2 WHERE k = 1")
+      .head().getLong(0) == 10L)
+    // divergence is copy-on-write: updating the clone leaves the
+    // source untouched
+    spark.sql("UPDATE gcat.cl.t2 SET v = 99 WHERE k = 2")
+    assert(spark.sql("SELECT v FROM gcat.cl.t WHERE k = 2")
+      .head().getLong(0) == 20L)
+    assert(spark.sql("SELECT v FROM gcat.cl.t2 WHERE k = 2")
+      .head().getLong(0) == 99L)
+    // a dst under NO graft catalog still needs LOCATION, loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE plain_clone SHALLOW CLONE gcat.cl.t")
+    }
+    assert(e.getMessage.contains("LOCATION"), e.getMessage)
+  }
+
   test("staged CREATE refuses a leftover non-table directory at the " +
       "target instead of renaming the staging dir INSIDE it " +
       "(ADVICE r17 — the HDFS rename-into-existing-dir trap)") {
