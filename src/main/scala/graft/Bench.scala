@@ -222,10 +222,15 @@ object Bench {
     // rows end at "]]" — the Expand OUTPUT list follows after "], ["
     val end = masked.indexOf("]]", start)
     if (end < 0) return masked
+    val gidLine = masked.contains("gid#")
     val rows = masked.substring(start, end + 1) // "[a, b, 0], …, [c, d, 3]"
       .split("\\], \\[")
       .map(_.stripPrefix("[").stripSuffix("]"))
       .map(_.replaceAll(", \\d+$", ", #"))
+      // gid-bearing rows ALSO render their attrs in the flapping
+      // iteration order (rows are positional twins of the output list)
+      // — canonicalize within each row before sorting the rows
+      .map(r => if (gidLine) r.split(", ").sorted.mkString(", ") else r)
       .sorted
     val head = masked.substring(0, start) +
       rows.mkString("[", "], [", "]")

@@ -199,6 +199,13 @@ class BenchFingerprintSpec extends AnyFunSuite {
     val exOut1 = "   +- Expand [[f#, s#, null, 1]], [f#, s#, p#, gid#]"
     val exOut2 = "   +- Expand [[f#, s#, null, 1]], [f#, p#, s#, gid#]"
     assert(n(exOut1) === n(exOut2))
+    // WITHIN-row attr order flaps with the same renumbering (rows are
+    // positional twins of the output list) — the second observed leak
+    val exIn1 = "   +- Expand [[f#, p#, s#, 1], [f#, p#, null, 2], " +
+      "[f#, null, s#, 3]], [gid#, p#, f#, s#]"
+    val exIn2 = "   +- Expand [[f#, s#, p#, 1], [f#, s#, null, 2], " +
+      "[f#, null, p#, 3]], [gid#, p#, f#, s#]"
+    assert(n(exIn1) === n(exIn2))
     // non-Expand, non-gid lines pass through verbatim
     val other = "+- Filter ((a# > 1) AND (b# = 2))"
     assert(n(other) === other)
