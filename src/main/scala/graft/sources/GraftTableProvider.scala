@@ -400,10 +400,29 @@ final class GraftTable(val dir: String, manifest: Manifest,
     * and comment metadata is inert to reads/writes (schema-match
     * checks compare names and types). */
   override def schema(): StructType =
-    if (manifest.colComments.isEmpty) manifest.schema
-    else StructType(manifest.schema.fields.map(f =>
-      manifest.colComments.find(_._1.equalsIgnoreCase(f.name))
-        .map(e => f.withComment(e._2)).getOrElse(f)))
+    if (manifest.colComments.isEmpty && manifest.insertDefaults.isEmpty)
+      manifest.schema
+    else StructType(manifest.schema.fields.map { f =>
+      val commented = manifest.colComments
+        .find(_._1.equalsIgnoreCase(f.name))
+        .map(e => f.withComment(e._2)).getOrElse(f)
+      // INSERT-time defaults (r19) ride back out as CURRENT_DEFAULT
+      // field metadata — the channel Spark's analyzer reads to fill
+      // an INSERT that omits the column or writes the DEFAULT
+      // keyword, so the engine never sees a short row. Inert to
+      // reads/writes like comments (schema-match compares names and
+      // types); the manifest schema itself stays metadata-free.
+      manifest.insertDefaults.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, litSql)) =>
+          val key = org.apache.spark.sql.catalyst.util
+            .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+          commented.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(commented.metadata)
+              .putString(key, litSql).build())
+        case None => commented
+      }
+    })
 
   /** The honest DDL rendering (r18 — what SHOW CREATE TABLE reads):
     * the key-bucketed layout IS `PARTITIONED BY (bucket(n, key))`,
@@ -680,14 +699,15 @@ object GraftScanBuilder {
 
     // SECONDARY-column range pruning (r18, r17 verdict #5 — the
     // inter-file rung on non-key columns): a bucket whose recorded
-    // [min, max] for column `a` (Manifest.colStats — written by the
-    // ZORDER refresher, invalidated by any value-changing rewrite of
-    // the bucket) cannot intersect the conjunct's bound is skipped.
-    // Recorded only for INTEGRAL columns (isColStatsType — long-cast
-    // order-exactness); a bucket without an entry is kept. NULL rows
-    // are safe to prune past: a non-null comparison predicate never
-    // matches them anyway (three-valued logic), and min/max ignore
-    // nulls by construction.
+    // [min, max] for column `a` (Manifest.colStats — recorded by
+    // every value-changing rewrite of the bucket: merge-write, the
+    // ZORDER refresher, compaction) cannot intersect the conjunct's
+    // bound is skipped. Recorded for stats-typed columns only
+    // (isColStatsType — integral / date / timestamp / short-decimal,
+    // each with an exact order-preserving long image); a bucket
+    // without an entry is kept. NULL rows are safe to prune past: a
+    // non-null comparison predicate never matches them anyway
+    // (three-valued logic), and min/max ignore nulls by construction.
     def colStatsCol(a: String): Boolean =
       !isKey(a) && m.schema.fields.exists(f =>
         f.name.equalsIgnoreCase(a) &&
@@ -700,48 +720,50 @@ object GraftScanBuilder {
           .forall { case (lo, hi) => pred(lo, hi) }
       }.toSet
 
-    def asLong(v: Any): Option[Long] = v match {
-      case l: Long => Some(l)
-      case i: Int => Some(i.toLong)
-      case s: Short => Some(s.toLong)
-      case b: Byte => Some(b.toLong)
-      case _ => None
-    }
+    // the literal's long image under the COLUMN'S type — the shared
+    // statLongOf/statLongExpr pair keeps the two faces in lockstep
+    // (a date literal converts to the days image the write side
+    // recorded, a decimal to its unscaled image at the column's
+    // scale); None = unconvertible → no pruning contribution
+    def asLong(a: String, v: Any): Option[Long] =
+      m.schema.fields.find(_.name.equalsIgnoreCase(a))
+        .flatMap(f =>
+          graft.ops.cdc.PartitionedUpsert.statLongOf(f.dataType, v))
 
     filters.foreach {
       case sources.EqualTo(a, v) if isKey(a) && v != null =>
         intersect(route(Seq(v)).toSet)
-        asLong(v).foreach(x => intersect(statsKeep((lo, hi) => lo <= x && x <= hi)))
+        asLong(a, v).foreach(x => intersect(statsKeep((lo, hi) => lo <= x && x <= hi)))
       case sources.In(a, vs) if isKey(a) && vs != null =>
         val nonNull = vs.filter(_ != null).toSeq
         // an IN with a null needs no special casing: null matches
         // nothing, so the non-null values alone bound the buckets
         intersect(route(nonNull).toSet)
       case sources.GreaterThan(a, v) if isKey(a) =>
-        asLong(v).foreach(x => intersect(statsKeep((_, hi) => hi > x)))
+        asLong(a, v).foreach(x => intersect(statsKeep((_, hi) => hi > x)))
       case sources.GreaterThanOrEqual(a, v) if isKey(a) =>
-        asLong(v).foreach(x => intersect(statsKeep((_, hi) => hi >= x)))
+        asLong(a, v).foreach(x => intersect(statsKeep((_, hi) => hi >= x)))
       case sources.LessThan(a, v) if isKey(a) =>
-        asLong(v).foreach(x => intersect(statsKeep((lo, _) => lo < x)))
+        asLong(a, v).foreach(x => intersect(statsKeep((lo, _) => lo < x)))
       case sources.LessThanOrEqual(a, v) if isKey(a) =>
-        asLong(v).foreach(x => intersect(statsKeep((lo, _) => lo <= x)))
+        asLong(a, v).foreach(x => intersect(statsKeep((lo, _) => lo <= x)))
       // non-key columns prune via the recorded secondary ranges
       case sources.EqualTo(a, v) if colStatsCol(a) && v != null =>
-        asLong(v).foreach(x => intersect(colKeep(a,
+        asLong(a, v).foreach(x => intersect(colKeep(a,
           (lo, hi) => lo <= x && x <= hi)))
       case sources.In(a, vs) if colStatsCol(a) && vs != null =>
-        val xs = vs.filter(_ != null).toSeq.flatMap(asLong)
+        val xs = vs.filter(_ != null).toSeq.flatMap(v => asLong(a, v))
         if (xs.nonEmpty && xs.size == vs.count(_ != null))
           intersect(colKeep(a,
             (lo, hi) => xs.exists(x => lo <= x && x <= hi)))
       case sources.GreaterThan(a, v) if colStatsCol(a) =>
-        asLong(v).foreach(x => intersect(colKeep(a, (_, hi) => hi > x)))
+        asLong(a, v).foreach(x => intersect(colKeep(a, (_, hi) => hi > x)))
       case sources.GreaterThanOrEqual(a, v) if colStatsCol(a) =>
-        asLong(v).foreach(x => intersect(colKeep(a, (_, hi) => hi >= x)))
+        asLong(a, v).foreach(x => intersect(colKeep(a, (_, hi) => hi >= x)))
       case sources.LessThan(a, v) if colStatsCol(a) =>
-        asLong(v).foreach(x => intersect(colKeep(a, (lo, _) => lo < x)))
+        asLong(a, v).foreach(x => intersect(colKeep(a, (lo, _) => lo < x)))
       case sources.LessThanOrEqual(a, v) if colStatsCol(a) =>
-        asLong(v).foreach(x => intersect(colKeep(a, (lo, _) => lo <= x)))
+        asLong(a, v).foreach(x => intersect(colKeep(a, (lo, _) => lo <= x)))
       case _ => // non-key / unsupported: no pruning contribution
     }
     candidate.map(_.toSeq.sorted)
