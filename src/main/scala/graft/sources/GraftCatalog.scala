@@ -253,6 +253,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def initEmpty(dir: String, schema: StructType, keyCol: String,
                         nBuckets: Int,
                         properties: util.Map[String, String]): Unit = {
+    // CREATE-time column DEFAULTs (r19, r18 ADVICE): declaring
+    // SUPPORT_COLUMN_DEFAULT_VALUE makes Spark parse `c INT DEFAULT
+    // <lit>` into CURRENT_DEFAULT field metadata — silently dropping
+    // it with the rest of the metadata (the r18 behavior) meant later
+    // INSERTs omitting the column filled NULL where the user declared
+    // a default. Extract and VALIDATE the literals BEFORE the init
+    // writes anything (a bad literal must not leave a half-made
+    // table), then record them as the manifest's insert-default face.
+    val currentKey = org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    val createDefaults = schema.fields.flatMap { f =>
+      if (f.metadata.contains(currentKey))
+        Some(f.name -> f.metadata.getString(currentKey))
+      else None
+    }.toMap
+    createDefaults.foreach { case (n, l) =>
+      PartitionedUpsert.validateDefaultLiteral(spark, n, l,
+        schema.fields.find(_.name == n).get.dataType) }
     // the DATA schema is stored comment-free (comments live beside it
     // in the manifest — a doc edit must never read as a schema change
     // to the CDF one-era rule); any other declared field metadata is
@@ -263,6 +281,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), clean)
     PartitionedUpsert.init(empty, dir, keyCol, nBuckets)
+    if (createDefaults.nonEmpty)
+      PartitionedUpsert.setInsertDefaults(spark, dir, createDefaults)
     val tableComment = Option(properties.get(TableCatalog.PROP_COMMENT))
     val colCs = schema.fields
       .flatMap(f => f.getComment().map(f.name -> _)).toMap
@@ -442,6 +462,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val colComments = scala.collection.mutable.Map[String, Option[String]]()
     val setProps = scala.collection.mutable.Map[String, String]()
     val unsetProps = scala.collection.mutable.ListBuffer[String]()
+    val setDefaults = scala.collection.mutable.Map[String, String]()
+    val unsetDefaults = scala.collection.mutable.ListBuffer[String]()
     val rest = changes.filter {
       case s: TableChange.SetProperty
           if s.property.equalsIgnoreCase(TableCatalog.PROP_COMMENT) =>
@@ -451,6 +473,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         tableComment = Some(None); false
       case c: TableChange.UpdateColumnComment =>
         colComments(top(c.fieldNames())) = Some(c.newComment()); false
+      // ALTER COLUMN … SET/DROP DEFAULT (r19): metadata-only commits
+      // onto the insert-default face; DROP arrives as a null new
+      // default. SQL text required, same rule as ADD COLUMN DEFAULT.
+      case u: TableChange.UpdateColumnDefaultValue =>
+        Option(u.newCurrentDefault()) match {
+          case Some(dv) =>
+            setDefaults(top(u.fieldNames())) = Option(dv.getSql()).getOrElse(
+              throw new UnsupportedOperationException(
+                s"SET DEFAULT for '${top(u.fieldNames())}' carries no " +
+                  "SQL text — use a literal DEFAULT"))
+          case None => unsetDefaults += top(u.fieldNames())
+        }
+        false
       case s: TableChange.SetProperty =>
         setProps(s.property) = s.value; false
       case r: TableChange.RemoveProperty =>
@@ -480,21 +515,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "type-widen, table/column COMMENTs, and SET/UNSET " +
           "TBLPROPERTIES are)")
     }
+    // ONE ALTER statement must not apply partially (r18 ADVICE): the
+    // schema change is the failable part (invalid DEFAULT literal,
+    // non-widening type change, dangling CHECK reference), so it
+    // commits FIRST — a refused ALTER then leaves no comment/property
+    // edits behind. The comment/prop commits that follow can only
+    // fail on FS faults that would have failed the evolve too.
+    if (schemaChanges.nonEmpty) {
+      // the key tracked FORWARD through this batch's renames (the
+      // evolveSchema contract: keyCol is the POST-change name)
+      val newKey = schemaChanges.foldLeft(m.keyCol) {
+        case (k, Cdc.RenameColumn(from, to)) if from.equalsIgnoreCase(k) => to
+        case (k, _) => k
+      }
+      PartitionedUpsert.evolveSchema(spark, dir, schemaChanges, newKey,
+        m.nBuckets)
+    }
+    if (setDefaults.nonEmpty || unsetDefaults.nonEmpty)
+      PartitionedUpsert.setInsertDefaults(spark, dir, setDefaults.toMap,
+        unsetDefaults.toSeq)
     if (tableComment.nonEmpty || colComments.nonEmpty)
       PartitionedUpsert.setComments(spark, dir, tableComment,
         colComments.toMap)
     if (setProps.nonEmpty || unsetProps.nonEmpty)
       PartitionedUpsert.setProperties(spark, dir, setProps.toMap,
         unsetProps.toSeq)
-    if (schemaChanges.isEmpty) return loadTable(ident)
-    // the key tracked FORWARD through this batch's renames (the
-    // evolveSchema contract: keyCol is the POST-change name)
-    val newKey = schemaChanges.foldLeft(m.keyCol) {
-      case (k, Cdc.RenameColumn(from, to)) if from.equalsIgnoreCase(k) => to
-      case (k, _) => k
-    }
-    PartitionedUpsert.evolveSchema(spark, dir, schemaChanges, newKey,
-      m.nBuckets)
     loadTable(ident)
   }
 
