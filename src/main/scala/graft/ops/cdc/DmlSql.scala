@@ -753,8 +753,14 @@ object DmlSql {
     * segment guard. */
   private def graftCatalogDir(spark: SparkSession,
                               name: String): Option[String] = {
-    val parts = name.split('.').toSeq
-      .map(_.stripPrefix("`").stripSuffix("`"))
+    // Spark's own multipart parser, NOT a raw '.' split (r18 ADVICE):
+    // a backtick-quoted segment may itself contain dots — g.`a.b`
+    // split raw resolved to <warehouse>/a/b, a directory loadTable
+    // would never look at, silently losing the clone
+    val parts =
+      try spark.sessionState.sqlParser.parseMultipartIdentifier(name)
+      catch { case _: org.apache.spark.sql.catalyst.parser
+        .ParseException => return None }
     if (parts.size < 2) return None
     val cat = parts.head
     val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")

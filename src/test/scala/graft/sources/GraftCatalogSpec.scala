@@ -404,6 +404,16 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("CREATE TABLE plain_clone SHALLOW CLONE gcat.cl.t")
     }
     assert(e.getMessage.contains("LOCATION"), e.getMessage)
+    // a backtick-quoted dst segment CONTAINING DOTS resolves through
+    // Spark's multipart parser to the catalog's own layout (r18
+    // ADVICE: a raw '.' split resolved g.`a.b` to <wh>/a/b — a dir
+    // loadTable never looks at, silently losing the clone)
+    spark.sql("CREATE TABLE gcat.cl.`dotted.name` SHALLOW CLONE gcat.cl.t")
+    assert(spark.sql("SELECT count(*) FROM gcat.cl.`dotted.name`")
+      .head().getLong(0) == 2L,
+      "the quoted-dot clone must be addressable by its name")
+    assert(new java.io.File(s"$wh/cl/dotted.name/_manifests").exists,
+      "the clone must land in the catalog's own layout dir")
   }
 
   test("staged CREATE refuses a leftover non-table directory at the " +
