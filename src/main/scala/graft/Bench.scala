@@ -38,6 +38,22 @@ object Bench {
   private[graft] def isOutlierRep(rep: Double, mn: Double): Boolean =
     rep > 2 * mn && rep - mn > 0.15
 
+  /** The rep to reject from a triple, if any (r19 — the r18 rule
+    * anchored on the bare min, so one anomalously FAST rep — cache
+    * artifact, near-empty first result — made LEGITIMATE reps look
+    * like >2×-min spikes, rejecting up to three of them and biasing
+    * the median low). A spike is the MAX, and only when the other two
+    * reps AGREE with each other (within 1.5×): agreement says they
+    * are the measurement and the max is the anomaly; disagreement
+    * says the triple is just noisy — median it as-is. */
+  private[graft] def spikeOf(rs: Vector[Double]): Option[Double] =
+    if (rs.size < 3) None
+    else {
+      val s = rs.sorted
+      if (s(1) <= 1.5 * s(0) && isOutlierRep(s(2), s(0))) Some(s(2))
+      else None
+    }
+
   /** Sort a line's AND-conjuncts at the OUTERMOST conjunction level
     * only — leaving " AND " text inside nested sub-expressions and
     * string literals untouched (ADVICE r13: a naive split-all
@@ -218,11 +234,17 @@ object Bench {
       return out
     }
     if (!masked.startsWith("Expand [[", p)) return masked
+    // gate EVERYTHING on gid-bearing lines (r18 ADVICE): only the
+    // distinct-rewrite's gid renumbering flaps per session. A cube/
+    // rollup/unpivot Expand renders DETERMINISTIC ids and row order,
+    // so masking/sorting those rows hid genuine plan changes that
+    // only moved Expand literals or row content ordering.
+    val gidLine = masked.contains("gid#")
+    if (!gidLine) return masked
     val start = masked.indexOf("[[", p) + 1 // first row's '['
     // rows end at "]]" — the Expand OUTPUT list follows after "], ["
     val end = masked.indexOf("]]", start)
     if (end < 0) return masked
-    val gidLine = masked.contains("gid#")
     val rows = masked.substring(start, end + 1) // "[a, b, 0], …, [c, d, 3]"
       .split("\\], \\[")
       .map(_.stripPrefix("[").stripSuffix("]"))
@@ -230,7 +252,7 @@ object Bench {
       // gid-bearing rows ALSO render their attrs in the flapping
       // iteration order (rows are positional twins of the output list)
       // — canonicalize within each row before sorting the rows
-      .map(r => if (gidLine) r.split(", ").sorted.mkString(", ") else r)
+      .map(r => r.split(", ").sorted.mkString(", "))
       .sorted
     val head = masked.substring(0, start) +
       rows.mkString("[", "], [", "]")
@@ -373,14 +395,15 @@ object Bench {
       var runs = base
       val outliers = scala.collection.mutable.ListBuffer[Double]()
       var extras = 0
-      while (extras < 2 && isOutlierRep(runs.max, runs.min)) {
-        outliers += runs.max
-        runs = runs.patch(runs.indexOf(runs.max), Nil, 1) :+ once()
+      while (extras < 2 && spikeOf(runs).isDefined) {
+        val s = spikeOf(runs).get
+        outliers += s
+        runs = runs.patch(runs.indexOf(s), Nil, 1) :+ once()
         extras += 1
       }
-      if (isOutlierRep(runs.max, runs.min))
-        { outliers += runs.max
-          runs = runs.patch(runs.indexOf(runs.max), Nil, 1) }
+      spikeOf(runs).foreach { s =>
+        outliers += s
+        runs = runs.patch(runs.indexOf(s), Nil, 1) }
       // Plan fingerprint: md5 of the optimized plan with per-session
       // noise (expression ids #123, plan_id tags, object hashes)
       // normalized away. A key whose median moves while its
@@ -571,9 +594,14 @@ object Bench {
       val o = if (outs.isEmpty) ""
         else outs.map(x => f"$x%.6f").mkString(""","outliers":[""", ",", "]")
       val runsStr = rs.map(x => f"$x%.6f").mkString("[", ",", "]")
-      f""""$k":{"median":$m%.6f,"runs":$runsStr$pr$w$o,"plan":"$f"}"""
+      f""""$k":{"median":$m%.6f,"reps":${rs.size},"runs":$runsStr$pr$w$o,"plan":"$f"}"""
     }.mkString("{", ",", "}")
-    val full = f"""{"metric":"total","value":$total%.6f,"unit":"sec","reps":3,"stat":"median","cpus":"$cpus","drift":$drift%.4f,"regressions":$regressionsJson,"plan_changed":$planChangedJson,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // header `reps` is the PROTOCOL (3 timed reps per key);
+    // `min_surviving_reps` records the floor after outlier drops
+    // (r18 ADVICE: a hardcoded 3 misread when a key survived with 2)
+    val minReps =
+      if (results.isEmpty) 3 else results.map(_._3.size).min
+    val full = f"""{"metric":"total","value":$total%.6f,"unit":"sec","reps":3,"min_surviving_reps":$minReps,"stat":"median","cpus":"$cpus","drift":$drift%.4f,"regressions":$regressionsJson,"plan_changed":$planChangedJson,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
     // A filtered run must not clobber the full-surface baseline the
     // regression gate reads.
     if (args.isEmpty) try {

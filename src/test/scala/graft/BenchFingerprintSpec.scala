@@ -211,6 +211,45 @@ class BenchFingerprintSpec extends AnyFunSuite {
     assert(n(other) === other)
   }
 
+  test("non-gid Expand lines pass through VERBATIM (r18 ADVICE: the " +
+      "unconditional row mask/sort hid genuine plan changes that only " +
+      "moved cube/rollup/unpivot Expand literals or row order)") {
+    val n = Bench.normalizeDistinctGids _
+    // a cube-style Expand keyed by spark_grouping_id — ids are
+    // DETERMINISTIC bitmasks, so two different id assignments are two
+    // different plans and must stay distinct
+    val cube1 = "   +- Expand [[a#, b#, 0], [a#, null, 1]], " +
+      "[a#, b#, spark_grouping_id#]"
+    val cube2 = "   +- Expand [[a#, b#, 0], [a#, null, 3]], " +
+      "[a#, b#, spark_grouping_id#]"
+    assert(n(cube1) === cube1)
+    assert(n(cube1) !== n(cube2))
+    // row ORDER is deterministic too — a reorder is a plan change
+    val u1 = "   +- Expand [[k#, x, v1#], [k#, y, v2#]], [k#, n#, v#]"
+    val u2 = "   +- Expand [[k#, y, v2#], [k#, x, v1#]], [k#, n#, v#]"
+    assert(n(u1) === u1)
+    assert(n(u1) !== n(u2))
+  }
+
+  test("spikeOf (r19): the max is rejected only when the other two " +
+      "reps AGREE — one anomalously FAST rep must not get legitimate " +
+      "reps rejected and the median biased low") {
+    val s = Bench.spikeOf _
+    // the r17 poisoning triple still rejects: 6.28 ≤ 1.5×4.28 — the
+    // two non-max reps agree, so 9.45 is the spike
+    assert(s(Vector(6.28, 4.28, 9.45)).contains(9.45))
+    // a genuine spike over two agreeing reps rejects
+    assert(s(Vector(4.4, 4.1, 9.45)).contains(9.45))
+    // the r18 ADVICE failure mode: one cache-artifact FAST rep made
+    // ordinary reps look like >2×-min spikes — now: no agreement
+    // between the two non-max reps (1.0 vs 0.2), nothing rejected
+    assert(s(Vector(0.2, 1.0, 1.05)).isEmpty)
+    // under the absolute floor: no rejection
+    assert(s(Vector(0.04, 0.05, 0.09)).isEmpty)
+    // pairs (post-drop survivors) never re-reject
+    assert(s(Vector(4.4, 9.45)).isEmpty)
+  }
+
   test("medianOf: middle of odd counts, mean of the middle pair even " +
       "(the 2-survivor case after replacement-bound exhaustion)") {
     assert(Bench.medianOf(Seq(6.28, 4.28, 9.45)) === 6.28)
