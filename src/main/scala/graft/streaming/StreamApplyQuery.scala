@@ -129,6 +129,73 @@ object StreamApplyQuery {
       .orderBy($"c_custkey", $"change_type")
   }
 
+  /** The maintained-aggregate sink under the hash gate (r18 verdict
+    * #7 — the CDC-automation capstone): ONE continuous query
+    * ([[CdcStream.maintainedAggregateSink]]) keeps BOTH the replica
+    * and a derived per-segment aggregate current — each micro-batch
+    * merges into the target, then AggMaintain consumes exactly the
+    * CDF window that merge created (never recomputing the source).
+    * The key's result is the final AGGREGATE state, a pure function
+    * of the bounded input, so DuckDB replays it algebraically (the
+    * q_cdc_stream_apply FULL OUTER JOIN replay, then GROUP BY seg)
+    * and one hash certifies the sink composition: per-epoch merge
+    * cursors, the CDF window hand-off, delta maintenance over
+    * inserts/updates/deletes, and the aggregate's own txn-guarded
+    * upsert. Change-set lsns are the REMAPPED KEYS (unique per row —
+    * the maintained sinks dedup on lsn, so a constant lsn would
+    * collapse the batch; per-key LWW is unaffected since each key
+    * changes once). Two epochs split BY KEY keep the final state
+    * trigger-order-invariant. Fixture: target pristine-restored,
+    * aggregate + checkpoint reset per rep (the aggregate is DERIVED
+    * state seeded from the first epoch's committed version — a stale
+    * one would mistake the restored table for already-applied). */
+  def qCdcStreamAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = graft.ops.relational.Scans.fixtureDir(dir, "stream_agg")
+    val inDir = graft.ops.relational.Scans.fixtureDir(dir, "stream_agg_in")
+    val aggDir = graft.ops.relational.Scans.fixtureDir(dir, "stream_agg_agg")
+    val ckBase = graft.ops.relational.Scans.fixtureDir(dir, "stream_agg_ck")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(aggDir, ckBase).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // the maintained sinks cursor the TARGET's merges under the
+    // CHECKPOINT PATH as txn app id, and the pristine restore KEEPS
+    // the txn map (exactly-once across restarts is its contract) — a
+    // rep-stable checkpoint path would make every later rep's epochs
+    // read as replays and merge nothing. A per-rep unique checkpoint
+    // IS the fresh stream identity.
+    val ckpt = s"$ckBase/${java.util.UUID.randomUUID.toString.take(8)}"
+    LifecycleFixture.pristine(spark, path, "c_custkey", nBuckets = 4) {
+      Tables.table(spark, dir, "customer").select(
+        $"c_custkey",
+        round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
+        $"c_mktsegment".as("seg")).coalesce(1)
+    }
+    changeSet(spark, dir)
+      .withColumn("__lsn", $"c_custkey") // unique per row — see scaladoc
+      .repartition(2, $"c_custkey")
+      .write.mode("overwrite").json(inDir)
+    val sch = StructType(Seq(
+      StructField("__op", StringType), StructField("__lsn", LongType),
+      StructField("c_custkey", LongType), StructField("bal_cents", LongType),
+      StructField("seg", StringType)))
+    val q = CdcStream.maintainedAggregateSink(
+      spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").json(inDir),
+      targetDir = path, aggDir = aggDir, checkpointDir = ckpt,
+      keyCol = "c_custkey", lsnCol = "__lsn", opCol = "__op",
+      valueCols = Seq("bal_cents", "seg"),
+      groupCols = Seq("seg"), sumCols = Seq("bal_cents"),
+      nBuckets = 4, aggBuckets = 2)
+    try q.processAllAvailable() finally q.stop()
+    graft.ops.cdc.AggMaintain.readAggregate(spark, aggDir)
+      .select($"seg", $"cnt", $"sum_bal_cents")
+      .orderBy($"seg")
+  }
+
   /** The shared deterministic change set both stream keys drive: the
     * q_scan_graft_dsv2 derivation — aggregated order balances, every
     * 97th custkey remapped to a ghost key (inserts), every 13th a
@@ -149,7 +216,8 @@ object StreamApplyQuery {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_stream_apply" -> (qCdcStreamApply _),
-    "q_cdc_stream_cdf" -> (qCdcStreamCdf _)
+    "q_cdc_stream_cdf" -> (qCdcStreamCdf _),
+    "q_cdc_stream_agg" -> (qCdcStreamAgg _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -214,6 +282,36 @@ object StreamApplyQuery {
         |  WHERE NOT (c.op = 'd' AND t.c_custkey IS NULL))
         |SELECT * FROM snapshot_rows
         |UNION ALL SELECT * FROM tail_rows
-        |ORDER BY c_custkey, change_type""".stripMargin
+        |ORDER BY c_custkey, change_type""".stripMargin,
+    // the maintained aggregate = GROUP BY seg over the applied end
+    // state (the q_cdc_stream_apply replay feeding an aggregate)
+    "q_cdc_stream_agg" ->
+      """WITH src AS (
+        |  SELECT o_custkey AS k,
+        |         CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |           AS bal_cents
+        |  FROM orders GROUP BY 1),
+        |chg AS (
+        |  SELECT CASE WHEN k % 97 = 0 THEN k + 100000000 ELSE k END AS c_custkey,
+        |         CASE WHEN k % 13 = 0 THEN 'd' ELSE 'u' END AS op,
+        |         bal_cents
+        |  FROM src),
+        |tgt AS (
+        |  SELECT c_custkey,
+        |         CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_cents,
+        |         c_mktsegment AS seg
+        |  FROM customer),
+        |final AS (
+        |  SELECT COALESCE(c.c_custkey, t.c_custkey) AS c_custkey,
+        |         CASE WHEN c.c_custkey IS NOT NULL THEN c.bal_cents
+        |              ELSE t.bal_cents END AS bal_cents,
+        |         CASE WHEN c.c_custkey IS NOT NULL THEN 'FED'
+        |              ELSE t.seg END AS seg
+        |  FROM tgt t FULL OUTER JOIN chg c ON t.c_custkey = c.c_custkey
+        |  WHERE COALESCE(c.op, '') <> 'd')
+        |SELECT seg, COUNT(*) AS cnt,
+        |       CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents
+        |FROM final GROUP BY seg
+        |ORDER BY seg""".stripMargin
   )
 }

@@ -56,15 +56,38 @@ class ConflictRebaseSpec extends SparkSpec {
     assert(st.size == 40, "no other key was disturbed")
   }
 
-  test("OVERLAPPING racers: the loser gets the loud conflict error " +
-      "naming the contended bucket, and its changes do NOT land") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rebase_ov").toString
+  test("SAME-BUCKET racers on DISJOINT KEYS both land (r19 key-level " +
+      "rebase): the loser diffs both rewrites against the base, " +
+      "proves the change-key sets disjoint, and composes the bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebase_kb").toString
     initTable(dir)
     val k1 = (1L to 40L).find(k => bucketOf(k) == 2L).get
     val k2 = (k1 + 1L to 40L).find(k => bucketOf(k) == 2L).get // same bucket
     val p1 = PartitionedUpsert.prepare(spark, dir, changes(100L, k1, 111L),
       "k", "lsn", "op", Seq("v"), 4)
     val p2 = PartitionedUpsert.prepare(spark, dir, changes(100L, k2, 222L),
+      "k", "lsn", "op", Seq("v"), 4, txn = Some("racer2" -> 9L))
+    PartitionedUpsert.commit(spark, dir, p1)
+    PartitionedUpsert.commit(spark, dir, p2) // key-level rebase: v3
+    val m = PartitionedUpsert.manifestOrFail(spark, dir)
+    assert(m.version == 3L)
+    assert(m.txns.get("racer2").contains(9L),
+      "the composed commit must carry the loser's txn cursor")
+    val st = state(dir)
+    assert(st(k1) == 111L, "the winner's same-bucket change survives")
+    assert(st(k2) == 222L, "the loser's change composes in")
+    assert(st.size == 40, "no other key was disturbed")
+  }
+
+  test("SAME-KEY racers: the loser still gets the loud conflict " +
+      "error, and its changes do NOT land (key-level rebase refuses " +
+      "a genuine overlap)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebase_ov").toString
+    initTable(dir)
+    val k1 = (1L to 40L).find(k => bucketOf(k) == 2L).get
+    val p1 = PartitionedUpsert.prepare(spark, dir, changes(100L, k1, 111L),
+      "k", "lsn", "op", Seq("v"), 4)
+    val p2 = PartitionedUpsert.prepare(spark, dir, changes(100L, k1, 222L),
       "k", "lsn", "op", Seq("v"), 4)
     PartitionedUpsert.commit(spark, dir, p1)
     val e = intercept[java.util.ConcurrentModificationException] {
@@ -73,8 +96,32 @@ class ConflictRebaseSpec extends SparkSpec {
     assert(e.getMessage.contains("also changed bucket"))
     val st = state(dir)
     assert(st(k1) == 111L)
-    assert(st(k2) == k2 * 10L, "the refused merge must not leak")
-    assert(PartitionedUpsert.manifestOrFail(spark, dir).version == 2L)
+    assert(PartitionedUpsert.manifestOrFail(spark, dir).version == 2L,
+      "the refused merge must not leak")
+  }
+
+  test("key-level rebase composes DELETES and INSERTS too: racer A " +
+      "deletes one key while racer B inserts a new key routing to the " +
+      "SAME bucket; both land, lsn ceiling is the max of both sides") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebase_di").toString
+    initTable(dir)
+    val kDel = (1L to 40L).find(k => bucketOf(k) == 1L).get
+    val kIns = (41L to 400L).find(k => bucketOf(k) == 1L).get // new key
+    val pDel = PartitionedUpsert.prepare(spark, dir,
+      changes(100L, kDel, 0L).withColumn("op", lit("d")),
+      "k", "lsn", "op", Seq("v"), 4)
+    val pIns = PartitionedUpsert.prepare(spark, dir,
+      changes(200L, kIns, 4444L), "k", "lsn", "op", Seq("v"), 4)
+    PartitionedUpsert.commit(spark, dir, pDel)
+    PartitionedUpsert.commit(spark, dir, pIns) // composes over the delete
+    val st = state(dir)
+    assert(!st.contains(kDel), "the winner's delete survives")
+    assert(st(kIns) == 4444L, "the loser's insert composes in")
+    assert(st.size == 40, "39 originals + 1 insert")
+    val m = PartitionedUpsert.manifestOrFail(spark, dir)
+    val b = bucketOf(kDel)
+    assert(m.stats.get(b).flatMap(_.maxLsn).contains(200L),
+      s"composed lsn ceiling is the max of both sides: ${m.stats.get(b)}")
   }
 
   test("a SHAPE change between prepare and commit refuses the rebase: " +
@@ -94,7 +141,8 @@ class ConflictRebaseSpec extends SparkSpec {
 
   test("a prepared merge rebases over a deleteMor winner on OTHER " +
       "buckets (GDPR sweep racing ingest): tombstones AND the merge " +
-      "both land; a tombstone on the merge's own bucket refuses") {
+      "both land; a same-bucket DIFFERENT-key tombstone composes via " +
+      "the key-level rebase; a tombstone on the merge's own KEY refuses") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rebase_mor").toString
     initTable(dir)
@@ -109,15 +157,30 @@ class ConflictRebaseSpec extends SparkSpec {
     assert(!st.contains(kDel), "the tombstone survives the rebase")
     assert(st(kUp) == 111L, "the rebased merge lands")
     assert(PartitionedUpsert.manifestOrFail(spark, dir).version == 3L)
-    // overlap: a sweep on the merge's own bucket refuses the rebase
+    // same bucket, DIFFERENT key: the sweep tombstones kUp while the
+    // prepared merge updates kUp2 — the key-level rebase (r19) diffs
+    // both sides against base, proves {kUp} ∩ {kUp2} = ∅, and
+    // composes: the tombstone is physicalized into the composed file
     val kUp2 = (kUp + 1L to 40L).find(k => bucketOf(k) == 0L).get
     val p2 = PartitionedUpsert.prepare(spark, dir, changes(101L, kUp2, 222L),
       "k", "lsn", "op", Seq("v"), 4)
     PartitionedUpsert.deleteMor(spark, dir, Seq(kUp).toDF("k"), "k"): Unit
+    PartitionedUpsert.commit(spark, dir, p2)
+    val st2 = state(dir)
+    assert(!st2.contains(kUp), "the sweep's tombstone survives the compose")
+    assert(st2(kUp2) == 222L, "the merge's same-bucket change lands")
+    assert(st2.size == st.size - 1, "only kUp was removed")
+    // GENUINE overlap: a sweep deleting the very key the prepared
+    // merge updates is a real conflict — the loud error stands
+    val kUp3 = (kUp2 + 1L to 40L).find(k => bucketOf(k) == 0L).get
+    val p3 = PartitionedUpsert.prepare(spark, dir, changes(102L, kUp3, 333L),
+      "k", "lsn", "op", Seq("v"), 4)
+    PartitionedUpsert.deleteMor(spark, dir, Seq(kUp3).toDF("k"), "k"): Unit
     val e = intercept[java.util.ConcurrentModificationException] {
-      PartitionedUpsert.commit(spark, dir, p2)
+      PartitionedUpsert.commit(spark, dir, p3)
     }
     assert(e.getMessage.contains("also changed bucket"))
+    assert(!state(dir).contains(kUp3), "the refused merge must not leak")
   }
 
   test("CONCURRENT deleteMor and merge threads on disjoint buckets: " +

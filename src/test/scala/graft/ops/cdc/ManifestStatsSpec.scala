@@ -207,4 +207,33 @@ class ManifestStatsSpec extends SparkSpec {
     val hit = PartitionedUpsert.readKeyRange(spark, dir, 5L, 5L)
     assert(hit.count() === 1 && hit.head().getDouble(1) === -5.0)
   }
+
+  test("a merge touching >64 buckets (fused-observe cutoff) records " +
+      "the SAME per-bucket ranges and watermarks through the fallback " +
+      "scan as the observe path records below it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ms_wide").toString + "/t"
+    mkTarget(dir, n = 512L, nBuckets = 128)
+    // a batch whose keys hash across >64 buckets forces the fallback
+    val wide = (0L until 512L by 4L).map(i => (1000L + i, i, "u", -i * 1.0))
+      .toDF("lsn", "pk", "op", "val")
+    val touched = PartitionedUpsert.merge(spark, dir, wide,
+      "pk", "lsn", "op", Seq("val"), 128)
+    assert(touched.size > 64, s"fixture must cross the cutoff, got ${touched.size}")
+    val after = PartitionedUpsert.bucketStats(spark, dir).toMap
+    // ground truth per touched bucket off the committed data itself
+    val truth = PartitionedUpsert.read(spark, dir)
+      .withColumn("b", PartitionedUpsert.bucketOf(col("pk"), 128))
+      .groupBy($"b").agg(min($"pk").as("mn"), max($"pk").as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    touched.foreach { b =>
+      assert(after(b).minKey.contains(truth(b)._1) &&
+        after(b).maxKey.contains(truth(b)._2),
+        s"bucket $b ranges must match the data: ${after(b)} vs ${truth(b)}")
+      assert(after(b).maxLsn.exists(_ >= 1000L),
+        s"bucket $b must carry this batch's watermark")
+    }
+  }
 }

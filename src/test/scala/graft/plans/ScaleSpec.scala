@@ -743,30 +743,47 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("concurrent merges from the same base: loser gets a commit conflict, " +
-      "no lost update") {
+  test("concurrent merges from the same base: a SAME-KEY loser gets a " +
+      "commit conflict (no lost update); key-disjoint racers compose " +
+      "(r19 key-level rebase)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pu9").toString + "/tgt"
     val snap = (0L until 50L).map(i => (i, i * 1.0)).toDF("pk", "val")
     PartitionedUpsert.init(snap, dir, "pk", nBuckets = 4)
     val changesA = Seq((1L, 3L, "u", -3.0)).toDF("lsn", "pk", "op", "val")
-    val changesB = Seq((2L, 4L, "u", -4.0)).toDF("lsn", "pk", "op", "val")
+    // B updates the SAME key — the one overlap no rebase may compose
+    val changesB = Seq((2L, 3L, "u", -4.0)).toDF("lsn", "pk", "op", "val")
     // both writers prepare from the SAME base manifest
     val a = PartitionedUpsert.prepare(spark, dir, changesA,
       "pk", "lsn", "op", Seq("val"), nBuckets = 4)
     val b = PartitionedUpsert.prepare(spark, dir, changesB,
       "pk", "lsn", "op", Seq("val"), nBuckets = 4)
     PartitionedUpsert.commit(spark, dir, a)
-    // b would silently drop a's update if it committed — it must fail
+    // b would silently drop a's update if it committed blind — it must
+    // fail (the bucket-level check flags it, the key-level rebase
+    // proves the overlap is genuine and rethrows)
     intercept[java.util.ConcurrentModificationException] {
       PartitionedUpsert.commit(spark, dir, b)
     }
-    // the loser retries from the NEW state and both updates survive
+    // the loser retries from the NEW state and last-write-wins applies
     PartitionedUpsert.merge(spark, dir, changesB,
       "pk", "lsn", "op", Seq("val"), nBuckets = 4)
     val state = PartitionedUpsert.read(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(state(3L) === -3.0 && state(4L) === -4.0, s"lost update: $state")
+    assert(state(3L) === -4.0 && state.size === 50, s"lost update: $state")
+    // key-DISJOINT racers from one base both land (ConflictRebaseSpec
+    // proves the compose in depth; this pins the scale contract)
+    val c = PartitionedUpsert.prepare(spark, dir,
+      Seq((3L, 7L, "u", -7.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    val d = PartitionedUpsert.prepare(spark, dir,
+      Seq((4L, 11L, "u", -11.0)).toDF("lsn", "pk", "op", "val"),
+      "pk", "lsn", "op", Seq("val"), nBuckets = 4)
+    PartitionedUpsert.commit(spark, dir, c)
+    PartitionedUpsert.commit(spark, dir, d) // composes, never lost
+    val st2 = PartitionedUpsert.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(st2(7L) === -7.0 && st2(11L) === -11.0, s"lost compose: $st2")
   }
 
   test("PartitionedUpsert.evolveSchema: rename+widen rewrite commits atomically " +
