@@ -55,6 +55,8 @@ object SparkEntry {
       (graft.ops.llm.Multimodal.queries, graft.ops.llm.Multimodal.oracle),
       (graft.streaming.StreamApplyQuery.queries,
         graft.streaming.StreamApplyQuery.oracle),
+      (graft.ops.cdc.ZorderStrQuery.queries,
+        graft.ops.cdc.ZorderStrQuery.oracle),
       (graft.sources.CatalogQueries.queries,
         graft.sources.CatalogQueries.oracle)
     )

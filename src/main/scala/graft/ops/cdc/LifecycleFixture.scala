@@ -24,7 +24,9 @@ private[graft] object LifecycleFixture {
     * call (cold — evaluates `snapshot`), restore-to-v1 after (warm —
     * metadata-only, `snapshot` untouched). */
   def pristine(spark: SparkSession, path: String, keyCol: String,
-               nBuckets: Int)(snapshot: => DataFrame): Unit =
+               nBuckets: Int,
+               layout: String = PartitionedUpsert.LayoutHash)
+              (snapshot: => DataFrame): Unit =
     PartitionedUpsert.currentManifest(spark, path) match {
       // already AT v1 → true no-op (ADVICE r17: a never-written
       // fixture like clone's source must not grow its manifest chain
@@ -33,6 +35,7 @@ private[graft] object LifecycleFixture {
       case Some(m) if m.version == 1L => ()
       case Some(_) => PartitionedUpsert.restoreVersion(spark, path, 1L)
       case None =>
-        PartitionedUpsert.init(snapshot, path, keyCol, nBuckets)
+        PartitionedUpsert.init(snapshot, path, keyCol, nBuckets,
+          layout = layout)
     }
 }

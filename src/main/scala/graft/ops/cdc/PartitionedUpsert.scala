@@ -70,7 +70,9 @@ object PartitionedUpsert {
                             colComments: Map[String, String] = Map.empty,
                             defaults: Seq[ColDefault] = Seq.empty,
                             props: Map[String, String] = Map.empty,
-                            insertDefaults: Map[String, String] = Map.empty)
+                            insertDefaults: Map[String, String] = Map.empty,
+                            strStats: Map[Long,
+                              Map[String, (String, String)]] = Map.empty)
 
   /** `ADD COLUMN … DEFAULT <lit>` recorded metadata-only (r18 —
     * Spark's EXISTING_DEFAULT / Delta's existingDefault): rows that
@@ -186,6 +188,124 @@ object PartitionedUpsert {
           .cast(org.apache.spark.sql.types.LongType)
       case _ => c.cast(org.apache.spark.sql.types.LongType)
     }
+
+  // ---- truncated-string bucket stats (r19 — the Delta/Iceberg string
+  // leg of secondary-column pruning) ----------------------------------
+  //
+  // Strings have no exact long image, so their per-bucket entry stores
+  // BOUNDS, not images: lo ≤ every value, hi ≥ every value, both capped
+  // at [[StrStatMaxLen]] code points so one long URL/document cannot
+  // bloat the manifest. The pruner may therefore only conclude from a
+  // bound's FAILURE (a predicate that cannot intersect [lo, hi] proves
+  // emptiness); it never reasons about ties the way the exact long
+  // image does — and the shared keep-predicates are sound under both
+  // readings because they only prune when the bound proves emptiness.
+  // Order is CODE-POINT order — identical to UTF8String's byte order
+  // (UTF-8 preserves code-point order), which is the order Spark's
+  // min/max on StringType aggregated by. java.lang.String's compareTo
+  // (UTF-16 unit order) disagrees above U+FFFF and is never used. A
+  // string with an unpaired surrogate defies the UTF-8 round-trip (the
+  // JVM encodes it as '?'), so such a bound — or a pushed literal —
+  // contributes nothing (absence = conservative keep).
+
+  private[graft] val StrStatMaxLen = 32
+
+  /** Only the DEFAULT (UTF8_BINARY) collation is stats-typed: a
+    * non-binary collation orders differently from the recorded
+    * code-point bounds, so pruning against them would be unsound. */
+  private[graft] def isStrStatsType(
+      dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.StringType
+
+  private def codePointsOf(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0; var j = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(j) = cp; j += 1; i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Code-point order == UTF8String byte order (for well-formed
+    * strings) — the comparison BOTH stat faces share. */
+  private[graft] def strCmp(a: String, b: String): Int = {
+    val x = codePointsOf(a); val y = codePointsOf(b)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      if (x(i) != y(i)) return Integer.compare(x(i), y(i))
+      i += 1
+    }
+    Integer.compare(x.length, y.length)
+  }
+
+  private[graft] def hasUnpairedSurrogate(s: String): Boolean =
+    codePointsOf(s).exists(c => c >= 0xD800 && c <= 0xDFFF)
+
+  /** Lower bound: a prefix compares ≤ every extension of itself. */
+  private[graft] def strTruncLo(s: String): String = {
+    val a = codePointsOf(s)
+    if (a.length <= StrStatMaxLen) s
+    else new String(a, 0, StrStatMaxLen)
+  }
+
+  /** Bump a prefix past EVERY extension of itself: increment its
+    * rightmost incrementable code point (skipping the surrogate gap)
+    * and drop everything to its right — the result compares > any
+    * string starting with the prefix. None = every position is
+    * U+10FFFF, nothing can bound it. */
+  private[graft] def strPrefixCeil(p: String): Option[String] = {
+    val a = codePointsOf(p)
+    var i = a.length - 1
+    while (i >= 0) {
+      if (a(i) < 0x10FFFF) {
+        val next =
+          if (a(i) + 1 >= 0xD800 && a(i) + 1 <= 0xDFFF) 0xE000
+          else a(i) + 1
+        return Some(new String(a.take(i) :+ next, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** Upper bound: the value itself if it fits, else its 32-cp prefix
+    * bumped past every extension ([[strPrefixCeil]]). */
+  private[graft] def strTruncHi(s: String): Option[String] = {
+    val a = codePointsOf(s)
+    if (a.length <= StrStatMaxLen) Some(s)
+    else strPrefixCeil(new String(a, 0, StrStatMaxLen))
+  }
+
+  /** One bucket's recorded entry off its observed (min, max) — or
+    * nothing, when the strings defy sound bounding. */
+  private[graft] def strStatEntry(mn: String, mx: String)
+      : Option[(String, String)] =
+    if (hasUnpairedSurrogate(mn) || hasUnpairedSurrogate(mx)) None
+    else strTruncHi(mx).map(hi => (strTruncLo(mn), hi))
+
+  /** The DECLARED string-stats column set of a manifest: whatever any
+    * bucket already records, still string-typed in the live schema. */
+  private def declaredStrCols(m: Manifest): Seq[String] =
+    m.strStats.values.flatMap(_.keys).toSeq.distinct
+      .filter(c => m.schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(c) && isStrStatsType(f.dataType)))
+
+  /** CLUSTERING-ONLY long image of a string column for ZORDER rank
+    * codes: the first 8 UTF-8 bytes as an unsigned big-endian value,
+    * shifted into signed-long order. Order-preserving but NOT exact
+    * (strings sharing an 8-byte prefix collide) — never used for
+    * pruning; string pruning goes through the bounds face
+    * ([[Manifest.strStats]]), and the z-order approximation-honesty
+    * contract (quantile skew degrades clustering, never correctness)
+    * absorbs the collisions. All built-ins, codegen'd: encode →
+    * substring → hex → conv(16,10) (unsigned 64-bit) → shift. */
+  private def strRankImage(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 8)), 16, "0"), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+      - lit(new java.math.BigDecimal("9223372036854775808")))
+      .cast(org.apache.spark.sql.types.LongType)
 
   /** PRUNER-side long image of a pushed-filter literal for a column of
     * type `dt` — the external-value mirror of [[statLongExpr]]. None =
@@ -405,6 +525,16 @@ object PartitionedUpsert {
         per.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
           s"colstats\t$b\t$c\t$lo\t$hi" }
       } ++
+      // truncated-string pruning BOUNDS (r19 — the Delta/Iceberg
+      // string leg): advisory like colstats. Base64 of the UTF-8
+      // bytes — the bounds are arbitrary user text and must not
+      // break the line/tab framing.
+      m.strStats.toSeq.sortBy(_._1).flatMap { case (b, per) =>
+        per.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          def b64(s: String) = java.util.Base64.getEncoder
+            .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          s"strstats\t$b\t$c\t${b64(lo)}\t${b64(hi)}" }
+      } ++
       // COMMENTs (r18): advisory documentation lines (losing one loses
       // words, never rows). Stored OUTSIDE the data schema on purpose:
       // schema-embedded comment metadata would read as a schema CHANGE
@@ -501,6 +631,18 @@ object PartitionedUpsert {
       (p(1).toLong, p(2), (p(3).toLong, p(4).toLong))
     }.groupBy(_._1).map { case (b, es) =>
       b -> es.map(e => e._2 -> e._3).toMap }
+    val strStats = rest.filter(_.startsWith("strstats\t")).map { l =>
+      // split drops TRAILING empty fields: an empty-string bound
+      // (base64 "") at position 3 survives as an interior empty, at
+      // position 4 it vanishes — index defensively for both
+      val p = l.split('\t')
+      def un(i: Int): String =
+        if (p.length <= i || p(i).isEmpty) ""
+        else new String(java.util.Base64.getDecoder.decode(p(i)),
+          java.nio.charset.StandardCharsets.UTF_8)
+      (p(1).toLong, p(2), (un(3), un(4)))
+    }.groupBy(_._1).map { case (b, es) =>
+      b -> es.map(e => e._2 -> e._3).toMap }
     val comment = rest.find(_.startsWith("comment\t"))
       .map(l => unescLine(l.substring("comment\t".length)))
     val colComments = rest.filter(_.startsWith("colcomment\t")).map { l =>
@@ -527,7 +669,7 @@ object PartitionedUpsert {
       }.toMap
     Manifest(version, schema, nBuckets, keyCol, txns, buckets, stats,
       layout, splits, tombs, checks, colStats, comment, colComments,
-      defaults, props, insertDefaults)
+      defaults, props, insertDefaults, strStats)
   }
 
   /** Single-line escape for free-text manifest fields (comments): the
@@ -1023,6 +1165,7 @@ object PartitionedUpsert {
       val mergeStatCols = prior.colStats.values.flatMap(_.keys)
         .toSeq.distinct.filter(c => prior.schema.fields.exists(f =>
           f.name.equalsIgnoreCase(c) && isColStatsType(f.dataType)))
+      val mergeStrCols = declaredStrCols(prior)
       def statDt(c: String): org.apache.spark.sql.types.DataType =
         prior.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
       val wantKey = integralTypes.contains(keyType)
@@ -1037,6 +1180,12 @@ object PartitionedUpsert {
               val v = when(col("bucket") === lit(b),
                 statLongExpr(col(c), statDt(c)))
               Seq(min(v).as(s"__c${i}mn_$b"), max(v).as(s"__c${i}mx_$b"))
+            } ++
+            // string bounds ride the same observe: exact (min, max)
+            // per (bucket, column), truncated driver-side below
+            mergeStrCols.zipWithIndex.flatMap { case (c, i) =>
+              val v = when(col("bucket") === lit(b), col(c))
+              Seq(min(v).as(s"__s${i}mn_$b"), max(v).as(s"__s${i}mx_$b"))
             }
         }
       val obsv = org.apache.spark.sql.Observation()
@@ -1123,6 +1272,23 @@ object PartitionedUpsert {
           }.toMap.filter(_._2.nonEmpty)
         else stagedColStats(spark, dir, staging, mergeStatCols,
           written, prior.schema)
+      def obsStr(nm: String): Option[String] = observed.get(nm) match {
+        case Some(s: String) => Some(s)
+        case Some(u: org.apache.spark.unsafe.types.UTF8String) =>
+          Some(u.toString)
+        case _ => None
+      }
+      val freshSs: Map[Long, Map[String, (String, String)]] =
+        if (observed.nonEmpty)
+          written.map { b =>
+            b -> mergeStrCols.zipWithIndex.flatMap { case (c, i) =>
+              (obsStr(s"__s${i}mn_$b"), obsStr(s"__s${i}mx_$b")) match {
+                case (Some(mn), Some(mx)) => strStatEntry(mn, mx).map(c -> _)
+                case _ => None
+              }
+            }.toMap
+          }.toMap.filter(_._2.nonEmpty)
+        else stagedStrStats(spark, dir, staging, mergeStrCols, written)
       // manifest version = base+1: a concurrent merge from the same
       // base targets the SAME manifest name and loses the publish race.
       // Touched buckets rewrote from the tombstone-FILTERED read, so
@@ -1136,7 +1302,8 @@ object PartitionedUpsert {
           // buckets carry the FRESH ranges computed off the staged
           // rewrite (an emptied/all-NULL bucket records nothing —
           // absence = conservative keep on the read side)
-          colStats = (prior.colStats -- touched) ++ freshCs),
+          colStats = (prior.colStats -- touched) ++ freshCs,
+          strStats = (prior.strStats -- touched) ++ freshSs),
         touched, base = Some(prior))
     } finally { withBucket.unpersist(); () }
   }
@@ -1253,6 +1420,7 @@ object PartitionedUpsert {
       buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
       tombs = Map.empty, // replaced contents carry no delete debt
       colStats = Map.empty, // new contents: old ranges bound nothing
+      strStats = Map.empty,
       defaults = Seq.empty)) // the snapshot carried every column
   }
 
@@ -1350,7 +1518,7 @@ object PartitionedUpsert {
     writeManifest(fsOf(spark, dir), dir,
       prior.copy(version = prior.version + 1,
         buckets = Map.empty, stats = Map.empty, tombs = Map.empty,
-        colStats = Map.empty, defaults = Seq.empty))
+        colStats = Map.empty, strStats = Map.empty, defaults = Seq.empty))
   }
 
   /** Record a writer-app transaction version WITHOUT data changes —
@@ -1442,6 +1610,8 @@ object PartitionedUpsert {
         // exists to close
         val ourCs = pending.manifest.colStats.filter {
           case (b, _) => ourTouched(b) }
+        val ourSs = pending.manifest.strStats.filter {
+          case (b, _) => ourTouched(b) }
         try
           publishWithRebase(spark, dir, base, ourTouched, ourTxns, first) {
             winner =>
@@ -1452,7 +1622,8 @@ object PartitionedUpsert {
                 // our rewrite read base's tombstones of the touched
                 // buckets (== winner's, proven) and physicalized them
                 tombs = winner.tombs -- ourTouched,
-                colStats = (winner.colStats -- ourTouched) ++ ourCs)
+                colStats = (winner.colStats -- ourTouched) ++ ourCs,
+                strStats = (winner.strStats -- ourTouched) ++ ourSs)
           }
         catch {
           case bucketClash: java.util.ConcurrentModificationException
@@ -1585,6 +1756,12 @@ object PartitionedUpsert {
           f.name.equalsIgnoreCase(c) && isColStatsType(f.dataType)))
       val freshCs = stagedColStats(spark, dir, staging, statCols,
         written, base.schema)
+      val strCols = (winner.strStats.values ++
+          pending.manifest.strStats.values)
+        .flatMap(_.keys).toSeq.distinct
+        .filter(c => base.schema.fields.exists(f =>
+          f.name.equalsIgnoreCase(c) && isStrStatsType(f.dataType)))
+      val freshSs = stagedStrStats(spark, dir, staging, strCols, written)
       val uncontested = ourTouched -- contested.toSet
       val next = winner.copy(version = winner.version + 1,
         txns = winner.txns ++ ourTxns,
@@ -1600,7 +1777,10 @@ object PartitionedUpsert {
         tombs = winner.tombs -- ourTouched,
         colStats = (winner.colStats -- ourTouched) ++
           pending.manifest.colStats.filter { case (b, _) =>
-            uncontested(b) } ++ freshCs)
+            uncontested(b) } ++ freshCs,
+        strStats = (winner.strStats -- ourTouched) ++
+          pending.manifest.strStats.filter { case (b, _) =>
+            uncontested(b) } ++ freshSs)
       try { writeManifest(fs, dir, next); return }
       catch { case _: java.util.ConcurrentModificationException =>
         fs.delete(new Path(s"$dir/data/$staging"), true): Unit }
@@ -1701,12 +1881,42 @@ object PartitionedUpsert {
         }.toMap.filter(_._2.nonEmpty)
     }
 
+  /** Per-bucket truncated string bounds aggregated over a freshly-
+    * staged rewrite — the string face of [[stagedColStats]]: same one
+    * small agg over just-written page-cached files, driver-bounded at
+    * nBuckets rows × ≤ a few columns; truncation happens driver-side
+    * off the exact (min, max) the agg returns. */
+  private def stagedStrStats(spark: SparkSession, dir: String,
+                             staging: String, cols: Seq[String],
+                             written: Seq[Long])
+      : Map[Long, Map[String, (String, String)]] =
+    if (cols.isEmpty || written.isEmpty) Map.empty
+    else {
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      spark.read.parquet(s"$dir/data/$staging")
+        .groupBy(col("bucket")
+          .cast(org.apache.spark.sql.types.LongType).as("bucket"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val b = r.getLong(r.fieldIndex("bucket"))
+          b -> cols.flatMap { c =>
+            val mn = r.fieldIndex(s"__mn_$c")
+            val mx = r.fieldIndex(s"__mx_$c")
+            if (r.isNullAt(mn) || r.isNullAt(mx)) None
+            else strStatEntry(r.getString(mn), r.getString(mx)).map(c -> _)
+          }.toMap
+        }.toMap.filter(_._2.nonEmpty)
+    }
+
   private def publishMaintenance(spark: SparkSession, dir: String,
                                  prior: Manifest, target: Seq[Long],
                                  entries: Map[Long, String],
                                  st: Map[Long, BucketStat],
                                  freshColStats: Map[Long,
-                                   Map[String, (Long, Long)]] = Map.empty)
+                                   Map[String, (Long, Long)]] = Map.empty,
+                                 freshStrStats: Map[Long,
+                                   Map[String, (String, String)]] = Map.empty)
       : Unit = {
     val fs = fsOf(spark, dir)
     // maintenance rewrites never change VALUES (compact/purge remove
@@ -1722,6 +1932,10 @@ object PartitionedUpsert {
         colStats = (head.colStats.keySet ++ freshColStats.keySet).map { b =>
           b -> (head.colStats.getOrElse(b, Map.empty) ++
             freshColStats.getOrElse(b, Map.empty))
+        }.toMap.filter(_._2.nonEmpty),
+        strStats = (head.strStats.keySet ++ freshStrStats.keySet).map { b =>
+          b -> (head.strStats.getOrElse(b, Map.empty) ++
+            freshStrStats.getOrElse(b, Map.empty))
         }.toMap.filter(_._2.nonEmpty))
     try writeManifest(fs, dir, next(prior))
     catch {
@@ -2188,6 +2402,21 @@ object PartitionedUpsert {
           case (m, _) => m
         }
       }.toMap.filter(_._2.nonEmpty),
+      // string bounds track the evolution the same way: rename
+      // re-keys (values unchanged), drop removes; no widen reaches a
+      // string column, and a stale entry on a re-typed column is
+      // inert anyway (the pruner's isStrStatsType gate checks the
+      // LIVE schema before consulting it)
+      strStats = prior.strStats.view.mapValues { per =>
+        changes.foldLeft(per) {
+          case (m, Cdc.RenameColumn(from, to)) =>
+            m.find(_._1.equalsIgnoreCase(from))
+              .map(e => (m - e._1) + (to -> e._2)).getOrElse(m)
+          case (m, Cdc.DropColumn(n, _)) =>
+            m.filterNot(_._1.equalsIgnoreCase(n))
+          case (m, _) => m
+        }
+      }.toMap.filter(_._2.nonEmpty),
       // column COMMENTs follow their column through the evolution
       colComments = changes.foldLeft(prior.colComments) {
         case (m, Cdc.RenameColumn(from, to)) =>
@@ -2270,6 +2499,7 @@ object PartitionedUpsert {
       buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
       tombs = Map.empty, // full rewrite read tombstone-filtered
       colStats = Map.empty, // rows rehashed: old bucket ranges are void
+      strStats = Map.empty,
       defaults = Seq.empty)) // rewrite materialized every default
   }
 
@@ -2327,12 +2557,15 @@ object PartitionedUpsert {
         f.name.equalsIgnoreCase(c) && isColStatsType(f.dataType)))
     val freshCs = stagedColStats(spark, dir, staging, statCols, written,
       prior.schema)
+    val freshSs = stagedStrStats(spark, dir, staging,
+      declaredStrCols(prior), written)
     // emptied-by-omission: a compacted bucket whose every row was
     // tombstoned stages nothing and must LEAVE the map — keeping its
     // old path while retiring its sidecars would resurrect the rows;
     // published through the maintenance auto-rebase (r17 verdict #4)
     publishMaintenance(spark, dir, prior, fragmented.keys.toSeq,
-      written.map(b => b -> dataRel(staging, b)).toMap, st, freshCs)
+      written.map(b => b -> dataRel(staging, b)).toMap, st, freshCs,
+      freshSs)
     fragmented.keys.toSeq.sorted
   }
 
@@ -2385,14 +2618,17 @@ object PartitionedUpsert {
         case org.apache.spark.sql.types.DateType => true
         case org.apache.spark.sql.types.TimestampType => true
         case org.apache.spark.sql.types.BooleanType => true
+        // strings cluster on their 8-byte prefix image (r19 — the
+        // Delta behavior) and record truncated BOUNDS, not images
+        case dt if isStrStatsType(dt) => true
         case _ => false
       }
       if (!ok) throw new IllegalArgumentException(
         s"ZORDER column '$c' has type ${field.dataType.catalogString} — " +
-          "z-ordering needs a numeric/date/timestamp/boolean column " +
-          "(rank codes are quantiles of the long-cast value; a " +
-          "non-castable column would cluster on all-NULL codes, an " +
-          "O(table) rewrite with zero benefit)")
+          "z-ordering needs a numeric/date/timestamp/boolean/string " +
+          "column (rank codes are quantiles of an order-preserving " +
+          "long image; a non-imageable column would cluster on " +
+          "all-NULL codes, an O(table) rewrite with zero benefit)")
     }
     if (prior.buckets.isEmpty) return Seq.empty
     val target = prior.buckets.keys.toSeq.sorted
@@ -2404,9 +2640,12 @@ object PartitionedUpsert {
       // date admission was unreachable) and floors TimestampType to
       // SECONDS (losing sub-second clustering); integral/boolean/
       // float columns keep the old cast behavior (the default arm)
-      def imageOf(c: String): org.apache.spark.sql.Column =
-        statLongExpr(col(c),
-          prior.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType)
+      def imageOf(c: String): org.apache.spark.sql.Column = {
+        val dt = prior.schema.fields
+          .find(_.name.equalsIgnoreCase(c)).get.dataType
+        if (isStrStatsType(dt)) strRankImage(col(c))
+        else statLongExpr(col(c), dt)
+      }
       val shadow = cols.indices.map(i => s"__zn$i")
       val normalized = cols.zip(shadow).foldLeft(current) {
         case (d, (c, n)) => d.withColumn(n, imageOf(c))
@@ -2445,11 +2684,16 @@ object PartitionedUpsert {
         prior.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType))
       val freshCs = stagedColStats(spark, dir, staging, statCols, written,
         prior.schema)
+      // string zorder columns DECLARE and refresh the bounds face
+      val strCols = cols.filter(c => isStrStatsType(
+        prior.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType))
+      val freshSs = stagedStrStats(spark, dir, staging, strCols, written)
       // every PRIOR bucket is the rewrite target (z-order is a full
       // re-cluster) — but a racing merge that created a NEW bucket or
       // touched none of ours still lands via the maintenance rebase
       publishMaintenance(spark, dir, prior, target,
-        written.map(b => b -> dataRel(staging, b)).toMap, st, freshCs)
+        written.map(b => b -> dataRel(staging, b)).toMap, st, freshCs,
+        freshSs)
       written.sorted
     } finally { current.unpersist(); () }
   }

@@ -720,6 +720,38 @@ object GraftScanBuilder {
           .forall { case (lo, hi) => pred(lo, hi) }
       }.toSet
 
+    // STRING-column bounds pruning (r19 — Manifest.strStats): entries
+    // are truncated BOUNDS (lo ≤ min, hi ≥ max — never exact images),
+    // and the keep-predicates below only prune when a bound PROVES
+    // emptiness, which is sound under both readings. Comparisons are
+    // code-point order (== the engine's UTF8String byte order); a
+    // pushed literal with an unpaired surrogate contributes nothing
+    // (its UTF-8 encoding diverges from its code points).
+    // DECLARED gate: beyond the type check, at least one bucket must
+    // record the column — an undeclared column contributes nothing
+    // (preserving the None = "no pruning possible" contract instead
+    // of intersecting an all-kept set)
+    def strStatsCol(a: String): Boolean =
+      !isKey(a) && m.schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(a) &&
+          graft.ops.cdc.PartitionedUpsert.isStrStatsType(f.dataType)) &&
+        m.strStats.values.exists(_.keys.exists(_.equalsIgnoreCase(a)))
+    def strKeep(a: String, pred: (String, String) => Boolean): Set[Long] =
+      all.filter { b =>
+        m.strStats.get(b)
+          .flatMap(_.collectFirst {
+            case (c, (lo, hi)) if c.equalsIgnoreCase(a) => (lo, hi) })
+          .forall { case (lo, hi) => pred(lo, hi) }
+      }.toSet
+    def strLit(v: Any): Option[String] = v match {
+      case s: String
+        if !graft.ops.cdc.PartitionedUpsert.hasUnpairedSurrogate(s) =>
+        Some(s)
+      case _ => None
+    }
+    def sc(a: String, b: String): Int =
+      graft.ops.cdc.PartitionedUpsert.strCmp(a, b)
+
     // the literal's long image under the COLUMN'S type — the shared
     // statLongOf/statLongExpr pair keeps the two faces in lockstep
     // (a date literal converts to the days image the write side
@@ -764,6 +796,37 @@ object GraftScanBuilder {
         asLong(a, v).foreach(x => intersect(colKeep(a, (lo, _) => lo < x)))
       case sources.LessThanOrEqual(a, v) if colStatsCol(a) =>
         asLong(a, v).foreach(x => intersect(colKeep(a, (lo, _) => lo <= x)))
+      // non-key STRING columns prune via the recorded truncated bounds
+      case sources.EqualTo(a, v) if strStatsCol(a) =>
+        strLit(v).foreach(x => intersect(strKeep(a,
+          (lo, hi) => sc(lo, x) <= 0 && sc(x, hi) <= 0)))
+      case sources.In(a, vs) if strStatsCol(a) && vs != null =>
+        val xs = vs.filter(_ != null).toSeq.map(strLit)
+        if (xs.nonEmpty && xs.forall(_.isDefined))
+          intersect(strKeep(a, (lo, hi) => xs.flatten.exists(x =>
+            sc(lo, x) <= 0 && sc(x, hi) <= 0)))
+      case sources.GreaterThan(a, v) if strStatsCol(a) =>
+        strLit(v).foreach(x => intersect(strKeep(a,
+          (_, hi) => sc(hi, x) > 0)))
+      case sources.GreaterThanOrEqual(a, v) if strStatsCol(a) =>
+        strLit(v).foreach(x => intersect(strKeep(a,
+          (_, hi) => sc(hi, x) >= 0)))
+      case sources.LessThan(a, v) if strStatsCol(a) =>
+        strLit(v).foreach(x => intersect(strKeep(a,
+          (lo, _) => sc(lo, x) < 0)))
+      case sources.LessThanOrEqual(a, v) if strStatsCol(a) =>
+        strLit(v).foreach(x => intersect(strKeep(a,
+          (lo, _) => sc(lo, x) <= 0)))
+      // a prefix predicate matches s iff p ≤ s < ceil(p): prune when
+      // p > hi (all matches above the bucket) or ceil(p) ≤ lo (all
+      // matches below it); an un-bumpable prefix skips that side
+      case sources.StringStartsWith(a, p) if strStatsCol(a) =>
+        strLit(p).foreach { x =>
+          intersect(strKeep(a, (lo, hi) =>
+            sc(x, hi) <= 0 &&
+              graft.ops.cdc.PartitionedUpsert.strPrefixCeil(x)
+                .forall(pc => sc(pc, lo) > 0)))
+        }
       case _ => // non-key / unsupported: no pruning contribution
     }
     candidate.map(_.toSeq.sorted)

@@ -85,8 +85,8 @@ class ZorderOptimizeSpec extends SparkSpec {
   }
 
   test("THREE-column ZORDER (r16 #6): per-file z-codes sorted, 2-col " +
-      "Morton layout unchanged (interleave(2) == morton), non-numeric " +
-      "columns rejected loudly (r16 ADVICE)") {
+      "Morton layout unchanged (interleave(2) == morton), non-imageable " +
+      "columns rejected loudly, strings admitted (r19)") {
     import spark.implicits._
     val dir = java.nio.file.Files
       .createTempDirectory("graft_zorder3").toString
@@ -95,7 +95,8 @@ class ZorderOptimizeSpec extends SparkSpec {
     PartitionedUpsert.init(
       (1L to 400L).map(k => (k, rnd.nextInt(1000).toLong,
         rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong,
-        s"s$k")).toDF("k", "a", "b", "c", "tag"),
+        s"s$k", s"s$k".getBytes("UTF-8")))
+        .toDF("k", "a", "b", "c", "tag", "bin"),
       dir, "k", 4)
     val before = rows3(dir)
     val done = PartitionedUpsert.optimizeZorder(spark, dir,
@@ -121,14 +122,21 @@ class ZorderOptimizeSpec extends SparkSpec {
           Seq(col("id") % 16, col("id") / 16), 4)).as("same"))
       .agg(org.apache.spark.sql.functions.min(col("same"))).head().getBoolean(0)
     assert(eq, "interleave(Seq(a,b)) must equal morton(a,b) bit-for-bit")
-    // type gate: a string column fails loudly BEFORE any rewrite
+    // type gate: a non-imageable (binary) column fails loudly BEFORE
+    // any rewrite — strings are ADMITTED since r19 (8-byte prefix
+    // image; StrStatsSpec owns the string end-to-end)
     val v = PartitionedUpsert.manifestOrFail(spark, dir).version
     val eType = intercept[IllegalArgumentException] {
-      PartitionedUpsert.optimizeZorder(spark, dir, Seq("a", "tag"))
+      PartitionedUpsert.optimizeZorder(spark, dir, Seq("a", "bin"))
     }
-    assert(eType.getMessage.contains("tag"))
+    assert(eType.getMessage.contains("bin"))
     assert(PartitionedUpsert.manifestOrFail(spark, dir).version == v,
       "rejected ZORDER must not burn a version or rewrite anything")
+    // the r19 admission: a STRING zorder column clusters and records
+    // truncated bounds instead of being refused
+    PartitionedUpsert.optimizeZorder(spark, dir, Seq("tag")): Unit
+    assert(PartitionedUpsert.manifestOrFail(spark, dir)
+      .strStats.values.forall(_.contains("tag")))
   }
 
   private def rows3(dir: String): Seq[(Long, Long, Long, Long, String)] =
