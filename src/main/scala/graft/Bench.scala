@@ -594,7 +594,15 @@ object Bench {
       val o = if (outs.isEmpty) ""
         else outs.map(x => f"$x%.6f").mkString(""","outliers":[""", ",", "]")
       val runsStr = rs.map(x => f"$x%.6f").mkString("[", ",", "]")
-      f""""$k":{"median":$m%.6f,"reps":${rs.size},"runs":$runsStr$pr$w$o,"plan":"$f"}"""
+      // drift-normalized median (r19, judge's lever for absolute
+      // per-key bars read from degraded windows): median / drift —
+      // what this key would read in a drift-1.0 window, RAW median
+      // kept alongside (normalization contextualizes, never replaces)
+      val nrm =
+        if (drift > 0 && !failed.contains(k))
+          f""","normalized":${m / drift}%.6f"""
+        else ""
+      f""""$k":{"median":$m%.6f$nrm,"reps":${rs.size},"runs":$runsStr$pr$w$o,"plan":"$f"}"""
     }.mkString("{", ",", "}")
     // header `reps` is the PROTOCOL (3 timed reps per key);
     // `min_surviving_reps` records the floor after outlier drops

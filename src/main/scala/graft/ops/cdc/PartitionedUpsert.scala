@@ -72,7 +72,9 @@ object PartitionedUpsert {
                             props: Map[String, String] = Map.empty,
                             insertDefaults: Map[String, String] = Map.empty,
                             strStats: Map[Long,
-                              Map[String, (String, String)]] = Map.empty)
+                              Map[String, (String, String)]] = Map.empty,
+                            nullStats: Map[Long,
+                              Map[String, (Long, Long)]] = Map.empty)
 
   /** `ADD COLUMN … DEFAULT <lit>` recorded metadata-only (r18 —
     * Spark's EXISTING_DEFAULT / Delta's existingDefault): rows that
@@ -535,6 +537,14 @@ object PartitionedUpsert {
             .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           s"strstats\t$b\t$c\t${b64(lo)}\t${b64(hi)}" }
       } ++
+      // per-(bucket, column) NULL/ROW counts (r19 — the third leg of
+      // the per-file stats trio): one COHERENT (nulls, rows) pair
+      // recorded by the same rewrite that produced the bucket's
+      // files. Advisory like the other stats lines.
+      m.nullStats.toSeq.sortBy(_._1).flatMap { case (b, per) =>
+        per.toSeq.sortBy(_._1).map { case (c, (n, r)) =>
+          s"nullstats\t$b\t$c\t$n\t$r" }
+      } ++
       // COMMENTs (r18): advisory documentation lines (losing one loses
       // words, never rows). Stored OUTSIDE the data schema on purpose:
       // schema-embedded comment metadata would read as a schema CHANGE
@@ -643,6 +653,11 @@ object PartitionedUpsert {
       (p(1).toLong, p(2), (un(3), un(4)))
     }.groupBy(_._1).map { case (b, es) =>
       b -> es.map(e => e._2 -> e._3).toMap }
+    val nullStats = rest.filter(_.startsWith("nullstats\t")).map { l =>
+      val p = l.split('\t')
+      (p(1).toLong, p(2), (p(3).toLong, p(4).toLong))
+    }.groupBy(_._1).map { case (b, es) =>
+      b -> es.map(e => e._2 -> e._3).toMap }
     val comment = rest.find(_.startsWith("comment\t"))
       .map(l => unescLine(l.substring("comment\t".length)))
     val colComments = rest.filter(_.startsWith("colcomment\t")).map { l =>
@@ -669,7 +684,7 @@ object PartitionedUpsert {
       }.toMap
     Manifest(version, schema, nBuckets, keyCol, txns, buckets, stats,
       layout, splits, tombs, checks, colStats, comment, colComments,
-      defaults, props, insertDefaults, strStats)
+      defaults, props, insertDefaults, strStats, nullStats)
   }
 
   /** Single-line escape for free-text manifest fields (comments): the
@@ -1166,6 +1181,7 @@ object PartitionedUpsert {
         .toSeq.distinct.filter(c => prior.schema.fields.exists(f =>
           f.name.equalsIgnoreCase(c) && isColStatsType(f.dataType)))
       val mergeStrCols = declaredStrCols(prior)
+      val mergeNullCols = declaredNullCols(prior)
       def statDt(c: String): org.apache.spark.sql.types.DataType =
         prior.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
       val wantKey = integralTypes.contains(keyType)
@@ -1186,7 +1202,19 @@ object PartitionedUpsert {
             mergeStrCols.zipWithIndex.flatMap { case (c, i) =>
               val v = when(col("bucket") === lit(b), col(c))
               Seq(min(v).as(s"__s${i}mn_$b"), max(v).as(s"__s${i}mx_$b"))
-            }
+            } ++
+            // null/row counts too — exactly-once under the observe:
+            // the staging write is an ACTION's result stage, where
+            // Spark applies each task's accumulator update once
+            // (failed attempts dropped, duplicate successes ignored
+            // by the scheduler), so counts cannot over-accumulate
+            (if (mergeNullCols.isEmpty) Nil
+             else count(when(col("bucket") === lit(b), 1))
+               .as(s"__nr_$b") +:
+               mergeNullCols.zipWithIndex.map { case (c, i) =>
+                 count(when(col("bucket") === lit(b) && col(c).isNull, 1))
+                   .as(s"__n${i}_$b")
+               })
         }
       val obsv = org.apache.spark.sql.Observation()
       val toWrite =
@@ -1289,6 +1317,18 @@ object PartitionedUpsert {
             }.toMap
           }.toMap.filter(_._2.nonEmpty)
         else stagedStrStats(spark, dir, staging, mergeStrCols, written)
+      val freshNs: Map[Long, Map[String, (Long, Long)]] =
+        if (observed.nonEmpty)
+          written.map { b =>
+            obsLong(s"__nr_$b") match {
+              case Some(rows) =>
+                b -> mergeNullCols.zipWithIndex.flatMap { case (c, i) =>
+                  obsLong(s"__n${i}_$b").map(n => c -> (n, rows))
+                }.toMap
+              case None => b -> Map.empty[String, (Long, Long)]
+            }
+          }.toMap.filter(_._2.nonEmpty)
+        else stagedNullStats(spark, dir, staging, mergeNullCols, written)
       // manifest version = base+1: a concurrent merge from the same
       // base targets the SAME manifest name and loses the publish race.
       // Touched buckets rewrote from the tombstone-FILTERED read, so
@@ -1303,7 +1343,8 @@ object PartitionedUpsert {
           // rewrite (an emptied/all-NULL bucket records nothing —
           // absence = conservative keep on the read side)
           colStats = (prior.colStats -- touched) ++ freshCs,
-          strStats = (prior.strStats -- touched) ++ freshSs),
+          strStats = (prior.strStats -- touched) ++ freshSs,
+          nullStats = (prior.nullStats -- touched) ++ freshNs),
         touched, base = Some(prior))
     } finally { withBucket.unpersist(); () }
   }
@@ -1420,7 +1461,7 @@ object PartitionedUpsert {
       buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
       tombs = Map.empty, // replaced contents carry no delete debt
       colStats = Map.empty, // new contents: old ranges bound nothing
-      strStats = Map.empty,
+      strStats = Map.empty, nullStats = Map.empty,
       defaults = Seq.empty)) // the snapshot carried every column
   }
 
@@ -1518,7 +1559,8 @@ object PartitionedUpsert {
     writeManifest(fsOf(spark, dir), dir,
       prior.copy(version = prior.version + 1,
         buckets = Map.empty, stats = Map.empty, tombs = Map.empty,
-        colStats = Map.empty, strStats = Map.empty, defaults = Seq.empty))
+        colStats = Map.empty, strStats = Map.empty,
+        nullStats = Map.empty, defaults = Seq.empty))
   }
 
   /** Record a writer-app transaction version WITHOUT data changes —
@@ -1612,6 +1654,8 @@ object PartitionedUpsert {
           case (b, _) => ourTouched(b) }
         val ourSs = pending.manifest.strStats.filter {
           case (b, _) => ourTouched(b) }
+        val ourNs = pending.manifest.nullStats.filter {
+          case (b, _) => ourTouched(b) }
         try
           publishWithRebase(spark, dir, base, ourTouched, ourTxns, first) {
             winner =>
@@ -1623,7 +1667,8 @@ object PartitionedUpsert {
                 // buckets (== winner's, proven) and physicalized them
                 tombs = winner.tombs -- ourTouched,
                 colStats = (winner.colStats -- ourTouched) ++ ourCs,
-                strStats = (winner.strStats -- ourTouched) ++ ourSs)
+                strStats = (winner.strStats -- ourTouched) ++ ourSs,
+                nullStats = (winner.nullStats -- ourTouched) ++ ourNs)
           }
         catch {
           case bucketClash: java.util.ConcurrentModificationException
@@ -1762,6 +1807,11 @@ object PartitionedUpsert {
         .filter(c => base.schema.fields.exists(f =>
           f.name.equalsIgnoreCase(c) && isStrStatsType(f.dataType)))
       val freshSs = stagedStrStats(spark, dir, staging, strCols, written)
+      val nullCols = (winner.nullStats.values ++
+          pending.manifest.nullStats.values)
+        .flatMap(_.keys).toSeq.distinct
+        .filter(c => base.schema.fields.exists(_.name.equalsIgnoreCase(c)))
+      val freshNs = stagedNullStats(spark, dir, staging, nullCols, written)
       val uncontested = ourTouched -- contested.toSet
       val next = winner.copy(version = winner.version + 1,
         txns = winner.txns ++ ourTxns,
@@ -1780,7 +1830,10 @@ object PartitionedUpsert {
             uncontested(b) } ++ freshCs,
         strStats = (winner.strStats -- ourTouched) ++
           pending.manifest.strStats.filter { case (b, _) =>
-            uncontested(b) } ++ freshSs)
+            uncontested(b) } ++ freshSs,
+        nullStats = (winner.nullStats -- ourTouched) ++
+          pending.manifest.nullStats.filter { case (b, _) =>
+            uncontested(b) } ++ freshNs)
       try { writeManifest(fs, dir, next); return }
       catch { case _: java.util.ConcurrentModificationException =>
         fs.delete(new Path(s"$dir/data/$staging"), true): Unit }
@@ -1909,6 +1962,38 @@ object PartitionedUpsert {
         }.toMap.filter(_._2.nonEmpty)
     }
 
+  /** Per-(bucket, column) (nulls, rows) pairs aggregated over a
+    * freshly-staged rewrite — the null face of [[stagedColStats]]:
+    * unlike min/max it records an entry even for an all-NULL column
+    * (that (n, n) pair is exactly what IsNotNull pruning needs). */
+  private def stagedNullStats(spark: SparkSession, dir: String,
+                              staging: String, cols: Seq[String],
+                              written: Seq[Long])
+      : Map[Long, Map[String, (Long, Long)]] =
+    if (cols.isEmpty || written.isEmpty) Map.empty
+    else {
+      val aggs = count(lit(1)).as("__rows") +:
+        cols.map(c => count(when(col(c).isNull, 1)).as(s"__nn_$c"))
+      spark.read.parquet(s"$dir/data/$staging")
+        .groupBy(col("bucket")
+          .cast(org.apache.spark.sql.types.LongType).as("bucket"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val b = r.getLong(r.fieldIndex("bucket"))
+          val rows = r.getLong(r.fieldIndex("__rows"))
+          b -> cols.map { c =>
+            c -> (r.getLong(r.fieldIndex(s"__nn_$c")), rows)
+          }.toMap
+        }.toMap.filter(_._2.nonEmpty)
+    }
+
+  /** The DECLARED null-stats column set: whatever any bucket already
+    * records, still present in the live schema (null-ness does not
+    * depend on the column's type or collation, so no type gate). */
+  private def declaredNullCols(m: Manifest): Seq[String] =
+    m.nullStats.values.flatMap(_.keys).toSeq.distinct
+      .filter(c => m.schema.fields.exists(_.name.equalsIgnoreCase(c)))
+
   private def publishMaintenance(spark: SparkSession, dir: String,
                                  prior: Manifest, target: Seq[Long],
                                  entries: Map[Long, String],
@@ -1916,7 +2001,9 @@ object PartitionedUpsert {
                                  freshColStats: Map[Long,
                                    Map[String, (Long, Long)]] = Map.empty,
                                  freshStrStats: Map[Long,
-                                   Map[String, (String, String)]] = Map.empty)
+                                   Map[String, (String, String)]] = Map.empty,
+                                 freshNullStats: Map[Long,
+                                   Map[String, (Long, Long)]] = Map.empty)
       : Unit = {
     val fs = fsOf(spark, dir)
     // maintenance rewrites never change VALUES (compact/purge remove
@@ -1936,7 +2023,16 @@ object PartitionedUpsert {
         strStats = (head.strStats.keySet ++ freshStrStats.keySet).map { b =>
           b -> (head.strStats.getOrElse(b, Map.empty) ++
             freshStrStats.getOrElse(b, Map.empty))
-        }.toMap.filter(_._2.nonEmpty))
+        }.toMap.filter(_._2.nonEmpty),
+        // null counts survive removal-only rewrites: a no-null bucket
+        // stays no-null and an all-null bucket stays all-null under
+        // any row removal, so BOTH pruning tests remain sound on a
+        // carried pair; fresh entries win per (bucket, column)
+        nullStats = (head.nullStats.keySet ++ freshNullStats.keySet)
+          .map { b =>
+            b -> (head.nullStats.getOrElse(b, Map.empty) ++
+              freshNullStats.getOrElse(b, Map.empty))
+          }.toMap.filter(_._2.nonEmpty))
     try writeManifest(fs, dir, next(prior))
     catch {
       case first: java.util.ConcurrentModificationException =>
@@ -2417,6 +2513,18 @@ object PartitionedUpsert {
           case (m, _) => m
         }
       }.toMap.filter(_._2.nonEmpty),
+      // null counts follow too; a WIDEN keeps them — it never changes
+      // a value's null-ness
+      nullStats = prior.nullStats.view.mapValues { per =>
+        changes.foldLeft(per) {
+          case (m, Cdc.RenameColumn(from, to)) =>
+            m.find(_._1.equalsIgnoreCase(from))
+              .map(e => (m - e._1) + (to -> e._2)).getOrElse(m)
+          case (m, Cdc.DropColumn(n, _)) =>
+            m.filterNot(_._1.equalsIgnoreCase(n))
+          case (m, _) => m
+        }
+      }.toMap.filter(_._2.nonEmpty),
       // column COMMENTs follow their column through the evolution
       colComments = changes.foldLeft(prior.colComments) {
         case (m, Cdc.RenameColumn(from, to)) =>
@@ -2499,7 +2607,7 @@ object PartitionedUpsert {
       buckets = written.map(b => b -> dataRel(staging, b)).toMap, stats = st,
       tombs = Map.empty, // full rewrite read tombstone-filtered
       colStats = Map.empty, // rows rehashed: old bucket ranges are void
-      strStats = Map.empty,
+      strStats = Map.empty, nullStats = Map.empty,
       defaults = Seq.empty)) // rewrite materialized every default
   }
 
@@ -2559,13 +2667,15 @@ object PartitionedUpsert {
       prior.schema)
     val freshSs = stagedStrStats(spark, dir, staging,
       declaredStrCols(prior), written)
+    val freshNs = stagedNullStats(spark, dir, staging,
+      declaredNullCols(prior), written)
     // emptied-by-omission: a compacted bucket whose every row was
     // tombstoned stages nothing and must LEAVE the map — keeping its
     // old path while retiring its sidecars would resurrect the rows;
     // published through the maintenance auto-rebase (r17 verdict #4)
     publishMaintenance(spark, dir, prior, fragmented.keys.toSeq,
       written.map(b => b -> dataRel(staging, b)).toMap, st, freshCs,
-      freshSs)
+      freshSs, freshNs)
     fragmented.keys.toSeq.sorted
   }
 
@@ -2688,12 +2798,17 @@ object PartitionedUpsert {
       val strCols = cols.filter(c => isStrStatsType(
         prior.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType))
       val freshSs = stagedStrStats(spark, dir, staging, strCols, written)
+      // every stat-typed zorder column also DECLARES null/row counts
+      // (the IsNull/IsNotNull pruning rung — recorded even where
+      // min/max cannot be, e.g. an all-NULL bucket)
+      val freshNs = stagedNullStats(spark, dir, staging,
+        statCols ++ strCols, written)
       // every PRIOR bucket is the rewrite target (z-order is a full
       // re-cluster) — but a racing merge that created a NEW bucket or
       // touched none of ours still lands via the maintenance rebase
       publishMaintenance(spark, dir, prior, target,
         written.map(b => b -> dataRel(staging, b)).toMap, st, freshCs,
-        freshSs)
+        freshSs, freshNs)
       written.sorted
     } finally { current.unpersist(); () }
   }

@@ -743,6 +743,20 @@ object GraftScanBuilder {
             case (c, (lo, hi)) if c.equalsIgnoreCase(a) => (lo, hi) })
           .forall { case (lo, hi) => pred(lo, hi) }
       }.toSet
+    // NULL-count pruning (r19 — Manifest.nullStats): each entry is a
+    // COHERENT (nulls, rows) pair recorded by the rewrite that
+    // produced the bucket's files; no type gate (null-ness is
+    // type/collation-independent), same declared gate as strings
+    def nullStatsCol(a: String): Boolean =
+      !isKey(a) && m.schema.fields.exists(_.name.equalsIgnoreCase(a)) &&
+        m.nullStats.values.exists(_.keys.exists(_.equalsIgnoreCase(a)))
+    def nullKeep(a: String, pred: (Long, Long) => Boolean): Set[Long] =
+      all.filter { b =>
+        m.nullStats.get(b)
+          .flatMap(_.collectFirst {
+            case (c, (n, r)) if c.equalsIgnoreCase(a) => (n, r) })
+          .forall { case (n, r) => pred(n, r) }
+      }.toSet
     def strLit(v: Any): Option[String] = v match {
       case s: String
         if !graft.ops.cdc.PartitionedUpsert.hasUnpairedSurrogate(s) =>
@@ -827,6 +841,12 @@ object GraftScanBuilder {
               graft.ops.cdc.PartitionedUpsert.strPrefixCeil(x)
                 .forall(pc => sc(pc, lo) > 0)))
         }
+      // a bucket recording ZERO nulls cannot match IS NULL; a bucket
+      // whose every row is null cannot match IS NOT NULL
+      case sources.IsNull(a) if nullStatsCol(a) =>
+        intersect(nullKeep(a, (n, _) => n > 0))
+      case sources.IsNotNull(a) if nullStatsCol(a) =>
+        intersect(nullKeep(a, (n, r) => n < r))
       case _ => // non-key / unsupported: no pruning contribution
     }
     candidate.map(_.toSeq.sorted)
