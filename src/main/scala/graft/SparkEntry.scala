@@ -57,6 +57,8 @@ object SparkEntry {
         graft.streaming.StreamApplyQuery.oracle),
       (graft.ops.cdc.ZorderStrQuery.queries,
         graft.ops.cdc.ZorderStrQuery.oracle),
+      (graft.ops.cdc.AnalyzeQuery.queries,
+        graft.ops.cdc.AnalyzeQuery.oracle),
       (graft.sources.CatalogQueries.queries,
         graft.sources.CatalogQueries.oracle)
     )

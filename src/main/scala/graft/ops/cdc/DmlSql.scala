@@ -516,6 +516,69 @@ object DmlSql {
     (parts.result().mkString("."), n, retain, zorder, dryRun)
   }
 
+  /** `ANALYZE TABLE <t> COMPUTE STATISTICS FOR COLUMNS c1[, c2…]` —
+    * Spark's own column-statistics statement shape, re-aimed at the
+    * manifest's per-bucket skipping stats for graft tables
+    * ([[PartitionedUpsert.analyzeColumns]]: one agg scan, metadata-
+    * only commit — the declaration path that does not cost an
+    * O(table) ZORDER rewrite). Non-graft targets fall back to the
+    * delegate's plan (Spark's catalog CBO stats) at run time, the
+    * GraftSqlFallback contract; Spark-only variants this grammar does
+    * not accept (`FOR ALL COLUMNS`, PARTITION clauses, bare `COMPUTE
+    * STATISTICS`) fail our parse and delegate at PARSE time. Parens
+    * around the column list are accepted and must balance. */
+  private def parseAnalyze(sql: String): (String, Seq[String]) = {
+    val toks = tokenize(sql)
+    var i = 0
+    def cur = if (i < toks.length) toks(i)
+              else fail(sql, sql.length, "unexpected end of statement")
+    def expectKw(kw: String): Unit = {
+      if (!(i < toks.length && cur.kind == IDENT && cur.upper == kw))
+        fail(sql, if (i < toks.length) cur.start else sql.length,
+          s"expected $kw")
+      i += 1
+    }
+    expectKw("ANALYZE"); expectKw("TABLE")
+    if (cur.kind != IDENT && cur.kind != MergeSql.STR)
+      fail(sql, cur.start, "expected a table name")
+    val parts = Vector.newBuilder[String]
+    parts += cur.raw; i += 1
+    while (i < toks.length && cur.kind == PUNCT && cur.raw == "." &&
+           i + 1 < toks.length) { i += 1; parts += cur.raw; i += 1 }
+    expectKw("COMPUTE"); expectKw("STATISTICS"); expectKw("FOR")
+    expectKw("COLUMNS")
+    val paren = i < toks.length && cur.kind == PUNCT && cur.raw == "("
+    if (paren) i += 1
+    val out = Vector.newBuilder[String]
+    var more = true
+    while (more) {
+      if (i >= toks.length || (cur.kind != IDENT && cur.kind != MergeSql.STR))
+        fail(sql, if (i < toks.length) cur.start else sql.length,
+          "expected a column name in FOR COLUMNS")
+      out += cur.raw.stripPrefix("`").stripSuffix("`"); i += 1
+      if (i < toks.length && cur.kind == PUNCT && cur.raw == ",") i += 1
+      else more = false
+    }
+    if (paren) {
+      if (!(i < toks.length && cur.kind == PUNCT && cur.raw == ")"))
+        fail(sql, if (i < toks.length) cur.start else sql.length,
+          "expected ')' closing FOR COLUMNS")
+      i += 1
+    }
+    if (i < toks.length)
+      fail(sql, cur.start, s"unexpected trailing token '${cur.raw}'")
+    (parts.result().mkString("."), out.result())
+  }
+
+  def validateAnalyze(sqlText: String): Unit = { parseAnalyze(sqlText); () }
+  def analyzeTargetName(sqlText: String): String = parseAnalyze(sqlText)._1
+
+  def analyzeCatalogTable(spark: SparkSession, sqlText: String)
+      : Seq[(String, Long, Long, Long)] = {
+    val (name, cols) = parseAnalyze(sqlText)
+    PartitionedUpsert.analyzeColumns(spark, tableLocation(spark, name), cols)
+  }
+
   def optimizeCatalogTable(spark: SparkSession, sqlText: String): Seq[Long] = {
     val (name, n, _, zorder, _) = parseMaint(sqlText, "OPTIMIZE")
     val dir = tableLocation(spark, name)

@@ -1259,19 +1259,20 @@ object PartitionedUpsert {
       val observed: Map[String, Any] =
         if (obsAggs.isEmpty) Map.empty
         else {
-          // the metrics listener fires asynchronously (but promptly)
-          // after the write action succeeds; `get` alone could in
-          // principle block a commit forever on a listener bug, so
-          // bound the wait and fall back to the scans — the observed
-          // and scanned values are identical by construction, this
-          // only trades one extra job for liveness
-          import scala.concurrent.{Await, Future}
+          // the metrics promise completes on the ASYNC listener bus —
+          // normally sub-millisecond after the write returns, but a
+          // backlogged bus (observed mid-sweep under 200+ concurrent
+          // query keys) can lag SECONDS, and the fallback scan costs
+          // about one small job over page-cached files — so waiting
+          // longer than that is a strict loss. Bounded wait on the
+          // observation's own future (no extra thread); on lag the
+          // dedicated scans record identical values by construction.
+          import scala.concurrent.Await
           import scala.concurrent.duration._
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.global
-          scala.util.Try(
-            Await.result(Future(obsv.get), 30.seconds)
-          ).getOrElse(Map.empty)
+          scala.util.Try {
+            val row = Await.result(obsv.future, 2.seconds)
+            row.getValuesMap[Any](row.schema.fieldNames.toSeq)
+          }.getOrElse(Map.empty)
         }
       def obsLong(nm: String): Option[Long] = observed.get(nm) match {
         case Some(v: Number) => Some(v.longValue)
@@ -2697,6 +2698,133 @@ object PartitionedUpsert {
     * boundaries, degrading pruning, never correctness). Tombstones
     * retire with the rewrite like every other full rewrite. Returns
     * the rewritten bucket ids (empty table = no-op). */
+  /** Declare + record data-skipping stats for `cols` WITHOUT a
+    * rewrite (r19 — `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`,
+    * the declaration path that scales): ONE distributed agg over the
+    * committed LOGICAL state records, per (bucket, column), every
+    * applicable face — exact-long-image [min,max] for stats-typed
+    * columns, truncated bounds for strings, (nulls, rows) for every
+    * requested column — published as a METADATA-ONLY commit. The
+    * other declaration path (OPTIMIZE ZORDER) costs an O(table)
+    * rewrite; at 100 TB "make my predicate prunable" must not require
+    * re-clustering the table. Once declared, every later merge
+    * re-records the columns through the write-riding observe, so the
+    * declaration stays fresh under ordinary churn.
+    *
+    * Logical state (tombstones + defaults applied) is exactly what
+    * every read serves, so pruning against these stats can never drop
+    * a servable row. Concurrency: a racer that REWROTE a bucket
+    * between our scan and publish invalidates that bucket's
+    * just-computed entries — the publish loop drops entries for
+    * buckets whose data path changed vs the scanned base (absence =
+    * conservative keep) and retries the swap; new tombstones alone
+    * are removal-only and keep every face sound (bounds stay
+    * over-approximations; no-nulls stays no-nulls, all-null stays
+    * all-null); a table-shape change refuses loudly. Returns one
+    * receipt row per column: (name, range buckets, bound buckets,
+    * nullcount buckets). */
+  def analyzeColumns(spark: SparkSession, dir: String,
+                     cols: Seq[String]): Seq[(String, Long, Long, Long)] =
+    analyzeColumnsFrom(spark, dir, manifestOrFail(spark, dir), cols)
+
+  /** [[analyzeColumns]] from a pinned base — the deterministic race
+    * seam, same rationale as [[optimizeZorderFrom]]. */
+  private[cdc] def analyzeColumnsFrom(spark: SparkSession, dir: String,
+                                      prior: Manifest, cols: Seq[String])
+      : Seq[(String, Long, Long, Long)] = {
+    require(cols.nonEmpty, "ANALYZE takes at least one column")
+    val fs = fsOf(spark, dir)
+    val fields = cols.map { c =>
+      prior.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ANALYZE column '$c' is not a column of $dir"))
+    }
+    require(!cols.exists(_.equalsIgnoreCase(prior.keyCol)),
+      s"'${prior.keyCol}' is the table key — its per-bucket ranges are " +
+        "already maintained by every write; ANALYZE records SECONDARY-" +
+        "column stats")
+    if (prior.buckets.isEmpty) return fields.map(f => (f.name, 0L, 0L, 0L))
+    val longCols = fields.filter(f => isColStatsType(f.dataType)).map(_.name)
+    val strCols = fields.filter(f => isStrStatsType(f.dataType)).map(_.name)
+    val nullCols = fields.map(_.name) // null-ness is type-independent
+    def dtOf(c: String) = fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+    val read = bucketsDf(spark, dir, prior)
+      .withColumn("bucket", routeExpr(prior, col(prior.keyCol)))
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      (count(lit(1)).as("__rows") +:
+        longCols.flatMap(c => Seq(
+          min(statLongExpr(col(c), dtOf(c))).as(s"__lmn_$c"),
+          max(statLongExpr(col(c), dtOf(c))).as(s"__lmx_$c")))) ++
+        strCols.flatMap(c => Seq(
+          min(col(c)).as(s"__smn_$c"), max(col(c)).as(s"__smx_$c"))) ++
+        nullCols.map(c => count(when(col(c).isNull, 1)).as(s"__n_$c"))
+    val rows = read
+      .groupBy(col("bucket").cast(org.apache.spark.sql.types.LongType)
+        .as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    def perBucket[A](f: org.apache.spark.sql.Row => Map[String, A])
+        : Map[Long, Map[String, A]] =
+      rows.map(r => r.getLong(r.fieldIndex("bucket")) -> f(r)).toMap
+        .filter(_._2.nonEmpty)
+    val freshCs = perBucket { r =>
+      longCols.flatMap { c =>
+        val mn = r.fieldIndex(s"__lmn_$c"); val mx = r.fieldIndex(s"__lmx_$c")
+        if (r.isNullAt(mn) || r.isNullAt(mx)) None
+        else Some(c -> (r.getLong(mn), r.getLong(mx)))
+      }.toMap
+    }
+    val freshSs = perBucket { r =>
+      strCols.flatMap { c =>
+        val mn = r.fieldIndex(s"__smn_$c"); val mx = r.fieldIndex(s"__smx_$c")
+        if (r.isNullAt(mn) || r.isNullAt(mx)) None
+        else strStatEntry(r.getString(mn), r.getString(mx)).map(c -> _)
+      }.toMap
+    }
+    val freshNs = perBucket { r =>
+      val rws = r.getLong(r.fieldIndex("__rows"))
+      nullCols.map(c => c -> (r.getLong(r.fieldIndex(s"__n_$c")), rws)).toMap
+    }
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      val head = manifestOrFail(spark, dir)
+      if (head.schema != prior.schema || head.nBuckets != prior.nBuckets ||
+          head.layout != prior.layout || head.splits != prior.splits)
+        throw new java.util.ConcurrentModificationException(
+          s"$dir changed shape while ANALYZE scanned it — rerun the " +
+            "statement against the new shape")
+      // a racer's REWRITE of a bucket (path change) voids our scan of
+      // it; tombstone-only changes are removal-only and keep the
+      // entries sound — see scaladoc
+      def live[A](m: Map[Long, Map[String, A]]): Map[Long, Map[String, A]] =
+        m.filter { case (b, _) => head.buckets.get(b) == prior.buckets.get(b) }
+      def merged[A](base: Map[Long, Map[String, A]],
+                    fresh: Map[Long, Map[String, A]])
+          : Map[Long, Map[String, A]] =
+        (base.keySet ++ fresh.keySet).map { b =>
+          b -> (base.getOrElse(b, Map.empty) ++ fresh.getOrElse(b, Map.empty))
+        }.toMap.filter(_._2.nonEmpty)
+      val (liveCs, liveSs, liveNs) = (live(freshCs), live(freshSs), live(freshNs))
+      val next = head.copy(version = head.version + 1,
+        colStats = merged(head.colStats, liveCs),
+        strStats = merged(head.strStats, liveSs),
+        nullStats = merged(head.nullStats, liveNs))
+      try {
+        writeManifest(fs, dir, next)
+        return fields.map { f =>
+          def n[A](m: Map[Long, Map[String, A]]): Long =
+            m.values.count(_.keys.exists(_.equalsIgnoreCase(f.name))).toLong
+          (f.name, n(liveCs), n(liveSs), n(liveNs))
+        }
+      } catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"ANALYZE of $dir lost the publish race 3 times — rerun under " +
+        "less write contention (the scan is the cost; the publish is " +
+        "a metadata swap)")
+  }
+
   def optimizeZorder(spark: SparkSession, dir: String, cols: Seq[String],
                      bits: Int = 8): Seq[Long] =
     optimizeZorderFrom(spark, dir, manifestOrFail(spark, dir), cols, bits)

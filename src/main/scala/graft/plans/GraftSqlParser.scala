@@ -69,6 +69,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     m.find() && m.start() == 0
   }
 
+  /** Only `ANALYZE TABLE … FOR COLUMNS …` is ours (the per-bucket
+    * skipping-stats declaration); every other ANALYZE flavor (bare
+    * COMPUTE STATISTICS, FOR ALL COLUMNS, PARTITION clauses, ANALYZE
+    * TABLES) belongs to the delegate — and even the intercepted shape
+    * falls back to the delegate's plan at RUN time when the target is
+    * not a graft table (Spark's own catalog column stats). */
+  private def isAnalyzeForColumns(sqlText: String): Boolean = {
+    val clean = sqlText.replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("--[^\n]*", " ")
+    val m = java.util.regex.Pattern
+      .compile("^\\s*ANALYZE\\s+TABLE\\b",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(clean)
+    m.find() && m.start() == 0 &&
+      java.util.regex.Pattern
+        .compile("\\bFOR\\s+COLUMNS\\b",
+          java.util.regex.Pattern.CASE_INSENSITIVE)
+        .matcher(clean).find()
+  }
+
   /** Only `CREATE TABLE … SHALLOW CLONE …` is ours; CREATE is the
     * broadest statement class there is, so every ordinary CREATE
     * bypasses the intercept entirely (a malformed ordinary CREATE
@@ -140,6 +160,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case "CREATE" if isShallowClone(sqlText) =>
         intercept(sqlText, DmlSql.validateShallowClone,
           GraftShallowCloneCommand(sqlText, _))
+      case "ANALYZE" if isAnalyzeForColumns(sqlText) =>
+        intercept(sqlText, DmlSql.validateAnalyze,
+          GraftAnalyzeCommand(sqlText, _))
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -400,6 +423,31 @@ final case class GraftShallowCloneCommand(sqlText: String,
   * statements ([[DmlSql]] owns grammar + lowering onto
   * compactFiles/vacuum). OPTIMIZE reports compacted buckets; VACUUM
   * reports 0 (reclamation has no bucket receipt). */
+/** `ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS …` — records the
+  * manifest's per-bucket skipping stats for the named columns with
+  * one agg scan and a metadata-only commit ([[DmlSql]] owns grammar,
+  * [[graft.ops.cdc.PartitionedUpsert.analyzeColumns]] the engine).
+  * Receipt: one row per column with the bucket counts each stats
+  * face recorded. */
+final case class GraftAnalyzeCommand(sqlText: String,
+                                     fallback: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("range_buckets", LongType, nullable = false)(),
+    AttributeReference("bound_buckets", LongType, nullable = false)(),
+    AttributeReference("nullcount_buckets", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSqlFallback.run(session,
+      Some(DmlSql.analyzeTargetName(sqlText)), fallback) {
+      DmlSql.analyzeCatalogTable(session, sqlText).map {
+        case (c, l, s, n) => Row(c, l, s, n)
+      }
+    }
+}
+
 final case class GraftMaintenanceCommand(sqlText: String, isVacuum: Boolean,
                                          fallback: Option[LogicalPlan])
     extends LeafRunnableCommand {

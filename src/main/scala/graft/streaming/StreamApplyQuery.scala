@@ -182,15 +182,29 @@ object StreamApplyQuery {
       StructField("__op", StringType), StructField("__lsn", LongType),
       StructField("c_custkey", LongType), StructField("bal_cents", LongType),
       StructField("seg", StringType)))
-    val q = CdcStream.maintainedAggregateSink(
-      spark.readStream.schema(sch)
-        .option("maxFilesPerTrigger", "1").json(inDir),
-      targetDir = path, aggDir = aggDir, checkpointDir = ckpt,
-      keyCol = "c_custkey", lsnCol = "__lsn", opCol = "__op",
-      valueCols = Seq("bal_cents", "seg"),
-      groupCols = Seq("seg"), sumCols = Seq("bal_cents"),
-      nBuckets = 4, aggBuckets = 2)
-    try q.processAllAvailable() finally q.stop()
+    // the sink's replay guard (dropDuplicates on lsn) is STATEFUL: it
+    // provisions one state store per shuffle partition per trigger,
+    // and this 15k-row fixture under the bench session's 32 global
+    // partitions paid 32 store opens/commits/snapshots per trigger
+    // for nothing — size the stream to the fixture's bucket count
+    // the way production sizes it to data volume (the end state is
+    // partitioning-invariant, so the oracle hash is untouched)
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // held through the drain: the stream pins it for its stateful
+      // dedup at start, and the foreachBatch merges read the session
+      // conf at execution time
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = CdcStream.maintainedAggregateSink(
+        spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").json(inDir),
+        targetDir = path, aggDir = aggDir, checkpointDir = ckpt,
+        keyCol = "c_custkey", lsnCol = "__lsn", opCol = "__op",
+        valueCols = Seq("bal_cents", "seg"),
+        groupCols = Seq("seg"), sumCols = Seq("bal_cents"),
+        nBuckets = 4, aggBuckets = 2)
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
     graft.ops.cdc.AggMaintain.readAggregate(spark, aggDir)
       .select($"seg", $"cnt", $"sum_bal_cents")
       .orderBy($"seg")
