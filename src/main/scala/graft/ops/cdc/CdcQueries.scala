@@ -475,11 +475,19 @@ object CdcQueries {
         .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
     val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
     // materialized: each state feeds the seed aggregate AND the image
-    // diff (the q_cdc_incr_minmax rationale)
+    // diff (the q_cdc_incr_minmax rationale). state₂ is COMPOSED from
+    // the checkpointed state₁ — apply(apply(s, w₁), w₂) ≡ apply(s,
+    // w₁ ∪ w₂) for lsn-disjoint windows (last event per key wins
+    // whether the fold lands in one pass or two; a trailing 'd'
+    // removes either way) — so the second apply reads the in-memory
+    // state + half the log instead of re-scanning snapshot + full log
+    // (guide §1.2: remove a whole pass). The oracle computes state₂
+    // DIRECTLY from the full log, so the hash gate re-certifies the
+    // composition law on every run.
     val state1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
       .localCheckpoint()
-    val state2 = Cdc.apply(snap, log,
+    val state2 = Cdc.apply(state1, log.filter($"lsn" > cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
       .localCheckpoint()
     val agg1 = AggMaintain.fullAggregate(state1, Seq("seg"), Seq("cents"))
@@ -534,11 +542,17 @@ object CdcQueries {
     // (counts delta, per-side contributions, watermark join, rescan) —
     // unchecked, every pass re-runs the Cdc.apply compaction window
     // (measured 23.8 s -> ~1 s at sf0.1); the graph-family
-    // localCheckpoint discipline, Bench GCs blocks between keys
-    val state1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
+    // localCheckpoint discipline, Bench GCs blocks between keys.
+    // state₂ composed from the checkpointed base — apply(apply(s, w₁),
+    // w₂) ≡ apply(s, w₁ ∪ w₂) for lsn-disjoint windows (the
+    // q_cdc_incr_agg composition note); planted rows union AFTER the
+    // base so the second apply never sees them. state₁ is a narrow
+    // union over the checkpoint — its consumers re-run only that.
+    val base1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
-      .unionByName(planted1).localCheckpoint()
-    val state2 = Cdc.apply(snap, log,
+      .localCheckpoint()
+    val state1 = base1.unionByName(planted1)
+    val state2 = Cdc.apply(base1, log.filter($"lsn" > cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
       .unionByName(planted2).localCheckpoint()
     val diff = AggMaintain.diffImages(state1, state2,
@@ -588,12 +602,15 @@ object CdcQueries {
       .select((-$"id").as("pk"), lit("ZZ_PLANT").as("seg"),
         ($"id" + lit(1000000L)).as("cents"))
     val planted2 = planted1.filter($"cents" <= 1000003L)
-    // same materialization rationale as q_cdc_incr_minmax (each state
-    // feeds multiple reserve-fold passes)
-    val state1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
+    // same materialization + state₂-composition rationale as
+    // q_cdc_incr_minmax (each state feeds multiple reserve-fold
+    // passes; the second apply folds only the upper window over the
+    // checkpointed base)
+    val base1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
-      .unionByName(planted1).localCheckpoint()
-    val state2 = Cdc.apply(snap, log,
+      .localCheckpoint()
+    val state1 = base1.unionByName(planted1)
+    val state2 = Cdc.apply(base1, log.filter($"lsn" > cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
       .unionByName(planted2).localCheckpoint()
     val diff = AggMaintain.diffImages(state1, state2,
@@ -643,11 +660,15 @@ object CdcQueries {
       .toDF("pk", "cents").select($"pk", lit("ZZ_PLANT").as("seg"), $"cents")
     val planted2 = planted1.filter($"pk" =!= -2L)
     // null-cents rows dropped BEFORE the diff: a value going null is a
-    // delete of its multiplicity entry, a null going valued an insert
-    val s1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
+    // delete of its multiplicity entry, a null going valued an insert.
+    // s₂ composed from the UNFILTERED checkpointed base (the
+    // q_cdc_incr_agg composition note) — the null-cents filter applies
+    // AFTER each apply, exactly where the direct computation applies it
+    val base1 = Cdc.apply(snap, log.filter($"lsn" <= cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
-      .unionByName(planted1).filter($"cents".isNotNull).localCheckpoint()
-    val s2 = Cdc.apply(snap, log,
+      .localCheckpoint()
+    val s1 = base1.unionByName(planted1).filter($"cents".isNotNull)
+    val s2 = Cdc.apply(base1, log.filter($"lsn" > cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
       .unionByName(planted2).filter($"cents".isNotNull).localCheckpoint()
     val m1 = AggMaintain.fullAggregate(s1, Seq("seg", "cents"), Seq.empty)
@@ -684,8 +705,9 @@ object CdcQueries {
         ($"lsn" % 5 + 1).cast(IntegerType)).as("seg"),
       when($"lsn" % 7 === 0, lit(null).cast(LongType))
         .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
-    val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
+    // one agg job serves the midpoint AND the remap ceiling (was two)
     val maxLsn = log.agg(max($"lsn")).head().getLong(0)
+    val cut = maxLsn / 2
     val imgT = "struct<seg:string,cents:bigint>"
     // full envelopes: snapshot seeded as lsn-0 creates, before = lag of
     // the after image per key (each event's after IS the state)
@@ -737,20 +759,29 @@ object CdcQueries {
       $"c_nationkey".cast(LongType).as("fk"))
     val dimSnap = Tables.table(spark, dir, "nation").select(
       $"n_nationkey".cast(LongType).as("dk"), $"n_name".as("dname"))
-    val cutF = factLog.agg(expr("max(lsn) DIV 2").as("c")).head().getLong(0)
-    val cutD = dimLog.agg(expr("max(lsn) DIV 3").as("c")).head().getLong(0)
-    def applyF(log: DataFrame) = Cdc.apply(factSnap, log,
+    // both logs carry the SAME lsn set (each derives from changeLog),
+    // so one max(lsn) job serves both midpoints (was two head() jobs)
+    val mxLsn = factLog.agg(max($"lsn")).head().getLong(0)
+    val cutF = mxLsn / 2
+    val cutD = mxLsn / 3
+    def applyF(base: DataFrame, log: DataFrame) = Cdc.apply(base, log,
       Seq("pk"), "lsn", "op", Seq("cents", "fk")).drop("src")
-    def applyD(log: DataFrame) = Cdc.apply(dimSnap, log,
+    def applyD(base: DataFrame, log: DataFrame) = Cdc.apply(base, log,
       Seq("dk"), "lsn", "op", Seq("dname")).drop("src")
     // materialized: each state feeds the seed join AND an image diff
     // (fact2/dim2 also the delta apply) — unchecked, every consumer
     // re-runs the Cdc.apply compaction window (the q_cdc_incr_minmax
-    // rationale; Bench GCs checkpoint blocks between keys)
-    val fact1 = applyF(factLog.filter($"lsn" <= cutF)).localCheckpoint()
-    val fact2 = applyF(factLog).localCheckpoint()
-    val dim1 = applyD(dimLog.filter($"lsn" <= cutD)).localCheckpoint()
-    val dim2 = applyD(dimLog).localCheckpoint()
+    // rationale; Bench GCs checkpoint blocks between keys). The ₂
+    // states compose from the checkpointed ₁ states over the upper
+    // windows (the q_cdc_incr_agg composition note).
+    val fact1 = applyF(factSnap, factLog.filter($"lsn" <= cutF))
+      .localCheckpoint()
+    val fact2 = applyF(fact1, factLog.filter($"lsn" > cutF))
+      .localCheckpoint()
+    val dim1 = applyD(dimSnap, dimLog.filter($"lsn" <= cutD))
+      .localCheckpoint()
+    val dim2 = applyD(dim1, dimLog.filter($"lsn" > cutD))
+      .localCheckpoint()
     val j1 = JoinMaintain.fullJoin(fact1, dim1, "pk", "fk", "dk",
       Seq("cents", "fk"), Seq("dname"))
     val factDiff = AggMaintain.diffImages(fact1, fact2,
@@ -798,16 +829,23 @@ object CdcQueries {
       $"c_nationkey".cast(LongType).as("fk"))
     val dimSnap = Tables.table(spark, dir, "nation").select(
       $"n_nationkey".cast(LongType).as("dk"), $"n_name".as("dname"))
-    val cutF = factLog.agg(expr("max(lsn) DIV 2").as("c")).head().getLong(0)
-    val cutD = dimLog.agg(expr("max(lsn) DIV 3").as("c")).head().getLong(0)
-    def applyF(log: DataFrame) = Cdc.apply(factSnap, log,
+    // one max(lsn) job serves both midpoints; the ₂ states compose
+    // from the checkpointed ₁ states (q_cdc_incr_join's shape)
+    val mxLsn = factLog.agg(max($"lsn")).head().getLong(0)
+    val cutF = mxLsn / 2
+    val cutD = mxLsn / 3
+    def applyF(base: DataFrame, log: DataFrame) = Cdc.apply(base, log,
       Seq("pk"), "lsn", "op", Seq("cents", "fk")).drop("src")
-    def applyD(log: DataFrame) = Cdc.apply(dimSnap, log,
+    def applyD(base: DataFrame, log: DataFrame) = Cdc.apply(base, log,
       Seq("dk"), "lsn", "op", Seq("dname")).drop("src")
-    val fact1 = applyF(factLog.filter($"lsn" <= cutF)).localCheckpoint()
-    val fact2 = applyF(factLog).localCheckpoint()
-    val dim1 = applyD(dimLog.filter($"lsn" <= cutD)).localCheckpoint()
-    val dim2 = applyD(dimLog).localCheckpoint()
+    val fact1 = applyF(factSnap, factLog.filter($"lsn" <= cutF))
+      .localCheckpoint()
+    val fact2 = applyF(fact1, factLog.filter($"lsn" > cutF))
+      .localCheckpoint()
+    val dim1 = applyD(dimSnap, dimLog.filter($"lsn" <= cutD))
+      .localCheckpoint()
+    val dim2 = applyD(dim1, dimLog.filter($"lsn" > cutD))
+      .localCheckpoint()
     // hop 1: the maintained join (checkpointed — it feeds the hop-2
     // seed aggregate AND the hop-2 image diff)
     val j1 = JoinMaintain.fullJoin(fact1, dim1, "pk", "fk", "dk",
