@@ -30,11 +30,25 @@ object Profile {
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, java.util.concurrent.atomic.AtomicInteger, java.util.concurrent.atomic.AtomicInteger)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[JobRow]()
+    // executionId → physical-plan head line (the SQL-execution event
+    // carries the plan; jobs carry only the execution id)
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(e: SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          val head = s.physicalPlanDescription.linesIterator
+            .find(l => l.contains("Execute") || l.contains("*(") ||
+              l.contains("Scan") || l.contains("Result"))
+            .getOrElse(s.description.take(60))
+          execDesc.put(s.executionId, head.trim.take(90))
+        case _ =>
+      }
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description"))
-            .orElse(Option(p.getProperty("callSite.short"))))
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => Option(execDesc.get(id.toLong)))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))))
           .getOrElse("")
         jobs.put(e.jobId, (d, System.nanoTime(),
           new java.util.concurrent.atomic.AtomicInteger(e.stageInfos.size),

@@ -505,35 +505,56 @@ object LlmQueries2 {
     val planted = docs.filter($"doc_id" < 10).crossJoin(broadcast(mx))
       .select(($"doc_id" + $"mx" + 1).as("doc_id"),
         trim(repeat(lit("buy now "), 40)).as("text"))
-    // ONE text pass (r14 multi-scan audit — separate bigram/trigram
-    // branches each re-scanned the corpus): both gram lengths explode
-    // from one tagged array union, then the (doc, len, gram) counts
-    // and the per-doc rollup follow the same two-shuffle shape as
-    // before — the scan halves, the shuffles do not change
+    // FULLY NARROW per-doc computation (optimization r19, guide §2.4
+    // "remove shuffles outright"): both gram statistics are functions
+    // of ONE document — top2 = the max multiplicity among its bigrams,
+    // dup3 = trigram occurrences whose gram repeats within the doc —
+    // so shuffling every gram string through a (doc, len, gram) count
+    // exchange plus a per-doc rollup exchange (the previous shape: 2
+    // aggregation exchanges carrying ~2N gram strings per doc) bought
+    // nothing the row itself doesn't hold. Sort each doc's gram array
+    // and run-length-fold it: equal grams are adjacent after
+    // array_sort, so the max run IS the max multiplicity and runs ≥ 2
+    // sum to the repeated-occurrence count. Per-row O(L log L) work,
+    // ZERO gram exchanges (only the output orderBy shuffles — rows,
+    // not grams); identical integer counts by construction, same
+    // 4dp divisions, oracle untouched. At 100 TB this turns the key's
+    // dominant cost (two corpus-sized gram shuffles) into a map pass.
     val arr = docs.unionByName(planted)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
-    val grams = arr.select($"doc_id",
-      (size($"t") - 1).as("n2"), (size($"t") - 2).as("n3"),
-      explode(concat(
-        transform(sequence(lit(0), size($"t") - 2),
-          i => struct(lit(2).as("len"), concat_ws(" ",
-            $"t".getItem(i), $"t".getItem(i + 1)).as("g"))),
-        transform(sequence(lit(0), size($"t") - 3),
-          i => struct(lit(3).as("len"), concat_ws(" ",
-            $"t".getItem(i), $"t".getItem(i + 1),
-            $"t".getItem(i + 2)).as("g"))))).as("gg"))
-      .select($"doc_id", $"n2", $"n3",
-        $"gg.len".as("len"), $"gg.g".as("g"))
-    val perDoc = grams.groupBy($"doc_id", $"len", $"g")
-      .agg(first($"n2").as("n2"), first($"n3").as("n3"),
-        count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(first($"n2").as("n2"), first($"n3").as("n3"),
-        max(when($"len" === 2, $"c")).as("top2"),
-        coalesce(sum(when($"len" === 3 && $"c" >= 2, $"c")), lit(0L))
-          .as("dup3"))
-    perDoc
+    def gramSorted(width: Int) = array_sort(
+      transform(sequence(lit(0), size($"t") - width),
+        i => concat_ws(" ", (0 until width).map(k =>
+          $"t".getItem(i + k)): _*)))
+    val runInit = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("acc"))
+    // max run length over a sorted gram array (null-safe <=> so the
+    // initial null prev never matches a real gram)
+    val top2 = aggregate(gramSorted(2), runInit,
+      (st, x) => {
+        val r = when(x <=> st("prev"), st("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), r.as("run"),
+          greatest(st("acc"), r).as("acc"))
+      },
+      st => st("acc"))
+    // total occurrences in runs of length ≥ 2 (a run's length is added
+    // when the run CLOSES — on gram change mid-fold, or at finish)
+    val dup3 = aggregate(gramSorted(3), runInit,
+      (st, x) => {
+        val same = x <=> st("prev")
+        struct(x.as("prev"),
+          when(same, st("run") + 1L).otherwise(lit(1L)).as("run"),
+          (st("acc") + when(!same && st("run") >= 2L, st("run"))
+            .otherwise(lit(0L))).as("acc"))
+      },
+      st => st("acc") +
+        when(st("run") >= 2L, st("run")).otherwise(lit(0L)))
+    arr
+      .select($"doc_id",
+        (size($"t") - 1).cast("long").as("n2"),
+        (size($"t") - 2).cast("long").as("n3"),
+        top2.as("top2"), dup3.as("dup3"))
       .select($"doc_id",
         round($"top2".cast("double") / $"n2", 4).as("top2_frac"),
         round($"dup3".cast("double") / $"n3", 4).as("dup3_frac"),

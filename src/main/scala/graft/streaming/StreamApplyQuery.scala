@@ -58,13 +58,25 @@ object StreamApplyQuery {
       StructField("__op", StringType), StructField("__lsn", LongType),
       StructField("c_custkey", LongType), StructField("bal_cents", LongType),
       StructField("seg", StringType)))
-    val q = spark.readStream.schema(sch)
-      .option("maxFilesPerTrigger", "1").json(inDir)
-      .writeStream.format("graft")
-      .option("checkpointLocation", ckpt)
-      .option("opCol", "__op").option("lsnCol", "__lsn")
-      .start(path)
-    try q.processAllAvailable() finally q.stop()
+    // per-trigger shuffles sized to the fixture's bucket count for the
+    // drain (the q_cdc_stream_agg discipline, r19: a 15k-row 4-bucket
+    // fixture under the session's 32 global partitions pays 8× the
+    // reduce-task fan-out per trigger for nothing — production sizes
+    // the stream to its data volume the same way; the applied end
+    // state is partitioning-invariant, oracle hash untouched)
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // held through start AND drain: the sink's merges read the
+      // session conf at execution time
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").json(inDir)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("opCol", "__op").option("lsnCol", "__lsn")
+        .start(path)
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
     spark.read.format("graft").load(path)
       .select($"c_custkey", $"bal_cents", $"seg")
       .orderBy($"c_custkey")
@@ -109,21 +121,29 @@ object StreamApplyQuery {
         round($"c_acctbal" * 100.0, 0).cast("long").as("bal_cents"),
         $"c_mktsegment".as("seg")).coalesce(1)
     }
-    val q = spark.readStream.format("graft")
-      .option("readChangeFeed", "true")
-      .option("startingVersion", "snapshot")
-      .load(path)
-      .writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .start()
+    // per-trigger + mid-stream-merge shuffles sized to the fixture's
+    // bucket count (the q_cdc_stream_agg discipline, r19 — see
+    // qCdcStreamApply); the CDF feed and the applied end state are
+    // partitioning-invariant, oracle hash untouched
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      q.processAllAvailable() // snapshot batch drained
-      graft.ops.cdc.PartitionedUpsert.merge(spark, path,
-        changeSet(spark, dir), "c_custkey", "__lsn", "__op",
-        Seq("bal_cents", "seg"), 4): Unit
-      q.processAllAvailable() // tail batch drained
-    } finally q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "snapshot")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        q.processAllAvailable() // snapshot batch drained
+        graft.ops.cdc.PartitionedUpsert.merge(spark, path,
+          changeSet(spark, dir), "c_custkey", "__lsn", "__op",
+          Seq("bal_cents", "seg"), 4): Unit
+        q.processAllAvailable() // tail batch drained
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
     spark.read.parquet(outDir)
       .select($"c_custkey", $"change_type", $"bal_cents", $"seg")
       .orderBy($"c_custkey", $"change_type")
