@@ -184,19 +184,30 @@ object Quality {
     val ud = Tables.table(spark, dir, "events")
       .select($"user_id", date_trunc("day", $"ts").as("d"))
       .distinct()
-      // the user-day reduction materializes ONCE: the grid, the DAU
-      // agg and BOTH trailing-window joins read it — without the
-      // checkpoint that is five full event scans in one plan (r14
-      // multi-scan audit)
-      .localCheckpoint()
-    val grid = ud.select($"d").distinct().select($"d".as("g"))
-    val dau = ud.groupBy($"d".as("g"))
-      .agg(countDistinct($"user_id").as("dau"))
-    def trailing(daysBack: Int, name: String) =
-      ud.join(grid,
-          $"d" <= $"g" && $"d" >= $"g" - expr(s"INTERVAL $daysBack DAYS"))
-        .groupBy($"g").agg(countDistinct($"user_id").as(name))
-    dau.join(trailing(6, "wau"), "g").join(trailing(29, "mau"), "g")
+    // ONE generate + ONE aggregate (optimization r19, guide §2.4/§3
+    // "avoid accidental cartesians": the previous form range-JOINED
+    // the user-day frame against the day grid twice — two broadcast
+    // nested-loop joins, each evaluating |grid| predicates per
+    // user-day — then joined three aggregates back together, with a
+    // checkpoint job to keep the five-scan plan at one event read).
+    // Each (user, d) row contributes to exactly the 30 trailing grid
+    // days d..d+29, so EXPLODE that window and fold all three series
+    // in one grouped aggregate: dau = distinct users at lag 0, wau =
+    // within 6 days, mau = all fanned rows. Emitted g beyond the last
+    // observed day (and any g with no same-day event) have dau = 0 —
+    // exactly the rows the previous inner join with the DAU series
+    // dropped. Same exact distinct counts, same grid, no joins, no
+    // checkpoint; the fan-out (×30 of the REDUCED user-day frame) is
+    // the same row set the old joins emitted into their aggregates.
+    ud.select($"user_id", $"d", explode(sequence($"d",
+        $"d" + expr("INTERVAL 29 DAYS"), expr("INTERVAL 1 DAY"))).as("g"))
+      .groupBy($"g")
+      .agg(
+        countDistinct(when($"d" === $"g", $"user_id")).as("dau"),
+        countDistinct(when($"d" >= $"g" - expr("INTERVAL 6 DAYS"),
+          $"user_id")).as("wau"),
+        countDistinct($"user_id").as("mau"))
+      .filter($"dau" > 0)
       .select($"g".as("d"), $"dau", $"wau", $"mau",
         (expr("(10000 * dau) DIV mau") / 10000.0).as("stickiness"))
       .orderBy($"d")

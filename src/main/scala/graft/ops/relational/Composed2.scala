@@ -73,7 +73,19 @@ object Composed2 {
     val parts = Tables.table(spark, dir, "part")
       .filter($"p_type" === "STANDARD" && $"p_size" === 15)
       .select($"p_partkey", $"p_name")
+    // pre-filter the fact BEFORE the (partkey, suppkey) aggregate
+    // (optimization r19, guide §1.2 "don't compute things you throw
+    // away" / §3.2): the part-class filter keeps ~1/40 of parts and
+    // the EUROPE supplier slice ~1/5 of suppliers, so aggregating all
+    // of lineitem first built a min() for ~200× the (part, supplier)
+    // pairs the join then discarded. The broadcast key joins drop
+    // non-qualifying lines before the aggregate's exchange; the min
+    // over the surviving group is unchanged (same rows reach it).
     val cost = Tables.table(spark, dir, "lineitem")
+      .join(broadcast(parts.select($"p_partkey".as("pk_f"))),
+        $"l_partkey" === $"pk_f")
+      .join(broadcast(supp.select($"s_suppkey".as("sk_f"))),
+        $"l_suppkey" === $"sk_f")
       .groupBy($"l_partkey", $"l_suppkey")
       .agg(min($"l_extendedprice" / $"l_quantity").as("cost"))
     val scoped = cost
