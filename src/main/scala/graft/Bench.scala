@@ -330,6 +330,16 @@ object Bench {
       case c => c.toString
     }
 
+  /** 1-minute system load average at a key's END (r19 — three rounds
+    * of flagged-regression churn have been window artifacts whose
+    * solos read in band; recording machine load per key makes "slow
+    * segment = contended window" checkable from the artifact instead
+    * of requiring a re-run). -1 when the platform bean hides it. */
+  private def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -485,7 +495,7 @@ object Bench {
       lastDf = null
       System.gc()
       (name, medianOf(runs), runs, fp, planText, warmupDropped,
-        outliers.toList)
+        outliers.toList, loadAvg())
     }
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -526,7 +536,7 @@ object Bench {
     // keys failing THIS round contribute near-zero medians — exclude
     // them from ratios so they neither drag the drift median down nor
     // appear as (meaningless) per-key ratios themselves
-    val ratios = results.flatMap { case (k, m, _, _, _, _, _) =>
+    val ratios = results.flatMap { case (k, m, _, _, _, _, _, _) =>
       if (failed.contains(k)) None
       else prior.get(k).filter(_ > 0).map(p => (k, m, p, m / p)) }
     val drift =
@@ -550,7 +560,7 @@ object Bench {
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
       } catch { case _: Throwable => Map.empty }
     val planChanged = results.collect {
-      case (k, _, _, f, _, _, _) if f.nonEmpty &&
+      case (k, _, _, f, _, _, _, _) if f.nonEmpty &&
         priorPlans.get(k).exists(p => p.nonEmpty && p != f) => k
     }.sorted
     val planChangedJson = planChanged.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -579,7 +589,7 @@ object Bench {
     if (args.isEmpty) try {
       val w = new java.io.PrintWriter("bench_plans.json")
       try {
-        val body = results.collect { case (k, _, _, f, t, _, _) if f.nonEmpty =>
+        val body = results.collect { case (k, _, _, f, t, _, _, _) if f.nonEmpty =>
           s""""$k":"${jsonEsc(t)}"""" }.mkString("{", ",", "}")
         w.println(body)
       } finally w.close()
@@ -588,7 +598,7 @@ object Bench {
     // Full-precision artifact (all surviving runs per key — 3 normally,
     // 2 when the replacement bound exhausted — plus any rejected
     // `outliers` and the dropped `warmup`) for offline reads.
-    val fullQs = results.map { case (k, m, rs, f, _, wu, outs) =>
+    val fullQs = results.map { case (k, m, rs, f, _, wu, outs, load) =>
       val pr = prior.get(k).map(p => f""","prior":$p%.6f""").getOrElse("")
       val w = wu.map(x => f""","warmup":$x%.6f""").getOrElse("")
       val o = if (outs.isEmpty) ""
@@ -602,7 +612,7 @@ object Bench {
         if (drift > 0 && !failed.contains(k))
           f""","normalized":${m / drift}%.6f"""
         else ""
-      f""""$k":{"median":$m%.6f$nrm,"reps":${rs.size},"runs":$runsStr$pr$w$o,"plan":"$f"}"""
+      f""""$k":{"median":$m%.6f$nrm,"reps":${rs.size},"runs":$runsStr$pr$w$o,"load":$load%.2f,"plan":"$f"}"""
     }.mkString("{", ",", "}")
     // header `reps` is the PROTOCOL (3 timed reps per key);
     // `min_surviving_reps` records the floor after outlier drops
@@ -622,7 +632,7 @@ object Bench {
     // tail always contains a parseable total even when the per-key line's
     // head is truncated (BENCH_r05 "parsed": null — VERDICT r5 #4). Full
     // per-key data lives in bench_results.json either way.
-    val qs = results.map { case (k, m, _, _, _, _, _) => f""""$k":$m%.3f""" }
+    val qs = results.map { case (k, m, _, _, _, _, _, _) => f""""$k":$m%.3f""" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"per_key","queries":$qs,"sf":"$sfDir"}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":3,"stat":"median","keys":${results.size},"cpus":"$cpus","drift":$drift%.2f,"regressions":$regressionsJson,"plan_changed":$planChangedJson,"failed":$failedJson,"detail":"bench_results.json","sf":"$sfDir"}""")
