@@ -22,7 +22,14 @@ object Tables {
   // The memo holds the LAZY read plan (schema + file listing), never
   // data — each query still computes from the parquet bytes; the
   // corpus is immutable for a session's lifetime by the driver
-  // contract. WeakHashMap so a dropped session doesn't pin its plans.
+  // contract. LIFETIME (r19 ADVICE): despite the WeakHashMap, entries
+  // are EFFECTIVELY STRONG — each DataFrame value references its
+  // SparkSession (the key) through QueryExecution, so the value→key
+  // chain defeats weak eviction and a dropped session stays pinned.
+  // Accepted deliberately: the driver mains build a handful of
+  // sessions per JVM and an entry is a lazy plan (≤ dirs × 10 tables,
+  // a few KB each), so the bound is small and static; a multi-session
+  // server would wrap values in WeakReference and re-read on miss.
   private val tableMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[(String, String), DataFrame]]())

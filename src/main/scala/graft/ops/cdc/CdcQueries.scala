@@ -259,7 +259,10 @@ object CdcQueries {
       .select($"c_custkey".as("pk"), $"c_acctbal".as("val"))
     val log = changeLog(spark, dir)
       .select($"lsn", $"pk", $"op", $"after_value".as("val"))
-    val spec = spark.range(4).toDF("chunk")
+    // ONE partition for the 4-row chunk spec (optimization r20 — the
+    // default-parallelism range pushed 32 near-empty partitions into
+    // the chunk join's build side)
+    val spec = spark.range(0, 4, 1, 1).toDF("chunk")
       .crossJoin(log.agg(max($"lsn").as("mx")))
       .select($"chunk", expr("((chunk + 1) * mx) DIV 4").as("wm"))
     val unionSrc = snap.select($"pk", $"val", lit(-1L).as("lsn"), lit("r").as("op"))
@@ -473,6 +476,9 @@ object CdcQueries {
         ($"lsn" % 5 + 1).cast(IntegerType)).as("seg"),
       when($"lsn" % 7 === 0, lit(null).cast(LongType))
         .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
+    // fixture shuffles sized to the data — the q_cdc_incr_minmax
+    // rationale (optimization r20)
+    graft.ConfScope.withShufflePartitions(spark, 8) {
     val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
     // materialized: each state feeds the seed aggregate AND the image
     // diff (the q_cdc_incr_minmax rationale). state₂ is COMPOSED from
@@ -500,6 +506,7 @@ object CdcQueries {
       .select($"seg", $"cnt", $"sum_cents",
         round($"avg_cents", 4).as("avg_cents"))
       .orderBy($"seg")
+    }
   }
 
   /** Incremental MIN/MAX maintenance, oracled end-to-end (the
@@ -531,10 +538,21 @@ object CdcQueries {
         ($"lsn" % 5 + 1).cast(IntegerType)).as("seg"),
       when($"lsn" % 7 === 0, lit(null).cast(LongType))
         .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
+    // fixture shuffles sized to the DATA (15k-row snapshot, 10k-row
+    // window — ~2k rows/task at 8), not the machine-wide default: the
+    // checkpointed RDDs inherit the exchange sizing, so every
+    // downstream reserve-fold pass scans 8 partitions instead of the
+    // session's core count (optimization r20, guide §2.2 — the stream
+    // fixtures' bucket-count discipline; results partitioning-
+    // invariant, oracle hash untouched)
+    graft.ConfScope.withShufflePartitions(spark, 8) {
     val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
     // planted exhaustion group: six values seeded, the top three gone
     // in the window — a K=2 reserve MUST empty and flag
-    val planted1 = spark.range(1, 7)
+    // ONE partition: a default-parallelism range drags 32 near-empty
+    // partitions through every checkpointed union downstream (each
+    // reserve-fold scan paid 33 tasks for 6 rows — optimization r20)
+    val planted1 = spark.range(1, 7, 1, 1)
       .select((-$"id").as("pk"), lit("ZZ_PLANT").as("seg"),
         ($"id" + lit(1000000L)).as("cents"))
     val planted2 = planted1.filter($"cents" <= 1000003L)
@@ -555,10 +573,14 @@ object CdcQueries {
     val state2 = Cdc.apply(base1, log.filter($"lsn" > cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
       .unionByName(planted2).localCheckpoint()
-    val diff = AggMaintain.diffImages(state1, state2,
-      Seq("pk"), Seq("seg", "cents")).localCheckpoint()
-    val seed = MinMaxMaintain.fullMinMaxState(state1, Seq("seg"),
-      Seq("cents"), k = 2).localCheckpoint()
+    // diff and seed are independent given the checkpointed states —
+    // overlap their materializations (guide §2.6; each underfills the
+    // cluster on its own)
+    val (diff, seed) = graft.ConfScope.par2(
+      AggMaintain.diffImages(state1, state2,
+        Seq("pk"), Seq("seg", "cents")).localCheckpoint(),
+      MinMaxMaintain.fullMinMaxState(state1, Seq("seg"),
+        Seq("cents"), k = 2).localCheckpoint())
     // stepped is consumed twice by rescanMerge (flagged + clean
     // branches) and is group-count-sized — checkpoint, don't recompute
     val stepped = MinMaxMaintain.deltaMinMax(seed, diff,
@@ -568,6 +590,7 @@ object CdcQueries {
     MinMaxMaintain.exposedMinMax(clean, Seq("seg"), Seq("cents"))
       .select($"seg", $"cnt", $"min_cents", $"max_cents")
       .orderBy($"seg")
+    }
   }
 
   /** Incremental TOP-N maintenance, oracled end-to-end: the maintained
@@ -595,10 +618,14 @@ object CdcQueries {
         ($"lsn" % 5 + 1).cast(IntegerType)).as("seg"),
       when($"lsn" % 7 === 0, lit(null).cast(LongType))
         .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
+    // fixture shuffles sized to the data + overlapped independent
+    // checkpoints — the q_cdc_incr_minmax rationale (optimization r20)
+    graft.ConfScope.withShufflePartitions(spark, 8) {
     val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
     // planted exhaustion group: eight values seeded, the top five gone
     // in the window — a K=4 reserve MUST empty and flag
-    val planted1 = spark.range(1, 9)
+    // ONE partition (the q_cdc_incr_minmax rationale)
+    val planted1 = spark.range(1, 9, 1, 1)
       .select((-$"id").as("pk"), lit("ZZ_PLANT").as("seg"),
         ($"id" + lit(1000000L)).as("cents"))
     val planted2 = planted1.filter($"cents" <= 1000003L)
@@ -613,10 +640,11 @@ object CdcQueries {
     val state2 = Cdc.apply(base1, log.filter($"lsn" > cut),
       Seq("pk"), "lsn", "op", Seq("seg", "cents")).drop("src")
       .unionByName(planted2).localCheckpoint()
-    val diff = AggMaintain.diffImages(state1, state2,
-      Seq("pk"), Seq("seg", "cents")).localCheckpoint()
-    val seed = MinMaxMaintain.fullMinMaxState(state1, Seq("seg"),
-      Seq("cents"), k = 4).localCheckpoint()
+    val (diff, seed) = graft.ConfScope.par2(
+      AggMaintain.diffImages(state1, state2,
+        Seq("pk"), Seq("seg", "cents")).localCheckpoint(),
+      MinMaxMaintain.fullMinMaxState(state1, Seq("seg"),
+        Seq("cents"), k = 4).localCheckpoint())
     // stepped is consumed twice by rescanMerge (flagged + clean
     // branches) and is group-count-sized — checkpoint, don't recompute
     val stepped = MinMaxMaintain.deltaMinMax(seed, diff,
@@ -626,6 +654,7 @@ object CdcQueries {
     MinMaxMaintain.exposedTopK(clean, Seq("seg"), "cents", n = 3)
       .select($"seg", $"rnk", $"v".as("cents"), $"m".as("n_rows"))
       .orderBy($"seg", $"rnk")
+    }
   }
 
   /** Incremental COUNT DISTINCT maintenance, oracled end-to-end — the
@@ -654,6 +683,9 @@ object CdcQueries {
         ($"lsn" % 5 + 1).cast(IntegerType)).as("seg"),
       when($"lsn" % 7 === 0, lit(null).cast(LongType))
         .otherwise(round($"after_value" * 100).cast(LongType)).as("cents"))
+    // fixture shuffles sized to the data — the q_cdc_incr_minmax
+    // rationale (optimization r20)
+    graft.ConfScope.withShufflePartitions(spark, 8) {
     val cut = log.agg(expr("max(lsn) DIV 2").as("cut")).head().getLong(0)
     // duplicate-value plant: one copy of 111 goes; 2 distinct remain
     val planted1 = Seq((-1L, 111L), (-2L, 111L), (-3L, 222L), (-4L, 222L))
@@ -680,6 +712,7 @@ object CdcQueries {
     maintained.groupBy($"seg")
       .agg(count(lit(1)).as("n_distinct"), sum($"cnt").as("n_rows"))
       .orderBy($"seg")
+    }
   }
 
   /** Change-log INVERSION / point-in-time rollback, oracled
@@ -759,6 +792,9 @@ object CdcQueries {
       $"c_nationkey".cast(LongType).as("fk"))
     val dimSnap = Tables.table(spark, dir, "nation").select(
       $"n_nationkey".cast(LongType).as("dk"), $"n_name".as("dname"))
+    // fixture shuffles sized to the data (the q_cdc_incr_minmax
+    // rationale, optimization r20)
+    graft.ConfScope.withShufflePartitions(spark, 8) {
     // both logs carry the SAME lsn set (each derives from changeLog),
     // so one max(lsn) job serves both midpoints (was two head() jobs)
     val mxLsn = factLog.agg(max($"lsn")).head().getLong(0)
@@ -773,15 +809,15 @@ object CdcQueries {
     // re-runs the Cdc.apply compaction window (the q_cdc_incr_minmax
     // rationale; Bench GCs checkpoint blocks between keys). The ₂
     // states compose from the checkpointed ₁ states over the upper
-    // windows (the q_cdc_incr_agg composition note).
-    val fact1 = applyF(factSnap, factLog.filter($"lsn" <= cutF))
-      .localCheckpoint()
-    val fact2 = applyF(fact1, factLog.filter($"lsn" > cutF))
-      .localCheckpoint()
-    val dim1 = applyD(dimSnap, dimLog.filter($"lsn" <= cutD))
-      .localCheckpoint()
-    val dim2 = applyD(dim1, dimLog.filter($"lsn" > cutD))
-      .localCheckpoint()
+    // windows (the q_cdc_incr_agg composition note). The fact and dim
+    // chains are independent — their checkpoint materializations
+    // overlap (guide §2.6).
+    val (fact1, dim1) = graft.ConfScope.par2(
+      applyF(factSnap, factLog.filter($"lsn" <= cutF)).localCheckpoint(),
+      applyD(dimSnap, dimLog.filter($"lsn" <= cutD)).localCheckpoint())
+    val (fact2, dim2) = graft.ConfScope.par2(
+      applyF(fact1, factLog.filter($"lsn" > cutF)).localCheckpoint(),
+      applyD(dim1, dimLog.filter($"lsn" > cutD)).localCheckpoint())
     val j1 = JoinMaintain.fullJoin(fact1, dim1, "pk", "fk", "dk",
       Seq("cents", "fk"), Seq("dname"))
     val factDiff = AggMaintain.diffImages(fact1, fact2,
@@ -793,6 +829,7 @@ object CdcQueries {
       .select($"pk", $"cents", $"fk",
         col(JoinMaintain.markerCol("fk")).as("matched"), $"dname")
       .orderBy($"pk")
+    }
   }
 
   /** TWO-HOP maintained-DAG algebra, oracled end-to-end — the
@@ -829,6 +866,9 @@ object CdcQueries {
       $"c_nationkey".cast(LongType).as("fk"))
     val dimSnap = Tables.table(spark, dir, "nation").select(
       $"n_nationkey".cast(LongType).as("dk"), $"n_name".as("dname"))
+    // fixture shuffles sized to the data; fact/dim chains overlapped
+    // (the q_cdc_incr_join shape, optimization r20)
+    graft.ConfScope.withShufflePartitions(spark, 8) {
     // one max(lsn) job serves both midpoints; the ₂ states compose
     // from the checkpointed ₁ states (q_cdc_incr_join's shape)
     val mxLsn = factLog.agg(max($"lsn")).head().getLong(0)
@@ -838,14 +878,12 @@ object CdcQueries {
       Seq("pk"), "lsn", "op", Seq("cents", "fk")).drop("src")
     def applyD(base: DataFrame, log: DataFrame) = Cdc.apply(base, log,
       Seq("dk"), "lsn", "op", Seq("dname")).drop("src")
-    val fact1 = applyF(factSnap, factLog.filter($"lsn" <= cutF))
-      .localCheckpoint()
-    val fact2 = applyF(fact1, factLog.filter($"lsn" > cutF))
-      .localCheckpoint()
-    val dim1 = applyD(dimSnap, dimLog.filter($"lsn" <= cutD))
-      .localCheckpoint()
-    val dim2 = applyD(dim1, dimLog.filter($"lsn" > cutD))
-      .localCheckpoint()
+    val (fact1, dim1) = graft.ConfScope.par2(
+      applyF(factSnap, factLog.filter($"lsn" <= cutF)).localCheckpoint(),
+      applyD(dimSnap, dimLog.filter($"lsn" <= cutD)).localCheckpoint())
+    val (fact2, dim2) = graft.ConfScope.par2(
+      applyF(fact1, factLog.filter($"lsn" > cutF)).localCheckpoint(),
+      applyD(dim1, dimLog.filter($"lsn" > cutD)).localCheckpoint())
     // hop 1: the maintained join (checkpointed — it feeds the hop-2
     // seed aggregate AND the hop-2 image diff)
     val j1 = JoinMaintain.fullJoin(fact1, dim1, "pk", "fk", "dk",
@@ -869,6 +907,7 @@ object CdcQueries {
       .select($"dname", $"cnt", $"sum_cents",
         round($"avg_cents", 4).as("avg_cents"))
       .orderBy($"dname".asc_nulls_first)
+    }
   }
 
   /** Pipeline observability: change counts by op per hour. */

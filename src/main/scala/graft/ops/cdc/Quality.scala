@@ -404,7 +404,8 @@ object Quality {
           .as("bucket"))
     def side(yr: Int, n: String) = ord.filter($"y" === yr)
       .groupBy($"bucket").agg(count(lit(1)).as(n))
-    val grid = spark.range(0, 10).select($"id".as("bucket"))
+    // ONE partition for the 10-row bucket grid (optimization r20)
+    val grid = spark.range(0, 10, 1, 1).select($"id".as("bucket"))
     val joined = grid
       .join(side(1996, "n_base"), Seq("bucket"), "left")
       .join(side(2000, "n_curr"), Seq("bucket"), "left")

@@ -64,11 +64,10 @@ object StreamApplyQuery {
     // reduce-task fan-out per trigger for nothing — production sizes
     // the stream to its data volume the same way; the applied end
     // state is partitioning-invariant, oracle hash untouched)
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // held through start AND drain: the sink's merges read the
-      // session conf at execution time
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // scope held through start AND drain: the sink's merges read the
+    // session conf at execution time (single-threaded invariant
+    // documented once at graft.ConfScope)
+    graft.ConfScope.withShufflePartitions(spark, 4) {
       val q = spark.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").json(inDir)
         .writeStream.format("graft")
@@ -76,7 +75,7 @@ object StreamApplyQuery {
         .option("opCol", "__op").option("lsnCol", "__lsn")
         .start(path)
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
     spark.read.format("graft").load(path)
       .select($"c_custkey", $"bal_cents", $"seg")
       .orderBy($"c_custkey")
@@ -125,9 +124,7 @@ object StreamApplyQuery {
     // bucket count (the q_cdc_stream_agg discipline, r19 — see
     // qCdcStreamApply); the CDF feed and the applied end state are
     // partitioning-invariant, oracle hash untouched
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    graft.ConfScope.withShufflePartitions(spark, 4) {
       val q = spark.readStream.format("graft")
         .option("readChangeFeed", "true")
         .option("startingVersion", "snapshot")
@@ -143,7 +140,7 @@ object StreamApplyQuery {
           Seq("bal_cents", "seg"), 4): Unit
         q.processAllAvailable() // tail batch drained
       } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
     spark.read.parquet(outDir)
       .select($"c_custkey", $"change_type", $"bal_cents", $"seg")
       .orderBy($"c_custkey", $"change_type")
@@ -209,12 +206,11 @@ object StreamApplyQuery {
     // for nothing — size the stream to the fixture's bucket count
     // the way production sizes it to data volume (the end state is
     // partitioning-invariant, so the oracle hash is untouched)
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // held through the drain: the stream pins it for its stateful
-      // dedup at start, and the foreachBatch merges read the session
-      // conf at execution time
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // scope held through the drain: the stream pins it for its
+    // stateful dedup at start, and the foreachBatch merges read the
+    // session conf at execution time (single-threaded invariant
+    // documented once at graft.ConfScope)
+    graft.ConfScope.withShufflePartitions(spark, 4) {
       val q = CdcStream.maintainedAggregateSink(
         spark.readStream.schema(sch)
           .option("maxFilesPerTrigger", "1").json(inDir),
@@ -224,7 +220,7 @@ object StreamApplyQuery {
         groupCols = Seq("seg"), sumCols = Seq("bal_cents"),
         nBuckets = 4, aggBuckets = 2)
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
     graft.ops.cdc.AggMaintain.readAggregate(spark, aggDir)
       .select($"seg", $"cnt", $"sum_bal_cents")
       .orderBy($"seg")
