@@ -52,5 +52,6 @@ object GraftSession {
     functions.FreqSketchAgg.register(spark)
     functions.JaroWinkler.register(spark)
     functions.ThetaSketchAgg.register(spark)
+    functions.MediaHash.register(spark)
   }
 }

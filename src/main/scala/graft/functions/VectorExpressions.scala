@@ -138,5 +138,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_theta_agg"),
       new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_agg"),
       (exprs: Seq[Expression]) => ThetaSketchAgg.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_img_dhash"),
+      new ExpressionInfo(classOf[ImgDHash].getName, "graft_img_dhash"),
+      (exprs: Seq[Expression]) => MediaHash.imgFromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wav_envhash"),
+      new ExpressionInfo(classOf[WavEnvHash].getName, "graft_wav_envhash"),
+      (exprs: Seq[Expression]) => MediaHash.wavFromExprs(exprs)))
   }
 }

@@ -436,10 +436,25 @@ object Multimodal {
     * produce with its decoder kernel (the decodeStub boundary: codecs
     * are a kernel's job; the hash over decoded pixels is exactly this
     * expression). Fixed 9×7 geometry = 56 comparison bits, deliberately
-    * NOT 64: bit 63 would shift into the sign across engines. Pure
-    * Catalyst (hex/substring/conv fold — codegen, no UDF); non-IMGG or
-    * truncated payloads yield NULL (the wavMeta honesty rule). */
-  def dHash(payload: Column): Column = {
+    * NOT 64: bit 63 would shift into the sign across engines.
+    * Computed by the NATIVE codegen kernel (graft_img_dhash,
+    * optimization r20 — the graft_dot precedent): the hex-transcript
+    * fold below ([[dHashHexReference]]) reads every pixel through a
+    * substring+conv subtree over a 2×-size hex string (~240
+    * string-slicing nodes per row) and dominated q_mm_neardup's
+    * per-rep wall; the kernel computes the identical bits straight
+    * off the payload bytes. MediaHashSpec pins kernel ≡ transcript
+    * row-for-row, and the DuckDB oracle still replays the transcript
+    * SQL, so the gate re-certifies the equality on every run. Non-IMGG
+    * or truncated payloads yield NULL (the wavMeta honesty rule). */
+  def dHash(payload: Column): Column =
+    graft.functions.MediaHash.img_dhash(payload)
+
+  /** The pure-Catalyst hex-transcript fold dHash originally shipped —
+    * kept as the cross-engine REFERENCE (it is literally the oracle's
+    * SQL, expression for expression) that MediaHashSpec pins the
+    * native kernel against. Not on any query path. */
+  private[graft] def dHashHexReference(payload: Column): Column = {
     val hx = upper(hex(payload))
     val ok = substring(hx, 1, 8) === "494D4747" &&
       substring(hx, 9, 4) === "0907" && length(hx) >= lit(138)
@@ -548,8 +563,17 @@ object Multimodal {
     * slightly-edited audio preserves the loudness CONTOUR, so near
     * copies land within a small hamming distance while exact hashing
     * catches nothing. Requires the canonical 44-byte WAV header
-    * ([[wavMeta]]'s layout) with ≥64 PCM bytes; anything else is NULL. */
-  def wavEnvelopeHash(payload: Column): Column = {
+    * ([[wavMeta]]'s layout) with ≥64 PCM bytes; anything else is NULL.
+    * Computed by the NATIVE codegen kernel (graft_wav_envhash — the
+    * dHash rationale); [[wavEnvelopeHexReference]] is the pinned
+    * cross-engine transcript. */
+  def wavEnvelopeHash(payload: Column): Column =
+    graft.functions.MediaHash.wav_envhash(payload)
+
+  /** The original pure-Catalyst transcript — the oracle's SQL form,
+    * pinned against the native kernel by MediaHashSpec. Not on any
+    * query path. */
+  private[graft] def wavEnvelopeHexReference(payload: Column): Column = {
     val hx = upper(hex(payload))
     val ok = substring(hx, 1, 8) === "52494646" &&
       substring(hx, 17, 8) === "57415645" &&
