@@ -84,6 +84,12 @@ object CdcQueries {
       lit("events").as("src_table"),
       $"lsn",
       ($"lsn" * 1000L + 1700000000000L).as("ts_ms"))
+      // the whole avro encode+decode otherwise runs on the log's ONE
+      // input split (profiled r20: a single 0.5-0.7 s task with 31
+      // cores idle — guide §2.5's unsplittable-input case); spread the
+      // CPU-bound codec work across the cluster before paying it. The
+      // shuffle moves 10k short rows — noise next to the codec.
+      .repartition(spark.sparkContext.defaultParallelism)
     graft.sources.AvroCdc.decode(
         graft.sources.AvroCdc.encode(canonical, payload), "value", payload)
       .select($"op",
@@ -151,6 +157,9 @@ object CdcQueries {
     val raw = log.select(
       when($"kind" === "malformed", j0.substr(lit(1), length(j0) - 1))
         .otherwise(j0).as("j"))
+      // spread the classifier's json parse off the log's one input
+      // split (the q_cdc_decode_avro rationale, guide §2.5)
+      .repartition(spark.sparkContext.defaultParallelism)
     // single-pass audit (one scan, one shuffle) on the same classifier
     // expression decodeWithDlq splits with — drift-impossible
     Cdc.dlqAudit(raw, "j").orderBy($"failure_class")
@@ -184,6 +193,10 @@ object CdcQueries {
     val raw = log.select(
       when($"kind" === "malformed", j0.substr(lit(1), length(j0) - 1))
         .otherwise(j0).as("j"))
+      // spread the double json parse (classifier + replay decode) off
+      // the log's one input split (profiled r20: a single 2.0 s task
+      // with 31 cores idle — the q_cdc_decode_avro rationale)
+      .repartition(spark.sparkContext.defaultParallelism)
     val payload = StructType(Seq(
       StructField("pk", LongType), StructField("v", DoubleType)))
     val (_, dlq) = Cdc.decodeWithDlq(raw, "j", payload)
@@ -225,7 +238,11 @@ object CdcQueries {
       StructField("pk", LongType), StructField("v", DoubleType),
       StructField("w", LongType)))
     val decoded = Cdc.decode(
-        tagged.select($"lsn".as("event_id"), env.as("j")), "j", payload)
+        tagged.select($"lsn".as("event_id"), env.as("j"))
+          // spread the evolved-schema json parse off the log's one
+          // input split (the q_cdc_decode_avro rationale)
+          .repartition(spark.sparkContext.defaultParallelism),
+        "j", payload)
       .select($"lsn", $"op", $"after.pk".as("pk"),
         $"after.v".as("v"), $"after.w".as("w"))
     val snap = Tables.table(spark, dir, "customer")

@@ -42,7 +42,9 @@ object Boilerplate {
     * attributable by elimination. */
   def qLlmBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.table(spark, dir, "documents")
+    // spread the 8-gram shingle build off the corpus's one input
+    // split (DocSpread rationale, optimization r20)
+    val docs = DocSpread(Tables.table(spark, dir, "documents"))
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 8)
     val grams = docs.select($"doc_id", (size($"t") - 7).as("n_grams"),

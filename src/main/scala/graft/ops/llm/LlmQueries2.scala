@@ -146,7 +146,7 @@ object LlmQueries2 {
     * level up: the shuffle carries (lang, bigram) pairs, never text). */
   def qLlmNgrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.table(spark, dir, "documents")
+    val toks = DocSpread(Tables.table(spark, dir, "documents"))
       .select($"lang", split($"text", " ").as("toks"))
     val bi = toks.filter(size($"toks") >= 2)
       .select($"lang", explode(transform(
@@ -168,7 +168,7 @@ object LlmQueries2 {
     * (2–3 drown in common phrases, 5 finds almost nothing). */
   def qLlmContamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.table(spark, dir, "documents")
+    val docs = DocSpread(Tables.table(spark, dir, "documents"))
       .withColumn("split", Sampling.assignSplit($"doc_id", 80, 10, "split"))
     Contamination.crossSplitOverlap(docs, "doc_id", "text", "split",
         probeSplit = "test", corpusSplit = "train", n = 4, minHits = 5)
@@ -451,7 +451,9 @@ object LlmQueries2 {
     * Spark's auto-step — so the filter is correctness, not cosmetics). */
   def qLlmBigramLm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.table(spark, dir, "documents")
+    // spread the tokenize off the corpus's one input split
+    // (DocSpread rationale, optimization r20)
+    val docs = DocSpread(Tables.table(spark, dir, "documents"))
     val arr = docs.select($"doc_id", split($"text", " ").as("toks"))
     val big = arr.filter(size($"toks") >= 2)
       .select($"doc_id", explode(transform(
