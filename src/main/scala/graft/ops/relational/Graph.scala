@@ -422,21 +422,38 @@ object Graph {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < maxJumpRounds) {
-      val jump = lbl.as("a")
-        .join(lbl.as("b"), $"a.lbl" === $"b.node")
+    // one propagate+jump step as a PLAN over (node, lbl, prev) — prev
+    // carries the label the node held BEFORE the current checkpoint
+    // interval (min-fold labels are monotone non-increasing, so
+    // lbl = prev across a fused pair of steps iff NOTHING changed in
+    // either step — the convergence test stays exact)
+    def step(cur: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val jump = cur.as("a")
+        .join(cur.as("b"), $"a.lbl" === $"b.node")
         .select($"a.node".as("node"), $"b.lbl".as("lbl"))
-      val next = lbl.select($"node", $"lbl", lit(true).as("self"))
-        .union(es.join(lbl.withColumnRenamed("node", "src"), "src")
-          .select($"dst".as("node"), $"lbl", lit(false).as("self")))
-        .union(jump.select($"node", $"lbl", lit(false).as("self")))
+      cur.select($"node", $"lbl", $"prev")
+        .union(es.join(cur.withColumnRenamed("node", "src"), "src")
+          .select($"dst".as("node"), $"lbl",
+            lit(null).cast("bigint").as("prev")))
+        .union(jump.select($"node", $"lbl",
+          lit(null).cast("bigint").as("prev")))
         .groupBy($"node").agg(min($"lbl").as("lbl"),
-          min(when($"self", $"lbl")).as("prev"))
+          min($"prev").as("prev"))
+    }
+    while (!converged && rounds < maxJumpRounds) {
+      // TWO steps per checkpoint + convergence probe (optimization
+      // r20, the DedupCluster 2-rounds-per-checkpoint discipline):
+      // the per-interval fixed costs — checkpoint job, isEmpty job,
+      // broadcast builds' scheduling latency — dominate this graph's
+      // tiny per-round data, so halving the intervals nearly halves
+      // the key; the label fixed point is unchanged.
+      val next = step(step(lbl.withColumn("prev", $"lbl")))
         .localCheckpoint()
       converged = next.filter($"lbl" =!= $"prev").isEmpty
       unpersistCheckpoint(lbl)
       lbl = next.select($"node", $"lbl")
-      rounds += 1
+      rounds += 2
     }
     val labels =
       if (converged) lbl
