@@ -195,8 +195,16 @@ object CdcQueries {
         .otherwise(j0).as("j"))
       // spread the double json parse (classifier + replay decode) off
       // the log's one input split (profiled r20: a single 2.0 s task
-      // with 31 cores idle — the q_cdc_decode_avro rationale)
+      // with 31 cores idle — the q_cdc_decode_avro rationale).
+      // MATERIALIZED: the DLQ classifier filter is deterministic, so
+      // Catalyst pushes it back through the exchange onto the 1-task
+      // scan side (verified in plans/r20/); checkpointing the spread
+      // envelope frame pins the expensive from_json classifier above
+      // the spread boundary — the same materialize-the-classified-
+      // stream shape a production DLQ split runs (both halves are
+      // sinks there). 100k short strings; Bench GCs blocks per key.
       .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val payload = StructType(Seq(
       StructField("pk", LongType), StructField("v", DoubleType)))
     val (_, dlq) = Cdc.decodeWithDlq(raw, "j", payload)
