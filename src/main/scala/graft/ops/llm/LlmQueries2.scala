@@ -96,7 +96,10 @@ object LlmQueries2 {
     * GENERAL iterative clusterer against an independent formulation. */
   def qLlmDedupCluster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.table(spark, dir, "documents")
+    // spread the shingle build off the corpus's one input split — it
+    // evaluates on the map side of BOTH self-join branches (DocSpread
+    // rationale, optimization r20)
+    val docs = DocSpread(Tables.table(spark, dir, "documents"))
     val s = NearDup.shingleSets(docs, "doc_id", "text", n = 5)
     val a = s.select($"doc_id".as("doc_a"), $"tokens".as("ta"))
     val b = s.select(($"doc_id" - 1).as("doc_a"), $"doc_id".as("doc_b"),
